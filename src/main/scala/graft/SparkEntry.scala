@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Core
+import graft.queries.{Core, QualityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -13,10 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries
+    Core.queries ++ QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Core.oracleSql
+    Core.oracleSql ++ QualityQueries.oracleSql
 }

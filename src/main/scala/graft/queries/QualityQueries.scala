@@ -1,0 +1,376 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality queries (SURVEY.md §2.2) — distributed re-expression of
+  * the reference rule engine (/root/reference/src/quality/data_quality.py
+  * DQ001–DQ008). Every rule is a Column predicate folded into ONE
+  * aggregate pass per table (`sum(when(...))`) — never a per-rule scan,
+  * never a driver loop. Scores are exact-integer divisions so the DuckDB
+  * oracle reproduces them bit-for-bit.
+  */
+object QualityQueries {
+
+  /** #15 DQ001 shape — per-column completeness on `orders` in one scan:
+    * a single agg computes count + per-column non-null counts, then
+    * `stack` pivots the one-row result to a row per column. */
+  def dqCompleteness(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.map(c => count(col(c)).as(s"nn_$c"))
+    val stackArgs = cols
+      .map(c => s"'$c', nn_$c").mkString(s"stack(${cols.size}, ", ", ", ")")
+    Tables(s, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(s"$stackArgs as (column_name, n_notnull)"))
+      .select(
+        col("column_name"),
+        col("n_rows"),
+        (col("n_rows") - col("n_notnull")).as("n_null"),
+        (col("n_notnull").cast("double") / col("n_rows")).as("completeness"))
+  }
+
+  /** #16 DQ002/DQ003 shape — anchored-regex format validity, one agg per
+    * table (3 tiny union branches, each a single scan of its table). */
+  def dqValidityFormat(s: SparkSession, dir: String): DataFrame = {
+    def check(df: DataFrame, rule: String, c: Column, pattern: String) =
+      df.agg(
+        count(c).as("n_checked"),
+        sum(when(c.isNotNull && !c.rlike(pattern), 1L).otherwise(0L))
+          .as("n_failed"))
+        .select(
+          lit(rule).as("rule"),
+          col("n_checked"),
+          col("n_failed"),
+          ((col("n_checked") - col("n_failed")).cast("double") /
+            col("n_checked")).as("score"))
+    check(Tables(s, dir, "customer"), "customer_name_format",
+        col("c_name"), "^Customer#[0-9]{9}$")
+      .unionAll(check(Tables(s, dir, "documents"), "doc_lang_format",
+        col("lang"), "^[a-z]{2}$"))
+      .unionAll(check(Tables.events(s, dir), "event_props_json",
+        col("props"), "^\\{\"k\": [0-9]+\\}$"))
+  }
+
+  /** Per-type upper bound for event values (DQ006's clinical-ranges map
+    * re-targeted, data_quality.py:744-757). */
+  private def eventHi: Column =
+    when(col("event_type") === "click", 400.0)
+      .when(col("event_type") === "purchase", 300.0)
+      .when(col("event_type") === "signup", 300.0)
+      .when(col("event_type") === "error", 300.0)
+      .when(col("event_type") === "view", 300.0)
+      .otherwise(1000.0)
+
+  /** #17 DQ006 shape — value-range checks per event type; groupBy on a
+    * 5-value key ⇒ map-side partial agg, trivial shuffle. */
+  def dqValueRanges(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("n_checked"),
+        sum(when(col("value").isNotNull &&
+            (col("value") < 0.0 || col("value") > eventHi), 1L)
+          .otherwise(0L)).as("n_out_of_range"))
+      .select(
+        col("event_type"), col("n_checked"), col("n_out_of_range"),
+        ((col("n_checked") - col("n_out_of_range")).cast("double") /
+          col("n_checked")).as("score"))
+
+  /** #18 DQ005 shape — duplicate-by-key summary per table. Exact
+    * count-distinct per table = one hash-partitioned pass each; the five
+    * one-row results union. */
+  def dqUniqueness(s: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, table: String, key: Column*) =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(key.head, key.tail: _*).as("n_keys"))
+        .select(
+          lit(table).as("table_name"), col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("n_dup_rows"),
+          (col("n_keys").cast("double") / col("n_rows")).as("uniqueness"))
+    one(Tables(s, dir, "orders"), "orders", col("o_orderkey"))
+      .unionAll(one(Tables(s, dir, "customer"), "customer", col("c_custkey")))
+      .unionAll(one(Tables(s, dir, "lineitem"), "lineitem",
+        col("l_orderkey"), col("l_linenumber")))
+      .unionAll(one(Tables.events(s, dir), "events", col("event_id")))
+      .unionAll(one(Tables(s, dir, "documents"), "documents", col("doc_id")))
+  }
+
+  /** #19 DQ007 — referential integrity: orphan counts per FK edge via
+    * left join + null-count (one pass per edge; small dims broadcast,
+    * the lineitem⋈orders edge shuffles on the join key as it must). */
+  def dqReferentialIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(child: DataFrame, childKey: Column, parent: DataFrame,
+        parentKey: Column, name: String, bcast: Boolean) = {
+      val p = parent.select(parentKey.as("_pk"))
+      val pj = if (bcast) broadcast(p) else p
+      child.select(childKey.as("_ck"))
+        .join(pj, col("_ck") === col("_pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          ((col("n_child") - col("n_orphans")).cast("double") /
+            col("n_child")).as("score"))
+    }
+    val li = Tables(s, dir, "lineitem")
+    edge(li, col("l_orderkey"), Tables(s, dir, "orders"),
+        col("o_orderkey"), "lineitem_orders", bcast = false)
+      .unionAll(edge(li, col("l_partkey"), Tables(s, dir, "part"),
+        col("p_partkey"), "lineitem_part", bcast = true))
+      .unionAll(edge(li, col("l_suppkey"), Tables(s, dir, "supplier"),
+        col("s_suppkey"), "lineitem_supplier", bcast = true))
+      .unionAll(edge(Tables(s, dir, "orders"), col("o_custkey"),
+        Tables(s, dir, "customer"), col("c_custkey"), "orders_customer",
+        bcast = true))
+      .unionAll(edge(Tables(s, dir, "customer"), col("c_nationkey"),
+        Tables(s, dir, "nation"), col("n_nationkey"), "customer_nation",
+        bcast = true))
+      .unionAll(edge(Tables(s, dir, "nation"), col("n_regionkey"),
+        Tables(s, dir, "region"), col("r_regionkey"), "nation_region",
+        bcast = true))
+  }
+
+  /** #20 — the full QualityReport on `orders` (zone=SILVER) in ONE scan:
+    * every rule counter in a single agg (incl. the DQ005 count-distinct),
+    * then scores/statuses/weighted-overall/promotion as scalar arithmetic
+    * on the one-row result, pivoted to a row per rule. Weighted-score and
+    * gate semantics follow data_quality.py:418-526; weights 1.0/0.9/1.0/
+    * 1.2 per dimension, Silver thresholds (0.95/0.98/—/1.0, overall 0.95).
+    */
+  def dqQualityReport(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull || col("o_custkey").isNull ||
+          col("o_orderstatus").isNull || col("o_totalprice").isNull ||
+          col("o_orderdate").isNull, 1L).otherwise(0L)).as("f1"),
+      count(col("o_orderdate")).as("c2"),
+      sum(when(col("o_orderdate").isNotNull &&
+          !(col("o_orderdate") >= lit("1992-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp")), 1L)
+        .otherwise(0L)).as("f2"),
+      sum(when(col("o_orderkey") < 0 || col("o_custkey") < 0, 1L)
+        .otherwise(0L)).as("f3"),
+      countDistinct(col("o_orderkey")).as("nd5"),
+      count(col("o_totalprice")).as("c6"),
+      sum(when(col("o_totalprice").isNotNull &&
+          (col("o_totalprice") < 0.0 || col("o_totalprice") > 1000000.0), 1L)
+        .otherwise(0L)).as("f6"))
+
+    val scored = agg
+      .withColumn("s1", (col("n") - col("f1")).cast("double") / col("n"))
+      .withColumn("s2", (col("c2") - col("f2")).cast("double") / col("c2"))
+      .withColumn("s3", (col("n") - col("f3")).cast("double") / col("n"))
+      .withColumn("s5", col("nd5").cast("double") / col("n"))
+      .withColumn("s6", (col("c6") - col("f6")).cast("double") / col("c6"))
+      .withColumn("st1", when(col("s1") < 0.95, "failed")
+        .when(col("s1") < 0.99, "warning").otherwise("passed"))
+      .withColumn("st2", when(col("s2") < 0.95, "failed")
+        .when(col("s2") < 0.99, "warning").otherwise("passed"))
+      .withColumn("st3", when(col("s3") < 0.99, "failed")
+        .when(col("s3") < 1.0, "warning").otherwise("passed"))
+      .withColumn("st5", when(col("n") - col("nd5") > 0, "failed")
+        .otherwise("passed"))
+      .withColumn("st6", when(col("s6") < 0.95, "failed")
+        .when(col("s6") < 0.99, "warning").otherwise("passed"))
+      .withColumn("overall_score",
+        (col("s1") * 1.0 + col("s2") * 0.9 + col("s3") * 0.9 +
+          col("s5") * 1.0 + col("s6") * 1.2) / 5.0)
+      .withColumn("n_failed_rules",
+        when(col("st1") === "failed", 1).otherwise(0) +
+        when(col("st2") === "failed", 1).otherwise(0) +
+        when(col("st3") === "failed", 1).otherwise(0) +
+        when(col("st5") === "failed", 1).otherwise(0) +
+        when(col("st6") === "failed", 1).otherwise(0))
+      .withColumn("promotion_eligible",
+        col("overall_score") >= 0.95 && col("s1") >= 0.95 &&
+          col("s6") >= 0.98 && col("s5") >= 1.0 &&
+          col("n_failed_rules") === 0)
+
+    scored.select(
+      expr("""stack(5,
+        'DQ001', 'completeness', 'critical', n,  n - f1,   f1,       s1, st1,
+        'DQ002', 'validity',     'major',    c2, c2 - f2,  f2,       s2, st2,
+        'DQ003', 'validity',     'critical', n,  n - f3,   f3,       s3, st3,
+        'DQ005', 'uniqueness',   'critical', n,  nd5,      n - nd5,  s5, st5,
+        'DQ006', 'accuracy',     'major',    c6, c6 - f6,  f6,       s6, st6)
+        as (rule_id, dimension, severity, records_checked, records_passed,
+            records_failed, score, status)"""),
+      col("overall_score"), col("promotion_eligible"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_completeness" -> dqCompleteness,
+    "dq_validity_format" -> dqValidityFormat,
+    "dq_value_ranges" -> dqValueRanges,
+    "dq_uniqueness" -> dqUniqueness,
+    "dq_referential_integrity" -> dqReferentialIntegrity,
+    "dq_quality_report" -> dqQualityReport)
+
+  val oracleSql: Map[String, String] = Map(
+    "dq_completeness" -> Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+      .map(c => s"""
+        SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT($c) AS n_null,
+          CAST(COUNT($c) AS DOUBLE) / COUNT(*) AS completeness
+        FROM orders""")
+      .mkString(" UNION ALL "),
+    "dq_validity_format" -> """
+      SELECT 'customer_name_format' AS rule, COUNT(c_name) AS n_checked,
+        CAST(SUM(CASE WHEN c_name IS NOT NULL
+          AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        CAST(COUNT(c_name) - SUM(CASE WHEN c_name IS NOT NULL
+          AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(c_name) AS score
+      FROM customer
+      UNION ALL
+      SELECT 'doc_lang_format', COUNT(lang),
+        CAST(SUM(CASE WHEN lang IS NOT NULL
+          AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(lang) - SUM(CASE WHEN lang IS NOT NULL
+          AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(lang)
+      FROM documents
+      UNION ALL
+      SELECT 'event_props_json', COUNT(props),
+        CAST(SUM(CASE WHEN props IS NOT NULL
+          AND NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(props) - SUM(CASE WHEN props IS NOT NULL
+          AND NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(props)
+      FROM events""",
+    "dq_value_ranges" -> """
+      SELECT event_type, COUNT(value) AS n_checked,
+        CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value >
+          CASE event_type WHEN 'click' THEN 400.0 WHEN 'purchase' THEN 300.0
+            WHEN 'signup' THEN 300.0 WHEN 'error' THEN 300.0
+            WHEN 'view' THEN 300.0 ELSE 1000.0 END)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range,
+        CAST(COUNT(value) - SUM(CASE WHEN value IS NOT NULL
+          AND (value < 0.0 OR value >
+          CASE event_type WHEN 'click' THEN 400.0 WHEN 'purchase' THEN 300.0
+            WHEN 'signup' THEN 300.0 WHEN 'error' THEN 300.0
+            WHEN 'view' THEN 300.0 ELSE 1000.0 END)
+          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(value) AS score
+      FROM events GROUP BY event_type""",
+    "dq_uniqueness" -> """
+      SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+        COUNT(DISTINCT o_orderkey) AS n_keys,
+        COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_rows,
+        CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*) AS uniqueness
+      FROM orders
+      UNION ALL
+      SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+        COUNT(*) - COUNT(DISTINCT c_custkey),
+        CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / COUNT(*)
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem', COUNT(*), COUNT(DISTINCT (l_orderkey, l_linenumber)),
+        COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)),
+        CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
+        COUNT(*) - COUNT(DISTINCT event_id),
+        CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*)
+      FROM events
+      UNION ALL
+      SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
+        COUNT(*) - COUNT(DISTINCT doc_id),
+        CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / COUNT(*)
+      FROM documents""",
+    "dq_referential_integrity" -> """
+      SELECT 'lineitem_orders' AS relation, COUNT(*) AS n_child,
+        COUNT(*) - COUNT(o.o_orderkey) AS n_orphans,
+        CAST(COUNT(o.o_orderkey) AS DOUBLE) / COUNT(*) AS score
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem_part', COUNT(*), COUNT(*) - COUNT(p.p_partkey),
+        CAST(COUNT(p.p_partkey) AS DOUBLE) / COUNT(*)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem_supplier', COUNT(*), COUNT(*) - COUNT(s.s_suppkey),
+        CAST(COUNT(s.s_suppkey) AS DOUBLE) / COUNT(*)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders_customer', COUNT(*), COUNT(*) - COUNT(c.c_custkey),
+        CAST(COUNT(c.c_custkey) AS DOUBLE) / COUNT(*)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer_nation', COUNT(*), COUNT(*) - COUNT(n.n_nationkey),
+        CAST(COUNT(n.n_nationkey) AS DOUBLE) / COUNT(*)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'nation_region', COUNT(*), COUNT(*) - COUNT(r.r_regionkey),
+        CAST(COUNT(r.r_regionkey) AS DOUBLE) / COUNT(*)
+      FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "dq_quality_report" -> """
+      WITH agg AS (
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+            OR o_orderstatus IS NULL OR o_totalprice IS NULL
+            OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          COUNT(o_orderdate) AS c2,
+          CAST(SUM(CASE WHEN o_orderdate IS NOT NULL AND NOT
+            (o_orderdate >= TIMESTAMP '1992-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01')
+            THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+          CAST(SUM(CASE WHEN o_orderkey < 0 OR o_custkey < 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+          COUNT(DISTINCT o_orderkey) AS nd5,
+          COUNT(o_totalprice) AS c6,
+          CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+            AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS f6
+        FROM orders),
+      scored AS (
+        SELECT *,
+          CAST(n - f1 AS DOUBLE) / n AS s1,
+          CAST(c2 - f2 AS DOUBLE) / c2 AS s2,
+          CAST(n - f3 AS DOUBLE) / n AS s3,
+          CAST(nd5 AS DOUBLE) / n AS s5,
+          CAST(c6 - f6 AS DOUBLE) / c6 AS s6
+        FROM agg),
+      st AS (
+        SELECT *,
+          CASE WHEN s1 < 0.95 THEN 'failed' WHEN s1 < 0.99 THEN 'warning'
+            ELSE 'passed' END AS st1,
+          CASE WHEN s2 < 0.95 THEN 'failed' WHEN s2 < 0.99 THEN 'warning'
+            ELSE 'passed' END AS st2,
+          CASE WHEN s3 < 0.99 THEN 'failed' WHEN s3 < 1.0 THEN 'warning'
+            ELSE 'passed' END AS st3,
+          CASE WHEN n - nd5 > 0 THEN 'failed' ELSE 'passed' END AS st5,
+          CASE WHEN s6 < 0.95 THEN 'failed' WHEN s6 < 0.99 THEN 'warning'
+            ELSE 'passed' END AS st6,
+          (s1 * 1.0 + s2 * 0.9 + s3 * 0.9 + s5 * 1.0 + s6 * 1.2) / 5.0
+            AS overall_score
+        FROM scored),
+      fin AS (
+        SELECT *,
+          (CASE WHEN st1 = 'failed' THEN 1 ELSE 0 END
+           + CASE WHEN st2 = 'failed' THEN 1 ELSE 0 END
+           + CASE WHEN st3 = 'failed' THEN 1 ELSE 0 END
+           + CASE WHEN st5 = 'failed' THEN 1 ELSE 0 END
+           + CASE WHEN st6 = 'failed' THEN 1 ELSE 0 END) AS n_failed_rules
+        FROM st)
+      SELECT rule_id, dimension, severity, records_checked, records_passed,
+        records_failed, score, status, overall_score,
+        (overall_score >= 0.95 AND s1 >= 0.95 AND s6 >= 0.98 AND s5 >= 1.0
+         AND n_failed_rules = 0) AS promotion_eligible
+      FROM fin, LATERAL (VALUES
+        ('DQ001', 'completeness', 'critical', n,  n - f1,  f1,      s1, st1),
+        ('DQ002', 'validity',     'major',    c2, c2 - f2, f2,      s2, st2),
+        ('DQ003', 'validity',     'critical', n,  n - f3,  f3,      s3, st3),
+        ('DQ005', 'uniqueness',   'critical', n,  nd5,     n - nd5, s5, st5),
+        ('DQ006', 'accuracy',     'major',    c6, c6 - f6, f6,      s6, st6))
+        AS r(rule_id, dimension, severity, records_checked, records_passed,
+             records_failed, score, status)""")
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.quality._
+
+/** SURVEY.md §2.2 #21 — QualityValidator engine semantics (zones,
+  * thresholds, weighted score, quarantine split), mirroring
+  * /root/reference/src/quality/data_quality.py behavior. */
+class QualitySpec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  private def df = Seq(
+    (1L, "A", 10.0), (2L, "B", 20.0), (3L, null.asInstanceOf[String], 30.0),
+    (4L, "D", -5.0), (4L, "D2", 40.0), (6L, "F", 50.0))
+    .toDF("id", "name", "value")
+
+  private def rules = Seq(
+    Rule("R1", "name_present", Dimension.Completeness, "critical",
+      fails = col("name").isNull),
+    Rule("R2", "value_nonneg", Dimension.Accuracy, "major",
+      fails = col("value") < 0, applicable = col("value").isNotNull),
+    Rule("R3", "id_unique", Dimension.Uniqueness, "critical",
+      fails = col("_dup"), failBelow = 1.0, warnBelow = 1.0))
+
+  test("one-pass validate computes per-rule counters and scores") {
+    val v = new QualityValidator("t", rules.take(2))
+    val report = v.validate(df, DataZone.Bronze)
+    assert(report.totalRecords == 6)
+    val r1 = report.checkResults.find(_.ruleId == "R1").get
+    assert(r1.recordsChecked == 6 && r1.recordsFailed == 1)
+    assert(math.abs(r1.score - 5.0 / 6.0) < 1e-12)
+    assert(r1.status == Status.Failed) // 0.833 < 0.95
+    val r2 = report.checkResults.find(_.ruleId == "R2").get
+    assert(r2.recordsChecked == 6 && r2.recordsFailed == 1)
+  }
+
+  test("uniqueness via withDupFlag feeds the same one-pass agg") {
+    val v = new QualityValidator("t", rules)
+    val flagged = QualityValidator.withDupFlag(df, col("id"))
+    val report = v.validate(flagged, DataZone.Bronze)
+    val r3 = report.checkResults.find(_.ruleId == "R3").get
+    assert(r3.recordsFailed == 2) // both rows of key 4 are dup-flagged
+    assert(r3.status == Status.Failed)
+  }
+
+  test("weighted overall score uses reference dimension weights") {
+    val v = new QualityValidator("t", rules.take(2))
+    val report = v.validate(df, DataZone.Bronze)
+    val s1 = 5.0 / 6.0; val s2 = 5.0 / 6.0
+    val expected = (s1 * 1.0 + s2 * 1.2) / 2.2
+    assert(math.abs(report.overallScore - expected) < 1e-12)
+  }
+
+  test("promotion gate: clean data promotes, dirty does not") {
+    val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "name", "value")
+    val v = new QualityValidator("t", rules.take(2))
+    assert(v.validate(clean, DataZone.Silver).promotionEligible)
+    assert(!v.validate(df, DataZone.Silver).promotionEligible)
+  }
+
+  test("zone applicability filters rules like applicable_zones") {
+    val zoned = Seq(
+      Rule("RB", "bronze_only", Dimension.Completeness, "critical",
+        fails = lit(false), applicableZones = Set(DataZone.Bronze)))
+    val v = new QualityValidator("t", zoned)
+    assert(v.validate(df, DataZone.Bronze).checkResults.size == 1)
+    assert(v.validate(df, DataZone.Gold).checkResults.isEmpty)
+  }
+
+  test("split quarantines only rows failing FAILED rules") {
+    val v = new QualityValidator("t", rules.take(2))
+    val (report, cleanDf, quarantined) = v.validateAndSplit(df, DataZone.Bronze)
+    // R1 fails (score 0.833 < 0.95); R2 fails too (0.833 < 0.95):
+    // quarantine = null-name row + negative-value row.
+    assert(report.overallStatus == Status.Failed)
+    assert(quarantined.count() == 2)
+    assert(cleanDf.count() == 4)
+    assert(quarantined.columns.sameElements(df.columns)) // no leak of _dq_pass
+  }
+
+  test("raw zone thresholds accept anything") {
+    val v = new QualityValidator("t", rules.take(2))
+    val report = v.validate(df, DataZone.Raw)
+    // No rule applies at RAW (default applicable_zones = Bronze/Silver/
+    // Gold) and RAW thresholds are all 0.0 ⇒ eligible, like the reference.
+    assert(report.checkResults.isEmpty)
+    assert(report.promotionEligible)
+  }
+}
