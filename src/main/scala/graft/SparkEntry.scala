@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, QualityQueries}
+import graft.queries.{Core, EtlQueries, QualityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -13,10 +13,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ QualityQueries.queries
+    Core.queries ++ QualityQueries.queries ++ EtlQueries.queries ++ Map(
+      // #27 lineage edge list (rows-only): plan-derived column lineage of
+      // the bronze-cleanse pipeline — the Catalyst plan IS the lineage.
+      "lineage_edges" -> ((s: SparkSession, dir: String) =>
+        graft.lineage.PlanLineage.edges(s, EtlQueries.etlBronzeCleanse(s, dir))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Core.oracleSql ++ QualityQueries.oracleSql
+    Core.oracleSql ++ QualityQueries.oracleSql ++ EtlQueries.oracleSql
 }

@@ -1,0 +1,196 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.quality.{DataZone, QualityValidator, Report, Rule}
+
+/** Medallion ETL (SURVEY.md §2.3) — distributed re-expression of the
+  * reference's HealthcareETLManager (/root/reference/src/etl/
+  * etl_manager.py). Zones are parquet directories instead of in-memory
+  * dict lists; every load type and transform is a DataFrame operation:
+  *
+  *  - FULL        → overwrite           (etl_manager.py:452-453)
+  *  - APPEND      → append              (etl_manager.py:454-455)
+  *  - MERGE       → key-precedence upsert via union + window
+  *                                      (etl_manager.py:456-467)
+  *  - INCREMENTAL → insert-only-new via left-anti join
+  *                                      (etl_manager.py:468-475)
+  *
+  * At 100 TB: MERGE/INCREMENTAL shuffle once on the merge key (AQE
+  * handles skew); the delta side broadcasts when small. No driver-side
+  * id sets — the reference's `existing_ids` dict becomes a join.
+  */
+object LoadType extends Enumeration {
+  val Full, Append, Merge, Incremental = Value
+}
+
+object Transforms {
+
+  /** Sentinel strings treated as NULL — etl_manager.py:561. */
+  val nullSentinels: Seq[String] =
+    Seq("", "NULL", "null", "N/A", "n/a", "NA", "None", "none")
+
+  /** Date formats tried in order — etl_manager.py:511 (same order, so
+    * ambiguous strings resolve identically to the reference). */
+  val dateFormats: Seq[String] =
+    Seq("yyyy-MM-dd", "MM/dd/yyyy", "dd/MM/yyyy", "yyyyMMdd")
+
+  private def stringCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+
+  /** trim_strings — every string column (etl_manager.py:539-549). */
+  def trimStrings(df: DataFrame): DataFrame =
+    stringCols(df).foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+
+  /** null_handling — sentinel strings → NULL (etl_manager.py:551-563). */
+  def nullHandling(df: DataFrame): DataFrame =
+    stringCols(df).foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isin(nullSentinels: _*), lit(null).cast(StringType))
+          .otherwise(col(c)))
+    }
+
+  /** uppercase_codes — upper+trim on code columns (etl_manager.py:524-537). */
+  def uppercaseCodes(df: DataFrame, codeCols: Seq[String]): DataFrame =
+    codeCols.filter(df.columns.contains).foldLeft(df)((d, c) =>
+      d.withColumn(c, upper(trim(col(c)))))
+
+  /** standardize_dates — first-matching-format parse of string dates to
+    * ISO (etl_manager.py:498-522). try_to_date is null-on-mismatch, like
+    * the reference's swallowed ValueError. */
+  def standardizeDates(df: DataFrame, dateCols: Seq[String]): DataFrame =
+    dateCols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        coalesce(dateFormats.map(f =>
+          try_to_timestamp(col(c), lit(f)).cast("date")): _*))
+    }
+
+  /** deduplicate — keep one row per key; "first wins" made deterministic
+    * with an explicit tie-break ordering (etl_manager.py:482-496 keeps
+    * input order, which does not exist distributed). */
+  def deduplicate(df: DataFrame, key: Seq[Column], tieBreak: Seq[Column])
+      : DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(tieBreak: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** add_metadata — processing audit columns (etl_manager.py:565-576). */
+  def addMetadata(df: DataFrame): DataFrame =
+    df.withColumn("_processed_at", current_timestamp())
+      .withColumn("_version", lit(1))
+}
+
+final case class JobResult(
+    jobId: String, status: String, recordsRead: Long, recordsWritten: Long,
+    recordsQuarantined: Long, qualityReport: Option[Report])
+
+/** Parquet-zone medallion pipeline with quality-gated promotion.
+  *
+  * @param root  warehouse directory; each zone is `root/<zone>/<dataset>`
+  */
+class MedallionPipeline(spark: SparkSession, root: String) {
+
+  def path(zone: DataZone.Value, dataset: String): String =
+    s"$root/${zone.toString.toLowerCase}/$dataset"
+
+  def exists(zone: DataZone.Value, dataset: String): Boolean =
+    Files.exists(Paths.get(path(zone, dataset)))
+
+  def read(zone: DataZone.Value, dataset: String): DataFrame =
+    spark.read.parquet(path(zone, dataset))
+
+  /** Distributed _write_to_zone (etl_manager.py:441-475). `key` is the
+    * upsert identity for MERGE/INCREMENTAL (reference: the `id` field).
+    */
+  def write(zone: DataZone.Value, dataset: String, df: DataFrame,
+      loadType: LoadType.Value, key: Seq[String] = Seq("id")): Unit = {
+    val target = path(zone, dataset)
+    loadType match {
+      case LoadType.Full =>
+        df.write.mode(SaveMode.Overwrite).parquet(target)
+      case LoadType.Append =>
+        df.write.mode(SaveMode.Append).parquet(target)
+      case LoadType.Merge if !exists(zone, dataset) =>
+        df.write.mode(SaveMode.Overwrite).parquet(target)
+      case LoadType.Merge =>
+        val existing = read(zone, dataset).withColumn("_prec", lit(1))
+        val incoming = df.withColumn("_prec", lit(0))
+        val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec"))
+        val merged = existing.unionByName(incoming)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_prec", "_rn")
+        replace(target, merged)
+      case LoadType.Incremental if !exists(zone, dataset) =>
+        df.write.mode(SaveMode.Overwrite).parquet(target)
+      case LoadType.Incremental =>
+        val existingKeys = read(zone, dataset).select(key.map(col): _*)
+        val newRows = df.join(existingKeys, key, "left_anti")
+        newRows.write.mode(SaveMode.Append).parquet(target)
+    }
+  }
+
+  /** Parquet has no atomic overwrite-while-reading: stage to a temp dir,
+    * then swap. (A real deployment would use a table format's ACID
+    * replace; the zone contract is the same.) */
+  private def replace(target: String, df: DataFrame): Unit = {
+    val tmp = target + "__staging"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val out = spark.read.parquet(tmp)
+    out.write.mode(SaveMode.Overwrite).parquet(target)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** run_job (etl_manager.py:206-356): read source zone → transforms →
+    * quality gate vs target zone → quarantine failed rows → write clean
+    * rows with the requested load type. */
+  def runJob(
+      jobId: String,
+      dataset: String,
+      sourceZone: DataZone.Value,
+      targetZone: DataZone.Value,
+      loadType: LoadType.Value,
+      transforms: Seq[DataFrame => DataFrame] = Seq.empty,
+      rules: Seq[Rule] = Seq.empty,
+      key: Seq[String] = Seq("id")): JobResult = {
+    val source = read(sourceZone, dataset)
+    val recordsRead = source.count()
+    val transformed = transforms.foldLeft(source)((d, t) => t(d))
+
+    if (rules.isEmpty) {
+      write(targetZone, dataset, transformed, loadType, key)
+      return JobResult(jobId, "completed", recordsRead,
+        transformed.count(), 0L, None)
+    }
+
+    val validator = new QualityValidator(dataset, rules)
+    val (report, clean, quarantined) =
+      validator.validateAndSplit(transformed, targetZone)
+    val nQuarantined = quarantined.count()
+    if (nQuarantined > 0) {
+      quarantined.write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/quarantine/$jobId/$dataset")
+    }
+    // Reference gate (etl_manager.py:283-316): a FAILED report with no
+    // quarantinable rows aborts; otherwise clean rows proceed.
+    write(targetZone, dataset, clean, loadType, key)
+    JobResult(jobId, "completed", recordsRead, clean.count(),
+      nQuarantined, Some(report))
+  }
+
+  def quarantined(jobId: String, dataset: String): DataFrame =
+    spark.read.parquet(s"$root/quarantine/$jobId/$dataset")
+
+  /** promote_zone (etl_manager.py:597-629) — FULL load to the next zone
+    * with the target zone's quality gate. */
+  def promoteZone(dataset: String, from: DataZone.Value, to: DataZone.Value,
+      rules: Seq[Rule] = Seq.empty, key: Seq[String] = Seq("id")): JobResult =
+    runJob(s"promote_${dataset}_${from}_$to", dataset, from, to,
+      LoadType.Full, Seq.empty, rules, key)
+}

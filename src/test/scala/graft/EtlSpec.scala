@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl._
+import graft.quality.{DataZone, Dimension, Rule}
+
+/** SURVEY.md §2.3 #26 — MedallionPipeline API: zone writes for all four
+  * load types, quality-gated promotion with quarantine. */
+class EtlSpec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("medallion").toString
+
+  private def df(rows: (Long, String, Double)*) =
+    rows.toDF("id", "code", "value")
+
+  test("FULL overwrites, APPEND accumulates") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    p.write(DataZone.Raw, "t", df((1L, "a", 1.0)), LoadType.Full)
+    p.write(DataZone.Raw, "t", df((2L, "b", 2.0)), LoadType.Full)
+    assert(p.read(DataZone.Raw, "t").count() == 1)
+    p.write(DataZone.Raw, "t", df((3L, "c", 3.0)), LoadType.Append)
+    assert(p.read(DataZone.Raw, "t").count() == 2)
+  }
+
+  test("MERGE upserts by key with incoming precedence") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    p.write(DataZone.Bronze, "t", df((1L, "old", 1.0), (2L, "keep", 2.0)),
+      LoadType.Full)
+    p.write(DataZone.Bronze, "t", df((1L, "new", 10.0), (3L, "ins", 3.0)),
+      LoadType.Merge, key = Seq("id"))
+    val out = p.read(DataZone.Bronze, "t").orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "new", 2L -> "keep", 3L -> "ins"))
+  }
+
+  test("INCREMENTAL inserts only unseen keys") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    p.write(DataZone.Bronze, "t", df((1L, "v1", 1.0)), LoadType.Full)
+    p.write(DataZone.Bronze, "t", df((1L, "v2", 9.0), (2L, "v1", 2.0)),
+      LoadType.Incremental, key = Seq("id"))
+    val out = p.read(DataZone.Bronze, "t").orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "v1", 2L -> "v1")) // key 1 kept its existing version
+  }
+
+  test("runJob applies transforms and quarantines failing rows") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    p.write(DataZone.Raw, "t",
+      df((1L, "  ok ", 1.0), (2L, "NULL", 2.0), (3L, "x", -1.0)),
+      LoadType.Full)
+    val rules = Seq(
+      Rule("R1", "value_nonneg", Dimension.Accuracy, "major",
+        fails = col("value") < 0, failBelow = 1.0, warnBelow = 1.0))
+    val res = p.runJob("job1", "t", DataZone.Raw, DataZone.Bronze,
+      LoadType.Full,
+      transforms = Seq(Transforms.trimStrings, Transforms.nullHandling),
+      rules = rules, key = Seq("id"))
+    assert(res.recordsRead == 3)
+    assert(res.recordsQuarantined == 1)
+    assert(res.recordsWritten == 2)
+    val bronze = p.read(DataZone.Bronze, "t").orderBy("id").collect()
+    assert(bronze.map(_.getString(1)).toSeq == Seq("ok", null)) // trimmed + nulled
+    assert(p.quarantined("job1", "t").count() == 1)
+    assert(res.qualityReport.exists(!_.promotionEligible))
+  }
+
+  test("promoteZone moves clean data to the next zone") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    p.write(DataZone.Bronze, "t", df((1L, "a", 1.0), (2L, "b", 2.0)),
+      LoadType.Full)
+    val res = p.promoteZone("t", DataZone.Bronze, DataZone.Silver)
+    assert(res.status == "completed")
+    assert(p.read(DataZone.Silver, "t").count() == 2)
+  }
+
+  test("standardize_dates parses formats in reference order") {
+    val in = Seq(
+      (1L, "1997-02-03"), (2L, "02/03/1997"), (3L, "25/03/1997"),
+      (4L, "19970203"), (5L, "not-a-date")).toDF("id", "d")
+    val out = Transforms.standardizeDates(in, Seq("d"))
+      .orderBy("id").collect().map(r => Option(r.getDate(1)).map(_.toString))
+    assert(out(0).contains("1997-02-03"))
+    assert(out(1).contains("1997-02-03")) // MM/dd wins over dd/MM
+    assert(out(2).contains("1997-03-25")) // month 25 invalid → dd/MM
+    assert(out(3).contains("1997-02-03"))
+    assert(out(4).isEmpty)
+  }
+
+  test("deduplicate keeps exactly one row per key deterministically") {
+    val in = Seq((1L, "b"), (1L, "a"), (2L, "c")).toDF("id", "v")
+    val out = Transforms.deduplicate(in, Seq(col("id")), Seq(col("v").asc))
+      .orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(1L -> "a", 2L -> "c"))
+  }
+
+  test("add_metadata stamps audit columns") {
+    val out = Transforms.addMetadata(df((1L, "a", 1.0)))
+    assert(out.columns.contains("_processed_at"))
+    assert(out.select("_version").head().getInt(0) == 1)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lineage._
+import graft.queries.EtlQueries
+
+/** SURVEY.md §2.4 #28 — LineageTracker API + plan-derived lineage. */
+class LineageSpec extends SparkSpec {
+
+  test("plan-derived source paths find the parquet inputs") {
+    val df = queries.Core.q04MultiJoin(spark, sf)
+    val paths = PlanLineage.sourcePaths(df)
+    assert(paths.exists(_.contains("lineitem.parquet")))
+    assert(paths.exists(_.contains("region.parquet")))
+    assert(paths.size == 5)
+  }
+
+  test("plan-derived column lineage maps outputs to source columns") {
+    val df = Tables(spark, sf, "orders")
+      .select((col("o_totalprice") * 2).as("doubled"), col("o_orderkey"))
+    val cl = PlanLineage.columnLineage(df)
+      .map(c => c.outputColumn -> c.sourceColumns).toMap
+    assert(cl("doubled").exists(_.endsWith("#o_totalprice")))
+    assert(cl("o_orderkey").exists(_.endsWith("#o_orderkey")))
+  }
+
+  test("lineage survives aggregates and joins") {
+    val df = queries.Core.q03JoinAgg(spark, sf)
+    val cl = PlanLineage.columnLineage(df)
+      .map(c => c.outputColumn -> c.sourceColumns).toMap
+    assert(cl("revenue_cents").exists(_.endsWith("#o_totalprice")))
+    assert(cl("c_mktsegment").exists(_.endsWith("#c_mktsegment")))
+  }
+
+  test("edges DataFrame is non-empty and well-formed (SURVEY #27)") {
+    val edges = PlanLineage.edges(spark, EtlQueries.etlBronzeCleanse(spark, sf))
+    assert(edges.columns.toSeq ==
+      Seq("output_column", "source_path", "source_column"))
+    assert(edges.count() > 0)
+    assert(edges.filter(col("output_column") === "lang")
+      .filter(col("source_column") === "lang").count() == 1)
+  }
+
+  test("tracker graph traversal: upstream and downstream with depth") {
+    val t = new LineageTracker()
+    val raw = t.registerAsset("claims", "raw")
+    val bronze = t.registerAsset("claims", "bronze")
+    val gold = t.registerAsset("claims_agg", "gold")
+    t.recordTransformation("cleanse", "batch_etl",
+      Seq(raw.assetId), Seq(bronze.assetId))
+    t.recordTransformation("aggregate", "batch_etl",
+      Seq(bronze.assetId), Seq(gold.assetId))
+
+    val down = t.getDownstreamImpact(raw.assetId)
+    assert(down.map(_._1) == Seq(bronze.assetId, gold.assetId))
+    assert(down.toMap.apply(gold.assetId) == 2) // depth
+
+    val up = t.getUpstreamLineage(gold.assetId)
+    assert(up.map(_._1).toSet == Set(bronze.assetId, raw.assetId))
+  }
+
+  test("recordDataFrame auto-registers sources from the plan") {
+    val t = new LineageTracker()
+    val out = t.registerAsset("docs_clean", "bronze")
+    val step = t.recordDataFrame("bronze_cleanse", "batch_etl",
+      EtlQueries.etlBronzeCleanse(spark, sf), out.assetId)
+    assert(step.inputAssets.nonEmpty)
+    assert(step.columnLineage.nonEmpty)
+    val audit = t.exportForAudit()
+    assert(audit("transformation_count") == 1)
+    assert(t.getUpstreamLineage(out.assetId).nonEmpty)
+  }
+
+  test("cycle-safe traversal respects max depth") {
+    val t = new LineageTracker(maxDepth = 3)
+    val a = t.registerAsset("a", "raw"); val b = t.registerAsset("b", "raw")
+    t.recordTransformation("ab", "x", Seq(a.assetId), Seq(b.assetId))
+    t.recordTransformation("ba", "x", Seq(b.assetId), Seq(a.assetId))
+    // must terminate
+    assert(t.getDownstreamImpact(a.assetId).nonEmpty)
+  }
+}
