@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, EtlQueries, QualityQueries}
+import graft.queries.{Core, DedupQueries, EtlQueries, QualityQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -13,7 +13,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ QualityQueries.queries ++ EtlQueries.queries ++ Map(
+    Core.queries ++ QualityQueries.queries ++ EtlQueries.queries ++
+      DedupQueries.queries ++ TextQueries.queries ++
+      SimilarityQueries.queries ++ Map(
       // #27 lineage edge list (rows-only): plan-derived column lineage of
       // the bronze-cleanse pipeline — the Catalyst plan IS the lineage.
       "lineage_edges" -> ((s: SparkSession, dir: String) =>
@@ -22,5 +24,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Core.oracleSql ++ QualityQueries.oracleSql ++ EtlQueries.oracleSql
+    Core.oracleSql ++ QualityQueries.oracleSql ++ EtlQueries.oracleSql ++
+      DedupQueries.oracleSql ++ TextQueries.oracleSql ++
+      SimilarityQueries.oracleSql
 }

@@ -1,0 +1,235 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for content hashing (SURVEY.md §2.5 #32,
+  * §2.7 #39). Native `Expression`s with `doGenCode` emitting a static
+  * call — they stay inside whole-stage codegen (no UDF serialization,
+  * no interpretation in the per-row hot path), which is the 100 TB
+  * requirement for per-document hashing.
+  *
+  * Hashing is FNV-1a 64-bit (public-domain constants) — deterministic
+  * across JVMs/executors, no seed material shipped with the plan.
+  */
+object TextHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a over UTF-8 bytes. */
+  def fnv1a(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash of a token array: per-bit vote sum of each token's
+    * FNV hash; bit set iff the vote is positive. */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = fnv1a(tokens.getUTF8String(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03): hash every k-gram, slide a window of w hashes, keep the
+    * rightmost minimum of each window, emit distinct selected hashes in
+    * position order. Guarantees any shared substring of length k+w-1
+    * yields a shared fingerprint. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = FnvOffset
+      var j = 0
+      while (j < k) {
+        h ^= (bytes(i + j) & 0xffL)
+        h *= FnvPrime
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    if (nGrams <= w) {
+      var min = 0
+      i = 1
+      while (i < nGrams) { if (hashes(i) <= hashes(min)) min = i; i += 1 }
+      return new GenericArrayData(Array(hashes(min)))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]
+    var lastPicked = -1
+    var start = 0
+    while (start + w <= nGrams) {
+      var min = start
+      i = start + 1
+      while (i < start + w) { if (hashes(i) <= hashes(min)) min = i; i += 1 }
+      if (min != lastPicked) {
+        out += hashes(min)
+        lastPicked = min
+      }
+      start += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** simhash64(array<string>) → bigint */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${child.dataType}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** winnow(string, k, w) → array<bigint>; k and w must be foldable. */
+case class Winnow(left: Expression, right: Expression, window: Expression)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(left, right, window)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "winnow"
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType &&
+      window.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int, int)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) null
+    else {
+      val k = right.eval(input).asInstanceOf[Int]
+      val w = window.eval(input).asInstanceOf[Int]
+      TextHash.winnow(t.asInstanceOf[UTF8String], k, w)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val windowGen = window.genCode(ctx)
+    val nullCheck = if (left.nullable) s"${leftGen.isNull}" else "false"
+    ev.copy(code =
+      code"""
+         ${leftGen.code}
+         ${rightGen.code}
+         ${windowGen.code}
+         boolean ${ev.isNull} = $nullCheck;
+         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         if (!${ev.isNull}) {
+           ${ev.value} = graft.functions.TextHash.winnow(
+             ${leftGen.value}, ${rightGen.value}, ${windowGen.value});
+         }
+       """)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Winnow =
+    copy(left = newChildren(0), right = newChildren(1),
+      window = newChildren(2))
+}
+
+/** hamming64(bigint, bigint) → int — XOR popcount distance. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming64"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, bigint)")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.hamming(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hamming64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Function registration — both the `SparkSessionExtensions` path (for
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) and a direct
+  * register for already-built sessions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  type Injection = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)
+
+  val injections: Seq[Injection] = Seq(
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow"),
+      (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))),
+    (FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
+      (args: Seq[Expression]) => Hamming64(args(0), args(1))))
+
+  /** Idempotent registration into an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    injections.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (SURVEY.md §2.6).
+  *
+  * #34 brute-force exact cosine top-k: broadcast the (small) query set
+  * against all candidates — correct baseline, O(Q·N).
+  * #35 random-hyperplane LSH: deterministic md5-seeded hyperplanes →
+  * per-band bit-signature buckets → candidates only from matching
+  * buckets → top-k. This is the 100 TB path: the bucket join shuffles
+  * on the (band, signature) key instead of comparing all pairs, and
+  * recall is tuned by bands × bits.
+  */
+object SimilarityQueries {
+
+  val K = 5
+  val NumQueries = 10 // query set = vec_id < 10
+  val Dims = 64
+  val BandBits = 6
+  val NumBands = 4
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nn", expr(
+        "aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x)"))
+
+  private def cosine(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a.e, $b.e, (x, y) -> x * y), 0D,
+        (acc, x) -> acc + x) / (sqrt($a.nn) * sqrt($b.nn))""")
+
+  /** #34 ann_bruteforce_topk — exact cosine top-k per query; the query
+    * side is tiny and broadcast, ranking is one window over (query). */
+  def annBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val queries = all.filter(col("vec_id") < NumQueries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(queries).as("a")
+      .join(all.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
+        cosine("a", "b").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+  }
+
+  /** Deterministic ±1 hyperplane weights: sign of hyperplane p,
+    * dimension d = parity of the first hex digit of md5("p:d"). Public
+    * trick: any strong hash is a fine pseudo-random sign source, and it
+    * reproduces everywhere (no RNG state shipped to executors). */
+  def planeSign(p: Int, d: Int): Int = {
+    val md = MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$p:$d".getBytes(StandardCharsets.UTF_8))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  /** Bit-signature column for one band: BandBits sign-projections packed
+    * into an int. Dot products with ±1 planes are exact sums over the
+    * float-promoted doubles — deterministic. */
+  private def bandSignature(band: Int): Column = {
+    val bits = (0 until BandBits).map { bit =>
+      val p = band * BandBits + bit
+      val terms = (0 until Dims).map(d =>
+        s"(${planeSign(p, d)}.0D * e[$d])").mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0D THEN ${1 << bit} ELSE 0 END)"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  /** #35 ann_lsh_topk (rows-only; recall vs #34 asserted in ScalaTest) —
+    * candidates limited to vectors sharing ≥1 band bucket with the
+    * query; exact cosine + window top-k on the candidate set only. */
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val sigCols = (0 until NumBands).map(b => bandSignature(b).as(s"sig$b"))
+    val signed = all.select(col("vec_id") +: col("e") +: col("nn") +:
+      sigCols: _*)
+    val exploded = signed.select(col("vec_id"), col("e"), col("nn"), expr(
+      s"""stack($NumBands, ${(0 until NumBands)
+        .map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"""))
+    val queries = exploded.filter(col("vec_id") < NumQueries)
+    val candidates = broadcast(queries).as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("a.e").as("qe"),
+        col("a.nn").as("qnn"), col("b.vec_id").as("cand_id"),
+        col("b.e").as("ce"), col("b.nn").as("cnn"))
+      .dropDuplicates("query_id", "cand_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    candidates
+      .withColumn("cosine", expr(
+        """aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D,
+           (acc, x) -> acc + x) / (sqrt(qnn) * sqrt(cnn))"""))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> annBruteforceTopk,
+    "ann_lsh_topk" -> annLshTopk)
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> s"""
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+          list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nn
+        FROM v),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+          list_reduce(list_transform(range(1, ${Dims + 1}),
+            i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+            / (sqrt(a.nn) * sqrt(b.nn)) AS cosine
+        FROM n a JOIN n b ON a.vec_id < $NumQueries
+          AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= $K""")
+}

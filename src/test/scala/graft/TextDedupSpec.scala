@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextHash}
+import graft.queries.{DedupQueries, SimilarityQueries, TextQueries}
+
+/** SURVEY.md §2.5/2.6/2.7 rows-only operators: expression semantics,
+  * candidate-generation guarantees, LSH recall. */
+class TextDedupSpec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  test("simhash64: identical token sets hash identically; near sets are close") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely different words entirely unrelated content here"))
+      .toDF("id", "text")
+      .selectExpr("id", "simhash64(split(text, ' ')) AS sig")
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(TextHash.hamming(sigs(1L), sigs(3L)) <
+      TextHash.hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("winnow: shared long substrings share fingerprints") {
+    val a = "the common segment of text is right here in the middle somewhere"
+    val fpA = TextHash.winnow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a), 8, 4)
+      .toLongArray().toSet
+    val fpB = TextHash.winnow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "prefix differs but " + a.drop(4)), 8, 4).toLongArray().toSet
+    assert((fpA & fpB).nonEmpty) // winnowing guarantee: k+w-1 overlap
+    val fpC = TextHash.winnow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("zq"), 8, 4)
+      .toLongArray()
+    assert(fpC.isEmpty) // shorter than k
+  }
+
+  test("winnow expression runs inside codegen and matches direct eval") {
+    GraftFunctions.register(spark)
+    val rows = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "t")
+      .selectExpr("winnow(t, 8, 4) AS fp").collect()
+    val direct = TextHash.winnow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "abcdefghijklmnopqrstuvwxyz"), 8, 4).toLongArray()
+    assert(rows(0).getSeq[Long](0) == direct.toSeq)
+  }
+
+  test("dedup_simhash finds the planted near-dup pairs") {
+    val pairs = DedupQueries.dedupSimhash(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jaccardPairs = DedupQueries.dedupNgramJaccard(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash near-dups should substantially overlap exact-jaccard dups
+    assert(jaccardPairs.nonEmpty)
+    assert((pairs & jaccardPairs).size >= jaccardPairs.size / 2)
+  }
+
+  test("minhash-lsh candidates recover all high-jaccard pairs") {
+    val lsh = DedupQueries.dedupMinhashLsh(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupQueries.dedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 hashes / 4-row bands: P(candidate | j=0.8) ≈ 1-(1-0.41)^4 ≈ 0.88
+    // per band family; planted pairs are ≥0.8 so expect near-total recall.
+    assert(exact.nonEmpty)
+    assert((lsh & exact).size >= (exact.size * 0.8).toInt)
+  }
+
+  test("ann_lsh recall vs brute force is useful and bounded") {
+    val bf = SimilarityQueries.annBruteforceTopk(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.annLshTopk(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall > 0.15, s"recall $recall too low")
+    // structural: ≤ K per query, rank contiguous from 1
+    val perQuery = SimilarityQueries.annLshTopk(spark, sf)
+      .groupBy("query_id").agg(count(lit(1)).as("n"), min("rank"), max("rank"))
+      .collect()
+    perQuery.foreach { r =>
+      assert(r.getLong(1) <= SimilarityQueries.K)
+      assert(r.getLong(2) == 1L)
+    }
+  }
+
+  test("text_lang_id predicts a language for every doc") {
+    val out = TextQueries.textLangId(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter(col("predicted_lang").isNull).count() == 0)
+  }
+
+  test("text_fingerprint emits winnowed fingerprints per doc") {
+    val out = TextQueries.textFingerprint(spark, sf)
+    assert(out.filter(col("n_fingerprints") <= 0).count() == 0)
+  }
+}
