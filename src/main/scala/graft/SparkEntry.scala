@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ QualityQueries.queries ++ EtlQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ Map(
+      SimilarityQueries.queries ++ graft.multimodal.MediaQueries.queries ++
+      Map(
       // #27 lineage edge list (rows-only): plan-derived column lineage of
       // the bronze-cleanse pipeline — the Catalyst plan IS the lineage.
       "lineage_edges" -> ((s: SparkSession, dir: String) =>
@@ -26,5 +27,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracleSql ++ QualityQueries.oracleSql ++ EtlQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
-      SimilarityQueries.oracleSql
+      SimilarityQueries.oracleSql ++ graft.multimodal.MediaQueries.oracleSql
 }

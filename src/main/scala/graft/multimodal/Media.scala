@@ -1,0 +1,157 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Multimodal columns (SURVEY.md §2.8) — image/audio/video as opaque
+  * `binary` payloads with typed metadata. The Spark-side plumbing
+  * (schema, size-aware batching, per-partition feature extraction) is
+  * real; the codec step is STUBBED with a deterministic fake because
+  * this container ships no image/audio libraries — swap
+  * [[MediaPipeline.decodeStub]] for a real decoder binding in prod.
+  *
+  * Scale notes: payloads stay opaque binary end-to-end (no driver
+  * collect); feature extraction is `mapPartitions` so any native
+  * decoder is initialized once per partition, not per row; batching by
+  * cumulative byte size bounds executor memory for large media rows.
+  */
+final case class MediaRecord(
+    media_id: Long,
+    media_type: String, // image | audio | video
+    payload: Array[Byte],
+    source: String)
+
+final case class MediaFeatures(
+    media_id: Long,
+    media_type: String,
+    byte_len: Long,
+    content_hash: Long,
+    format: String,
+    width: Int, // stub-decoded
+    height: Int, // stub-decoded
+    feature: Array[Float]) // stub embedding
+
+object MediaPipeline {
+
+  /** Magic-byte format sniff over the first payload bytes (public magic
+    * numbers: JPEG FF D8, PNG 89 50, GIF 47 49, RIFF/WAV 52 49, MP4
+    * ftyp at offset 4). */
+  def sniffFormat(payload: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else -1
+    if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
+    else if (at(0) == 0x89 && at(1) == 0x50) "png"
+    else if (at(0) == 0x47 && at(1) == 0x49) "gif"
+    else if (at(0) == 0x52 && at(1) == 0x49) "riff"
+    else if (at(4) == 0x66 && at(5) == 0x74 && at(6) == 0x79 &&
+      at(7) == 0x70) "mp4"
+    else "unknown"
+  }
+
+  private def fnv(bytes: Array[Byte]): Long = {
+    var h = TextHash.FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= TextHash.FnvPrime; i += 1
+    }
+    h
+  }
+
+  /** STUB decoder — deterministic fake standing in for the real codec
+    * call (??? boundary). Produces plausible dims + an 8-float
+    * "embedding" derived from the payload hash so downstream operators
+    * (ANN, dedup) are exercised end-to-end. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = fnv(payload)
+    val width = 64 + (math.abs(h % 1024)).toInt
+    val height = 64 + (math.abs((h >> 10) % 1024)).toInt
+    val feat = Array.tabulate(8) { i =>
+      (((h >> (i * 8)) & 0xff).toInt - 128) / 128.0f
+    }
+    (width, height, feat)
+  }
+
+  /** Per-partition feature extraction: one decoder init per partition,
+    * rows processed in size-bounded batches (batch shape = what a real
+    * vectorized decoder / Arrow batch would consume). */
+  def extractFeatures(ds: Dataset[MediaRecord],
+      maxBatchBytes: Long = 64L << 20): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // decoder init would happen HERE (once per partition)
+      val batches = new Iterator[Seq[MediaRecord]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Seq[MediaRecord] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[MediaRecord]
+          var bytes = 0L
+          while (it.hasNext && (buf.isEmpty || bytes < maxBatchBytes)) {
+            val r = it.next(); buf += r; bytes += r.payload.length
+          }
+          buf.toSeq
+        }
+      }
+      batches.flatMap { batch =>
+        batch.map { r =>
+          val (w, h, feat) = decodeStub(r.payload)
+          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+            fnv(r.payload), sniffFormat(r.payload), w, h, feat)
+        }
+      }
+    }
+  }
+
+  /** Synthesize a deterministic media table from `documents` (payload =
+    * UTF-8 bytes prefixed with a magic number chosen by doc_id) — the
+    * testdata has no binary column, so the oracle-checkable metadata
+    * query (#40) builds its payloads the same way in both engines. */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source"))
+      .as[MediaRecord]
+  }
+}
+
+/** #40 mm_metadata — typed metadata over opaque binary payloads, fully
+  * oracle-expressible: byte length, md5 content hash, hex prefix, and
+  * the magic-byte sniff as a CASE over the prefix. */
+object MediaQueries {
+
+  def mmMetadata(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("content_hash"),
+        substring(hex(col("payload")), 1, 8).as("prefix_hex"))
+      .withColumn("sniffed_format",
+        when(col("prefix_hex").startsWith("FFD8"), "jpeg")
+          .when(col("prefix_hex").startsWith("8950"), "png")
+          .when(col("prefix_hex").startsWith("4749"), "gif")
+          .otherwise("unknown"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> mmMetadata)
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_metadata" -> """
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS content_hash, -- VARCHAR md5 = md5 of the UTF-8 bytes
+        substr(upper(hex(encode(text))), 1, 8) AS prefix_hex,
+        CASE
+          WHEN substr(upper(hex(encode(text))), 1, 4) = 'FFD8' THEN 'jpeg'
+          WHEN substr(upper(hex(encode(text))), 1, 4) = '8950' THEN 'png'
+          WHEN substr(upper(hex(encode(text))), 1, 4) = '4749' THEN 'gif'
+          ELSE 'unknown'
+        END AS sniffed_format
+      FROM documents""")
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.9) — streaming forms of
+  * the batch event-window (#11) and sessionization (#12) queries.
+  *
+  * The transforms are written against plain DataFrames/Datasets so the
+  * SAME code runs in batch (unit-testable, oracle-comparable) and
+  * streaming (`readStream` source + watermark): Spark's unified model.
+  *
+  * Scale: the windowed agg is a streaming state-store agg keyed by
+  * (window, event_type) — state is bounded by the watermark; the
+  * sessionizer keys state by user_id and expires via event-time timeout,
+  * so state size is O(active users), not O(events).
+  */
+final case class Event(
+    event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+    value: Double)
+
+final case class SessionOut(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, total_value: Double)
+
+private final case class SessionState(
+    start: Long, last: Long, n: Long, total: Double)
+
+object Streaming {
+
+  /** #42 — watermarked tumbling-window aggregation. Apply to a
+    * `readStream` DataFrame for streaming or a batch DataFrame for
+    * testing; identical results where no late data is dropped. */
+  def windowedEventCounts(events: DataFrame,
+      watermark: String = "2 hours",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  val SessionGapMs: Long = 30L * 60L * 1000L
+
+  /** #43 — stateful gap-based sessionization via
+    * flatMapGroupsWithState: per-user state carries the open session;
+    * events beyond the 30-min gap close it and emit. Event-time timeout
+    * flushes idle sessions once the watermark passes. */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = SessionGapMs,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    // batch runs have no watermark/timeout: flush the trailing open
+    // session so batch output is the complete sessionization
+    val flushOpen = !streaming
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId, it, state) => sessionStep(userId, it, state, gapMs, flushOpen))
+  }
+
+  /** One state-update step; pure function of (events, prior state) so
+    * batch tests can drive it directly. */
+  def sessionStep(
+      userId: Long,
+      it: Iterator[Event],
+      state: GroupState[SessionState],
+      gapMs: Long,
+      flushOpen: Boolean = false): Iterator[SessionOut] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+
+    if (state.hasTimedOut) {
+      state.getOption.foreach { s =>
+        out += SessionOut(userId, new Timestamp(s.start),
+          new Timestamp(s.last), s.n, s.total)
+      }
+      state.remove()
+      return out.iterator
+    }
+
+    // within a micro-batch events may arrive unordered — sort by event
+    // time (and id for total order) before folding into the session
+    val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+            total = s.total + e.value))
+        case Some(s) =>
+          out += SessionOut(userId, new Timestamp(s.start),
+            new Timestamp(s.last), s.n, s.total)
+          cur = Some(SessionState(t, t, 1L, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1L, e.value))
+      }
+    }
+    cur match {
+      case Some(s) if flushOpen =>
+        out += SessionOut(userId, new Timestamp(s.start),
+          new Timestamp(s.last), s.n, s.total)
+      case Some(s) =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      case None => ()
+    }
+    out.iterator
+  }
+}

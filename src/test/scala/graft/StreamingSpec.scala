@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Event, Streaming}
+
+/** SURVEY.md §2.9 #42/#43 — Structured Streaming operators, driven by
+  * MemoryStream micro-batches, checked against their batch equivalents.
+  */
+class StreamingSpec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  // keep clear of epoch 0: an event at the initial watermark (t=0) is
+  // on the late-data boundary
+  private def ts(min: Long): Timestamp = new Timestamp((min + 10080) * 60000L)
+
+  test("#42 streaming windowed agg emits closed windows (append mode)") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val query = Streaming
+      .windowedEventCounts(src.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(40), 2, "view", 3.0))
+      query.processAllAvailable()
+      // watermark = 40min - 10min = 30min: hour-0 window not closed yet
+      assert(spark.table("win_out").count() == 0)
+      src.addData(Event(4, ts(200), 3, "click", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.length == 2) // hour-0 closed: (click,2) and (view,1)
+      assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    } finally query.stop()
+  }
+
+  test("#42 same transform runs in batch and matches manual grouping") {
+    val batch = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(75), 2, "click", 3.0)).toDF()
+    val out = Streaming.windowedEventCounts(batch)
+      .orderBy("window_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("#43 streaming sessionization: timeout closes idle sessions") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val query = Streaming.sessionize(src.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session)
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0))
+      query.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // still open
+      // much later event advances the watermark past last+gap ⇒ timeout
+      src.addData(Event(3, ts(600), 2, "view", 1.0))
+      query.processAllAvailable()
+      src.addData(Event(4, ts(1200), 3, "view", 1.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .filter(col("user_id") === 1).collect()
+      assert(sessions.length == 1)
+      assert(sessions(0).getAs[Long]("n_events") == 2L)
+      assert(sessions(0).getAs[Double]("total_value") == 3.0)
+    } finally query.stop()
+  }
+
+  test("#43 batch sessionization matches the q12 window-based batch form") {
+    // real event data (ms-truncated timestamps), gap semantics identical
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), expr("timestamp_millis(ts_ns div 1000000)")
+        .as("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val sessions = Streaming.sessionize(events)
+    // baseline: lag/cumsum sessionization on the same ms grid
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val base = events.toDF()
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev")) >
+            Streaming.SessionGapMs, 1L).otherwise(0L))
+      .agg(sum(col("new_sess"))).head().getLong(0)
+    assert(sessions.count() == base)
+    // per-session event counts also line up in total
+    val totalEvents = sessions.agg(sum(col("n_events"))).head().getLong(0)
+    assert(totalEvents == events.count())
+  }
+}
