@@ -223,7 +223,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))),
     (FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
-      (args: Seq[Expression]) => Hamming64(args(0), args(1))))
+      (args: Seq[Expression]) => Hamming64(args(0), args(1))),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -98,10 +98,24 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    candidates.join(
-      jaccardPairs(s, dir, 0.0).select(
-        col("id_a"), col("id_b"), col("jaccard")),
-      Seq("id_a", "id_b"))
+    // Verify ONLY the candidates: broadcast the (tiny) candidate set and
+    // intersect shingles pair-wise — not the all-pairs Jaccard of #30,
+    // which is exactly the O(n²)-ish work LSH exists to avoid.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = broadcast(candidates)
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("id_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // `inter` is candidate-pair-sized (small) — broadcast IT against the
+    // per-doc sizes table, never the reverse.
+    val withA = sizes.select(col("doc_id").as("id_a"), col("n").as("n_a"))
+      .join(broadcast(inter), "id_a")
+    sizes.select(col("doc_id").as("id_b"), col("n").as("n_b"))
+      .join(broadcast(withA), "id_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -130,19 +144,19 @@ object DedupQueries {
       .filter(col("hamming") <= 6)
   }
 
-  /** Embedding vectors as double arrays with their exact norm — the
-    * cosine fold is left-to-right so the oracle reproduces the same
-    * IEEE-754 double. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** Embedding vectors as double arrays with their exact norm. The dot
+    * is the native codegen'd `vec_dot` — a strict left-to-right sum,
+    * bit-identical to the HOF fold and the oracle's list_reduce. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables(s, dir, "embeddings").select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .withColumn("nn", expr(
-        "aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x)"))
+      .withColumn("nn", expr("vec_dot(e, e)"))
+  }
 
-  private def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a.e, $b.e, (x, y) -> x * y), 0D,
-        (acc, x) -> acc + x) / (sqrt($a.nn) * sqrt($b.nn))""")
+  private def cosine(a: String, b: String): Column =
+    expr(s"vec_dot($a.e, $b.e) / (sqrt($a.nn) * sqrt($b.nn))")
 
   /** #33 dedup_embedding — cosine ≥ 0.4 near-dup pairs. All-pairs here
     * (verification scale); production uses the §2.6 LSH path. */

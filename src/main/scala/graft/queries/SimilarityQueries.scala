@@ -25,16 +25,16 @@ object SimilarityQueries {
   val BandBits = 6
   val NumBands = 4
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     graft.Tables(s, dir, "embeddings").select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .withColumn("nn", expr(
-        "aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x)"))
+      .withColumn("nn", expr("vec_dot(e, e)"))
+  }
 
-  private def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a.e, $b.e, (x, y) -> x * y), 0D,
-        (acc, x) -> acc + x) / (sqrt($a.nn) * sqrt($b.nn))""")
+  private def cosine(a: String, b: String): Column =
+    expr(s"vec_dot($a.e, $b.e) / (sqrt($a.nn) * sqrt($b.nn))")
 
   /** #34 ann_bruteforce_topk — exact cosine top-k per query; the query
     * side is tiny and broadcast, ranking is one window over (query). */
@@ -62,14 +62,15 @@ object SimilarityQueries {
   }
 
   /** Bit-signature column for one band: BandBits sign-projections packed
-    * into an int. Dot products with ±1 planes are exact sums over the
-    * float-promoted doubles — deterministic. */
+    * into an int. Each projection is a native `vec_dot` against a ±1
+    * plane shipped as a literal array — exact, deterministic, and tiny
+    * codegen (vs. inlining 64 terms per bit). */
   private def bandSignature(band: Int): Column = {
     val bits = (0 until BandBits).map { bit =>
       val p = band * BandBits + bit
-      val terms = (0 until Dims).map(d =>
-        s"(${planeSign(p, d)}.0D * e[$d])").mkString(" + ")
-      s"(CASE WHEN ($terms) >= 0D THEN ${1 << bit} ELSE 0 END)"
+      val plane = (0 until Dims).map(d => s"${planeSign(p, d)}.0D")
+        .mkString("array(", ", ", ")")
+      s"(CASE WHEN vec_dot(e, $plane) >= 0D THEN ${1 << bit} ELSE 0 END)"
     }
     expr(bits.mkString("(", " + ", ")"))
   }
@@ -97,9 +98,8 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     candidates
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D,
-           (acc, x) -> acc + x) / (sqrt(qnn) * sqrt(cnn))"""))
+      .withColumn("cosine",
+        expr("vec_dot(qe, ce) / (sqrt(qnn) * sqrt(cnn))"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
