@@ -78,7 +78,12 @@ object DedupQueries {
     * exact-Jaccard verification of candidates only. Deterministic and
     * oracle-expressible (DuckDB computes identical md5 hex). */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // The shingle set feeds three consumers (signatures, sizes, candidate
+    // verification); Spark has no common-subplan reuse across branches,
+    // so materialize it once. At 100 TB this is a checkpointed
+    // intermediate table, not a recompute-per-branch.
     val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minhashCols = (0 until MinhashK).map(k =>
       min(substring(md5(concat(lit(s"$k:"), col("s"))), 1, 16)).as(s"h$k"))
     val sig = sh.groupBy(col("doc_id"))
