@@ -16,6 +16,7 @@ object SparkEntry {
     Core.queries ++ QualityQueries.queries ++ EtlQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ graft.multimodal.MediaQueries.queries ++
+      graft.sources.Json.queries ++
       Map(
       // #27 lineage edge list (rows-only): plan-derived column lineage of
       // the bronze-cleanse pipeline — the Catalyst plan IS the lineage.
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracleSql ++ QualityQueries.oracleSql ++ EtlQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ graft.multimodal.MediaQueries.oracleSql
+      SimilarityQueries.oracleSql ++
+      graft.multimodal.MediaQueries.oracleSql ++ graft.sources.Json.oracleSql
 }

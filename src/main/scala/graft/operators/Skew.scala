@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable distributed operators for skew and ranking (SURVEY.md §4).
+  *
+  * AQE's skew-join splitting handles moderate skew at runtime; these
+  * helpers cover the cases AQE can't: a priori hot keys in an
+  * aggregation, LSH/band buckets of pathological size (stop-shingle
+  * buckets), and per-key top-k without a global sort.
+  */
+object Skew {
+
+  /** Salted two-phase aggregation: pre-aggregate on (key, salt) to
+    * spread a hot key over `salts` reducers, then combine. `aggs` must
+    * be re-aggregable (sum/count/min/max style). */
+  def saltedSumCount(df: DataFrame, key: Column, valueCol: Column,
+      salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(valueCol), lit(salts)))
+      .groupBy(key.as("k"), col("_salt"))
+      .agg(sum(valueCol).as("_s"), count(lit(1)).as("_c"))
+      .groupBy(col("k"))
+      .agg(sum(col("_s")).as("sum_value"), sum(col("_c")).as("n_rows"))
+
+  /** Broadcast-salted join for a skewed LEFT side against a small-ish
+    * right side: the right side is replicated `salts` times so each hot
+    * left key spreads over `salts` tasks. Deterministic salt from a
+    * stable column (no rand() — results must be reproducible). */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, saltSource: Column, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(hash(saltSource), lit(salts)))
+    val explodedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(explodedRight,
+      leftKey === rightKey && saltedLeft("_salt") === explodedRight("_salt"))
+      .drop("_salt")
+  }
+
+  /** Cap pathological buckets: drop (or keep) groups larger than
+    * `maxSize`. The standard guard for LSH band buckets where a
+    * stop-shingle would otherwise create an O(b²) candidate explosion —
+    * a bucket that big carries no similarity signal anyway. */
+  def capBuckets(df: DataFrame, bucketCols: Seq[Column], maxSize: Long)
+      : DataFrame = {
+    val w = Window.partitionBy(bucketCols: _*)
+    df.withColumn("_bucket_n", count(lit(1)).over(w))
+      .filter(col("_bucket_n") <= maxSize)
+      .drop("_bucket_n")
+  }
+
+  /** Top-k rows per key with a total-order tie-break — single shuffle on
+    * the key, no global sort. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], ordering: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ordering: _*)
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .drop("_rank")
+  }
+}
