@@ -117,13 +117,32 @@ object QualityQueries {
           ((col("n_child") - col("n_orphans")).cast("double") /
             col("n_child")).as("score"))
     }
+    // The three lineitem edges share ONE fact scan: chained left joins
+    // against unique-keyed parents preserve row count, so the three
+    // orphan counts fall out of a single agg (1 scan instead of 3 — the
+    // difference that matters when the fact table is the 100 TB side).
     val li = Tables(s, dir, "lineitem")
-    edge(li, col("l_orderkey"), Tables(s, dir, "orders"),
-        col("o_orderkey"), "lineitem_orders", bcast = false)
-      .unionAll(edge(li, col("l_partkey"), Tables(s, dir, "part"),
-        col("p_partkey"), "lineitem_part", bcast = true))
-      .unionAll(edge(li, col("l_suppkey"), Tables(s, dir, "supplier"),
-        col("s_suppkey"), "lineitem_supplier", bcast = true))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val liEdges = li
+      .join(Tables(s, dir, "orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(Tables(s, dir, "part").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(Tables(s, dir, "supplier").select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orph_o"),
+        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("orph_p"),
+        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("orph_s"))
+      .select(col("n_child"), expr("""stack(3,
+          'lineitem_orders',   orph_o,
+          'lineitem_part',     orph_p,
+          'lineitem_supplier', orph_s) as (relation, n_orphans)"""))
+      .select(col("relation"), col("n_child"), col("n_orphans"),
+        ((col("n_child") - col("n_orphans")).cast("double") /
+          col("n_child")).as("score"))
+    liEdges
       .unionAll(edge(Tables(s, dir, "orders"), col("o_custkey"),
         Tables(s, dir, "customer"), col("c_custkey"), "orders_customer",
         bcast = true))
