@@ -16,7 +16,7 @@ object SparkEntry {
     Core.queries ++ QualityQueries.queries ++ EtlQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ graft.multimodal.MediaQueries.queries ++
-      graft.sources.Json.queries ++
+      graft.sources.Json.queries ++ graft.operators.AsOf.queries ++
       Map(
       // #27 lineage edge list (rows-only): plan-derived column lineage of
       // the bronze-cleanse pipeline — the Catalyst plan IS the lineage.
@@ -29,5 +29,6 @@ object SparkEntry {
     Core.oracleSql ++ QualityQueries.oracleSql ++ EtlQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
-      graft.multimodal.MediaQueries.oracleSql ++ graft.sources.Json.oracleSql
+      graft.multimodal.MediaQueries.oracleSql ++
+      graft.sources.Json.oracleSql ++ graft.operators.AsOf.oracleSql
 }

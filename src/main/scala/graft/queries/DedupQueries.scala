@@ -41,7 +41,9 @@ object DedupQueries {
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull) // real feeds have nulls; skip, don't NPE
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         // same tokenization as split(lower(trim(text)), ' ') with
         // trailing empties kept (limit -1)
