@@ -220,7 +220,47 @@ object Core {
         col("small_cents").cast("double") / col("total_cents").cast("double"))
   }
 
+  /** q17 — per-user moving window over the event stream: sum/avg of the
+    * last 3 events (ROWS frame). One shuffle on user_id; frame stays
+    * integer-exact (cents) for the oracle. */
+  def q17MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(-2, 0)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("value_cents", cents(col("value")))
+      .select(col("user_id"), col("event_id"), col("value_cents"),
+        sum(col("value_cents")).over(w).as("mov_sum_cents"),
+        count(lit(1)).over(w).as("mov_n"))
+      .withColumn("mov_avg",
+        col("mov_sum_cents").cast("double") / col("mov_n"))
+  }
+
+  /** q18 — discrete percentiles (median, p95) of order value per
+    * priority, via explicit rank selection: position arithmetic on exact
+    * integers, no interpolation, so both engines pick the same row. */
+  def q18PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_cents").asc, col("o_orderkey").asc)
+    Tables(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("n")).as("n_orders"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("price_cents")))
+          .as("median_cents"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("price_cents")))
+          .as("p95_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_moving_avg" -> q17MovingAvg,
+    "q18_percentile_disc" -> q18PercentileDisc,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_join_agg" -> q03JoinAgg,
@@ -237,6 +277,35 @@ object Core {
     "q14_conditional_agg" -> q14ConditionalAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "q17_moving_avg" -> """
+      SELECT user_id, event_id,
+        CAST(round(value*100) AS BIGINT) AS value_cents,
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+          AS mov_sum_cents,
+        COUNT(*) OVER w AS mov_n,
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)
+          / COUNT(*) OVER w AS mov_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+        ORDER BY epoch_us(ts) ASC, event_id ASC
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q18_percentile_disc" -> """
+      WITH priced AS (
+        SELECT o_orderpriority, o_orderkey,
+          CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        FROM orders),
+      ranked AS (
+        SELECT *,
+          CAST(row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY price_cents ASC, o_orderkey ASC) AS BIGINT) AS rn,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM priced)
+      SELECT o_orderpriority, MAX(n) AS n_orders,
+        MAX(CASE WHEN rn = CEIL(n * 0.5) THEN price_cents END)
+          AS median_cents,
+        MAX(CASE WHEN rn = CEIL(n * 0.95) THEN price_cents END)
+          AS p95_cents
+      FROM ranked GROUP BY o_orderpriority""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -123,13 +123,53 @@ object TextQueries {
         size(col("fingerprints")).as("n_fingerprints"), col("simhash"))
   }
 
+  /** text_top_terms — per-document top-3 terms by frequency with corpus
+    * document-frequency attached (the tf/df half of tf-idf; idf's log is
+    * left to the caller because libm rounding differs across engines).
+    * explode → two keyed aggs → windowed top-k; all outputs integer. */
+  def textTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_terms" -> textTopTerms,
     "text_stats" -> textStats,
     "text_quality_score" -> textQualityScore,
     "text_lang_id" -> textLangId,
     "text_fingerprint" -> textFingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "text_top_terms" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents),
+      filtered AS (SELECT * FROM terms WHERE term <> ''),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM filtered GROUP BY doc_id, term),
+      df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM filtered GROUP BY term),
+      ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          CAST(row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf DESC, tf.term ASC) AS BIGINT) AS rank
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, rank, term, tf, df
+      FROM ranked WHERE rank <= 3""",
     "text_stats" -> s"""
       SELECT doc_id,
         CAST(length(text) AS INTEGER) AS char_len,
