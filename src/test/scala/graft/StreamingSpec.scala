@@ -81,6 +81,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("#42 file-source readStream over events parquet matches batch agg") {
+    // the real readStream path: parquet file source + watermark + window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables(spark, sf, "events").schema
+    // the file source streams a DIRECTORY; stage the table file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("event_type"), col("value"))
+    val query = Streaming.windowedEventCounts(stream, watermark = "1 hour")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("file_win")
+      val batch = Streaming.windowedEventCounts(
+        Tables(spark, sf, "events")
+          .select(expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)")
+            .as("ts"), col("event_type"), col("value")))
+      // append mode emits only watermark-closed windows: a prefix of batch
+      val closed = streamed.count()
+      assert(closed > 0)
+      val mismatched = streamed.as("s").join(batch.as("b"),
+        Seq("window_start", "event_type"))
+        .filter(col("s.n_events") =!= col("b.n_events")).count()
+      assert(mismatched == 0)
+    } finally query.stop()
+  }
+
   test("#43 batch sessionization matches the q12 window-based batch form") {
     // real event data (ms-truncated timestamps), gap semantics identical
     val events = Tables.events(spark, sf)
