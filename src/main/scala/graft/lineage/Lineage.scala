@@ -195,6 +195,26 @@ class LineageTracker(maxDepth: Int = 10) {
     traverse(assetId,
       a => downstream.getOrElse(a, mutable.Set.empty).toSet)
 
+  /** Per-asset lineage report for regulatory documentation —
+    * lineage_tracker.py:451-497: the asset, its transitive upstream and
+    * downstream assets, and the set of zones traversed. */
+  def generateLineageReport(assetId: String): Map[String, Any] = {
+    val asset = assets.getOrElse(assetId,
+      throw new IllegalArgumentException(s"Asset not found: $assetId"))
+    val up = getUpstreamLineage(assetId).map(_._1)
+    val down = getDownstreamImpact(assetId).map(_._1)
+    Map(
+      "asset" -> asset,
+      "upstream_lineage" -> Map(
+        "count" -> up.size,
+        "assets" -> up.flatMap(assets.get)),
+      "downstream_impact" -> Map(
+        "count" -> down.size,
+        "assets" -> down.flatMap(assets.get)),
+      "data_zones_traversed" ->
+        (up ++ down :+ assetId).flatMap(assets.get).map(_.zone).distinct)
+  }
+
   /** Audit export — lineage_tracker.py:499-536. */
   def exportForAudit(): Map[String, Any] = Map(
     "assets" -> assets.values.toSeq,

@@ -72,6 +72,26 @@ class LineageSpec extends SparkSpec {
     assert(t.getUpstreamLineage(out.assetId).nonEmpty)
   }
 
+  test("generateLineageReport covers both directions and zones") {
+    val t = new LineageTracker()
+    val raw = t.registerAsset("claims", "raw")
+    val bronze = t.registerAsset("claims", "bronze")
+    val gold = t.registerAsset("claims_agg", "gold")
+    t.recordTransformation("cleanse", "batch_etl",
+      Seq(raw.assetId), Seq(bronze.assetId))
+    t.recordTransformation("aggregate", "batch_etl",
+      Seq(bronze.assetId), Seq(gold.assetId))
+    val report = t.generateLineageReport(bronze.assetId)
+    val up = report("upstream_lineage").asInstanceOf[Map[String, Any]]
+    val down = report("downstream_impact").asInstanceOf[Map[String, Any]]
+    assert(up("count") == 1 && down("count") == 1)
+    assert(report("data_zones_traversed").asInstanceOf[Seq[String]].toSet ==
+      Set("raw", "bronze", "gold"))
+    intercept[IllegalArgumentException] {
+      t.generateLineageReport("missing")
+    }
+  }
+
   test("cycle-safe traversal respects max depth") {
     val t = new LineageTracker(maxDepth = 3)
     val a = t.registerAsset("a", "raw"); val b = t.registerAsset("b", "raw")
