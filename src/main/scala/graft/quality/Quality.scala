@@ -186,7 +186,7 @@ object QualityValidator {
         col("o_orderdate").isNull),
     Rule("DQ002", "valid_date_range", Dimension.Validity, "major",
       fails = !(col("o_orderdate") >= lit("1992-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("o_orderdate") < lit("2002-01-01").cast("timestamp")),
       applicable = col("o_orderdate").isNotNull,
       applicableZones = Set(DataZone.Silver, DataZone.Gold)),
     Rule("DQ003", "valid_id_format", Dimension.Validity, "critical",

@@ -80,6 +80,20 @@ class QualitySpec extends SparkSpec {
     assert(quarantined.columns.sameElements(df.columns)) // no leak of _dq_pass
   }
 
+  test("ordersRules preset validates clean testdata as promotable") {
+    val orders = QualityValidator.withDupFlag(
+      Tables(spark, sf, "orders"), col("o_orderkey"))
+    val rules = QualityValidator.ordersRules :+
+      Rule("DQ005", "no_duplicate_records", Dimension.Uniqueness,
+        "critical", fails = col("_dup"), failBelow = 1.0, warnBelow = 1.0)
+    val v = new QualityValidator("orders", rules)
+    val report = v.validate(orders, DataZone.Silver)
+    assert(report.totalRecords == orders.count())
+    assert(report.checkResults.size == 5) // all rules active at Silver
+    assert(report.overallStatus == Status.Passed)
+    assert(report.promotionEligible)
+  }
+
   test("raw zone thresholds accept anything") {
     val v = new QualityValidator("t", rules.take(2))
     val report = v.validate(df, DataZone.Raw)
