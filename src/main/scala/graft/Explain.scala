@@ -17,11 +17,28 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val wanted =
-      if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
-    wanted.foreach { name =>
-      println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    if (args.headOption.contains("--summary")) {
+      // one row per query: shuffle count, broadcast count, scans with
+      // pushed filters — the efficiency audit
+      println(f"${"query"}%-28s shuffles bcasts scans pushed")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          def n(re: String): Int = re.r.findAllIn(plan).size
+          println(f"$name%-28s ${n("Exchange hashpartitioning")}%8d " +
+            f"${n("BroadcastExchange")}%6d ${n("FileScan parquet")}%5d " +
+            f"${n("PushedFilters: \\[[^]]")}%6d")
+        } catch {
+          case e: Throwable => println(f"$name%-28s ERROR ${e.getMessage}")
+        }
+      }
+    } else {
+      val wanted =
+        if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+      wanted.foreach { name =>
+        println(s"\n========== $name ==========")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }
