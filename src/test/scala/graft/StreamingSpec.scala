@@ -114,6 +114,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("#43 streaming sessionization equals batch on real events") {
+    implicit val sql = spark.sqlContext
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), expr("timestamp_millis(ts_ns div 1000000)")
+        .as("ts"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("user_id") < 20)
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (chunk1, chunk2) = events.splitAt(events.length / 2)
+    val sentinel = Event(-1L,
+      new Timestamp(events.last.ts.getTime + 10L * Streaming.SessionGapMs),
+      -1L, "sentinel", 0.0)
+
+    val src = MemoryStream[Event]
+    val query = Streaming.sessionize(src.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(chunk1.toIndexedSeq); query.processAllAvailable()
+      src.addData(chunk2.toIndexedSeq); query.processAllAvailable()
+      src.addData(sentinel); query.processAllAvailable()
+      // one more batch so the sentinel-advanced watermark fires timeouts
+      src.addData(Event(-2L, new Timestamp(
+        sentinel.ts.getTime + Streaming.SessionGapMs), -2L, "s2", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("sess_eq")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        .toSet
+      val batch = Streaming.sessionize(
+        Tables.events(spark, sf)
+          .select(col("event_id"),
+            expr("timestamp_millis(ts_ns div 1000000)").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .filter(col("user_id") < 20).as[Event])
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("#43 batch sessionization matches the q12 window-based batch form") {
     // real event data (ms-truncated timestamps), gap semantics identical
     val events = Tables.events(spark, sf)
