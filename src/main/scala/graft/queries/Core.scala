@@ -258,9 +258,29 @@ object Core {
           .as("p95_cents"))
   }
 
+  /** q19 (rows-only) — sketch-based distinct counts: HLL++ per group
+    * plus a mergeable HLL sketch union across groups. At 100 TB this
+    * replaces q09's exact expand-based distinct (whose shuffle carries
+    * every distinct value); sketches shrink the shuffle to KBs per
+    * group. Accuracy vs the exact counts is asserted in ScalaTest. */
+  def q19ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val perGroup = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        hll_sketch_agg(col("l_suppkey")).as("supp_sketch"),
+        count(lit(1)).as("n_rows"))
+    perGroup.agg(
+      sum(col("approx_parts")).as("sum_group_approx_parts"),
+      hll_sketch_estimate(hll_union_agg(col("supp_sketch")))
+        .as("approx_supps_merged"),
+      sum(col("n_rows")).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_moving_avg" -> q17MovingAvg,
     "q18_percentile_disc" -> q18PercentileDisc,
+    "q19_approx_distinct" -> q19ApproxDistinct,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_join_agg" -> q03JoinAgg,
