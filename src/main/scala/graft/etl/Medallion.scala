@@ -112,6 +112,11 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       loadType: LoadType.Value, key: Seq[String] = Seq("id")): Unit = {
     val target = path(zone, dataset)
     loadType match {
+      case LoadType.Full if exists(zone, dataset) =>
+        // stage-and-swap: a FULL load whose input plan READS this same
+        // path (in-place cleanse, self-promotion) must not overwrite the
+        // files mid-scan
+        replace(target, df)
       case LoadType.Full =>
         df.write.mode(SaveMode.Overwrite).parquet(target)
       case LoadType.Append =>
@@ -164,9 +169,11 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     val transformed = transforms.foldLeft(source)((d, t) => t(d))
 
     if (rules.isEmpty) {
+      // count BEFORE writing: with source zone == target zone the write
+      // replaces the very files this plan reads
+      val nOut = transformed.count()
       write(targetZone, dataset, transformed, loadType, key)
-      return JobResult(jobId, "completed", recordsRead,
-        transformed.count(), 0L, None)
+      return JobResult(jobId, "completed", recordsRead, nOut, 0L, None)
     }
 
     val validator = new QualityValidator(dataset, rules)
@@ -179,8 +186,9 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     }
     // Reference gate (etl_manager.py:283-316): a FAILED report with no
     // quarantinable rows aborts; otherwise clean rows proceed.
+    val nClean = clean.count() // before the write replaces source files
     write(targetZone, dataset, clean, loadType, key)
-    JobResult(jobId, "completed", recordsRead, clean.count(),
+    JobResult(jobId, "completed", recordsRead, nClean,
       nQuarantined, Some(report))
   }
 

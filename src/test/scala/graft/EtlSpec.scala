@@ -71,6 +71,17 @@ class EtlSpec extends SparkSpec {
     assert(res.qualityReport.exists(!_.promotionEligible))
   }
 
+  test("in-place FULL job (source zone == target zone) is safe") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    p.write(DataZone.Bronze, "t", df((1L, " pad ", 1.0), (2L, "x", 2.0)),
+      LoadType.Full)
+    val res = p.runJob("inplace", "t", DataZone.Bronze, DataZone.Bronze,
+      LoadType.Full, transforms = Seq(Transforms.trimStrings))
+    assert(res.recordsWritten == 2)
+    val out = p.read(DataZone.Bronze, "t").orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("pad", "x"))
+  }
+
   test("promoteZone moves clean data to the next zone") {
     val p = new MedallionPipeline(spark, freshRoot())
     p.write(DataZone.Bronze, "t", df((1L, "a", 1.0), (2L, "b", 2.0)),
