@@ -105,9 +105,58 @@ object SimilarityQueries {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
+  val IvfCells = 16
+  val IvfProbes = 3
+
+  /** #35b ann_ivf_topk (rows-only; recall vs #34 in ScalaTest) — IVF:
+    * a KMeans coarse quantizer assigns every vector to a cell (the
+    * inverted lists); each query probes its `IvfProbes` nearest cells
+    * and ranks exact cosine over those candidates only. At 100 TB the
+    * candidate scan touches probes/cells of the data (~20% here) and
+    * the cell id is the shuffle/partition key; centroids are a tiny
+    * broadcastable model. Seeded ⇒ deterministic. */
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val all = vecs(s, dir).withColumn("fv", array_to_vector(col("e")))
+    val model = new KMeans().setK(IvfCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(all)
+    val assigned = model.transform(all)
+      .select(col("vec_id"), col("e"), col("nn"), col("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+    // probe list per query: nearest IvfProbes centroids (tiny driver-side
+    // math over Q×K pairs — the standard IVF probe step)
+    val queries = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = queries.flatMap { case (qid, qe) =>
+      centers.zipWithIndex.map { case (c, ci) =>
+        val d2 = qe.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        (qid, ci, d2)
+      }.sortBy(_._3).take(IvfProbes).map { case (q, ci, _) => (q, ci) }
+    }
+    import s.implicits._
+    val probeDf = probes.toSeq.toDF("query_id", "cell")
+    val qside = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nn").as("qnn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(probeDf.join(qside, "query_id"))
+      .join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        expr("vec_dot(qe, e) / (sqrt(qnn) * sqrt(nn))").as("cosine"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> annBruteforceTopk,
-    "ann_lsh_topk" -> annLshTopk)
+    "ann_lsh_topk" -> annLshTopk,
+    "ann_ivf_topk" -> annIvfTopk)
 
   val oracleSql: Map[String, String] = Map(
     "ann_bruteforce_topk" -> s"""

@@ -96,6 +96,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf recall beats-or-matches useful bounds") {
+    val bf = SimilarityQueries.annBruteforceTopk(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.annIvfTopk(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"IVF recall $recall too low")
+    // every query returns results and ranks start at 1
+    val byQuery = SimilarityQueries.annIvfTopk(spark, sf)
+      .groupBy("query_id").agg(count(lit(1)).as("n"), min("rank"))
+      .collect()
+    assert(byQuery.length == SimilarityQueries.NumQueries)
+    byQuery.foreach(r => assert(r.getLong(2) == 1L))
+  }
+
   test("text_lang_id predicts a language for every doc") {
     val out = TextQueries.textLangId(spark, sf)
     assert(out.count() > 0)
