@@ -140,6 +140,32 @@ class MedallionPipeline(spark: SparkSession, root: String) {
     }
   }
 
+  /** Bucketed zone write: pre-shuffles once on the bucket key so every
+    * later equi-join/aggregation on that key is shuffle-free (Spark
+    * reads the bucket layout from the catalog). The 100 TB pattern for
+    * fact tables joined repeatedly on the same key. Registered as
+    * `<zone>_<dataset>` in the session catalog (parquet under the
+    * warehouse dir). */
+  def writeBucketed(zone: DataZone.Value, dataset: String, df: DataFrame,
+      bucketCols: Seq[String], numBuckets: Int): String = {
+    val tableName = s"${zone.toString.toLowerCase}_$dataset"
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    // an orphaned location (table dir left by a previous session whose
+    // in-memory catalog is gone) blocks CREATE TABLE — clear it
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$tableName")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(tableName)
+    tableName
+  }
+
+  def readTable(tableName: String): DataFrame = spark.table(tableName)
+
   /** Parquet has no atomic overwrite-while-reading: stage to a temp dir,
     * then swap. (A real deployment would use a table format's ACID
     * replace; the zone contract is the same.) */

@@ -91,6 +91,31 @@ class EtlSpec extends SparkSpec {
     assert(p.read(DataZone.Silver, "t").count() == 2)
   }
 
+  test("bucketed writes make the keyed join shuffle-free") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    val orders = Tables(spark, sf, "orders")
+    val lineitem = Tables(spark, sf, "lineitem")
+    val tOrders = p.writeBucketed(DataZone.Gold, "orders_b", orders,
+      Seq("o_orderkey"), 8)
+    val tLi = p.writeBucketed(DataZone.Gold, "lineitem_b", lineitem,
+      Seq("l_orderkey"), 8)
+    // force the non-broadcast path so co-location is what's being tested
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = p.readTable(tLi).join(p.readTable(tOrders),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables(spark, sf, "lineitem").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("standardize_dates parses formats in reference order") {
     val in = Seq(
       (1L, "1997-02-03"), (2L, "02/03/1997"), (3L, "25/03/1997"),
