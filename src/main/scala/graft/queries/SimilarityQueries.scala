@@ -61,18 +61,53 @@ object SimilarityQueries {
     if ((h(0) & 1) == 0) 1 else -1
   }
 
-  /** Bit-signature column for one band: BandBits sign-projections packed
-    * into an int. Each projection is a native `vec_dot` against a ±1
-    * plane shipped as a literal array — exact, deterministic, and tiny
-    * codegen (vs. inlining 64 terms per bit). */
-  private def bandSignature(band: Int): Column = {
-    val bits = (0 until BandBits).map { bit =>
-      val p = band * BandBits + bit
+  /** Bit-signature column for one band: `bandBits` sign-projections
+    * packed into an int. Each projection is a native `vec_dot` against a
+    * ±1 plane shipped as a literal array — exact, deterministic, and
+    * tiny codegen (vs. inlining 64 terms per bit). `planeOffset` keeps
+    * different LSH families (top-k vs dedup) on independent planes. */
+  private def bandSignature(band: Int, bandBits: Int = BandBits,
+      planeOffset: Int = 0): Column = {
+    val bits = (0 until bandBits).map { bit =>
+      val p = planeOffset + band * bandBits + bit
       val plane = (0 until Dims).map(d => s"${planeSign(p, d)}.0D")
         .mkString("array(", ", ", ")")
       s"(CASE WHEN vec_dot(e, $plane) >= 0D THEN ${1 << bit} ELSE 0 END)"
     }
     expr(bits.mkString("(", " + ", ")"))
+  }
+
+  val DedupBands = 8
+  val DedupBandBits = 4
+
+  /** dedup_embedding_lsh (rows-only; recall vs the exact #33 asserted in
+    * ScalaTest) — the 100 TB path for embedding near-dup pairs: banded
+    * random-hyperplane buckets (8 bands × 4 bits ⇒ ~75% recall at
+    * cos 0.4, higher for closer pairs), candidates from the bucket
+    * equi-join only, exact-cosine verification. The bucket key is the
+    * shuffle key; `Skew.capBuckets` guards pathological buckets. */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val sigCols = (0 until DedupBands).map(b =>
+      bandSignature(b, DedupBandBits, planeOffset = 1000).as(s"sig$b"))
+    val signed = all.select(col("vec_id") +: col("e") +: col("nn") +:
+      sigCols: _*)
+    val exploded = signed.select(col("vec_id"), col("e"), col("nn"), expr(
+      s"""stack($DedupBands, ${(0 until DedupBands)
+        .map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"""))
+    val candidates = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("a.e").as("ea"),
+        col("a.nn").as("nna"), col("b.vec_id").as("id_b"),
+        col("b.e").as("eb"), col("b.nn").as("nnb"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("cosine",
+        expr("vec_dot(ea, eb) / (sqrt(nna) * sqrt(nnb))"))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** #35 ann_lsh_topk (rows-only; recall vs #34 asserted in ScalaTest) —
@@ -156,7 +191,8 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_lsh_topk" -> annLshTopk,
-    "ann_ivf_topk" -> annIvfTopk)
+    "ann_ivf_topk" -> annIvfTopk,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   val oracleSql: Map[String, String] = Map(
     "ann_bruteforce_topk" -> s"""

@@ -113,6 +113,18 @@ class TextDedupSpec extends SparkSpec {
     byQuery.foreach(r => assert(r.getLong(2) == 1L))
   }
 
+  test("dedup_embedding_lsh recall vs exact pairs is strong") {
+    val exact = DedupQueries.dedupEmbedding(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.dedupEmbeddingLsh(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification step ⇒ no false positives
+    val recall = (exact & lsh).size.toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("text_lang_id predicts a language for every doc") {
     val out = TextQueries.textLangId(spark, sf)
     assert(out.count() > 0)
