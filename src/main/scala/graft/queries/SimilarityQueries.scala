@@ -78,7 +78,7 @@ object SimilarityQueries {
   }
 
   val DedupBands = 8
-  val DedupBandBits = 4
+  val DedupBandBits = 5 // 32 buckets/band ⇒ recall ≈ 0.57 at cos 0.4
 
   /** dedup_embedding_lsh (rows-only; recall vs the exact #33 asserted in
     * ScalaTest) — the 100 TB path for embedding near-dup pairs: banded
@@ -90,20 +90,25 @@ object SimilarityQueries {
     val all = vecs(s, dir)
     val sigCols = (0 until DedupBands).map(b =>
       bandSignature(b, DedupBandBits, planeOffset = 1000).as(s"sig$b"))
+    // candidates carry ONLY ids through the bucket join + distinct —
+    // never the 64-dim arrays (that shuffle width is what would kill it
+    // at scale); vectors are fetched back just for the survivors
     val signed = all.select(col("vec_id") +: col("e") +: col("nn") +:
       sigCols: _*)
-    val exploded = signed.select(col("vec_id"), col("e"), col("nn"), expr(
+    val exploded = signed.select(col("vec_id"), expr(
       s"""stack($DedupBands, ${(0 until DedupBands)
         .map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"""))
     val candidates = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("a.e").as("ea"),
-        col("a.nn").as("nna"), col("b.vec_id").as("id_b"),
-        col("b.e").as("eb"), col("b.nn").as("nnb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(all.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nn").as("nna")), "id_a")
+      .join(all.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nn").as("nnb")), "id_b")
       .withColumn("cosine",
         expr("vec_dot(ea, eb) / (sqrt(nna) * sqrt(nnb))"))
       .filter(col("cosine") >= 0.4)
@@ -155,6 +160,7 @@ object SimilarityQueries {
     import org.apache.spark.ml.functions.array_to_vector
     val all = vecs(s, dir).withColumn("fv", array_to_vector(col("e")))
     val model = new KMeans().setK(IvfCells).setSeed(42)
+      .setMaxIter(5) // a coarse quantizer doesn't need convergence
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(all)
     val assigned = model.transform(all)
