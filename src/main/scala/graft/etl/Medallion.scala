@@ -96,6 +96,46 @@ final case class JobResult(
   */
 class MedallionPipeline(spark: SparkSession, root: String) {
 
+  /** Named transform registry — etl_manager.py:162-205's
+    * TransformSpec/register_transform. The six standard transforms come
+    * pre-registered; jobs can reference transforms by name
+    * (`runJobNamed`) or pass functions directly (`runJob`). */
+  private val transformRegistry =
+    scala.collection.mutable.LinkedHashMap[String, DataFrame => DataFrame](
+      "deduplicate_by_id" -> (df =>
+        if (df.columns.contains("id"))
+          Transforms.deduplicate(df, Seq(org.apache.spark.sql.functions.col("id")),
+            df.columns.sorted.map(org.apache.spark.sql.functions.col).toSeq)
+        else df),
+      "standardize_dates" -> (df => Transforms.standardizeDates(df,
+        Seq("date", "created_at", "updated_at", "birth_date",
+          "admission_date", "discharge_date"))),
+      "uppercase_codes" -> (df => Transforms.uppercaseCodes(df,
+        Seq("diagnosis_code", "procedure_code", "icd10_code", "cpt_code",
+          "ndc_code", "loinc_code", "code", "lang"))),
+      "trim_strings" -> Transforms.trimStrings,
+      "null_handling" -> Transforms.nullHandling,
+      "add_metadata" -> Transforms.addMetadata)
+
+  def registerTransform(name: String)(fn: DataFrame => DataFrame): Unit =
+    transformRegistry(name) = fn
+
+  def registeredTransforms: Seq[String] = transformRegistry.keys.toSeq
+
+  def transform(name: String): DataFrame => DataFrame =
+    transformRegistry.getOrElse(name,
+      throw new IllegalArgumentException(s"Unknown transform: $name"))
+
+  /** run_job with reference-style named transforms. */
+  def runJobNamed(
+      jobId: String, dataset: String,
+      sourceZone: DataZone.Value, targetZone: DataZone.Value,
+      loadType: LoadType.Value, transformNames: Seq[String],
+      rules: Seq[Rule] = Seq.empty,
+      key: Seq[String] = Seq("id")): JobResult =
+    runJob(jobId, dataset, sourceZone, targetZone, loadType,
+      transformNames.map(transform), rules, key)
+
   def path(zone: DataZone.Value, dataset: String): String =
     s"$root/${zone.toString.toLowerCase}/$dataset"
 

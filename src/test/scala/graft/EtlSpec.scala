@@ -71,6 +71,21 @@ class EtlSpec extends SparkSpec {
     assert(res.qualityReport.exists(!_.promotionEligible))
   }
 
+  test("named transform registry mirrors register_transform semantics") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    assert(p.registeredTransforms.contains("trim_strings"))
+    p.registerTransform("drop_negative")(df => df.filter(col("value") >= 0))
+    p.write(DataZone.Raw, "t",
+      df((1L, " a ", 1.0), (2L, "NULL", -5.0)), LoadType.Full)
+    val res = p.runJobNamed("named", "t", DataZone.Raw, DataZone.Bronze,
+      LoadType.Full,
+      Seq("trim_strings", "null_handling", "drop_negative"))
+    assert(res.recordsWritten == 1)
+    val row = p.read(DataZone.Bronze, "t").head()
+    assert(row.getString(1) == "a")
+    intercept[IllegalArgumentException](p.transform("nope"))
+  }
+
   test("in-place FULL job (source zone == target zone) is safe") {
     val p = new MedallionPipeline(spark, freshRoot())
     p.write(DataZone.Bronze, "t", df((1L, " pad ", 1.0), (2L, "x", 2.0)),
