@@ -197,6 +197,37 @@ object QualityValidator {
       applicable = col("o_totalprice").isNotNull,
       applicableZones = Set(DataZone.Silver, DataZone.Gold)))
 
+  /** Rule preset for the event-telemetry table (≈ device feeds): format
+    * validity on the JSON props, per-type value ranges (DQ006 shape),
+    * required fields. */
+  def eventsRules: Seq[Rule] = Seq(
+    Rule("DQ001", "required_fields_present", Dimension.Completeness,
+      "critical",
+      fails = col("event_id").isNull || col("user_id").isNull ||
+        col("event_type").isNull),
+    Rule("DQ002", "props_json_format", Dimension.Validity, "major",
+      fails = !col("props").rlike("^\\{\"k\": [0-9]+\\}$"),
+      applicable = col("props").isNotNull,
+      applicableZones = Set(DataZone.Silver, DataZone.Gold)),
+    Rule("DQ006", "valid_value_ranges", Dimension.Accuracy, "major",
+      fails = col("value") < 0 || col("value") > 1000,
+      applicable = col("value").isNotNull,
+      applicableZones = Set(DataZone.Silver, DataZone.Gold)))
+
+  /** Rule preset for the documents table (≈ clinical notes): language
+    * code format, non-empty text, advertised-length consistency (the
+    * reference's cross-field consistency dimension). */
+  def documentsRules: Seq[Rule] = Seq(
+    Rule("DQ001", "required_fields_present", Dimension.Completeness,
+      "critical", fails = col("doc_id").isNull || col("text").isNull),
+    Rule("DQ003", "lang_code_format", Dimension.Validity, "critical",
+      fails = !col("lang").rlike("^[a-z]{2}$"),
+      applicable = col("lang").isNotNull,
+      failBelow = 0.99, warnBelow = 1.0),
+    Rule("DQ00X", "n_chars_consistent", Dimension.Consistency, "major",
+      fails = length(col("text")) =!= col("n_chars"),
+      applicable = col("text").isNotNull && col("n_chars").isNotNull))
+
   /** DQ005 uniqueness as a predicate: duplicate = not the first row for
     * its key. One window shuffle on the key, then the flag joins the
     * single-pass agg like any other rule. */

@@ -94,6 +94,19 @@ class QualitySpec extends SparkSpec {
     assert(report.promotionEligible)
   }
 
+  test("events and documents rule presets run one-pass on testdata") {
+    val ev = new QualityValidator("events", QualityValidator.eventsRules)
+      .validate(Tables.events(spark, sf), DataZone.Silver)
+    assert(ev.checkResults.size == 3)
+    assert(ev.checkResults.forall(_.recordsChecked > 0))
+    val docs = new QualityValidator("documents",
+      QualityValidator.documentsRules)
+      .validate(Tables(spark, sf, "documents"), DataZone.Silver)
+    assert(docs.checkResults.size == 3)
+    val consistency = docs.checkResults.find(_.ruleId == "DQ00X").get
+    assert(consistency.recordsChecked == 500)
+  }
+
   test("raw zone thresholds accept anything") {
     val v = new QualityValidator("t", rules.take(2))
     val report = v.validate(df, DataZone.Raw)
