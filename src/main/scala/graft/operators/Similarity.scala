@@ -1,0 +1,193 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic vector-similarity operators (SURVEY.md §2.6) over ANY table
+  * with an `array<float|double>` embedding column. The oracle-checked
+  * `graft.queries.SimilarityQueries` bindings apply these to the
+  * testdata.
+  *
+  * Exact cosine is a native `vec_dot` (strict left-to-right fold —
+  * bit-reproducible). Brute force is the correctness baseline; the
+  * scale paths bucket first (random-hyperplane LSH, KMeans IVF) and
+  * carry only ids through candidate shuffles.
+  */
+object Similarity {
+
+  /** Normalize to (id, e: array<double>, nn: squared-norm). */
+  def vecs(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    embs.select(
+      col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nn", expr("vec_dot(e, e)"))
+  }
+
+  private def cosine(a: String, b: String): Column =
+    expr(s"vec_dot($a.e, $b.e) / (sqrt($a.nn) * sqrt($b.nn))")
+
+  /** Exact all-pairs cosine ≥ τ (verification scale). Output:
+    * (id_a, id_b, cosine). */
+  def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val v = vecs(embs, idCol, vecCol)
+    v.as("a")
+      .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine("a", "b").as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Exact cosine top-k for a (small, broadcast) query subset. Output:
+    * (query_id, cand_id, cosine, rank). */
+  def bruteforceTopK(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val queries = all.filter(isQuery)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(queries).as("a")
+      .join(all.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
+        cosine("a", "b").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane weights: sign of hyperplane p,
+    * dimension d = parity of the first md5("p:d") byte — reproduces
+    * everywhere, no RNG state shipped to executors. */
+  def planeSign(p: Int, d: Int): Int = {
+    val md = MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$p:$d".getBytes(StandardCharsets.UTF_8))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  /** Bit-signature for one band: `bandBits` sign-projections packed into
+    * an int, each a native `vec_dot` against a ±1 literal plane.
+    * `planeOffset` keeps different LSH families on independent planes. */
+  def bandSignature(band: Int, bandBits: Int, dims: Int,
+      planeOffset: Int = 0): Column = {
+    val bits = (0 until bandBits).map { bit =>
+      val p = planeOffset + band * bandBits + bit
+      val plane = (0 until dims).map(d => s"${planeSign(p, d)}.0D")
+        .mkString("array(", ", ", ")")
+      s"(CASE WHEN vec_dot(e, $plane) >= 0D THEN ${1 << bit} ELSE 0 END)"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  private def bandedSignatures(all: DataFrame, bands: Int, bandBits: Int,
+      dims: Int, planeOffset: Int, keep: Seq[String]): DataFrame = {
+    val sigCols = (0 until bands).map(b =>
+      bandSignature(b, bandBits, dims, planeOffset).as(s"sig$b"))
+    val signed = all.select(keep.map(col) ++ sigCols: _*)
+    signed.select(keep.map(col) :+ expr(
+      s"""stack($bands, ${(0 until bands)
+        .map(b => s"$b, sig$b").mkString(", ")}) as (band, sig)"""): _*)
+  }
+
+  /** Random-hyperplane LSH top-k: candidates share ≥1 band bucket with
+    * the query; exact cosine + window top-k on candidates only. */
+  def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, bands: Int, bandBits: Int, dims: Int)
+      : DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val exploded = bandedSignatures(all, bands, bandBits, dims, 0,
+      Seq("vec_id", "e", "nn"))
+    val queries = exploded.filter(isQuery)
+    val candidates = broadcast(queries).as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("a.e").as("qe"),
+        col("a.nn").as("qnn"), col("b.vec_id").as("cand_id"),
+        col("b.e").as("ce"), col("b.nn").as("cnn"))
+      .dropDuplicates("query_id", "cand_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    candidates
+      .withColumn("cosine",
+        expr("vec_dot(qe, ce) / (sqrt(qnn) * sqrt(cnn))"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  /** Banded-LSH near-dup pair generation (the 100 TB dedup path):
+    * candidates carry ONLY ids through the bucket join + distinct;
+    * vectors are fetched back just for the survivors. Output:
+    * (id_a, id_b, cosine). */
+  def dedupEmbeddingLsh(embs: DataFrame, idCol: String, vecCol: String,
+      tau: Double, bands: Int, bandBits: Int, dims: Int,
+      planeOffset: Int = 1000): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val exploded = bandedSignatures(all, bands, bandBits, dims,
+      planeOffset, Seq("vec_id"))
+    val candidates = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(all.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nn").as("nna")), "id_a")
+      .join(all.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nn").as("nnb")), "id_b")
+      .withColumn("cosine",
+        expr("vec_dot(ea, eb) / (sqrt(nna) * sqrt(nnb))"))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** IVF top-k: seeded KMeans coarse quantizer → inverted-list cells;
+    * queries probe their `nProbes` nearest centroids; exact cosine over
+    * probed candidates only. */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, cells: Int, nProbes: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = embs.sparkSession
+    val all = vecs(embs, idCol, vecCol)
+      .withColumn("fv", array_to_vector(col("e")))
+    val model = new KMeans().setK(cells).setSeed(42)
+      .setMaxIter(5) // a coarse quantizer doesn't need convergence
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(all)
+    val assigned = model.transform(all)
+      .select(col("vec_id"), col("e"), col("nn"), col("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+    // probe list per query: tiny driver-side Q×K distance ranking (the
+    // standard IVF probe step)
+    val queryVecs = assigned.filter(isQuery)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = queryVecs.flatMap { case (qid, qe) =>
+      centers.zipWithIndex.map { case (c, ci) =>
+        val d2 = qe.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        (qid, ci, d2)
+      }.sortBy(_._3).take(nProbes).map { case (q, ci, _) => (q, ci) }
+    }
+    import s.implicits._
+    val probeDf = probes.toSeq.toDF("query_id", "cell")
+    val qside = assigned.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nn").as("qnn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(probeDf.join(qside, "query_id"))
+      .join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        expr("vec_dot(qe, e) / (sqrt(qnn) * sqrt(nn))").as("cosine"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Generic text-analysis operators (SURVEY.md §2.7) over ANY document
+  * table — callers name the id/text columns; the oracle-checked
+  * `graft.queries.TextQueries` bindings apply these to the testdata.
+  * Every operator except topTerms is a narrow projection (no shuffle):
+  * at 100 TB they run at scan speed inside whole-stage codegen.
+  */
+object TextOps {
+
+  val BpeishToken = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  private def prepared(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  private def tokens: Column = split(lower(trim(col("text"))), " ")
+
+  /** Token counts (whitespace + BPE-ish regex), char length, average
+    * word length, punctuation ratio. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    prepared(docs, idCol, textCol)
+      .withColumn("char_len", length(col("text")))
+      .withColumn("n_tokens_ws", size(tokens))
+      .withColumn("n_tokens_bpe", regexp_count(col("text"), lit(BpeishToken)))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")))
+      .withColumn("punct_chars",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
+      .select(
+        col("doc_id"), col("char_len"), col("n_tokens_ws"),
+        col("n_tokens_bpe"),
+        (col("alpha_chars").cast("double") / col("n_tokens_ws"))
+          .as("avg_word_len"),
+        (col("punct_chars").cast("double") / col("char_len"))
+          .as("punct_ratio"))
+
+  /** Composite 0-1 quality score from four indicator features with
+    * banded thresholds. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val stopArray = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    prepared(docs, idCol, textCol)
+      .withColumn("char_len", length(col("text")))
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("n_stop", expr(
+        s"size(filter(split(lower(trim(text)), ' '), t -> t IN $stopArray))"))
+      .withColumn("punct_chars",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        col("punct_chars").cast("double") / col("char_len"))
+      .withColumn("avg_word_len",
+        col("alpha_chars").cast("double") / col("n_tokens"))
+      .withColumn("len_ok",
+        when(col("char_len").between(100, 5000), 1).otherwise(0))
+      .withColumn("punct_ok", when(col("punct_ratio") <= 0.1, 1).otherwise(0))
+      .withColumn("stop_ok",
+        when(col("stop_ratio").between(0.02, 0.6), 1).otherwise(0))
+      .withColumn("wordlen_ok",
+        when(col("avg_word_len").between(3.0, 8.0), 1).otherwise(0))
+      .withColumn("quality_score",
+        (col("len_ok") * 0.3 + col("punct_ok") * 0.2 +
+          col("stop_ok") * 0.3 + col("wordlen_ok") * 0.2))
+      .withColumn("quality_band",
+        when(col("quality_score") >= 0.8, "high")
+          .when(col("quality_score") >= 0.5, "medium")
+          .otherwise("low"))
+      .select(col("doc_id"), col("char_len"), col("n_tokens"),
+        col("stop_ratio"), col("punct_ratio"), col("avg_word_len"),
+        col("quality_score"), col("quality_band"))
+  }
+
+  /** Marker-hit language ID: argmax over per-language stopword profiles
+    * with a deterministic tie-break; narrow scan, K literal profiles. */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      markers: Map[String, Seq[String]],
+      passthrough: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val hitCols = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      expr(s"size(filter(split(lower(trim($textCol)), ' '), t -> t IN $arr))")
+        .as(s"hits_$lang")
+    }
+    val keepCols = passthrough.map { case (c, alias) => col(c).as(alias) }
+    val withHits = docs.select(
+      (col(idCol).as("doc_id") +: keepCols) ++ hitCols: _*)
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.map(l => col(s"hits_$l")).reduce(greatest(_, _))
+    val predicted = langs.foldRight(lit("unknown")) { (l, acc) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    withHits.withColumn("predicted_lang", predicted)
+  }
+
+  /** Winnowing fingerprints + full-document SimHash via the native
+    * codegen'd expressions. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    prepared(docs, idCol, textCol)
+      .select(col("doc_id"),
+        expr(s"winnow(lower(trim(text)), $k, $window)").as("fingerprints"),
+        expr("simhash64(split(lower(trim(text)), ' '))").as("simhash"))
+      .select(col("doc_id"), col("fingerprints"),
+        size(col("fingerprints")).as("n_fingerprints"), col("simhash"))
+  }
+
+  /** Per-document top-k terms by frequency with corpus document
+    * frequency attached (the tf/df half of tf-idf; idf's log is left to
+    * the caller — libm rounding differs across engines). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = prepared(docs, idCol, textCol)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+}

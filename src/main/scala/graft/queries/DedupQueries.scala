@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Similarity}
 
 /** Deduplication family (SURVEY.md §2.5) — the LLM-training-data dedup
   * operators on `documents`/`embeddings`. Scale design:
@@ -22,168 +22,34 @@ import graft.functions.GraftFunctions
   */
 object DedupQueries {
 
-  /** Whitespace-normalized lowercase content. */
-  private def normText: Column =
-    lower(regexp_replace(trim(col("text")), "\\s+", " "))
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
 
-  /** #29 dedup_exact — normalize → md5 → groupBy(hash): one shuffle on
-    * the hash key, keeper = min(doc_id) (deterministic survivor). */
+  /** #29 dedup_exact — [[Dedup.exact]] on `documents`. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), md5(normText).as("content_hash"))
-      .groupBy(col("content_hash"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+    Dedup.exact(docs(s, dir), "doc_id", "text")
 
-  /** Distinct word-3-gram shingles per document. Typed flatMap instead
-    * of `transform`/`array_distinct` HOFs — the lambda-per-element HOF
-    * path evaluates interpreted; a compiled sliding window over the
-    * token array is ~3× faster and byte-identical in output. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .filter(col("text").isNotNull) // real feeds have nulls; skip, don't NPE
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        // same tokenization as split(lower(trim(text)), ' ') with
-        // trailing empties kept (limit -1)
-        val w = text.trim.toLowerCase.split(" ", -1)
-        if (w.length < 3) Iterator.empty
-        else w.sliding(3).map(_.mkString(" "))
-          .toArray.distinct.iterator.map(sh => (id, sh))
-      }
-      .toDF("doc_id", "s")
-  }
-
-  /** Exact pairwise Jaccard via shingle self-join: inter from the
-    * equi-join on the shingle, sizes joined back, τ filter last. The
-    * shingle set feeds three plan branches — materialize once. */
-  private def jaccardPairs(s: SparkSession, dir: String, tau: Double)
-      : DataFrame = {
-    val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
-        col("n_b"), col("jaccard"))
-  }
-
-  /** #30 dedup_ngram_jaccard — exact Jaccard ≥ 0.5 candidate pairs. */
+  /** #30 dedup_ngram_jaccard — [[Dedup.ngramJaccard]] at τ=0.5. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(s, dir, 0.5)
+    Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", 0.5)
 
-  private val MinhashK = 16
-  private val Bands = 4 // 4 bands × 4 rows
+  val MinhashK = 16
+  val Bands = 4 // 4 bands × 4 rows
 
-  /** #31 dedup_minhash_lsh — md5-based MinHash signatures (min over the
-    * hex string is min over the hash value: fixed-width lowercase hex),
-    * banded into 4 bucket keys, bucket equi-join for candidates, then
-    * exact-Jaccard verification of candidates only. Deterministic and
-    * oracle-expressible (DuckDB computes identical md5 hex). */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // The shingle set feeds three consumers (signatures, sizes, candidate
-    // verification); Spark has no common-subplan reuse across branches,
-    // so materialize it once. At 100 TB this is a checkpointed
-    // intermediate table, not a recompute-per-branch.
-    val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val minhashCols = (0 until MinhashK).map(k =>
-      min(substring(md5(concat(lit(s"$k:"), col("s"))), 1, 16)).as(s"h$k"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(minhashCols.head, minhashCols.tail: _*)
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until MinhashK / Bands)
-        .map(r => col(s"h${b * (MinhashK / Bands) + r}"))
-      md5(concat(rows: _*)).as(s"band$b")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val exploded = banded.select(col("doc_id"), expr(
-      s"""stack($Bands, ${(0 until Bands)
-        .map(b => s"$b, band$b").mkString(", ")}) as (band, bh)"""))
-    val candidates = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    // Verify ONLY the candidates: broadcast the (tiny) candidate set and
-    // intersect shingles pair-wise — not the all-pairs Jaccard of #30,
-    // which is exactly the O(n²)-ish work LSH exists to avoid.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(candidates)
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("id_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    // `inter` is candidate-pair-sized (small) — broadcast IT against the
-    // per-doc sizes table, never the reverse.
-    val withA = sizes.select(col("doc_id").as("id_a"), col("n").as("n_a"))
-      .join(broadcast(inter), "id_a")
-    sizes.select(col("doc_id").as("id_b"), col("n").as("n_b"))
-      .join(broadcast(withA), "id_b")
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+  /** #31 dedup_minhash_lsh — [[Dedup.minhashLsh]]; md5-based so the
+    * DuckDB oracle computes identical signatures. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(s, dir), "doc_id", "text", 0.5, MinhashK, Bands)
 
-  /** #32 dedup_simhash (rows-only) — 64-bit SimHash per doc via the
-    * native codegen'd expression, banded into 4×16-bit blocks; pairs
-    * agreeing on ≥1 block are candidates, verified by hamming ≤ 6. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val sigs = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("simhash64(split(lower(trim(text)), ' '))").as("sig"))
-    val blocks = sigs.select(col("doc_id"), col("sig"),
-      expr("""stack(4,
-        0, CAST(sig & 65535 AS BIGINT),
-        1, CAST((sig >> 16) & 65535 AS BIGINT),
-        2, CAST((sig >> 32) & 65535 AS BIGINT),
-        3, CAST((sig >> 48) & 65535 AS BIGINT)) as (blk, bval)"""))
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        expr("hamming64(a.sig, b.sig)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 6)
-  }
+  /** #32 dedup_simhash (rows-only) — [[Dedup.simhashPairs]], hamming ≤ 6. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
 
-  /** Embedding vectors as double arrays with their exact norm. The dot
-    * is the native codegen'd `vec_dot` — a strict left-to-right sum,
-    * bit-identical to the HOF fold and the oracle's list_reduce. */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Tables(s, dir, "embeddings").select(
-      col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .withColumn("nn", expr("vec_dot(e, e)"))
-  }
-
-  private def cosine(a: String, b: String): Column =
-    expr(s"vec_dot($a.e, $b.e) / (sqrt($a.nn) * sqrt($b.nn))")
-
-  /** #33 dedup_embedding — cosine ≥ 0.4 near-dup pairs. All-pairs here
-    * (verification scale); production uses the §2.6 LSH path. */
+  /** #33 dedup_embedding — [[Similarity.embeddingPairs]] at cos ≥ 0.4;
+    * all-pairs verification baseline (production: dedup_embedding_lsh). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir).as("a")
-      .join(vecs(s, dir).as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine("a", "b").as("cosine"))
-      .filter(col("cosine") >= 0.4)
+    Similarity.embeddingPairs(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** The generic operator API works on ANY table with caller-named
+  * columns — the "switch your tables in" library contract. */
+class GenericOpsSpec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  private val notes = Seq(
+    (101L, "patient stable vitals good recovery on track today"),
+    (102L, "patient stable vitals good recovery on track today"), // dup
+    (103L, "patient stable vitals good recovery off track today"), // near
+    (104L, "completely different clinical note about lab results"))
+    .toDF("note_id", "note_text")
+
+  test("Dedup.exact on custom column names") {
+    val out = Dedup.exact(notes, "note_id", "note_text")
+    assert(out.count() == 3) // two identical notes collapse
+    val dupGroup = out.filter(col("n_docs") === 2).head()
+    assert(dupGroup.getAs[Long]("keeper_id") == 101L)
+  }
+
+  test("Dedup.ngramJaccard finds the near-duplicate pair") {
+    // one changed word in 8 kills 3 of 6 shingles: j = 3/9 ≈ 0.33
+    val pairs = Dedup.ngramJaccard(notes, "note_id", "note_text", 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((101L, 102L))) // identical
+    assert(pairs.contains((101L, 103L)) || pairs.contains((102L, 103L)))
+  }
+
+  test("Dedup.minhashLsh catches the exact duplicate") {
+    val pairs = Dedup.minhashLsh(notes, "note_id", "note_text", 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((101L, 102L)))
+  }
+
+  test("TextOps.stats/qualityScore/topTerms on custom column names") {
+    val stats = TextOps.stats(notes, "note_id", "note_text")
+    assert(stats.columns.head == "doc_id")
+    assert(stats.count() == 4)
+    assert(TextOps.qualityScore(notes, "note_id", "note_text")
+      .filter(col("quality_band").isNull).count() == 0)
+    val top = TextOps.topTerms(notes, "note_id", "note_text", k = 2)
+    assert(top.groupBy("doc_id").count()
+      .agg(max("count")).head().getLong(0) <= 2)
+  }
+
+  test("Similarity operators on a custom embedding table") {
+    val vecsDf = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("emb_id", "vector")
+    val pairs = Similarity.embeddingPairs(vecsDf, "emb_id", "vector", 0.9)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    val topk = Similarity.bruteforceTopK(vecsDf, "emb_id", "vector",
+      isQuery = col("vec_id") === 1L, k = 1).collect()
+    assert(topk.length == 1)
+    assert(topk(0).getAs[Long]("cand_id") == 2L)
+  }
+}
