@@ -277,8 +277,30 @@ object Core {
       sum(col("n_rows")).as("n_rows"))
   }
 
+  /** q20 — the SQL-string surface: tables registered as temp views, the
+    * query is ANSI SQL through `spark.sql` (same text shape as the
+    * oracle). Correlated EXISTS decorrelates to a semi-join; Catalyst
+    * plans it identically to the DataFrame form. */
+  def q20SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation").foreach { t =>
+      Tables(s, dir, t).createOrReplaceTempView(t)
+    }
+    s.sql("""
+      SELECT n.n_name AS nation,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          AS acctbal_cents
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000)
+      GROUP BY n.n_name""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_moving_avg" -> q17MovingAvg,
+    "q20_sql_surface" -> q20SqlSurface,
     "q18_percentile_disc" -> q18PercentileDisc,
     "q19_approx_distinct" -> q19ApproxDistinct,
     "q01_pricing_summary" -> q01PricingSummary,
@@ -297,6 +319,17 @@ object Core {
     "q14_conditional_agg" -> q14ConditionalAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "q20_sql_surface" -> """
+      SELECT n.n_name AS nation,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          AS acctbal_cents
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000)
+      GROUP BY n.n_name""",
     "q17_moving_avg" -> """
       SELECT user_id, event_id,
         CAST(round(value*100) AS BIGINT) AS value_cents,
