@@ -15,6 +15,7 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Tables.NanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("--summary")) {

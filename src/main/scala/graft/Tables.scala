@@ -14,13 +14,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (then it reads as a long of epoch-nanoseconds — exact integer
+    * parity with DuckDB's epoch_ns(ts)). The conf must be set at
+    * SparkSession BUILD time (Verify/Bench/SparkSpec all do): setting it
+    * here per-read would be a racy session-wide side effect that also
+    * silently changes how unrelated nanos parquet reads behave. */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as a long of epoch-nanoseconds instead.
-      // Exact integer parity with DuckDB's epoch_ns(ts).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
+    if (name == "events")
+      require(spark.conf.getOption(NanosConf).contains("true"),
+        s"reading 'events' requires $NanosConf=true at session build time")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
+import graft.lineage.LineageTracker
 import graft.quality.{DataZone, QualityValidator, Report, Rule}
 
 /** Medallion ETL (SURVEY.md §2.3) — distributed re-expression of the
@@ -88,13 +89,18 @@ object Transforms {
 
 final case class JobResult(
     jobId: String, status: String, recordsRead: Long, recordsWritten: Long,
-    recordsQuarantined: Long, qualityReport: Option[Report])
+    recordsQuarantined: Long, qualityReport: Option[Report],
+    errorMessage: Option[String] = None)
 
 /** Parquet-zone medallion pipeline with quality-gated promotion.
   *
-  * @param root  warehouse directory; each zone is `root/<zone>/<dataset>`
+  * @param root    warehouse directory; each zone is `root/<zone>/<dataset>`
+  * @param lineage when present, every job records a plan-derived
+  *                transformation step into the tracker
+  *                (etl_manager.py:313-320 `_track_lineage`)
   */
-class MedallionPipeline(spark: SparkSession, root: String) {
+class MedallionPipeline(spark: SparkSession, root: String,
+    lineage: Option[LineageTracker] = None) {
 
   /** Named transform registry — etl_manager.py:162-205's
     * TransformSpec/register_transform. The six standard transforms come
@@ -218,9 +224,27 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       .delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** Record the job's plan-derived lineage (etl_manager.py:313-320):
+    * the target asset plus a transformation step whose inputs come from
+    * the DataFrame's own Catalyst plan. */
+  private def trackLineage(jobId: String, dataset: String, df: DataFrame,
+      targetZone: DataZone.Value): Unit =
+    lineage.foreach { lt =>
+      val out = lt.registerAsset(dataset, targetZone.toString.toLowerCase,
+        location = path(targetZone, dataset))
+      lt.recordDataFrame(jobId, "etl_job", df, out.assetId)
+    }
+
   /** run_job (etl_manager.py:206-356): read source zone → transforms →
-    * quality gate vs target zone → quarantine failed rows → write clean
-    * rows with the requested load type. */
+    * quality gate vs target zone → quarantine failed rows (or hard-fail
+    * the job when quarantine is disabled) → write with the requested
+    * load type.
+    *
+    * Gate semantics follow the reference (etl_manager.py:278-306): the
+    * split/fail branch triggers only when the report is NOT promotion
+    * eligible; an eligible report writes every transformed row. With
+    * `enableQuarantine = false` an ineligible report aborts the job —
+    * `status = "failed"`, nothing written, target zone untouched. */
   def runJob(
       jobId: String,
       dataset: String,
@@ -229,7 +253,8 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       loadType: LoadType.Value,
       transforms: Seq[DataFrame => DataFrame] = Seq.empty,
       rules: Seq[Rule] = Seq.empty,
-      key: Seq[String] = Seq("id")): JobResult = {
+      key: Seq[String] = Seq("id"),
+      enableQuarantine: Boolean = true): JobResult = {
     val source = read(sourceZone, dataset)
     val recordsRead = source.count()
     val transformed = transforms.foldLeft(source)((d, t) => t(d))
@@ -238,21 +263,29 @@ class MedallionPipeline(spark: SparkSession, root: String) {
       // count BEFORE writing: with source zone == target zone the write
       // replaces the very files this plan reads
       val nOut = transformed.count()
+      trackLineage(jobId, dataset, transformed, targetZone)
       write(targetZone, dataset, transformed, loadType, key)
       return JobResult(jobId, "completed", recordsRead, nOut, 0L, None)
     }
 
     val validator = new QualityValidator(dataset, rules)
-    val (report, clean, quarantined) =
-      validator.validateAndSplit(transformed, targetZone)
+    val report = validator.validate(transformed, targetZone)
+    if (!report.promotionEligible && !enableQuarantine) {
+      // reference hard-fail path (etl_manager.py:298-306): gate failed
+      // and quarantine disabled → FAILED, no write at all
+      return JobResult(jobId, "failed", recordsRead, 0L, 0L, Some(report),
+        Some(f"Quality gate failed: score=${report.overallScore}%.2f"))
+    }
+    val (clean, quarantined) =
+      if (report.promotionEligible) (transformed, transformed.limit(0))
+      else validator.split(transformed, targetZone, report)
     val nQuarantined = quarantined.count()
     if (nQuarantined > 0) {
       quarantined.write.mode(SaveMode.Overwrite)
         .parquet(s"$root/quarantine/$jobId/$dataset")
     }
-    // Reference gate (etl_manager.py:283-316): a FAILED report with no
-    // quarantinable rows aborts; otherwise clean rows proceed.
     val nClean = clean.count() // before the write replaces source files
+    trackLineage(jobId, dataset, clean, targetZone)
     write(targetZone, dataset, clean, loadType, key)
     JobResult(jobId, "completed", recordsRead, nClean,
       nQuarantined, Some(report))

@@ -140,12 +140,21 @@ case class Winnow(left: Expression, right: Expression, window: Expression)
   override def foldable: Boolean = children.forall(_.foldable)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType &&
-      window.dataType == IntegerType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
+    if (!(left.dataType == StringType && right.dataType == IntegerType &&
+      window.dataType == IntegerType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, int, int)")
+    else if (!right.foldable || !window.foldable)
+      // k/w are read once per row in both eval and the generated code —
+      // a per-row k/w would silently use arbitrary values; reject at
+      // analysis like Spark's own parameter expressions
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires foldable (literal) k and w")
+    else if (right.eval() == null || window.eval() == null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires non-null k and w")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val t = left.eval(input)
     if (t == null) null

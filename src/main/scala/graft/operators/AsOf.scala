@@ -39,10 +39,16 @@ object AsOf {
     val w = Window.partitionBy(col("_ak"))
       .orderBy(col("_at").asc, col("_probe").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightValues.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_probe") === 1).drop("_ak", "_at", "_probe")
+    // Carry ONE struct of all right-value columns (null for probe rows so
+    // ignoreNulls skips them): every output row's values come from the
+    // SAME reference row, even when that row has NULLs in some value
+    // columns — per-column carries would silently mix rows there.
+    val carried = unioned.withColumn("_rv",
+      last(when(col("_probe") === 0, struct(rightValues.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val unpacked = rightValues.foldLeft(carried)((d, c) =>
+      d.withColumn(c, col("_rv").getField(c)))
+    unpacked.filter(col("_probe") === 1).drop("_ak", "_at", "_probe", "_rv")
   }
 
   /** q16_asof_join — each event joined to its user's most recent order

@@ -57,12 +57,24 @@ object Dedup {
       .toDF("doc_id", "s")
   }
 
+  /** Default stop-shingle/band-bucket cap: far above any real similarity
+    * bucket, small enough that one degenerate key can't produce an
+    * O(b²) candidate explosion (1000² pairs ≈ 1M rows, one task's work). */
+  val DefaultMaxBucket = 1000L
+
   /** Exact pairwise Jaccard ≥ τ via shingle self-join. Output:
-    * (id_a, id_b, n_inter, n_a, n_b, jaccard). */
+    * (id_a, id_b, n_inter, n_a, n_b, jaccard).
+    *
+    * Shingles shared by more than `maxBucket` documents are treated as
+    * stop-shingles and removed from the similarity universe (sizes AND
+    * intersections — Jaccard stays exact over the reduced universe, the
+    * standard guard: a bucket that common carries no similarity signal
+    * and would otherwise explode into O(b²) join rows). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, maxBucket: Long = DefaultMaxBucket): DataFrame = {
     // the shingle set feeds three plan branches — materialize once
-    val sh = shingles(docs, idCol, textCol)
+    val sh = Skew.capBuckets(shingles(docs, idCol, textCol),
+        Seq(col("s")), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -83,9 +95,15 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: md5-based MinHash signatures (min over
     * fixed-width lowercase hex = min over the hash value), banded bucket
     * keys, bucket equi-join for candidates, exact-Jaccard verification
-    * of candidates only. Output: (id_a, id_b, jaccard). */
+    * of candidates only. Output: (id_a, id_b, jaccard).
+    *
+    * Band buckets larger than `maxBucket` are dropped before the
+    * candidate join ([[Skew.capBuckets]]): a bucket that size is a
+    * degenerate band (near-constant signature), and its O(b²) pairs
+    * would dominate the whole job at scale. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double, minhashK: Int = 16, bands: Int = 4): DataFrame = {
+      tau: Double, minhashK: Int = 16, bands: Int = 4,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = minhashK / bands
     val sh = shingles(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -98,31 +116,33 @@ object Dedup {
       md5(concat(rows: _*)).as(s"band$b")
     }
     val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val exploded = banded.select(col("doc_id"), expr(
-      s"""stack($bands, ${(0 until bands)
-        .map(b => s"$b, band$b").mkString(", ")}) as (band, bh)"""))
+    val exploded = Skew.capBuckets(
+      banded.select(col("doc_id"), expr(
+        s"""stack($bands, ${(0 until bands)
+          .map(b => s"$b, band$b").mkString(", ")}) as (band, bh)""")),
+      Seq(col("band"), col("bh")), maxBucket)
     val candidates = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // Verify ONLY the candidates: broadcast the (tiny) candidate set and
-    // intersect shingles pair-wise — not the all-pairs Jaccard, which is
-    // exactly the O(n²)-ish work LSH exists to avoid.
+    // Verify ONLY the candidates by intersecting their shingle sets —
+    // not the all-pairs Jaccard, which is exactly the O(n²)-ish work LSH
+    // exists to avoid. The candidate set is data-dependent (near-dup
+    // density), so no forced broadcast: AQE broadcasts it when its
+    // runtime size genuinely fits, falls back to shuffle join otherwise.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(candidates)
+    val inter = candidates
       .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("id_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    // `inter` is candidate-pair-sized (small) — broadcast IT against the
-    // per-doc sizes table, never the reverse.
     val withA = sizes.select(col("doc_id").as("id_a"), col("n").as("n_a"))
-      .join(broadcast(inter), "id_a")
+      .join(inter, "id_a")
     sizes.select(col("doc_id").as("id_b"), col("n").as("n_b"))
-      .join(broadcast(withA), "id_b")
+      .join(withA, "id_b")
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= tau)

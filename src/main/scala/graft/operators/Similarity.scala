@@ -148,12 +148,21 @@ object Similarity {
 
   /** IVF top-k: seeded KMeans coarse quantizer → inverted-list cells;
     * queries probe their `nProbes` nearest centroids; exact cosine over
-    * probed candidates only. */
+    * probed candidates only.
+    *
+    * The probe step is DISTRIBUTED: queries cross-join the broadcast
+    * centroid table (bounded at `cells` rows by construction — the one
+    * thing in this plan that is always broadcast-sized) and a window
+    * keeps each query's `nProbes` nearest cells. No driver-side
+    * collection anywhere, so `isQuery` may select arbitrarily many
+    * queries; the candidate join is left to AQE to broadcast or
+    * shuffle by its runtime size. */
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int, cells: Int, nProbes: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val s = embs.sparkSession
+    import s.implicits._
     val all = vecs(embs, idCol, vecCol)
       .withColumn("fv", array_to_vector(col("e")))
     val model = new KMeans().setK(cells).setSeed(42)
@@ -162,27 +171,24 @@ object Similarity {
       .fit(all)
     val assigned = model.transform(all)
       .select(col("vec_id"), col("e"), col("nn"), col("cell"))
-    val centers = model.clusterCenters.map(_.toArray)
-    // probe list per query: tiny driver-side Q×K distance ranking (the
-    // standard IVF probe step)
-    val queryVecs = assigned.filter(isQuery)
-      .select(col("vec_id"), col("e")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probes = queryVecs.flatMap { case (qid, qe) =>
-      centers.zipWithIndex.map { case (c, ci) =>
-        val d2 = qe.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
-        (qid, ci, d2)
-      }.sortBy(_._3).take(nProbes).map { case (q, ci, _) => (q, ci) }
-    }
-    import s.implicits._
-    val probeDf = probes.toSeq.toDF("query_id", "cell")
+    val centersDf = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, ci) => (ci, c.toArray.toSeq) }.toDF("cell", "ce")
+      .withColumn("cnn", expr("vec_dot(ce, ce)"))
     val qside = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nn").as("qnn"))
+    // ||q - c||² = qnn - 2·q·c + cnn — all vec_dot, stays in codegen
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val probes = qside.crossJoin(broadcast(centersDf))
+      .withColumn("d2",
+        col("qnn") - lit(2.0) * expr("vec_dot(qe, ce)") + col("cnn"))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nProbes)
+      .select(col("query_id"), col("cell"), col("qe"), col("qnn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    broadcast(probeDf.join(qside, "query_id"))
-      .join(assigned, Seq("cell"))
+    probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         expr("vec_dot(qe, e) / (sqrt(qnn) * sqrt(nn))").as("cosine"))

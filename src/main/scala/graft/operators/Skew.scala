@@ -15,10 +15,13 @@ object Skew {
 
   /** Salted two-phase aggregation: pre-aggregate on (key, salt) to
     * spread a hot key over `salts` reducers, then combine. `aggs` must
-    * be re-aggregable (sum/count/min/max style). */
+    * be re-aggregable (sum/count/min/max style). The salt comes from the
+    * input partition id, NOT from the aggregated value — a hot key whose
+    * values are constant (the common count-skew case) would otherwise
+    * hash to one salt and collapse back onto a single reducer. */
   def saltedSumCount(df: DataFrame, key: Column, valueCol: Column,
       salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(valueCol), lit(salts)))
+    df.withColumn("_salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy(key.as("k"), col("_salt"))
       .agg(sum(valueCol).as("_s"), count(lit(1)).as("_c"))
       .groupBy(col("k"))

@@ -116,6 +116,18 @@ object TextOps {
         size(col("fingerprints")).as("n_fingerprints"), col("simhash"))
   }
 
+  /** Scalar fingerprint summary — the driver/oracle-friendly shape of
+    * [[fingerprint]]: the array collapses to its size and an
+    * order-independent XOR combine, so every output column is a sortable
+    * scalar and the whole row is expressible in ANSI-ish SQL (FNV-1a is
+    * integer arithmetic; see TextQueries' DuckDB oracle). */
+  def fingerprintSummary(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame =
+    fingerprint(docs, idCol, textCol, k, window)
+      .select(col("doc_id"), col("n_fingerprints"),
+        expr("aggregate(fingerprints, 0L, (acc, x) -> acc ^ x)").as("fp_xor"),
+        col("simhash"))
+
   /** Per-document top-k terms by frequency with corpus document
     * frequency attached (the tf/df half of tf-idf; idf's log is left to
     * the caller — libm rounding differs across engines). */

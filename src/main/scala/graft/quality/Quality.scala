@@ -32,11 +32,16 @@ object Status extends Enumeration {
   val Passed, Warning, Failed, Skipped = Value
 }
 
-/** Zone-promotion thresholds — data_quality.py:152-206. */
+/** Zone-promotion thresholds — data_quality.py:152-206.
+  * `maxFailedCritical` budgets ALL failed rules (the reference gate,
+  * data_quality.py:517-524, counts every FAILED check against it);
+  * `maxFailedMajor` (data_quality.py:158) additionally budgets failures
+  * of major-severity rules — it only bites when a caller loosens
+  * `maxFailedCritical` above zero. */
 final case class Thresholds(
     minCompleteness: Double, minAccuracy: Double, minConsistency: Double,
     minUniqueness: Double = 1.0, maxFailedCritical: Int = 0,
-    overallMinScore: Double = 0.95)
+    maxFailedMajor: Int = 5, overallMinScore: Double = 0.95)
 
 /** One quality rule.
   *
@@ -56,22 +61,25 @@ final case class Rule(
 final case class CheckResult(
     ruleId: String, name: String, dimension: Dimension.Value,
     status: Status.Value, score: Double, recordsChecked: Long,
-    recordsPassed: Long, recordsFailed: Long)
+    recordsPassed: Long, recordsFailed: Long, severity: String = "major")
 
 final case class Report(
     datasetName: String, zone: DataZone.Value, totalRecords: Long,
     checkResults: Seq[CheckResult], overallScore: Double,
     overallStatus: Status.Value, promotionEligible: Boolean)
 
-class QualityValidator(datasetName: String, rules: Seq[Rule]) {
+class QualityValidator(datasetName: String, rules: Seq[Rule],
+    thresholdOverrides: Map[DataZone.Value, Thresholds] = Map.empty) {
 
-  /** ZONE_THRESHOLDS — data_quality.py:152-206. */
+  /** ZONE_THRESHOLDS — data_quality.py:152-206; per-zone overrides for
+    * callers tuning the failure budgets. */
   val zoneThresholds: Map[DataZone.Value, Thresholds] = Map(
     DataZone.Raw -> Thresholds(0.0, 0.0, 0.0, overallMinScore = 0.0),
     DataZone.Bronze -> Thresholds(0.90, 0.95, 0.95, overallMinScore = 0.90),
     DataZone.Silver -> Thresholds(0.95, 0.98, 0.99, overallMinScore = 0.95),
     DataZone.Gold -> Thresholds(0.99, 0.99, 0.99, overallMinScore = 0.98),
-    DataZone.Platinum -> Thresholds(1.0, 0.99, 1.0, overallMinScore = 0.99))
+    DataZone.Platinum -> Thresholds(1.0, 0.99, 1.0, overallMinScore = 0.99)
+  ) ++ thresholdOverrides
 
   def activeRules(zone: DataZone.Value): Seq[Rule] =
     rules.filter(_.applicableZones.contains(zone))
@@ -99,7 +107,7 @@ class QualityValidator(datasetName: String, rules: Seq[Rule]) {
         else if (score < r.warnBelow) Status.Warning
         else Status.Passed
       CheckResult(r.ruleId, r.name, r.dimension, status, score,
-        checked, passed, failed)
+        checked, passed, failed, r.severity)
     }
 
     val overall = overallScore(results)
@@ -138,7 +146,9 @@ class QualityValidator(datasetName: String, rules: Seq[Rule]) {
       case (Dimension.Uniqueness, s) => s >= t.minUniqueness
       case _ => true
     }
-    dimOk && results.count(_.status == Status.Failed) <= t.maxFailedCritical
+    val failed = results.filter(_.status == Status.Failed)
+    dimOk && failed.size <= t.maxFailedCritical &&
+      failed.count(_.severity == "major") <= t.maxFailedMajor
   }
 
   /** Quarantine split: rows failing any FAILED rule are quarantined
@@ -195,7 +205,22 @@ object QualityValidator {
     Rule("DQ006", "valid_value_ranges", Dimension.Accuracy, "major",
       fails = col("o_totalprice") < 0 || col("o_totalprice") > 1000000,
       applicable = col("o_totalprice").isNotNull,
-      applicableZones = Set(DataZone.Silver, DataZone.Gold)))
+      applicableZones = Set(DataZone.Silver, DataZone.Gold)),
+    // DQ004 shape (data_quality.py:249-259 valid_icd10_codes): a
+    // code-FORMAT rule scored in the ACCURACY dimension, Silver/Gold
+    // only, skipping rows without the code — here the priority code
+    // ("1-URGENT" style) stands in for the ICD-10 column.
+    Rule("DQ004", "valid_priority_code_format", Dimension.Accuracy, "major",
+      fails = !upper(trim(col("o_orderpriority"))).rlike("^[1-5]-[A-Z ]+$"),
+      applicable = col("o_orderpriority").isNotNull,
+      applicableZones = Set(DataZone.Silver, DataZone.Gold)),
+    // DQ008 shape (data_quality.py:295-305 phi_fields_present): a
+    // WARNING-severity completeness rule scoped to Raw/Bronze that can
+    // warn (score < 0.5) but never fail the gate.
+    Rule("DQ008", "audit_fields_present", Dimension.Completeness, "warning",
+      fails = col("o_orderstatus").isNull && col("o_orderpriority").isNull,
+      failBelow = 0.0, warnBelow = 0.5,
+      applicableZones = Set(DataZone.Raw, DataZone.Bronze)))
 
   /** Rule preset for the event-telemetry table (≈ device feeds): format
     * validity on the JSON props, per-type value ranges (DQ006 shape),

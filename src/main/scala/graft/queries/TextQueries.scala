@@ -41,10 +41,11 @@ object TextQueries {
     TextOps.langId(docs(s, dir), "doc_id", "text", langMarkers,
       passthrough = Seq("lang" -> "actual_lang"))
 
-  /** #39 text_fingerprint (rows-only) — [[TextOps.fingerprint]]
-    * (winnowing k=8, window 4, plus SimHash). */
+  /** #39 text_fingerprint — [[TextOps.fingerprintSummary]] (winnowing
+    * k=8, window 4, plus SimHash), scalar columns only so the driver can
+    * sort/hash the result and DuckDB can replay the FNV-1a arithmetic. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextOps.fingerprint(docs(s, dir), "doc_id", "text")
+    TextOps.fingerprintSummary(docs(s, dir), "doc_id", "text")
 
   /** text_top_terms — [[TextOps.topTerms]] (top-3, tf/df). */
   def textTopTerms(s: SparkSession, dir: String): DataFrame =
@@ -57,7 +58,101 @@ object TextQueries {
     "text_lang_id" -> textLangId,
     "text_fingerprint" -> textFingerprint)
 
+  /** DuckDB replay of the FNV-1a winnowing fingerprint + SimHash
+    * (TextHash.winnow/simhash): hashes are HUGEINT arithmetic mod 2^64
+    * converted to two's-complement BIGINT, so DuckDB's signed compare
+    * picks the same rightmost window minimum as Scala's Long compare.
+    * Window argmins are non-decreasing in the start position, so the
+    * consecutive-pick dedupe equals DISTINCT over picked positions. */
+  private val fingerprintOracle: String = """
+      WITH prep AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      grams AS (
+        SELECT doc_id, i,
+          CAST(x - CASE WHEN x >= 9223372036854775808::HUGEINT
+            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+            AS h
+        FROM (
+          SELECT doc_id, i,
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(range(0, 8),
+                  j -> CAST(ord(substr(t, i + j, 1)) AS HUGEINT))),
+              (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+                % 18446744073709551616::HUGEINT) AS x
+          FROM prep, LATERAL (SELECT unnest(range(1, length(t) - 8 + 2)) AS i)
+          WHERE length(t) >= 8)),
+      counts AS (SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id),
+      picks AS (
+        SELECT DISTINCT g.doc_id, p.pi, p.ph
+        FROM counts c
+        JOIN (SELECT doc_id, unnest(range(1, greatest(1, m - 4 + 1) + 1)) AS s
+              FROM counts) g
+          ON g.doc_id = c.doc_id,
+        LATERAL (
+          SELECT i AS pi, h AS ph FROM grams
+          WHERE grams.doc_id = g.doc_id
+            AND i BETWEEN g.s AND least(g.s + 3, c.m)
+          ORDER BY h ASC, i DESC LIMIT 1) p),
+      toks AS (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM prep),
+      tokh AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(tok) + 1),
+                j -> CAST(ord(substr(tok, j, 1)) AS HUGEINT))),
+            (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS h
+        FROM toks),
+      bits AS (
+        SELECT doc_id, b,
+          SUM(CASE WHEN (h // (2::HUGEINT ^ b)::HUGEINT) % 2 = 1
+            THEN 1 ELSE -1 END) AS vote
+        FROM tokh, LATERAL (SELECT unnest(range(0, 64)) AS b)
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id,
+          CAST(s - CASE WHEN s >= 9223372036854775808::HUGEINT
+            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+            AS simhash
+        FROM (
+          SELECT doc_id,
+            COALESCE(SUM(CASE WHEN vote > 0
+              THEN (2::HUGEINT ^ b)::HUGEINT END), 0::HUGEINT) AS s
+          FROM bits GROUP BY doc_id))
+      SELECT d.doc_id,
+        CAST(COALESCE(p.n, 0) AS INTEGER) AS n_fingerprints,
+        COALESCE(p.x, 0) AS fp_xor,
+        sim.simhash
+      FROM prep d
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n, bit_xor(ph) AS x
+                 FROM picks GROUP BY doc_id) p USING (doc_id)
+      JOIN sim USING (doc_id)"""
+
+  /** DuckDB replay of [[TextOps.langId]] on the testdata markers. */
+  private val langIdOracle: String = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val hitExprs = langs.map { l =>
+      val arr = langMarkers(l).map(w => s"'$w'").mkString("(", ", ", ")")
+      s"CAST(len(list_filter(string_split(lower(trim(text)), ' '), t -> t IN $arr)) AS INTEGER) AS hits_$l"
+    }.mkString(",\n          ")
+    val best = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN hits_$l = $best AND $best > 0 THEN '$l'").mkString("\n          ")
+    s"""
+      WITH hits AS (
+        SELECT doc_id, lang AS actual_lang,
+          $hitExprs
+        FROM documents)
+      SELECT *,
+        CASE $cases ELSE 'unknown' END AS predicted_lang
+      FROM hits"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "text_fingerprint" -> fingerprintOracle,
+    "text_lang_id" -> langIdOracle,
     "text_top_terms" -> s"""
       WITH terms AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term

@@ -26,6 +26,22 @@ class AsOfSpec extends SparkSpec {
     assert(out("p3") == null) // no ref at or before 50
   }
 
+  test("all carried values come from the SAME latest reference row") {
+    val probes = Seq((1L, 300L, "p")).toDF("k", "t", "pn")
+    val refs = Seq(
+      (1L, 100L, Some("old_a"), Some("old_b")),
+      (1L, 200L, None: Option[String], Some("new_b")))
+      .toDF("rk", "rt", "va", "vb")
+    val out = AsOf.joinAsOf(probes, refs,
+      leftKey = col("k"), rightKey = col("rk"),
+      leftTime = col("t"), rightTime = col("rt"),
+      rightValues = Seq("va", "vb")).collect()(0)
+    // the latest ref row (t=200) has va=NULL — it must stay NULL, not be
+    // silently backfilled from the older t=100 row
+    assert(out.getAs[String]("va") == null)
+    assert(out.getAs[String]("vb") == "new_b")
+  }
+
   test("every probe row survives exactly once (left-join cardinality)") {
     val n = Tables.events(spark, sf).count()
     val out = AsOf.q16AsofJoin(spark, sf)

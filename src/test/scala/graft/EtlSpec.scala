@@ -71,6 +71,40 @@ class EtlSpec extends SparkSpec {
     assert(res.qualityReport.exists(!_.promotionEligible))
   }
 
+  test("runJob hard-fails when the gate fails and quarantine is disabled") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    p.write(DataZone.Raw, "t",
+      df((1L, "a", 1.0), (2L, "b", -2.0), (3L, "c", -3.0)), LoadType.Full)
+    val rules = Seq(
+      Rule("R1", "value_nonneg", Dimension.Accuracy, "major",
+        fails = col("value") < 0, failBelow = 1.0, warnBelow = 1.0))
+    val res = p.runJob("failjob", "t", DataZone.Raw, DataZone.Bronze,
+      LoadType.Full, rules = rules, enableQuarantine = false)
+    assert(res.status == "failed") // etl_manager.py:298-306 hard-fail path
+    assert(res.recordsWritten == 0)
+    assert(res.recordsQuarantined == 0)
+    assert(res.errorMessage.exists(_.contains("Quality gate failed")))
+    assert(!p.exists(DataZone.Bronze, "t")) // nothing written
+    assert(res.qualityReport.exists(!_.promotionEligible))
+  }
+
+  test("runJob records plan-derived lineage into the attached tracker") {
+    val lt = new graft.lineage.LineageTracker()
+    val p = new MedallionPipeline(spark, freshRoot(), lineage = Some(lt))
+    p.write(DataZone.Raw, "t", df((1L, "a", 1.0)), LoadType.Full)
+    val res = p.runJob("linjob", "t", DataZone.Raw, DataZone.Bronze,
+      LoadType.Full, transforms = Seq(Transforms.trimStrings))
+    assert(res.status == "completed")
+    assert(lt.getAsset("asset_bronze_t").nonEmpty)
+    // upstream of the bronze asset is the raw-zone parquet the plan read
+    val up = lt.getUpstreamLineage("asset_bronze_t")
+    assert(up.nonEmpty)
+    assert(lt.getDownstreamImpact(up.head._1).map(_._1)
+      .contains("asset_bronze_t"))
+    // the step carries column-level lineage derived from the plan
+    assert(lt.exportForAudit()("transformation_count") == 1)
+  }
+
   test("named transform registry mirrors register_transform semantics") {
     val p = new MedallionPipeline(spark, freshRoot())
     assert(p.registeredTransforms.contains("trim_strings"))

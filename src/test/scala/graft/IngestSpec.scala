@@ -23,12 +23,13 @@ class IngestSpec extends SparkSpec {
         |{"id": "also-broken-type?", "name": 3}
         |{"id": 4, "name": "d", "value": 4.0}
         |""".stripMargin)
-    val (clean, corrupt) = Ingest.readJsonl(spark, dir.toString, schema)
-    assert(clean.count() == 3)
-    assert(clean.columns.toSeq == Seq("id", "name", "value"))
-    val corruptRows = corrupt.collect().map(_.getString(0))
+    val batch = Ingest.readJsonl(spark, dir.toString, schema)
+    assert(batch.clean.count() == 3)
+    assert(batch.clean.columns.toSeq == Seq("id", "name", "value"))
+    val corruptRows = batch.corrupt.collect().map(_.getString(0))
     assert(corruptRows.length == 2)
     assert(corruptRows.exists(_.contains("not json")))
+    batch.unpersist() // split is materialized; release the cached parse
   }
 
   test("csv ingest quarantines malformed lines") {
@@ -39,18 +40,20 @@ class IngestSpec extends SparkSpec {
         |2,b,not-a-number
         |3,c,3.5
         |""".stripMargin)
-    val (clean, corrupt) = Ingest.readCsv(spark, dir.toString, schema)
-    assert(clean.count() == 2)
-    assert(corrupt.count() == 1)
-    assert(corrupt.head().getString(0).contains("not-a-number"))
+    val batch = Ingest.readCsv(spark, dir.toString, schema)
+    assert(batch.clean.count() == 2)
+    assert(batch.corrupt.count() == 1)
+    assert(batch.corrupt.head().getString(0).contains("not-a-number"))
+    batch.unpersist()
   }
 
   test("clean feed produces an empty quarantine") {
     val dir = Files.createTempDirectory("jsonl2")
     Files.writeString(dir.resolve("ok.jsonl"),
       """{"id": 1, "name": "x", "value": 0.1}""" + "\n")
-    val (clean, corrupt) = Ingest.readJsonl(spark, dir.toString, schema)
-    assert(clean.count() == 1)
-    assert(corrupt.count() == 0)
+    val batch = Ingest.readJsonl(spark, dir.toString, schema)
+    assert(batch.clean.count() == 1)
+    assert(batch.corrupt.count() == 0)
+    batch.unpersist()
   }
 }

@@ -89,7 +89,7 @@ class QualitySpec extends SparkSpec {
     val v = new QualityValidator("orders", rules)
     val report = v.validate(orders, DataZone.Silver)
     assert(report.totalRecords == orders.count())
-    assert(report.checkResults.size == 5) // all rules active at Silver
+    assert(report.checkResults.size == 6) // all but DQ008 active at Silver
     assert(report.overallStatus == Status.Passed)
     assert(report.promotionEligible)
   }
@@ -105,6 +105,50 @@ class QualitySpec extends SparkSpec {
     assert(docs.checkResults.size == 3)
     val consistency = docs.checkResults.find(_.ruleId == "DQ00X").get
     assert(consistency.recordsChecked == 500)
+  }
+
+  test("DQ004-shape rule: code format scored in the ACCURACY dimension") {
+    val dq004 = QualityValidator.ordersRules.find(_.ruleId == "DQ004").get
+    assert(dq004.dimension == Dimension.Accuracy)
+    assert(dq004.applicableZones == Set(DataZone.Silver, DataZone.Gold))
+    val codes = Seq(Some("1-URGENT"), Some("5-LOW"), Some("X-BAD"), None)
+      .toDF("o_orderpriority")
+    val rep = new QualityValidator("t", Seq(dq004))
+      .validate(codes, DataZone.Silver)
+    val r = rep.checkResults.head
+    assert(r.recordsChecked == 3) // rows without the code are skipped
+    assert(r.recordsFailed == 1)
+    assert(r.status == Status.Failed) // 2/3 < 0.95
+  }
+
+  test("DQ008-shape rule: warning severity, Raw/Bronze only, never fails") {
+    val dq008 = QualityValidator.ordersRules.find(_.ruleId == "DQ008").get
+    assert(dq008.severity == "warning")
+    assert(dq008.applicableZones == Set(DataZone.Raw, DataZone.Bronze))
+    val sparse = Seq(
+      (Some("O"), Some("1-URGENT")),
+      (None: Option[String], None: Option[String]),
+      (None: Option[String], None: Option[String]),
+      (None: Option[String], None: Option[String]))
+      .toDF("o_orderstatus", "o_orderpriority")
+    val v = new QualityValidator("t", Seq(dq008))
+    val r = v.validate(sparse, DataZone.Bronze).checkResults.head
+    assert(math.abs(r.score - 0.25) < 1e-12)
+    assert(r.status == Status.Warning) // < 0.5 warns, can never FAIL
+    assert(v.validate(sparse, DataZone.Silver).checkResults.isEmpty)
+  }
+
+  test("maxFailedMajor budgets major failures once critical budget loosens") {
+    val major = Rule("M1", "always_fails", Dimension.Accuracy, "major",
+      fails = lit(true), failBelow = 1.0, warnBelow = 1.0)
+    val loose = Thresholds(0.0, 0.0, 0.0, minUniqueness = 0.0,
+      maxFailedCritical = 10, maxFailedMajor = 0, overallMinScore = 0.0)
+    val strict = new QualityValidator("t", Seq(major),
+      Map(DataZone.Bronze -> loose))
+    assert(!strict.validate(df, DataZone.Bronze).promotionEligible)
+    val allowed = new QualityValidator("t", Seq(major),
+      Map(DataZone.Bronze -> loose.copy(maxFailedMajor = 1)))
+    assert(allowed.validate(df, DataZone.Bronze).promotionEligible)
   }
 
   test("raw zone thresholds accept anything") {

@@ -83,7 +83,6 @@ class StreamingSpec extends SparkSpec {
 
   test("#42 file-source readStream over events parquet matches batch agg") {
     // the real readStream path: parquet file source + watermark + window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables(spark, sf, "events").schema
     // the file source streams a DIRECTORY; stage the table file into one
     val streamDir = java.nio.file.Files.createTempDirectory("evstream")

@@ -125,6 +125,69 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("ngramJaccard drops stop-shingle buckets at the cap") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"common stop shingle unique$i word$i tail$i"))
+      .toDF("doc_id", "text")
+    // all 30 docs share exactly one shingle ("common stop shingle");
+    // uncapped that makes every pair a candidate
+    val uncapped = graft.operators.Dedup
+      .ngramJaccard(docs, "doc_id", "text", 0.1)
+    assert(uncapped.count() == 30L * 29 / 2)
+    // capped below the bucket size, the stop shingle is dropped and no
+    // candidate pair survives
+    val capped = graft.operators.Dedup
+      .ngramJaccard(docs, "doc_id", "text", 0.1, maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+
+  test("minhashLsh caps degenerate band buckets") {
+    val dups = (1 to 30).map(i =>
+      (i.toLong, "exactly the same text content for everyone here today"))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup
+      .minhashLsh(dups, "doc_id", "text", 0.5).count() == 30L * 29 / 2)
+    assert(graft.operators.Dedup
+      .minhashLsh(dups, "doc_id", "text", 0.5, maxBucket = 10)
+      .count() == 0)
+  }
+
+  test("winnow rejects non-foldable or null k/w at analysis time") {
+    GraftFunctions.register(spark)
+    val df = Seq((8, "abcdefghijklmnop")).toDF("kcol", "t")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("winnow(t, kcol, 4)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("winnow(t, CAST(NULL AS INT), 4)").collect()
+    }
+  }
+
+  test("fingerprintSummary xor/count matches the raw fingerprint arrays") {
+    val fp = graft.operators.TextOps
+      .fingerprint(Tables(spark, sf, "documents"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[Long](1), r.getAs[Int]("n_fingerprints")))
+      .toMap
+    val summary = TextQueries.textFingerprint(spark, sf).collect()
+    assert(summary.nonEmpty)
+    summary.foreach { r =>
+      val (arr, n) = fp(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("n_fingerprints") == n)
+      assert(r.getAs[Long]("fp_xor") == arr.foldLeft(0L)(_ ^ _))
+    }
+  }
+
+  test("ivfTopK probes distributed: the full corpus can be the query set") {
+    val embs = Tables(spark, sf, "embeddings")
+    val out = graft.operators.Similarity.ivfTopK(
+      embs, "vec_id", "embedding", isQuery = lit(true),
+      k = 3, cells = 8, nProbes = 2)
+    val answered = out.select("query_id").distinct().count()
+    assert(answered >= (embs.count() * 0.9).toLong,
+      s"only $answered of ${embs.count()} queries got candidates")
+  }
+
   test("text_lang_id predicts a language for every doc") {
     val out = TextQueries.textLangId(spark, sf)
     assert(out.count() > 0)
