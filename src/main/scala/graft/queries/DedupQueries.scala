@@ -79,7 +79,28 @@ object DedupQueries {
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id)"""
 
+  /** DuckDB replay of [[Dedup.simhashPairs]]: the shared FNV/SimHash
+    * CTEs ([[TextQueries.fnvSimhashCtes]]) produce each doc's 64-bit
+    * signature; 4×16-bit block buckets generate candidates and
+    * bit_count(xor) is the hamming verify — bit-identical to the
+    * codegen'd simhash64/hamming64 expressions. */
+  private val simhashOracle: String = s"""
+      WITH ${TextQueries.fnvSimhashCtes},
+      blocks AS (
+        SELECT doc_id, sig, blk,
+          CAST((s // (2::HUGEINT ^ (16 * blk))::HUGEINT) % 65536 AS BIGINT)
+            AS bval
+        FROM sim, LATERAL (SELECT unnest(range(0, 4)) AS blk)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM blocks a
+        JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval
+          AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6"""
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "dedup_exact" -> """
       SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
       FROM (SELECT doc_id,

@@ -61,7 +61,80 @@ object SimilarityQueries {
     "ann_ivf_topk" -> annIvfTopk,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
+  /** DuckDB literal for hyperplane `p`: the ±1 weights are deterministic
+    * ([[Similarity.planeSign]] md5 parity), so the oracle embeds them as
+    * list literals exactly like the Spark side embeds them in the
+    * codegen'd expression — both engines then fold the same
+    * left-to-right dot product. */
+  private def planeList(p: Int): String =
+    (0 until Dims).map(d => s"${Similarity.planeSign(p, d)}.0")
+      .mkString("[", ", ", "]")
+
+  private def sigExpr(band: Int, bandBits: Int, planeOffset: Int): String =
+    (0 until bandBits).map { bit =>
+      val p = planeOffset + band * bandBits + bit
+      s"(CASE WHEN list_reduce(list_transform(range(1, ${Dims + 1}), " +
+        s"i -> e[i] * (${planeList(p)})[i]), (x, y) -> x + y) >= 0 " +
+        s"THEN ${1 << bit} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def sigsCte(bands: Int, bandBits: Int, planeOffset: Int): String =
+    (0 until bands).map(b =>
+      s"SELECT vec_id, e, nn, $b AS band, " +
+        s"${sigExpr(b, bandBits, planeOffset)} AS sig FROM n")
+      .mkString("sigs AS (\n        ", "\n        UNION ALL\n        ", ")")
+
+  private val vecCtes: String = """
+      v AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+          list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nn
+        FROM v)"""
+
+  private val annLshOracle: String = s"""
+      WITH $vecCtes,
+      ${sigsCte(NumBands, BandBits, 0)},
+      cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+          AND a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+      scored AS (
+        SELECT c.query_id, c.cand_id,
+          list_reduce(list_transform(range(1, ${Dims + 1}),
+            i -> q.e[i] * t.e[i]), (x, y) -> x + y)
+            / (sqrt(q.nn) * sqrt(t.nn)) AS cosine
+        FROM cand c
+        JOIN n q ON c.query_id = q.vec_id
+        JOIN n t ON c.cand_id = t.vec_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= $K"""
+
+  private val dedupLshOracle: String = s"""
+      WITH $vecCtes,
+      ${sigsCte(DedupBands, DedupBandBits, 1000)},
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+          AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT c.id_a, c.id_b,
+          list_reduce(list_transform(range(1, ${Dims + 1}),
+            i -> x.e[i] * y.e[i]), (x, y) -> x + y)
+            / (sqrt(x.nn) * sqrt(y.nn)) AS cosine
+        FROM cand c
+        JOIN n x ON c.id_a = x.vec_id
+        JOIN n y ON c.id_b = y.vec_id)
+      SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4"""
+
   val oracleSql: Map[String, String] = Map(
+    "ann_lsh_topk" -> annLshOracle,
+    "dedup_embedding_lsh" -> dedupLshOracle,
     "ann_bruteforce_topk" -> s"""
       WITH v AS (
         SELECT vec_id,

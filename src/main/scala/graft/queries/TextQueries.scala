@@ -58,15 +58,50 @@ object TextQueries {
     "text_lang_id" -> textLangId,
     "text_fingerprint" -> textFingerprint)
 
+  /** Shared DuckDB CTEs replaying TextHash.fnv1a + TextHash.simhash over
+    * whitespace tokens: FNV-1a as HUGEINT arithmetic mod 2^64; `sim`
+    * carries the 64-bit SimHash both unsigned (`s`, for bit slicing) and
+    * as the two's-complement BIGINT Spark emits (`sig`). Used by the
+    * text_fingerprint and dedup_simhash oracles. */
+  private[queries] val fnvSimhashCtes: String = """
+      prep AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM prep),
+      tokh AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(tok) + 1),
+                j -> CAST(ord(substr(tok, j, 1)) AS HUGEINT))),
+            (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS h
+        FROM toks),
+      bits AS (
+        SELECT doc_id, b,
+          SUM(CASE WHEN (h // (2::HUGEINT ^ b)::HUGEINT) % 2 = 1
+            THEN 1 ELSE -1 END) AS vote
+        FROM tokh, LATERAL (SELECT unnest(range(0, 64)) AS b)
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id, s,
+          CAST(s - CASE WHEN s >= 9223372036854775808::HUGEINT
+            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+            AS sig
+        FROM (
+          SELECT doc_id,
+            COALESCE(SUM(CASE WHEN vote > 0
+              THEN (2::HUGEINT ^ b)::HUGEINT END), 0::HUGEINT) AS s
+          FROM bits GROUP BY doc_id))"""
+
   /** DuckDB replay of the FNV-1a winnowing fingerprint + SimHash
     * (TextHash.winnow/simhash): hashes are HUGEINT arithmetic mod 2^64
     * converted to two's-complement BIGINT, so DuckDB's signed compare
     * picks the same rightmost window minimum as Scala's Long compare.
     * Window argmins are non-decreasing in the start position, so the
     * consecutive-pick dedupe equals DISTINCT over picked positions. */
-  private val fingerprintOracle: String = """
-      WITH prep AS (
-        SELECT doc_id, lower(trim(text)) AS t FROM documents),
+  private val fingerprintOracle: String = s"""
+      WITH $fnvSimhashCtes,
       grams AS (
         SELECT doc_id, i,
           CAST(x - CASE WHEN x >= 9223372036854775808::HUGEINT
@@ -93,38 +128,11 @@ object TextQueries {
           SELECT i AS pi, h AS ph FROM grams
           WHERE grams.doc_id = g.doc_id
             AND i BETWEEN g.s AND least(g.s + 3, c.m)
-          ORDER BY h ASC, i DESC LIMIT 1) p),
-      toks AS (
-        SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM prep),
-      tokh AS (
-        SELECT doc_id,
-          list_reduce(
-            list_prepend(14695981039346656037::HUGEINT,
-              list_transform(range(1, length(tok) + 1),
-                j -> CAST(ord(substr(tok, j, 1)) AS HUGEINT))),
-            (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
-              % 18446744073709551616::HUGEINT) AS h
-        FROM toks),
-      bits AS (
-        SELECT doc_id, b,
-          SUM(CASE WHEN (h // (2::HUGEINT ^ b)::HUGEINT) % 2 = 1
-            THEN 1 ELSE -1 END) AS vote
-        FROM tokh, LATERAL (SELECT unnest(range(0, 64)) AS b)
-        GROUP BY doc_id, b),
-      sim AS (
-        SELECT doc_id,
-          CAST(s - CASE WHEN s >= 9223372036854775808::HUGEINT
-            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
-            AS simhash
-        FROM (
-          SELECT doc_id,
-            COALESCE(SUM(CASE WHEN vote > 0
-              THEN (2::HUGEINT ^ b)::HUGEINT END), 0::HUGEINT) AS s
-          FROM bits GROUP BY doc_id))
+          ORDER BY h ASC, i DESC LIMIT 1) p)
       SELECT d.doc_id,
         CAST(COALESCE(p.n, 0) AS INTEGER) AS n_fingerprints,
         COALESCE(p.x, 0) AS fp_xor,
-        sim.simhash
+        sim.sig AS simhash
       FROM prep d
       LEFT JOIN (SELECT doc_id, COUNT(*) AS n, bit_xor(ph) AS x
                  FROM picks GROUP BY doc_id) p USING (doc_id)
