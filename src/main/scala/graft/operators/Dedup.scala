@@ -72,10 +72,14 @@ object Dedup {
     * and would otherwise explode into O(b²) join rows). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    // the shingle set feeds three plan branches — materialize once
+    // The shingle set feeds several plan branches. Deliberately NOT
+    // persisted: regenerating it is a narrow scan + compiled flatMap
+    // (runs at scan speed), while caching the shingle explosion at
+    // 100 TB means spilling a multi-TB intermediate to disk AND holding
+    // blocks for the session lifetime (nothing can unpersist a lazy
+    // result). Measured at sf0.1: recompute is no slower steady-state.
     val sh = Skew.capBuckets(shingles(docs, idCol, textCol),
-        Seq(col("s")), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(col("s")), maxBucket)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
@@ -105,8 +109,8 @@ object Dedup {
       tau: Double, minhashK: Int = 16, bands: Int = 4,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = minhashK / bands
+    // not persisted — same recompute-beats-cache tradeoff as ngramJaccard
     val sh = shingles(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minhashCols = (0 until minhashK).map(k =>
       min(substring(md5(concat(lit(s"$k:"), col("s"))), 1, 16)).as(s"h$k"))
     val sig = sh.groupBy(col("doc_id"))
