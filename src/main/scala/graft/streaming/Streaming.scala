@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.quality.Rule
 
 /** Structured Streaming operators (SURVEY.md §2.9) — streaming forms of
   * the batch event-window (#11) and sessionization (#12) queries.
@@ -45,6 +47,54 @@ object Streaming {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming exact-dedup (the streaming form of
+    * [[graft.operators.Dedup.exact]]): first-seen wins per content hash
+    * (normalize → md5). On a stream, state is bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`): duplicates separated by more
+    * than the watermark may BOTH survive — the documented tradeoff that
+    * keeps dedup state O(hashes per watermark window) on an unbounded
+    * 100 TB corpus feed instead of growing forever. Batch input gets a
+    * plain global dropDuplicates. Output: (doc_id, ts, content_hash),
+    * one row per first-seen content. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.select(
+      col(idCol).as("doc_id"), col(tsCol).as("ts"),
+      md5(graft.operators.Dedup.normalized(col(textCol)))
+        .as("content_hash"))
+    if (docs.isStreaming)
+      hashed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
+  /** Streaming quality monitor: the QualityValidator counters
+    * ([[graft.quality.QualityValidator.validate]] — checked/failed per
+    * rule) as a watermarked tumbling-window aggregation. One state-store
+    * row per window with map-side partial aggregation, so an unbounded
+    * feed gets per-window quality scores with O(open windows) state.
+    * The SAME `Rule` predicates drive the batch gate and this monitor.
+    * Output per window: n_rows plus (checked_<id>, failed_<id>) per
+    * rule. */
+  def windowedQuality(df: DataFrame, tsCol: String, rules: Seq[Rule],
+      watermark: String = "2 hours",
+      windowLen: String = "1 hour"): DataFrame = {
+    val counters: Seq[Column] = count(lit(1)).as("n_rows") +:
+      rules.flatMap { r =>
+        Seq(
+          sum(when(r.applicable, 1L).otherwise(0L))
+            .as(s"checked_${r.ruleId}"),
+          sum(when(r.applicable && r.fails, 1L).otherwise(0L))
+            .as(s"failed_${r.ruleId}"))
+      }
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counters.head, counters.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
 
   val SessionGapMs: Long = 30L * 60L * 1000L
 

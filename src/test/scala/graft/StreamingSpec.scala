@@ -8,6 +8,9 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{Event, Streaming}
 
+/** MemoryStream record for the streaming-dedup tests. */
+final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** SURVEY.md §2.9 #42/#43 — Structured Streaming operators, driven by
   * MemoryStream micro-batches, checked against their batch equivalents.
   */
@@ -155,6 +158,78 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
         .toSet
       assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("streaming exact-dedup keeps the first-seen doc per content hash") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[StreamDoc]
+    val query = Streaming.dedupExact(src.toDF(), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // "ALPHA  BETA" normalizes to the same content as "alpha beta"
+      src.addData(
+        StreamDoc(1, ts(0), "alpha beta"),
+        StreamDoc(2, ts(1), "ALPHA  BETA"),
+        StreamDoc(3, ts(2), "gamma"))
+      query.processAllAvailable()
+      src.addData(
+        StreamDoc(4, ts(3), "alpha beta"), // dup across micro-batches
+        StreamDoc(5, ts(4), "delta"))
+      query.processAllAvailable()
+      val streamed = spark.table("dedup_stream").collect()
+      assert(streamed.length == 3) // alpha-beta once, gamma, delta
+      val streamedHashes = streamed.map(_.getAs[String]("content_hash")).toSet
+      val batch = Streaming.dedupExact(
+        Seq(
+          StreamDoc(1, ts(0), "alpha beta"),
+          StreamDoc(2, ts(1), "ALPHA  BETA"),
+          StreamDoc(3, ts(2), "gamma"),
+          StreamDoc(4, ts(3), "alpha beta"),
+          StreamDoc(5, ts(4), "delta")).toDF(),
+        "doc_id", "text", "ts")
+      assert(batch.count() == 3)
+      assert(batch.collect().map(_.getAs[String]("content_hash")).toSet ==
+        streamedHashes)
+    } finally query.stop()
+  }
+
+  test("streaming quality monitor matches batch counters per closed window") {
+    import graft.quality.{Dimension, Rule}
+    val rules = Seq(
+      Rule("SQ1", "value_in_range", Dimension.Accuracy, "major",
+        fails = col("value") < 0 || col("value") > 900,
+        applicable = col("value").isNotNull),
+      Rule("SQ2", "type_present", Dimension.Completeness, "critical",
+        fails = col("event_type").isNull))
+    def evCols(df: org.apache.spark.sql.DataFrame) = df.select(
+      expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)").as("ts"),
+      col("event_type"), col("value"))
+    val schema = Tables(spark, sf, "events").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("dqstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = evCols(spark.readStream.schema(schema)
+      .parquet(streamDir.toString))
+    val query = Streaming.windowedQuality(stream, "ts", rules,
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("dq_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("dq_stream")
+      assert(streamed.count() > 0) // watermark closed at least one window
+      val batch = Streaming.windowedQuality(
+        evCols(Tables(spark, sf, "events")), "ts", rules)
+      val mismatched = streamed.as("s").join(batch.as("b"),
+        Seq("window_start"))
+        .filter(col("s.n_rows") =!= col("b.n_rows") ||
+          col("s.checked_SQ1") =!= col("b.checked_SQ1") ||
+          col("s.failed_SQ1") =!= col("b.failed_SQ1") ||
+          col("s.failed_SQ2") =!= col("b.failed_SQ2")).count()
+      assert(mismatched == 0)
     } finally query.stop()
   }
 
