@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation. Both operators
+  * sample by CONTENT-ADDRESSED hash, not an RNG: the same row is picked
+  * on every run, every engine, every cluster size — the property a
+  * curation pipeline needs for audit/replay (and what makes the DuckDB
+  * oracle possible; `rand()`-based sampling can never hash-match).
+  *
+  * Scale: [[bernoulli]] is a narrow codegen'd filter at scan speed
+  * (no shuffle, no state). [[stratifiedTake]] is one shuffle on the
+  * stratum key; its rank≤quota filter gets Spark's WindowGroupLimit
+  * pushdown, so each task keeps only `quota` rows per stratum.
+  */
+object Sampling {
+
+  /** 60-bit uniform hash of the key: first 15 hex chars of md5. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** 2^60 — the hash space [[hashBucket]] draws from. */
+  val HashSpace: Double = math.pow(2, 60)
+
+  /** Keep a row iff hash(key)/2^60 < fraction. Deterministic Bernoulli
+    * sample keyed on row identity. */
+  def bernoulli(df: DataFrame, keyCol: Column, fraction: Double): DataFrame =
+    df.filter(hashBucket(keyCol) < (fraction * HashSpace).toLong)
+
+  /** Exactly `quota` rows per stratum (fewer if the stratum is smaller),
+    * chosen by hash order with the key as tie-break — a deterministic
+    * per-class cap for building balanced training mixes. Adds
+    * `sample_rank` (1-based within the stratum). */
+  def stratifiedTake(df: DataFrame, strataCol: Column, keyCol: Column,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashBucket(keyCol).asc, keyCol.asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quota)
+  }
+}

@@ -222,7 +222,18 @@ object QualityQueries {
       col("overall_score"), col("promotion_eligible"))
   }
 
+  /** Profiled columns for dq_profile (the orders table). */
+  val profileCols: Seq[String] = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** dq_profile — [[graft.operators.Profile.profile]] on `orders`:
+    * per-column null counts, exact cardinality, min/max bounds, all in
+    * one scan. */
+  def dqProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables(s, dir, "orders"), profileCols)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile" -> dqProfile,
     "dq_completeness" -> dqCompleteness,
     "dq_validity_format" -> dqValidityFormat,
     "dq_value_ranges" -> dqValueRanges,
@@ -231,6 +242,14 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_profile" -> profileCols.map(c => s"""
+        SELECT '$c' AS column_name,
+          COUNT(*) AS n_rows,
+          COUNT(*) - COUNT($c) AS n_null,
+          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+          CAST(MIN($c) AS VARCHAR) AS min_value,
+          CAST(MAX($c) AS VARCHAR) AS max_value
+        FROM orders""").mkString("\n        UNION ALL\n"),
     "dq_completeness" -> Seq(
       "o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sampling
+
+/** Deterministic-sampling queries — [[Sampling]] applied to `documents`.
+  * Hash-addressed sampling is reproducible across engines, so both
+  * entries are DuckDB-oracle-checked (an RNG sample never could be).
+  */
+object SamplingQueries {
+
+  val Fraction = 0.25
+  val Quota = 40
+  private val Threshold: Long = (Fraction * Sampling.HashSpace).toLong
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** sample_bernoulli — deterministic 25% sample keyed on doc_id. */
+  def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
+    Sampling.bernoulli(docs(s, dir), col("doc_id"), Fraction)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** sample_stratified — up to 40 docs per language, hash-ordered. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedTake(
+      docs(s, dir).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), Quota)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_bernoulli" -> sampleBernoulli,
+    "sample_stratified" -> sampleStratified)
+
+  /** The 60-bit md5 hash bucket, as DuckDB SQL. */
+  private val bucket =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_bernoulli" -> s"""
+      SELECT doc_id, lang, source FROM documents
+      WHERE $bucket < $Threshold""",
+    "sample_stratified" -> s"""
+      SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY $bucket ASC, doc_id ASC) AS BIGINT) AS sample_rank
+        FROM documents)
+      WHERE sample_rank <= $Quota""")
+}

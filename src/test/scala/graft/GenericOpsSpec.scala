@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Profile, Sampling, Similarity, TextOps}
 
 /** The generic operator API works on ANY table with caller-named
   * columns — the "switch your tables in" library contract. */
@@ -65,5 +65,46 @@ class GenericOpsSpec extends SparkSpec {
       isQuery = col("vec_id") === 1L, k = 1).collect()
     assert(topk.length == 1)
     assert(topk(0).getAs[Long]("cand_id") == 2L)
+  }
+
+  test("Profile.profile computes per-column stats in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "v")
+    val out = Profile.profile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Long]("n_rows") == 4)
+    assert(out("k").getAs[Long]("n_null") == 1)
+    assert(out("k").getAs[Long]("n_distinct") == 2)
+    assert(out("k").getAs[String]("min_value") == "1")
+    assert(out("k").getAs[String]("max_value") == "2")
+    assert(out("v").getAs[Long]("n_null") == 1)
+    assert(out("v").getAs[Long]("n_distinct") == 2)
+    // ONE aggregate pass: a single scan in the plan
+    val plan = Profile.profile(df, Seq("k", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("Sampling is deterministic and respects fraction/quota") {
+    val docs = Tables(spark, sf, "documents")
+    val a = Sampling.bernoulli(docs, col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(docs, col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // content-addressed, not RNG
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.25) < 0.08, s"${a.size} of $n")
+    // growing the fraction only ADDS rows (nested samples)
+    val wider = Sampling.bernoulli(docs, col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+
+    val strat = Sampling.stratifiedTake(
+      docs.select(col("doc_id"), col("lang")), col("lang"), col("doc_id"), 7)
+    val perLang = strat.groupBy("lang").count().collect()
+    assert(perLang.forall(_.getLong(1) <= 7))
+    assert(strat.filter(col("sample_rank") < 1).count() == 0)
   }
 }
