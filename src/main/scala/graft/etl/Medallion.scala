@@ -212,6 +212,18 @@ class MedallionPipeline(spark: SparkSession, root: String,
 
   def readTable(tableName: String): DataFrame = spark.table(tableName)
 
+  /** Key-partitioned zone write: one directory per partition value, so
+    * any filter on the partition column prunes whole directories at
+    * planning time — the 100 TB layout for time-partitioned facts
+    * (a day's query reads a day's files, not the table). Combine with
+    * [[writeBucketed]] semantics by partitioning on the coarse
+    * time/tenant key and joining on the fine key. */
+  def writePartitioned(zone: DataZone.Value, dataset: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path(zone, dataset))
+
   /** Parquet has no atomic overwrite-while-reading: stage to a temp dir,
     * then swap. (A real deployment would use a table format's ACID
     * replace; the zone contract is the same.) */

@@ -139,8 +139,12 @@ object TextOps {
       .filter(col("term") =!= "")
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency derives from tf's (doc, term) rows — already
+    // distinct per doc — so the exploded term list is aggregated ONCE
+    // and the tf exchange is reused (no second countDistinct pass over
+    // the explosion, which is the expensive input at corpus scale)
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("term").asc)
     tf.join(df, "term")

@@ -165,6 +165,29 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("partitioned writes prune directories at planning time") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    val orders = Tables(spark, sf, "orders")
+    p.writePartitioned(DataZone.Gold, "orders_p", orders,
+      Seq("o_orderstatus"))
+    val read = p.read(DataZone.Gold, "orders_p")
+      .filter(col("o_orderstatus") === "F")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("o_orderstatus"), plan)
+    // pruning must not change results
+    assert(read.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    // the partition column itself is directory metadata, not row data —
+    // the scan's data schema must not read it
+    val scan = read.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.metadata("PartitionFilters").contains("o_orderstatus"),
+      scan.metadata("PartitionFilters"))
+  }
+
   test("standardize_dates parses formats in reference order") {
     val in = Seq(
       (1L, "1997-02-03"), (2L, "02/03/1997"), (3L, "25/03/1997"),
