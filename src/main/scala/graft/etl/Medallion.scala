@@ -244,7 +244,11 @@ class MedallionPipeline(spark: SparkSession, root: String,
     lineage.foreach { lt =>
       val out = lt.registerAsset(dataset, targetZone.toString.toLowerCase,
         location = path(targetZone, dataset))
-      lt.recordDataFrame(jobId, "etl_job", df, out.assetId)
+      // bronze-bound jobs are cleansing, later zones transform —
+      // etl_manager.py:427-430
+      val kind =
+        if (targetZone == DataZone.Bronze) "cleanse" else "transform"
+      lt.recordDataFrame(jobId, kind, df, out.assetId)
     }
 
   /** run_job (etl_manager.py:206-356): read source zone → transforms →
@@ -293,7 +297,13 @@ class MedallionPipeline(spark: SparkSession, root: String,
       else validator.split(transformed, targetZone, report)
     val nQuarantined = quarantined.count()
     if (nQuarantined > 0) {
-      quarantined.write.mode(SaveMode.Overwrite)
+      // quarantine audit stamp — etl_manager.py:371-392
+      quarantined
+        .withColumn("_quarantine_time", current_timestamp())
+        .withColumn("_quarantine_reason",
+          lit(report.overallStatus.toString.toLowerCase))
+        .withColumn("_quality_score", lit(report.overallScore))
+        .write.mode(SaveMode.Overwrite)
         .parquet(s"$root/quarantine/$jobId/$dataset")
     }
     val nClean = clean.count() // before the write replaces source files

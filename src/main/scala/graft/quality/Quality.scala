@@ -253,6 +253,17 @@ object QualityValidator {
       fails = length(col("text")) =!= col("n_chars"),
       applicable = col("text").isNotNull && col("n_chars").isNotNull))
 
+  /** DQ002 shape (data_quality.py:582-630 valid_date_formats): string
+    * date fields must be ISO 8601 — reference regex reproduced, rows
+    * without the field skipped, Validity/major with the standard
+    * 0.95/0.99 bands. */
+  def iso8601Rule(dateCol: String): Rule =
+    Rule("DQ002", "valid_date_formats", Dimension.Validity, "major",
+      fails = !col(dateCol).rlike(
+        "^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?" +
+          "(Z|[+-]\\d{2}:\\d{2})?)?$"),
+      applicable = col(dateCol).isNotNull)
+
   /** DQ005 uniqueness as a predicate: duplicate = not the first row for
     * its key. One window shuffle on the key, then the flag joins the
     * single-pass agg like any other rule. */

@@ -67,7 +67,12 @@ class EtlSpec extends SparkSpec {
     assert(res.recordsWritten == 2)
     val bronze = p.read(DataZone.Bronze, "t").orderBy("id").collect()
     assert(bronze.map(_.getString(1)).toSeq == Seq("ok", null)) // trimmed + nulled
-    assert(p.quarantined("job1", "t").count() == 1)
+    val q = p.quarantined("job1", "t")
+    assert(q.count() == 1)
+    // quarantine audit stamp (etl_manager.py:371-392)
+    assert(q.columns.toSet.intersect(Set(
+      "_quarantine_time", "_quarantine_reason", "_quality_score")).size == 3)
+    assert(q.head().getAs[String]("_quarantine_reason") == "failed")
     assert(res.qualityReport.exists(!_.promotionEligible))
   }
 

@@ -138,6 +138,21 @@ class QualitySpec extends SparkSpec {
     assert(v.validate(sparse, DataZone.Silver).checkResults.isEmpty)
   }
 
+  test("DQ002-shape ISO 8601 rule accepts the reference's format family") {
+    val dates = Seq(
+      Some("1997-02-03"), Some("1997-02-03T10:11:12"),
+      Some("1997-02-03T10:11:12.5Z"), Some("1997-02-03T10:11:12+02:00"),
+      Some("02/03/1997"), Some("not a date"), None)
+      .toDF("admission_date")
+    val rep = new QualityValidator("t",
+      Seq(QualityValidator.iso8601Rule("admission_date")))
+      .validate(dates, DataZone.Silver)
+    val r = rep.checkResults.head
+    assert(r.recordsChecked == 6) // null skipped
+    assert(r.recordsFailed == 2) // slash format + garbage
+    assert(r.dimension == Dimension.Validity)
+  }
+
   test("maxFailedMajor budgets major failures once critical budget loosens") {
     val major = Rule("M1", "always_fails", Dimension.Accuracy, "major",
       fails = lit(true), failBelow = 1.0, warnBelow = 1.0)
