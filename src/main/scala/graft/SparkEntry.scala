@@ -18,6 +18,7 @@ object SparkEntry {
       SamplingQueries.queries ++
       SimilarityQueries.queries ++ graft.multimodal.MediaQueries.queries ++
       graft.sources.Json.queries ++ graft.operators.AsOf.queries ++
+      graft.queries.RangeQueries.queries ++
       Map(
       // #27 lineage edge list (rows-only): plan-derived column lineage of
       // the bronze-cleanse pipeline — the Catalyst plan IS the lineage.
@@ -32,5 +33,6 @@ object SparkEntry {
       SamplingQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
       graft.multimodal.MediaQueries.oracleSql ++
-      graft.sources.Json.oracleSql ++ graft.operators.AsOf.oracleSql
+      graft.sources.Json.oracleSql ++ graft.operators.AsOf.oracleSql ++
+      graft.queries.RangeQueries.oracleSql
 }

@@ -49,6 +49,25 @@ class AsOfSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == n)
   }
 
+  test("range join matches the naive non-equi join and avoids nested loops") {
+    val out = graft.queries.RangeQueries.q21RangeJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val iv = ev.groupBy(col("user_id").as("w_user"))
+      .agg(min(col("ts_us")).as("s"))
+      .withColumn("e", col("s") + graft.queries.RangeQueries.WindowUs)
+    val naive = ev.join(iv,
+      col("user_id") === col("w_user") &&
+        col("ts_us") >= col("s") && col("ts_us") <= col("e"))
+      .select("event_id", "user_id")
+    assert(out.count() > 0)
+    assert(out.count() == naive.count())
+    assert(out.exceptAll(naive).count() == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan) // the point of the bucketing
+  }
+
   test("plan shuffles once on the key (single Exchange below the window)") {
     val plan = AsOf.q16AsofJoin(spark, sf)
       .queryExecution.executedPlan.toString
