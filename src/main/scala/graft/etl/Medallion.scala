@@ -85,6 +85,36 @@ object Transforms {
   def addMetadata(df: DataFrame): DataFrame =
     df.withColumn("_processed_at", current_timestamp())
       .withColumn("_version", lit(1))
+
+  /** SCD type-2 versioning: given every observed version of a key
+    * (one row per (key, change time)), derive the validity intervals —
+    * `valid_from` = the version time, `valid_to` = the next version's
+    * time (NULL while open), `is_current` on the open row. ONE window
+    * shuffle on the key; re-running over history ∪ new versions is the
+    * idempotent distributed SCD2 merge (no row-by-row upserts).
+    * `ts` must be a total order per key — add a unique low-order
+    * component if change times can tie. */
+  def scd2(versions: DataFrame, key: Seq[Column], ts: Column): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(ts.asc)
+    versions
+      .withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** SCD2 merge: fold a batch of new versions into an existing
+    * versioned table (both in [[scd2]] output shape minus the derived
+    * columns) and re-derive the intervals. Duplicate (key, ts)
+    * deliveries collapse — the merge is idempotent. */
+  def scd2Merge(existing: DataFrame, incoming: DataFrame,
+      key: Seq[Column], ts: Column): DataFrame = {
+    val cols = existing.columns.filterNot(
+      Set("valid_from", "valid_to", "is_current")).toSeq
+    val base = existing.select(cols.map(col): _*)
+    val merged = base.unionByName(incoming.select(cols.map(col): _*))
+      .dropDuplicates(cols)
+    scd2(merged, key, ts)
+  }
 }
 
 final case class JobResult(
@@ -211,6 +241,21 @@ class MedallionPipeline(spark: SparkSession, root: String,
   }
 
   def readTable(tableName: String): DataFrame = spark.table(tableName)
+
+  /** Small-file compaction: rewrite a zone dataset into
+    * `ceil(rows / rowsPerFile)` files. Streaming appends and
+    * incremental loads accrete small files that tax the scan planner
+    * (one task per file, footer reads dominate); periodic compaction is
+    * the standard lakehouse maintenance job. Returns the file count
+    * after compaction. */
+  def compact(zone: DataZone.Value, dataset: String,
+      rowsPerFile: Long): Int = {
+    val df = read(zone, dataset)
+    val nFiles = math.max(1, math.ceil(
+      df.count().toDouble / rowsPerFile).toInt)
+    replace(path(zone, dataset), df.repartition(nFiles))
+    nFiles
+  }
 
   /** Key-partitioned zone write: one directory per partition value, so
     * any filter on the partition column prunes whole directories at

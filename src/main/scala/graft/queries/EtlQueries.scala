@@ -97,13 +97,42 @@ object EtlQueries {
         "yyyy-MM-dd").as("std_date"))
   }
 
+  /** etl_scd2 — [[Transforms.scd2]] over each customer's order history
+    * (orders as observed "versions" of the customer): valid_from/
+    * valid_to intervals + is_current, one window shuffle. Version time
+    * gets the order key as a unique low-order component (same total
+    * order as q16). */
+  def etlScd2(s: SparkSession, dir: String): DataFrame = {
+    val versions = Tables(s, dir, "orders").select(
+      col("o_custkey"),
+      (unix_micros(col("o_orderdate").cast("timestamp")) +
+        col("o_orderkey")).as("version_us"),
+      Core.cents(col("o_totalprice")).as("price_cents"))
+    Transforms.scd2(versions, Seq(col("o_custkey")), col("version_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2" -> etlScd2,
     "etl_bronze_cleanse" -> etlBronzeCleanse,
     "etl_merge_upsert" -> etlMergeUpsert,
     "etl_incremental" -> etlIncremental,
     "etl_standardize_dates" -> etlStandardizeDates)
 
   val oracleSql: Map[String, String] = Map(
+    "etl_scd2" -> """
+      WITH v AS (
+        SELECT o_custkey,
+          epoch_us(o_orderdate) + o_orderkey AS version_us,
+          CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        FROM orders),
+      s AS (
+        SELECT *, version_us AS valid_from,
+          lead(version_us) OVER (PARTITION BY o_custkey
+            ORDER BY version_us ASC) AS valid_to
+        FROM v)
+      SELECT o_custkey, version_us, price_cents, valid_from, valid_to,
+        valid_to IS NULL AS is_current
+      FROM s""",
     "etl_bronze_cleanse" -> """
       WITH cleaned AS (
         SELECT doc_id, trim(text) AS text, upper(trim(lang)) AS lang,

@@ -170,6 +170,46 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites a fragmented dataset into few files") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    // 20 appends of 1 row each → ≥20 files
+    (1 to 20).foreach(i =>
+      p.write(DataZone.Bronze, "t", df((i.toLong, s"v$i", i.toDouble)),
+        if (i == 1) LoadType.Full else LoadType.Append))
+    def files() = new java.io.File(p.path(DataZone.Bronze, "t"))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() >= 20)
+    val n = p.compact(DataZone.Bronze, "t", rowsPerFile = 10)
+    assert(n == 2)
+    assert(files() == 2)
+    assert(p.read(DataZone.Bronze, "t").count() == 20)
+  }
+
+  test("scd2 derives validity intervals and scd2Merge is idempotent") {
+    val v1 = Seq(
+      (1L, 100L, "addr_a"), (1L, 200L, "addr_b"), (2L, 150L, "addr_x"))
+      .toDF("id", "ts", "addr")
+    val hist = Transforms.scd2(v1, Seq(col("id")), col("ts"))
+    val open = hist.filter(col("is_current")).orderBy("id").collect()
+    assert(open.map(r => r.getLong(0) -> r.getString(2)).toSeq ==
+      Seq(1L -> "addr_b", 2L -> "addr_x"))
+    assert(hist.filter(col("id") === 1 && col("ts") === 100)
+      .head().getAs[Long]("valid_to") == 200L)
+    // merge a new version + a duplicate redelivery of an old one
+    val batch = Seq((1L, 300L, "addr_c"), (1L, 200L, "addr_b"))
+      .toDF("id", "ts", "addr")
+    val merged = Transforms.scd2Merge(hist, batch, Seq(col("id")), col("ts"))
+    assert(merged.count() == 4) // duplicate (1,200) collapsed
+    val cur1 = merged.filter(col("is_current") && col("id") === 1).head()
+    assert(cur1.getAs[String]("addr") == "addr_c")
+    // previous current row is now closed at the new version's time
+    assert(merged.filter(col("id") === 1 && col("ts") === 200)
+      .head().getAs[Long]("valid_to") == 300L)
+    // re-merging the same batch changes nothing (idempotent)
+    assert(Transforms.scd2Merge(merged, batch, Seq(col("id")), col("ts"))
+      .count() == 4)
+  }
+
   test("partitioned writes prune directories at planning time") {
     val p = new MedallionPipeline(spark, freshRoot())
     val orders = Tables(spark, sf, "orders")
