@@ -235,7 +235,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => Hamming64(args(0), args(1))),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (args: Seq[Expression]) =>
+        KmvSketchAgg(args(0), args(1)).toAggregateExpression()),
+    (FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_estimate"),
+      (args: Seq[Expression]) => KmvEstimate(args(0), args(1))),
+    (FunctionIdentifier("kmv_jaccard"),
+      new ExpressionInfo(classOf[KmvJaccard].getName, "kmv_jaccard"),
+      (args: Seq[Expression]) => KmvJaccard(args(0), args(1), args(2))),
+    (FunctionIdentifier("kmv_intersect"),
+      new ExpressionInfo(classOf[KmvIntersect].getName, "kmv_intersect"),
+      (args: Seq[Expression]) => KmvIntersect(args(0), args(1), args(2))))
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -277,6 +277,26 @@ object Core {
       sum(col("n_rows")).as("n_rows"))
   }
 
+  /** q22 (rows-only) — KMV set-overlap sketches: distinct-count,
+    * Jaccard, and intersection-size estimates between the order
+    * customers and the telemetry users, via the custom
+    * [[graft.functions.KmvSketchAgg]] aggregate. Intersection is what
+    * HLL cannot estimate; the shuffled state is ≤ k longs per side
+    * regardless of table size. Accuracy vs exact is asserted in
+    * ScalaTest. */
+  def q22KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val a = Tables(s, dir, "orders")
+      .agg(expr("kmv_sketch(xxhash64(o_custkey), 256)").as("sk_a"))
+    val b = Tables.events(s, dir)
+      .agg(expr("kmv_sketch(xxhash64(user_id), 256)").as("sk_b"))
+    a.crossJoin(b).select(
+      expr("kmv_estimate(sk_a, 256)").as("est_order_customers"),
+      expr("kmv_estimate(sk_b, 256)").as("est_event_users"),
+      expr("kmv_jaccard(sk_a, sk_b, 256)").as("jaccard_est"),
+      expr("kmv_intersect(sk_a, sk_b, 256)").as("intersect_est"))
+  }
+
   /** q20 — the SQL-string surface: tables registered as temp views, the
     * query is ANSI SQL through `spark.sql` (same text shape as the
     * oracle). Correlated EXISTS decorrelates to a semi-join; Catalyst
@@ -303,6 +323,7 @@ object Core {
     "q20_sql_surface" -> q20SqlSurface,
     "q18_percentile_disc" -> q18PercentileDisc,
     "q19_approx_distinct" -> q19ApproxDistinct,
+    "q22_kmv_overlap" -> q22KmvOverlap,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_join_agg" -> q03JoinAgg,
