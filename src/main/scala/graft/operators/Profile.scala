@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** @param exact true = exact cardinality (one expand per column —
+    *              right for verification scale and the DuckDB oracle);
+    *              false = HLL approx_count_distinct, the 100 TB path
+    *              (no expand, sketch-sized partial state). */
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val counters: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"_nd_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
