@@ -153,6 +153,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair list —
+    * the step that turns pairwise similarity into dedup decisions
+    * (one keeper per component). Iterative min-label propagation:
+    * every node adopts the smallest label among itself and its
+    * neighbors until a fixpoint; converges in O(component diameter)
+    * rounds, and near-dup components are shallow by construction.
+    * Each round is one shuffle join + aggregate; lineage is truncated
+    * per round (`localCheckpoint`) so the plan stays flat over
+    * iterations. Output: (node, component) where component = smallest
+    * reachable node id; only nodes that appear in a pair are emitted
+    * (singletons are trivially their own keeper). */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val undirected = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = undirected.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = undirected
+        .join(labels, undirected("dst") === labels("node"))
+        .groupBy(undirected("src").as("n"))
+        .agg(min(col("component")).as("neighbor_min"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("n"), "left")
+        .select(col("node"),
+          least(col("component"),
+            coalesce(col("neighbor_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = updated.as("u")
+        .join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: codegen'd 64-bit signature, 4×16-bit
     * blocks, candidates agree on ≥1 block, verified hamming ≤ max.
     * Output: (id_a, id_b, hamming). */

@@ -51,7 +51,14 @@ object DedupQueries {
     Similarity.embeddingPairs(
       Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
 
+  /** dedup_clusters — [[Dedup.components]] over the MinHash-LSH pair
+    * list: pairwise similarity → connected components → one keeper
+    * (the min id) per near-dup cluster. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.components(dedupMinhashLsh(s, dir), "id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -78,6 +85,39 @@ object DedupQueries {
         FROM inter
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id)"""
+
+  /** The full MinHash-LSH pair pipeline as a reusable CTE chain
+    * (shingles → md5 minhash signatures → banded buckets → candidate
+    * join → exact-Jaccard verify), ending in `mh_pairs`. Shared by the
+    * dedup_minhash_lsh and dedup_clusters oracles. */
+  private val minhashCtes: String = s"""$shingleSql,
+      sig AS (
+        SELECT doc_id,
+          ${(0 until MinhashK).map(k =>
+            s"MIN(substr(md5('$k:' || s), 1, 16)) AS h$k").mkString(",\n          ")}
+        FROM sh GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id,
+          ${(0 until Bands).map { b =>
+            val rows = (0 until MinhashK / Bands)
+              .map(r => s"h${b * (MinhashK / Bands) + r}").mkString(" || ")
+            s"md5($rows) AS band$b"
+          }.mkString(",\n          ")}
+        FROM sig),
+      exploded AS (
+        ${(0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, band$b AS bh FROM banded")
+          .mkString("\n        UNION ALL\n        ")}),
+      candidates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM exploded a
+        JOIN exploded b ON a.band = b.band AND a.bh = b.bh
+          AND a.doc_id < b.doc_id),
+      mh_pairs AS (
+        SELECT c.id_a, c.id_b, j.jaccard
+        FROM candidates c
+        JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+        WHERE j.jaccard >= 0.5)"""
 
   /** DuckDB replay of [[Dedup.simhashPairs]]: the shared FNV/SimHash
     * CTEs ([[TextQueries.fnvSimhashCtes]]) produce each doc's 64-bit
@@ -113,33 +153,20 @@ object DedupQueries {
       SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
       FROM jac WHERE jaccard >= 0.5""",
     "dedup_minhash_lsh" -> s"""
-      WITH $shingleSql,
-      sig AS (
-        SELECT doc_id,
-          ${(0 until MinhashK).map(k =>
-            s"MIN(substr(md5('$k:' || s), 1, 16)) AS h$k").mkString(",\n          ")}
-        FROM sh GROUP BY doc_id),
-      banded AS (
-        SELECT doc_id,
-          ${(0 until Bands).map { b =>
-            val rows = (0 until MinhashK / Bands)
-              .map(r => s"h${b * (MinhashK / Bands) + r}").mkString(" || ")
-            s"md5($rows) AS band$b"
-          }.mkString(",\n          ")}
-        FROM sig),
-      exploded AS (
-        ${(0 until Bands).map(b =>
-          s"SELECT doc_id, $b AS band, band$b AS bh FROM banded")
-          .mkString("\n        UNION ALL\n        ")}),
-      candidates AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM exploded a
-        JOIN exploded b ON a.band = b.band AND a.bh = b.bh
-          AND a.doc_id < b.doc_id)
-      SELECT c.id_a, c.id_b, j.jaccard
-      FROM candidates c
-      JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-      WHERE j.jaccard >= 0.5""",
+      WITH $minhashCtes
+      SELECT id_a, id_b, jaccard FROM mh_pairs""",
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node""",
     "dedup_embedding" -> """
       WITH v AS (
         SELECT vec_id,

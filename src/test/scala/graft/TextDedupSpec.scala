@@ -152,6 +152,15 @@ class TextDedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("components clusters a chain and separates disjoint groups") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 9L), (9L, 8L))
+      .toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("winnow rejects non-foldable or null k/w at analysis time") {
     GraftFunctions.register(spark)
     val df = Seq((8, "abcdefghijklmnop")).toDF("kcol", "t")
