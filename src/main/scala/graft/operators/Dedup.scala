@@ -199,6 +199,22 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup removal — the one-call curation API: MinHash
+    * LSH pairs → connected components → drop every doc that is not its
+    * component's keeper (min id). Exact duplicates are near-dups at any
+    * τ ≤ 1, so this subsumes exact dedup for non-trivial τ. Returns the
+    * surviving rows of `docs` unchanged. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double, minhashK: Int = 16, bands: Int = 4,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val losers = components(
+      minhashLsh(docs, idCol, textCol, tau, minhashK, bands, maxBucket),
+      "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: codegen'd 64-bit signature, 4×16-bit
     * blocks, candidates agree on ≥1 block, verified hamming ≤ max.
     * Output: (id_a, id_b, hamming). */

@@ -57,7 +57,14 @@ object DedupQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.components(dedupMinhashLsh(s, dir), "id_a", "id_b")
 
+  /** dedup_dropdups — [[Dedup.dropNearDuplicates]] end-to-end at
+    * τ=0.5: the corpus with every non-keeper near-dup removed. */
+  def dedupDropdups(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(docs(s, dir), "doc_id", "text", 0.5)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_dropdups" -> dedupDropdups,
     "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -155,6 +162,21 @@ object DedupQueries {
     "dedup_minhash_lsh" -> s"""
       WITH $minhashCtes
       SELECT id_a, id_b, jaccard FROM mh_pairs""",
+    "dedup_dropdups" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+      SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN
+        (SELECT node FROM comp WHERE node <> component)""",
     "dedup_clusters" -> s"""
       WITH RECURSIVE $minhashCtes,
       edges AS (

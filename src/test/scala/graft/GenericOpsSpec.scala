@@ -67,6 +67,20 @@ class GenericOpsSpec extends SparkSpec {
     assert(topk(0).getAs[Long]("cand_id") == 2L)
   }
 
+  test("Dedup.dropNearDuplicates keeps one doc per near-dup cluster") {
+    val out5 = Dedup.dropNearDuplicates(notes, "note_id", "note_text", 0.5)
+    // only the exact dup (102) falls; near-dup 103 is below τ=0.5
+    assert(out5.select("note_id").collect().map(_.getLong(0)).toSet ==
+      Set(101L, 103L, 104L))
+    // a 3-way identical cluster collapses to its min id
+    val tri = notes.unionByName(
+      Seq((105L, "patient stable vitals good recovery on track today"))
+        .toDF("note_id", "note_text"))
+    val out = Dedup.dropNearDuplicates(tri, "note_id", "note_text", 0.5)
+    assert(out.select("note_id").collect().map(_.getLong(0)).toSet ==
+      Set(101L, 103L, 104L)) // 102 and 105 fold into 101
+  }
+
   test("Profile.profile computes per-column stats in one pass") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), None),
