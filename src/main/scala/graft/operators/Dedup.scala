@@ -182,18 +182,19 @@ object Dedup {
         .join(labels, undirected("dst") === labels("node"))
         .groupBy(undirected("src").as("n"))
         .agg(min(col("component")).as("neighbor_min"))
+      // carry the previous label through the select so convergence is
+      // one filter-count on the checkpointed result, not another join
       val updated = labels
         .join(neighborMin, labels("node") === neighborMin("n"), "left")
-        .select(col("node"),
-          least(col("component"),
-            coalesce(col("neighbor_min"), col("component")))
-            .as("component"))
+        .select(labels("node"),
+          least(labels("component"),
+            coalesce(col("neighbor_min"), labels("component")))
+            .as("component"),
+          labels("component").as("_old"))
         .localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") =!= col("old")).count()
-      labels = updated
-      converged = changed == 0
+      converged = updated.filter(col("component") =!= col("_old"))
+        .isEmpty
+      labels = updated.drop("_old")
       i += 1
     }
     labels

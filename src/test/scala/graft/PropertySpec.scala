@@ -85,6 +85,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kmv invariants: merge-order independence, bounds, symmetry") {
+    import graft.functions.Kmv
+    val rnd = new Random(7)
+    def sketch(vs: Seq[Long], k: Int): Array[Long] =
+      vs.distinct.sortBy(Kmv.uns).take(k).toArray
+    (1 to 20).foreach { trial =>
+      val n = 50 + rnd.nextInt(5000)
+      val k = 64
+      val hashes = Seq.fill(n)(rnd.nextLong()).distinct
+      val sk = sketch(hashes, k)
+      // estimate within loose bounds (stderr ~ 1/sqrt(k) ⇒ 5σ ≈ 60%)
+      val est = Kmv.estimate(sk, k)
+      assert(est > hashes.size * 0.4 && est < hashes.size * 1.6,
+        s"trial $trial: est $est vs ${hashes.size}")
+      // sketch of a union == merged sketches (any split point)
+      val cut = rnd.nextInt(hashes.size)
+      val (l, r) = hashes.splitAt(cut)
+      val merged = sketch((sketch(l, k) ++ sketch(r, k)).toSeq, k)
+      assert(merged.toSeq == sk.toSeq, s"trial $trial merge mismatch")
+      // jaccard symmetric, in [0,1]; self-jaccard == 1
+      val other = sketch(Seq.fill(n)(rnd.nextLong()).distinct, k)
+      val j1 = Kmv.jaccard(sk, other, k)
+      assert(j1 == Kmv.jaccard(other, sk, k))
+      assert(j1 >= 0.0 && j1 <= 1.0)
+      assert(Kmv.jaccard(sk, sk, k) == 1.0)
+    }
+  }
+
   test("dedup invariants: exact dedup is idempotent and non-expanding") {
     val out = graft.queries.DedupQueries.dedupExact(spark, sf)
     val n = Tables(spark, sf, "documents").count()
