@@ -23,6 +23,13 @@ final case class MediaRecord(
     payload: Array[Byte],
     source: String)
 
+final case class FrameRecord(
+    media_id: Long,
+    frame_index: Int,
+    frame_payload: Array[Byte],
+    width: Int,
+    height: Int)
+
 final case class MediaFeatures(
     media_id: Long,
     media_type: String,
@@ -96,6 +103,37 @@ object MediaPipeline {
           val (w, h, feat) = decodeStub(r.payload)
           MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
             fnv(r.payload), sniffFormat(r.payload), w, h, feat)
+        }
+      }
+    }
+  }
+
+  /** STUB resize — the codec boundary a real binding would fill (???):
+    * here the payload passes through and only the claimed dims change.
+    * The Spark-side shape (opaque binary in/out, per-partition batch
+    * processing via [[extractFeatures]]' pattern) is the real part. */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int)
+      : (Array[Byte], Int, Int) = (payload, targetW, targetH)
+
+  /** Frame sampling plumbing: each video row explodes into its
+    * every-nth frames, capped at `maxFrames` — the row-explosion shape
+    * a real extractor produces (bounded output per input row, so one
+    * huge video cannot blow an executor). Non-video rows pass through
+    * empty. Frame decode is stubbed with deterministic payload slices;
+    * frame count derives from the payload hash. */
+  def sampleFrames(ds: Dataset[MediaRecord], everyNth: Int = 2,
+      maxFrames: Int = 16): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      if (r.media_type != "video" || r.payload.isEmpty) Iterator.empty
+      else {
+        val (w, h, _) = decodeStub(r.payload)
+        val nFrames = 1 + (math.abs(fnv(r.payload)) % 64).toInt
+        (0 until nFrames by everyNth).iterator.take(maxFrames).map { i =>
+          val start = (i * 7) % r.payload.length
+          FrameRecord(r.media_id, i,
+            r.payload.slice(start, math.min(start + 16, r.payload.length)),
+            w, h)
         }
       }
     }

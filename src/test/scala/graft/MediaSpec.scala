@@ -59,4 +59,29 @@ class MediaSpec extends SparkSpec {
     assert(back.count() == 500)
     assert(back.schema("payload").dataType.typeName == "binary")
   }
+
+  test("sampleFrames explodes only videos into bounded frame rows") {
+    val media = MediaPipeline.syntheticMedia(spark, sf)
+    val frames = MediaPipeline.sampleFrames(media, everyNth = 2,
+      maxFrames = 5)
+    val perVideo = frames.groupBy("media_id").count().collect()
+    assert(perVideo.nonEmpty)
+    assert(perVideo.forall(_.getLong(1) <= 5))
+    // only video rows produce frames
+    val videoIds = media.filter(_.media_type == "video")
+      .map(_.media_id).collect().toSet
+    assert(frames.collect().forall(f => videoIds.contains(f.media_id)))
+    // frame indexes respect the stride
+    assert(frames.collect().forall(_.frame_index % 2 == 0))
+    // deterministic: a second run produces the identical frame set
+    val again = MediaPipeline.sampleFrames(media, everyNth = 2,
+      maxFrames = 5).collect().map(f => (f.media_id, f.frame_index)).toSet
+    assert(again ==
+      frames.collect().map(f => (f.media_id, f.frame_index)).toSet)
+  }
+
+  test("resizeStub keeps the payload opaque and retargets dims") {
+    val (p2, w, h) = MediaPipeline.resizeStub(Array[Byte](1, 2, 3), 224, 224)
+    assert(p2.toSeq == Seq[Byte](1, 2, 3) && w == 224 && h == 224)
+  }
 }
