@@ -104,8 +104,11 @@ object Transforms {
 
   /** SCD2 merge: fold a batch of new versions into an existing
     * versioned table (both in [[scd2]] output shape minus the derived
-    * columns) and re-derive the intervals. Duplicate (key, ts)
-    * deliveries collapse — the merge is idempotent. */
+    * columns) and re-derive the intervals. Bit-identical redeliveries
+    * collapse, making the merge idempotent. A redelivery that reuses a
+    * (key, ts) with a DIFFERENT payload violates the [[scd2]] total
+    * order contract (two versions at one instant have no defined
+    * interval order) — give corrections a fresh change time. */
   def scd2Merge(existing: DataFrame, incoming: DataFrame,
       key: Seq[Column], ts: Column): DataFrame = {
     val cols = existing.columns.filterNot(
@@ -305,7 +308,14 @@ class MedallionPipeline(spark: SparkSession, root: String,
     * split/fail branch triggers only when the report is NOT promotion
     * eligible; an eligible report writes every transformed row. With
     * `enableQuarantine = false` an ineligible report aborts the job —
-    * `status = "failed"`, nothing written, target zone untouched. */
+    * `status = "failed"`, nothing written, target zone untouched.
+    * Reference-parity corner: an ineligible report whose rules all
+    * individually passed (gate failed on a dimension mean / overall
+    * score) has an EMPTY quarantine set, so with quarantine enabled
+    * every row still writes and status stays "completed" — exactly the
+    * reference's behavior; callers enforcing the gate outcome should
+    * check `qualityReport.promotionEligible` (or disable quarantine to
+    * make the gate hard). */
   def runJob(
       jobId: String,
       dataset: String,

@@ -162,12 +162,14 @@ object Dedup {
     * Each round is one shuffle join + aggregate; lineage is truncated
     * per round (`localCheckpoint`) so the plan stays flat over
     * iterations. Output: (node, component) where component = smallest
-    * reachable node id; only nodes that appear in a pair are emitted
-    * (singletons are trivially their own keeper). */
+    * reachable node id (id type preserved from `pairs` — any ordered
+    * type works); only nodes that appear in a pair are emitted
+    * (singletons are trivially their own keeper). Throws if the graph
+    * has not converged within `maxIter` rounds — a silently partial
+    * clustering would keep duplicate docs with no signal. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val undirected = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -197,6 +199,10 @@ object Dedup {
       labels = updated.drop("_old")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge within $maxIter rounds " +
+          "(component diameter too large) — raise maxIter")
     labels
   }
 
@@ -204,7 +210,9 @@ object Dedup {
     * LSH pairs → connected components → drop every doc that is not its
     * component's keeper (min id). Exact duplicates are near-dups at any
     * τ ≤ 1, so this subsumes exact dedup for non-trivial τ. Returns the
-    * surviving rows of `docs` unchanged. */
+    * surviving rows of `docs` unchanged. Ids must be numeric — the
+    * shingle pipeline normalizes them to long ([[shingles]]); string
+    * ids need a numeric surrogate first. */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, minhashK: Int = 16, bands: Int = 4,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {

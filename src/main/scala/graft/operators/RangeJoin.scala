@@ -28,16 +28,20 @@ object RangeJoin {
       pointKey: Column, intervalKey: Column,
       pointTime: Column, start: Column, end: Column,
       bucketWidth: Long): DataFrame = {
+    // exact integer floor division: `/` on longs is double division,
+    // whose 53-bit mantissa mis-buckets epoch-nanosecond-scale times
+    // near bucket boundaries (silently dropped pairs)
+    def bucket(c: String): Column =
+      expr(s"($c - pmod($c, ${bucketWidth}L)) div ${bucketWidth}L")
     val p = points
       .withColumn("_k", pointKey)
       .withColumn("_t", pointTime)
-      .withColumn("_b", floor(col("_t") / bucketWidth))
+      .withColumn("_b", bucket("_t"))
     val iv = intervals
       .withColumn("_k", intervalKey)
       .withColumn("_s", start)
       .withColumn("_e", end)
-      .withColumn("_b", explode(sequence(
-        floor(col("_s") / bucketWidth), floor(col("_e") / bucketWidth))))
+      .withColumn("_b", explode(sequence(bucket("_s"), bucket("_e"))))
     p.join(iv, Seq("_k", "_b"))
       .filter(col("_t") >= col("_s") && col("_t") <= col("_e"))
       .drop("_k", "_b", "_s", "_e", "_t")

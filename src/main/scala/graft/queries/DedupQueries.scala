@@ -72,7 +72,7 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
 
-  private val shingleSql = """
+  private val shinglesCte = """
       words AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
         FROM documents),
@@ -80,11 +80,14 @@ object DedupQueries {
         SELECT DISTINCT doc_id,
           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
-        WHERE len(w) >= 3),
-      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        WHERE len(w) >= 3)"""
+
+  /** Exact-Jaccard CTE chain over a shingle relation `src`. */
+  private def jacCtes(src: String): String = s"""
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM $src GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM $src a JOIN $src b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
       jac AS (
         SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
@@ -92,6 +95,10 @@ object DedupQueries {
         FROM inter
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id)"""
+
+  // minhash verification runs over the UNCAPPED shingle set, matching
+  // Dedup.minhashLsh (only band buckets are capped there)
+  private val shingleSql = s"$shinglesCte,\n${jacCtes("sh")}"
 
   /** The full MinHash-LSH pair pipeline as a reusable CTE chain
     * (shingles → md5 minhash signatures → banded buckets → candidate
@@ -115,10 +122,13 @@ object DedupQueries {
         ${(0 until Bands).map(b =>
           s"SELECT doc_id, $b AS band, band$b AS bh FROM banded")
           .mkString("\n        UNION ALL\n        ")}),
+      explodedc AS (
+        SELECT * FROM exploded QUALIFY COUNT(*) OVER (PARTITION BY band, bh)
+          <= ${Dedup.DefaultMaxBucket}),
       candidates AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM exploded a
-        JOIN exploded b ON a.band = b.band AND a.bh = b.bh
+        FROM explodedc a
+        JOIN explodedc b ON a.band = b.band AND a.bh = b.bh
           AND a.doc_id < b.doc_id),
       mh_pairs AS (
         SELECT c.id_a, c.id_b, j.jaccard
@@ -155,8 +165,15 @@ object DedupQueries {
                 AS content_hash
             FROM documents)
       GROUP BY content_hash""",
+    // mirrors Dedup.ngramJaccard's stop-shingle cap (Skew.capBuckets):
+    // shingles shared by more than DefaultMaxBucket docs leave the
+    // similarity universe in BOTH engines
     "dedup_ngram_jaccard" -> s"""
-      WITH $shingleSql
+      WITH $shinglesCte,
+      shc AS (
+        SELECT * FROM sh QUALIFY COUNT(*) OVER (PARTITION BY s)
+          <= ${Dedup.DefaultMaxBucket}),
+      ${jacCtes("shc")}
       SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
       FROM jac WHERE jaccard >= 0.5""",
     "dedup_minhash_lsh" -> s"""

@@ -62,7 +62,13 @@ object TextQueries {
     * whitespace tokens: FNV-1a as HUGEINT arithmetic mod 2^64; `sim`
     * carries the 64-bit SimHash both unsigned (`s`, for bit slicing) and
     * as the two's-complement BIGINT Spark emits (`sig`). Used by the
-    * text_fingerprint and dedup_simhash oracles. */
+    * text_fingerprint and dedup_simhash oracles.
+    *
+    * Scope: the replay hashes per-character code points (`ord`), which
+    * equals the engine's UTF-8-byte hashing only for ASCII text — true
+    * of the testdata corpus (verified: max code point 121). The ENGINE
+    * side is byte-based and correct for any input; a non-ASCII corpus
+    * would only demote these two entries to rows-only checks. */
   private[queries] val fnvSimhashCtes: String = """
       prep AS (
         SELECT doc_id, lower(trim(text)) AS t FROM documents),

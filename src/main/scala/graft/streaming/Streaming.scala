@@ -66,7 +66,16 @@ object Streaming {
     if (docs.isStreaming)
       hashed.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("content_hash")
-    else hashed.dropDuplicates("content_hash")
+    else {
+      // plain dropDuplicates keeps an ARBITRARY row; first-seen must be
+      // deterministic for the contract (and to match replaying a
+      // time-ordered stream)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash"))
+        .orderBy(col("ts").asc, col("doc_id").asc)
+      hashed.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
   }
 
   /** Streaming quality monitor: the QualityValidator counters

@@ -192,6 +192,10 @@ class StreamingSpec extends SparkSpec {
       assert(batch.count() == 3)
       assert(batch.collect().map(_.getAs[String]("content_hash")).toSet ==
         streamedHashes)
+      // batch keeper is deterministic first-seen: doc 1 (ts(0)) beats
+      // its duplicates 2 and 4
+      val keepers = batch.collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(keepers == Set(1L, 3L, 5L), keepers)
     } finally query.stop()
   }
 

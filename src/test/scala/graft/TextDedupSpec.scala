@@ -159,6 +159,11 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
       7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // id type is preserved — string ids cluster by lexicographic min
+    val strOut = graft.operators.Dedup.components(
+      Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strOut == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
   test("winnow rejects non-foldable or null k/w at analysis time") {
