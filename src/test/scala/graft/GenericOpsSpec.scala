@@ -95,10 +95,15 @@ class GenericOpsSpec extends SparkSpec {
     assert(out("k").getAs[String]("max_value") == "2")
     assert(out("v").getAs[Long]("n_null") == 1)
     assert(out("v").getAs[Long]("n_distinct") == 2)
-    // ONE aggregate pass: a single scan in the plan
+    // exact mode = union of narrow per-column aggs (no joins, no expand)
     val plan = Profile.profile(df, Seq("k", "v"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Expand"), plan)
+    // approx mode = ONE scan, one agg, no expand
+    val approxPlan = Profile.profile(df, Seq("k", "v"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan)
   }
 
   test("Sampling is deterministic and respects fraction/quota") {
