@@ -222,4 +222,20 @@ class LineageTracker(maxDepth: Int = 10) {
     "pipeline_runs" -> runs.values.toSeq,
     "asset_count" -> assets.size,
     "transformation_count" -> steps.size)
+
+  /** The registry as queryable DataFrames — (assets, edges): edges is
+    * one row per (input asset, output asset, step), so impact analysis
+    * becomes SQL/DataFrame joins instead of driver-side traversal when
+    * the lineage graph itself needs reporting at scale. */
+  def toDataFrames(spark: SparkSession): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val assetsDf = assets.values.toSeq
+      .map(a => (a.assetId, a.name, a.zone, a.format, a.location))
+      .toDF("asset_id", "name", "zone", "format", "location")
+    val edgesDf = steps.values.toSeq
+      .flatMap(st => for (i <- st.inputAssets; o <- st.outputAssets)
+        yield (i, o, st.stepId, st.transformationType))
+      .toDF("input_asset", "output_asset", "step_id", "transformation_type")
+    (assetsDf, edgesDf)
+  }
 }

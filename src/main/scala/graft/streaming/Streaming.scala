@@ -78,6 +78,32 @@ object Streaming {
     }
   }
 
+  /** Streaming NEAR-dup suppression: drop any doc whose 64-bit SimHash
+    * signature was already seen inside the watermark. SimHash is a
+    * bag-of-tokens vote, so token-reordered boilerplate collapses too —
+    * the in-stream complement of [[dedupExact]] (which needs identical
+    * normalized text). Signature collisions across genuinely different
+    * docs are possible (it is a 64-bit sketch); use it as the cheap
+    * in-flight filter in front of the batch near-dup pipeline, not as
+    * ground truth. Same watermark-bounded state contract as
+    * [[dedupExact]]. */
+  def dedupSimhash(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = docs.select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+      expr(s"simhash64(split(lower(trim($textCol)), ' '))").as("simhash"))
+    if (docs.isStreaming)
+      sig.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("simhash")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("simhash"))
+        .orderBy(col("ts").asc, col("doc_id").asc)
+      sig.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
   /** Streaming quality monitor: the QualityValidator counters
     * ([[graft.quality.QualityValidator.validate]] — checked/failed per
     * rule) as a watermarked tumbling-window aggregation. One state-store

@@ -108,6 +108,11 @@ class EtlSpec extends SparkSpec {
       .contains("asset_bronze_t"))
     // the step carries column-level lineage derived from the plan
     assert(lt.exportForAudit()("transformation_count") == 1)
+    // the registry is queryable as DataFrames
+    val (assets, edges) = lt.toDataFrames(spark)
+    assert(assets.filter(col("zone") === "bronze").count() == 1)
+    assert(edges.filter(col("output_asset") === "asset_bronze_t")
+      .count() >= 1)
   }
 
   test("named transform registry mirrors register_transform semantics") {

@@ -199,6 +199,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming simhash dedup collapses token-reordered boilerplate") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[StreamDoc]
+    val query = Streaming.dedupSimhash(src.toDF(), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("simdedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        StreamDoc(1, ts(0), "terms of service apply here"),
+        StreamDoc(3, ts(2), "completely different content entirely"))
+      query.processAllAvailable()
+      // same token bag, different order → same SimHash → suppressed,
+      // even though exact dedup would keep it (different text)
+      src.addData(StreamDoc(4, ts(3), "apply here terms of service"))
+      query.processAllAvailable()
+      val out = spark.table("simdedup_stream").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming quality monitor matches batch counters per closed window") {
     import graft.quality.{Dimension, Rule}
     val rules = Seq(
