@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *    but exact multi-column countDistinct in one agg would expand
   *    every row N-fold through the aggregate, which dominates at any
   *    scale. Narrow scans sidestep the expansion entirely.
+  *    CAVEAT: the input plan executes once per column, so exact mode
+  *    over a COMPUTED input (joins, transforms, non-columnar sources)
+  *    re-runs that pipeline N times — cache/materialize such inputs
+  *    first, or use `exact = false` (one pass).
   *
   * Output: one row per profiled column —
   * (column_name, n_rows, n_null, n_distinct, min_value, max_value),

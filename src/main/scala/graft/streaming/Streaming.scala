@@ -48,60 +48,59 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
-  /** Streaming exact-dedup (the streaming form of
-    * [[graft.operators.Dedup.exact]]): first-seen wins per content hash
-    * (normalize → md5). On a stream, state is bounded by the watermark
-    * (`dropDuplicatesWithinWatermark`): duplicates separated by more
-    * than the watermark may BOTH survive — the documented tradeoff that
-    * keeps dedup state O(hashes per watermark window) on an unbounded
-    * 100 TB corpus feed instead of growing forever. Batch input gets a
-    * plain global dropDuplicates. Output: (doc_id, ts, content_hash),
-    * one row per first-seen content. */
-  def dedupExact(docs: DataFrame, idCol: String, textCol: String,
-      tsCol: String, watermark: String = "1 hour"): DataFrame = {
-    val hashed = docs.select(
-      col(idCol).as("doc_id"), col(tsCol).as("ts"),
-      md5(graft.operators.Dedup.normalized(col(textCol)))
-        .as("content_hash"))
-    if (docs.isStreaming)
-      hashed.withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark("content_hash")
+  /** First-seen-wins per key: watermark-bounded streaming state
+    * (`dropDuplicatesWithinWatermark` — duplicates farther apart than
+    * the watermark may BOTH survive, the tradeoff that keeps state
+    * O(keys per watermark window) on an unbounded feed), or a
+    * deterministic (ts, doc_id)-ordered window in batch (plain
+    * dropDuplicates keeps an ARBITRARY row, which would not match
+    * replaying a time-ordered stream). Expects (doc_id, ts, <key>). */
+  private def firstSeenPerKey(df: DataFrame, keyCol: String,
+      watermark: String): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCol)
     else {
-      // plain dropDuplicates keeps an ARBITRARY row; first-seen must be
-      // deterministic for the contract (and to match replaying a
-      // time-ordered stream)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("content_hash"))
+        .partitionBy(col(keyCol))
         .orderBy(col("ts").asc, col("doc_id").asc)
-      hashed.withColumn("_rn", row_number().over(w))
+      df.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
     }
-  }
 
-  /** Streaming NEAR-dup suppression: drop any doc whose 64-bit SimHash
-    * signature was already seen inside the watermark. SimHash is a
-    * bag-of-tokens vote, so token-reordered boilerplate collapses too —
-    * the in-stream complement of [[dedupExact]] (which needs identical
-    * normalized text). Signature collisions across genuinely different
-    * docs are possible (it is a 64-bit sketch); use it as the cheap
-    * in-flight filter in front of the batch near-dup pipeline, not as
-    * ground truth. Same watermark-bounded state contract as
-    * [[dedupExact]]. */
+  /** Streaming exact-dedup (the streaming form of
+    * [[graft.operators.Dedup.exact]]): first-seen wins per content hash
+    * (normalize → md5), state bounded by the watermark
+    * ([[firstSeenPerKey]]). Output: (doc_id, ts, content_hash), one row
+    * per first-seen content. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    firstSeenPerKey(
+      docs.select(
+        col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        md5(graft.operators.Dedup.normalized(col(textCol)))
+          .as("content_hash")),
+      "content_hash", watermark)
+
+  /** Streaming identical-signature dedup: drop any doc whose 64-bit
+    * SimHash equals one seen inside the watermark (hamming distance 0
+    * ONLY — the hamming ≤ k neighborhood of the batch pipeline
+    * ([[graft.operators.Dedup.simhashPairs]]) needs a join and is not
+    * expressible as streaming dedup state). SimHash is a bag-of-tokens
+    * vote, so token-reordered boilerplate collapses where exact dedup
+    * would not; 64-bit collisions across genuinely different docs are
+    * possible. Use it as the cheap in-flight filter in front of the
+    * batch near-dup pipeline, not as ground truth. Same
+    * watermark-bounded state contract as [[dedupExact]]. */
   def dedupSimhash(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "1 hour"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sig = docs.select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
-      expr(s"simhash64(split(lower(trim($textCol)), ' '))").as("simhash"))
-    if (docs.isStreaming)
-      sig.withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark("simhash")
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("simhash"))
-        .orderBy(col("ts").asc, col("doc_id").asc)
-      sig.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-    }
+    firstSeenPerKey(
+      docs.select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        col(textCol).as("_text"))
+        .select(col("doc_id"), col("ts"),
+          expr("simhash64(split(lower(trim(_text)), ' '))").as("simhash")),
+      "simhash", watermark)
   }
 
   /** Streaming quality monitor: the QualityValidator counters

@@ -216,6 +216,16 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       val out = spark.table("simdedup_stream").collect()
       assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+      // batch path: deterministic first-seen over the same feed matches
+      // the streaming survivors
+      val batch = Streaming.dedupSimhash(
+        Seq(
+          StreamDoc(1, ts(0), "terms of service apply here"),
+          StreamDoc(3, ts(2), "completely different content entirely"),
+          StreamDoc(4, ts(3), "apply here terms of service"))
+          .toDF(), "doc_id", "text", "ts")
+      assert(batch.collect().map(_.getAs[Long]("doc_id")).toSet ==
+        Set(1L, 3L))
     } finally query.stop()
   }
 
