@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -153,6 +155,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The cached block sets backing a `localCheckpoint`ed DataFrame (the
+    * `LogicalRDD` leaves survive projections and joins). */
+  private def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect { case r: LogicalRDD => r.rdd }
+
+  /** Release the executor storage pinned by every `localCheckpoint` in
+    * the DataFrame's plan (no-op on plans without one). Checkpoint
+    * blocks are NOT freed promptly when the DataFrame goes out of
+    * scope — the `ContextCleaner` only unpersists them at some later
+    * GC — so long-lived sessions that call [[components]] /
+    * [[dropNearDuplicates]] repeatedly should release results once
+    * consumed. After release the DataFrame is NOT recomputable (the
+    * checkpoint truncated its lineage). */
+  def release(df: DataFrame): Unit =
+    checkpointRdds(df).foreach(_.unpersist(blocking = false))
+
   /** Connected components over an undirected near-dup pair list —
     * the step that turns pairwise similarity into dedup decisions
     * (one keeper per component). Iterative min-label propagation:
@@ -161,12 +179,17 @@ object Dedup {
     * rounds, and near-dup components are shallow by construction.
     * Each round is one shuffle join + aggregate; lineage is truncated
     * per round (`localCheckpoint`) so the plan stays flat over
-    * iterations. Output: (node, component) where component = smallest
-    * reachable node id (id type preserved from `pairs` — any ordered
-    * type works); only nodes that appear in a pair are emitted
-    * (singletons are trivially their own keeper). Throws if the graph
-    * has not converged within `maxIter` rounds — a silently partial
-    * clustering would keep duplicate docs with no signal. */
+    * iterations, and each superseded round's checkpoint blocks are
+    * unpersisted as soon as the next round is materialized — only the
+    * RETURNED labels stay cached (call [[release]] once consumed; a
+    * long-lived session otherwise accumulates one block set per call
+    * until GC + ContextCleaner get to them). Output: (node, component)
+    * where component = smallest reachable node id (id type preserved
+    * from `pairs` — any ordered type works); only nodes that appear in
+    * a pair are emitted (singletons are trivially their own keeper).
+    * Throws if the graph has not converged within `maxIter` rounds — a
+    * silently partial clustering would keep duplicate docs with no
+    * signal. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -196,9 +219,12 @@ object Dedup {
         .localCheckpoint(true)
       converged = updated.filter(col("component") =!= col("_old"))
         .isEmpty
+      // `updated` is materialized — the previous round's blocks are dead
+      release(labels)
       labels = updated.drop("_old")
       i += 1
     }
+    release(undirected)
     if (!converged)
       throw new IllegalStateException(
         s"components did not converge within $maxIter rounds " +
@@ -212,15 +238,23 @@ object Dedup {
     * τ ≤ 1, so this subsumes exact dedup for non-trivial τ. Returns the
     * surviving rows of `docs` unchanged. Ids must be numeric — the
     * shingle pipeline normalizes them to long ([[shingles]]); string
-    * ids need a numeric surrogate first. */
+    * ids need a numeric surrogate first.
+    *
+    * Storage: the full component labels are released before returning;
+    * only the id-only loser set stays checkpointed (it must survive the
+    * caller's lazy anti-join). [[release]] the returned DataFrame once
+    * consumed to free that too. */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, minhashK: Int = 16, bands: Int = 4,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val losers = components(
+    val comp = components(
       minhashLsh(docs, idCol, textCol, tau, minhashK, bands, maxBucket),
       "id_a", "id_b")
+    val losers = comp
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
+      .localCheckpoint(true)
+    release(comp)
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -166,6 +166,36 @@ class TextDedupSpec extends SparkSpec {
     assert(strOut == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
+  test("components/dropNearDuplicates pin only their result blocks") {
+    def pinned = spark.sparkContext.getPersistentRDDs.size
+    // leftovers from other suites' tests are cleaned asynchronously by
+    // the ContextCleaner — clear them so the baseline is stable
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val baseline = pinned
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 9L), (9L, 8L))
+      .toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.components(pairs, "id_a", "id_b")
+    // every superseded round + the undirected edge set were unpersisted;
+    // only the returned labels stay cached
+    assert(pinned == baseline + 1)
+    assert(out.count() == 8)
+    graft.operators.Dedup.release(out)
+    assert(pinned == baseline)
+
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely different text with other words entirely"))
+      .toDF("doc_id", "text")
+    val survivors = graft.operators.Dedup
+      .dropNearDuplicates(docs, "doc_id", "text", 0.5)
+    // only the id-only loser set remains pinned (labels were released)
+    assert(pinned == baseline + 1)
+    assert(survivors.count() == 2)
+    graft.operators.Dedup.release(survivors)
+    assert(pinned == baseline)
+  }
+
   test("winnow rejects non-foldable or null k/w at analysis time") {
     GraftFunctions.register(spark)
     val df = Seq((8, "abcdefghijklmnop")).toDF("kcol", "t")
