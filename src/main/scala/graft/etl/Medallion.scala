@@ -120,10 +120,15 @@ object Transforms {
   }
 }
 
+/** Job outcome + audit record — the reference `ETLJob.to_dict` carries
+  * start/end/duration (etl_manager.py:94-116); `startedAtMs`/
+  * `completedAtMs` are epoch millis stamped by [[MedallionPipeline
+  * .runJob]], `durationMs` their difference. */
 final case class JobResult(
     jobId: String, status: String, recordsRead: Long, recordsWritten: Long,
     recordsQuarantined: Long, qualityReport: Option[Report],
-    errorMessage: Option[String] = None)
+    errorMessage: Option[String] = None,
+    startedAtMs: Long = 0L, completedAtMs: Long = 0L, durationMs: Long = 0L)
 
 /** Parquet-zone medallion pipeline with quality-gated promotion.
   *
@@ -272,31 +277,41 @@ class MedallionPipeline(spark: SparkSession, root: String,
       .partitionBy(partitionCols: _*)
       .parquet(path(zone, dataset))
 
-  /** Parquet has no atomic overwrite-while-reading: stage to a temp dir,
-    * then swap. (A real deployment would use a table format's ACID
-    * replace; the zone contract is the same.) */
+  /** Parquet has no atomic overwrite-while-reading: stage to a temp
+    * dir, then SWAP it into place with a directory rename — the data is
+    * written exactly once (a read-back-and-rewrite would double the
+    * most expensive part of a 100 TB overwrite). The crash window
+    * between delete and rename leaves the complete staging dir on disk
+    * for recovery; a table format's ACID replace is the real answer,
+    * the zone contract is the same. */
   private def replace(target: String, df: DataFrame): Unit = {
-    val tmp = target + "__staging"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val out = spark.read.parquet(tmp)
-    out.write.mode(SaveMode.Overwrite).parquet(target)
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val staging = new org.apache.hadoop.fs.Path(target + "__staging")
+    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the incoming plan may READ `target` — it must stay untouched
+    // until the staging write has fully succeeded
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(targetPath, true)
+    if (!fs.rename(staging, targetPath))
+      throw new IllegalStateException(
+        s"staging swap failed: rename $staging -> $target " +
+          s"(staged data preserved at $staging)")
   }
 
   /** Record the job's plan-derived lineage (etl_manager.py:313-320):
     * the target asset plus a transformation step whose inputs come from
-    * the DataFrame's own Catalyst plan. */
+    * the DataFrame's own Catalyst plan. Returns the step id so the
+    * enclosing pipeline run can reference it. */
   private def trackLineage(jobId: String, dataset: String, df: DataFrame,
-      targetZone: DataZone.Value): Unit =
-    lineage.foreach { lt =>
+      targetZone: DataZone.Value): Option[String] =
+    lineage.map { lt =>
       val out = lt.registerAsset(dataset, targetZone.toString.toLowerCase,
         location = path(targetZone, dataset))
       // bronze-bound jobs are cleansing, later zones transform —
       // etl_manager.py:427-430
       val kind =
         if (targetZone == DataZone.Bronze) "cleanse" else "transform"
-      lt.recordDataFrame(jobId, kind, df, out.assetId)
+      lt.recordDataFrame(jobId, kind, df, out.assetId).stepId
     }
 
   /** run_job (etl_manager.py:206-356): read source zone → transforms →
@@ -325,8 +340,38 @@ class MedallionPipeline(spark: SparkSession, root: String,
       transforms: Seq[DataFrame => DataFrame] = Seq.empty,
       rules: Seq[Rule] = Seq.empty,
       key: Seq[String] = Seq("id"),
-      enableQuarantine: Boolean = true): JobResult = {
-    val source = read(sourceZone, dataset)
+      enableQuarantine: Boolean = true): JobResult =
+    gateAndWrite(jobId, dataset, read(sourceZone, dataset), targetZone,
+      loadType, transforms, rules, key, enableQuarantine)
+
+  /** The gate-and-write core shared by [[runJob]] (zone source) and
+    * [[ingestStream]] (micro-batch source): transforms → quality gate
+    * vs target zone → quarantine or hard-fail → write. Brackets the
+    * work in a lineage pipeline run (lineage_tracker.py pipeline runs;
+    * the reference's jobs feed runs the same way) and stamps
+    * start/end/duration on the result. */
+  private def gateAndWrite(
+      jobId: String,
+      dataset: String,
+      source: DataFrame,
+      targetZone: DataZone.Value,
+      loadType: LoadType.Value,
+      transforms: Seq[DataFrame => DataFrame],
+      rules: Seq[Rule],
+      key: Seq[String],
+      enableQuarantine: Boolean): JobResult = {
+    val startedAt = System.currentTimeMillis()
+    val runId = lineage.map(_.startPipelineRun(jobId))
+    var stepIds = Seq.empty[String]
+    def finish(r: JobResult): JobResult = {
+      val completedAt = System.currentTimeMillis()
+      for (lt <- lineage; id <- runId)
+        lt.completePipelineRun(id, stepIds,
+          if (r.status == "completed") "completed" else "failed")
+      r.copy(startedAtMs = startedAt, completedAtMs = completedAt,
+        durationMs = completedAt - startedAt)
+    }
+
     val recordsRead = source.count()
     val transformed = transforms.foldLeft(source)((d, t) => t(d))
 
@@ -334,9 +379,9 @@ class MedallionPipeline(spark: SparkSession, root: String,
       // count BEFORE writing: with source zone == target zone the write
       // replaces the very files this plan reads
       val nOut = transformed.count()
-      trackLineage(jobId, dataset, transformed, targetZone)
+      stepIds ++= trackLineage(jobId, dataset, transformed, targetZone)
       write(targetZone, dataset, transformed, loadType, key)
-      return JobResult(jobId, "completed", recordsRead, nOut, 0L, None)
+      return finish(JobResult(jobId, "completed", recordsRead, nOut, 0L, None))
     }
 
     val validator = new QualityValidator(dataset, rules)
@@ -344,8 +389,9 @@ class MedallionPipeline(spark: SparkSession, root: String,
     if (!report.promotionEligible && !enableQuarantine) {
       // reference hard-fail path (etl_manager.py:298-306): gate failed
       // and quarantine disabled → FAILED, no write at all
-      return JobResult(jobId, "failed", recordsRead, 0L, 0L, Some(report),
-        Some(f"Quality gate failed: score=${report.overallScore}%.2f"))
+      return finish(JobResult(jobId, "failed", recordsRead, 0L, 0L,
+        Some(report),
+        Some(f"Quality gate failed: score=${report.overallScore}%.2f")))
     }
     val (clean, quarantined) =
       if (report.promotionEligible) (transformed, transformed.limit(0))
@@ -362,14 +408,43 @@ class MedallionPipeline(spark: SparkSession, root: String,
         .parquet(s"$root/quarantine/$jobId/$dataset")
     }
     val nClean = clean.count() // before the write replaces source files
-    trackLineage(jobId, dataset, clean, targetZone)
+    stepIds ++= trackLineage(jobId, dataset, clean, targetZone)
     write(targetZone, dataset, clean, loadType, key)
-    JobResult(jobId, "completed", recordsRead, nClean,
-      nQuarantined, Some(report))
+    finish(JobResult(jobId, "completed", recordsRead, nClean,
+      nQuarantined, Some(report)))
   }
 
   def quarantined(jobId: String, dataset: String): DataFrame =
     spark.read.parquet(s"$root/quarantine/$jobId/$dataset")
+
+  /** Streaming ingestion into the Bronze zone — the reference's
+    * ingestion story (etl_manager.py:206-356) in streaming form: every
+    * micro-batch runs the SAME gate-and-write core as a batch job
+    * (transforms → quality gate vs Bronze → quarantine split → APPEND),
+    * so batch and streaming ingest of the same rows land identically.
+    * Per-batch artifacts (quarantine dirs, lineage runs) are keyed
+    * `<jobId>_b<batchId>`.
+    *
+    * Delivery: foreachBatch + the stream checkpoint replay a failed
+    * batch, and a replayed APPEND duplicates rows in bronze (plain
+    * parquet has no txn) — pair with downstream dedup or an ACID table
+    * format when exactly-once matters. Small files accrete per batch;
+    * schedule [[compact]] as maintenance. */
+  def ingestStream(stream: DataFrame, jobId: String, dataset: String,
+      transforms: Seq[DataFrame => DataFrame] = Seq.empty,
+      rules: Seq[Rule] = Seq.empty,
+      key: Seq[String] = Seq("id"),
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+    val withCp =
+      checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+    withCp.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      gateAndWrite(s"${jobId}_b$batchId", dataset, batch, DataZone.Bronze,
+        LoadType.Append, transforms, rules, key, enableQuarantine = true)
+      ()
+    }.start()
+  }
 
   /** promote_zone (etl_manager.py:597-629) — FULL load to the next zone
     * with the target zone's quality gate. */

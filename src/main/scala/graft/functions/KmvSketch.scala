@@ -155,6 +155,27 @@ case class KmvSketchAgg(
 abstract class KmvScalar extends Expression {
   override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  /** Every argument but the last is a sketch (array<bigint>); the last
+    * is the literal k — mirrors [[KmvSketchAgg]]'s check so a wrong
+    * type fails analysis, not mid-job with a ClassCastException.
+    * Callers must pass the SAME k the sketches were built with (the
+    * array carries no k; mixing ks silently skews estimates). */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val sketches = children.init
+    val kExpr = children.last
+    if (sketches.exists(c => c.dataType != ArrayType(LongType, false) &&
+        c.dataType != ArrayType(LongType, true)))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> sketch arguments, got " +
+          children.init.map(_.dataType.simpleString).mkString(", "))
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable ||
+      kExpr.eval() == null || kExpr.eval().asInstanceOf[Int] < 2)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal int k >= 2 as its last argument")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   protected def sketchArg(v: Any): Array[Long] =
     v.asInstanceOf[ArrayData].toLongArray()
   override def eval(input: InternalRow): Any = {

@@ -8,9 +8,12 @@ import graft.functions.TextHash
 /** Multimodal columns (SURVEY.md §2.8) — image/audio/video as opaque
   * `binary` payloads with typed metadata. The Spark-side plumbing
   * (schema, size-aware batching, per-partition feature extraction) is
-  * real; the codec step is STUBBED with a deterministic fake because
-  * this container ships no image/audio libraries — swap
-  * [[MediaPipeline.decodeStub]] for a real decoder binding in prod.
+  * real, and IMAGE decode is real for the formats the JDK ships codecs
+  * for (PNG/BMP/GIF/JPEG via `javax.imageio` — [[MediaPipeline
+  * .decode]]); audio/video and non-JDK image codecs are STUBBED with a
+  * deterministic fake because this container ships no media libraries —
+  * swap [[MediaPipeline.decodeStub]] for a real decoder binding in
+  * prod.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
   * collect); feature extraction is `mapPartitions` so any native
@@ -43,13 +46,14 @@ final case class MediaFeatures(
 object MediaPipeline {
 
   /** Magic-byte format sniff over the first payload bytes (public magic
-    * numbers: JPEG FF D8, PNG 89 50, GIF 47 49, RIFF/WAV 52 49, MP4
-    * ftyp at offset 4). */
+    * numbers: JPEG FF D8, PNG 89 50, GIF 47 49, BMP 42 4D, RIFF/WAV
+    * 52 49, MP4 ftyp at offset 4). */
   def sniffFormat(payload: Array[Byte]): String = {
     def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else -1
     if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
     else if (at(0) == 0x89 && at(1) == 0x50) "png"
     else if (at(0) == 0x47 && at(1) == 0x49) "gif"
+    else if (at(0) == 0x42 && at(1) == 0x4d) "bmp"
     else if (at(0) == 0x52 && at(1) == 0x49) "riff"
     else if (at(4) == 0x66 && at(5) == 0x74 && at(6) == 0x79 &&
       at(7) == 0x70) "mp4"
@@ -65,10 +69,11 @@ object MediaPipeline {
     h
   }
 
-  /** STUB decoder — deterministic fake standing in for the real codec
-    * call (??? boundary). Produces plausible dims + an 8-float
-    * "embedding" derived from the payload hash so downstream operators
-    * (ANN, dedup) are exercised end-to-end. */
+  /** STUB decoder — deterministic fake standing in for codec calls the
+    * JDK cannot make (??? boundary: JPEG2000, HEIC, audio, video).
+    * Produces plausible dims + an 8-float "embedding" derived from the
+    * payload hash so downstream operators (ANN, dedup) are exercised
+    * end-to-end. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = fnv(payload)
     val width = 64 + (math.abs(h % 1024)).toInt
@@ -78,6 +83,60 @@ object MediaPipeline {
     }
     (width, height, feat)
   }
+
+  /** REAL decode for the formats the JDK ships codecs for (PNG, BMP,
+    * GIF, and JPEG via `javax.imageio` — no external libraries): true
+    * pixel dims plus an 8-float embedding = mean luminance of a 2×4
+    * grid of image cells, each in [0, 1]. Unreadable payloads and
+    * non-JDK formats fall back to [[decodeStub]] (a corrupt image must
+    * not fail a 100 TB scan — it degrades to hash features). */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    sniffFormat(payload) match {
+      case "png" | "bmp" | "gif" | "jpeg" =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) decodeStub(payload)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val feat = new Array[Float](8)
+            val (cellsX, cellsY) = (4, 2)
+            var cy = 0
+            while (cy < cellsY) {
+              var cx = 0
+              while (cx < cellsX) {
+                val x0 = w * cx / cellsX; val x1 = math.max(w * (cx + 1) / cellsX, x0 + 1)
+                val y0 = h * cy / cellsY; val y1 = math.max(h * (cy + 1) / cellsY, y0 + 1)
+                var sum = 0.0; var n = 0
+                var y = y0
+                while (y < y1 && y < h) {
+                  var x = x0
+                  while (x < x1 && x < w) {
+                    val rgb = img.getRGB(x, y)
+                    // ITU-R BT.601 luma from the packed sRGB int
+                    sum += 0.299 * ((rgb >> 16) & 0xff) +
+                      0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                    n += 1; x += 1
+                  }
+                  y += 1
+                }
+                feat(cy * cellsX + cx) =
+                  if (n == 0) 0f else (sum / n / 255.0).toFloat
+                cx += 1
+              }
+              cy += 1
+            }
+            (w, h, feat)
+          }
+        } catch {
+          // ImageIO codecs throw more than IOException on malformed
+          // payloads (IllegalArgument, ArrayIndexOutOfBounds, …) — any
+          // decode failure degrades to the hash stub, never a task kill
+          case scala.util.control.NonFatal(_) => decodeStub(payload)
+        }
+      case _ => decodeStub(payload)
+    }
 
   /** Per-partition feature extraction: one decoder init per partition,
     * rows processed in size-bounded batches (batch shape = what a real
@@ -100,7 +159,7 @@ object MediaPipeline {
       }
       batches.flatMap { batch =>
         batch.map { r =>
-          val (w, h, feat) = decodeStub(r.payload)
+          val (w, h, feat) = decode(r.payload)
           MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
             fnv(r.payload), sniffFormat(r.payload), w, h, feat)
         }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Column profiler — the data-profiling half of a quality workflow
   * (per-column null counts, cardinality, value bounds) for ANY table.
@@ -25,40 +26,79 @@ import org.apache.spark.sql.functions._
   * Output: one row per profiled column —
   * (column_name, n_rows, n_null, n_distinct, min_value, max_value),
   * bounds cast to string AFTER aggregating so mixed column types share
-  * one schema.
+  * one schema. With `quantiles = true`, adds (p50, p95, p99): approx
+  * percentiles of numeric columns (Greenwald-Khanna sketch —
+  * mergeable partial state, so both modes keep their scan shape; the
+  * default accuracy bounds rank error at ~1/10000), NULL for
+  * non-numeric columns.
+  *
+  * Column names are never interpolated into SQL strings — internal
+  * aggregate slots are index-named and the output is assembled with
+  * the Column API, so names with quotes/backticks/dots profile fine.
   */
 object Profile {
 
+  /** (output column name, percentile) for the quantile columns. */
+  val Percentiles: Seq[(String, Double)] =
+    Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+
   def profile(df: DataFrame, cols: Seq[String],
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true, quantiles: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    val numeric: Set[String] = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+
+    // approx-percentile aggregates for a column (NULL for non-numeric:
+    // min over a null literal keeps it a valid aggregate slot)
+    def quantileAggs(c: String, names: Seq[String]): Seq[Column] =
+      if (!quantiles) Seq.empty
+      else if (numeric.contains(c))
+        Percentiles.zip(names).map { case ((_, p), n) =>
+          percentile_approx(col(c).cast("double"), lit(p), lit(10000)).as(n)
+        }
+      else names.map(n => min(lit(null).cast("double")).as(n))
+
+    val quantileNames = Percentiles.map(_._1)
+
     if (exact) {
       cols.map { c =>
-        df.select(col(c)).agg(
+        val base = Seq(
           count(lit(1)).as("n_rows"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
           countDistinct(col(c)).as("n_distinct"),
           min(col(c)).cast("string").as("min_value"),
-          max(col(c)).cast("string").as("max_value"))
-          .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_value"), col("max_value"))
+          max(col(c)).cast("string").as("max_value")) ++
+          quantileAggs(c, quantileNames)
+        val outCols = lit(c).as("column_name") +:
+          (Seq("n_rows", "n_null", "n_distinct", "min_value", "max_value")
+            ++ (if (quantiles) quantileNames else Seq.empty)).map(col)
+        df.select(col(c)).agg(base.head, base.tail: _*)
+          .select(outCols: _*)
       }.reduce(_.unionByName(_))
     } else {
       val counters: Seq[Column] = count(lit(1)).as("_n") +:
-        cols.flatMap { c =>
+        cols.zipWithIndex.flatMap { case (c, i) =>
           Seq(
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-            approx_count_distinct(col(c)).as(s"_nd_$c"),
-            min(col(c)).cast("string").as(s"_min_$c"),
-            max(col(c)).cast("string").as(s"_max_$c"))
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$i"),
+            approx_count_distinct(col(c)).as(s"_nd_$i"),
+            min(col(c)).cast("string").as(s"_min_$i"),
+            max(col(c)).cast("string").as(s"_max_$i")) ++
+            quantileAggs(c, quantileNames.map(n => s"_${n}_$i"))
         }
       val agg = df.agg(counters.head, counters.tail: _*)
-      val stackArgs = cols.map(c =>
-        s"'$c', _n, `_null_$c`, `_nd_$c`, `_min_$c`, `_max_$c`")
-        .mkString(", ")
-      agg.select(expr(
-        s"""stack(${cols.size}, $stackArgs)
-           as (column_name, n_rows, n_null, n_distinct, min_value, max_value)"""))
+      val entries = cols.zipWithIndex.map { case (c, i) =>
+        val fields = Seq(
+          lit(c).as("column_name"),
+          col("_n").as("n_rows"),
+          col(s"_null_$i").as("n_null"),
+          col(s"_nd_$i").as("n_distinct"),
+          col(s"_min_$i").as("min_value"),
+          col(s"_max_$i").as("max_value")) ++
+          (if (quantiles) quantileNames.map(n => col(s"_${n}_$i").as(n))
+           else Seq.empty)
+        struct(fields: _*)
+      }
+      agg.select(explode(array(entries: _*)).as("_e")).select(col("_e.*"))
     }
   }
 }

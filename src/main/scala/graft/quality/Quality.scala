@@ -34,14 +34,17 @@ object Status extends Enumeration {
 
 /** Zone-promotion thresholds — data_quality.py:152-206.
   * `maxFailedCritical` budgets ALL failed rules (the reference gate,
-  * data_quality.py:517-524, counts every FAILED check against it);
-  * `maxFailedMajor` (data_quality.py:158) additionally budgets failures
-  * of major-severity rules — it only bites when a caller loosens
-  * `maxFailedCritical` above zero. */
+  * data_quality.py:517-524, counts every FAILED check against it).
+  * `maxFailedMajor` is a DELIBERATE EXTENSION, not reference parity:
+  * the reference declares max_failed_major (data_quality.py:158) but
+  * its gate never enforces it; here it additionally budgets failures of
+  * major-severity rules, so it only bites when a caller loosens
+  * `maxFailedCritical` above zero — set it to `Int.MaxValue` for exact
+  * reference gate behavior. */
 final case class Thresholds(
     minCompleteness: Double, minAccuracy: Double, minConsistency: Double,
     minUniqueness: Double = 1.0, maxFailedCritical: Int = 0,
-    maxFailedMajor: Int = 5, overallMinScore: Double = 0.95)
+    overallMinScore: Double = 0.95, maxFailedMajor: Int = 5)
 
 /** One quality rule.
   *
@@ -272,4 +275,34 @@ object QualityValidator {
     val w = Window.partitionBy(key: _*)
     df.withColumn("_dup", count(lit(1)).over(w) > 1)
   }
+
+  /** DQ007 referential integrity as a predicate (data_quality.py:285-294
+    * runs FK checks inside the validator; :821-838 the check body):
+    * precompute `_orphan` — the child FK value has no matching parent —
+    * so FK failures can fail a promotion gate and be QUARANTINED like
+    * any other rule, not just reported. NULL FKs get a NULL flag (the
+    * reference skips rows lacking the field — pair with [[orphanRule]],
+    * whose `applicable` excludes them from the score denominator).
+    *
+    * One left join against the DISTINCT parent key set; dimension
+    * parents are small, so AQE broadcasts it — no extra shuffle of the
+    * child at 100 TB. */
+  def withOrphanFlag(df: DataFrame, childKey: Column,
+      parents: DataFrame, parentKey: Column): DataFrame = {
+    val p = parents.select(parentKey.as("_fk_parent")).distinct()
+    df.join(p, childKey === col("_fk_parent"), "left")
+      .withColumn("_orphan",
+        when(childKey.isNull, lit(null).cast("boolean"))
+          .otherwise(col("_fk_parent").isNull))
+      .drop("_fk_parent")
+  }
+
+  /** The Integrity-dimension gate rule over [[withOrphanFlag]]'s
+    * precomputed flag — DQ007's shape: critical severity, rows with a
+    * NULL FK skipped (data_quality.py:285-294). */
+  def orphanRule(ruleId: String = "DQ007",
+      name: String = "referential_integrity"): Rule =
+    Rule(ruleId, name, Dimension.Integrity, "critical",
+      fails = col("_orphan"), applicable = col("_orphan").isNotNull,
+      failBelow = 1.0, warnBelow = 1.0)
 }

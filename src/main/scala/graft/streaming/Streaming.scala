@@ -54,7 +54,17 @@ object Streaming {
     * O(keys per watermark window) on an unbounded feed), or a
     * deterministic (ts, doc_id)-ordered window in batch (plain
     * dropDuplicates keeps an ARBITRARY row, which would not match
-    * replaying a time-ordered stream). Expects (doc_id, ts, <key>). */
+    * replaying a time-ordered stream). Expects (doc_id, ts, <key>).
+    *
+    * SURVIVOR-SET CAVEAT: the streaming branch keeps the first row to
+    * ARRIVE per key, the batch branch the min-(ts, doc_id) row. With
+    * out-of-order arrival inside the watermark the streaming survivor
+    * can therefore be a LATER-timestamped doc than batch would keep —
+    * the duplicate is still dropped, only which copy survives differs.
+    * Callers needing batch-replay parity of survivor IDENTITY on
+    * out-of-order feeds must keep min-ts state themselves
+    * (flatMapGroupsWithState emitting on watermark expiry), trading
+    * per-key buffering and emission latency for it. */
   private def firstSeenPerKey(df: DataFrame, keyCol: String,
       watermark: String): DataFrame =
     if (df.isStreaming)
@@ -71,8 +81,10 @@ object Streaming {
   /** Streaming exact-dedup (the streaming form of
     * [[graft.operators.Dedup.exact]]): first-seen wins per content hash
     * (normalize → md5), state bounded by the watermark
-    * ([[firstSeenPerKey]]). Output: (doc_id, ts, content_hash), one row
-    * per first-seen content. */
+    * ([[firstSeenPerKey]] — see its caveat: on out-of-order feeds the
+    * streaming survivor is the first-ARRIVED copy, not the min-ts one).
+    * Output: (doc_id, ts, content_hash), one row per first-seen
+    * content. */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "1 hour"): DataFrame =
     firstSeenPerKey(
@@ -91,7 +103,8 @@ object Streaming {
     * would not; 64-bit collisions across genuinely different docs are
     * possible. Use it as the cheap in-flight filter in front of the
     * batch near-dup pipeline, not as ground truth. Same
-    * watermark-bounded state contract as [[dedupExact]]. */
+    * watermark-bounded state contract as [[dedupExact]], including the
+    * [[firstSeenPerKey]] first-arrived-vs-min-ts survivor caveat. */
   def dedupSimhash(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "1 hour"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

@@ -113,6 +113,33 @@ class EtlSpec extends SparkSpec {
     assert(assets.filter(col("zone") === "bronze").count() == 1)
     assert(edges.filter(col("output_asset") === "asset_bronze_t")
       .count() >= 1)
+    // the job bracketed a pipeline run carrying its recorded step
+    // (etl_manager.py:94-116 — jobs feed run history)
+    val runs = lt.exportForAudit()("pipeline_runs")
+      .asInstanceOf[Seq[graft.lineage.PipelineRun]]
+    assert(runs.size == 1)
+    assert(runs.head.pipelineName == "linjob")
+    assert(runs.head.status == "completed")
+    assert(runs.head.stepIds.size == 1)
+    // audit timing parity with ETLJob.to_dict
+    assert(res.startedAtMs > 0)
+    assert(res.completedAtMs >= res.startedAtMs)
+    assert(res.durationMs == res.completedAtMs - res.startedAtMs)
+  }
+
+  test("hard-failed runJob records a failed pipeline run") {
+    val lt = new graft.lineage.LineageTracker()
+    val p = new MedallionPipeline(spark, freshRoot(), lineage = Some(lt))
+    p.write(DataZone.Raw, "t", df((1L, "a", -1.0)), LoadType.Full)
+    val rules = Seq(
+      Rule("R1", "value_nonneg", Dimension.Accuracy, "major",
+        fails = col("value") < 0, failBelow = 1.0, warnBelow = 1.0))
+    val res = p.runJob("failrun", "t", DataZone.Raw, DataZone.Bronze,
+      LoadType.Full, rules = rules, enableQuarantine = false)
+    assert(res.status == "failed")
+    val runs = lt.exportForAudit()("pipeline_runs")
+      .asInstanceOf[Seq[graft.lineage.PipelineRun]]
+    assert(runs.size == 1 && runs.head.status == "failed")
   }
 
   test("named transform registry mirrors register_transform semantics") {
@@ -139,6 +166,10 @@ class EtlSpec extends SparkSpec {
     assert(res.recordsWritten == 2)
     val out = p.read(DataZone.Bronze, "t").orderBy("id").collect()
     assert(out.map(_.getString(1)).toSeq == Seq("pad", "x"))
+    // the staging dir was swapped into place (rename, single write),
+    // not read back and rewritten
+    assert(!new java.io.File(p.path(DataZone.Bronze, "t") + "__staging")
+      .exists())
   }
 
   test("promoteZone moves clean data to the next zone") {

@@ -106,6 +106,32 @@ class GenericOpsSpec extends SparkSpec {
     assert(!approxPlan.contains("Expand"), approxPlan)
   }
 
+  test("Profile quantiles are within sketch accuracy; names never hit SQL") {
+    // 1..10000 uniform: true p50=5000(.5), p95=9500(.05), p99=9900(.01);
+    // accuracy 10000 bounds rank error at n/10000 = 1 rank
+    val df = (1 to 10000).map(i => (i.toLong, s"s$i"))
+      .toDF("x", "label'; --")
+    for (exact <- Seq(true, false)) {
+      val rows = Profile.profile(df, Seq("x", "label'; --"),
+        exact = exact, quantiles = true)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val x = rows("x")
+      assert(math.abs(x.getAs[Double]("p50") - 5000) <= 5, x)
+      assert(math.abs(x.getAs[Double]("p95") - 9500) <= 5, x)
+      assert(math.abs(x.getAs[Double]("p99") - 9900) <= 5, x)
+      // the hostile column name profiles fine; non-numeric → null p50
+      val weird = rows("label'; --")
+      val nd = weird.getAs[Long]("n_distinct")
+      if (exact) assert(nd == 10000L, nd)
+      else assert(math.abs(nd - 10000L) <= 500, nd) // HLL ±5%
+      assert(weird.isNullAt(weird.fieldIndex("p50")))
+    }
+    // default (quantiles = false) keeps the 6-column oracle schema
+    assert(Profile.profile(df, Seq("x")).columns.toSeq ==
+      Seq("column_name", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value"))
+  }
+
   test("Sampling is deterministic and respects fraction/quota") {
     val docs = Tables(spark, sf, "documents")
     val a = Sampling.bernoulli(docs, col("doc_id"), 0.25)

@@ -51,6 +51,39 @@ class MediaSpec extends SparkSpec {
     assert(f.forall(x => x >= -1.0f && x <= 1.0f))
   }
 
+  test("decode reads real PNG/BMP pixels via javax.imageio") {
+    // 20×10 PNG: left half black, right half white → the 2×4 luma grid
+    // is exactly [0,0,1,1, 0,0,1,1]
+    val img = new java.awt.image.BufferedImage(
+      20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 20; y <- 0 until 10)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xffffff)
+    def bytes(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    for (fmt <- Seq("png", "bmp")) {
+      val payload = bytes(fmt)
+      assert(MediaPipeline.sniffFormat(payload) == fmt)
+      val (w, h, feat) = MediaPipeline.decode(payload)
+      assert(w == 20 && h == 10, s"$fmt: $w x $h")
+      assert(feat.toSeq == Seq(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f),
+        s"$fmt: ${feat.toSeq}")
+    }
+    // the same real decode runs distributed through extractFeatures
+    val ds = Seq(MediaRecord(7L, "image", bytes("png"), "test")).toDS()
+    val row = MediaPipeline.extractFeatures(ds).head()
+    assert(row.width == 20 && row.height == 10 && row.format == "png")
+    assert(row.feature.toSeq == Seq(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f))
+    // a corrupt header with a PNG magic falls back to the stub, not a throw
+    val corrupt = Array(0x89, 0x50, 0x4e, 0x47, 0x01, 0x02).map(_.toByte)
+    val (cw, ch, cf) = MediaPipeline.decode(corrupt)
+    assert((cw, ch, cf.toSeq) ==
+      (MediaPipeline.decodeStub(corrupt)._1, MediaPipeline.decodeStub(corrupt)._2,
+        MediaPipeline.decodeStub(corrupt)._3.toSeq))
+  }
+
   test("media Dataset round-trips its schema through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     MediaPipeline.syntheticMedia(spark, sf).write

@@ -153,6 +153,40 @@ class QualitySpec extends SparkSpec {
     assert(r.dimension == Dimension.Validity)
   }
 
+  test("DQ007 orphan flag fails the gate and quarantines FK orphans") {
+    val parents = Seq(1L, 2L).toDF("pid")
+    val children = Seq(
+      (10L, Some(1L)), (11L, Some(2L)), (12L, Some(99L)), // 99 = orphan
+      (13L, None)) // NULL FK → skipped, like the reference
+      .toDF("id", "fk")
+    val flagged = QualityValidator.withOrphanFlag(
+      children, col("fk"), parents, col("pid"))
+    val v = new QualityValidator("t", Seq(QualityValidator.orphanRule()))
+    val report = v.validate(flagged, DataZone.Bronze)
+    val r = report.checkResults.head
+    assert(r.dimension == Dimension.Integrity)
+    assert(r.recordsChecked == 3) // NULL FK excluded from the denominator
+    assert(r.recordsFailed == 1)
+    assert(r.status == Status.Failed) // any orphan fails (failBelow=1.0)
+    assert(!report.promotionEligible) // critical failure, budget 0
+
+    // end-to-end: the orphan row is quarantined by a gated job, the
+    // NULL-FK row promotes (data_quality.py:285-294, :821-838)
+    val root = java.nio.file.Files.createTempDirectory("fk").toString
+    val p = new graft.etl.MedallionPipeline(spark, root)
+    p.write(DataZone.Raw, "child", children, graft.etl.LoadType.Full)
+    val res = p.runJob("fkjob", "child", DataZone.Raw, DataZone.Bronze,
+      graft.etl.LoadType.Full,
+      transforms = Seq(d => QualityValidator.withOrphanFlag(
+        d, col("fk"), parents, col("pid"))),
+      rules = Seq(QualityValidator.orphanRule()))
+    assert(res.recordsQuarantined == 1)
+    assert(res.recordsWritten == 3)
+    assert(p.quarantined("fkjob", "child").head().getAs[Long]("id") == 12L)
+    assert(p.read(DataZone.Bronze, "child")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(10L, 11L, 13L))
+  }
+
   test("maxFailedMajor budgets major failures once critical budget loosens") {
     val major = Rule("M1", "always_fails", Dimension.Accuracy, "major",
       fails = lit(true), failBelow = 1.0, warnBelow = 1.0)

@@ -11,6 +11,9 @@ import graft.streaming.{Event, Streaming}
 /** MemoryStream record for the streaming-dedup tests. */
 final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
 
+/** MemoryStream record for the streaming-ingestion test. */
+final case class IngestRec(id: Long, label: String, value: Double)
+
 /** SURVEY.md §2.9 #42/#43 — Structured Streaming operators, driven by
   * MemoryStream micro-batches, checked against their batch equivalents.
   */
@@ -265,6 +268,45 @@ class StreamingSpec extends SparkSpec {
           col("s.failed_SQ2") =!= col("b.failed_SQ2")).count()
       assert(mismatched == 0)
     } finally query.stop()
+  }
+
+  test("streaming ingest lands in bronze gated identically to batch runJob") {
+    import graft.etl.{LoadType, MedallionPipeline}
+    import graft.quality.{DataZone, Dimension, Rule}
+    implicit val sql = spark.sqlContext
+    val rules = Seq(
+      Rule("R1", "value_nonneg", Dimension.Accuracy, "critical",
+        fails = col("value") < 0, failBelow = 1.0, warnBelow = 1.0))
+    val rows = Seq(
+      IngestRec(10, "a", 1.0), IngestRec(11, "b", -5.0), // batch 0
+      IngestRec(12, "c", 2.0), IngestRec(13, "d", -1.0)) // batch 1
+
+    val p = new MedallionPipeline(spark,
+      java.nio.file.Files.createTempDirectory("ingest_s").toString)
+    val src = MemoryStream[IngestRec]
+    val query = p.ingestStream(src.toDF(), "sjob", "t", rules = rules)
+    try {
+      src.addData(rows(0), rows(1)); query.processAllAvailable()
+      src.addData(rows(2), rows(3)); query.processAllAvailable()
+    } finally query.stop()
+    val bronzeIds = p.read(DataZone.Bronze, "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // per-micro-batch quarantine artifacts carry the failing rows
+    val quarantinedIds = Seq("sjob_b0", "sjob_b1")
+      .map(j => p.quarantined(j, "t")).reduce(_.unionByName(_))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(quarantinedIds == Set(11L, 13L))
+
+    // the batch runJob over the same rows promotes the same clean set
+    val p2 = new MedallionPipeline(spark,
+      java.nio.file.Files.createTempDirectory("ingest_b").toString)
+    p2.write(DataZone.Raw, "t", rows.toDF(), LoadType.Full)
+    val res = p2.runJob("bjob", "t", DataZone.Raw, DataZone.Bronze,
+      LoadType.Full, rules = rules)
+    assert(res.recordsQuarantined == 2)
+    val batchIds = p2.read(DataZone.Bronze, "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bronzeIds == batchIds && batchIds == Set(10L, 12L))
   }
 
   test("#43 batch sessionization matches the q12 window-based batch form") {
