@@ -190,8 +190,13 @@ object Dedup {
     * Throws if the graph has not converged within `maxIter` rounds — a
     * silently partial clustering would keep duplicate docs with no
     * signal. */
+  /** `onRound` (round index, labels changed) observer is for scale
+    * diagnostics — when set, convergence is detected by a count of the
+    * changed labels (the number the observer needs) instead of the
+    * slightly cheaper `isEmpty` probe; semantics are identical. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val undirected = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -217,8 +222,12 @@ object Dedup {
             .as("component"),
           labels("component").as("_old"))
         .localCheckpoint(true)
-      converged = updated.filter(col("component") =!= col("_old"))
-        .isEmpty
+      val changedDf = updated.filter(col("component") =!= col("_old"))
+      converged = onRound match {
+        case Some(cb) =>
+          val changed = changedDf.count(); cb(i, changed); changed == 0L
+        case None => changedDf.isEmpty
+      }
       // `updated` is materialized — the previous round's blocks are dead
       release(labels)
       labels = updated.drop("_old")
