@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, DedupQueries, EtlQueries, QualityQueries, SamplingQueries, SimilarityQueries, TextQueries}
+import graft.queries.{Core, CurationQueries, DedupQueries, EtlQueries, QualityQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ QualityQueries.queries ++ EtlQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
-      SamplingQueries.queries ++
+      SamplingQueries.queries ++ CurationQueries.queries ++
       SimilarityQueries.queries ++ graft.multimodal.MediaQueries.queries ++
       graft.sources.Json.queries ++ graft.operators.AsOf.queries ++
       graft.queries.RangeQueries.queries ++
@@ -30,7 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracleSql ++ QualityQueries.oracleSql ++ EtlQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
-      SamplingQueries.oracleSql ++
+      SamplingQueries.oracleSql ++ CurationQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
       graft.multimodal.MediaQueries.oracleSql ++
       graft.sources.Json.oracleSql ++ graft.operators.AsOf.oracleSql ++

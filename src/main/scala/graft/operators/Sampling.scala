@@ -29,6 +29,21 @@ object Sampling {
   def bernoulli(df: DataFrame, keyCol: Column, fraction: Double): DataFrame =
     df.filter(hashBucket(keyCol) < (fraction * HashSpace).toLong)
 
+  /** Weighted Bernoulli sample (round-3 addition, §2c): keep a row with
+    * probability min(1, weight·num/den) — up-weighting high-value
+    * documents (quality score, length, source priority) in a training
+    * mix while staying deterministic and engine-reproducible. The
+    * inclusion test is PURE INTEGER arithmetic ((hash mod den) <
+    * weight·num), so the DuckDB oracle matches bit-for-bit where a
+    * float threshold could diverge in the last ulp. Narrow codegen'd
+    * filter — no shuffle, scan speed. */
+  def weightedBernoulli(df: DataFrame, keyCol: Column, weightCol: Column,
+      num: Long, den: Long): DataFrame = {
+    require(num > 0 && den > 0, "num/den must be positive")
+    df.filter(pmod(hashBucket(keyCol), lit(den)) <
+      least(weightCol.cast("long") * num, lit(den)))
+  }
+
   /** Exactly `quota` rows per stratum (fewer if the stratum is smaller),
     * chosen by hash order with the key as tie-break — a deterministic
     * per-class cap for building balanced training mixes. Adds

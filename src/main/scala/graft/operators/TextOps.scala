@@ -128,6 +128,86 @@ object TextOps {
         expr("aggregate(fingerprints, 0L, (acc, x) -> acc ^ x)").as("fp_xor"),
         col("simhash"))
 
+  /** Repetition signals (round-3 addition, §2c) — the within-document
+    * duplication measures a Gopher-style quality filter needs: token
+    * diversity and the dominance of the most frequent token/bigram.
+    * Boilerplate, scraped navigation, and generation loops all show up
+    * as low distinct_ratio or high top-fraction. Two explode→aggregate
+    * passes (unigrams, bigrams), both combiner-friendly on doc_id —
+    * state per doc is O(distinct terms), shuffle is the aggregated
+    * per-doc row. Output: (doc_id, n_tokens, n_distinct, distinct_ratio,
+    * top_token_tf, top_token_frac, n_bigrams, top_bigram_tf,
+    * top_bigram_frac). */
+  def repetition(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = prepared(docs, idCol, textCol).withColumn("toks", tokens)
+    val uni = base
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_token_tf"))
+    val bi = base
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2, expr(
+          """transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("bf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).as("n_bigrams"), max(col("bf")).as("top_bigram_tf"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_ratio"),
+        col("top_token_tf"),
+        (col("top_token_tf").cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_tf"), lit(0L)).as("top_bigram_tf"),
+        (coalesce(col("top_bigram_tf"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("top_bigram_frac"))
+  }
+
+  /** Gopher-style keep/drop decision (round-3 addition, §2c) — the
+    * published rule family (Rae et al. 2021, "Scaling Language Models",
+    * Appendix A1.1): token-count window, mean-word-length window,
+    * token-diversity floor, and repetition ceilings, each a named flag
+    * so the drop reason is auditable. Output: (doc_id, signals…, keep
+    * 0/1, drop_reasons — ';'-joined failed-rule names, '' when kept).
+    * One repetition pass joined with a narrow word-length projection. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 30L, maxTokens: Long = 50000L,
+      minDistinctRatio: Double = 0.2, maxTopTokenFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.2,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0)
+      : DataFrame = {
+    val awl = prepared(docs, idCol, textCol)
+      .select(col("doc_id"),
+        (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          size(tokens)).as("avg_word_len"))
+    val flags = Seq(
+      ("n_tokens", col("n_tokens").between(minTokens, maxTokens)),
+      ("avg_word_len",
+        col("avg_word_len").between(minAvgWordLen, maxAvgWordLen)),
+      ("distinct_ratio", col("distinct_ratio") >= minDistinctRatio),
+      ("top_token_frac", col("top_token_frac") <= maxTopTokenFrac),
+      ("top_bigram_frac", col("top_bigram_frac") <= maxTopBigramFrac))
+    val reasons = concat(flags.map { case (name, ok) =>
+      when(!ok, s"$name;").otherwise("")
+    }: _*)
+    repetition(docs, idCol, textCol).join(awl, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("avg_word_len"),
+        col("distinct_ratio"), col("top_token_frac"),
+        col("top_bigram_frac"))
+      .withColumn("keep",
+        flags.map(_._2).reduce(_ && _).cast("int"))
+      .withColumn("drop_reasons", reasons)
+  }
+
   /** Per-document top-k terms by frequency with corpus document
     * frequency attached (the tf/df half of tf-idf; idf's log is left to
     * the caller — libm rounding differs across engines). */
