@@ -248,7 +248,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => KmvJaccard(args(0), args(1), args(2))),
     (FunctionIdentifier("kmv_intersect"),
       new ExpressionInfo(classOf[KmvIntersect].getName, "kmv_intersect"),
-      (args: Seq[Expression]) => KmvIntersect(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => KmvIntersect(args(0), args(1), args(2))),
+    (FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_topk"),
+      (args: Seq[Expression]) =>
+        MisraGriesAgg(args(0), args(1)).toAggregateExpression()))
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -55,6 +55,45 @@ object Decontaminate {
         (col("n_shared_ngrams") >= minShared).cast("int"))
   }
 
+  /** Cross-corpus NEAR-duplicate report — fuzzy decontamination: MinHash
+    * LSH between the training and benchmark corpora (banded md5
+    * signatures, bucket join ACROSS corpora only, exact-Jaccard verify
+    * of candidates), catching lightly-edited benchmark leakage that
+    * both [[exactClean]] and fixed-n-gram overlap miss. Same scale
+    * contract as [[Dedup.minhashLsh]]: O(n·bands) bucket join, capped
+    * buckets, no all-pairs anywhere. Output: (train_id, bench_id,
+    * jaccard) for pairs with Jaccard ≥ τ. */
+  def nearDupReport(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, tau: Double,
+      minhashK: Int = 16, bands: Int = 4,
+      maxBucket: Long = Dedup.DefaultMaxBucket): DataFrame = {
+    val shT = Dedup.shingles(train, idCol, textCol)
+    val shB = Dedup.shingles(benchmark, idCol, textCol)
+    def capped(sh: DataFrame): DataFrame =
+      Skew.capBuckets(Dedup.bandedBuckets(sh, minhashK, bands),
+        Seq(col("band"), col("bh")), maxBucket)
+    val candidates = capped(shT).as("a")
+      .join(capped(shB).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("bench_id"))
+      .distinct()
+    val sizesT = shT.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val inter = candidates
+      .join(shT.as("sa"), col("train_id") === col("sa.doc_id"))
+      .join(shB.as("sb"),
+        col("bench_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizesT.select(col("doc_id").as("train_id"), col("n_a")), "train_id")
+      .join(sizesB.select(col("doc_id").as("bench_id"), col("n_b")), "bench_id")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("train_id"), col("bench_id"), col("jaccard"))
+  }
+
   /** The filtering form of [[ngramReport]]: training rows that share
     * fewer than `minShared` n-grams with the benchmark, unchanged. */
   def ngramClean(train: DataFrame, benchmark: DataFrame,

@@ -107,12 +107,14 @@ object Dedup {
     * candidate join ([[Skew.capBuckets]]): a bucket that size is a
     * degenerate band (near-constant signature), and its O(b²) pairs
     * would dominate the whole job at scale. */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double, minhashK: Int = 16, bands: Int = 4,
-      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+  /** Banded MinHash bucket keys for a shingle relation: md5-based
+    * minhash signature → per-band bucket hash, exploded to
+    * (doc_id, band, bh). Shared by [[minhashLsh]] (self-join dedup) and
+    * [[Decontaminate.nearDupReport]] (cross-corpus join); callers apply
+    * their own bucket cap. */
+  private[graft] def bandedBuckets(sh: DataFrame, minhashK: Int,
+      bands: Int): DataFrame = {
     val rowsPerBand = minhashK / bands
-    // not persisted — same recompute-beats-cache tradeoff as ngramJaccard
-    val sh = shingles(docs, idCol, textCol)
     val minhashCols = (0 until minhashK).map(k =>
       min(substring(md5(concat(lit(s"$k:"), col("s"))), 1, 16)).as(s"h$k"))
     val sig = sh.groupBy(col("doc_id"))
@@ -121,11 +123,18 @@ object Dedup {
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       md5(concat(rows: _*)).as(s"band$b")
     }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val exploded = Skew.capBuckets(
-      banded.select(col("doc_id"), expr(
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), expr(
         s"""stack($bands, ${(0 until bands)
-          .map(b => s"$b, band$b").mkString(", ")}) as (band, bh)""")),
+          .map(b => s"$b, band$b").mkString(", ")}) as (band, bh)"""))
+  }
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double, minhashK: Int = 16, bands: Int = 4,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    // not persisted — same recompute-beats-cache tradeoff as ngramJaccard
+    val sh = shingles(docs, idCol, textCol)
+    val exploded = Skew.capBuckets(bandedBuckets(sh, minhashK, bands),
       Seq(col("band"), col("bh")), maxBucket)
     val candidates = exploded.as("a")
       .join(exploded.as("b"),

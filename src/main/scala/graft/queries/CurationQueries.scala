@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontaminate, Pii, Sampling, TextOps}
+import graft.operators.{Decontaminate, Pack, Pii, Sampling, TextOps}
 
 /** Round-3 additions (SURVEY.md §2c) — corpus-curation operators bound
   * to the testdata, each DuckDB-oracle-checked: cross-corpus
@@ -60,6 +60,44 @@ object CurationQueries {
       docs(s, dir).select(col("doc_id"), col("n_chars"), col("source")),
       col("doc_id"), col("n_chars"), WeightNum, WeightDen)
 
+  /** Cross-corpus near-dup τ (same as the dedup family's 0.5). */
+  val NearTau = 0.5
+  /** MG capacity — far above the corpus vocabulary (31), so counts are
+    * exact and the oracle checks the sketch hash-exactly; on an open
+    * vocabulary the same query degrades gracefully to ±N/(k+1). */
+  val MgK = 64
+  /** Tokens per training shard for pack_sequences. */
+  val ShardTokens = 2000L
+
+  /** decon_near — cross-corpus MinHash near-dup report: benchmark
+    * leakage that was lightly edited (exact hash misses it). */
+  def deconNear(s: SparkSession, dir: String): DataFrame =
+    Decontaminate.nearDupReport(train(s, dir), benchmark(s, dir),
+      "doc_id", "text", NearTau)
+
+  /** text_top_global — corpus-level heavy hitters via the mg_topk
+    * Misra-Gries aggregate (one scan, O(k) state per partial). */
+  def textTopGlobal(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .agg(expr(s"mg_topk(term, $MgK)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("e.term").as("term"), col("e.count").as("term_count"))
+      .filter(col("rank") <= 10)
+  }
+
+  /** pack_sequences — deterministic concat-and-chunk shard assignment
+    * per source (group-parallel, integer-exact). */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Pack.sequences(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), " ")).cast("long")
+          .as("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"), ShardTokens)
+
   /** q23_cube — CUBE over (returnflag, linestatus) with grouping flags:
     * the grouping-sets surface q10's ROLLUP does not cover. */
   def q23Cube(s: SparkSession, dir: String): DataFrame =
@@ -80,10 +118,13 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decon_exact" -> deconExact,
     "decon_ngram" -> deconNgram,
+    "decon_near" -> deconNear,
     "text_repetition" -> textRepetition,
     "text_gopher_filter" -> textGopherFilter,
+    "text_top_global" -> textTopGlobal,
     "pii_scan" -> piiScan,
     "sample_weighted" -> sampleWeighted,
+    "pack_sequences" -> packSequences,
     "q23_cube" -> q23Cube)
 
   /** [[Dedup.normalized]] → md5, as DuckDB SQL. */
@@ -106,7 +147,92 @@ object CurationQueries {
   private val piiTotal = Pii.patterns.map { case (kind, _) => s"n_$kind" }
     .mkString(" + ")
 
+  /** One side of the cross-corpus MinHash replay (shingles → md5
+    * minhash signature → banded buckets → per-side bucket cap),
+    * mirroring [[Decontaminate.nearDupReport]]'s engine pipeline with
+    * [[DedupQueries]]' 16×4 signature shape. */
+  private def nearSideCtes(side: String, where: String): String = {
+    val k = DedupQueries.MinhashK
+    val bands = DedupQueries.Bands
+    val rows = k / bands
+    val sigCols = (0 until k).map(i =>
+      s"MIN(substr(md5('$i:' || s), 1, 16)) AS h$i").mkString(",\n          ")
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || ")
+      s"md5($hs) AS band$b"
+    }.mkString(",\n          ")
+    val unions = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS band, band$b AS bh FROM banded$side")
+      .mkString("\n        UNION ALL\n        ")
+    s"""
+      words$side AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE $where),
+      sh$side AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM words$side, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 3),
+      sig$side AS (
+        SELECT doc_id,
+          $sigCols
+        FROM sh$side GROUP BY doc_id),
+      banded$side AS (
+        SELECT doc_id,
+          $bandCols
+        FROM sig$side),
+      exploded$side AS (
+        $unions),
+      explodedc$side AS (
+        SELECT * FROM exploded$side
+        QUALIFY COUNT(*) OVER (PARTITION BY band, bh)
+          <= ${graft.operators.Dedup.DefaultMaxBucket})"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "decon_near" -> s"""
+      WITH ${nearSideCtes("T", s"source <> '$BenchmarkSource'")},
+      ${nearSideCtes("B", s"source = '$BenchmarkSource'")},
+      cand AS (
+        SELECT DISTINCT t.doc_id AS train_id, b.doc_id AS bench_id
+        FROM explodedcT t
+        JOIN explodedcB b ON t.band = b.band AND t.bh = b.bh),
+      sizesT AS (SELECT doc_id, COUNT(*) AS n FROM shT GROUP BY doc_id),
+      sizesB AS (SELECT doc_id, COUNT(*) AS n FROM shB GROUP BY doc_id),
+      inter AS (
+        SELECT c.train_id, c.bench_id, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shT sa ON c.train_id = sa.doc_id
+        JOIN shB sb ON c.bench_id = sb.doc_id AND sa.s = sb.s
+        GROUP BY c.train_id, c.bench_id)
+      SELECT i.train_id, i.bench_id,
+        CAST(i.n_inter AS DOUBLE) / (st.n + sb.n - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizesT st ON i.train_id = st.doc_id
+      JOIN sizesB sb ON i.bench_id = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE) / (st.n + sb.n - i.n_inter)
+        >= $NearTau""",
+    "text_top_global" -> """
+      SELECT rank, term, term_count FROM (
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term ASC)
+            AS BIGINT) AS rank,
+          term, cnt AS term_count
+        FROM (SELECT term, COUNT(*) AS cnt
+              FROM (SELECT unnest(string_split(lower(trim(text)), ' '))
+                      AS term FROM documents)
+              WHERE term <> '' GROUP BY term))
+      WHERE rank <= 10""",
+    "pack_sequences" -> s"""
+      SELECT doc_id, source, n_tokens,
+        CAST(start // $ShardTokens AS BIGINT) AS shard_ix,
+        CAST(start % $ShardTokens AS BIGINT) AS shard_offset
+      FROM (
+        SELECT doc_id, source, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS start
+        FROM (SELECT doc_id, source,
+                CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+                  AS n_tokens
+              FROM documents))""",
     "decon_exact" -> s"""
       SELECT doc_id, $normHash AS content_hash
       FROM documents

@@ -114,6 +114,74 @@ class CurationSpec extends SparkSpec {
     assert(idsA.subsetOf(doubled))
   }
 
+  test("cross-corpus near-dup join finds lightly-edited benchmark leakage") {
+    val bench = Seq(
+      (100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // one word changed — exact hash misses it, minhash must not
+      (1L, "one two three four five six seven eight nine eleven"),
+      (2L, "completely different content with no shared phrasing at all"))
+      .toDF("doc_id", "text")
+    val pairs = Decontaminate.nearDupReport(train, bench, "doc_id", "text",
+      tau = 0.4).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 100L)
+    assert(pairs.head.getDouble(2) > 0.4)
+    // and exactClean would NOT have caught it
+    assert(Decontaminate.exactClean(train, bench, "doc_id", "text")
+      .count() == 2L)
+  }
+
+  test("mg_topk is exact under capacity and bounded beyond it") {
+    graft.functions.GraftFunctions.register(s)
+    // zipf-ish: term t_i appears (21 - i) times, 20 distinct terms
+    val rows = (1 to 20).flatMap(i => Seq.fill(21 - i)(s"t$i"))
+    val df = rows.toDF("term").repartition(8) // force partial merges
+    df.createOrReplaceTempView("mg_in")
+    // capacity 32 > 20 distinct -> exact counts in exact order
+    val exact = spark.sql(
+      "SELECT inline(mg_topk(term, 32)) FROM mg_in").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.length == 20)
+    assert(exact.head == ("t1", 20L))
+    assert(exact.toMap == (1 to 20).map(i => s"t$i" -> (21L - i)).toMap)
+    // order is (count desc, term asc)
+    assert(exact.map(_._2).toSeq == exact.map(_._2).sorted.reverse.toSeq)
+
+    // capacity 5 << 20 distinct: every survivor's reported count is an
+    // undercount by at most N/(k+1), and the heaviest item survives
+    val n = rows.length
+    val small = spark.sql(
+      "SELECT inline(mg_topk(term, 5)) FROM mg_in").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(small.size <= 5)
+    val trueCounts = (1 to 20).map(i => s"t$i" -> (21L - i)).toMap
+    for ((t, c) <- small) {
+      assert(c <= trueCounts(t), s"$t overcounted: $c > ${trueCounts(t)}")
+      assert(trueCounts(t) - c <= n / 6, s"$t undercount bound broken")
+    }
+    // MG guarantees survival only for items with freq > N/(k+1) = 35;
+    // no term here qualifies (max 20), so assert the bound, not the set
+    assert(small.nonEmpty)
+  }
+
+  test("pack_sequences lays out the token stream deterministically") {
+    import graft.operators.Pack
+    val df = Seq(
+      (1L, "g1", 3L), (2L, "g1", 4L), (3L, "g1", 5L), // starts 0,3,7
+      (10L, "g2", 12L), (11L, "g2", 2L)) // long doc straddles shards
+      .toDF("id", "g", "n")
+    val out = Pack.sequences(df, col("g"), col("id"), col("n"), 5L)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("shard_ix"),
+        r.getAs[Long]("shard_offset"))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 3L))) // starts at token 3 of shard 0
+    assert(out(3L) == ((1L, 2L))) // start 7 -> shard 1, offset 2
+    assert(out(10L) == ((0L, 0L))) // 12-token doc fills shards 0-2
+    assert(out(11L) == ((2L, 2L))) // starts at global token 12
+  }
+
   test("decon and curation plans stay narrow on the training side") {
     val sfDir = sf
     // decon_exact: training side never shuffles — the benchmark hash
