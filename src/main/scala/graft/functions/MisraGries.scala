@@ -127,6 +127,11 @@ case class MisraGriesAgg(
     })
   }
 
+  // Terms serialize as length-prefixed UTF-8 bytes, NOT writeUTF
+  // (ADVICE r3): modified-UTF-8 caps at 65535 bytes and one >64 KiB
+  // token — routine in whitespace-tokenized web/minified text — would
+  // throw UTFDataFormatException at partial-serialize time,
+  // deterministically killing the job on every retry.
   override def serialize(buf: java.util.HashMap[String, Long])
       : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -135,7 +140,9 @@ case class MisraGriesAgg(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -148,7 +155,14 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val term = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      buf.put(term, in.readLong())
+      i += 1
+    }
     buf
   }
 

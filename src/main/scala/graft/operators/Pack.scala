@@ -32,7 +32,12 @@ object Pack {
     val w = Window.partitionBy(groupCol).orderBy(orderCol)
     df.withColumn("_start",
         coalesce(sum(tokensCol).over(w) - tokensCol, lit(0L)).cast("long"))
-      .withColumn("shard_ix", (col("_start") / maxTokens).cast("long"))
+      // `div` is Spark SQL's INTEGRAL division (ADVICE r3): `/` on
+      // bigint is double division, whose quotient can round across an
+      // integer boundary once cumulative tokens pass ~2^52, diverging
+      // from the oracle's exact `//`. `_start` is our own column and
+      // maxTokens a validated literal — no caller text reaches the SQL.
+      .withColumn("shard_ix", expr(s"_start div ${maxTokens}L"))
       .withColumn("shard_offset", pmod(col("_start"), lit(maxTokens))
         .cast("long"))
       .drop("_start")

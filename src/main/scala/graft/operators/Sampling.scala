@@ -36,10 +36,26 @@ object Sampling {
     * inclusion test is PURE INTEGER arithmetic ((hash mod den) <
     * weight·num), so the DuckDB oracle matches bit-for-bit where a
     * float threshold could diverge in the last ulp. Narrow codegen'd
-    * filter — no shuffle, scan speed. */
+    * filter — no shuffle, scan speed.
+    *
+    * `weightCol` MUST be an integral column (ADVICE r3): a fractional
+    * weight like a 0..1 quality score would silently floor to 0 under
+    * a cast and never be sampled. Pre-scale fractional weights into
+    * num/den instead (e.g. weight 0.9 ⇒ weight=9, num·=1, den·=10) —
+    * enforced here at plan-build time, not left to a runtime surprise. */
   def weightedBernoulli(df: DataFrame, keyCol: Column, weightCol: Column,
       num: Long, den: Long): DataFrame = {
     require(num > 0 && den > 0, "num/den must be positive")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val wt = df.select(weightCol).schema.head.dataType
+    val integral = wt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"weightCol must be integral (byte/short/int/long), got " +
+        s"${wt.simpleString}: fractional weights floor to 0 silently; " +
+        "pre-scale them into num/den")
     df.filter(pmod(hashBucket(keyCol), lit(den)) <
       least(weightCol.cast("long") * num, lit(den)))
   }

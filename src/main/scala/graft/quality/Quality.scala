@@ -40,11 +40,15 @@ object Status extends Enumeration {
   * its gate never enforces it; here it additionally budgets failures of
   * major-severity rules, so it only bites when a caller loosens
   * `maxFailedCritical` above zero — set it to `Int.MaxValue` for exact
-  * reference gate behavior. */
+  * reference gate behavior.
+  *
+  * Field order: the Int budgets precede the Double score floor so a
+  * positional caller can never have an Int silently widen into
+  * `overallMinScore` (ADVICE r3) — a misplace fails to compile. */
 final case class Thresholds(
     minCompleteness: Double, minAccuracy: Double, minConsistency: Double,
     minUniqueness: Double = 1.0, maxFailedCritical: Int = 0,
-    overallMinScore: Double = 0.95, maxFailedMajor: Int = 5)
+    maxFailedMajor: Int = 5, overallMinScore: Double = 0.95)
 
 /** One quality rule.
   *

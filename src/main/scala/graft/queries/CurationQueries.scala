@@ -127,7 +127,11 @@ object CurationQueries {
     "pack_sequences" -> packSequences,
     "q23_cube" -> q23Cube)
 
-  /** [[Dedup.normalized]] → md5, as DuckDB SQL. */
+  /** [[Dedup.normalized]] → md5, as DuckDB SQL, over `ref`.text. */
+  private def normHashOf(ref: String): String =
+    s"md5(lower(regexp_replace(trim($ref.text), '\\s+', ' ', 'g')))"
+
+  /** [[Dedup.normalized]] → md5, as DuckDB SQL (unqualified `text`). */
   private val normHash =
     "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
@@ -233,12 +237,18 @@ object CurationQueries {
                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
                   AS n_tokens
               FROM documents))""",
+    // NOT EXISTS, not NOT IN (ADVICE r3): one NULL text in the
+    // benchmark slice makes NOT IN three-valued-NULL for EVERY row,
+    // emptying the oracle while the engine's left_anti keeps
+    // non-matching rows. NOT EXISTS matches anti-join semantics.
     "decon_exact" -> s"""
-      SELECT doc_id, $normHash AS content_hash
-      FROM documents
-      WHERE source <> '$BenchmarkSource'
-        AND $normHash NOT IN (
-          SELECT $normHash FROM documents WHERE source = '$BenchmarkSource')""",
+      SELECT d.doc_id, ${normHashOf("d")} AS content_hash
+      FROM documents d
+      WHERE d.source <> '$BenchmarkSource'
+        AND NOT EXISTS (
+          SELECT 1 FROM documents b
+          WHERE b.source = '$BenchmarkSource'
+            AND ${normHashOf("b")} = ${normHashOf("d")})""",
     "decon_ngram" -> s"""
       WITH ${gramCte("tg", s"source <> '$BenchmarkSource'")},
       ${gramCte("bg", s"source = '$BenchmarkSource'")},

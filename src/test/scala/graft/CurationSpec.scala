@@ -166,6 +166,41 @@ class CurationSpec extends SparkSpec {
     assert(small.nonEmpty)
   }
 
+  test("mg_topk survives terms larger than 64 KiB (serialize path)") {
+    graft.functions.GraftFunctions.register(s)
+    // writeUTF would throw UTFDataFormatException at partial-serialize
+    // time for any term whose UTF-8 exceeds 65535 bytes (ADVICE r3);
+    // length-prefixed bytes must round-trip it with exact counts
+    val big = "x" * 70000
+    val rows = Seq.fill(7)(big) ++ Seq.fill(3)("small")
+    val df = rows.toDF("term").repartition(4) // force partial merges
+    df.createOrReplaceTempView("mg_big")
+    val out = spark.sql("SELECT inline(mg_topk(term, 8)) FROM mg_big")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out(big) == 7L)
+    assert(out("small") == 3L)
+  }
+
+  test("weighted bernoulli rejects fractional weight columns") {
+    val df = Seq((1L, 0.9), (2L, 0.4)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedBernoulli(df, col("id"), col("w"), 1L, 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("pack_sequences shard_ix is exact past double precision") {
+    import graft.operators.Pack
+    // _start = 2^53 + 1 is not double-representable; double division
+    // would floor to the wrong shard. 3 * 3002399751580331 = 2^53 + 1.
+    val df = Seq((1L, "g", (1L << 53) + 1L), (2L, "g", 5L))
+      .toDF("id", "g", "n")
+    val out = Pack.sequences(df, col("g"), col("id"), col("n"), 3L)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("shard_ix"),
+        r.getAs[Long]("shard_offset"))).toMap
+    assert(out(2L) == ((3002399751580331L, 0L)))
+  }
+
   test("pack_sequences lays out the token stream deterministically") {
     import graft.operators.Pack
     val df = Seq(
