@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, CurationQueries, DedupQueries, EtlQueries, QualityQueries, SamplingQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, Core, CurationQueries, DedupQueries, EtlQueries, QualityQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -16,7 +16,8 @@ object SparkEntry {
     Core.queries ++ QualityQueries.queries ++ EtlQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SamplingQueries.queries ++ CurationQueries.queries ++
-      SimilarityQueries.queries ++ graft.multimodal.MediaQueries.queries ++
+      SimilarityQueries.queries ++ AnalyticsQueries.queries ++
+      graft.multimodal.MediaQueries.queries ++
       graft.sources.Json.queries ++ graft.operators.AsOf.queries ++
       graft.queries.RangeQueries.queries ++
       Map(
@@ -31,7 +32,7 @@ object SparkEntry {
     Core.oracleSql ++ QualityQueries.oracleSql ++ EtlQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SamplingQueries.oracleSql ++ CurationQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       graft.multimodal.MediaQueries.oracleSql ++
       graft.sources.Json.oracleSql ++ graft.operators.AsOf.oracleSql ++
       graft.queries.RangeQueries.oracleSql

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 analytics surface (SURVEY §2d): the remaining relational
+  * shapes a lakehouse query layer owes its users beyond §2.1 —
+  * PIVOT, set operations, funnel/cohort event analytics, histograms.
+  * All hash-checked against DuckDB.
+  *
+  * Scale notes (100 TB):
+  *  - q24 declares its pivot values, so Spark skips the
+  *    collect-distinct driver pass and plans ONE partial+final agg —
+  *    a pivot without declared values is a hidden two-job plan.
+  *  - q25 set ops are distinct hash-aggregates on the key — one
+  *    shuffle each, no join explosion.
+  *  - q26/q28 shuffle events once on user_id; the per-user firsts are
+  *    tiny (|users| ≪ |events|) and AQE broadcasts them back, so the
+  *    event log is never shuffled twice.
+  *  - q27 is a single narrow agg on a computed integer bucket.
+  */
+object AnalyticsQueries {
+
+  private val Priorities = Seq(
+    "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high",
+    "3-MEDIUM" -> "n_medium", "4-NOT SPECIFIED" -> "n_notspec",
+    "5-LOW" -> "n_low")
+
+  /** q24_pivot — orders-per-priority pivoted wide, one row per market
+    * segment. Pivot values DECLARED (no driver distinct pass). */
+  def q24Pivot(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables(s, dir, "orders").as("o")
+      .join(broadcast(Tables(s, dir, "customer").as("c")),
+        col("o.o_custkey") === col("c.c_custkey"))
+    val pivoted = joined.groupBy(col("c.c_mktsegment").as("segment"))
+      .pivot("o_orderpriority", Priorities.map(_._1))
+      .agg(count(lit(1)))
+    val renamed = Priorities.map { case (v, alias) =>
+      coalesce(col(s"`$v`"), lit(0L)).as(alias)
+    }
+    pivoted.select(col("segment") +: renamed: _*)
+  }
+
+  /** q25_setops — INTERSECT / EXCEPT surface: customers who placed
+    * both urgent and low-priority orders vs urgent-only. Both are
+    * DISTINCT set semantics (one hash-aggregate shuffle each). */
+  def q25SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey"))
+    urgent.intersect(low).withColumn("tag", lit("both"))
+      .unionByName(
+        urgent.except(low).withColumn("tag", lit("urgent_only")))
+  }
+
+  /** q26_funnel — strictly-ordered event funnel view → click →
+    * purchase: a user advances a step only with an event AFTER their
+    * first qualifying previous-step event. Each step is a per-user
+    * min-aggregate joined forward; all three stages co-partition on
+    * user_id and the step outputs are broadcast-small. */
+  def q26Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_buy"))
+    def step(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("step"), col("n_users"))
+    step(v, "1_view")
+      .unionByName(step(c, "2_click"))
+      .unionByName(step(p, "3_purchase"))
+  }
+
+  /** q27_histogram — fixed-width order-value histogram: $25k buckets
+    * over exact cents, top bucket open-ended. ONE narrow aggregate on
+    * a computed integer key — the profile-a-column-at-100-TB shape. */
+  def q27Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .withColumn("price_cents", Core.cents(col("o_totalprice")))
+      .groupBy(least(expr("price_cents div 2500000"), lit(19L))
+        .as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).as("sum_cents"),
+        min(col("price_cents")).as("min_cents"),
+        max(col("price_cents")).as("max_cents"))
+
+  /** q28_retention — weekly cohort retention over the event stream:
+    * cohort = the user's first-seen week, one row per (cohort_week,
+    * week_offset) with distinct active users. First-touch is one
+    * per-user min; the join back is broadcast (|users| ≪ |events|). */
+  def q28Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("day", expr("ts_ns div 86400000000000"))
+      .select(col("user_id"), col("day"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(
+        col("user_id"),
+        expr("cohort_day div 7").as("cohort_week"),
+        (expr("day div 7") - expr("cohort_day div 7")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_pivot" -> q24Pivot,
+    "q25_setops" -> q25SetOps,
+    "q26_funnel" -> q26Funnel,
+    "q27_histogram" -> q27Histogram,
+    "q28_retention" -> q28Retention)
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_pivot" -> """
+      SELECT c.c_mktsegment AS segment,
+        CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+          AS BIGINT) AS n_urgent,
+        CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+          AS BIGINT) AS n_high,
+        CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+          AS BIGINT) AS n_medium,
+        CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+          AS BIGINT) AS n_notspec,
+        CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+          AS BIGINT) AS n_low
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1""",
+    "q25_setops" -> """
+      SELECT o_custkey, 'both' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      UNION ALL
+      SELECT o_custkey, 'urgent_only' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""",
+    "q26_funnel" -> """
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      v AS (SELECT user_id, MIN(ts_us) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(ts_us) AS t_click
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(ts_us) AS t_buy
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+      SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p""",
+    "q27_histogram" -> """
+      WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders)
+      SELECT LEAST(price_cents // 2500000, 19) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+        MIN(price_cents) AS min_cents,
+        MAX(price_cents) AS max_cents
+      FROM o GROUP BY 1""",
+    "q28_retention" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+      uw AS (
+        SELECT DISTINCT e.user_id, f.cohort_day // 7 AS cohort_week,
+          (e.day // 7) - (f.cohort_day // 7) AS week_offset
+        FROM e JOIN f USING (user_id))
+      SELECT cohort_week, week_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM uw GROUP BY 1, 2""")
+}
