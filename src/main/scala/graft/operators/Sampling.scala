@@ -60,6 +60,40 @@ object Sampling {
       least(weightCol.cast("long") * num, lit(den)))
   }
 
+  /** Deterministic train/val/test assignment (round-4, §2d): every row
+    * gets a `split` label by content-addressed hash, with integer
+    * percentage weights summing to 100. The assignment is stable across
+    * runs, engines, and cluster sizes — the property an experiment
+    * pipeline needs so a doc never migrates between train and eval.
+    * Narrow codegen'd projection, no shuffle. */
+  def split(df: DataFrame, keyCol: Column,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "split weights must be positive")
+    require(splits.map(_._2).sum == 100, "split weights must sum to 100")
+    val bucket = pmod(hashBucket(keyCol), lit(100L))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val labeled = splits.map(_._1).zip(cum)
+    val assigned = labeled.init.foldRight(
+      lit(labeled.last._1): Column) { case ((name, hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Top-`quota` rows per stratum under an EXPLICIT ordering (round-4,
+    * §2d) — the per-source quality quota of a training-mix recipe:
+    * "keep the best Q docs from each source". `orderCols` must be a
+    * total order within each stratum (append a hash/id tie-break).
+    * Adds `quota_rank`; one shuffle, WindowGroupLimit keeps only Q rows
+    * per stratum per task. */
+  def takeTopBy(df: DataFrame, strataCol: Column, orderCols: Seq[Column],
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(orderCols: _*)
+    df.withColumn("quota_rank", row_number().over(w).cast("long"))
+      .filter(col("quota_rank") <= quota)
+  }
+
   /** Exactly `quota` rows per stratum (fewer if the stratum is smaller),
     * chosen by hash order with the key as tie-break — a deterministic
     * per-class cap for building balanced training mixes. Adds

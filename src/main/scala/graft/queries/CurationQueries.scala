@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontaminate, Pack, Pii, Sampling, TextOps}
+import graft.operators.{Corpus, Decontaminate, Pack, Pii, Sampling, TextOps}
 
 /** Round-3 additions (SURVEY.md §2c) — corpus-curation operators bound
   * to the testdata, each DuckDB-oracle-checked: cross-corpus
@@ -115,7 +115,35 @@ object CurationQueries {
         col("g_rf"), col("g_ls"), col("n_rows"), col("sum_qty"),
         col("revenue_cents"))
 
+  /** Per-source quality quota size. */
+  val SourceQuota = 10
+
+  /** curation_source_quota — the training-mix recipe step: keep the Q
+    * best docs per source by quality, deterministic hash tie-break.
+    * The score is the INTEGER 0–10 form of [[TextOps.qualityScore]]
+    * (round(score·10)) so the ordering is exact across engines. */
+  def curationSourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScore(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        round(col("quality_score") * 10).cast("long").as("score_10"))
+    val withSource = scored
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    Sampling.takeTopBy(withSource, col("source"),
+      Seq(col("score_10").desc, Sampling.hashBucket(col("doc_id")).asc,
+        col("doc_id").asc), SourceQuota)
+      .select(col("doc_id"), col("source"), col("score_10"),
+        col("quota_rank"))
+  }
+
+  /** corpus_jaccard — exact pairwise n-gram Jaccard between all source
+    * pairs: the corpus-composition affinity matrix ([[Corpus]]). */
+  def corpusJaccard(s: SparkSession, dir: String): DataFrame =
+    Corpus.pairwiseJaccard(docs(s, dir), col("source"), "doc_id",
+      "text", NgramN)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_source_quota" -> curationSourceQuota,
+    "corpus_jaccard" -> corpusJaccard,
     "decon_exact" -> deconExact,
     "decon_ngram" -> deconNgram,
     "decon_near" -> deconNear,
@@ -192,7 +220,70 @@ object CurationQueries {
           <= ${graft.operators.Dedup.DefaultMaxBucket})"""
   }
 
+  /** The 60-bit md5 hash bucket on doc_id, as DuckDB SQL (same grid as
+    * [[Sampling.hashBucket]]). */
+  private val docBucket =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
   val oracleSql: Map[String, String] = Map(
+    "curation_source_quota" -> s"""
+      WITH feat AS (
+        SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS char_len,
+          CAST(len(string_split(lower(trim(text)), ' ')) AS INTEGER)
+            AS n_tokens,
+          len(list_filter(string_split(lower(trim(text)), ' '),
+            t -> t IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")})))
+            AS n_stop,
+          length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+            AS punct_chars,
+          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+        FROM documents),
+      ind AS (
+        SELECT doc_id,
+          CASE WHEN char_len BETWEEN 100 AND 5000 THEN 1 ELSE 0 END AS len_ok,
+          CASE WHEN CAST(punct_chars AS DOUBLE) / char_len <= 0.1
+            THEN 1 ELSE 0 END AS punct_ok,
+          CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6
+            THEN 1 ELSE 0 END AS stop_ok,
+          CASE WHEN CAST(alpha_chars AS DOUBLE) / n_tokens
+            BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END AS wordlen_ok
+        FROM feat),
+      scored AS (
+        SELECT i.doc_id, d.source,
+          CAST(round((len_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.3
+            + wordlen_ok * 0.2) * 10) AS BIGINT) AS score_10
+        FROM ind i JOIN documents d USING (doc_id)),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY source
+          ORDER BY score_10 DESC, $docBucket ASC, doc_id ASC) AS BIGINT)
+          AS quota_rank
+        FROM scored)
+      SELECT doc_id, source, score_10, quota_rank
+      FROM ranked WHERE quota_rank <= $SourceQuota""",
+    "corpus_jaccard" -> s"""
+      WITH g AS (
+        SELECT DISTINCT source,
+          array_to_string(list_slice(w, i, i + ${NgramN - 1}), ' ') AS s
+        FROM (SELECT source, string_split(lower(trim(text)), ' ') AS w
+              FROM documents),
+          LATERAL (SELECT unnest(range(1, len(w) - $NgramN + 2)) AS i)
+        WHERE len(w) >= $NgramN),
+      sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+      pairs AS (
+        SELECT a.source AS grp_a, b.source AS grp_b, a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.source < b.source),
+      i AS (
+        SELECT a.source AS grp_a, b.source AS grp_b,
+          CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.grp_a, p.grp_b, p.n_a, p.n_b,
+        COALESCE(i.n_inter, 0) AS n_inter,
+        CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+          / (p.n_a + p.n_b - COALESCE(i.n_inter, 0)) AS jaccard
+      FROM pairs p LEFT JOIN i USING (grp_a, grp_b)""",
     "decon_near" -> s"""
       WITH ${nearSideCtes("T", s"source <> '$BenchmarkSource'")},
       ${nearSideCtes("B", s"source = '$BenchmarkSource'")},

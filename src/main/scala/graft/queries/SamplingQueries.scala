@@ -30,9 +30,18 @@ object SamplingQueries {
       docs(s, dir).select(col("doc_id"), col("lang")),
       col("lang"), col("doc_id"), Quota)
 
+  /** sample_split — deterministic 80/10/10 train/val/test assignment
+    * keyed on doc_id (round-4, §2d). */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.split(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      col("doc_id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_bernoulli" -> sampleBernoulli,
-    "sample_stratified" -> sampleStratified)
+    "sample_stratified" -> sampleStratified,
+    "sample_split" -> sampleSplit)
 
   /** The 60-bit md5 hash bucket, as DuckDB SQL. */
   private val bucket =
@@ -48,5 +57,11 @@ object SamplingQueries {
           CAST(row_number() OVER (PARTITION BY lang
             ORDER BY $bucket ASC, doc_id ASC) AS BIGINT) AS sample_rank
         FROM documents)
-      WHERE sample_rank <= $Quota""")
+      WHERE sample_rank <= $Quota""",
+    "sample_split" -> s"""
+      SELECT doc_id, source,
+        CASE WHEN ($bucket) % 100 < 80 THEN 'train'
+             WHEN ($bucket) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents""")
 }

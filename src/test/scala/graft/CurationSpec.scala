@@ -166,6 +166,54 @@ class CurationSpec extends SparkSpec {
     assert(small.nonEmpty)
   }
 
+  test("split assigns every row one stable label at ~declared rates") {
+    val df = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val a = Sampling.split(df, col("id"), splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum == 2000L) // total preserved, no dropped rows
+    assert(a("train") > 1500 && a("train") < 1700) // ~80% of 2000
+    assert(a("val") > 120 && a("val") < 280)
+    assert(a("test") > 120 && a("test") < 280)
+    // deterministic: the same key always lands in the same split
+    val one = Sampling.split(df, col("id"), splits)
+      .filter(col("id") === 7L).select("split").collect().head.getString(0)
+    val two = Sampling.split(df, col("id"), splits)
+      .filter(col("id") === 7L).select("split").collect().head.getString(0)
+    assert(one == two)
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, col("id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("takeTopBy keeps the q best rows per stratum in order") {
+    val df = Seq(
+      ("s1", 1L, 5L), ("s1", 2L, 9L), ("s1", 3L, 7L), ("s1", 4L, 9L),
+      ("s2", 5L, 1L)).toDF("src", "id", "score")
+    val out = Sampling.takeTopBy(df, col("src"),
+        Seq(col("score").desc, col("id").asc), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSet == Set(("s1", 2L, 1L), ("s1", 4L, 2L), ("s2", 5L, 1L)))
+  }
+
+  test("pairwiseJaccard computes the full matrix incl zero overlap") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "a b c d", "g1"), // grams: "a b c", "b c d"
+      (2L, "a b c x", "g2"), // grams: "a b c", "b c x"
+      (3L, "p q r s", "g3")) // grams: "p q r", "q r s" — disjoint
+      .toDF("doc_id", "text", "src")
+    val out = Corpus.pairwiseJaccard(docs, col("src"), "doc_id", "text", 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.size == 3) // all 3 pairs present
+    assert(out(("g1", "g2")) == ((2L, 2L, 1L, 1.0 / 3.0)))
+    assert(out(("g1", "g3")) == ((2L, 2L, 0L, 0.0)))
+    assert(out(("g2", "g3")) == ((2L, 2L, 0L, 0.0)))
+  }
+
   test("mg_topk survives terms larger than 64 KiB (serialize path)") {
     graft.functions.GraftFunctions.register(s)
     // writeUTF would throw UTFDataFormatException at partial-serialize
