@@ -102,6 +102,32 @@ object Transforms {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** CDC changelog apply (round-4, §2d): collapse an ordered change
+    * stream (op ∈ I/U/D) to the final table snapshot — the read side
+    * of a CDC ingest. The LATEST change per key wins; a latest 'D'
+    * removes the key entirely. `ordering` must be a strict total order
+    * of changes within a key (change time + a unique tie-break) — it is
+    * applied DESCENDING to rank newest first. One shuffle on the key;
+    * the rank-1 filter gets WindowGroupLimit, so each task retains one
+    * row per key — the 100 TB changelog-compaction shape. */
+  def cdcApply(changes: DataFrame, key: Seq[Column],
+      ordering: Seq[Column], op: Column): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(ordering.map(_.desc): _*)
+    changes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .filter(op =!= "D")
+  }
+
+  /** Time-travel read over a [[scd2]] table (round-4, §2d): the rows
+    * valid at instant `asOf` (valid_from ≤ asOf < valid_to, open
+    * current interval included). A narrow filter — and the reason to
+    * range-partition SCD2 storage by valid_from: the scan prunes to
+    * intervals opened before `asOf`. */
+  def scd2Snapshot(versions: DataFrame, asOf: Column): DataFrame =
+    versions.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
+
   /** SCD2 merge: fold a batch of new versions into an existing
     * versioned table (both in [[scd2]] output shape minus the derived
     * columns) and re-derive the intervals. Bit-identical redeliveries

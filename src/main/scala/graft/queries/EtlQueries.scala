@@ -111,7 +111,38 @@ object EtlQueries {
     Transforms.scd2(versions, Seq(col("o_custkey")), col("version_us"))
   }
 
+  /** etl_cdc_apply — [[Transforms.cdcApply]]: lineitem recast as a
+    * change stream per part (ship date orders the changes; orderkey +
+    * linenumber is the unique tie-break; returned lines act as
+    * deletes), collapsed to the final per-part state. */
+  def etlCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables(s, dir, "lineitem").select(
+      col("l_partkey"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("version_us"),
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_returnflag") === "R", "D")
+        .when(col("l_linestatus") === "O", "U")
+        .otherwise("I").as("op"),
+      Core.cents(col("l_quantity")).as("qty_cents"),
+      Core.cents(col("l_extendedprice")).as("price_cents"))
+    Transforms.cdcApply(changes, Seq(col("l_partkey")),
+      Seq(col("version_us"), col("l_orderkey"), col("l_linenumber")),
+      col("op"))
+  }
+
+  /** Snapshot instant for etl_scd2_snapshot: 1996-07-01T00:00:00Z in
+    * the scd2 table's µs+orderkey version grid. */
+  val SnapshotUs: Long = 836179200000000L
+
+  /** etl_scd2_snapshot — [[Transforms.scd2Snapshot]]: the state of
+    * every customer's order history as of mid-1996 (time travel over
+    * the etl_scd2 output). */
+  def etlScd2Snapshot(s: SparkSession, dir: String): DataFrame =
+    Transforms.scd2Snapshot(etlScd2(s, dir), lit(SnapshotUs))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_cdc_apply" -> etlCdcApply,
+    "etl_scd2_snapshot" -> etlScd2Snapshot,
     "etl_scd2" -> etlScd2,
     "etl_bronze_cleanse" -> etlBronzeCleanse,
     "etl_merge_upsert" -> etlMergeUpsert,
@@ -119,6 +150,40 @@ object EtlQueries {
     "etl_standardize_dates" -> etlStandardizeDates)
 
   val oracleSql: Map[String, String] = Map(
+    "etl_cdc_apply" -> """
+      WITH c AS (
+        SELECT l_partkey, epoch_us(l_shipdate) AS version_us, l_orderkey,
+          l_linenumber,
+          CASE WHEN l_returnflag = 'R' THEN 'D'
+               WHEN l_linestatus = 'O' THEN 'U'
+               ELSE 'I' END AS op,
+          CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM lineitem),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY l_partkey
+          ORDER BY version_us DESC, l_orderkey DESC, l_linenumber DESC)
+          AS _rn
+        FROM c)
+      SELECT l_partkey, version_us, l_orderkey, l_linenumber, op,
+        qty_cents, price_cents
+      FROM r WHERE _rn = 1 AND op <> 'D'""",
+    "etl_scd2_snapshot" -> s"""
+      WITH v AS (
+        SELECT o_custkey,
+          epoch_us(o_orderdate) + o_orderkey AS version_us,
+          CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        FROM orders),
+      s AS (
+        SELECT *, version_us AS valid_from,
+          lead(version_us) OVER (PARTITION BY o_custkey
+            ORDER BY version_us ASC) AS valid_to
+        FROM v)
+      SELECT o_custkey, version_us, price_cents, valid_from, valid_to,
+        valid_to IS NULL AS is_current
+      FROM s
+      WHERE valid_from <= $SnapshotUs
+        AND (valid_to IS NULL OR valid_to > $SnapshotUs)""",
     "etl_scd2" -> """
       WITH v AS (
         SELECT o_custkey,

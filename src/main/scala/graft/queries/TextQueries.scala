@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TextOps
+import graft.operators.{Search, TextOps}
 
 /** Text analysis (SURVEY.md §2.7) — per-document feature extraction for
   * training-data curation. Every operator is a narrow projection (no
@@ -51,7 +51,26 @@ object TextQueries {
   def textTopTerms(s: SparkSession, dir: String): DataFrame =
     TextOps.topTerms(docs(s, dir), "doc_id", "text", k = 3)
 
+  /** BM25 query terms: deliberately spread across the df spectrum
+    * (rare / medium / common in the corpus). */
+  val Bm25Terms = Seq("dup", "vector", "join")
+  val Bm25K = 15
+  val PostingsCap = 64
+
+  /** search_bm25 — [[Search.bm25TopK]]: top-15 docs for a 3-term query
+    * under BM25 (round-4, §2d). */
+  def searchBm25(s: SparkSession, dir: String): DataFrame =
+    Search.bm25TopK(docs(s, dir), "doc_id", "text", Bm25Terms, Bm25K)
+
+  /** search_index — [[Search.invertedIndex]]: term → df/cf + bounded
+    * sorted postings head (round-4, §2d). */
+  def searchIndex(s: SparkSession, dir: String): DataFrame =
+    Search.invertedIndex(docs(s, dir), "doc_id", "text",
+      postingsCap = PostingsCap)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25" -> searchBm25,
+    "search_index" -> searchIndex,
     "text_top_terms" -> textTopTerms,
     "text_stats" -> textStats,
     "text_quality_score" -> textQualityScore,
@@ -164,7 +183,60 @@ object TextQueries {
       FROM hits"""
   }
 
+  /** Per-query-term tf/df columns of the BM25 oracle, index-aligned
+    * with [[Search.bm25TopK]]'s tf_i/df_i. */
+  private val bm25TfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+    s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+  }.mkString(",\n          ")
+  private val bm25DfCols = Bm25Terms.indices.map { i =>
+    s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+  }.mkString(",\n          ")
+  /** The fixed-order score sum, term 0 + term 1 + … — the same
+    * expression tree the engine builds, so the doubles agree bitwise
+    * (ln / * / / are the only operations, in identical order). */
+  private val bm25Score = Bm25Terms.indices.map { i =>
+    s"""(ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+          * (tf_$i * (${Search.K1} + 1.0))
+          / (tf_$i + ${Search.K1}
+             * (1.0 - ${Search.B} + ${Search.B} * dl / avgdl)))"""
+  }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "search_bm25" -> s"""
+      WITH d AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      f AS (
+        SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+          $bm25TfCols
+        FROM d),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+          $bm25DfCols
+        FROM f),
+      scored AS (
+        SELECT doc_id, $bm25Score AS score
+        FROM f, stats),
+      ranked AS (
+        SELECT doc_id, score,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS rank
+        FROM scored WHERE score > 0.0)
+      SELECT doc_id, score, rank FROM ranked WHERE rank <= $Bm25K""",
+    "search_index" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))
+          AS term
+        FROM documents),
+      tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        CAST(SUM(tf) AS BIGINT) AS cf,
+        array_to_string(
+          list_slice(list_sort(list(doc_id)), 1, $PostingsCap), ',')
+          AS postings_head
+      FROM tf GROUP BY term""",
     "text_fingerprint" -> fingerprintOracle,
     "text_lang_id" -> langIdOracle,
     "text_top_terms" -> s"""

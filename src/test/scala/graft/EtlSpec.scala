@@ -246,6 +246,34 @@ class EtlSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("cdcApply keeps the latest change per key and honors deletes") {
+    val changes = Seq(
+      // key 1: I then U -> latest U survives
+      (1L, 10L, "I", "a"), (1L, 20L, "U", "b"),
+      // key 2: I then D -> deleted entirely
+      (2L, 10L, "I", "c"), (2L, 30L, "D", "c"),
+      // key 3: D then I (delete is NOT latest) -> I survives
+      (3L, 10L, "D", "x"), (3L, 20L, "I", "d"))
+      .toDF("k", "seq", "op", "payload")
+    val out = Transforms.cdcApply(changes, Seq(col("k")),
+        Seq(col("seq")), col("op"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "b", 3L -> "d"))
+  }
+
+  test("scd2Snapshot returns exactly the rows valid at the instant") {
+    val versions = Seq((1L, 100L, "v1"), (1L, 200L, "v2"),
+      (2L, 150L, "w1")).toDF("k", "ts", "payload")
+    val scd2 = Transforms.scd2(versions, Seq(col("k")), col("ts"))
+    def snap(t: Long): Map[Long, String] =
+      Transforms.scd2Snapshot(scd2, lit(t)).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(snap(120L) == Map(1L -> "v1")) // before k=2 exists
+    assert(snap(175L) == Map(1L -> "v1", 2L -> "w1"))
+    assert(snap(250L) == Map(1L -> "v2", 2L -> "w1")) // current state
+    assert(snap(50L) == Map.empty) // before any version
+  }
+
   test("partitioned writes prune directories at planning time") {
     val p = new MedallionPipeline(spark, freshRoot())
     val orders = Tables(spark, sf, "orders")
