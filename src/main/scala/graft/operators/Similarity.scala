@@ -146,6 +146,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Exact kNN GRAPH (round-4, §2d): every vector gets its k nearest
+    * neighbors — the structure embedding-cluster dedup, diversity
+    * sampling, and label propagation consume. Brute force via the
+    * broadcast nested-loop of [[bruteforceTopK]] with the whole corpus
+    * as the query set: O(n²), the VERIFICATION BASELINE ONLY —
+    * production uses [[knnGraphLsh]]. */
+  def knnGraph(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    bruteforceTopK(embs, idCol, vecCol, isQuery = lit(true), k)
+
+  /** kNN graph at scale: banded-LSH candidate pairs exactly like
+    * [[dedupEmbeddingLsh]] (id-only bucket join — NOTHING corpus-sized
+    * is ever broadcast, unlike [[lshTopK]]'s broadcast query set),
+    * symmetrized so each endpoint ranks its own neighbors, exact
+    * cosine on survivors, window top-k per node (WindowGroupLimit).
+    * Recall is governed by bands × bandBits like every LSH family
+    * here; nodes whose buckets collide with no one get no edges —
+    * the documented LSH contract. */
+  def knnGraphLsh(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, bands: Int, bandBits: Int, dims: Int,
+      planeOffset: Int = 3000): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val exploded = bandedSignatures(all, bands, bandBits, dims,
+      planeOffset, Seq("vec_id"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sym = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    sym
+      .join(all.select(col("vec_id").as("id_a"), col("e").as("qe"),
+        col("nn").as("qnn")), "id_a")
+      .join(all.select(col("vec_id").as("id_b"), col("e").as("ce"),
+        col("nn").as("cnn")), "id_b")
+      .select(col("id_a").as("query_id"), col("id_b").as("cand_id"),
+        expr("vec_dot(qe, ce) / (sqrt(qnn) * sqrt(cnn))").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF top-k: seeded KMeans coarse quantizer → inverted-list cells;
     * queries probe their `nProbes` nearest centroids; exact cosine over
     * probed candidates only.

@@ -55,7 +55,28 @@ object SimilarityQueries {
     Similarity.dedupEmbeddingLsh(embs(s, dir), "vec_id", "embedding",
       tau = 0.4, bands = DedupBands, bandBits = DedupBandBits, dims = Dims)
 
+  /** kNN-graph LSH family: more, coarser bands than the top-k family
+    * (recall over precision — a graph wants edges for every node). */
+  val GraphK = 3
+  val GraphBands = 8
+  val GraphBandBits = 4
+  val GraphPlaneOffset = 3000
+
+  /** knn_graph — [[Similarity.knnGraph]]: exact 3-NN for EVERY vector
+    * (round-4, §2d; O(n²) verification baseline). */
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = GraphK)
+
+  /** knn_graph_lsh — [[Similarity.knnGraphLsh]]: the id-only bucketed
+    * scale path for the same graph. */
+  def knnGraphLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphLsh(embs(s, dir), "vec_id", "embedding",
+      k = GraphK, bands = GraphBands, bandBits = GraphBandBits,
+      dims = Dims, planeOffset = GraphPlaneOffset)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph" -> knnGraph,
+    "knn_graph_lsh" -> knnGraphLsh,
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -132,7 +153,46 @@ object SimilarityQueries {
         JOIN n y ON c.id_b = y.vec_id)
       SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4"""
 
+  private val knnGraphOracle: String = s"""
+      WITH $vecCtes,
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+          list_reduce(list_transform(range(1, ${Dims + 1}),
+            i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+            / (sqrt(a.nn) * sqrt(b.nn)) AS cosine
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, cosine, rank FROM ranked
+      WHERE rank <= $GraphK"""
+
+  private val knnGraphLshOracle: String = s"""
+      WITH $vecCtes,
+      ${sigsCte(GraphBands, GraphBandBits, GraphPlaneOffset)},
+      cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+          AND a.vec_id <> b.vec_id),
+      scored AS (
+        SELECT c.query_id, c.cand_id,
+          list_reduce(list_transform(range(1, ${Dims + 1}),
+            i -> q.e[i] * t.e[i]), (x, y) -> x + y)
+            / (sqrt(q.nn) * sqrt(t.nn)) AS cosine
+        FROM cand c
+        JOIN n q ON c.query_id = q.vec_id
+        JOIN n t ON c.cand_id = t.vec_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, cosine, rank FROM ranked
+      WHERE rank <= $GraphK"""
+
   val oracleSql: Map[String, String] = Map(
+    "knn_graph" -> knnGraphOracle,
+    "knn_graph_lsh" -> knnGraphLshOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embedding_lsh" -> dedupLshOracle,
     "ann_bruteforce_topk" -> s"""

@@ -96,6 +96,25 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("knn_graph_lsh recovers a useful share of exact graph edges") {
+    val exact = SimilarityQueries.knnGraph(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.knnGraphLsh(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall > 0.2, s"graph recall $recall too low")
+    // structural: at most k edges per node, ranks contiguous from 1
+    val perNode = SimilarityQueries.knnGraphLsh(spark, sf)
+      .groupBy("query_id").agg(count(lit(1)).as("n"), min("rank"), max("rank"))
+      .collect()
+    perNode.foreach { r =>
+      assert(r.getLong(1) <= SimilarityQueries.GraphK)
+      assert(r.getLong(2) == 1L)
+    }
+  }
+
   test("ann_ivf recall beats-or-matches useful bounds") {
     val bf = SimilarityQueries.annBruteforceTopk(spark, sf)
       .select("query_id", "cand_id").collect()
