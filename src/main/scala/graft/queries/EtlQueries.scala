@@ -140,7 +140,19 @@ object EtlQueries {
   def etlScd2Snapshot(s: SparkSession, dir: String): DataFrame =
     Transforms.scd2Snapshot(etlScd2(s, dir), lit(SnapshotUs))
 
+  /** layout_zorder — [[graft.operators.ZOrder.zValue]] over the
+    * lineitem (part, supplier) pair: the Morton key a z-ordered write
+    * clusters files by, emitted per row so the oracle replays the bit
+    * interleave exactly (round-4, §2d). */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"),
+      graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
+        .as("zv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> layoutZorder,
     "etl_cdc_apply" -> etlCdcApply,
     "etl_scd2_snapshot" -> etlScd2Snapshot,
     "etl_scd2" -> etlScd2,
@@ -150,6 +162,10 @@ object EtlQueries {
     "etl_standardize_dates" -> etlStandardizeDates)
 
   val oracleSql: Map[String, String] = Map(
+    "layout_zorder" -> s"""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        ${graft.operators.ZOrder.zValueSql("l_partkey", "l_suppkey")} AS zv
+      FROM lineitem""",
     "etl_cdc_apply" -> """
       WITH c AS (
         SELECT l_partkey, epoch_us(l_shipdate) AS version_us, l_orderkey,

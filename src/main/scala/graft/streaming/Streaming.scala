@@ -48,6 +48,29 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Trending terms per tumbling window (round-4, §2d): the streaming
+    * token-count surface of the text family — explode tokens, count
+    * per (window, term), drop the sub-`minCount` tail so the emitted
+    * per-window vocabulary stays bounded. Same code runs in batch for
+    * the oracle comparison; rank the closed windows downstream
+    * (`row_number` per window in batch / foreachBatch) to get top-k.
+    * State is one counter per (open window, term) — watermark-bounded;
+    * on real feeds pair with [[graft.functions.MisraGriesAgg]] in
+    * foreachBatch when the per-window vocabulary itself is too wide.
+    * Expects a `ts` timestamp column. */
+  def windowedTermCounts(docs: DataFrame, textCol: String = "text",
+      watermark: String = "2 hours", windowLen: String = "1 hour",
+      minCount: Long = 1L): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(split(lower(trim(col(textCol))), " ")).as("term"))
+      .groupBy(window(col("ts"), windowLen), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("term"), col("n"))
+
   /** First-seen-wins per key: watermark-bounded streaming state
     * (`dropDuplicatesWithinWatermark` — duplicates farther apart than
     * the watermark may BOTH survive, the tradeoff that keeps state

@@ -274,6 +274,38 @@ class EtlSpec extends SparkSpec {
     assert(snap(50L) == Map.empty) // before any version
   }
 
+  test("zValue interleaves bits and layoutByZ yields disjoint z-ranges") {
+    import graft.operators.ZOrder
+    // a=5 (101b) -> odd positions 1,5; b=3 (011b) -> even positions 0,2
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"), 3).as("zv"))
+      .collect().head.getLong(0)
+    assert(z == 39L) // 2 + 32 + 1 + 4
+    // locality: neighbors in both dims are close in z
+    val z00 = Seq((4L, 4L)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect().head.getLong(0)
+    val z01 = Seq((4L, 5L)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect().head.getLong(0)
+    assert(math.abs(z01 - z00) == 1L)
+    // layout: range partitions carry non-overlapping z intervals
+    val pts = (for { a <- 0L until 64L; b <- 0L until 8L } yield (a, b))
+      .toDF("a", "b")
+    val parts = ZOrder.layoutByZ(pts, col("a"), col("b"), 4)
+      .select("zv").rdd
+      .mapPartitions(it => {
+        val zs = it.map(_.getLong(0)).toArray
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((zs.min, zs.max, zs.sameElements(zs.sorted)))
+      }).collect().sortBy(_._1)
+    assert(parts.forall(_._3), "zv not sorted within a partition")
+    parts.sliding(2).foreach {
+      case Array((_, hi, _), (lo, _, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
   test("partitioned writes prune directories at planning time") {
     val p = new MedallionPipeline(spark, freshRoot())
     val orders = Tables(spark, sf, "orders")

@@ -270,6 +270,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming trending terms match the batch term counts per window") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
+    val rows = Seq(
+      (t(0), "spark spark join"), (t(10), "join scan"),
+      (t(70), "scan scan"), (t(80), "spark"),
+      (t(200), "late window closer")) // advances watermark past w0/w1
+    val dir = java.nio.file.Files.createTempDirectory("trend")
+    rows.toDF("ts", "text").write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val schema = spark.read.parquet(dir.resolve("in").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.resolve("in").toString)
+    val query = Streaming.windowedTermCounts(stream, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("trend_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("trend_stream")
+      assert(streamed.count() > 0)
+      val batch = Streaming.windowedTermCounts(rows.toDF("ts", "text"))
+      // every closed window the stream emitted matches batch exactly
+      val mismatched = streamed.as("s")
+        .join(batch.as("b"), Seq("window_start", "term"), "left")
+        .filter(col("s.n") =!= col("b.n")).count()
+      assert(mismatched == 0)
+      // the first window's counts are present and correct
+      val w0 = streamed.filter(col("term") === "spark")
+        .orderBy("window_start").collect()
+      assert(w0.nonEmpty && w0.head.getAs[Long]("n") == 2L)
+    } finally query.stop()
+  }
+
   test("streaming ingest lands in bronze gated identically to batch runJob") {
     import graft.etl.{LoadType, MedallionPipeline}
     import graft.quality.{DataZone, Dimension, Rule}
