@@ -252,7 +252,27 @@ object GraftFunctions {
     (FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_topk"),
       (args: Seq[Expression]) =>
-        MisraGriesAgg(args(0), args(1)).toAggregateExpression()))
+        MisraGriesAgg(args(0), args(1)).toAggregateExpression()),
+    // Spark's own runtime-filter bloom machinery, surfaced as callable
+    // functions: bloom_agg(xxhash64 value, est items, num bits) builds
+    // the serialized filter distributedly (TypedImperativeAggregate —
+    // partials merge, nothing collects to the driver); bloom_contains
+    // probes it. Used by Decontaminate.bloomClean.
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))
+          .toAggregateExpression()),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "bloom_contains"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit = {

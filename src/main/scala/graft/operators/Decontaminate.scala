@@ -94,6 +94,53 @@ object Decontaminate {
       .select(col("train_id"), col("bench_id"), col("jaccard"))
   }
 
+  /** EXACT decontamination via a broadcast Bloom prefilter (round-4,
+    * §2d) — [[exactClean]]'s semantics on a 100 TB training side:
+    * the benchmark's hash set is folded DISTRIBUTEDLY into one
+    * serialized Bloom filter (Spark's own runtime-filter aggregate,
+    * surfaced as `bloom_agg`), broadcast as a single row, and probed
+    * by a codegen'd `bloom_contains` filter at scan speed. Only the
+    * bloom-POSITIVE sliver (true matches + fpp) enters the exact
+    * anti-join verify, so the training corpus is never shuffled and
+    * the result is EXACTLY [[exactClean]]'s — a Bloom filter has no
+    * false negatives, and its false positives are re-checked exactly.
+    *
+    * `estItems`/`numBits` size the filter: fpp ≈ 0.6185^(numBits/
+    * items); the default 8 MiB filter holds ~4M benchmark docs at
+    * ≲1% fpp — benchmark corpora are small by construction. */
+  def bloomClean(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      estItems: Long = 4L * 1000 * 1000,
+      numBits: Long = 64L * 1024 * 1024): DataFrame = {
+    val spark = train.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    def hashed(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+        md5(Dedup.normalized(col(textCol))).as("content_hash"))
+    // might_contain requires the filter as a constant/scalar subquery,
+    // so the composition is SQL over temp views (names are fixed
+    // internals of this operator; caller column names never reach the
+    // SQL text — they are bound by hashed() above)
+    hashed(train).createOrReplaceTempView("graft_bloom_train")
+    hashed(benchmark).select("content_hash").distinct()
+      .createOrReplaceTempView("graft_bloom_bench")
+    spark.sql(s"""
+      WITH flagged AS (
+        SELECT doc_id, content_hash,
+          bloom_contains(
+            (SELECT bloom_agg(xxhash64(content_hash), ${estItems}L,
+                              ${numBits}L)
+             FROM graft_bloom_bench),
+            xxhash64(content_hash)) AS maybe
+        FROM graft_bloom_train)
+      SELECT doc_id, content_hash FROM flagged WHERE NOT maybe
+      UNION ALL
+      SELECT f.doc_id, f.content_hash FROM flagged f
+      WHERE f.maybe AND NOT EXISTS (
+        SELECT 1 FROM graft_bloom_bench b
+        WHERE b.content_hash = f.content_hash)""")
+  }
+
   /** The filtering form of [[ngramReport]]: training rows that share
     * fewer than `minShared` n-grams with the benchmark, unchanged. */
   def ngramClean(train: DataFrame, benchmark: DataFrame,

@@ -37,6 +37,14 @@ object CurationQueries {
     Decontaminate.exactClean(train(s, dir), benchmark(s, dir),
       "doc_id", "text")
 
+  /** decon_bloom — same result as decon_exact via the broadcast Bloom
+    * prefilter scale path (round-4, §2d). */
+  def deconBloom(s: SparkSession, dir: String): DataFrame =
+    // filter sized to the testdata benchmark slice (result is
+    // fpp-independent; the default 8 MiB filter is the 4M-doc setting)
+    Decontaminate.bloomClean(train(s, dir), benchmark(s, dir),
+      "doc_id", "text", estItems = 100L * 1000, numBits = 1L << 20)
+
   /** decon_ngram — per-training-doc benchmark n-gram overlap report. */
   def deconNgram(s: SparkSession, dir: String): DataFrame =
     Decontaminate.ngramReport(train(s, dir), benchmark(s, dir),
@@ -145,6 +153,7 @@ object CurationQueries {
     "curation_source_quota" -> curationSourceQuota,
     "corpus_jaccard" -> corpusJaccard,
     "decon_exact" -> deconExact,
+    "decon_bloom" -> deconBloom,
     "decon_ngram" -> deconNgram,
     "decon_near" -> deconNear,
     "text_repetition" -> textRepetition,
@@ -333,6 +342,17 @@ object CurationQueries {
     // emptying the oracle while the engine's left_anti keeps
     // non-matching rows. NOT EXISTS matches anti-join semantics.
     "decon_exact" -> s"""
+      SELECT d.doc_id, ${normHashOf("d")} AS content_hash
+      FROM documents d
+      WHERE d.source <> '$BenchmarkSource'
+        AND NOT EXISTS (
+          SELECT 1 FROM documents b
+          WHERE b.source = '$BenchmarkSource'
+            AND ${normHashOf("b")} = ${normHashOf("d")})""",
+    // bloomClean is exactClean's result through a different plan — the
+    // oracle is deliberately identical (no false negatives; false
+    // positives re-checked exactly)
+    "decon_bloom" -> s"""
       SELECT d.doc_id, ${normHashOf("d")} AS content_hash
       FROM documents d
       WHERE d.source <> '$BenchmarkSource'

@@ -133,6 +133,37 @@ class CurationSpec extends SparkSpec {
       .count() == 2L)
   }
 
+  test("bloomClean equals exactClean and prunes the verify join input") {
+    val train = (1L to 300L).map(i => (i, s"doc body number $i")).toDF("doc_id", "text")
+    val bench = Seq((9001L, "doc body number 7"), (9002L, "doc body number 250"),
+      (9003L, "unseen benchmark prompt")).toDF("doc_id", "text")
+    val exact = Decontaminate.exactClean(train, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Decontaminate.bloomClean(train, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom == exact) // identical semantics through the bloom path
+    assert(!bloom.contains(7L) && !bloom.contains(250L))
+    assert(bloom.size == 298)
+    // with a reasonably-sized filter the bloom-positive sliver is tiny:
+    // the exact-verify join sees only true leaks (+ rare fpp), not the corpus
+    val flagged = {
+      graft.functions.GraftFunctions.register(s)
+      bench.select(md5(lower(regexp_replace(trim(col("text")),
+        "\\s+", " "))).as("content_hash")).distinct()
+        .createOrReplaceTempView("bloom_t_bench")
+      train.select(md5(lower(regexp_replace(trim(col("text")),
+        "\\s+", " "))).as("content_hash"))
+        .createOrReplaceTempView("bloom_t_train")
+      spark.sql("""
+        SELECT count(*) FROM bloom_t_train
+        WHERE bloom_contains(
+          (SELECT bloom_agg(xxhash64(content_hash), 1000L, 65536L)
+           FROM bloom_t_bench),
+          xxhash64(content_hash))""").collect().head.getLong(0)
+    }
+    assert(flagged <= 10L, s"bloom passed $flagged of 300 rows")
+  }
+
   test("mg_topk is exact under capacity and bounded beyond it") {
     graft.functions.GraftFunctions.register(s)
     // zipf-ish: term t_i appears (21 - i) times, 20 distinct terms
