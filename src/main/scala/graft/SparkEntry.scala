@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, Core, CurationQueries, DedupQueries, EtlQueries, QualityQueries, SamplingQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, Core, CurationQueries, DedupQueries, EtlQueries, QualityQueries, SamplingQueries, SimilarityQueries, TextQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -17,6 +17,7 @@ object SparkEntry {
       DedupQueries.queries ++ TextQueries.queries ++
       SamplingQueries.queries ++ CurationQueries.queries ++
       SimilarityQueries.queries ++ AnalyticsQueries.queries ++
+      TrainingQueries.queries ++
       graft.multimodal.MediaQueries.queries ++
       graft.sources.Json.queries ++ graft.operators.AsOf.queries ++
       graft.queries.RangeQueries.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SamplingQueries.oracleSql ++ CurationQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      TrainingQueries.oracleSql ++
       graft.multimodal.MediaQueries.oracleSql ++
       graft.sources.Json.oracleSql ++ graft.operators.AsOf.oracleSql ++
       graft.queries.RangeQueries.oracleSql

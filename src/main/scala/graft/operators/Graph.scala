@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity-graph analytics (round-4, §2d) — once a kNN/near-dup
+  * graph exists ([[Similarity.knnGraph]], [[Dedup]] pair lists), the
+  * curation questions become graph questions: how connected is the
+  * corpus (degrees), what are the duplicate/topic clusters
+  * ([[Dedup.components]] — reused, not re-implemented), and which
+  * documents are most central (PageRank → picking cluster
+  * representatives by centrality instead of min-id).
+  *
+  * Scale: [[degrees]] is two map-side-combined aggregations + a
+  * node-sized join. [[pagerank]] is one edge-shuffle join + aggregate
+  * per iteration over rank state that is node-sized (≪ edges), with
+  * the same localCheckpoint-and-release lifecycle as
+  * [[Dedup.components]] so lineage stays flat and superseded blocks
+  * are freed each round; dangling-node mass is redistributed via a
+  * broadcast one-row aggregate, never a driver collect.
+  */
+object Graph {
+
+  /** Per-node degrees of a directed edge list. Output: (node,
+    * out_degree, in_degree) — one row per node appearing in any edge,
+    * 0 for the missing direction. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** PageRank with damping `d` over a directed edge list: rank =
+    * (1−d)/N + d·(Σ in-neighbor rank/out-degree + dangling mass/N),
+    * run for a fixed `iters` rounds (rank mass is conserved — sums to
+    * 1 every round). Output: (node, pagerank).
+    *
+    * Numerics are double and iteration order is fixed, so results are
+    * deterministic per (graph, iters, d) but not SQL-replayable in one
+    * query — this operator is ScalaTest-verified (cycle fixpoint,
+    * mass conservation, dangling redistribution) rather than
+    * oracle-hashed. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    // one tiny action up front: N sizes the teleport term
+    val n = nodes.count().toDouble
+    var ranks = nodes
+      .join(outDeg, Seq("node"), "left")
+      .select(col("node"), lit(1.0 / n).as("rank"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("out_degree")).as("contrib"))
+      val dangling = ranks.filter(col("out_degree") === 0L)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dangling"))
+      val updated = ranks
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("_dangling") / n))
+            .as("rank"),
+          col("out_degree"))
+        .localCheckpoint(true)
+      Dedup.release(ranks)
+      ranks = updated
+    }
+    Dedup.release(e)
+    ranks.select(col("node"), col("rank").as("pagerank"))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Chunk, Dedup, Embeddings, Graph, Mixture}
+
+/** Round-4 additions (SURVEY.md §2d, second wave) — the remaining
+  * training-pipeline surface: document chunking, embedding-store
+  * transforms (normalize / int8 quantize), token-mixture curation,
+  * and similarity-graph analytics over the kNN graph. Each binding is
+  * DuckDB-oracle-checked except graph_pagerank (float iteration —
+  * ScalaTest-verified instead).
+  */
+object TrainingQueries {
+
+  /** Chunk window/overlap sized to the ~54-token synthetic docs (3
+    * chunks/doc); production values (512/64 etc.) are caller params. */
+  val ChunkTokens = 32
+  val OverlapTokens = 8
+  private val Stride = ChunkTokens - OverlapTokens
+
+  /** Token-mixture targets: a 50/30/20 recipe over three sources. */
+  val MixtureTargets: Seq[(String, Long)] =
+    Seq("src1" -> 50L, "src2" -> 30L, "src3" -> 20L)
+
+  val PagerankIters = 10
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** doc_chunks — [[Chunk.fixedWindows]] over `documents`. */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    Chunk.fixedWindows(docs(s, dir), "doc_id", "text",
+      ChunkTokens, OverlapTokens)
+
+  /** emb_normalize — [[Embeddings.normalizeExploded]] (driver form,
+    * one row per dimension). */
+  def embNormalize(s: SparkSession, dir: String): DataFrame =
+    Embeddings.normalizeExploded(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding")
+
+  /** emb_quantize — [[Embeddings.quantizeInt8Exploded]]. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Embeddings.quantizeInt8Exploded(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding")
+
+  /** mixture_rates — [[Mixture.rates]]: the audit table of the recipe. */
+  def mixtureRates(s: SparkSession, dir: String): DataFrame =
+    Mixture.rates(docs(s, dir), col("source"), col("n_chars"),
+      MixtureTargets)
+
+  /** mixture_sample — [[Mixture.sample]]: the sampled mixture corpus. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    Mixture.sample(docs(s, dir), col("source"), col("doc_id"),
+      col("n_chars"), MixtureTargets)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("keep_thr"))
+
+  /** The kNN-LSH similarity graph all three graph queries run over. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    SimilarityQueries.knnGraphLsh(s, dir)
+
+  /** graph_degrees — [[Graph.degrees]] of the kNN-LSH graph. */
+  def graphDegrees(s: SparkSession, dir: String): DataFrame =
+    Graph.degrees(knnEdges(s, dir), "query_id", "cand_id")
+
+  /** graph_components — [[Dedup.components]] (reused as-is) over the
+    * kNN-LSH graph: similarity clusters. */
+  def graphComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.components(knnEdges(s, dir), "query_id", "cand_id")
+
+  /** graph_pagerank — [[Graph.pagerank]] centrality (rows-only:
+    * float iteration; verified by GraphSpec fixpoint tests). */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    Graph.pagerank(knnEdges(s, dir), "query_id", "cand_id",
+      iters = PagerankIters)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> docChunks,
+    "emb_normalize" -> embNormalize,
+    "emb_quantize" -> embQuantize,
+    "mixture_rates" -> mixtureRates,
+    "mixture_sample" -> mixtureSample,
+    "graph_degrees" -> graphDegrees,
+    "graph_components" -> graphComponents,
+    "graph_pagerank" -> graphPagerank)
+
+  /** The engine's 60-bit md5 bucket on doc_id ([[Sampling.hashBucket]]),
+    * as DuckDB SQL. */
+  private val docBucket =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** λ + per-group threshold CTE chain shared by both mixture oracles
+    * (HUGEINT products mirror the engine's decimal(38) — the `//` grid
+    * points are identical). */
+  private val mixtureCtes: String = {
+    val values = MixtureTargets.map { case (g, t) =>
+      s"('$g', CAST($t AS BIGINT))"
+    }.mkString(", ")
+    s"""
+      t(grp, target) AS (VALUES $values),
+      mass AS (
+        SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS avail
+        FROM documents GROUP BY 1),
+      j AS (
+        SELECT m.grp, m.avail, t.target,
+          CAST(m.avail AS HUGEINT) * ${Mixture.Scale}
+            // CAST(t.target AS HUGEINT) AS lam_g
+        FROM mass m JOIN t USING (grp)),
+      l AS (SELECT MIN(lam_g) AS lam FROM j),
+      rates AS (
+        SELECT grp, avail, target,
+          CAST(least(${Mixture.Scale}, CAST(l.lam AS HUGEINT)
+            * CAST(target AS HUGEINT) // CAST(avail AS HUGEINT))
+            AS BIGINT) AS keep_thr
+        FROM j, l)"""
+  }
+
+  private val embCtes: String = """
+      v AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_chunks" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      c AS (
+        SELECT doc_id, w, i AS chunk_ix
+        FROM toks, LATERAL (SELECT unnest(range(0,
+          ((len(w) - 1) // $Stride) + 1)) AS i))
+      SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix,
+        array_to_string(list_slice(w, chunk_ix * $Stride + 1,
+          chunk_ix * $Stride + $ChunkTokens), ' ') AS chunk_text,
+        CAST(least($ChunkTokens, len(w) - chunk_ix * $Stride) AS BIGINT)
+          AS chunk_tokens
+      FROM c""",
+    "emb_normalize" -> s"""
+      WITH $embCtes,
+      n AS (
+        SELECT vec_id, e,
+          list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nn
+        FROM v)
+      SELECT vec_id, CAST(i AS BIGINT) AS dim_ix,
+        CASE WHEN nn = 0 THEN e[i] ELSE e[i] / sqrt(nn) END AS val_norm
+      FROM n, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i)""",
+    "emb_quantize" -> s"""
+      WITH $embCtes,
+      m AS (
+        SELECT vec_id, e,
+          list_reduce(list_transform(e, x -> abs(x)),
+            (x, y) -> greatest(x, y)) AS maxabs
+        FROM v)
+      SELECT vec_id, CAST(i AS BIGINT) AS dim_ix,
+        CAST(CASE WHEN maxabs = 0 THEN 0
+          ELSE round(e[i] * 127.0 / maxabs) END AS BIGINT) AS q_val,
+        maxabs / 127.0 AS scale
+      FROM m, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i)""",
+    "mixture_rates" -> s"""
+      WITH $mixtureCtes
+      SELECT grp, avail, target, keep_thr FROM rates""",
+    "mixture_sample" -> s"""
+      WITH $mixtureCtes
+      SELECT d.doc_id, d.source, d.n_chars, r.keep_thr
+      FROM documents d JOIN rates r ON d.source = r.grp
+      WHERE $docBucket % ${Mixture.Scale} < r.keep_thr""",
+    "graph_degrees" -> s"""
+      WITH g AS (${SimilarityQueries.oracleSql("knn_graph_lsh")}),
+      o AS (SELECT query_id AS node, CAST(COUNT(*) AS BIGINT) AS out_degree
+            FROM g GROUP BY 1),
+      i AS (SELECT cand_id AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
+            FROM g GROUP BY 1)
+      SELECT COALESCE(o.node, i.node) AS node,
+        COALESCE(o.out_degree, 0) AS out_degree,
+        COALESCE(i.in_degree, 0) AS in_degree
+      FROM o FULL OUTER JOIN i ON o.node = i.node""",
+    "graph_components" -> s"""
+      WITH RECURSIVE g AS (${SimilarityQueries.oracleSql("knn_graph_lsh")}),
+      edges AS (
+        SELECT query_id AS src, cand_id AS dst FROM g
+        UNION
+        SELECT cand_id, query_id FROM g),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node""")
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunk, Embeddings, Graph, Mixture, Sampling}
+
+/** Round-4 training-pipeline operators: chunking, embedding
+  * transforms, token-mixture curation, graph analytics. */
+class TrainingSpec extends SparkSpec {
+
+  private val s = spark
+  import s.implicits._
+
+  // ---------------------------------------------------------------- Chunk
+
+  test("fixedWindows cuts overlapping windows with a short tail") {
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val rows = Chunk.fixedWindows(df, "doc_id", "text",
+      chunkTokens = 3, overlapTokens = 1)
+      .orderBy("chunk_ix")
+      .select("chunk_ix", "chunk_text", "chunk_tokens")
+      .as[(Long, String, Long)].collect.toSeq
+    assert(rows === Seq(
+      (0L, "a b c", 3L), (1L, "c d e", 3L), (2L, "e f g", 3L),
+      (3L, "g", 1L)))
+  }
+
+  test("fixedWindows: doc shorter than one window is one chunk") {
+    val df = Seq((1L, "x y")).toDF("doc_id", "text")
+    val rows = Chunk.fixedWindows(df, "doc_id", "text", 32, 8)
+      .select("chunk_ix", "chunk_text", "chunk_tokens")
+      .as[(Long, String, Long)].collect.toSeq
+    assert(rows === Seq((0L, "x y", 2L)))
+  }
+
+  test("fixedWindows with zero overlap partitions the token stream") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Chunk.fixedWindows(df, "doc_id", "text", 4, 0)
+      .orderBy("chunk_ix").select("chunk_text").as[String].collect
+    assert(chunks.mkString(" ").split(" ").toSeq ===
+      (1 to 10).map(i => s"t$i"))
+  }
+
+  // ----------------------------------------------------------- Embeddings
+
+  test("normalizeExploded yields unit vectors; zero vector unchanged") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Embeddings.normalizeExploded(df, "vec_id", "embedding")
+      .orderBy("vec_id", "dim_ix")
+      .as[(Long, Long, Double)].collect.toSeq
+    assert(out === Seq(
+      (1L, 1L, 0.6), (1L, 2L, 0.8), (2L, 1L, 0.0), (2L, 2L, 0.0)))
+  }
+
+  test("normalize (library form) keeps arrays, norm recorded") {
+    val df = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val r = Embeddings.normalize(df, "vec_id", "embedding")
+      .select("l2_norm", "e_norm").as[(Double, Seq[Double])].head()
+    assert(r._1 === 5.0)
+    assert(r._2 === Seq(0.6, 0.8))
+  }
+
+  test("quantizeInt8Exploded: q in [-127,127], roundtrip within half step") {
+    val df = Seq(
+      (1L, Array(0.3f, -1.2f, 0.9f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8Exploded(df, "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect
+    assert(out.forall { case (_, _, q, _) => q >= -127 && q <= 127 })
+    // dequantized value within scale/2 of the original
+    val orig = Map((1L, 1L) -> 0.3f, (1L, 2L) -> -1.2f, (1L, 3L) -> 0.9f,
+      (1L, 4L) -> 0.0f)
+    out.filter(_._1 == 1L).foreach { case (v, d, q, s) =>
+      assert(math.abs(q * s - orig((v, d))) <= s / 2 + 1e-12)
+    }
+    assert(out.filter(_._1 == 2L).forall { case (_, _, q, s) =>
+      q == 0L && s == 0.0
+    })
+  }
+
+  // -------------------------------------------------------------- Mixture
+
+  test("mixture rates: binding group saturates, others scale down") {
+    // a: avail 200, b: avail 50; equal targets -> b binds (λ = 50·10^6)
+    val df = ((1 to 20).map(i => (s"a$i", "a", 10L)) ++
+      (1 to 10).map(i => (s"b$i", "b", 5L)))
+      .toDF("id", "source", "mass")
+    val r = Mixture.rates(df, col("source"), col("mass"),
+      Seq("a" -> 1L, "b" -> 1L))
+      .orderBy("grp").as[(String, Long, Long, Long)].collect.toSeq
+    assert(r === Seq(
+      ("a", 200L, 1L, 250000L), // keeps 1/4 of a's mass
+      ("b", 50L, 1L, 1000000L))) // binding group keeps everything
+  }
+
+  test("mixture sample is deterministic and obeys the threshold rule") {
+    val df = ((1 to 200).map(i => (i.toLong, "a", 10L)) ++
+      (201 to 250).map(i => (i.toLong, "b", 10L)))
+      .toDF("id", "source", "mass")
+    val targets = Seq("a" -> 1L, "b" -> 1L)
+    val s1 = Mixture.sample(df, col("source"), col("id"), col("mass"),
+      targets).select("id").as[Long].collect.toSet
+    val s2 = Mixture.sample(df, col("source"), col("id"), col("mass"),
+      targets).select("id").as[Long].collect.toSet
+    assert(s1 === s2)
+    // all of the binding group (b) survives
+    assert((201L to 250L).toSet.subsetOf(s1))
+    // group a: exactly the rows under the 250000/10^6 hash threshold
+    val expectA = df.filter(col("source") === "a")
+      .filter(pmod(Sampling.hashBucket(col("id")), lit(1000000L)) <
+        250000L).select("id").as[Long].collect.toSet
+    assert(s1.filter(_ <= 200L) === expectA)
+  }
+
+  test("mixture rates: unavailable group empties the recipe (λ = 0)") {
+    val df = Seq(("x1", "x", 100L)).toDF("id", "source", "mass")
+    // target group y has no rows -> absent from mass -> inner join
+    // drops it; x alone binds on itself
+    val r = Mixture.rates(df, col("source"), col("mass"),
+      Seq("x" -> 1L, "y" -> 1L))
+      .as[(String, Long, Long, Long)].collect.toSeq
+    assert(r === Seq(("x", 100L, 1L, 1000000L)))
+  }
+
+  // ---------------------------------------------------------------- Graph
+
+  test("degrees counts both directions with zero-fill") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val d = Graph.degrees(e, "src", "dst")
+      .orderBy("node").as[(Long, Long, Long)].collect.toSeq
+    assert(d === Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  test("pagerank: 3-cycle fixpoint is uniform, mass conserved") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pr = Graph.pagerank(e, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect.toMap
+    assert(pr.size === 3)
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pagerank: dangling mass redistributed, sink outranks source") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val pr = Graph.pagerank(e, "src", "dst", iters = 20)
+      .as[(Long, Double)].collect.toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(2L) > pr(1L))
+  }
+}
