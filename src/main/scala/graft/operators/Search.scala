@@ -28,25 +28,43 @@ object Search {
   private def toks(textCol: Column): Column =
     split(lower(trim(textCol)), " ")
 
-  /** term → (df, cf, head of the sorted postings list). One shuffle on
-    * term; `minDf` prunes the hapax tail, `postingsCap` bounds row
-    * width. */
+  /** term → (df, cf, head of the sorted postings list). `minDf` prunes
+    * the hapax tail, `postingsCap` bounds row width AND aggregation
+    * state: postings are ranked per term (`row_number` ordered by
+    * doc_id) and filtered to the cap BEFORE `collect_list`, so the rank
+    * filter plans as a `WindowGroupLimit` — per-task window state is
+    * O(cap), never the full postings list of a stopword-grade term
+    * (which at 100 TB is a multi-GB buffer on one reducer). df/cf stay
+    * exact: they aggregate the UNCAPPED (term, doc) counts in a
+    * separate branch joined back on term.
+    *
+    * The two branches each recompute the (term, doc) count relation —
+    * the same deliberate recompute-beats-cache trade as the dedup
+    * shingle pipelines: the relation is one narrow scan + map-side-
+    * combined agg, while materializing it corpus-wide would spill a
+    * multi-TB intermediate. Both branches shuffle on `term`, so the
+    * final join is co-partitioned. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 1L, postingsCap: Int = 64): DataFrame = {
-    val tf = docs
+    def tf = docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(toks(col(textCol))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    tf.groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("df"),
-        sum(col("tf")).as("cf"),
-        array_join(
-          transform(
-            slice(sort_array(collect_list(col("doc_id"))), 1, postingsCap),
-            x => x.cast("string")), ",").as("postings_head"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .filter(col("df") >= minDf)
+    val byDocId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id").asc)
+    val heads = tf.select(col("term"), col("doc_id"))
+      .withColumn("_rn", row_number().over(byDocId))
+      .filter(col("_rn") <= postingsCap) // -> WindowGroupLimit, state O(cap)
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings_head"))
+    stats.join(heads, Seq("term"))
+      .select(col("term"), col("df"), col("cf"), col("postings_head"))
   }
 
   /** BM25 parameters (Robertson et al.; Lucene's defaults). */
