@@ -14,7 +14,15 @@ object Bench {
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // release once consumed: iterative operators (components,
+        // pagerank) return localCheckpoint'ed frames whose blocks stay
+        // pinned until the ContextCleaner gets to them — across two
+        // bench passes that accumulation starves the storage pool
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          graft.operators.Dedup.release(df)
+        } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     // Steady-state protocol: the full suite runs twice in one JVM and the

@@ -44,9 +44,23 @@ object Chunk {
         col(idCol),
         col("chunk_ix"),
         array_join(
-          slice(col("_w"), (col("chunk_ix") * stride + 1).cast("int"),
+          slice(col("_w"), sliceStart(col("chunk_ix"), stride),
             lit(chunkTokens)), " ").as("chunk_text"),
         least(lit(chunkTokens.toLong),
           col("_n") - col("chunk_ix") * stride).as("chunk_tokens"))
+  }
+
+  /** Guarded 1-based slice start: chunk_ix·stride + 1 as int. `slice`
+    * takes an Int position, so a document past ~2^31 tokens cannot be
+    * windowed by position — fail LOUDLY (raise_error) instead of
+    * letting the cast wrap negative and return wrong windows; such a
+    * doc must be pre-split upstream. */
+  private[graft] def sliceStart(chunkIx: org.apache.spark.sql.Column,
+      stride: Long): org.apache.spark.sql.Column = {
+    val start = chunkIx * stride + lit(1L)
+    when(start <= lit(Int.MaxValue.toLong), start.cast("int"))
+      .otherwise(raise_error(concat(
+        lit("Chunk.fixedWindows: window start "), start.cast("string"),
+        lit(" overflows Int (document exceeds 2^31 tokens) — pre-split the document"))))
   }
 }

@@ -107,7 +107,17 @@ object Decontaminate {
     *
     * `estItems`/`numBits` size the filter: fpp ≈ 0.6185^(numBits/
     * items); the default 8 MiB filter holds ~4M benchmark docs at
-    * ≲1% fpp — benchmark corpora are small by construction. */
+    * ≲1% fpp — benchmark corpora are small by construction.
+    *
+    * The benchmark hash set is scanned TWICE (once folded into the
+    * Bloom filter, once as the exact anti-join side of the verify
+    * branch) — deliberate: the benchmark is the small corpus, and a
+    * second scan of it is far cheaper than caching it or giving up
+    * the scan-speed prefilter on the 100 TB training side. An empty
+    * benchmark makes `bloom_agg` evaluate to NULL; the probe is
+    * COALESCE'd to FALSE (nothing to be contained in), so the
+    * NOT-maybe branch keeps every training row — same as
+    * [[exactClean]] against an empty hash set. */
   def bloomClean(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       estItems: Long = 4L * 1000 * 1000,
@@ -118,28 +128,41 @@ object Decontaminate {
       df.select(col(idCol).as("doc_id"),
         md5(Dedup.normalized(col(textCol))).as("content_hash"))
     // might_contain requires the filter as a constant/scalar subquery,
-    // so the composition is SQL over temp views (names are fixed
-    // internals of this operator; caller column names never reach the
-    // SQL text — they are bound by hashed() above)
-    hashed(train).createOrReplaceTempView("graft_bloom_train")
+    // so the composition is SQL over temp views. View names are unique
+    // per invocation (concurrent bloomCleans on one session must not
+    // clobber each other) and dropped right after spark.sql — analysis
+    // is eager, so the resolved plan no longer needs the catalog
+    // entries. Caller column names never reach the SQL text — they are
+    // bound by hashed() above.
+    val tag = bloomInvocation.getAndIncrement()
+    val trainView = s"graft_bloom_train_$tag"
+    val benchView = s"graft_bloom_bench_$tag"
+    hashed(train).createOrReplaceTempView(trainView)
     hashed(benchmark).select("content_hash").distinct()
-      .createOrReplaceTempView("graft_bloom_bench")
-    spark.sql(s"""
+      .createOrReplaceTempView(benchView)
+    try spark.sql(s"""
       WITH flagged AS (
         SELECT doc_id, content_hash,
-          bloom_contains(
+          COALESCE(bloom_contains(
             (SELECT bloom_agg(xxhash64(content_hash), ${estItems}L,
                               ${numBits}L)
-             FROM graft_bloom_bench),
-            xxhash64(content_hash)) AS maybe
-        FROM graft_bloom_train)
+             FROM $benchView),
+            xxhash64(content_hash)), FALSE) AS maybe
+        FROM $trainView)
       SELECT doc_id, content_hash FROM flagged WHERE NOT maybe
       UNION ALL
       SELECT f.doc_id, f.content_hash FROM flagged f
       WHERE f.maybe AND NOT EXISTS (
-        SELECT 1 FROM graft_bloom_bench b
+        SELECT 1 FROM $benchView b
         WHERE b.content_hash = f.content_hash)""")
+    finally {
+      spark.catalog.dropTempView(trainView)
+      spark.catalog.dropTempView(benchView)
+    }
   }
+
+  /** Per-invocation tag for [[bloomClean]]'s temp views. */
+  private val bloomInvocation = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The filtering form of [[ngramReport]]: training rows that share
     * fewer than `minShared` n-grams with the benchmark, unchanged. */

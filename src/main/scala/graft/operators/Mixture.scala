@@ -59,14 +59,21 @@ object Mixture {
   }
 
   /** The mixture sample: rows of `df` (plus `keep_thr` for audit)
-    * surviving the per-group deterministic keep-rate. */
+    * surviving the per-group deterministic keep-rate. The rate table
+    * joins under `_graft_`-prefixed internal names so a caller column
+    * named `grp` never collides; `keep_thr` is this operator's audit
+    * OUTPUT column, so an input already carrying one is rejected
+    * loudly rather than silently shadowed. */
   def sample(df: DataFrame, groupCol: Column, keyCol: Column,
       massCol: Column, targets: Seq[(String, Long)]): DataFrame = {
+    require(!df.columns.contains("keep_thr"),
+      "input already has a keep_thr column — keep_thr is Mixture.sample's audit output; rename it first")
     val r = rates(df, groupCol, massCol, targets)
-      .select(col("grp"), col("keep_thr"))
-    df.join(broadcast(r), groupCol === col("grp"))
+      .select(col("grp").as("_graft_grp"), col("keep_thr").as("_graft_thr"))
+    df.join(broadcast(r), groupCol === col("_graft_grp"))
       .filter(pmod(Sampling.hashBucket(keyCol), lit(Scale)) <
-        col("keep_thr"))
-      .drop("grp")
+        col("_graft_thr"))
+      .drop("_graft_grp")
+      .withColumnRenamed("_graft_thr", "keep_thr")
   }
 }

@@ -80,11 +80,14 @@ object Search {
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
       toks(col(textCol)).as("w"))
+    // terms are bound as LITERALS via the typed lambda API — caller
+    // text (query terms are user data) never reaches SQL text, so a
+    // quote/backslash in a term is just a token to match
     val withTf = queryTerms.zipWithIndex.foldLeft(
       base.withColumn("dl", size(col("w")).cast("double"))) {
       case (df, (t, i)) =>
         df.withColumn(s"tf_$i",
-          expr(s"size(filter(w, x -> x = '$t'))").cast("double"))
+          size(filter(col("w"), x => x === lit(t))).cast("double"))
     }
     // corpus statistics: ONE row, broadcast back to the scan
     val statAggs = count(lit(1)).cast("double").as("n_docs") +:

@@ -52,8 +52,8 @@ object Streaming {
     * token-count surface of the text family — explode tokens, count
     * per (window, term), drop the sub-`minCount` tail so the emitted
     * per-window vocabulary stays bounded. Same code runs in batch for
-    * the oracle comparison; rank the closed windows downstream
-    * (`row_number` per window in batch / foreachBatch) to get top-k.
+    * the oracle comparison; [[trendingTopK]] / [[trendingTopKStream]]
+    * rank the closed windows top-k.
     * State is one counter per (open window, term) — watermark-bounded;
     * on real feeds pair with [[graft.functions.MisraGriesAgg]] in
     * foreachBatch when the per-window vocabulary itself is too wide.
@@ -70,6 +70,48 @@ object Streaming {
       .filter(col("n") >= minCount)
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("term"), col("n"))
+
+  /** Rank a (window_start, window_end, term, n) count table top-k per
+    * window: row_number ordered by (n desc, term asc), kept ≤ k — the
+    * ranking [[windowedTermCounts]]'s doc promises. Deterministic
+    * tie-break on term so batch and streaming agree bit-for-bit. */
+  def rankWindows(counts: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("term").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Batch form of trending top-k: [[windowedTermCounts]] →
+    * [[rankWindows]]. One shuffle for the count, one window pass for
+    * the rank (WindowGroupLimit-capped — per-task state is O(k)). */
+  def trendingTopK(docs: DataFrame, textCol: String = "text",
+      k: Int = 10, watermark: String = "2 hours",
+      windowLen: String = "1 hour", minCount: Long = 1L): DataFrame =
+    rankWindows(
+      windowedTermCounts(docs, textCol, watermark, windowLen, minCount), k)
+
+  /** Streaming form of trending top-k. A ranking cannot follow a
+    * streaming aggregation inside one query (non-time-window agg on
+    * agg is unsupported), so the counts run in Append mode — a
+    * window's rows are all emitted together in the micro-batch where
+    * the watermark closes it — and each micro-batch is ranked with the
+    * SAME [[rankWindows]] the batch path uses before reaching `sink`.
+    * Call `.start()` on the returned writer. */
+  def trendingTopKStream(docs: DataFrame, textCol: String = "text",
+      k: Int = 10, watermark: String = "2 hours",
+      windowLen: String = "1 hour", minCount: Long = 1L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    windowedTermCounts(docs, textCol, watermark, windowLen, minCount)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(rankWindows(batch.toDF(), k), id)
+      }
 
   /** First-seen-wins per key: watermark-bounded streaming state
     * (`dropDuplicatesWithinWatermark` — duplicates farther apart than

@@ -164,6 +164,23 @@ class CurationSpec extends SparkSpec {
     assert(flagged <= 10L, s"bloom passed $flagged of 300 rows")
   }
 
+  test("bloomClean on an EMPTY benchmark keeps the whole corpus " +
+    "(== exactClean)") {
+    val train = (1L to 50L).map(i => (i, s"doc body $i"))
+      .toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // bloom_agg over zero rows is NULL — the COALESCE(probe, FALSE)
+    // keeps this identical to exactClean instead of dropping everything
+    assert(Decontaminate.exactClean(train, bench, "doc_id", "text")
+      .count() == 50L)
+    val bloom = Decontaminate.bloomClean(train, bench, "doc_id", "text")
+    assert(bloom.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (1L to 50L).toSet)
+    // invocation-scoped temp views are dropped after plan build
+    assert(!s.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_bloom")))
+  }
+
   test("mg_topk is exact under capacity and bounded beyond it") {
     graft.functions.GraftFunctions.register(s)
     // zipf-ish: term t_i appears (21 - i) times, 20 distinct terms

@@ -303,6 +303,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming trending top-k matches the batch ranking per closed window") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
+    val rows = Seq(
+      (t(0), "spark spark join scan scan scan"), (t(10), "join scan"),
+      (t(70), "scan scan spark"), (t(80), "spark"),
+      (t(200), "late window closer")) // advances watermark past w0/w1
+    val dir = java.nio.file.Files.createTempDirectory("trendtopk")
+    rows.toDF("ts", "text").write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val schema = spark.read.parquet(dir.resolve("in").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.resolve("in").toString)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, String, Long, Long)]
+    val query = Streaming.trendingTopKStream(stream, k = 2,
+      watermark = "30 minutes") { (ranked, _) =>
+      buf ++= ranked.collect().map(r => (
+        r.getAs[Timestamp]("window_start"), r.getAs[String]("term"),
+        r.getAs[Long]("n"), r.getAs[Long]("rank")))
+    }.start()
+    try {
+      query.processAllAvailable()
+      assert(buf.nonEmpty) // at least one window closed and was ranked
+      // each emitted (window, term, n, rank) equals the batch ranking
+      val batch = Streaming.trendingTopK(rows.toDF("ts", "text"), k = 2)
+        .collect().map(r => (
+          r.getAs[Timestamp]("window_start"), r.getAs[String]("term"),
+          r.getAs[Long]("n"), r.getAs[Long]("rank"))).toSet
+      assert(buf.toSet.subsetOf(batch), s"stream=${buf.toSet} batch=$batch")
+      // the k bound holds per window
+      assert(buf.groupBy(_._1).values.forall(_.size <= 2))
+      // window 0's winner: scan (n=4) over join (n=2, alphabetical tie
+      // with spark broken by term asc)
+      val w0 = buf.filter(r => r._1 == buf.map(_._1).minBy(_.getTime))
+        .sortBy(_._4)
+      assert(w0.map(r => (r._2, r._3, r._4)).toSeq ===
+        Seq(("scan", 4L, 1L), ("join", 2L, 2L)))
+    } finally query.stop()
+  }
+
   test("streaming ingest lands in bronze gated identically to batch runJob") {
     import graft.etl.{LoadType, MedallionPipeline}
     import graft.quality.{DataZone, Dimension, Rule}

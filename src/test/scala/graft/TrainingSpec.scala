@@ -42,6 +42,23 @@ class TrainingSpec extends SparkSpec {
       (1 to 10).map(i => s"t$i"))
   }
 
+  test("sliceStart fails loudly past Int.MaxValue instead of wrapping") {
+    // boundary: start == Int.MaxValue still valid
+    val ok = s.range(1)
+      .select(Chunk.sliceStart(lit(Int.MaxValue.toLong - 1L), 1L).as("p"))
+      .head().getInt(0)
+    assert(ok == Int.MaxValue)
+    // one past: raise_error, never a silent negative wrap
+    val ex = intercept[Throwable] {
+      s.range(1)
+        .select(Chunk.sliceStart(lit(Int.MaxValue.toLong), 1L).as("p"))
+        .head()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("overflows Int"), ex.toString)
+  }
+
   // ----------------------------------------------------------- Embeddings
 
   test("normalizeExploded yields unit vectors; zero vector unchanged") {
@@ -125,6 +142,31 @@ class TrainingSpec extends SparkSpec {
     assert(r === Seq(("x", 100L, 1L, 1000000L)))
   }
 
+  test("mixture sample: caller columns named grp survive; keep_thr " +
+    "input is rejected loudly") {
+    // a caller column literally named `grp` must not collide with the
+    // rate-table internals (they join under _graft_ prefixes)
+    val df = (1L to 300L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", 10L, "callers_grp"))
+      .toDF("id", "source", "mass", "grp")
+    val out = Mixture.sample(df, col("source"), col("id"), col("mass"),
+      Seq("a" -> 1L, "b" -> 1L))
+    assert(out.columns.toSeq ===
+      Seq("id", "source", "mass", "grp", "keep_thr"))
+    assert(out.select("grp").distinct().as[String].collect.toSeq ===
+      Seq("callers_grp"))
+    // equal targets, equal mass -> both groups bind -> everything kept
+    assert(out.count() === 300L)
+    assert(out.select("keep_thr").distinct().as[Long].head === 1000000L)
+    // keep_thr is the operator's audit OUTPUT: an input carrying one
+    // fails loudly instead of being silently shadowed
+    val ex = intercept[IllegalArgumentException] {
+      Mixture.sample(df.withColumnRenamed("grp", "keep_thr"),
+        col("source"), col("id"), col("mass"), Seq("a" -> 1L))
+    }
+    assert(ex.getMessage.contains("keep_thr"))
+  }
+
   // ---------------------------------------------------------------- Graph
 
   test("degrees counts both directions with zero-fill") {
@@ -149,5 +191,31 @@ class TrainingSpec extends SparkSpec {
       .as[(Long, Double)].collect.toMap
     assert(math.abs(pr.values.sum - 1.0) < 1e-9)
     assert(pr(2L) > pr(1L))
+  }
+
+  test("pagerank: tol stops iteration early once ranks settle") {
+    // a 3-cycle is AT the fixpoint from round 0 (uniform in, uniform
+    // out) — with tol set it must stop after the first probe, not run
+    // the full budget
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    var rounds = 0
+    var lastDelta = Double.MaxValue
+    val pr = Graph.pagerank(e, "src", "dst", iters = 50, tol = 1e-12,
+      onRound = Some((i, d) => { rounds = i + 1; lastDelta = d }))
+      .as[(Long, Double)].collect.toMap
+    assert(rounds === 1)
+    assert(lastDelta < 1e-12)
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+    // a chain takes several rounds to settle but still stops early,
+    // at the same answer as the full fixed budget
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    var chainRounds = 0
+    val early = Graph.pagerank(chain, "src", "dst", iters = 100,
+      tol = 1e-10, onRound = Some((i, _) => chainRounds = i + 1))
+      .as[(Long, Double)].collect.toMap
+    val full = Graph.pagerank(chain, "src", "dst", iters = 100)
+      .as[(Long, Double)].collect.toMap
+    assert(chainRounds < 100)
+    early.foreach { case (n, r) => assert(math.abs(r - full(n)) < 1e-8) }
   }
 }
