@@ -71,4 +71,67 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("dq_profile")
     assert(!p.contains("Expand"), p)
   }
+
+  test("search_index bounds postings state: partial + final WindowGroupLimit") {
+    // the rank-≤-cap filter before collect_list must plan as a
+    // WindowGroupLimit on BOTH the map and reduce side — per-task
+    // window state O(cap), never a stopword's full postings list
+    val p = plan("search_index")
+    assert(count(p, "WindowGroupLimit") == 2, p)
+  }
+
+  test("search_bm25 never shuffles the corpus; stats come back broadcast") {
+    // per-term tf is a narrow projection; the one-row stats row joins
+    // back via BroadcastExchange (the cross join against one row plans
+    // as BroadcastNestedLoopJoin — that is the broadcast, not a blowup)
+    val p = plan("search_bm25")
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(count(p, "BroadcastExchange") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("knn_graph_lsh: id-only bucket join, top-k WindowGroupLimit-capped") {
+    val p = plan("knn_graph_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "WindowGroupLimit") >= 1, p)
+  }
+
+  test("mixture_sample broadcasts the rate table; only tiny aggs shuffle") {
+    val p = plan("mixture_sample")
+    // the two hash exchanges are the per-group mass aggregations
+    // (group-count-sized); the corpus itself is filtered at scan speed
+    // behind a broadcast of the rate table
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    assert(count(p, "BroadcastExchange") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q24 pivot declares its values — no hidden distinct job at plan time") {
+    val sc = spark.sparkContext
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        sites.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("")); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      // building the DataFrame AND its physical plan must not collect
+      // pivot values — a values-less pivot runs distinct().collect()
+      // right here. Parquet schema inference legitimately submits
+      // "parquet at …" jobs, so the assert keys on the call site.
+      SparkEntry.queries("q24_pivot")(spark, sf)
+        .queryExecution.executedPlan
+      Thread.sleep(1000) // job-start events post asynchronously
+      val offenders = sites.toArray.map(_.toString)
+        .filter(s => s.contains("pivot") || s.contains("collect") ||
+          s.contains("distinct"))
+      assert(offenders.isEmpty,
+        s"hidden pivot-value job(s) at: ${offenders.mkString(", ")}")
+    } finally sc.removeSparkListener(listener)
+  }
 }
