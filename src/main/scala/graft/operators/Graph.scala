@@ -23,17 +23,24 @@ object Graph {
 
   /** Per-node degrees of a directed edge list. Output: (node,
     * out_degree, in_degree) — one row per node appearing in any edge,
-    * 0 for the missing direction. */
-  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val out = edges.groupBy(col(srcCol).as("node"))
-      .agg(count(lit(1)).as("out_degree"))
-    val in = edges.groupBy(col(dstCol).as("node"))
-      .agg(count(lit(1)).as("in_degree"))
-    out.join(in, Seq("node"), "full_outer")
-      .select(col("node"),
-        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
-        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
-  }
+    * 0 for the missing direction. Src and dst must share a type.
+    *
+    * Single-pass shape: each edge explodes into two (node, out, in)
+    * contribution rows folded by ONE map-side-combined aggregation —
+    * the edge relation is scanned once. The alternative (separate
+    * out/in groupBys + full-outer join) evaluates the whole upstream
+    * edge pipeline TWICE and adds a join shuffle, which against a
+    * computed edge list (e.g. the kNN-LSH graph) doubles the most
+    * expensive stage of the query. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(explode(array(
+        struct(col(srcCol).as("node"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(col(dstCol).as("node"), lit(0L).as("o"), lit(1L).as("i"))))
+        .as("_e"))
+      .select(col("_e.node").as("node"), col("_e.o").as("_o"),
+        col("_e.i").as("_i"))
+      .groupBy(col("node"))
+      .agg(sum(col("_o")).as("out_degree"), sum(col("_i")).as("in_degree"))
 
   /** PageRank with damping `d` over a directed edge list: rank =
     * (1−d)/N + d·(Σ in-neighbor rank/out-degree + dangling mass/N),

@@ -106,6 +106,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("graph_degrees evaluates the edge pipeline once (single-pass agg)") {
+    // degrees folds each edge into two contribution rows and
+    // aggregates once — the upstream kNN-LSH pipeline must appear a
+    // single time, not once per degree direction (its own plan reads
+    // 6 parquet scans; a two-branch degrees would read 12)
+    val p = plan("graph_degrees")
+    val edgeScans = count(plan("knn_graph_lsh"), "FileScan parquet")
+    assert(count(p, "FileScan parquet") == edgeScans, p)
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(
