@@ -20,8 +20,8 @@ object Bench {
         // bench passes that accumulation starves the storage pool
         try {
           val df = fn(spark, sfDir)
-          df.count()
-          graft.operators.Dedup.release(df)
+          try df.count()
+          finally graft.operators.Dedup.release(df)
         } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
