@@ -62,6 +62,13 @@ object CurationQueries {
   def piiScan(s: SparkSession, dir: String): DataFrame =
     Pii.scan(docs(s, dir), "doc_id", "text")
 
+  /** pii_redact — the redaction transform itself ([[Pii.redacted]]):
+    * every match replaced by its `[KIND]` tag, with the original-text
+    * match total for audit. Same narrow scan-speed projection as
+    * pii_scan; the redacted corpus is what actually ships to a model. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Pii.redacted(docs(s, dir), "doc_id", "text")
+
   /** sample_weighted — length-weighted deterministic Bernoulli. */
   def sampleWeighted(s: SparkSession, dir: String): DataFrame =
     Sampling.weightedBernoulli(
@@ -160,6 +167,7 @@ object CurationQueries {
     "text_gopher_filter" -> textGopherFilter,
     "text_top_global" -> textTopGlobal,
     "pii_scan" -> piiScan,
+    "pii_redact" -> piiRedact,
     "sample_weighted" -> sampleWeighted,
     "pack_sequences" -> packSequences,
     "q23_cube" -> q23Cube)
@@ -460,6 +468,15 @@ object CurationQueries {
       SELECT doc_id,
         $piiCounts,
         $piiTotal AS n_pii_total
+      FROM documents""",
+    "pii_redact" -> s"""
+      SELECT doc_id,
+        ${Pii.patterns.map { case (_, re) =>
+          s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
+        }.mkString(" + ")} AS n_pii_total,
+        ${Pii.patterns.foldLeft("text") { case (expr, (kind, re)) =>
+          s"regexp_replace($expr, '$re', '[${kind.toUpperCase}]', 'g')"
+        }} AS redacted
       FROM documents""",
     "sample_weighted" -> s"""
       SELECT doc_id, n_chars, source FROM documents
