@@ -63,9 +63,35 @@ object DedupQueries {
     Dedup.dropNearDuplicates(docs(s, dir), "doc_id", "text", 0.5)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** dedup_keep_best — quality-aware canonical selection (round 6):
+    * per near-dup cluster keep the HIGHEST-quality document (ties →
+    * min doc_id) instead of [[dedupDropdups]]' min-id keeper — the
+    * curation rule that keeps the cleanest copy of syndicated
+    * boilerplate. Docs in no pair are their own singleton cluster and
+    * keep themselves. One extra node-sized join + WindowGroupLimit
+    * rank over [[dedupClusters]]' labels — the cluster step dominates;
+    * selection is marginal. Output: (doc_id, component,
+    * quality_score) of the keepers. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val comp = dedupClusters(s, dir)
+      .withColumnRenamed("node", "doc_id")
+    val quality = graft.operators.TextOps
+      .qualityScore(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val withComp = quality.join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    withComp.withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("component"), col("quality_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_dropdups" -> dedupDropdups,
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -206,6 +232,26 @@ object DedupQueries {
         UNION
         SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
       SELECT node, MIN(r) AS component FROM reach GROUP BY node""",
+    "dedup_keep_best" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+      q AS (SELECT doc_id, quality_score
+            FROM (${TextQueries.oracleSql("text_quality_score")}) tq)
+      SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component,
+        q.quality_score
+      FROM q LEFT JOIN comp c ON q.doc_id = c.node
+      QUALIFY row_number() OVER (
+        PARTITION BY COALESCE(c.component, q.doc_id)
+        ORDER BY q.quality_score DESC, q.doc_id ASC) = 1""",
     "dedup_embedding" -> """
       WITH v AS (
         SELECT vec_id,

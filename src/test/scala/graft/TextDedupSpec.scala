@@ -261,4 +261,29 @@ class TextDedupSpec extends SparkSpec {
     val out = TextQueries.textFingerprint(spark, sf)
     assert(out.filter(col("n_fingerprints") <= 0).count() == 0)
   }
+
+  test("dedup_keep_best keeps exactly one highest-quality doc per cluster") {
+    val out = DedupQueries.dedupKeepBest(spark, sf)
+    val comp = DedupQueries.dedupClusters(spark, sf)
+      .withColumnRenamed("node", "doc_id")
+    val quality = graft.operators.TextOps
+      .qualityScore(Tables(spark, sf, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    // one keeper per component, nothing dropped twice
+    assert(out.groupBy("component").count()
+      .filter(col("count") > 1).count() == 0)
+    // the keeper carries its cluster's maximum quality score
+    val maxPer = comp.join(quality, "doc_id")
+      .groupBy("component").agg(max("quality_score").as("mx"))
+    assert(out.join(maxPer, Seq("component"))
+      .filter(col("quality_score") < col("mx")).count() == 0)
+    // cardinality: every doc survives as keeper or is represented by one
+    // (docs - clustered + clusters, singletons keeping themselves)
+    val nDocs = Tables(spark, sf, "documents").count()
+    val nClustered = comp.count()
+    val nClusters = comp.select("component").distinct().count()
+    assert(out.count() == nDocs - nClustered + nClusters)
+    graft.operators.Dedup.release(out)
+    graft.operators.Dedup.release(comp)
+  }
 }
