@@ -19,10 +19,11 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // free localCheckpoint blocks (components/pagerank results)
-        // once consumed — see Dedup.release
-        graft.operators.Dedup.release(df)
+        // once consumed — even when the write throws, so one failing
+        // query can't pin storage for the rest of the dump run
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally graft.operators.Dedup.release(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Similarity-graph analytics (round-4, §2d) — once a kNN/near-dup
   * graph exists ([[Similarity.knnGraph]], [[Dedup]] pair lists), the
@@ -21,9 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Widest integral type of the two id columns, so e.g. int-src /
+    * long-dst edge lists (routine after a join against a differently
+    * typed dimension) widen instead of failing `array(struct,struct)`
+    * type unification. Non-integral mismatches stay a loud error. */
+  private def commonIdType(edges: DataFrame, srcCol: String,
+      dstCol: String): Option[DataType] = {
+    val order = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val Seq(s, d) = Seq(srcCol, dstCol).map(c =>
+      edges.schema(edges.schema.fieldIndex(c)).dataType)
+    if (s == d) None
+    else {
+      require(order.contains(s) && order.contains(d),
+        s"degrees: src/dst types differ ($s vs $d) and are not both " +
+          "integral — cast them to a common type first")
+      Some(order(math.max(order.indexOf(s), order.indexOf(d))))
+    }
+  }
+
   /** Per-node degrees of a directed edge list. Output: (node,
     * out_degree, in_degree) — one row per node appearing in any edge,
-    * 0 for the missing direction. Src and dst must share a type.
+    * 0 for the missing direction. Src and dst of different integral
+    * widths are widened to the larger; other type mismatches fail
+    * with a clear message.
     *
     * Single-pass shape: each edge explodes into two (node, out, in)
     * contribution rows folded by ONE map-side-combined aggregation —
@@ -32,15 +53,20 @@ object Graph {
     * edge pipeline TWICE and adds a join shuffle, which against a
     * computed edge list (e.g. the kNN-LSH graph) doubles the most
     * expensive stage of the query. */
-  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (src, dst) = commonIdType(edges, srcCol, dstCol) match {
+      case Some(t) => (col(srcCol).cast(t), col(dstCol).cast(t))
+      case None    => (col(srcCol), col(dstCol))
+    }
     edges.select(explode(array(
-        struct(col(srcCol).as("node"), lit(1L).as("o"), lit(0L).as("i")),
-        struct(col(dstCol).as("node"), lit(0L).as("o"), lit(1L).as("i"))))
+        struct(src.as("node"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(dst.as("node"), lit(0L).as("o"), lit(1L).as("i"))))
         .as("_e"))
       .select(col("_e.node").as("node"), col("_e.o").as("_o"),
         col("_e.i").as("_i"))
       .groupBy(col("node"))
       .agg(sum(col("_o")).as("out_degree"), sum(col("_i")).as("in_degree"))
+  }
 
   /** PageRank with damping `d` over a directed edge list: rank =
     * (1−d)/N + d·(Σ in-neighbor rank/out-degree + dangling mass/N),

@@ -68,6 +68,10 @@ object Mixture {
       massCol: Column, targets: Seq[(String, Long)]): DataFrame = {
     require(!df.columns.contains("keep_thr"),
       "input already has a keep_thr column — keep_thr is Mixture.sample's audit output; rename it first")
+    Seq("_graft_grp", "_graft_thr").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column $c collides with Mixture.sample's internal join names; rename it first")
+    }
     val r = rates(df, groupCol, massCol, targets)
       .select(col("grp").as("_graft_grp"), col("keep_thr").as("_graft_thr"))
     df.join(broadcast(r), groupCol === col("_graft_grp"))

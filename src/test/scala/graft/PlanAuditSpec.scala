@@ -136,7 +136,9 @@ class PlanAuditSpec extends SparkSpec {
       // "parquet at …" jobs, so the assert keys on the call site.
       SparkEntry.queries("q24_pivot")(spark, sf)
         .queryExecution.executedPlan
-      Thread.sleep(1000) // job-start events post asynchronously
+      // job-start events post asynchronously — drain the bus
+      // deterministically instead of sleeping and hoping
+      org.apache.spark.GraftSparkAccess.waitUntilListenerBusEmpty(sc, 30000)
       val offenders = sites.toArray.map(_.toString)
         .filter(s => s.contains("pivot") || s.contains("collect") ||
           s.contains("distinct"))

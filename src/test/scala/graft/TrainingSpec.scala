@@ -165,6 +165,14 @@ class TrainingSpec extends SparkSpec {
         col("source"), col("id"), col("mass"), Seq("a" -> 1L))
     }
     assert(ex.getMessage.contains("keep_thr"))
+    // the _graft_ internal join names are likewise reserved: colliding
+    // input fails with the clear require message, not a join-time
+    // AnalysisException (or a silently dropped caller column)
+    val ex2 = intercept[IllegalArgumentException] {
+      Mixture.sample(df.withColumnRenamed("grp", "_graft_grp"),
+        col("source"), col("id"), col("mass"), Seq("a" -> 1L))
+    }
+    assert(ex2.getMessage.contains("_graft_grp"))
   }
 
   // ---------------------------------------------------------------- Graph
@@ -174,6 +182,21 @@ class TrainingSpec extends SparkSpec {
     val d = Graph.degrees(e, "src", "dst")
       .orderBy("node").as[(Long, Long, Long)].collect.toSeq
     assert(d === Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  test("degrees widens mixed integral id widths; other mismatches loud") {
+    // int src vs long dst — routine after joining against a
+    // differently-typed dimension; must widen, not fail array(struct)
+    // type unification
+    val e = Seq((1, 2L), (1, 3L), (2, 3L)).toDF("src", "dst")
+    val d = Graph.degrees(e, "src", "dst")
+      .orderBy("node").as[(Long, Long, Long)].collect.toSeq
+    assert(d === Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+    val bad = Seq(("a", 2L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.degrees(bad, "src", "dst")
+    }
+    assert(ex.getMessage.contains("integral"))
   }
 
   test("pagerank: 3-cycle fixpoint is uniform, mass conserved") {
