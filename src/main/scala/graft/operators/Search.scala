@@ -71,9 +71,86 @@ object Search {
   val K1 = 1.2
   val B = 0.75
 
+  /** TF-IDF cosine retrieval (round-7): top-k docs for a literal query
+    * under the vector-space model with smoothed idf
+    * (`ln((N+1)/(df+1)) + 1`, sklearn's form — strictly positive, so
+    * corpus-wide terms still contribute). Doc weight = tf·idf, query
+    * weight = idf (query tf is 1 per distinct term), score = cosine
+    * between the two, ROUNDED to 6 dp before ranking so rank
+    * boundaries are deterministic across engines. Output:
+    * (doc_id, score, rank).
+    *
+    * Two branches, like [[invertedIndex]]:
+    *  - the match side never explodes: per-term tf is a codegen'd
+    *    `size(filter(tokens, …))` projection per literal query term,
+    *    corpus statistics (N, per-term df) aggregate to ONE broadcast
+    *    row, and the query-side dot product / norm are FIXED-ORDER
+    *    expression sums over the literal terms;
+    *  - the doc L2 norm is the one inherently corpus-vocabulary-wide
+    *    quantity: (term, doc, tf) explode → per-term df (one shuffle
+    *    on term, map-side combined, co-partitioned with the tf
+    *    relation it joins) → per-doc Σ(tf·idf)² (one shuffle on doc).
+    * Docs matching no query term are filtered BEFORE the norm join,
+    * so AQE sees a query-selectivity-sized build side at 100 TB. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms,
+      "queryTerms must be distinct (query tf is 1 per term)")
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("w"))
+    // terms bound as literals via the typed lambda API (never SQL text)
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) {
+      case (df, (t, i)) =>
+        df.withColumn(s"tf_$i",
+          size(filter(col("w"), x => x === lit(t))).cast("double"))
+    }
+    val statAggs = count(lit(1)).cast("double").as("n_docs") +:
+      queryTerms.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).cast("double").as(s"df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    // doc-norm branch: Σ over the doc's FULL vocabulary of (tf·idf)²
+    def tf = base
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val norms = tf.join(dfPerTerm, Seq("term"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .withColumn("_wt", col("tf").cast("double") *
+        (log((col("n_docs") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))) + lit(1.0)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_wt") * col("_wt")).as("_norm2"))
+    def idf(i: Int) =
+      log((col("n_docs") + lit(1.0)) / (col(s"df_$i") + lit(1.0))) +
+        lit(1.0)
+    // fixed-order sums over the literal terms — never a data-order
+    // float reduction
+    val dot = queryTerms.indices
+      .map(i => col(s"tf_$i") * idf(i) * idf(i)).reduceLeft(_ + _)
+    val qnorm2 = queryTerms.indices
+      .map(i => idf(i) * idf(i)).reduceLeft(_ + _)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), dot.as("_dot"), qnorm2.as("_qn2"))
+      .filter(col("_dot") > 0.0)
+      .join(norms, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(col("_dot") / (sqrt(col("_norm2")) * sqrt(col("_qn2"))), 6)
+          .as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+  }
+
   /** Top-k docs for a literal query term set under BM25 (idf form
     * ln(1 + (N - df + 0.5)/(df + 0.5)), non-negative). Output:
-    * (doc_id, score, rank). */
+    * (doc_id, score, rank). The score is ROUNDED to 6 dp before
+    * ranking: every per-doc term contribution is a fixed-order
+    * expression sum, but `avgdl` is a corpus-order float average, so
+    * raw scores can drift an ulp across engines/partitionings —
+    * rounding pins both the value and the rank boundary. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
@@ -106,7 +183,7 @@ object Search {
         (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
     }.reduceLeft(_ + _)
     val scored = withTf.crossJoin(broadcast(stats))
-      .select(col("doc_id"), score.as("score"))
+      .select(col("doc_id"), round(score, 6).as("score"))
       .filter(col("score") > 0.0)
     val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
     // rank re-derived on the k survivors (tiny single partition)

@@ -202,8 +202,10 @@ object Similarity {
     * collection anywhere, so `isQuery` may select arbitrarily many
     * queries; the candidate join is left to AQE to broadcast or
     * shuffle by its runtime size. */
-  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
-      isQuery: Column, k: Int, cells: Int, nProbes: Int): DataFrame = {
+  /** Seeded KMeans coarse quantizer shared by [[ivfTopK]] and
+    * [[semDedup]]: (vec_id, e, nn, cell) plus the centroid table. */
+  private def kmeansCells(embs: DataFrame, idCol: String, vecCol: String,
+      cells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val s = embs.sparkSession
@@ -219,6 +221,12 @@ object Similarity {
     val centersDf = model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, ci) => (ci, c.toArray.toSeq) }.toDF("cell", "ce")
       .withColumn("cnn", expr("vec_dot(ce, ce)"))
+    (assigned, centersDf)
+  }
+
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, cells: Int, nProbes: Int): DataFrame = {
+    val (assigned, centersDf) = kmeansCells(embs, idCol, vecCol, cells)
     val qside = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nn").as("qnn"))
@@ -240,5 +248,46 @@ object Similarity {
       .dropDuplicates("query_id", "cand_id")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** SemDeDup (cluster-scoped SEMANTIC dedup, after Abbas et al. 2023,
+    * arXiv:2303.09540): KMeans-partition the embedding space with the
+    * same seeded coarse quantizer as [[ivfTopK]], find cosine-≥-τ
+    * pairs WITHIN each cluster only, connect them into components
+    * ([[Dedup.components]] — reused), and keep one representative
+    * (min id) per component. Output: (vec_id, cell, keep 0/1) for
+    * EVERY vector — callers filter `keep = 1` for the deduped corpus,
+    * or audit what was dropped and from which cluster.
+    *
+    * Scale: the cluster scope bounds the quadratic term to Σ_c |c|² —
+    * the SemDeDup design point (clusters are the "cheap" global
+    * structure; exact similarity runs only inside them). The pair join
+    * carries ids + vectors per cell; an oversized cell is the same
+    * skew hazard as any bucket join here and takes the same remedies
+    * (more cells, or [[Skew.capBuckets]] on the cell key). KMeans
+    * seeding makes the decision deterministic per (corpus, cells, τ);
+    * it is NOT SQL-replayable, so this operator is ScalaTest-verified
+    * (rows-only in the driver gate). */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      tau: Double, cells: Int): DataFrame = {
+    val (assigned, _) = kmeansCells(embs, idCol, vecCol, cells)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine("a", "b") >= tau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+    // losers = every non-representative node; tiny, checkpointed so the
+    // component iteration's blocks can be released eagerly
+    val losers = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as("vec_id"))
+      .withColumn("_drop", lit(1))
+      .localCheckpoint(true)
+    Dedup.release(comp)
+    assigned.select(col("vec_id"), col("cell"))
+      .join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("_drop").isNull, 1).otherwise(0).as("keep"))
   }
 }

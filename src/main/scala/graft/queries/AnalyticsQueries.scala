@@ -116,7 +116,28 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** q29_gapfill — [[graft.operators.Timeseries.gapFillLocf]] over the
+    * hourly event aggregate: dense per-type hour grid, gap hours
+    * flagged, value carried forward. Counts and value sums stay exact
+    * integers through the fill; the only double is the final
+    * avg-per-event division, identical arithmetic on both engines. */
+  def q29Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hour_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(Core.cents(col("value"))).as("value_cents"))
+    graft.operators.Timeseries
+      .gapFillLocf(hourly, "event_type", "hour_id",
+        Seq("n_obs", "value_cents"))
+      .select(col("event_type"), col("hour_id"), col("is_gap"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        (col("value_cents_filled").cast("double") /
+          (lit(100.0) * col("n_obs_filled"))).as("value_filled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_gapfill" -> q29Gapfill,
     "q24_pivot" -> q24Pivot,
     "q25_setops" -> q25SetOps,
     "q26_funnel" -> q26Funnel,
@@ -124,6 +145,32 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q29_gapfill" -> """
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
+          CAST(COUNT(*) AS BIGINT) AS n_obs,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS value_cents
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(hour_id) AS b0, MAX(hour_id) AS b1
+        FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(generate_series(b0, b1)) AS hour_id
+        FROM span),
+      filled AS (
+        SELECT g.event_type, g.hour_id,
+          CASE WHEN h.n_obs IS NULL THEN 1 ELSE 0 END AS is_gap,
+          COALESCE(h.n_obs, 0) AS n_events,
+          last_value(h.value_cents IGNORE NULLS) OVER w AS fc,
+          last_value(h.n_obs IGNORE NULLS) OVER w AS fn
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour_id)
+        WINDOW w AS (PARTITION BY g.event_type ORDER BY g.hour_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, hour_id, is_gap,
+        CAST(n_events AS BIGINT) AS n_events,
+        CAST(fc AS DOUBLE) / (100.0 * fn) AS value_filled
+      FROM filled""",
     "q24_pivot" -> """
       SELECT c.c_mktsegment AS segment,
         CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)

@@ -232,7 +232,31 @@ object QualityQueries {
   def dqProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.profile(Tables(s, dir, "orders"), profileCols)
 
+  /** dq_drift — [[graft.operators.Drift.psiReport]] on `orders` split
+    * at the midpoint order instant: PSI per monitored feature between
+    * the older half (reference) and the newer half (current) — the
+    * population-level check the per-row rules above can't express.
+    * Price buckets are exact integer arithmetic on cents; the split
+    * instant is an exact integer midpoint — both engines agree on
+    * every bucket assignment. */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      // o_orderdate reads as TIMESTAMP_NTZ; the cast is wall-clock
+      // identity under the UTC session, matching DuckDB's epoch_us
+      .withColumn("order_us",
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .withColumn("price_cents", Core.cents(col("o_totalprice")))
+    val mid = o.agg(expr("(min(order_us) + max(order_us)) div 2")
+      .as("_mid"))
+    graft.operators.Drift.psiReport(
+      o.crossJoin(broadcast(mid)),
+      isRef = col("order_us") <= col("_mid"),
+      numeric = Seq(("price_cents", 10)),
+      categorical = Seq("o_orderpriority", "o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_drift" -> dqDrift,
     "dq_profile" -> dqProfile,
     "dq_completeness" -> dqCompleteness,
     "dq_validity_format" -> dqValidityFormat,
@@ -242,6 +266,65 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_drift" -> """
+      WITH o AS (
+        SELECT epoch_us(o_orderdate) AS order_us,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+          o_orderpriority, o_orderstatus
+        FROM orders),
+      mid AS (
+        SELECT (MIN(order_us) + MAX(order_us)) // 2 AS m FROM o),
+      flagged AS (
+        SELECT o.*, (order_us <= m) AS is_ref FROM o CROSS JOIN mid),
+      edges AS (
+        SELECT MIN(price_cents) AS mn, MAX(price_cents) AS mx
+        FROM flagged WHERE is_ref),
+      buck AS (
+        SELECT 'price_cents' AS feature,
+          CAST(GREATEST(LEAST(
+            ((price_cents - mn) * 10) // (mx - mn + 1), 9), 0)
+            AS VARCHAR) AS bucket,
+          is_ref
+        FROM flagged CROSS JOIN edges
+        UNION ALL
+        SELECT 'o_orderpriority', COALESCE(o_orderpriority, '__null__'),
+          is_ref FROM flagged
+        UNION ALL
+        SELECT 'o_orderstatus', COALESCE(o_orderstatus, '__null__'),
+          is_ref FROM flagged),
+      counts AS (
+        SELECT feature, bucket,
+          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+            AS ref_cnt,
+          CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+            AS cur_cnt
+        FROM buck GROUP BY 1, 2),
+      tot AS (
+        SELECT feature, ref_cnt, cur_cnt,
+          CAST(SUM(ref_cnt) OVER (PARTITION BY feature) AS BIGINT)
+            AS n_ref,
+          CAST(SUM(cur_cnt) OVER (PARTITION BY feature) AS BIGINT)
+            AS n_cur
+        FROM counts),
+      contrib AS (
+        SELECT feature, n_ref, n_cur,
+          (GREATEST(CAST(ref_cnt AS DOUBLE) / CAST(n_ref AS DOUBLE), 1e-6)
+           - GREATEST(CAST(cur_cnt AS DOUBLE) / CAST(n_cur AS DOUBLE), 1e-6))
+          * ln(
+            GREATEST(CAST(ref_cnt AS DOUBLE) / CAST(n_ref AS DOUBLE), 1e-6)
+            / GREATEST(CAST(cur_cnt AS DOUBLE) / CAST(n_cur AS DOUBLE), 1e-6))
+            AS c
+        FROM tot),
+      psi AS (
+        SELECT feature, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+          CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          round(SUM(c), 6) AS psi
+        FROM contrib GROUP BY 1)
+      SELECT feature, n_ref, n_cur, n_buckets, psi,
+        CASE WHEN psi < 0.1 THEN 'stable'
+             WHEN psi < 0.25 THEN 'moderate'
+             ELSE 'shifted' END AS drift_band
+      FROM psi""",
     "dq_profile" -> profileCols.map(c => s"""
         SELECT '$c' AS column_name,
           COUNT(*) AS n_rows,

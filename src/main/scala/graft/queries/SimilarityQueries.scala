@@ -74,7 +74,20 @@ object SimilarityQueries {
       k = GraphK, bands = GraphBands, bandBits = GraphBandBits,
       dims = Dims, planeOffset = GraphPlaneOffset)
 
+  /** SemDeDup parameters: the IVF cell count doubles as the cluster
+    * granularity; τ = 0.4 matches the embedding-dedup family. */
+  val SemCells = IvfCells
+  val SemTau = 0.4
+
+  /** semdedup (rows-only; KMeans is not SQL-replayable — ScalaTest
+    * verifies cluster-scoped agreement with brute force) —
+    * [[Similarity.semDedup]]: keep/drop decision per vector. */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
+      tau = SemTau, cells = SemCells)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semdedup" -> semDedup,
     "knn_graph" -> knnGraph,
     "knn_graph_lsh" -> knnGraphLsh,
     "ann_bruteforce_topk" -> annBruteforceTopk,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Search, TextOps}
+import graft.operators.{LmScore, Search, TextOps}
 
 /** Text analysis (SURVEY.md §2.7) — per-document feature extraction for
   * training-data curation. Every operator is a narrow projection (no
@@ -68,9 +68,21 @@ object TextQueries {
     Search.invertedIndex(docs(s, dir), "doc_id", "text",
       postingsCap = PostingsCap)
 
+  /** search_tfidf — [[Search.tfidfTopK]]: vector-space cosine ranking
+    * for the same query terms as BM25 (round-7). */
+  def searchTfidf(s: SparkSession, dir: String): DataFrame =
+    Search.tfidfTopK(docs(s, dir), "doc_id", "text", Bm25Terms, Bm25K)
+
+  /** lm_score — [[LmScore.bigramScore]]: corpus-trained bigram-LM
+    * mean log-probability per doc (round-7). */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    LmScore.bigramScore(docs(s, dir), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> searchBm25,
     "search_index" -> searchIndex,
+    "search_tfidf" -> searchTfidf,
+    "lm_score" -> lmScore,
     "text_top_terms" -> textTopTerms,
     "text_stats" -> textStats,
     "text_quality_score" -> textQualityScore,
@@ -201,7 +213,83 @@ object TextQueries {
              * (1.0 - ${Search.B} + ${Search.B} * dl / avgdl)))"""
   }.mkString(" + ")
 
+  /** Index-aligned idf expressions of the TF-IDF oracle (smooth idf,
+    * same operation order as [[Search.tfidfTopK]]'s Column tree). */
+  private def tfidfIdf(i: Int): String =
+    s"(ln((n_docs + 1.0) / (df_$i + 1.0)) + 1.0)"
+  private val tfidfDot = Bm25Terms.indices.map { i =>
+    s"(tf_$i * ${tfidfIdf(i)} * ${tfidfIdf(i)})"
+  }.mkString(" + ")
+  private val tfidfQn2 = Bm25Terms.indices.map { i =>
+    s"(${tfidfIdf(i)} * ${tfidfIdf(i)})"
+  }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "search_tfidf" -> s"""
+      WITH d AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          $bm25TfCols
+        FROM d),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+          $bm25DfCols
+        FROM f),
+      toks AS (
+        SELECT doc_id, unnest(w) AS term FROM d),
+      tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2),
+      dfx AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      weights AS (
+        SELECT tf.doc_id, CAST(tf.tf AS DOUBLE)
+          * (ln((stats.n_docs + 1.0) / (CAST(dfx.df AS DOUBLE) + 1.0))
+             + 1.0) AS wt
+        FROM tf JOIN dfx USING (term) CROSS JOIN stats),
+      norms AS (
+        SELECT doc_id, SUM(wt * wt) AS norm2 FROM weights GROUP BY 1),
+      scored AS (
+        SELECT doc_id, $tfidfDot AS dot, $tfidfQn2 AS qn2
+        FROM f CROSS JOIN stats),
+      final AS (
+        SELECT s.doc_id,
+          round(s.dot / (sqrt(n.norm2) * sqrt(s.qn2)), 6) AS score
+        FROM scored s JOIN norms n USING (doc_id)
+        WHERE s.dot > 0.0),
+      ranked AS (
+        SELECT doc_id, score,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS rank
+        FROM final)
+      SELECT doc_id, score, rank FROM ranked WHERE rank <= $Bm25K""",
+    "lm_score" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      uni AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
+      voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+      cb AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM bg GROUP BY 1, 2),
+      scored AS (
+        SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          SUM(ln(CAST(cb.cb + 1 AS DOUBLE)
+            / CAST(uni.c1 + voc.v AS DOUBLE))) AS logp
+        FROM bg JOIN cb USING (w1, w2)
+        JOIN uni ON uni.t = bg.w1 CROSS JOIN voc
+        GROUP BY 1)
+      SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
+        CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        round(s.logp / s.n_bigrams, 6) AS avg_logp
+      FROM d LEFT JOIN scored s USING (doc_id)""",
     "search_bm25" -> s"""
       WITH d AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
@@ -215,7 +303,7 @@ object TextQueries {
           $bm25DfCols
         FROM f),
       scored AS (
-        SELECT doc_id, $bm25Score AS score
+        SELECT doc_id, round($bm25Score, 6) AS score
         FROM f, stats),
       ranked AS (
         SELECT doc_id, score,

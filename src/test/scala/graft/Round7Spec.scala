@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Drift, LmScore, Search, Similarity, Timeseries}
+
+/** Round-7 operators: gap fill + LOCF, TF-IDF retrieval, bigram-LM
+  * scoring, PSI drift, SemDeDup. */
+class Round7Spec extends SparkSpec {
+
+  private val s = spark
+  import s.implicits._
+
+  // ------------------------------------------------------- Timeseries
+
+  test("gapFillLocf: dense grid, gap flags, LOCF values") {
+    val obs = Seq(("a", 10L, 5L), ("a", 13L, 8L), ("b", 100L, 1L))
+      .toDF("series", "bucket", "v")
+    val out = Timeseries.gapFillLocf(obs, "series", "bucket", Seq("v"))
+      .orderBy("series", "bucket")
+      .select("series", "bucket", "is_gap", "v", "v_filled")
+      .as[(String, Long, Int, Option[Long], Long)].collect.toSeq
+    assert(out === Seq(
+      ("a", 10L, 0, Some(5L), 5L),
+      ("a", 11L, 1, None, 5L),
+      ("a", 12L, 1, None, 5L),
+      ("a", 13L, 0, Some(8L), 8L),
+      ("b", 100L, 0, Some(1L), 1L)))
+  }
+
+  test("gapFillLocf rejects colliding internal/output names") {
+    val obs = Seq(("a", 1L, 2L)).toDF("series", "bucket", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Timeseries.gapFillLocf(obs.withColumn("_graft_obs", lit(1)),
+        "series", "bucket", Seq("v"))
+    }
+    assert(e1.getMessage.contains("_graft_obs"))
+    val e2 = intercept[IllegalArgumentException] {
+      Timeseries.gapFillLocf(obs.withColumn("v_filled", lit(1)),
+        "series", "bucket", Seq("v"))
+    }
+    assert(e2.getMessage.contains("v_filled"))
+  }
+
+  // ----------------------------------------------------------- TF-IDF
+
+  test("tfidfTopK: rare-term match outranks common-only match") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "other words here")).toDF("doc_id", "text")
+    val out = Search.tfidfTopK(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 5)
+      .orderBy("rank").as[(Long, Double, Long)].collect.toSeq
+    assert(out.map(_._1) === Seq(1L, 2L)) // doc 3 matches nothing
+    // reference smooth-idf cosines (N=3; query tf = 1 per term)
+    val idfR = math.log(4.0 / 2.0) + 1.0 // df(rare) = 1
+    val idfC = math.log(4.0 / 3.0) + 1.0 // df(common) = 2
+    val qn = math.sqrt(idfR * idfR + idfC * idfC)
+    val exp1 = (idfR * idfR + 2.0 * idfC * idfC) /
+      (math.sqrt(idfR * idfR + (2.0 * idfC) * (2.0 * idfC)) * qn)
+    val exp2 = (3.0 * idfC * idfC) / ((3.0 * idfC) * qn)
+    assert(math.abs(out(0)._2 - exp1) < 1e-6)
+    assert(math.abs(out(1)._2 - exp2) < 1e-6)
+  }
+
+  test("tfidfTopK binds terms as literals (quotes are just tokens)") {
+    val docs = Seq((1L, "o'brien wrote this"), (2L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val out = Search.tfidfTopK(docs, "doc_id", "text",
+      Seq("o'brien"), k = 5).as[(Long, Double, Long)].collect.toSeq
+    assert(out.map(_._1) === Seq(1L))
+  }
+
+  // -------------------------------------------------------- bigram LM
+
+  test("bigramScore: exact add-one-smoothed values; short docs null") {
+    val docs = Seq((1L, "a b a b"), (2L, "c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = LmScore.bigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Option[Double])].collect.toSeq
+    // corpus: C(a)=3, C(b)=3, C(c)=1, V=3; C(a,b)=3, C(b,a)=1
+    // doc 1: [ln(4/6), ln(2/6), ln(4/6)] -> avg = -0.636514
+    assert(out(0) === ((1L, 4, 3L, Some(-0.636514))))
+    assert(out(1) === ((2L, 1, 0L, None)))
+    assert(out(2) === ((3L, 2, 1L, Some(-0.405465))))
+  }
+
+  test("bigramScore: corpus-typical text outscores shuffled text") {
+    val docs = Tables(spark, sf, "documents")
+    val out = LmScore.bigramScore(docs, "doc_id", "text")
+    // every multi-token doc scored, scores strictly negative
+    val n = out.filter(col("n_bigrams") > 0 &&
+      col("avg_logp").isNotNull && col("avg_logp") < 0.0).count()
+    assert(n === out.filter(col("n_bigrams") > 0).count())
+  }
+
+  // ------------------------------------------------------------- PSI
+
+  test("psiReport: identical distributions -> psi 0, stable") {
+    val df = (1L to 1000L)
+      .map(i => (i, i % 2 == 0, (i / 2) % 10, if (i % 3 == 0) "x" else "y"))
+      .toDF("id", "flag", "v", "c")
+    val out = Drift.psiReport(df, col("flag"),
+      numeric = Seq(("v", 5)), categorical = Seq("c"))
+      .orderBy("feature")
+      .as[(String, Long, Long, Long, Double, String)].collect.toSeq
+    // (i/2)%10 pairs even/odd ids onto the same value -> identical
+    // numeric distributions; c differs slightly between halves
+    val vRow = out.find(_._1 == "v").get
+    assert(vRow._2 === 500L && vRow._3 === 500L)
+    assert(vRow._5 === 0.0 && vRow._6 === "stable")
+  }
+
+  test("psiReport: gross shift clamps to edge bucket and flags") {
+    val ref = (1L to 500L).map(i => (i, true, i % 10))
+    val cur = (501L to 1000L).map(i => (i, false, 1000L + i % 10))
+    val df = (ref ++ cur).toDF("id", "flag", "v")
+    val out = Drift.psiReport(df, col("flag"),
+      numeric = Seq(("v", 10)), categorical = Nil)
+      .as[(String, Long, Long, Long, Double, String)].head()
+    // all current mass lands clamped in the top bucket
+    assert(out._5 > 0.25 && out._6 === "shifted")
+  }
+
+  test("psiReport: categorical nulls bucket as __null__") {
+    val df = Seq((1L, true, Some("x")), (2L, true, None),
+      (3L, false, Some("x")), (4L, false, None))
+      .toDF("id", "flag", "c")
+    val out = Drift.psiReport(df, col("flag"),
+      numeric = Nil, categorical = Seq("c"))
+      .as[(String, Long, Long, Long, Double, String)].head()
+    assert(out._4 === 2L) // x and __null__
+    assert(out._5 === 0.0) // same mix on both sides
+  }
+
+  // -------------------------------------------------------- SemDeDup
+
+  test("semDedup: identical vectors dedup to the min id") {
+    val e = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val o = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq((1L, e), (2L, e), (3L, o))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      tau = 0.9, cells = 2)
+      .orderBy("vec_id").as[(Long, Int, Int)].collect.toSeq
+    assert(out.map(r => r._1 -> r._3) ===
+      Seq(1L -> 1, 2L -> 0, 3L -> 1))
+  }
+
+  test("semDedup agrees with within-cell brute force on testdata") {
+    val embs = Tables(spark, sf, "embeddings")
+    val out = Similarity.semDedup(embs, "vec_id", "embedding",
+      tau = 0.4, cells = 8)
+    val cellsDf = out.select(col("vec_id"), col("cell"))
+    // brute-force: all ≥τ pairs, restricted to same-cell, components,
+    // losers = non-min members
+    val pairs = Similarity.embeddingPairs(embs, "vec_id", "embedding", 0.4)
+      .join(cellsDf.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("cell", "cell_a"), "id_a")
+      .join(cellsDf.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("cell", "cell_b"), "id_b")
+      .filter(col("cell_a") === col("cell_b"))
+      .select("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+    val expectedDropped = comp.filter(col("node") =!= col("component"))
+      .select(col("node")).as[Long].collect.toSet
+    Dedup.release(comp)
+    val dropped = out.filter(col("keep") === 0)
+      .select("vec_id").as[Long].collect.toSet
+    assert(dropped === expectedDropped)
+    assert(out.count() === embs.count())
+  }
+}
