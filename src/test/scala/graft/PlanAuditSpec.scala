@@ -116,6 +116,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "FileScan parquet") == edgeScans, p)
   }
 
+  test("q29 gapfill: grid join and LOCF stay equi-partitioned (no NLJ)") {
+    val p = plan("q29_gapfill")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the events scan feeds the hourly aggregate twice (span + join
+    // side) at most — a regression that re-derives the grid from raw
+    // events would show up as extra scans
+    assert(count(p, "FileScan parquet") <= 2, p)
+  }
+
+  test("search_tfidf: corpus stats come back broadcast, no cartesian") {
+    val p = plan("search_tfidf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the one-row stats relation is broadcast into BOTH consumers
+    // (norm weights + query-side scoring)
+    assert(count(p, "BroadcastExchange") >= 2, p)
+  }
+
+  test("lm_score: vocabulary scalar broadcast; gram joins hash, not NLJ") {
+    val p = plan("lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the broadcast one-row vocab size
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
+  test("dq_drift: scalar split/edge aggregates broadcast; tiny shuffles") {
+    val p = plan("dq_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastExchange") + count(p, "BroadcastNestedLoopJoin") >= 2, p)
+    // everything after the one counts aggregation runs on the
+    // feature×bucket-sized relation — no data-sized exchange beyond it
+    assert(count(p, "Exchange hashpartitioning") <= 4, p)
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(
