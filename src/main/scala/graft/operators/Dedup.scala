@@ -164,6 +164,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental (batch-vs-corpus) dedup — the daily-ingest shape
+    * (round-7): dedup an ARRIVING batch against an existing corpus and
+    * against itself, without any corpus-wide recompute. The corpus
+    * contributes only its content-hash set and its banded MinHash
+    * bucket keys — both one narrow scan + map-side-combined
+    * aggregation (in production, the persisted dedup index a corpus
+    * store maintains); nothing corpus-sized is ever re-clustered,
+    * re-paired, or shuffled against itself. Batch-sized work is the
+    * only quadratic-risk surface, and it runs under the same capped
+    * bucket joins as [[minhashLsh]].
+    *
+    * A batch row survives only if it passes ALL stages (stages are
+    * independent — no keeper re-election across them):
+    *  1. exact-vs-corpus: content hash present in the corpus → drop;
+    *  2. exact-within-batch: keep the min id per batch content hash;
+    *  3. near-vs-corpus: MinHash-LSH candidates ACROSS corpora only
+    *     ([[Decontaminate.nearDupReport]]), exact-Jaccard ≥ τ → drop;
+    *  4. near-within-batch: [[minhashLsh]] pairs → [[components]] →
+    *     drop every non-min member.
+    * Deterministic (md5 MinHash) and fully SQL-replayable — the
+    * driver's DuckDB oracle replays all four stages. Output: the
+    * surviving batch rows, original columns unchanged. */
+  def incrementalClean(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, tau: Double,
+      minhashK: Int = 16, bands: Int = 4,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    Seq("_graft_h", "_graft_rn").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"input column $c collides with incrementalClean internals; rename it first"))
+    def contentHash(df: DataFrame) = md5(normalized(col(textCol)))
+    val corpusHashes = corpus.select(contentHash(corpus).as("_graft_h"))
+      .distinct()
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_graft_h")).orderBy(col(idCol).asc)
+    val exactSurv = batch.withColumn("_graft_h", contentHash(batch))
+      .join(corpusHashes, Seq("_graft_h"), "left_anti")
+      .withColumn("_graft_rn", row_number().over(byHash))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_h", "_graft_rn")
+    val crossLosers = Decontaminate
+      .nearDupReport(exactSurv, corpus, idCol, textCol, tau,
+        minhashK, bands, maxBucket)
+      .select(col("train_id").as(idCol)).distinct()
+    val comp = components(
+      minhashLsh(exactSurv, idCol, textCol, tau, minhashK, bands,
+        maxBucket), "id_a", "id_b")
+    val selfLosers = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+      .localCheckpoint(true)
+    release(comp)
+    exactSurv
+      .join(crossLosers, Seq(idCol), "left_anti")
+      .join(selfLosers, Seq(idCol), "left_anti")
+  }
+
   /** The cached block sets backing a `localCheckpoint`ed DataFrame (the
     * `LogicalRDD` leaves survive projections and joins). */
   private def checkpointRdds(df: DataFrame): Seq[RDD[_]] =

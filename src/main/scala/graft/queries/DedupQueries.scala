@@ -88,7 +88,21 @@ object DedupQueries {
       .select(col("doc_id"), col("component"), col("quality_score"))
   }
 
+  /** dedup_incremental — [[Dedup.incrementalClean]] (round-7): the
+    * daily-ingest shape. Corpus = docs with id % 5 ≠ 0, batch = the
+    * rest; a batch doc survives only if it is exact- AND near-unique
+    * vs the corpus and within the batch. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.incrementalClean(
+      d.filter(col("doc_id") % 5 =!= 0),
+      d.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", 0.5, MinhashK, Bands)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> dedupIncremental,
     "dedup_dropdups" -> dedupDropdups,
     "dedup_clusters" -> dedupClusters,
     "dedup_keep_best" -> dedupKeepBest,
@@ -182,7 +196,112 @@ object DedupQueries {
           AND a.doc_id < b.doc_id)
       SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6"""
 
+  /** Shingle → md5-MinHash signature → capped band-bucket CTE chain
+    * over source CTE `src` (exposing doc_id, text), names suffixed
+    * `_$tag` — the per-side building block of the incremental oracle
+    * (engine caps each corpus side's buckets independently). */
+  private def mhSideCtes(src: String, tag: String): String = {
+    val sigCols = (0 until MinhashK).map(k =>
+      s"MIN(substr(md5('$k:' || s), 1, 16)) AS h$k").mkString(",\n          ")
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until MinhashK / Bands)
+        .map(r => s"h${b * (MinhashK / Bands) + r}").mkString(" || ")
+      s"md5($rows) AS band$b"
+    }.mkString(",\n          ")
+    val unions = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, band$b AS bh FROM banded_$tag")
+      .mkString("\n        UNION ALL\n        ")
+    s"""
+      words_$tag AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM $src),
+      sh_$tag AS (
+        SELECT DISTINCT doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM words_$tag, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 3),
+      sizes_$tag AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh_$tag GROUP BY doc_id),
+      sig_$tag AS (
+        SELECT doc_id,
+          $sigCols
+        FROM sh_$tag GROUP BY doc_id),
+      banded_$tag AS (
+        SELECT doc_id,
+          $bandCols
+        FROM sig_$tag),
+      exploded_$tag AS (
+        $unions),
+      cap_$tag AS (
+        SELECT * FROM exploded_$tag
+        QUALIFY COUNT(*) OVER (PARTITION BY band, bh)
+          <= ${Dedup.DefaultMaxBucket})"""
+  }
+
+  private val incrementalOracle: String = s"""
+      WITH RECURSIVE
+      corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      bh0 AS (
+        SELECT doc_id, lang, n_chars, text,
+          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents WHERE doc_id % 5 = 0),
+      ch AS (
+        SELECT DISTINCT
+          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        FROM corpus),
+      ex AS (
+        SELECT doc_id, lang, n_chars, text FROM bh0
+        WHERE h NOT IN (SELECT h FROM ch)
+        QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) = 1),
+      ${mhSideCtes("ex", "b")},
+      ${mhSideCtes("corpus", "c")},
+      crosscand AS (
+        SELECT DISTINCT a.doc_id AS id_b, b.doc_id AS id_c
+        FROM cap_b a JOIN cap_c b ON a.band = b.band AND a.bh = b.bh),
+      crossinter AS (
+        SELECT id_b, id_c, COUNT(*) AS ni
+        FROM crosscand
+        JOIN sh_b sa ON id_b = sa.doc_id
+        JOIN sh_c sc ON id_c = sc.doc_id AND sa.s = sc.s
+        GROUP BY 1, 2),
+      crossdrop AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM crossinter
+        JOIN sizes_b zb ON id_b = zb.doc_id
+        JOIN sizes_c zc ON id_c = zc.doc_id
+        WHERE CAST(ni AS DOUBLE) / (zb.n + zc.n - ni) >= 0.5),
+      selfcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM cap_b a JOIN cap_b b ON a.band = b.band AND a.bh = b.bh
+          AND a.doc_id < b.doc_id),
+      selfinter AS (
+        SELECT id_a, id_b, COUNT(*) AS ni
+        FROM selfcand
+        JOIN sh_b sa ON id_a = sa.doc_id
+        JOIN sh_b sb ON id_b = sb.doc_id AND sa.s = sb.s
+        GROUP BY 1, 2),
+      mh_pairs AS (
+        SELECT id_a, id_b FROM selfinter
+        JOIN sizes_b za ON id_a = za.doc_id
+        JOIN sizes_b zb ON id_b = zb.doc_id
+        WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+      SELECT doc_id, lang, n_chars FROM ex
+      WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)
+        AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" -> """
       SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id

@@ -135,6 +135,32 @@ class Round7Spec extends SparkSpec {
     assert(out._5 === 0.0) // same mix on both sides
   }
 
+  // ------------------------------------------------ incremental dedup
+
+  test("incrementalClean: all four stages drop; originals survive") {
+    def doc(tokens: Seq[String]) = tokens.mkString(" ")
+    val base = (0 until 20).map(i => s"tok$i")
+    val other = (0 until 20).map(i => s"alt$i")
+    val corpus = Seq(
+      (10L, doc(base)),
+      (11L, "totally unrelated corpus text lives here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, doc(base)),                          // exact dup of corpus 10
+      (21L, doc(base.init :+ "changed")),        // near-dup of corpus 10
+      (22L, doc(other)),                         // fresh; the keeper
+      (23L, doc(other)),                         // exact dup within batch
+      (24L, doc(other.init :+ "edited")),        // near-dup within batch
+      (25L, "completely different and unique text")).toDF("doc_id", "text")
+    val out = Dedup.incrementalClean(corpus, batch, "doc_id", "text",
+      tau = 0.5).select("doc_id").as[Long].collect.toSet
+    assert(out === Set(22L, 25L))
+    // idempotence: re-running over an already-clean batch is identity
+    val clean = batch.filter(col("doc_id").isin(22L, 25L))
+    val again = Dedup.incrementalClean(corpus, clean, "doc_id", "text",
+      tau = 0.5).select("doc_id").as[Long].collect.toSet
+    assert(again === Set(22L, 25L))
+  }
+
   // -------------------------------------------------------- SemDeDup
 
   test("semDedup: identical vectors dedup to the min id") {
