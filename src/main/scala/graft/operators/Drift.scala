@@ -39,23 +39,33 @@ object Drift {
     * by value (nulls as "__null__"). `isRef` splits the table into
     * reference (true) vs current (false) rows. Output: one row per
     * feature — (feature, n_ref, n_cur, n_buckets, psi, drift_band). */
-  def psiReport(df: DataFrame, isRef: Column,
-      numeric: Seq[(String, Int)], categorical: Seq[String]): DataFrame = {
+  private def validate(numeric: Seq[(String, Int)],
+      categorical: Seq[String]): Unit = {
     require(numeric.nonEmpty || categorical.nonEmpty,
       "at least one feature column is required")
     numeric.foreach { case (_, b) =>
       require(b >= 2, "numeric features need at least 2 buckets") }
-    // reference bucket edges: one tiny row, broadcast back to the scan
+  }
+
+  /** One-row numeric bucket edges (`_mn_c`/`_mx_c` per column) over a
+    * reference frame — broadcast this back into whatever frame gets
+    * bucketed so edges are fixed by the REFERENCE, not the data under
+    * test. */
+  def numericEdges(ref: DataFrame,
+      numeric: Seq[(String, Int)]): DataFrame = {
     val edgeAggs = numeric.flatMap { case (c, _) =>
       Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")) }
-    val flagged =
-      if (numeric.isEmpty) df.withColumn("_is_ref", isRef)
-      else df.withColumn("_is_ref", isRef).crossJoin(broadcast(
-        df.filter(isRef).agg(edgeAggs.head, edgeAggs.tail: _*)))
-    // per-feature (feature, bucket) contribution — narrow explode
-    val features = numeric.map { case (c, b) =>
-      // exact integer equal-width bucketing over [mn, mx]; out-of-range
-      // current values clamp to the edge buckets
+    ref.agg(edgeAggs.head, edgeAggs.tail: _*)
+  }
+
+  /** Per-feature (feature, bucket) struct columns. Numeric bucketing is
+    * exact integer equal-width over [mn, mx] (edge columns must be in
+    * scope — see [[numericEdges]]); out-of-range values clamp to the
+    * edge buckets; categorical buckets by value with nulls as
+    * "__null__". */
+  def featureStructs(numeric: Seq[(String, Int)],
+      categorical: Seq[String]): Seq[Column] =
+    numeric.map { case (c, b) =>
       val idx = greatest(least(
         expr(s"((`$c` - `_mn_$c`) * ${b}L) div (`_mx_$c` - `_mn_$c` + 1L)"),
         lit(b.toLong - 1L)), lit(0L))
@@ -64,27 +74,67 @@ object Drift {
       struct(lit(c).as("feature"),
         coalesce(col(c).cast("string"), lit("__null__")).as("bucket"))
     }
-    val counts = flagged
-      .select(col("_is_ref"), explode(array(features: _*)).as("_f"))
-      .groupBy(col("_f.feature").as("feature"), col("_f.bucket").as("bucket"))
-      .agg(sum(when(col("_is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
-        sum(when(col("_is_ref"), 0L).otherwise(1L)).as("cur_cnt"))
-    val byFeature = Window.partitionBy(col("feature"))
+
+  /** Reference bucket counts (feature, bucket, ref_cnt) — the static
+    * side a monitor compares against (computed once; in production the
+    * persisted baseline table). Numeric edges come from `ref` itself. */
+  def referenceCounts(ref: DataFrame, numeric: Seq[(String, Int)],
+      categorical: Seq[String]): DataFrame = {
+    validate(numeric, categorical)
+    val withEdges =
+      if (numeric.isEmpty) ref
+      else ref.crossJoin(broadcast(numericEdges(ref, numeric)))
+    withEdges
+      .select(explode(array(featureStructs(numeric, categorical): _*))
+        .as("_f"))
+      .groupBy(col("_f.feature").as("feature"),
+        col("_f.bucket").as("bucket"))
+      .agg(count(lit(1)).as("ref_cnt"))
+  }
+
+  /** Fold a (groupCols…, feature, bucket, ref_cnt, cur_cnt) count
+    * relation into one PSI row per (groupCols…, feature). Null counts
+    * (buckets one side never saw) are zero; empty buckets floor at
+    * [[Eps]]. */
+  def psiFold(counts: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val byFeature = Window.partitionBy(
+      (groupCols :+ "feature").map(col): _*)
     val p = greatest(
       col("ref_cnt").cast("double") / col("n_ref").cast("double"), lit(Eps))
     val q = greatest(
       col("cur_cnt").cast("double") / col("n_cur").cast("double"), lit(Eps))
     val psi = counts
+      .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+      .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
       .withColumn("n_ref", sum(col("ref_cnt")).over(byFeature))
       .withColumn("n_cur", sum(col("cur_cnt")).over(byFeature))
       .withColumn("_c", (p - q) * log(p / q))
-      .groupBy(col("feature"))
+      .groupBy((groupCols :+ "feature").map(col): _*)
       .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
         count(lit(1)).as("n_buckets"), round(sum(col("_c")), 6).as("psi"))
-    psi.select(col("feature"), col("n_ref"), col("n_cur"),
-      col("n_buckets"), col("psi"),
+    psi.withColumn("drift_band",
       when(col("psi") < 0.1, "stable")
         .when(col("psi") < 0.25, "moderate")
-        .otherwise("shifted").as("drift_band"))
+        .otherwise("shifted"))
+  }
+
+  def psiReport(df: DataFrame, isRef: Column,
+      numeric: Seq[(String, Int)], categorical: Seq[String]): DataFrame = {
+    validate(numeric, categorical)
+    // reference bucket edges: one tiny row, broadcast back to the scan
+    val flagged =
+      if (numeric.isEmpty) df.withColumn("_is_ref", isRef)
+      else df.withColumn("_is_ref", isRef).crossJoin(broadcast(
+        numericEdges(df.filter(isRef), numeric)))
+    // per-feature (feature, bucket) contribution — narrow explode
+    val counts = flagged
+      .select(col("_is_ref"),
+        explode(array(featureStructs(numeric, categorical): _*)).as("_f"))
+      .groupBy(col("_f.feature").as("feature"), col("_f.bucket").as("bucket"))
+      .agg(sum(when(col("_is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(col("_is_ref"), 0L).otherwise(1L)).as("cur_cnt"))
+    psiFold(counts, Nil)
+      .select(col("feature"), col("n_ref"), col("n_cur"),
+        col("n_buckets"), col("psi"), col("drift_band"))
   }
 }

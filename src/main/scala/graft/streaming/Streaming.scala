@@ -208,6 +208,87 @@ object Streaming {
       .drop("window")
   }
 
+  /** Per-window (feature, bucket) counts for the PSI drift monitor —
+    * the SAME code runs in batch (oracle-comparable) and streaming
+    * (watermarked state-store agg, state = one counter per open
+    * (window, feature, bucket)). `edges` is [[graft.operators.Drift
+    * .numericEdges]] over the REFERENCE (a one-row static frame; the
+    * stream-static cross join broadcasts it), so bucket boundaries
+    * never move with the data under test. */
+  def windowedFeatureCounts(df: DataFrame, tsCol: String,
+      numeric: Seq[(String, Int)], categorical: Seq[String],
+      edges: DataFrame, watermark: String = "2 hours",
+      windowLen: String = "1 hour"): DataFrame = {
+    val withEdges =
+      if (numeric.isEmpty) df else df.crossJoin(broadcast(edges))
+    withEdges
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(array(
+        graft.operators.Drift.featureStructs(numeric, categorical): _*))
+        .as("_f"))
+      .groupBy(window(col(tsCol), windowLen),
+        col("_f.feature").as("feature"), col("_f.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cur_cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("feature"), col("bucket"), col("cur_cnt"))
+  }
+
+  /** PSI per (closed window, feature) of a windowed count relation
+    * against static reference counts ([[graft.operators.Drift
+    * .referenceCounts]]): every window compares against the FULL
+    * reference bucket set (windows × reference cross join restores
+    * buckets the window never saw; buckets the reference never saw
+    * join in from the current side), then the shared
+    * [[graft.operators.Drift.psiFold]]. */
+  def psiWindows(counts: DataFrame, refCounts: DataFrame): DataFrame = {
+    val wins = counts.select(col("window_start"), col("window_end"))
+      .distinct()
+    val refPerWin = wins.crossJoin(refCounts)
+    val joined = refPerWin.join(counts,
+      Seq("window_start", "window_end", "feature", "bucket"), "full_outer")
+    graft.operators.Drift
+      .psiFold(joined, Seq("window_start", "window_end"))
+  }
+
+  /** Streaming PSI drift monitor: windowed feature counts run in
+    * Append mode (a window's buckets all emit in the micro-batch where
+    * the watermark closes it) and each micro-batch is scored with the
+    * SAME [[psiWindows]] the batch path uses before reaching `sink` —
+    * the population-level alarm ([[graft.operators.Drift]]) as a
+    * continuous monitor. Call `.start()` on the returned writer. */
+  def driftMonitorStream(stream: DataFrame, reference: DataFrame,
+      tsCol: String, numeric: Seq[(String, Int)],
+      categorical: Seq[String], watermark: String = "2 hours",
+      windowLen: String = "1 hour")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val edges = graft.operators.Drift.numericEdges(reference, numeric)
+    val refCounts = graft.operators.Drift
+      .referenceCounts(reference, numeric, categorical)
+      .localCheckpoint(true) // computed once, joined every micro-batch
+    windowedFeatureCounts(stream, tsCol, numeric, categorical, edges,
+      watermark, windowLen)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(psiWindows(batch.toDF(), refCounts), id)
+      }
+  }
+
+  /** Batch twin of [[driftMonitorStream]] for oracle comparison. */
+  def driftMonitorBatch(df: DataFrame, reference: DataFrame,
+      tsCol: String, numeric: Seq[(String, Int)],
+      categorical: Seq[String], watermark: String = "2 hours",
+      windowLen: String = "1 hour"): DataFrame = {
+    val edges = graft.operators.Drift.numericEdges(reference, numeric)
+    psiWindows(
+      windowedFeatureCounts(df, tsCol, numeric, categorical, edges,
+        watermark, windowLen),
+      graft.operators.Drift.referenceCounts(reference, numeric, categorical))
+  }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** #43 — stateful gap-based sessionization via

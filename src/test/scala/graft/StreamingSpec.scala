@@ -383,6 +383,52 @@ class StreamingSpec extends SparkSpec {
     assert(bronzeIds == batchIds && batchIds == Set(10L, 12L))
   }
 
+  test("streaming drift monitor matches the batch PSI per closed window") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
+    val reference = (0 until 100)
+      .map(i => (i.toLong % 10, if (i % 2 == 0) "x" else "y"))
+      .toDF("v", "c")
+    // w0 reproduces the reference mix exactly; w1 is a gross shift
+    // (numeric out of range + a category the reference never saw)
+    val rows = (0 until 100)
+      .map(i => (t(i % 10), i.toLong % 10, if (i % 2 == 0) "x" else "y")) ++
+      (0 until 50).map(i => (t(70 + i % 10), 1000L, "z")) ++
+      Seq((t(300), 0L, "x")) // closes w0/w1 past the watermark
+    val dir = java.nio.file.Files.createTempDirectory("drift")
+    rows.toDF("ts", "v", "c").write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.resolve("in").toString).schema)
+      .parquet(dir.resolve("in").toString)
+    val numeric = Seq(("v", 5))
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, String, Double, String)]
+    val query = Streaming.driftMonitorStream(stream, reference, "ts",
+      numeric, Seq("c"), watermark = "30 minutes") { (psi, _) =>
+      buf ++= psi.collect().map(r => (
+        r.getAs[Timestamp]("window_start"), r.getAs[String]("feature"),
+        r.getAs[Double]("psi"), r.getAs[String]("drift_band")))
+    }.start()
+    try {
+      query.processAllAvailable()
+      assert(buf.nonEmpty)
+      // every emitted (window, feature) PSI equals the batch twin's
+      val batch = Streaming.driftMonitorBatch(rows.toDF("ts", "v", "c"),
+        reference, "ts", numeric, Seq("c"))
+        .collect().map(r => (
+          r.getAs[Timestamp]("window_start"), r.getAs[String]("feature"),
+          r.getAs[Double]("psi"), r.getAs[String]("drift_band"))).toSet
+      assert(buf.toSet.subsetOf(batch), s"stream=${buf.toSet} batch=$batch")
+      // w0: identical mix -> psi 0 stable on both features
+      val w0 = buf.filter(_._1 == buf.map(_._1).minBy(_.getTime))
+      assert(w0.size === 2 && w0.forall(r => r._3 == 0.0 && r._4 == "stable"))
+      // w1: clamped numeric + novel category -> shifted on both
+      val w1 = buf.filter(_._1 == t(60))
+      assert(w1.size === 2 && w1.forall(_._4 == "shifted"))
+    } finally query.stop()
+  }
+
   test("#43 batch sessionization matches the q12 window-based batch form") {
     // real event data (ms-truncated timestamps), gap semantics identical
     val events = Tables.events(spark, sf)
