@@ -310,6 +310,32 @@ class MedallionPipeline(spark: SparkSession, root: String,
     * between delete and rename leaves the complete staging dir on disk
     * for recovery; a table format's ACID replace is the real answer,
     * the zone contract is the same. */
+  /** Recover from a crash inside [[replace]]'s swap window. A leftover
+    * `__staging` dir is adjudicated by its `_SUCCESS` marker (the
+    * committer writes it only on a completed job): complete staging →
+    * finish the swap (the staged data is the newer committed write,
+    * whether the crash hit before or after the target delete);
+    * incomplete staging → discard it (the old target, if present, was
+    * never touched). Idempotent; returns what happened:
+    * "none" (no staging dir), "completed", or "discarded". */
+  def recoverStaging(zone: DataZone.Value, dataset: String): String = {
+    val target = path(zone, dataset)
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val staging = new org.apache.hadoop.fs.Path(target + "__staging")
+    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(staging)) "none"
+    else if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      fs.delete(targetPath, true)
+      if (!fs.rename(staging, targetPath))
+        throw new IllegalStateException(
+          s"staging recovery failed: rename $staging -> $target")
+      "completed"
+    } else {
+      fs.delete(staging, true)
+      "discarded"
+    }
+  }
+
   private def replace(target: String, df: DataFrame): Unit = {
     val targetPath = new org.apache.hadoop.fs.Path(target)
     val staging = new org.apache.hadoop.fs.Path(target + "__staging")

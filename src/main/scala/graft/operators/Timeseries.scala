@@ -67,4 +67,53 @@ object Timeseries {
         last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Dense grid + LINEAR interpolation fill: gap buckets get
+    * prev + (next − prev) · (t − t_prev)/(t_next − t_prev) between
+    * their neighboring observations — the fill for continuously-valued
+    * signals where LOCF's step function biases downstream features.
+    * Same grid/flag contract as [[gapFillLocf]]; `valueCol` must be
+    * numeric (interpolation runs in double: one deterministic scalar
+    * expression per row, no data-order float reduction). Grids start
+    * and end at observations, so both neighbors always exist. Output:
+    * (series, bucket, every obs column, `is_gap`,
+    * `<valueCol>_interp`).
+    *
+    * Scale: identical to [[gapFillLocf]] plus one extra per-series
+    * ordered window pass (the forward scan for the next observation) —
+    * still one shuffle on the series key, O(1) state per row. */
+  def gapFillLinear(obs: DataFrame, seriesCol: String, bucketCol: String,
+      valueCol: String): DataFrame = {
+    require(!obs.columns.contains("_graft_obs"),
+      "input column _graft_obs collides with gapFillLinear internals; rename it first")
+    require(!obs.columns.contains(s"${valueCol}_interp"),
+      s"input column ${valueCol}_interp collides with gapFillLinear output; rename it first")
+    val span = obs.groupBy(col(seriesCol))
+      .agg(min(col(bucketCol)).as("_b0"), max(col(bucketCol)).as("_b1"))
+    val grid = span.select(col(seriesCol),
+      explode(sequence(col("_b0"), col("_b1"))).as(bucketCol))
+    val ord = Window.partitionBy(col(seriesCol)).orderBy(col(bucketCol).asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = grid
+      .join(obs.withColumn("_graft_obs", lit(1)),
+        Seq(seriesCol, bucketCol), "left")
+      .withColumn("is_gap",
+        when(col("_graft_obs").isNull, lit(1)).otherwise(lit(0)))
+    val v = col(valueCol)
+    val obsBucket = when(col("_graft_obs").isNotNull, col(bucketCol))
+    val interp =
+      col("_pv").cast("double") +
+        (col("_nv") - col("_pv")).cast("double") *
+          ((col(bucketCol) - col("_pb")).cast("double") /
+            (col("_nb") - col("_pb")).cast("double"))
+    joined
+      .withColumn("_pv", last(v, ignoreNulls = true).over(back))
+      .withColumn("_nv", first(v, ignoreNulls = true).over(fwd))
+      .withColumn("_pb", last(obsBucket, ignoreNulls = true).over(back))
+      .withColumn("_nb", first(obsBucket, ignoreNulls = true).over(fwd))
+      .withColumn(s"${valueCol}_interp",
+        when(col("is_gap") === 0, v.cast("double")).otherwise(interp))
+      .drop("_graft_obs", "_pv", "_nv", "_pb", "_nb")
+  }
 }

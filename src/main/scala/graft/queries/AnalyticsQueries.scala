@@ -136,7 +136,26 @@ object AnalyticsQueries {
           (lit(100.0) * col("n_obs_filled"))).as("value_filled"))
   }
 
+  /** q30_interpolate — [[graft.operators.Timeseries.gapFillLinear]]
+    * over the hourly per-type average: gap hours get the linear
+    * interpolation between neighboring observations (the fill for
+    * continuous signals where LOCF's step function biases features).
+    * The interpolation is ONE deterministic scalar expression per row
+    * over exactly-derived endpoints, so no rounding is needed. */
+  def q30Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hour_id"))
+      .agg((sum(Core.cents(col("value"))).cast("double") /
+        (lit(100.0) * count(lit(1)))).as("avg_value"))
+    graft.operators.Timeseries
+      .gapFillLinear(hourly, "event_type", "hour_id", "avg_value")
+      .select(col("event_type"), col("hour_id"), col("is_gap"),
+        col("avg_value_interp").as("value_interp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_interpolate" -> q30Interpolate,
     "q29_gapfill" -> q29Gapfill,
     "q24_pivot" -> q24Pivot,
     "q25_setops" -> q25SetOps,
@@ -145,6 +164,41 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q30_interpolate" -> """
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+            / (100.0 * COUNT(*)) AS avg_value
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(hour_id) AS b0, MAX(hour_id) AS b1
+        FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(generate_series(b0, b1)) AS hour_id
+        FROM span),
+      j AS (
+        SELECT g.event_type, g.hour_id,
+          CASE WHEN h.avg_value IS NULL THEN 1 ELSE 0 END AS is_gap,
+          h.avg_value AS v,
+          CASE WHEN h.avg_value IS NOT NULL THEN g.hour_id END AS ob
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour_id)),
+      f AS (
+        SELECT event_type, hour_id, is_gap, v,
+          last_value(v IGNORE NULLS) OVER wb AS pv,
+          first_value(v IGNORE NULLS) OVER wf AS nv,
+          last_value(ob IGNORE NULLS) OVER wb AS pb,
+          first_value(ob IGNORE NULLS) OVER wf AS nb
+        FROM j
+        WINDOW wb AS (PARTITION BY event_type ORDER BY hour_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY event_type ORDER BY hour_id ASC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_type, hour_id, is_gap,
+        CASE WHEN is_gap = 0 THEN v
+             ELSE pv + (nv - pv)
+               * (CAST(hour_id - pb AS DOUBLE)
+                  / CAST(nb - pb AS DOUBLE)) END AS value_interp
+      FROM f""",
     "q29_gapfill" -> """
       WITH hourly AS (
         SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,

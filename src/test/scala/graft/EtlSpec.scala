@@ -19,6 +19,26 @@ class EtlSpec extends SparkSpec {
   private def df(rows: (Long, String, Double)*) =
     rows.toDF("id", "code", "value")
 
+  test("recoverStaging completes committed swaps, discards partial ones") {
+    val p = new MedallionPipeline(spark, freshRoot())
+    // crash AFTER the target delete: committed staging, no target
+    df((1L, "A", 1.0)).write
+      .parquet(p.path(DataZone.Silver, "t") + "__staging")
+    assert(p.recoverStaging(DataZone.Silver, "t") === "completed")
+    assert(p.read(DataZone.Silver, "t").count() === 1)
+    assert(p.recoverStaging(DataZone.Silver, "t") === "none") // idempotent
+    // crash MID-WRITE: staging without _SUCCESS, target intact
+    p.write(DataZone.Silver, "t2", df((2L, "B", 2.0)), LoadType.Full)
+    val stg = p.path(DataZone.Silver, "t2") + "__staging"
+    df((9L, "Z", 9.0)).write.parquet(stg)
+    val fs = new org.apache.hadoop.fs.Path(stg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stg, "_SUCCESS"), false)
+    assert(p.recoverStaging(DataZone.Silver, "t2") === "discarded")
+    assert(p.read(DataZone.Silver, "t2")
+      .select("id").as[Long].collect.toSeq === Seq(2L))
+  }
+
   test("FULL overwrites, APPEND accumulates") {
     val p = new MedallionPipeline(spark, freshRoot())
     p.write(DataZone.Raw, "t", df((1L, "a", 1.0)), LoadType.Full)

@@ -42,6 +42,21 @@ class Round7Spec extends SparkSpec {
     assert(e2.getMessage.contains("v_filled"))
   }
 
+  test("gapFillLinear: gaps interpolate between neighbors; obs exact") {
+    val obs = Seq(("a", 10L, 10.0), ("a", 13L, 16.0), ("b", 5L, 7.0))
+      .toDF("series", "bucket", "v")
+    val out = Timeseries.gapFillLinear(obs, "series", "bucket", "v")
+      .orderBy("series", "bucket")
+      .select("series", "bucket", "is_gap", "v_interp")
+      .as[(String, Long, Int, Double)].collect.toSeq
+    assert(out === Seq(
+      ("a", 10L, 0, 10.0),
+      ("a", 11L, 1, 12.0),
+      ("a", 12L, 1, 14.0),
+      ("a", 13L, 0, 16.0),
+      ("b", 5L, 0, 7.0)))
+  }
+
   // ----------------------------------------------------------- TF-IDF
 
   test("tfidfTopK: rare-term match outranks common-only match") {
