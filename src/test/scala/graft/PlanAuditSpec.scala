@@ -125,6 +125,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "FileScan parquet") <= 2, p)
   }
 
+  test("q30 interpolate keeps the gapfill contract (no NLJ, ≤2 scans)") {
+    val p = plan("q30_interpolate")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(count(p, "FileScan parquet") <= 2, p)
+  }
+
+  test("dedup_incremental: every stage is an equi-join (no cartesian)") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("search_tfidf: corpus stats come back broadcast, no cartesian") {
     val p = plan("search_tfidf")
     assert(!p.contains("CartesianProduct"), p)
