@@ -255,7 +255,16 @@ object QualityQueries {
       categorical = Seq("o_orderpriority", "o_orderstatus"))
   }
 
+  /** er_fuzzy_match — [[graft.operators.Fuzzy.selfMatch]] on customer
+    * names: record pairs within edit distance 1 (the mistyped-digit
+    * identity collisions DQ005's exact duplicate rule can't see),
+    * via exact deletion-neighborhood blocking. */
+  def erFuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.selfMatch(
+      Tables(s, dir, "customer"), "c_custkey", "c_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fuzzy_match" -> erFuzzyMatch,
     "dq_drift" -> dqDrift,
     "dq_profile" -> dqProfile,
     "dq_completeness" -> dqCompleteness,
@@ -266,6 +275,27 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "er_fuzzy_match" -> s"""
+      WITH base AS (
+        SELECT c_custkey AS id, c_name AS name FROM customer
+        WHERE c_name IS NOT NULL AND length(c_name) >= 1),
+      vars AS (
+        SELECT DISTINCT id, name, v
+        FROM base, LATERAL (SELECT unnest(list_append(
+          list_transform(range(1, length(name) + 1),
+            i -> substr(name, 1, i - 1) || substr(name, i + 1)),
+          name)) AS v)),
+      capped AS (
+        SELECT * FROM vars
+        QUALIFY COUNT(*) OVER (PARTITION BY v)
+          <= ${graft.operators.Dedup.DefaultMaxBucket}),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          a.name AS name_a, b.name AS name_b
+        FROM capped a JOIN capped b ON a.v = b.v AND a.id < b.id)
+      SELECT id_a, id_b, name_a, name_b,
+        CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance
+      FROM cand WHERE levenshtein(name_a, name_b) <= 1""",
     "dq_drift" -> """
       WITH o AS (
         SELECT epoch_us(o_orderdate) AS order_us,

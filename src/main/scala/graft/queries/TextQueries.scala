@@ -78,11 +78,21 @@ object TextQueries {
   def lmScore(s: SparkSession, dir: String): DataFrame =
     LmScore.bigramScore(docs(s, dir), "doc_id", "text")
 
+  /** Vocabulary size for the OOV report. */
+  val VocabV = 500
+
+  /** vocab_oov — [[graft.operators.Vocab.oovReport]]: per-doc
+    * out-of-vocabulary token share against the corpus' own top-V
+    * vocabulary (round-7). */
+  def vocabOov(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.oovReport(docs(s, dir), "doc_id", "text", VocabV)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> searchBm25,
     "search_index" -> searchIndex,
     "search_tfidf" -> searchTfidf,
     "lm_score" -> lmScore,
+    "vocab_oov" -> vocabOov,
     "text_top_terms" -> textTopTerms,
     "text_stats" -> textStats,
     "text_quality_score" -> textQualityScore,
@@ -225,6 +235,26 @@ object TextQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "vocab_oov" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))
+          AS term
+        FROM documents),
+      counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+      vocab AS (
+        SELECT term FROM counts
+        QUALIFY row_number() OVER (ORDER BY n DESC, term ASC)
+          <= $VocabV),
+      g AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+          SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_oov AS BIGINT) AS n_oov,
+        CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+      FROM g""",
     "search_tfidf" -> s"""
       WITH d AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w

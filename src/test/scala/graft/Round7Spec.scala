@@ -150,6 +150,35 @@ class Round7Spec extends SparkSpec {
     assert(out._5 === 0.0) // same mix on both sides
   }
 
+  // ------------------------------------------- fuzzy match / vocabulary
+
+  test("Fuzzy.selfMatch finds exactly the distance-≤1 pairs") {
+    val df = Seq(
+      (1L, "MRN-1234"), (2L, "MRN-1235"), // substitution: distance 1
+      (3L, "MRN-123"),                    // deletion of 1's last char
+      (4L, "XRN-1234"),                   // substitution vs 1
+      (5L, "totally-else")).toDF("id", "name")
+    val out = graft.operators.Fuzzy.selfMatch(df, "id", "name")
+      .select("id_a", "id_b", "distance")
+      .as[(Long, Long, Int)].collect.toSet
+    assert(out === Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1),
+      (2L, 3L, 1)))
+    // 2-vs-4 (two substitutions) and 3-vs-4 (substitution + insertion)
+    // are distance 2 -> correctly absent
+  }
+
+  test("Vocab.oovReport: exact counts against the induced top-V") {
+    val df = Seq(
+      (1L, "a a b rare1"), (2L, "a b b"), (3L, "rare2 rare3"))
+      .toDF("doc_id", "text")
+    // corpus counts: a=3, b=3, rare*=1 each; V=2 -> vocab {a, b}
+    val out = graft.operators.Vocab.oovReport(df, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect.toSeq
+    assert(out === Seq(
+      (1L, 4L, 1L, 0.25), (2L, 3L, 0L, 0.0), (3L, 2L, 2L, 1.0)))
+  }
+
   // ------------------------------------------------ incremental dedup
 
   test("incrementalClean: all four stages drop; originals survive") {
