@@ -69,11 +69,22 @@ object Decontaminate {
       maxBucket: Long = Dedup.DefaultMaxBucket): DataFrame = {
     val shT = Dedup.shingles(train, idCol, textCol)
     val shB = Dedup.shingles(benchmark, idCol, textCol)
-    def capped(sh: DataFrame): DataFrame =
-      Skew.capBuckets(Dedup.bandedBuckets(sh, minhashK, bands),
-        Seq(col("band"), col("bh")), maxBucket)
-    val candidates = capped(shT).as("a")
-      .join(capped(shB).as("b"),
+    nearDupPairs(shT, Dedup.bandedBuckets(shT, minhashK, bands),
+      shB, Dedup.bandedBuckets(shB, minhashK, bands), tau, maxBucket)
+  }
+
+  /** [[nearDupReport]]'s core over pre-derived relations: per-side
+    * (doc_id, s) shingles and (doc_id, band, bh) bucket keys — the
+    * seam that lets [[Dedup.incrementalCleanIndexed]] probe a
+    * PERSISTED corpus index instead of recomputing signatures. Caps
+    * apply per side here, exactly as the from-raw form. */
+  private[operators] def nearDupPairs(shT: DataFrame, bucketsT: DataFrame,
+      shB: DataFrame, bucketsB: DataFrame, tau: Double,
+      maxBucket: Long): DataFrame = {
+    def capped(b: DataFrame): DataFrame =
+      Skew.capBuckets(b, Seq(col("band"), col("bh")), maxBucket)
+    val candidates = capped(bucketsT).as("a")
+      .join(capped(bucketsB).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("bench_id"))
       .distinct()

@@ -189,23 +189,60 @@ object Dedup {
   def incrementalClean(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, tau: Double,
       minhashK: Int = 16, bands: Int = 4,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    incrementalCleanIndexed(
+      buildIndex(corpus, idCol, textCol, minhashK, bands),
+      batch, idCol, textCol, tau, minhashK, bands, maxBucket)
+
+  /** The persisted form of a standing corpus' dedup structures: the
+    * distinct content-hash set (exact stage), the (doc_id, s) shingle
+    * relation (Jaccard verification), and the (doc_id, band, bh)
+    * MinHash bucket keys (candidate generation). In production these
+    * three are parquet tables a corpus store maintains alongside the
+    * data — [[buildIndex]] derives them (two scans + two
+    * map-side-combined aggregations), and [[incrementalCleanIndexed]]
+    * probes them so DAILY INGEST never pays a corpus-sized
+    * recomputation. The shingle relation is the big one (≈ tokens);
+    * that is inherent to exact-Jaccard verification and shuffles only
+    * where candidate doc ids land. */
+  final case class DedupIndex(
+      hashes: DataFrame, shingles: DataFrame, buckets: DataFrame)
+
+  /** Derive a [[DedupIndex]] from a corpus. Persist the three frames
+    * (e.g. parquet, bucketed by their join keys) to make batch ingest
+    * truly corpus-recompute-free. */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+      minhashK: Int = 16, bands: Int = 4): DedupIndex = {
+    val sh = shingles(corpus, idCol, textCol)
+    DedupIndex(
+      hashes = corpus.select(md5(normalized(col(textCol))).as("content_hash"))
+        .distinct(),
+      shingles = sh,
+      buckets = bandedBuckets(sh, minhashK, bands))
+  }
+
+  /** [[incrementalClean]] against a prebuilt (typically persisted)
+    * [[DedupIndex]] — the ingest-cost-is-batch-sized form. */
+  def incrementalCleanIndexed(index: DedupIndex, batch: DataFrame,
+      idCol: String, textCol: String, tau: Double,
+      minhashK: Int = 16, bands: Int = 4,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
     Seq("_graft_h", "_graft_rn").foreach(c =>
       require(!batch.columns.contains(c),
         s"input column $c collides with incrementalClean internals; rename it first"))
-    def contentHash(df: DataFrame) = md5(normalized(col(textCol)))
-    val corpusHashes = corpus.select(contentHash(corpus).as("_graft_h"))
-      .distinct()
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_graft_h")).orderBy(col(idCol).asc)
-    val exactSurv = batch.withColumn("_graft_h", contentHash(batch))
-      .join(corpusHashes, Seq("_graft_h"), "left_anti")
+    val exactSurv = batch
+      .withColumn("_graft_h", md5(normalized(col(textCol))))
+      .join(index.hashes.select(col("content_hash").as("_graft_h")),
+        Seq("_graft_h"), "left_anti")
       .withColumn("_graft_rn", row_number().over(byHash))
       .filter(col("_graft_rn") === 1)
       .drop("_graft_h", "_graft_rn")
+    val shBatch = shingles(exactSurv, idCol, textCol)
     val crossLosers = Decontaminate
-      .nearDupReport(exactSurv, corpus, idCol, textCol, tau,
-        minhashK, bands, maxBucket)
+      .nearDupPairs(shBatch, bandedBuckets(shBatch, minhashK, bands),
+        index.shingles, index.buckets, tau, maxBucket)
       .select(col("train_id").as(idCol)).distinct()
     val comp = components(
       minhashLsh(exactSurv, idCol, textCol, tau, minhashK, bands,

@@ -203,6 +203,12 @@ class Round7Spec extends SparkSpec {
     val again = Dedup.incrementalClean(corpus, clean, "doc_id", "text",
       tau = 0.5).select("doc_id").as[Long].collect.toSet
     assert(again === Set(22L, 25L))
+    // the persisted-index form computes the identical survivor set
+    val indexed = Dedup.incrementalCleanIndexed(
+      Dedup.buildIndex(corpus, "doc_id", "text"), batch,
+      "doc_id", "text", tau = 0.5)
+      .select("doc_id").as[Long].collect.toSet
+    assert(indexed === Set(22L, 25L))
   }
 
   // -------------------------------------------------------- SemDeDup
