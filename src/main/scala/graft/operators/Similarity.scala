@@ -250,6 +250,99 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN (flat PQ + asymmetric distance, after
+    * Jégou et al. 2011): split the embedding into `subspaces` blocks,
+    * learn a seeded per-block KMeans codebook, encode every corpus
+    * vector as `subspaces` small codes, and rank candidates by the
+    * ADC approximation d²(q, x) ≈ Σ_m d²(q_m, centroid(code_m)) —
+    * the memory-compression path of the ANN family (a 64-float vector
+    * becomes 8 codes; at 100 TB the code table is ~32× smaller than
+    * the vectors and the scan never touches the raw embeddings).
+    *
+    * Everything is distributed, including the query distance tables:
+    * queries cross-join the broadcast (subspace, code, centroid)
+    * table (subspaces×codebook rows — bounded by construction) to
+    * form per-(query, subspace, code) partial distances, the corpus
+    * code relation joins that broadcast-sized table on (subspace,
+    * code), and one map-side-combined aggregation per (query,
+    * candidate) sums the `subspaces` partials. No driver-side
+    * collection of queries or vectors anywhere.
+    *
+    * `rerank` > 0 adds the standard ADC refinement: the top-`rerank`
+    * approximate candidates per query (WindowGroupLimit-capped) fetch
+    * their RAW vectors — the only place raw embeddings are touched,
+    * and only rerank×queries of them — and exact L2 re-ranks the
+    * final k. Output columns carry `approx_d2` (rerank = 0) or exact
+    * `d2` (rerank > 0).
+    *
+    * Deterministic per (corpus, parameters) — seeded codebooks — but
+    * KMeans is not SQL-replayable, so this operator is
+    * ScalaTest-verified (recall vs exact L2, rows-only in the driver
+    * gate). Output: (query_id, cand_id, approx_d2 | d2, rank). */
+  def pqTopK(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, subspaces: Int = 8,
+      codebook: Int = 16, rerank: Int = 0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = embs.sparkSession
+    import s.implicits._
+    val all = vecs(embs, idCol, vecCol)
+    val dims = all.select(size(col("e"))).head().getInt(0)
+    require(dims % subspaces == 0,
+      s"embedding dim $dims must divide into $subspaces subspaces")
+    val subDim = dims / subspaces
+    // per-subspace codebooks + corpus codes (exploded as one relation)
+    val parts = (0 until subspaces).map { m =>
+      val sub = all.select(col("vec_id"),
+        expr(s"slice(e, ${m * subDim + 1}, $subDim)").as("sub"))
+        .withColumn("fv", array_to_vector(col("sub")))
+      val model = new KMeans().setK(codebook).setSeed(42L + m)
+        .setMaxIter(5).setFeaturesCol("fv").setPredictionCol("code")
+        .fit(sub)
+      val codes = model.transform(sub)
+        .select(col("vec_id"), lit(m).as("m"), col("code"))
+      val centroids = model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, ci) => (m, ci, c.toArray.toSeq) }
+        .toDF("m", "code", "ce")
+      (codes, centroids)
+    }
+    val codes = parts.map(_._1).reduce(_.unionByName(_))
+    val centroids = parts.map(_._2).reduce(_.unionByName(_))
+    // per-(query, subspace, code) partial distance table — Q×M×K rows
+    val qtab = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("qsub", expr(
+        s"slice(qe, (m * $subDim) + 1, $subDim)"))
+      .withColumn("d2", expr(
+        "vec_dot(zip_with(qsub, ce, (x, y) -> x - y), " +
+          "zip_with(qsub, ce, (x, y) -> x - y))"))
+      .select(col("query_id"), col("m"), col("code"), col("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("cand_id").asc)
+    val approx = codes.join(broadcast(qtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("d2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0) approx.filter(col("rank") <= k)
+    else {
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("cand_id").asc)
+      approx.drop("rank", "approx_d2")
+        .join(all.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          col("nn").as("cnn")), "cand_id")
+        .join(all.filter(isQuery).select(col("vec_id").as("query_id"),
+          col("e").as("qe"), col("nn").as("qnn")), "query_id")
+        .select(col("query_id"), col("cand_id"),
+          (col("qnn") - lit(2.0) * expr("vec_dot(qe, ce)") + col("cnn"))
+            .as("d2"))
+        .withColumn("rank", row_number().over(wx).cast("long"))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** SemDeDup (cluster-scoped SEMANTIC dedup, after Abbas et al. 2023,
     * arXiv:2303.09540): KMeans-partition the embedding space with the
     * same seeded coarse quantizer as [[ivfTopK]], find cosine-≥-τ

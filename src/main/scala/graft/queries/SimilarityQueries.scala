@@ -74,6 +74,19 @@ object SimilarityQueries {
       k = GraphK, bands = GraphBands, bandBits = GraphBandBits,
       dims = Dims, planeOffset = GraphPlaneOffset)
 
+  val PqSubspaces = 8
+  val PqCodebook = 16
+  val PqRerank = 10 * K // recall@5 0.22 (approx) -> 0.7 (reranked)
+
+  /** ann_pq_topk (rows-only; recall vs exact L2 in ScalaTest) —
+    * [[Similarity.pqTopK]]: the memory-compression ANN path (vectors
+    * become `subspaces` codes; the main scan never touches raw
+    * embeddings — only the rerank×queries refinement set does). */
+  def annPqTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(embs(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < NumQueries, k = K,
+      subspaces = PqSubspaces, codebook = PqCodebook, rerank = PqRerank)
+
   /** SemDeDup parameters: the IVF cell count doubles as the cluster
     * granularity; τ = 0.4 matches the embedding-dedup family. */
   val SemCells = IvfCells
@@ -87,6 +100,7 @@ object SimilarityQueries {
       tau = SemTau, cells = SemCells)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_topk" -> annPqTopk,
     "semdedup" -> semDedup,
     "knn_graph" -> knnGraph,
     "knn_graph_lsh" -> knnGraphLsh,

@@ -211,6 +211,47 @@ class Round7Spec extends SparkSpec {
     assert(indexed === Set(22L, 25L))
   }
 
+  // ------------------------------------------------------------- PQ
+
+  test("pqTopK: deterministic, self-excluded, useful recall vs exact L2") {
+    val embs = Tables(spark, sf, "embeddings")
+    val isQ = col("vec_id") < 10
+    val k = 5
+    val pq = Similarity.pqTopK(embs, "vec_id", "embedding", isQ, k)
+    val got = pq.select("query_id", "cand_id")
+      .as[(Long, Long)].collect.toSet
+    assert(got.size === 50 && got.forall(p => p._1 != p._2))
+    // determinism: seeded codebooks -> identical result
+    val again = Similarity.pqTopK(embs, "vec_id", "embedding", isQ, k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect.toSet
+    assert(again === got)
+    // exact L2 top-k baseline (d2 = qnn - 2·dot + cnn)
+    val v = Similarity.vecs(embs, "vec_id", "embedding")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id").asc)
+    val exact = v.filter(isQ).as("a")
+      .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
+        (col("a.nn") - lit(2.0) * expr("vec_dot(a.e, b.e)") + col("b.nn"))
+          .as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect.toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"PQ recall@$k vs exact L2 = $recall")
+    assert(recall >= 0.2, s"PQ recall@$k = $recall")
+    // exact re-rank of the top-4k approximate candidates recovers most
+    // of what coarse codebooks lose
+    val reranked = Similarity.pqTopK(embs, "vec_id", "embedding", isQ, k,
+      rerank = 10 * k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect.toSet
+    val recallR = reranked.intersect(exact).size.toDouble / exact.size
+    info(s"PQ+rerank(10k) recall@$k vs exact L2 = $recallR")
+    assert(recallR > recall && recallR >= 0.5,
+      s"PQ rerank recall@$k = $recallR (approx-only $recall)")
+  }
+
   // -------------------------------------------------------- SemDeDup
 
   test("semDedup: identical vectors dedup to the min id") {
