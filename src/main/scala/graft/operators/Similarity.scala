@@ -296,6 +296,11 @@ object Similarity {
       val sub = all.select(col("vec_id"),
         expr(s"slice(e, ${m * subDim + 1}, $subDim)").as("sub"))
         .withColumn("fv", array_to_vector(col("sub")))
+      // codebooks train on the full corpus here (at the test SFs a
+      // sample starves the centroids); at production scale train on a
+      // deterministic hash-sample — the centroids need the
+      // distribution, not every point — and persist the codes table
+      // like the dedup index
       val model = new KMeans().setK(codebook).setSeed(42L + m)
         .setMaxIter(5).setFeaturesCol("fv").setPredictionCol("code")
         .fit(sub)
