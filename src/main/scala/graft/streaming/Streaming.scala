@@ -289,6 +289,36 @@ object Streaming {
       graft.operators.Drift.referenceCounts(reference, numeric, categorical))
   }
 
+  /** Continuous-ingest dedup: every micro-batch is cleaned against a
+    * STATIC persisted corpus index (and within itself) by the SAME
+    * [[graft.operators.Dedup.incrementalCleanIndexed]] the batch path
+    * uses — exact-vs-corpus, exact-within-batch, near-vs-corpus,
+    * near-within-batch — before reaching `sink`. The index is static
+    * for the query's lifetime: batches do NOT dedup against EARLIER
+    * micro-batches (that state is the corpus'; refresh the index and
+    * restart after folding ingested data in — the standard
+    * static-side-stream contract). The checkpointed component labels
+    * each micro-batch creates are released after the sink consumes
+    * them, so a long-running query's storage stays flat. Call
+    * `.start()` on the returned writer. */
+  def dedupIngestStream(stream: DataFrame,
+      index: graft.operators.Dedup.DedupIndex,
+      idCol: String, textCol: String, tau: Double,
+      minhashK: Int = 16, bands: Int = 4,
+      maxBucket: Long = graft.operators.Dedup.DefaultMaxBucket)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cleaned = graft.operators.Dedup.incrementalCleanIndexed(
+          index, batch.toDF(), idCol, textCol, tau, minhashK, bands,
+          maxBucket)
+        try sink(cleaned, id)
+        finally graft.operators.Dedup.release(cleaned)
+      }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** #43 — stateful gap-based sessionization via

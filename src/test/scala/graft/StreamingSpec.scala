@@ -383,6 +383,47 @@ class StreamingSpec extends SparkSpec {
     assert(bronzeIds == batchIds && batchIds == Set(10L, 12L))
   }
 
+  test("continuous-ingest dedup cleans each micro-batch like the batch path") {
+    implicit val sql = spark.sqlContext
+    def doc(tokens: Seq[String]) = tokens.mkString(" ")
+    val base = (0 until 20).map(i => s"tok$i")
+    val fresh = (0 until 20).map(i => s"new$i")
+    val corpus = Seq((10L, doc(base))).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.buildIndex(corpus, "doc_id", "text")
+    val b0 = Seq( // vs corpus: exact + near dup; one fresh keeper
+      StreamDoc(20L, ts(0), doc(base)),
+      StreamDoc(21L, ts(1), doc(base.init :+ "edited")),
+      StreamDoc(22L, ts(2), doc(fresh)))
+    val b1 = Seq( // within-batch exact + near dup of a new doc
+      StreamDoc(30L, ts(3), doc(fresh.map(t => s"x$t"))),
+      StreamDoc(31L, ts(4), doc(fresh.map(t => s"x$t"))),
+      StreamDoc(32L, ts(5), doc((fresh.map(t => s"x$t")).init :+ "alt")))
+    val src = MemoryStream[StreamDoc]
+    val got = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val query = Streaming.dedupIngestStream(src.toDF(), index,
+      "doc_id", "text", tau = 0.5) { (cleaned, id) =>
+      got(id) = cleaned.select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }.start()
+    try {
+      src.addData(b0: _*); query.processAllAvailable()
+      src.addData(b1: _*); query.processAllAvailable()
+    } finally query.stop()
+    // batch 0: 20 (exact-vs-corpus) and 21 (near-vs-corpus) drop
+    assert(got(0L) === Set(22L))
+    // batch 1: 31 exact-dups 30, 32 near-dups 30 -> min id survives;
+    // note batch 1 does NOT dedup against batch 0's docs (the index
+    // is the corpus, not earlier micro-batches — documented contract)
+    assert(got(1L) === Set(30L))
+    // each micro-batch equals the batch-path clean over the same rows
+    Seq(b0 -> 0L, b1 -> 1L).foreach { case (rows, id) =>
+      val batchClean = graft.operators.Dedup.incrementalCleanIndexed(
+        index, rows.toDF(), "doc_id", "text", tau = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchClean === got(id))
+    }
+  }
+
   test("streaming drift monitor matches the batch PSI per closed window") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
