@@ -154,7 +154,35 @@ object AnalyticsQueries {
         col("avg_value_interp").as("value_interp"))
   }
 
+  /** q31_twa — time-weighted average of `value` per event type over
+    * the irregular event stream: Σ vᵢ·Δtᵢ / Σ Δtᵢ with Δtᵢ the gap to
+    * the next observation (last observation carries no weight) — the
+    * correct average for irregularly-sampled telemetry, where the
+    * plain mean over-weights bursts. One lead window (shuffle on
+    * type) + one aggregation; weights are exact integer
+    * cents×micros products in decimal(38), the only double is the
+    * final division. */
+  def q31Twa(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("v_cents", Core.cents(col("value")))
+      .withColumn("dt", lead(col("ts_us"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr("CAST(v_cents AS DECIMAL(38,0)) * CAST(dt AS DECIMAL(38,0))"))
+          .as("_wsum"),
+        sum(col("dt")).as("span_us"),
+        count(lit(1)).as("n_obs"))
+      .select(col("event_type"), col("n_obs"), col("span_us"),
+        (col("_wsum").cast("double") /
+          (lit(100.0) * col("span_us").cast("double"))).as("twa_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_twa" -> q31Twa,
     "q30_interpolate" -> q30Interpolate,
     "q29_gapfill" -> q29Gapfill,
     "q24_pivot" -> q24Pivot,
@@ -164,6 +192,25 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q31_twa" -> """
+      WITH e AS (
+        SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+          CAST(round(value * 100) AS BIGINT) AS v_cents
+        FROM events),
+      d AS (
+        SELECT event_type, v_cents,
+          lead(ts_us) OVER (PARTITION BY event_type
+            ORDER BY ts_us ASC, event_id ASC) - ts_us AS dt
+        FROM e),
+      g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+          CAST(SUM(dt) AS BIGINT) AS span_us,
+          SUM(CAST(v_cents AS HUGEINT) * CAST(dt AS HUGEINT)) AS wsum
+        FROM d WHERE dt IS NOT NULL GROUP BY 1)
+      SELECT event_type, n_obs, span_us,
+        CAST(wsum AS DOUBLE) / (100.0 * CAST(span_us AS DOUBLE))
+          AS twa_value
+      FROM g""",
     "q30_interpolate" -> """
       WITH hourly AS (
         SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
