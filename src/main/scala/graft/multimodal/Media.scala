@@ -198,6 +198,42 @@ object MediaPipeline {
     }
   }
 
+  /** Media near-duplicate pairs (round-7): the image-dedup capability
+    * of the multimodal family. Pairs come from the DECODED perceptual
+    * features (the 2×4 luma grid for JDK formats, the deterministic
+    * hash stub past the codec boundary), so re-encoded / slightly
+    * brightened copies of one image pair up even when their bytes
+    * differ; the `kind` column separates byte-exact dups (equal
+    * content hash) from perceptual ones. Output:
+    * (id_a, id_b, cosine, kind ∈ exact|near).
+    *
+    * Scale: features are one [[extractFeatures]] scan; pair
+    * generation reuses the embedding-dedup family — banded
+    * hyperplane LSH with id-only candidate shuffles
+    * ([[graft.operators.Similarity.dedupEmbeddingLsh]]) by default,
+    * or the exact all-pairs baseline (`lsh = false`) at verification
+    * scale. */
+  def nearDupPairs(feats: Dataset[MediaFeatures], tau: Double,
+      lsh: Boolean = true, bands: Int = 8, bandBits: Int = 4)
+      : DataFrame = {
+    val df = feats.toDF()
+    val pairs =
+      if (lsh) graft.operators.Similarity.dedupEmbeddingLsh(
+        df, "media_id", "feature", tau, bands, bandBits, dims = 8,
+        planeOffset = 5000)
+      else graft.operators.Similarity.embeddingPairs(
+        df, "media_id", "feature", tau)
+    val hashes = df.select(col("media_id"), col("content_hash"))
+    pairs
+      .join(hashes.select(col("media_id").as("id_a"),
+        col("content_hash").as("_ha")), "id_a")
+      .join(hashes.select(col("media_id").as("id_b"),
+        col("content_hash").as("_hb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        when(col("_ha") === col("_hb"), "exact").otherwise("near")
+          .as("kind"))
+  }
+
   /** Synthesize a deterministic media table from `documents` (payload =
     * UTF-8 bytes prefixed with a magic number chosen by doc_id) — the
     * testdata has no binary column, so the oracle-checkable metadata
@@ -235,7 +271,20 @@ object MediaQueries {
           .when(col("prefix_hex").startsWith("4749"), "gif")
           .otherwise("unknown"))
 
+  /** media_near_dup (rows-only — features come from the decode
+    * boundary, not SQL): [[MediaPipeline.nearDupPairs]] over the
+    * synthetic media table. The synthetic payloads are not decodable
+    * images, so features are the deterministic stub and the pairs it
+    * finds are the byte-identical payload groups — the plumbing
+    * (decode → features → LSH pairs → kind split) is the real path
+    * exercised with real PNGs in MediaSpec. */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame =
+    MediaPipeline.nearDupPairs(
+      MediaPipeline.extractFeatures(MediaPipeline.syntheticMedia(s, dir)),
+      tau = 0.95)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_near_dup" -> mediaNearDup,
     "mm_metadata" -> mmMetadata)
 
   val oracleSql: Map[String, String] = Map(

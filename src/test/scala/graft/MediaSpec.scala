@@ -84,6 +84,39 @@ class MediaSpec extends SparkSpec {
         MediaPipeline.decodeStub(corrupt)._3.toSeq))
   }
 
+  test("nearDupPairs: byte-exact vs perceptual image dups classified") {
+    def image(bright: Int, flipped: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 20; y <- 0 until 10) {
+        val lit = if (flipped) x >= 10 else x < 10
+        val v = if (lit) math.min(255, 200 + bright) else bright
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val a = image(0, flipped = false)
+    val ds = Seq(
+      MediaRecord(1L, "image", a, "t"),                      // original
+      MediaRecord(2L, "image", a.clone(), "t"),              // exact copy
+      MediaRecord(3L, "image", image(10, flipped = false), "t"), // brighter
+      MediaRecord(4L, "image", image(0, flipped = true), "t"))   // opposite
+      .toDS()
+    val feats = MediaPipeline.extractFeatures(ds)
+    for (lsh <- Seq(true, false)) {
+      val pairs = MediaPipeline.nearDupPairs(feats, tau = 0.99, lsh = lsh)
+        .select("id_a", "id_b", "kind")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      // 1-2 byte-identical; 1-3/2-3 perceptually near; 4 is the
+      // mirrored image — cosine far below τ
+      assert(pairs === Set((1L, 2L, "exact"), (1L, 3L, "near"),
+        (2L, 3L, "near")), s"lsh=$lsh: $pairs")
+    }
+  }
+
   test("media Dataset round-trips its schema through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     MediaPipeline.syntheticMedia(spark, sf).write
