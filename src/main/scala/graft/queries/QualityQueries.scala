@@ -263,7 +263,24 @@ object QualityQueries {
     graft.operators.Fuzzy.selfMatch(
       Tables(s, dir, "customer"), "c_custkey", "c_name")
 
+  /** dq_anomaly — [[graft.operators.Anomaly.flagOutliers]] over hourly
+    * per-type event volumes: hours whose count sits more than 3σ from
+    * their type's mean, decided in exact integer moments (no float σ
+    * anywhere) — the volume-anomaly monitor beside dq_drift's
+    * distribution monitor. */
+  def dqAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hour_id"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.Anomaly
+      .flagOutliers(hourly, "event_type", "n_events", k = 3)
+      .select(col("event_type"), col("hour_id"), col("n_events"),
+        col("n_obs"), col("is_anomaly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_anomaly" -> dqAnomaly,
     "er_fuzzy_match" -> erFuzzyMatch,
     "dq_drift" -> dqDrift,
     "dq_profile" -> dqProfile,
@@ -275,6 +292,22 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+          CAST(SUM(n_events) AS BIGINT) AS s,
+          CAST(SUM(n_events * n_events) AS BIGINT) AS q
+        FROM hourly GROUP BY 1)
+      SELECT h.event_type, h.hour_id, h.n_events, st.n_obs,
+        CAST(CASE WHEN (st.n_obs * h.n_events - st.s)
+            * (st.n_obs * h.n_events - st.s)
+            > 9 * (st.n_obs * st.q - st.s * st.s)
+          THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+      FROM hourly h JOIN st USING (event_type)""",
     "er_fuzzy_match" -> s"""
       WITH base AS (
         SELECT c_custkey AS id, c_name AS name FROM customer

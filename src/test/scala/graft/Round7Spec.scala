@@ -151,6 +151,29 @@ class Round7Spec extends SparkSpec {
     assert(out._5 === 0.0) // same mix on both sides
   }
 
+  test("Anomaly.flagOutliers: exact integer 3-sigma decisions") {
+    // group a: 10 values of 100 plus one of 1000 — the spike is far
+    // beyond 3σ; the 100s sit well inside
+    val a = (1L to 10L).map(i => ("a", i, 100L)) :+ (("a", 11L, 1000L))
+    // group b: all equal — zero variance, zero deviation, no flags
+    val b = (1L to 5L).map(i => ("b", i, 7L))
+    val df = (a ++ b).toDF("grp", "id", "v")
+    val out = graft.operators.Anomaly.flagOutliers(df, "grp", "v")
+      .select("grp", "id", "is_anomaly")
+      .as[(String, Long, Int)].collect
+    assert(out.filter(_._3 == 1).map(r => (r._1, r._2)).toSet ===
+      Set(("a", 11L)))
+    // near-constant group: ten 7s + one 8 — exact moments give
+    // dev² = 100 > k²·(nQ−S²) = 90, a boundary float variance would
+    // get wrong at the ulp level
+    val c = ((1L to 10L).map(i => ("c", i, 7L)) :+ (("c", 11L, 8L)))
+      .toDF("grp", "id", "v")
+    val flagged = graft.operators.Anomaly.flagOutliers(c, "grp", "v")
+      .filter(col("is_anomaly") === 1)
+      .select("id").as[Long].collect.toSet
+    assert(flagged === Set(11L))
+  }
+
   // ------------------------------------------- fuzzy match / vocabulary
 
   test("Fuzzy.selfMatch finds exactly the distance-≤1 pairs") {
