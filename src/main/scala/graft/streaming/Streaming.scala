@@ -277,6 +277,72 @@ object Streaming {
       }
   }
 
+  /** Streaming volume-anomaly monitor — the third streaming monitor
+    * beside [[windowedQuality]] and [[driftMonitorStream]]: per-window
+    * per-group row counts, each CLOSED window flagged against static
+    * BASELINE moments ([[graft.operators.Anomaly]]'s exact-integer
+    * k-sigma test, with the baseline supplying n/S/Q) in
+    * foreachBatch. `baseline` is a (group, value) observation table —
+    * e.g. historical per-window counts; its moments are computed once.
+    * Call `.start()` on the returned writer. */
+  def anomalyMonitorStream(stream: DataFrame, baseline: DataFrame,
+      tsCol: String, groupCol: String, k: Int = 3,
+      watermark: String = "2 hours", windowLen: String = "1 hour")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val moments = baselineMoments(baseline, groupCol).localCheckpoint(true)
+    windowedGroupCounts(stream, tsCol, groupCol, watermark, windowLen)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(flagAgainstBaseline(batch.toDF(), moments, k), id)
+      }
+  }
+
+  /** Per-(window, group) row counts — batch- and stream-compatible. */
+  def windowedGroupCounts(df: DataFrame, tsCol: String, groupCol: String,
+      watermark: String = "2 hours", windowLen: String = "1 hour")
+      : DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(groupCol), col("n_rows"))
+
+  /** Baseline (group, n, S, Q) integer moments of a (group, value)
+    * observation table. */
+  def baselineMoments(baseline: DataFrame, groupCol: String): DataFrame =
+    baseline.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("_graft_n"),
+      sum(col("value")).as("_graft_s"),
+      sum(col("value") * col("value")).as("_graft_q"))
+
+  /** The exact-integer k-sigma flag of a windowed count relation
+    * against precomputed baseline moments — shared by the streaming
+    * monitor and its batch twin. */
+  def flagAgainstBaseline(counts: DataFrame, moments: DataFrame,
+      k: Int): DataFrame = {
+    val dev = col("_graft_n") * col("n_rows") - col("_graft_s")
+    val rhs = lit(k.toLong * k) *
+      (col("_graft_n") * col("_graft_q") -
+        col("_graft_s") * col("_graft_s"))
+    counts.join(broadcast(moments),
+        counts.columns.intersect(moments.columns).toSeq)
+      .withColumn("is_anomaly", (dev * dev > rhs).cast("int"))
+      .withColumnRenamed("_graft_n", "baseline_n")
+      .drop("_graft_s", "_graft_q")
+  }
+
+  /** Batch twin of [[anomalyMonitorStream]]. */
+  def anomalyMonitorBatch(df: DataFrame, baseline: DataFrame,
+      tsCol: String, groupCol: String, k: Int = 3,
+      watermark: String = "2 hours", windowLen: String = "1 hour")
+      : DataFrame =
+    flagAgainstBaseline(
+      windowedGroupCounts(df, tsCol, groupCol, watermark, windowLen),
+      baselineMoments(baseline, groupCol), k)
+
   /** Batch twin of [[driftMonitorStream]] for oracle comparison. */
   def driftMonitorBatch(df: DataFrame, reference: DataFrame,
       tsCol: String, numeric: Seq[(String, Int)],

@@ -424,6 +424,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly monitor flags spiking windows vs the baseline") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
+    // baseline hourly volumes for group "a": ten quiet hours of 100
+    // plus one historic spike of 1000 (moments: flag iff count ≥ 959)
+    val baseline = ((1 to 10).map(_ => ("a", 100L)) :+ (("a", 1000L)))
+      .toDF("grp", "value")
+    // w0: 100 rows (in family); w1: 1000 rows (spike); closer row
+    val rows = (0 until 100).map(i => (t(i % 10), "a")) ++
+      (0 until 1000).map(i => (t(70 + i % 10), "a")) ++
+      Seq((t(300), "a"))
+    val dir = java.nio.file.Files.createTempDirectory("anom")
+    rows.toDF("ts", "grp").write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.resolve("in").toString).schema)
+      .parquet(dir.resolve("in").toString)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, Long, Int)]
+    val query = Streaming.anomalyMonitorStream(stream, baseline,
+      "ts", "grp", k = 3, watermark = "30 minutes") { (flags, _) =>
+      buf ++= flags.collect().map(r => (
+        r.getAs[Timestamp]("window_start"), r.getAs[Long]("n_rows"),
+        r.getAs[Int]("is_anomaly")))
+    }.start()
+    try {
+      query.processAllAvailable()
+      assert(buf.nonEmpty)
+      val byWindow = buf.map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(byWindow(t(0)) === ((100L, 0)))
+      assert(byWindow(t(60)) === ((1000L, 1)))
+      // streamed flags match the batch twin per closed window
+      val batch = Streaming.anomalyMonitorBatch(rows.toDF("ts", "grp"),
+        baseline, "ts", "grp", k = 3)
+        .collect().map(r => (r.getAs[Timestamp]("window_start"),
+          r.getAs[Long]("n_rows"), r.getAs[Int]("is_anomaly"))).toSet
+      assert(buf.toSet.subsetOf(batch), s"stream=${buf.toSet} batch=$batch")
+    } finally query.stop()
+  }
+
   test("streaming drift monitor matches the batch PSI per closed window") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
