@@ -181,7 +181,38 @@ object AnalyticsQueries {
         (col("_wsum").cast("double") /
           (lit(100.0) * col("span_us").cast("double"))).as("twa_value"))
 
+  /** q32_corr — Pearson correlation of quantity vs line price per
+    * return flag, computed from EXACT integer moments: n, Σx, Σy,
+    * Σx², Σy², Σxy accumulate as decimal(38) products (Σy² overflows
+    * long at sf0.1), and corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) ·
+    * √(nΣy²−(Σy)²)) is then a deterministic scalar over exact
+    * integers — `corr()` built-ins stream float co-moments in data
+    * order and cannot hash-match across engines; this formulation
+    * can. One map-side-combined aggregation. */
+  def q32Corr(s: SparkSession, dir: String): DataFrame = {
+    def d(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    Tables(s, dir, "lineitem")
+      .withColumn("x", col("l_quantity").cast("long"))
+      .withColumn("y", Core.cents(col("l_extendedprice")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"${d("x")} * ${d("x")}")).as("sxx"),
+        sum(expr(s"${d("y")} * ${d("y")}")).as("syy"),
+        sum(expr(s"${d("x")} * ${d("y")}")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        // every product in decimal(38): sy·sy overflows long already
+        // at sf0.001 (ANSI would throw, non-ANSI would silently wrap)
+        (expr(s"CAST(${d("n")} * sxy - ${d("sx")} * ${d("sy")} AS DOUBLE)") /
+          (sqrt(expr(
+            s"CAST(${d("n")} * sxx - ${d("sx")} * ${d("sx")} AS DOUBLE)")) *
+            sqrt(expr(
+              s"CAST(${d("n")} * syy - ${d("sy")} * ${d("sy")} AS DOUBLE)"))))
+          .as("corr_qty_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_corr" -> q32Corr,
     "q31_twa" -> q31Twa,
     "q30_interpolate" -> q30Interpolate,
     "q29_gapfill" -> q29Gapfill,
@@ -192,6 +223,25 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q32_corr" -> """
+      WITH b AS (
+        SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS x,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          SUM(x::HUGEINT * x::HUGEINT) AS sxx,
+          SUM(y::HUGEINT * y::HUGEINT) AS syy,
+          SUM(x::HUGEINT * y::HUGEINT) AS sxy
+        FROM b GROUP BY 1)
+      SELECT l_returnflag, n,
+        CAST(n * sxy - sx::HUGEINT * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx::HUGEINT * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy::HUGEINT * sy AS DOUBLE)))
+          AS corr_qty_price
+      FROM m""",
     "q31_twa" -> """
       WITH e AS (
         SELECT event_type, event_id, epoch_us(ts) AS ts_us,
