@@ -158,18 +158,43 @@ object AnalyticsQueries {
     * the irregular event stream: Σ vᵢ·Δtᵢ / Σ Δtᵢ with Δtᵢ the gap to
     * the next observation (last observation carries no weight) — the
     * correct average for irregularly-sampled telemetry, where the
-    * plain mean over-weights bursts. One lead window (shuffle on
-    * type) + one aggregation; weights are exact integer
+    * plain mean over-weights bursts. Weights are exact integer
     * cents×micros products in decimal(38), the only double is the
-    * final division. */
-  def q31Twa(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    * final division.
+    *
+    * Scale note: event_type has ~5 values, so a lead window partitioned
+    * by type alone sorts the whole raw stream inside 5 tasks at any
+    * scale. Instead the lead runs inside (event_type, calendar-hour)
+    * partitions — hour buckets tile time disjointly, so the
+    * within-bucket lead equals the global lead everywhere except each
+    * bucket's LAST row, whose successor is the first observation of the
+    * next non-empty bucket. Those successors come from a
+    * bucket-count-sized firsts relation (|types|×|hours|, broadcast
+    * back), so parallelism grows with the time span while Δt stays
+    * bit-identical to the single-window formulation. */
+  def q31Twa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("v_cents", Core.cents(col("value")))
-      .withColumn("dt", lead(col("ts_us"), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type"))
+      .withColumn("bucket", expr("ts_us div 3600000000"))
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        col("v_cents"), col("bucket"))
+    // ts_us in bucket b lies in [b·3600e6, (b+1)·3600e6): strictly below
+    // every ts in any later bucket, so global (ts_us, event_id) order is
+    // bucket order refined by within-bucket order.
+    val inBucket = ev.withColumn("dt_in",
+      lead(col("ts_us"), 1).over(
+        Window.partitionBy(col("event_type"), col("bucket"))
           .orderBy(col("ts_us").asc, col("event_id").asc)) - col("ts_us"))
+    val nexts = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(min(col("ts_us")).as("first_ts"))
+      .withColumn("next_first", lead(col("first_ts"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bucket").asc)))
+      .select(col("event_type"), col("bucket"), col("next_first"))
+    inBucket.join(broadcast(nexts), Seq("event_type", "bucket"))
+      .withColumn("dt",
+        coalesce(col("dt_in"), col("next_first") - col("ts_us")))
       .filter(col("dt").isNotNull)
       .groupBy(col("event_type"))
       .agg(
@@ -180,6 +205,7 @@ object AnalyticsQueries {
       .select(col("event_type"), col("n_obs"), col("span_us"),
         (col("_wsum").cast("double") /
           (lit(100.0) * col("span_us").cast("double"))).as("twa_value"))
+  }
 
   /** q32_corr — Pearson correlation of quantity vs line price per
     * return flag, computed from EXACT integer moments: n, Σx, Σy,

@@ -160,6 +160,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 4, p)
   }
 
+  test("q31_twa: the raw-stream lead window partitions on a composite key") {
+    // event_type has ~5 values; a window partitioned by type alone
+    // sorts the whole raw stream in 5 tasks at any scale. The window
+    // that runs over raw (un-aggregated) data must carry the
+    // (event_type, bucket) composite; only the bucket-count-sized
+    // firsts relation may window on bare event_type.
+    val qe = SparkEntry.queries("q31_twa")(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, qe.sparkPlan.toString)
+    val rawWindows = windows.filter(w => w.child.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isEmpty)
+    assert(rawWindows.nonEmpty,
+      "no window over the raw stream found:\n" + qe.sparkPlan)
+    rawWindows.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"raw-stream window partitions on ${w.partitionSpec} — " +
+          s"single-key sort cliff:\n${qe.sparkPlan}")
+    }
+  }
+
+  test("vocab_oov: top-V selection plans as TakeOrderedAndProject") {
+    // the rank-≤-V filter over the term table must collapse to a
+    // bounded top-V (per-partition heap + driver merge of V rows), not
+    // a full global sort of the vocabulary relation
+    val p = plan("vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("er_fuzzy_match: variant equi-join only, bucket cap applied") {
+    val p = plan("er_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // Skew.capBuckets plans a count window over the variant key before
+    // the self-join — its absence means the stop-variant O(b²) guard
+    // was dropped
+    assert(count(p, "Window") >= 1, p)
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(
