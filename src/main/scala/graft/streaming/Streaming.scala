@@ -106,11 +106,28 @@ object Streaming {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    windowedTermCounts(docs, textCol, watermark, windowLen, minCount)
-      .writeStream
+    scoreClosedWindows(
+      windowedTermCounts(docs, textCol, watermark, windowLen, minCount))(
+      batch => rankWindows(batch, k))(sink)
+
+  /** The shared monitor shape: a watermarked windowed aggregation runs
+    * in Append mode (a window's rows all emit in the micro-batch where
+    * the watermark closes it) and each micro-batch is re-scored with
+    * the SAME batch-path transform before reaching `sink` — the
+    * pattern behind [[trendingTopKStream]], [[driftMonitorStream]] and
+    * [[anomalyMonitorStream]], where the scoring step (a rank, a PSI
+    * fold, a k-sigma flag) cannot legally follow a streaming
+    * aggregation inside one query. Call `.start()` on the returned
+    * writer. */
+  def scoreClosedWindows(windowed: DataFrame)(
+      score: DataFrame => DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    windowed.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(rankWindows(batch.toDF(), k), id)
+        sink(score(batch.toDF()), id)
       }
 
   /** First-seen-wins per key: watermark-bounded streaming state
@@ -268,13 +285,10 @@ object Streaming {
     val refCounts = graft.operators.Drift
       .referenceCounts(reference, numeric, categorical)
       .localCheckpoint(true) // computed once, joined every micro-batch
-    windowedFeatureCounts(stream, tsCol, numeric, categorical, edges,
-      watermark, windowLen)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(psiWindows(batch.toDF(), refCounts), id)
-      }
+    scoreClosedWindows(
+      windowedFeatureCounts(stream, tsCol, numeric, categorical, edges,
+        watermark, windowLen))(
+      batch => psiWindows(batch, refCounts))(sink)
   }
 
   /** Streaming volume-anomaly monitor — the third streaming monitor
@@ -292,12 +306,9 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     val moments = baselineMoments(baseline, groupCol).localCheckpoint(true)
-    windowedGroupCounts(stream, tsCol, groupCol, watermark, windowLen)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(flagAgainstBaseline(batch.toDF(), moments, k), id)
-      }
+    scoreClosedWindows(
+      windowedGroupCounts(stream, tsCol, groupCol, watermark, windowLen))(
+      batch => flagAgainstBaseline(batch, moments, k))(sink)
   }
 
   /** Per-(window, group) row counts — batch- and stream-compatible. */
@@ -311,25 +322,49 @@ object Streaming {
         col("window.end").as("window_end"), col(groupCol), col("n_rows"))
 
   /** Baseline (group, n, S, Q) integer moments of a (group, value)
-    * observation table. */
-  def baselineMoments(baseline: DataFrame, groupCol: String): DataFrame =
+    * observation table. Moments accumulate as decimal(38,0) — the same
+    * overflow headroom as [[graft.operators.Anomaly.flagOutliers]]. */
+  def baselineMoments(baseline: DataFrame, groupCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
     baseline.groupBy(col(groupCol)).agg(
       count(lit(1)).as("_graft_n"),
-      sum(col("value")).as("_graft_s"),
-      sum(col("value") * col("value")).as("_graft_q"))
+      sum(d(col("value"))).as("_graft_s"),
+      sum(d(col("value")) * d(col("value"))).as("_graft_q"))
+  }
 
   /** The exact-integer k-sigma flag of a windowed count relation
     * against precomputed baseline moments — shared by the streaming
-    * monitor and its batch twin. */
+    * monitor and its batch twin.
+    *
+    * The count relation is first completed to the full window ×
+    * baseline-group grid with n_rows zero-filled, so a baseline group
+    * that went SILENT in a window is tested at n_rows = 0 (flagged
+    * whenever the baseline mean sits more than kσ from zero) instead
+    * of silently producing no row. A group the baseline has never seen
+    * keeps its observed count with null baseline_n and is flagged
+    * outright — a brand-new source is an anomaly until the baseline
+    * learns it. Windows are taken from the count relation itself: a
+    * stream that emits NOTHING in a window closes no window and cannot
+    * be scored from data alone — pair with a driver-side liveness
+    * check for the whole-feed-dead case. */
   def flagAgainstBaseline(counts: DataFrame, moments: DataFrame,
       k: Int): DataFrame = {
-    val dev = col("_graft_n") * col("n_rows") - col("_graft_s")
-    val rhs = lit(k.toLong * k) *
-      (col("_graft_n") * col("_graft_q") -
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val keyCols = counts.columns.intersect(moments.columns).toSeq
+    val grid = counts.select(col("window_start"), col("window_end"))
+      .distinct()
+      .crossJoin(moments)
+    val full = grid.join(counts,
+        Seq("window_start", "window_end") ++ keyCols, "full_outer")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+    val dev = d(col("_graft_n")) * d(col("n_rows")) - col("_graft_s")
+    val rhs = d(lit(k.toLong * k)) *
+      (d(col("_graft_n")) * col("_graft_q") -
         col("_graft_s") * col("_graft_s"))
-    counts.join(broadcast(moments),
-        counts.columns.intersect(moments.columns).toSeq)
-      .withColumn("is_anomaly", (dev * dev > rhs).cast("int"))
+    full
+      .withColumn("is_anomaly",
+        when(col("_graft_n").isNull, lit(1))
+          .otherwise((dev * dev > rhs).cast("int")))
       .withColumnRenamed("_graft_n", "baseline_n")
       .drop("_graft_s", "_graft_q")
   }

@@ -174,6 +174,27 @@ class Round7Spec extends SparkSpec {
     assert(flagged === Set(11L))
   }
 
+  test("Anomaly.flagOutliers survives magnitudes that overflow long Σx²") {
+    // values ~3·10¹²: a single x² ≈ 9·10²⁴ overflows long (~9.2·10¹⁸)
+    // — with long moments ANSI mode aborts the job loudly; decimal(38)
+    // moments must both survive and still decide exactly
+    val base = 3_000_000_000_000L
+    val df = ((1L to 10L).map(i => ("g", i, base + i)) :+
+      (("g", 11L, 10L * base))).toDF("grp", "id", "v")
+    val flagged = graft.operators.Anomaly.flagOutliers(df, "grp", "v")
+      .filter(col("is_anomaly") === 1)
+      .select("id").as[Long].collect.toSet
+    assert(flagged === Set(11L))
+  }
+
+  test("Anomaly.flagOutliers rejects colliding internal/output columns") {
+    val df = Seq(("a", 1L, 2L)).toDF("grp", "n_obs", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Anomaly.flagOutliers(df, "grp", "v")
+    }
+    assert(e.getMessage.contains("n_obs"))
+  }
+
   // ------------------------------------------- fuzzy match / vocabulary
 
   test("Fuzzy.selfMatch finds exactly the distance-≤1 pairs") {

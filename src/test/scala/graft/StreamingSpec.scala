@@ -464,6 +464,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("anomaly monitor surfaces silent baseline groups and brand-new groups") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
+    // baseline: group a hums at ~100/window; group b at exactly 50
+    // (zero variance — silence is infinitely many σ from the mean)
+    val baseline = ((1 to 10).map(_ => ("a", 100L)) ++
+      (1 to 10).map(_ => ("b", 50L))).toDF("grp", "value")
+    // the observed window has a-rows and rows from never-seen group c;
+    // baseline group b emits NOTHING
+    val rows = (0 until 100).map(i => (t(i % 10), "a")) ++
+      (0 until 5).map(i => (t(i % 10), "c"))
+    val out = Streaming.anomalyMonitorBatch(rows.toDF("ts", "grp"),
+      baseline, "ts", "grp", k = 3)
+      .select("grp", "n_rows", "is_anomaly")
+      .as[(String, Long, Int)].collect().toSet
+    assert(out === Set(
+      ("a", 100L, 0), // in family
+      ("b", 0L, 1),   // silent source: zero-filled row, flagged
+      ("c", 5L, 1)))  // brand-new source: no baseline, flagged
+  }
+
   test("streaming drift monitor matches the batch PSI per closed window") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
