@@ -192,25 +192,30 @@ object Dedup {
       maxBucket: Long = DefaultMaxBucket): DataFrame =
     incrementalCleanIndexed(
       buildIndex(corpus, idCol, textCol, minhashK, bands),
-      batch, idCol, textCol, tau, minhashK, bands, maxBucket)
+      batch, idCol, textCol, tau, maxBucket)
 
   /** The persisted form of a standing corpus' dedup structures: the
     * distinct content-hash set (exact stage), the (doc_id, s) shingle
     * relation (Jaccard verification), and the (doc_id, band, bh)
-    * MinHash bucket keys (candidate generation). In production these
-    * three are parquet tables a corpus store maintains alongside the
-    * data — [[buildIndex]] derives them (two scans + two
-    * map-side-combined aggregations), and [[incrementalCleanIndexed]]
-    * probes them so DAILY INGEST never pays a corpus-sized
-    * recomputation. The shingle relation is the big one (≈ tokens);
-    * that is inherent to exact-Jaccard verification and shuffles only
-    * where candidate doc ids land. */
+    * MinHash bucket keys (candidate generation), together with the
+    * MinHash parameters they were derived under — a persisted index
+    * probed with mismatched (minhashK, bands) would silently match
+    * nothing, so the parameters travel WITH the relations and
+    * [[incrementalCleanIndexed]] takes them from here, never from the
+    * caller. In production these three are parquet tables a corpus
+    * store maintains alongside the data — [[buildIndex]] derives them
+    * (two scans + two map-side-combined aggregations),
+    * [[saveIndex]]/[[loadIndex]] persist them bucketed by their join
+    * keys, and [[incrementalCleanIndexed]] probes them so DAILY INGEST
+    * never pays a corpus-sized recomputation. The shingle relation is
+    * the big one (≈ tokens); that is inherent to exact-Jaccard
+    * verification and shuffles only where candidate doc ids land. */
   final case class DedupIndex(
-      hashes: DataFrame, shingles: DataFrame, buckets: DataFrame)
+      hashes: DataFrame, shingles: DataFrame, buckets: DataFrame,
+      minhashK: Int, bands: Int)
 
-  /** Derive a [[DedupIndex]] from a corpus. Persist the three frames
-    * (e.g. parquet, bucketed by their join keys) to make batch ingest
-    * truly corpus-recompute-free. */
+  /** Derive a [[DedupIndex]] from a corpus. [[saveIndex]] it to make
+    * batch ingest truly corpus-recompute-free across sessions. */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
       minhashK: Int = 16, bands: Int = 4): DedupIndex = {
     val sh = shingles(corpus, idCol, textCol)
@@ -218,14 +223,77 @@ object Dedup {
       hashes = corpus.select(md5(normalized(col(textCol))).as("content_hash"))
         .distinct(),
       shingles = sh,
-      buckets = bandedBuckets(sh, minhashK, bands))
+      buckets = bandedBuckets(sh, minhashK, bands),
+      minhashK = minhashK, bands = bands)
+  }
+
+  /** Index table names/specs under a (prefix, path): each relation is a
+    * parquet table BUCKETED by its probe-join key, so
+    * [[incrementalCleanIndexed]] reads the corpus side pre-partitioned
+    * — only the (batch-sized) probe side shuffles. */
+  private val IndexTables: Seq[(String, String, Seq[String])] = Seq(
+    // (name, schema DDL, bucket/sort keys)
+    ("hashes", "content_hash STRING", Seq("content_hash")),
+    ("shingles", "doc_id BIGINT, s STRING", Seq("doc_id")),
+    ("buckets", "doc_id BIGINT, band INT, bh STRING", Seq("band", "bh")))
+
+  /** Persist a [[DedupIndex]] as bucketed parquet tables
+    * `<prefix>_{hashes,shingles,buckets}` rooted at `path`, plus a
+    * one-row `meta` parquet recording (minhashK, bands, nBuckets).
+    * Bucket metadata lives in the session catalog; [[loadIndex]]
+    * re-registers it idempotently in any later session from the same
+    * (prefix, path), so the bucketing survives restarts. */
+  def saveIndex(index: DedupIndex, prefix: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    val s = index.hashes.sparkSession
+    val frames = Map("hashes" -> index.hashes,
+      "shingles" -> index.shingles, "buckets" -> index.buckets)
+    IndexTables.foreach { case (name, _, keys) =>
+      s.sql(s"DROP TABLE IF EXISTS ${prefix}_$name")
+      frames(name).write.mode("overwrite")
+        .option("path", s"$path/$name")
+        .bucketBy(nBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(s"${prefix}_$name")
+    }
+    import s.implicits._
+    Seq((index.minhashK, index.bands, nBuckets))
+      .toDF("minhash_k", "bands", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveIndex]]-persisted index. Re-issues the bucketed
+    * external-table DDL if this session doesn't know the tables yet
+    * (bucket METADATA is catalog state; the parquet files are the
+    * durable part), then reads the MinHash parameters from the meta
+    * table — so a probe can never run with parameters the index wasn't
+    * built under. */
+  def loadIndex(s: org.apache.spark.sql.SparkSession, prefix: String,
+      path: String): DedupIndex = {
+    val meta = s.read.parquet(s"$path/meta").head()
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    IndexTables.foreach { case (name, schema, keys) =>
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS ${prefix}_$name ($schema)
+           |USING PARQUET
+           |CLUSTERED BY (${keys.mkString(", ")})
+           |SORTED BY (${keys.mkString(", ")})
+           |INTO $nBuckets BUCKETS
+           |LOCATION '$path/$name'""".stripMargin)
+    }
+    DedupIndex(
+      hashes = s.table(s"${prefix}_hashes"),
+      shingles = s.table(s"${prefix}_shingles"),
+      buckets = s.table(s"${prefix}_buckets"),
+      minhashK = meta.getAs[Int]("minhash_k"),
+      bands = meta.getAs[Int]("bands"))
   }
 
   /** [[incrementalClean]] against a prebuilt (typically persisted)
-    * [[DedupIndex]] — the ingest-cost-is-batch-sized form. */
+    * [[DedupIndex]] — the ingest-cost-is-batch-sized form. MinHash
+    * parameters come from the index itself ([[DedupIndex]]). */
   def incrementalCleanIndexed(index: DedupIndex, batch: DataFrame,
       idCol: String, textCol: String, tau: Double,
-      minhashK: Int = 16, bands: Int = 4,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
     Seq("_graft_h", "_graft_rn").foreach(c =>
       require(!batch.columns.contains(c),
@@ -241,12 +309,13 @@ object Dedup {
       .drop("_graft_h", "_graft_rn")
     val shBatch = shingles(exactSurv, idCol, textCol)
     val crossLosers = Decontaminate
-      .nearDupPairs(shBatch, bandedBuckets(shBatch, minhashK, bands),
+      .nearDupPairs(shBatch,
+        bandedBuckets(shBatch, index.minhashK, index.bands),
         index.shingles, index.buckets, tau, maxBucket)
       .select(col("train_id").as(idCol)).distinct()
     val comp = components(
-      minhashLsh(exactSurv, idCol, textCol, tau, minhashK, bands,
-        maxBucket), "id_a", "id_b")
+      minhashLsh(exactSurv, idCol, textCol, tau, index.minhashK,
+        index.bands, maxBucket), "id_a", "id_b")
     val selfLosers = comp.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
       .localCheckpoint(true)

@@ -405,7 +405,6 @@ object Streaming {
   def dedupIngestStream(stream: DataFrame,
       index: graft.operators.Dedup.DedupIndex,
       idCol: String, textCol: String, tau: Double,
-      minhashK: Int = 16, bands: Int = 4,
       maxBucket: Long = graft.operators.Dedup.DefaultMaxBucket)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -414,8 +413,7 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val cleaned = graft.operators.Dedup.incrementalCleanIndexed(
-          index, batch.toDF(), idCol, textCol, tau, minhashK, bands,
-          maxBucket)
+          index, batch.toDF(), idCol, textCol, tau, maxBucket)
         try sink(cleaned, id)
         finally graft.operators.Dedup.release(cleaned)
       }

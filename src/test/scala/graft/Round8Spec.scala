@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-8 operator tests: persisted dedup index, paragraph dedup. */
+class Round8Spec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def doc(tokens: Seq[String]) = tokens.mkString(" ")
+
+  test("DedupIndex round-trips through bucketed parquet with its parameters") {
+    val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+    val base = (0 until 20).map(i => s"tok$i")
+    val other = (0 until 20).map(i => s"alt$i")
+    val corpus = Seq(
+      (10L, doc(base)),
+      (11L, "totally unrelated corpus text lives here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, doc(base)),                   // exact dup of corpus 10
+      (21L, doc(base.init :+ "changed")), // near-dup of corpus 10
+      (22L, doc(other)),                  // fresh; the keeper
+      (23L, doc(other)),                  // exact dup within batch
+      (24L, doc(other.init :+ "edited")), // near-dup within batch
+      (25L, "completely different and unique text")).toDF("doc_id", "text")
+
+    Dedup.saveIndex(Dedup.buildIndex(corpus, "doc_id", "text"),
+      "graft_t8_idx", dir, nBuckets = 4)
+    // drop the catalog entries to prove loadIndex re-registers the
+    // bucketed tables from (prefix, path) alone — the fresh-session path
+    Seq("hashes", "shingles", "buckets").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_t8_idx_$n"))
+    val loaded = Dedup.loadIndex(spark, "graft_t8_idx", dir)
+    assert(loaded.minhashK === 16 && loaded.bands === 4)
+
+    val out = Dedup.incrementalCleanIndexed(loaded, batch,
+      "doc_id", "text", tau = 0.5)
+      .select("doc_id").as[Long].collect.toSet
+    assert(out === Set(22L, 25L)) // identical to the in-session index
+  }
+
+  test("loaded index probe: corpus relations read bucketed, never reshuffled") {
+    val dir = java.nio.file.Files.createTempDirectory("graftidx2").toString
+    val corpus = (0L until 40L).map(i =>
+      (i, doc((0 until 12).map(t => s"c${i}w$t")))).toDF("doc_id", "text")
+    val batch = (100L until 110L).map(i =>
+      (i, doc((0 until 12).map(t => s"b${i}w$t")))).toDF("doc_id", "text")
+    Dedup.saveIndex(Dedup.buildIndex(corpus, "doc_id", "text"),
+      "graft_t8_plan", dir, nBuckets = 4)
+    val loaded = Dedup.loadIndex(spark, "graft_t8_plan", dir)
+
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force shuffle joins and a static plan so the exchange structure
+      // is inspectable — at scale the corpus side is never broadcastable
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Dedup.incrementalCleanIndexed(loaded, batch,
+        "doc_id", "text", tau = 0.5).queryExecution.executedPlan
+      val bucketedScans = plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      // hashes (exact stage) + shingles + buckets (near-vs-corpus stage)
+      assert(bucketedScans.size >= 3, plan.toString)
+      // the probe must shuffle ONLY batch-sized relations: no exchange
+      // sits (through narrow ops) directly above a bucketed corpus scan
+      @annotation.tailrec
+      def throughNarrow(n: SparkPlan): SparkPlan = n match {
+        case p: ProjectExec => throughNarrow(p.child)
+        case f: FilterExec => throughNarrow(f.child)
+        case s: SortExec => throughNarrow(s.child)
+        case o => o.children match {
+          case Seq(only) if o.getClass.getSimpleName.startsWith("WholeStageCodegen") ||
+            o.getClass.getSimpleName == "InputAdapter" ||
+            o.getClass.getSimpleName == "ColumnarToRowExec" =>
+            throughNarrow(only)
+          case _ => o
+        }
+      }
+      val reshuffled = plan.collect {
+        case ex: ShuffleExchangeExec => throughNarrow(ex.child)
+      }.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(reshuffled.isEmpty,
+        s"bucketed corpus scan under an Exchange:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+}
