@@ -101,7 +101,18 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** dedup_paragraph — [[graft.operators.Paragraph.dedupParagraphs]]
+    * (round-8): repeated-span/boilerplate removal INSIDE documents,
+    * the pass whole-doc dedup cannot express. The synthetic corpus has
+    * no blank lines, so the binding segments on the literal " the "
+    * (which the token stream actually contains) and treats a segment
+    * shared by more than 2 distinct docs as boilerplate. */
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Paragraph.dedupParagraphs(
+      docs(s, dir), "doc_id", "text", maxDf = 2, splitRegex = " the ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> dedupParagraph,
     "dedup_incremental" -> dedupIncremental,
     "dedup_dropdups" -> dedupDropdups,
     "dedup_clusters" -> dedupClusters,
@@ -301,6 +312,32 @@ object DedupQueries {
         AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_paragraph" -> """
+      WITH p AS (
+        SELECT doc_id, i AS pos,
+          lower(trim(regexp_replace(parts[i], '\s+', ' ', 'g'))) AS para
+        FROM (SELECT doc_id, string_split(text, ' the ') AS parts
+              FROM documents) t,
+             LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) r),
+      np AS (SELECT * FROM p WHERE para <> ''),
+      pdf AS (
+        SELECT para, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM np GROUP BY 1),
+      j AS (
+        SELECT np.doc_id, np.pos, np.para, (pdf.df <= 2) AS keep
+        FROM np JOIN pdf USING (para)),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+          CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_dropped,
+          COALESCE(string_agg(CASE WHEN keep THEN para END,
+            chr(10) || chr(10) ORDER BY pos), '') AS text_clean
+        FROM j GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(a.n_paragraphs, 0) AS n_paragraphs,
+        COALESCE(a.n_dropped, 0) AS n_dropped,
+        COALESCE(a.text_clean, '') AS text_clean
+      FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "dedup_incremental" -> incrementalOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" -> """

@@ -42,6 +42,34 @@ class Round8Spec extends SparkSpec {
     assert(out === Set(22L, 25L)) // identical to the in-session index
   }
 
+  test("dedupParagraphs drops planted boilerplate, keeps unique spans in order") {
+    val boiler = "subscribe to our newsletter for updates"
+    val docs = Seq(
+      (1L, s"alpha body one\n\n$boiler\n\nalpha body two"),
+      (2L, s"$boiler\n\nbeta body"),
+      (3L, s"gamma body\n\n$boiler"),
+      (4L, s"$boiler"),                       // all-boilerplate doc
+      (5L, "delta body\n\n\n\ndelta tail"),   // doubled delimiter: no empty para
+      (6L, "")).toDF("doc_id", "text")        // empty doc
+    val out = graft.operators.Paragraph
+      .dedupParagraphs(docs, "doc_id", "text", maxDf = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 1L, "alpha body one\n\nalpha body two")))
+    assert(out(2L) === ((2L, 1L, "beta body")))
+    assert(out(3L) === ((2L, 1L, "gamma body")))
+    assert(out(4L) === ((1L, 1L, "")))
+    assert(out(5L) === ((2L, 0L, "delta body\n\ndelta tail")))
+    assert(out(6L) === ((0L, 0L, "")))
+    // a paragraph at exactly df = maxDf survives
+    val under = Seq((1L, "shared para\n\nown a"), (2L, "shared para\n\nown b"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Paragraph
+      .dedupParagraphs(under, "doc_id", "text", maxDf = 2)
+      .filter(col("n_dropped") > 0).count()
+    assert(kept === 0L)
+  }
+
   test("loaded index probe: corpus relations read bucketed, never reshuffled") {
     val dir = java.nio.file.Files.createTempDirectory("graftidx2").toString
     val corpus = (0L until 40L).map(i =>
