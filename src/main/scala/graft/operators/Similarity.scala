@@ -250,38 +250,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Product-quantization ANN (flat PQ + asymmetric distance, after
-    * Jégou et al. 2011): split the embedding into `subspaces` blocks,
-    * learn a seeded per-block KMeans codebook, encode every corpus
-    * vector as `subspaces` small codes, and rank candidates by the
-    * ADC approximation d²(q, x) ≈ Σ_m d²(q_m, centroid(code_m)) —
-    * the memory-compression path of the ANN family (a 64-float vector
-    * becomes 8 codes; at 100 TB the code table is ~32× smaller than
-    * the vectors and the scan never touches the raw embeddings).
-    *
-    * Everything is distributed, including the query distance tables:
-    * queries cross-join the broadcast (subspace, code, centroid)
-    * table (subspaces×codebook rows — bounded by construction) to
-    * form per-(query, subspace, code) partial distances, the corpus
-    * code relation joins that broadcast-sized table on (subspace,
-    * code), and one map-side-combined aggregation per (query,
-    * candidate) sums the `subspaces` partials. No driver-side
-    * collection of queries or vectors anywhere.
-    *
-    * `rerank` > 0 adds the standard ADC refinement: the top-`rerank`
-    * approximate candidates per query (WindowGroupLimit-capped) fetch
-    * their RAW vectors — the only place raw embeddings are touched,
-    * and only rerank×queries of them — and exact L2 re-ranks the
-    * final k. Output columns carry `approx_d2` (rerank = 0) or exact
-    * `d2` (rerank > 0).
-    *
-    * Deterministic per (corpus, parameters) — seeded codebooks — but
-    * KMeans is not SQL-replayable, so this operator is
-    * ScalaTest-verified (recall vs exact L2, rows-only in the driver
-    * gate). Output: (query_id, cand_id, approx_d2 | d2, rank). */
-  def pqTopK(embs: DataFrame, idCol: String, vecCol: String,
-      isQuery: Column, k: Int, subspaces: Int = 8,
-      codebook: Int = 16, rerank: Int = 0): DataFrame = {
+  /** Prebuilt product-quantization structures: the per-subspace
+    * codebooks (subspaces×codebook centroid rows — broadcast-sized by
+    * construction) and the corpus code relation (one (vec_id, m, code)
+    * triple per vector and subspace — ~32× smaller than the raw
+    * vectors). [[buildPqIndex]] derives them once (the expensive
+    * step); [[pqQuery]] serves any number of query batches against
+    * them — the dedup-index pattern applied to ANN. The codes relation
+    * is a LAZY narrow projection (scan-speed re-encode per run): a
+    * checkpointed form would pin executor storage and break under the
+    * release-after-consume convention the query mains follow. In
+    * production, persist `codes` as parquet bucketed by (m, code) —
+    * then a query run reads the 32×-smaller code table and touches
+    * nothing else until rerank. */
+  final case class PqIndex(codes: DataFrame, centroids: DataFrame,
+      subspaces: Int, codebook: Int, subDim: Int)
+
+  /** Train + encode a [[PqIndex]] (flat PQ, after Jégou et al. 2011):
+    * split the embedding into `subspaces` blocks and learn a seeded
+    * per-block KMeans codebook — trained on a DETERMINISTIC
+    * hash-sample of ~`trainTarget` vectors (xxhash64 on the id, so the
+    * sample is reproducible on any cluster; centroids need the
+    * distribution, not every point — at test scales the target
+    * exceeds the corpus and training sees everything, at 100 TB it is
+    * a fixed-size sliver). Encoding is ONE narrow projection over the
+    * corpus: per subspace, an argmin over the centroid literal with a
+    * strict left-fold distance and (d2, code) struct ordering — no
+    * MLlib transform pass, no join, no shuffle of vectors; fully
+    * deterministic given the codebooks. */
+  def buildPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int = 8, codebook: Int = 16,
+      trainTarget: Int = 0): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val s = embs.sparkSession
@@ -291,32 +290,87 @@ object Similarity {
     require(dims % subspaces == 0,
       s"embedding dim $dims must divide into $subspaces subspaces")
     val subDim = dims / subspaces
-    // per-subspace codebooks + corpus codes (exploded as one relation)
-    val parts = (0 until subspaces).map { m =>
-      val sub = all.select(col("vec_id"),
-        expr(s"slice(e, ${m * subDim + 1}, $subDim)").as("sub"))
-        .withColumn("fv", array_to_vector(col("sub")))
-      // codebooks train on the full corpus here (at the test SFs a
-      // sample starves the centroids); at production scale train on a
-      // deterministic hash-sample — the centroids need the
-      // distribution, not every point — and persist the codes table
-      // like the dedup index
-      val model = new KMeans().setK(codebook).setSeed(42L + m)
-        .setMaxIter(5).setFeaturesCol("fv").setPredictionCol("code")
-        .fit(sub)
-      val codes = model.transform(sub)
-        .select(col("vec_id"), lit(m).as("m"), col("code"))
-      val centroids = model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, ci) => (m, ci, c.toArray.toSeq) }
-        .toDF("m", "code", "ce")
-      (codes, centroids)
+    val target = if (trainTarget > 0) trainTarget else 500 * codebook
+    val n = all.count()
+    val den = 10000L
+    val num = math.min(den,
+      math.max(1L, math.ceil(target.toDouble / math.max(n, 1L) * den).toLong))
+    val sample =
+      if (num >= den) all
+      else all.filter(pmod(xxhash64(col("vec_id")), lit(den)) < lit(num))
+    // the sample feeds `subspaces` KMeans fits — materialize it once,
+    // release the blocks as soon as the models are fitted
+    val train = sample.select(col("e")).localCheckpoint(true)
+    val models = try {
+      (0 until subspaces).map { m =>
+        val sub = train
+          .select(expr(s"slice(e, ${m * subDim + 1}, $subDim)").as("sub"))
+          .withColumn("fv", array_to_vector(col("sub")))
+        new KMeans().setK(codebook).setSeed(42L + m)
+          .setMaxIter(5).setFeaturesCol("fv").setPredictionCol("code")
+          .fit(sub)
+      }
+    } finally Dedup.release(train)
+    val centroids = models.zipWithIndex.flatMap { case (model, m) =>
+      model.clusterCenters.zipWithIndex.map { case (c, ci) =>
+        (m, ci, c.toArray.toSeq)
+      }
+    }.toDF("m", "code", "ce")
+    // single-pass encode: argmin_{code} d²(sub_m(e), centroid) per
+    // subspace, evaluated row-local against the centroid literals
+    def codeExpr(m: Int): Column = {
+      val centers: Seq[Seq[Double]] =
+        models(m).clusterCenters.map(_.toArray.toSeq).toSeq
+      val ce = typedLit(centers)
+      val sub = slice(col("e"), m * subDim + 1, subDim)
+      val scored = transform(sequence(lit(0), lit(codebook - 1)), ci => {
+        val diff = zip_with(sub, get(ce, ci), (x, y) => x - y)
+        struct(
+          aggregate(diff, lit(0.0), (acc, x) => acc + x * x).as("d2"),
+          ci.as("code"))
+      })
+      array_min(scored).getField("code").cast("int")
     }
-    val codes = parts.map(_._1).reduce(_.unionByName(_))
-    val centroids = parts.map(_._2).reduce(_.unionByName(_))
+    val codes = all
+      .select(col("vec_id"),
+        posexplode(array((0 until subspaces).map(codeExpr): _*)))
+      .toDF("vec_id", "m", "code")
+    PqIndex(codes, centroids, subspaces, codebook, subDim)
+  }
+
+  /** ADC query against a prebuilt [[PqIndex]]: rank candidates by
+    * d²(q, x) ≈ Σ_m d²(q_m, centroid(code_m)).
+    *
+    * Everything is distributed, including the query distance tables:
+    * queries cross-join the broadcast (subspace, code, centroid)
+    * table (subspaces×codebook rows — bounded by construction) to
+    * form per-(query, subspace, code) partial distances, the corpus
+    * code relation joins that broadcast-sized table on (subspace,
+    * code), and one map-side-combined aggregation per (query,
+    * candidate) sums the `subspaces` partials. No driver-side
+    * collection of queries or vectors anywhere; the main scan reads
+    * CODES, never raw embeddings.
+    *
+    * `rerank` > 0 adds the standard ADC refinement: the top-`rerank`
+    * approximate candidates per query (WindowGroupLimit-capped) fetch
+    * their RAW vectors from `embs` — the only place raw embeddings
+    * are touched, and only rerank×queries of them — and exact L2
+    * re-ranks the final k. Output columns carry `approx_d2`
+    * (rerank = 0) or exact `d2` (rerank > 0).
+    *
+    * Deterministic per (index, queries) — but KMeans is not
+    * SQL-replayable, so this operator is ScalaTest-verified (recall
+    * vs exact L2, rows-only in the driver gate).
+    * Output: (query_id, cand_id, approx_d2 | d2, rank). */
+  def pqQuery(index: PqIndex, embs: DataFrame, idCol: String,
+      vecCol: String, isQuery: Column, k: Int,
+      rerank: Int = 0): DataFrame = {
+    val subDim = index.subDim
+    val all = vecs(embs, idCol, vecCol)
     // per-(query, subspace, code) partial distance table — Q×M×K rows
     val qtab = all.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("qsub", expr(
         s"slice(qe, (m * $subDim) + 1, $subDim)"))
       .withColumn("d2", expr(
@@ -325,7 +379,7 @@ object Similarity {
       .select(col("query_id"), col("m"), col("code"), col("d2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2").asc, col("cand_id").asc)
-    val approx = codes.join(broadcast(qtab), Seq("m", "code"))
+    val approx = index.codes.join(broadcast(qtab), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(sum(col("d2")).as("approx_d2"))
@@ -347,6 +401,16 @@ object Similarity {
         .filter(col("rank") <= k)
     }
   }
+
+  /** One-shot PQ ANN: [[buildPqIndex]] + [[pqQuery]]. Sessions serving
+    * many query batches should build the index once (amortizing the
+    * KMeans fits) and call [[pqQuery]] directly. */
+  def pqTopK(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, subspaces: Int = 8,
+      codebook: Int = 16, rerank: Int = 0): DataFrame =
+    pqQuery(
+      buildPqIndex(embs, idCol, vecCol, subspaces, codebook),
+      embs, idCol, vecCol, isQuery, k, rerank)
 
   /** SemDeDup (cluster-scoped SEMANTIC dedup, after Abbas et al. 2023,
     * arXiv:2303.09540): KMeans-partition the embedding space with the

@@ -78,14 +78,28 @@ object SimilarityQueries {
   val PqCodebook = 16
   val PqRerank = 10 * K // recall@5 0.22 (approx) -> 0.7 (reranked)
 
+  /** The PQ index is the corpus' standing structure, not the query's:
+    * build it once per (session, corpus) and serve every query run
+    * from it — the same amortization the persisted dedup index makes
+    * explicit. The cache amortizes the KMeans fits; the codes relation
+    * stays a lazy scan-speed projection (deliberately not checkpointed
+    * — the query mains release checkpoint blocks after consuming each
+    * result, which would kill a cached materialization). */
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqIndex]()
+
   /** ann_pq_topk (rows-only; recall vs exact L2 in ScalaTest) —
-    * [[Similarity.pqTopK]]: the memory-compression ANN path (vectors
-    * become `subspaces` codes; the main scan never touches raw
+    * [[Similarity.buildPqIndex]] (cached per corpus) +
+    * [[Similarity.pqQuery]]: the memory-compression ANN path (vectors
+    * become `subspaces` codes; the query scan reads codes, never raw
     * embeddings — only the rerank×queries refinement set does). */
-  def annPqTopk(s: SparkSession, dir: String): DataFrame =
-    Similarity.pqTopK(embs(s, dir), "vec_id", "embedding",
-      isQuery = col("vec_id") < NumQueries, k = K,
-      subspaces = PqSubspaces, codebook = PqCodebook, rerank = PqRerank)
+  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val index = pqIndexCache.computeIfAbsent(dir, d =>
+      Similarity.buildPqIndex(embs(s, d), "vec_id", "embedding",
+        subspaces = PqSubspaces, codebook = PqCodebook))
+    Similarity.pqQuery(index, embs(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < NumQueries, k = K, rerank = PqRerank)
+  }
 
   /** SemDeDup parameters: the IVF cell count doubles as the cluster
     * granularity; τ = 0.4 matches the embedding-dedup family. */

@@ -42,6 +42,25 @@ class Round8Spec extends SparkSpec {
     assert(out === Set(22L, 25L)) // identical to the in-session index
   }
 
+  test("buildPqIndex: deterministic hash-sampled training; pqQuery serves a prebuilt index") {
+    val embs = Tables(spark, sf, "embeddings")
+    // trainTarget far below the corpus → codebooks fit on the
+    // hash-sample; build twice → identical codes (sample + seeds are
+    // deterministic, encode is a pure argmin over the centroids)
+    val idx = graft.operators.Similarity
+      .buildPqIndex(embs, "vec_id", "embedding", trainTarget = 100)
+    val idx2 = graft.operators.Similarity
+      .buildPqIndex(embs, "vec_id", "embedding", trainTarget = 100)
+    assert(idx.codes.collect().toSet === idx2.codes.collect().toSet)
+    assert(idx.subDim * idx.subspaces ===
+      embs.select(size(col("embedding"))).head().getInt(0))
+    // a prebuilt index serves query batches: k rows per query, no self
+    val got = graft.operators.Similarity
+      .pqQuery(idx, embs, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(got.size === 50 && got.forall(p => p._1 != p._2))
+  }
+
   test("dedupParagraphs drops planted boilerplate, keeps unique spans in order") {
     val boiler = "subscribe to our newsletter for updates"
     val docs = Seq(
