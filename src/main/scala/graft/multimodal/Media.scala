@@ -212,7 +212,14 @@ object MediaPipeline {
     * hyperplane LSH with id-only candidate shuffles
     * ([[graft.operators.Similarity.dedupEmbeddingLsh]]) by default,
     * or the exact all-pairs baseline (`lsh = false`) at verification
-    * scale. */
+    * scale.
+    *
+    * STORAGE CONTRACT: the feature projection is LAZILY
+    * localCheckpointed inside the result's plan — nothing is pinned
+    * until the first action on the returned frame, and after consuming
+    * it the caller must free the blocks with
+    * [[graft.operators.Dedup.release]] on the result (as Bench/Verify
+    * do for every checkpointing operator). */
   def nearDupPairs(feats: Dataset[MediaFeatures], tau: Double,
       lsh: Boolean = true, bands: Int = 8, bandBits: Int = 8)
       : DataFrame = {
@@ -221,16 +228,17 @@ object MediaPipeline {
     // quadratic candidate term) small where 4 bits would pool ~1/16
     // of the corpus per bucket; at τ ≥ 0.9 the 8-band OR still gives
     // ≈99% pair recall
-    // materialize the (id, hash, feature) projection ONCE: it is tiny
+    // checkpoint the (id, hash, feature) projection: it is tiny
     // (~40 bytes/record vs the raw media), and the LSH machinery
     // consumes it in four plan branches — re-decoding the media per
     // branch is the one recompute that does NOT beat caching here.
-    // In production this is the persisted feature table; callers
-    // release the blocks after consumption (Dedup.release, as
-    // Bench/Verify do).
+    // LAZY (eager = false) so merely BUILDING the frame pins nothing;
+    // blocks materialize at the caller's first action and are theirs
+    // to release (see scaladoc). In production this is the persisted
+    // feature table.
     val df = feats.toDF()
       .select(col("media_id"), col("content_hash"), col("feature"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pairs =
       if (lsh) graft.operators.Similarity.dedupEmbeddingLsh(
         df, "media_id", "feature", tau, bands, bandBits, dims = 8,
