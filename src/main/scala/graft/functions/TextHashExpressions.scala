@@ -233,6 +233,9 @@ object GraftFunctions {
     (FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
       (args: Seq[Expression]) => Hamming64(args(0), args(1))),
+    (FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+      (args: Seq[Expression]) => BpeCount(args(0), args(1))),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))),

@@ -24,10 +24,24 @@ object TextOps {
 
   private def tokens: Column = split(lower(trim(col("text"))), " ")
 
+  /** Greedy longest-match subword token count of `text` against a
+    * fixed vocabulary ([[graft.functions.BpeCount]] — a codegen'd trie
+    * walk; the session must have [[GraftFunctions.register]]ed). Plug
+    * this into [[Pack.sequences]]' caller-supplied token column or
+    * [[Chunk]] budgets when whitespace counts (1.3–2× off a real BPE)
+    * are not good enough. */
+  def vocabTokens(text: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "vocabulary must be non-empty")
+    call_function("bpe_count", lower(trim(text)), typedLit(vocab))
+  }
+
   /** Token counts (whitespace + BPE-ish regex), char length, average
-    * word length, punctuation ratio. */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    prepared(docs, idCol, textCol)
+    * word length, punctuation ratio. `bpeVocab`, when set, adds
+    * `n_tokens_vocab` — the greedy longest-match count against that
+    * vocabulary ([[vocabTokens]]); the default output is unchanged. */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+      bpeVocab: Option[Seq[String]] = None): DataFrame = {
+    val base = prepared(docs, idCol, textCol)
       .withColumn("char_len", length(col("text")))
       .withColumn("n_tokens_ws", size(tokens))
       .withColumn("n_tokens_bpe", regexp_count(col("text"), lit(BpeishToken)))
@@ -35,13 +49,23 @@ object TextOps {
         length(regexp_replace(col("text"), "[^A-Za-z]", "")))
       .withColumn("punct_chars",
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
-      .select(
-        col("doc_id"), col("char_len"), col("n_tokens_ws"),
-        col("n_tokens_bpe"),
-        (col("alpha_chars").cast("double") / col("n_tokens_ws"))
-          .as("avg_word_len"),
-        (col("punct_chars").cast("double") / col("char_len"))
-          .as("punct_ratio"))
+    val common = Seq(
+      col("doc_id"), col("char_len"), col("n_tokens_ws"),
+      col("n_tokens_bpe"),
+      (col("alpha_chars").cast("double") / col("n_tokens_ws"))
+        .as("avg_word_len"),
+      (col("punct_chars").cast("double") / col("char_len"))
+        .as("punct_ratio"))
+    bpeVocab match {
+      case None => base.select(common: _*)
+      case Some(v) =>
+        GraftFunctions.register(docs.sparkSession)
+        // still one narrow projection — the vocab count is just one
+        // more codegen'd column
+        base.select(common :+
+          vocabTokens(col("text"), v).as("n_tokens_vocab"): _*)
+    }
+  }
 
   /** Composite 0-1 quality score from four indicator features with
     * banded thresholds. */

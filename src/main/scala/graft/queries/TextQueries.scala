@@ -87,7 +87,33 @@ object TextQueries {
   def vocabOov(s: SparkSession, dir: String): DataFrame =
     graft.operators.Vocab.oovReport(docs(s, dir), "doc_id", "text", VocabV)
 
+  /** Fixed tokenizer vocabulary for text_bpe_tokens: the most frequent
+    * English bigrams/trigrams (public frequency tables) — a stand-in
+    * merge vocabulary with the same greedy longest-match inference
+    * semantics as a trained BPE (the real thing is a drop-in larger
+    * list). Fixed and literal, so both engines segment identically. */
+  val BpeVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her",
+    "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver",
+    "all", "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st",
+    "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co",
+    "me", "de", "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li",
+    "ch", "ll", "be", "ma", "si", "om", "ur")
+
+  /** text_bpe_tokens (round-8) — [[TextOps.stats]] with the optional
+    * vocabulary tokenizer: whitespace count beside the greedy
+    * longest-match subword count ([[graft.functions.BpeCount]]) that a
+    * token-budgeted pipeline (chunking, packing) should be using. */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.stats(docs(s, dir), "doc_id", "text",
+      bpeVocab = Some(BpeVocab))
+      .select(col("doc_id"),
+        col("n_tokens_ws").cast("long").as("n_tokens_ws"),
+        col("n_tokens_vocab"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens" -> textBpeTokens,
     "search_bm25" -> searchBm25,
     "search_index" -> searchIndex,
     "search_tfidf" -> searchTfidf,
@@ -235,6 +261,33 @@ object TextQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // greedy longest-match replay: each word instance advances by the
+    // LONGEST vocab entry matching at its position (else 1 char — the
+    // unknown-token fallback), one recursion step per emitted token
+    "text_bpe_tokens" -> s"""
+      WITH RECURSIVE words AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      vocab AS (SELECT unnest([${BpeVocab.map(v => s"'$v'").mkString(", ")}]) AS v),
+      seg AS (
+        SELECT doc_id, w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+        FROM words
+        UNION ALL
+        SELECT doc_id, w,
+          pos + COALESCE((SELECT MAX(len(v)) FROM vocab
+            WHERE substr(w, CAST(pos + 1 AS INT), len(v)) = v), 1),
+          n + 1
+        FROM seg WHERE pos < len(w)),
+      cnt AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN pos >= len(w) THEN n ELSE 0 END) AS BIGINT)
+            AS n_tokens_vocab
+        FROM seg GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(len(string_split(lower(trim(d.text)), ' ')) AS BIGINT)
+          AS n_tokens_ws,
+        cnt.n_tokens_vocab
+      FROM documents d JOIN cnt USING (doc_id)""",
     "vocab_oov" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))

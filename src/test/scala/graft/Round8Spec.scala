@@ -42,6 +42,39 @@ class Round8Spec extends SparkSpec {
     assert(out === Set(22L, 25L)) // identical to the in-session index
   }
 
+  test("bpe_count: greedy longest-match against a fixed vocab") {
+    graft.functions.GraftFunctions.register(spark)
+    def count(text: String, vocab: Seq[String]): Long =
+      Seq(text).toDF("t")
+        .select(graft.operators.TextOps.vocabTokens(col("t"), vocab))
+        .as[Long].head()
+    // longest match wins: "the" consumed whole, not "th"+"e"-fallback
+    assert(count("the", Seq("th", "the", "he")) === 1L)
+    // greedy is NOT optimal: "thes" → "the" + fallback "s" (2), even
+    // though "th"+"es" would also be 2 — but "xthes" → "x","the","s"
+    assert(count("thes", Seq("th", "the", "es")) === 2L)
+    assert(count("xthes", Seq("th", "the", "es")) === 3L)
+    // unknown chars are one fallback token each; spaces separate
+    assert(count("zzz", Seq("ab")) === 3L)
+    assert(count("ab ab  ab", Seq("ab")) === 3L)
+    assert(count("", Seq("ab")) === 0L)
+    // case-normalized by vocabTokens (lower + trim)
+    assert(count("  THE  ", Seq("the")) === 1L)
+    // whitespace misestimate story: vocab count exceeds word count
+    assert(count("scanner", Seq("sc", "an", "ner")) === 3L)
+  }
+
+  test("TextOps.stats default output is unchanged; vocab adds one column") {
+    val docs = Seq((1L, "the scanner runs")).toDF("doc_id", "text")
+    val base = graft.operators.TextOps.stats(docs, "doc_id", "text")
+    assert(base.columns.toSeq === Seq("doc_id", "char_len", "n_tokens_ws",
+      "n_tokens_bpe", "avg_word_len", "punct_ratio"))
+    val withVocab = graft.operators.TextOps.stats(docs, "doc_id", "text",
+      bpeVocab = Some(Seq("the", "sc", "an", "ner", "ru", "ns")))
+    assert(withVocab.columns.toSeq === base.columns.toSeq :+ "n_tokens_vocab")
+    assert(withVocab.select("n_tokens_vocab").as[Long].head() === 6L)
+  }
+
   test("buildPqIndex: deterministic hash-sampled training; pqQuery serves a prebuilt index") {
     val embs = Tables(spark, sf, "embeddings")
     // trainTarget far below the corpus → codebooks fit on the
