@@ -38,9 +38,13 @@ final case class PipelineRun(
 /** Derive lineage from a DataFrame's analyzed Catalyst plan. */
 object PlanLineage {
 
-  /** Root paths of every file-based relation feeding the plan. */
+  /** Root paths of every file-based relation feeding the plan —
+    * INCLUDING relations that appear only inside subquery expressions
+    * (EXISTS/IN/scalar subqueries live in expressions, not plan
+    * children, so a plain collect misses them; found by the q20
+    * SQL-surface lineage test, round 8). */
   def sourcePaths(df: DataFrame): Seq[String] =
-    df.queryExecution.analyzed.collect {
+    df.queryExecution.analyzed.collectWithSubqueries {
       case r: LogicalRelation =>
         r.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
