@@ -238,23 +238,20 @@ object Dedup {
     ("buckets", "doc_id BIGINT, band INT, bh STRING", Seq("band", "bh")))
 
   /** Persist a [[DedupIndex]] as bucketed parquet tables
-    * `<prefix>_{hashes,shingles,buckets}` rooted at `path`, plus a
-    * one-row `meta` parquet recording (minhashK, bands, nBuckets).
-    * Bucket metadata lives in the session catalog; [[loadIndex]]
-    * re-registers it idempotently in any later session from the same
-    * (prefix, path), so the bucketing survives restarts. */
+    * `<prefix>_{hashes,shingles,buckets}` rooted at `path`
+    * ([[graft.sources.BucketedTables]]), plus a one-row `meta` parquet
+    * recording (minhashK, bands, nBuckets). Bucket metadata lives in
+    * the session catalog; [[loadIndex]] re-registers it idempotently
+    * in any later session from the same (prefix, path), so the
+    * bucketing survives restarts. */
   def saveIndex(index: DedupIndex, prefix: String, path: String,
       nBuckets: Int = 64): Unit = {
     val s = index.hashes.sparkSession
     val frames = Map("hashes" -> index.hashes,
       "shingles" -> index.shingles, "buckets" -> index.buckets)
     IndexTables.foreach { case (name, _, keys) =>
-      s.sql(s"DROP TABLE IF EXISTS ${prefix}_$name")
-      frames(name).write.mode("overwrite")
-        .option("path", s"$path/$name")
-        .bucketBy(nBuckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .saveAsTable(s"${prefix}_$name")
+      graft.sources.BucketedTables.save(
+        frames(name), s"${prefix}_$name", s"$path/$name", keys, nBuckets)
     }
     import s.implicits._
     Seq((index.minhashK, index.bands, nBuckets))
@@ -272,19 +269,14 @@ object Dedup {
       path: String): DedupIndex = {
     val meta = s.read.parquet(s"$path/meta").head()
     val nBuckets = meta.getAs[Int]("n_buckets")
-    IndexTables.foreach { case (name, schema, keys) =>
-      s.sql(
-        s"""CREATE TABLE IF NOT EXISTS ${prefix}_$name ($schema)
-           |USING PARQUET
-           |CLUSTERED BY (${keys.mkString(", ")})
-           |SORTED BY (${keys.mkString(", ")})
-           |INTO $nBuckets BUCKETS
-           |LOCATION '$path/$name'""".stripMargin)
-    }
+    val loaded = IndexTables.map { case (name, schema, keys) =>
+      name -> graft.sources.BucketedTables.load(
+        s, s"${prefix}_$name", s"$path/$name", schema, keys, nBuckets)
+    }.toMap
     DedupIndex(
-      hashes = s.table(s"${prefix}_hashes"),
-      shingles = s.table(s"${prefix}_shingles"),
-      buckets = s.table(s"${prefix}_buckets"),
+      hashes = loaded("hashes"),
+      shingles = loaded("shingles"),
+      buckets = loaded("buckets"),
       minhashK = meta.getAs[Int]("minhash_k"),
       bands = meta.getAs[Int]("bands"))
   }

@@ -259,10 +259,10 @@ object Similarity {
     * them — the dedup-index pattern applied to ANN. The codes relation
     * is a LAZY narrow projection (scan-speed re-encode per run): a
     * checkpointed form would pin executor storage and break under the
-    * release-after-consume convention the query mains follow. In
-    * production, persist `codes` as parquet bucketed by (m, code) —
-    * then a query run reads the 32×-smaller code table and touches
-    * nothing else until rerank. */
+    * release-after-consume convention the query mains follow.
+    * [[savePqIndex]]/[[loadPqIndex]] persist the structure — then a
+    * query run reads the 32×-smaller code table and touches nothing
+    * else until rerank. */
   final case class PqIndex(codes: DataFrame, centroids: DataFrame,
       subspaces: Int, codebook: Int, subDim: Int)
 
@@ -336,6 +336,40 @@ object Similarity {
         posexplode(array((0 until subspaces).map(codeExpr): _*)))
       .toDF("vec_id", "m", "code")
     PqIndex(codes, centroids, subspaces, codebook, subDim)
+  }
+
+  /** Persist a [[PqIndex]]: codes as a bucketed parquet table
+    * `<prefix>_codes` (bucketed/sorted by the (m, code) probe key —
+    * [[graft.sources.BucketedTables]]), centroids and the structural
+    * parameters as plain parquet beside it. The persisted form is what
+    * a standing ANN corpus serves queries from: build on corpus
+    * change, query forever. */
+  def savePqIndex(index: PqIndex, prefix: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    val s = index.codes.sparkSession
+    graft.sources.BucketedTables.save(index.codes, s"${prefix}_codes",
+      s"$path/codes", Seq("m", "code"), nBuckets)
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    import s.implicits._
+    Seq((index.subspaces, index.codebook, index.subDim, nBuckets))
+      .toDF("subspaces", "codebook", "sub_dim", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[savePqIndex]]-persisted index (idempotent bucketed-DDL
+    * re-registration, like the dedup index): the structural parameters
+    * come from the meta table, never from the caller. */
+  def loadPqIndex(s: org.apache.spark.sql.SparkSession, prefix: String,
+      path: String): PqIndex = {
+    val meta = s.read.parquet(s"$path/meta").head()
+    PqIndex(
+      codes = graft.sources.BucketedTables.load(s, s"${prefix}_codes",
+        s"$path/codes", "vec_id BIGINT, m INT, code INT",
+        Seq("m", "code"), meta.getAs[Int]("n_buckets")),
+      centroids = s.read.parquet(s"$path/centroids"),
+      subspaces = meta.getAs[Int]("subspaces"),
+      codebook = meta.getAs[Int]("codebook"),
+      subDim = meta.getAs[Int]("sub_dim"))
   }
 
   /** ADC query against a prebuilt [[PqIndex]]: rank candidates by

@@ -94,6 +94,26 @@ class Round8Spec extends SparkSpec {
     assert(got.size === 50 && got.forall(p => p._1 != p._2))
   }
 
+  test("PqIndex round-trips through bucketed parquet; served queries identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpq").toString
+    val embs = Tables(spark, sf, "embeddings")
+    val built = graft.operators.Similarity
+      .buildPqIndex(embs, "vec_id", "embedding")
+    graft.operators.Similarity
+      .savePqIndex(built, "graft_t8_pq", dir, nBuckets = 4)
+    spark.sql("DROP TABLE IF EXISTS graft_t8_pq_codes") // fresh-session path
+    val loaded = graft.operators.Similarity
+      .loadPqIndex(spark, "graft_t8_pq", dir)
+    assert(loaded.subspaces === built.subspaces &&
+      loaded.codebook === built.codebook && loaded.subDim === built.subDim)
+    def serve(ix: graft.operators.Similarity.PqIndex) =
+      graft.operators.Similarity
+        .pqQuery(ix, embs, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(serve(loaded) === serve(built))
+  }
+
   test("dedupParagraphs drops planted boilerplate, keeps unique spans in order") {
     val boiler = "subscribe to our newsletter for updates"
     val docs = Seq(
