@@ -38,6 +38,38 @@ import org.apache.spark.sql.types.NumericType
   */
 object Profile {
 
+  /** Hot-key profile (round-8): the top-N heaviest values of a key
+    * column with their share of the table — the skew diagnostic run
+    * BEFORE choosing a join/aggregation strategy at 100 TB (a key
+    * holding >1% of a 100 TB table means salting
+    * ([[Skew.saltedJoin]]), AQE skew splitting, or a broadcast
+    * rethink; this query is how you find out). One map-side-combined
+    * count aggregation (key-cardinality-sized), a bounded top-N
+    * (TakeOrderedAndProject — per-partition heaps, N rows to the
+    * driver merge), and a broadcast one-row total for the share.
+    * Deterministic (n desc, key asc) tie-break. Output:
+    * (key, n_rows, share, rank) — `key` keeps the input column name.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    Seq("n_rows", "share", "rank", "_graft_total").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column $c collides with hotKeys internals; rename it first"))
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val top = counts
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+      .limit(topN)
+    val total = df.agg(count(lit(1)).as("_graft_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_rows").cast("double") / col("_graft_total").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .drop("_graft_total")
+  }
+
   /** (output column name, percentile) for the quantile columns. */
   val Percentiles: Seq[(String, Double)] =
     Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)

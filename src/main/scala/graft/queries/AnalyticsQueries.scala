@@ -237,7 +237,37 @@ object AnalyticsQueries {
           .as("corr_qty_price"))
   }
 
+  /** q33_attribution — last-touch channel attribution (round-8): each
+    * purchase is credited to the user's most recent PRIOR non-purchase
+    * event type ('direct' when none) — the marketing-analytics shape
+    * the funnel (q26) does not cover. One window pass partitioned by
+    * user_id (high-cardinality — parallelism scales with users, unlike
+    * q31's old type-partitioned window) with a row-bounded IGNORE
+    * NULLS last_value; the final channel aggregate runs over purchases
+    * only and map-side combines into ~|event_type| rows. Row-based
+    * frame over the total (ts, event_id) order makes the credited
+    * touch engine-deterministic. */
+  def q33Attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count_distinct(col("user_id")).as("n_buyers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_attribution" -> q33Attribution,
     "q32_corr" -> q32Corr,
     "q31_twa" -> q31Twa,
     "q30_interpolate" -> q30Interpolate,
@@ -249,6 +279,23 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q33_attribution" -> """
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events),
+      t AS (
+        SELECT user_id, event_type,
+          last_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS last_touch
+        FROM e)
+      SELECT COALESCE(last_touch, 'direct') AS channel,
+        CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1""",
     "q32_corr" -> """
       WITH b AS (
         SELECT l_returnflag,

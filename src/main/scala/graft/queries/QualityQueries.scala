@@ -279,7 +279,16 @@ object QualityQueries {
         col("n_obs"), col("is_anomaly"))
   }
 
+  /** dq_hotkeys — [[graft.operators.Profile.hotKeys]] (round-8) over
+    * the lineitem⋈orders join key: the top-20 heaviest order keys with
+    * their share of the table — the skew diagnostic a 100 TB join
+    * strategy decision starts from. */
+  def dqHotkeys(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile
+      .hotKeys(Tables(s, dir, "lineitem"), "l_orderkey", topN = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_hotkeys" -> dqHotkeys,
     "dq_anomaly" -> dqAnomaly,
     "er_fuzzy_match" -> erFuzzyMatch,
     "dq_drift" -> dqDrift,
@@ -292,6 +301,19 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_hotkeys" -> """
+      WITH c AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+      top AS (
+        SELECT l_orderkey, n_rows FROM c
+        ORDER BY n_rows DESC, l_orderkey ASC LIMIT 20)
+      SELECT l_orderkey, n_rows,
+        CAST(n_rows AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        CAST(row_number() OVER (ORDER BY n_rows DESC, l_orderkey ASC)
+          AS BIGINT) AS rank
+      FROM top, t""",
     "dq_anomaly" -> """
       WITH hourly AS (
         SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,

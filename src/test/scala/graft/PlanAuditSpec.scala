@@ -200,6 +200,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Window") >= 1, p)
   }
 
+  test("dq_hotkeys: bounded top-N (TakeOrderedAndProject), no key-table sort") {
+    // the heavy-key profile must plan per-partition heaps + a bounded
+    // driver merge over the key-count relation — a global Sort of the
+    // key table would be the 100 TB regression
+    val p = plan("dq_hotkeys")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(count(p, "BroadcastExchange") + count(p, "BroadcastNestedLoopJoin") >= 1, p)
+  }
+
+  test("q33_attribution windows on high-cardinality user_id, not a constant key") {
+    val qe = SparkEntry.queries("q33_attribution")(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, qe.sparkPlan.toString)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, qe.sparkPlan))
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(

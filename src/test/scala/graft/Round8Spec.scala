@@ -42,6 +42,51 @@ class Round8Spec extends SparkSpec {
     assert(out === Set(22L, 25L)) // identical to the in-session index
   }
 
+  test("hotKeys ranks planted skew with exact shares and stable ties") {
+    val rows = (1 to 50).map(i => ("cold", i.toLong)) ++
+      (1 to 30).map(i => ("warm", i.toLong)) ++
+      (1 to 30).map(i => ("tied", i.toLong)) ++
+      (1 to 890).map(i => ("hot", i.toLong))
+    val df = rows.toDF("k", "v")
+    val out = graft.operators.Profile.hotKeys(df, "k", topN = 3)
+      .select("k", "n_rows", "share", "rank")
+      .as[(String, Long, Double, Long)].collect().toList
+    assert(out === List(
+      ("hot", 890L, 0.89, 1L),
+      ("cold", 50L, 0.05, 2L),
+      ("tied", 30L, 0.03, 3L))) // tie vs "warm" broken by key asc
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Profile.hotKeys(df.withColumnRenamed("v", "rank"),
+        "k", 3)
+    }
+    assert(e.getMessage.contains("rank"))
+  }
+
+  test("last-touch attribution credits the latest prior non-purchase event") {
+    // ts is epoch-NANOS as long — the testdata events convention
+    // (TIMESTAMP(NANOS) parquet read under nanosAsLong)
+    def ev(id: Long, u: Long, t: Int, tpe: String) =
+      (id, t * 1000000000L, u, tpe, 1.0)
+    val rows = Seq(
+      ev(1, 1, 10, "view"), ev(2, 1, 20, "click"),
+      ev(3, 1, 30, "purchase"),                     // u1: click
+      ev(4, 2, 10, "purchase"),                     // u2: direct (no prior)
+      ev(5, 3, 10, "view"), ev(6, 3, 20, "purchase"),
+      ev(7, 3, 30, "purchase"),                     // u3: view, view
+      ev(8, 4, 10, "click"), ev(9, 4, 20, "purchase"),
+      ev(10, 4, 30, "view"))                        // u4: click; trailing view ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.AnalyticsQueries.q33Attribution(spark, dir)
+      .select("channel", "n_purchases", "n_buyers")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("click", 2L, 2L),   // u1, u4
+      ("view", 2L, 1L),    // u3 twice
+      ("direct", 1L, 1L))) // u2
+  }
+
   test("bpe_count: greedy longest-match against a fixed vocab") {
     graft.functions.GraftFunctions.register(spark)
     def count(text: String, vocab: Seq[String]): Long =
