@@ -266,7 +266,27 @@ object AnalyticsQueries {
         count_distinct(col("user_id")).as("n_buyers"))
   }
 
+  /** q34_transitions — first-order event-type transition counts over
+    * each user's time-ordered stream (the Markov-chain view of the
+    * event log: what follows what). Same single user_id-partitioned
+    * window pass as q33 (lead instead of last_value); the transition
+    * aggregate map-side combines to at most |event_type|² rows. */
+  def q34Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_transitions" -> q34Transitions,
     "q33_attribution" -> q33Attribution,
     "q32_corr" -> q32Corr,
     "q31_twa" -> q31Twa,
@@ -279,6 +299,19 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q34_transitions" -> """
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events),
+      t AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts_us ASC, event_id ASC) AS to_type
+        FROM e)
+      SELECT from_type, to_type,
+        CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM t WHERE to_type IS NOT NULL
+      GROUP BY 1, 2""",
     "q33_attribution" -> """
       WITH e AS (
         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id

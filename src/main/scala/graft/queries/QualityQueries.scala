@@ -287,7 +287,28 @@ object QualityQueries {
     graft.operators.Profile
       .hotKeys(Tables(s, dir, "lineitem"), "l_orderkey", topN = 20)
 
+  /** dq_freshness — per-source staleness (the TIMELINESS dimension as
+    * a standing query, complementing the per-row DQ004-style rule):
+    * last event seen per type and its lag behind the stream's newest
+    * event. Anchoring on the data's own max — not wall-clock — keeps
+    * the result deterministic and engine-comparable; production
+    * monitors compare `staleness_us` against an SLA constant. One
+    * map-side-combined aggregate per type + a broadcast one-row global
+    * anchor; exact integer microseconds end-to-end. */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(max(col("ts_us")).as("last_seen_us"),
+        count(lit(1)).as("n_events"))
+    val anchor = ev.agg(max(col("ts_us")).as("_anchor_us"))
+    perType.crossJoin(broadcast(anchor))
+      .select(col("event_type"), col("n_events"), col("last_seen_us"),
+        (col("_anchor_us") - col("last_seen_us")).as("staleness_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> dqFreshness,
     "dq_hotkeys" -> dqHotkeys,
     "dq_anomaly" -> dqAnomaly,
     "er_fuzzy_match" -> erFuzzyMatch,
@@ -301,6 +322,17 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_freshness" -> """
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+      p AS (
+        SELECT event_type, MAX(ts_us) AS last_seen_us,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY 1),
+      a AS (SELECT MAX(ts_us) AS anchor_us FROM e)
+      SELECT event_type, n_events, last_seen_us,
+        a.anchor_us - last_seen_us AS staleness_us
+      FROM p, a""",
     "dq_hotkeys" -> """
       WITH c AS (
         SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_rows

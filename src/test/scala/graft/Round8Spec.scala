@@ -87,6 +87,30 @@ class Round8Spec extends SparkSpec {
       ("direct", 1L, 1L))) // u2
   }
 
+  test("transition counts and freshness lag on a constructed stream") {
+    def ev(id: Long, u: Long, t: Int, tpe: String) =
+      (id, t * 1000000000L, u, tpe, 1.0)
+    val rows = Seq(
+      ev(1, 1, 10, "view"), ev(2, 1, 20, "click"),
+      ev(3, 1, 30, "purchase"),
+      ev(4, 2, 10, "view"), ev(5, 2, 20, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("trans").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val trans = graft.queries.AnalyticsQueries.q34Transitions(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(trans === Set(
+      ("view", "click", 1L), ("click", "purchase", 1L),
+      ("view", "view", 1L)))
+    val fresh = graft.queries.QualityQueries.dqFreshness(spark, dir)
+      .select("event_type", "last_seen_us", "staleness_us")
+      .as[(String, Long, Long)].collect().toSet
+    assert(fresh === Set(
+      ("view", 20000000L, 10000000L),
+      ("click", 20000000L, 10000000L),
+      ("purchase", 30000000L, 0L)))
+  }
+
   test("bpe_count: greedy longest-match against a fixed vocab") {
     graft.functions.GraftFunctions.register(spark)
     def count(text: String, vocab: Seq[String]): Long =
