@@ -113,7 +113,28 @@ object SimilarityQueries {
     Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
       tau = SemTau, cells = SemCells)
 
+  /** ann_recall (round-8) — the retrieval EVALUATION surface: per-query
+    * recall@K of the LSH scale path against the exact brute-force
+    * baseline, as a standing query (the number an ANN rollout watches,
+    * not just a test assertion). Both sides are the already-verified
+    * query pipelines; the join is per-(query, candidate) over two
+    * K-bounded relations, so the evaluation cost is queries×K rows —
+    * independent of corpus size once the top-Ks are computed. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforceTopk(s, dir).select(col("query_id"), col("cand_id"))
+    val approx = annLshTopk(s, dir).select(col("query_id"), col("cand_id"))
+      .withColumn("_hit", lit(1L))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"),
+        count(lit(1)).as("k_eval"))
+      .select(col("query_id"), col("n_overlap"), col("k_eval"),
+        (col("n_overlap").cast("double") / col("k_eval").cast("double"))
+          .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> annRecall,
     "ann_pq_topk" -> annPqTopk,
     "semdedup" -> semDedup,
     "knn_graph" -> knnGraph,
@@ -231,7 +252,50 @@ object SimilarityQueries {
       SELECT query_id, cand_id, cosine, rank FROM ranked
       WHERE rank <= $GraphK"""
 
+  private val annRecallOracle: String = s"""
+      WITH $vecCtes,
+      ${sigsCte(NumBands, BandBits, 0)},
+      lcand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+          AND a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+      lscored AS (
+        SELECT c.query_id, c.cand_id,
+          list_reduce(list_transform(range(1, ${Dims + 1}),
+            i -> q.e[i] * t.e[i]), (x, y) -> x + y)
+            / (sqrt(q.nn) * sqrt(t.nn)) AS cosine
+        FROM lcand c
+        JOIN n q ON c.query_id = q.vec_id
+        JOIN n t ON c.cand_id = t.vec_id),
+      lsh AS (
+        SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id ASC) AS rank
+          FROM lscored) WHERE rank <= $K),
+      bscored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
+          list_reduce(list_transform(range(1, ${Dims + 1}),
+            i -> q.e[i] * t.e[i]), (x, y) -> x + y)
+            / (sqrt(q.nn) * sqrt(t.nn)) AS cosine
+        FROM n q JOIN n t
+          ON q.vec_id < $NumQueries AND q.vec_id <> t.vec_id),
+      exact AS (
+        SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id ASC) AS rank
+          FROM bscored) WHERE rank <= $K),
+      j AS (
+        SELECT e.query_id,
+          CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM exact e LEFT JOIN lsh l
+          ON e.query_id = l.query_id AND e.cand_id = l.cand_id)
+      SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_overlap,
+        CAST(COUNT(*) AS BIGINT) AS k_eval,
+        CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM j GROUP BY 1"""
+
   val oracleSql: Map[String, String] = Map(
+    "ann_recall" -> annRecallOracle,
     "knn_graph" -> knnGraphOracle,
     "knn_graph_lsh" -> knnGraphLshOracle,
     "ann_lsh_topk" -> annLshOracle,

@@ -87,6 +87,22 @@ class Round8Spec extends SparkSpec {
       ("direct", 1L, 1L))) // u2
   }
 
+  test("ann_recall evaluates K candidates per query with recall in [0,1]") {
+    val out = graft.queries.SimilarityQueries.annRecall(spark, sf)
+      .select("query_id", "n_overlap", "k_eval", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === 10) // NumQueries
+    out.foreach { case (_, overlap, kEval, recall) =>
+      assert(kEval === 5L && overlap >= 0L && overlap <= kEval)
+      assert(recall === overlap.toDouble / kEval.toDouble)
+    }
+    // LSH recall at this tiny SF is modest (≈0.2 on random-ish
+    // synthetic vectors) but far above chance (k/|corpus| ≈ 0.01) —
+    // the query's job is to MEASURE it, not to win it
+    val mean = out.map(_._4).sum / out.length
+    assert(mean >= 0.1, s"mean recall@5 = $mean")
+  }
+
   test("transition counts and freshness lag on a constructed stream") {
     def ev(id: Long, u: Long, t: Int, tpe: String) =
       (id, t * 1000000000L, u, tpe, 1.0)
