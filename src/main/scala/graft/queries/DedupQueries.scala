@@ -111,7 +111,22 @@ object DedupQueries {
     graft.operators.Paragraph.dedupParagraphs(
       docs(s, dir), "doc_id", "text", maxDf = 2, splitRegex = " the ")
 
+  /** dedup_paragraph_incr — [[graft.operators.Paragraph
+    * .cleanAgainstIndex]]: the daily-ingest form of boilerplate
+    * removal. Corpus (doc_id % 5 ≠ 0, the dedup_incremental split)
+    * contributes only its paragraph-df index; the arriving batch is
+    * rewritten dropping corpus-known boilerplate (df > 2). */
+  def dedupParagraphIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Paragraph.cleanAgainstIndex(
+      graft.operators.Paragraph.buildParagraphIndex(
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        splitRegex = " the "),
+      d.filter(col("doc_id") % 5 === 0), "doc_id", "text", maxDf = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph_incr" -> dedupParagraphIncr,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_incremental" -> dedupIncremental,
     "dedup_dropdups" -> dedupDropdups,
@@ -312,6 +327,41 @@ object DedupQueries {
         AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_paragraph_incr" -> """
+      WITH cp AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(parts[i], '\s+', ' ', 'g'))) AS para
+        FROM (SELECT doc_id, string_split(text, ' the ') AS parts
+              FROM documents WHERE doc_id % 5 <> 0) t,
+             LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) r),
+      cdf AS (
+        SELECT md5(para) AS ph,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM cp WHERE para <> '' GROUP BY 1),
+      bp AS (
+        SELECT doc_id, i AS pos,
+          lower(trim(regexp_replace(parts[i], '\s+', ' ', 'g'))) AS para
+        FROM (SELECT doc_id, string_split(text, ' the ') AS parts
+              FROM documents WHERE doc_id % 5 = 0) t,
+             LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) r),
+      j AS (
+        SELECT bp.doc_id, bp.pos, bp.para,
+          (cdf.df IS NULL OR cdf.df <= 2) AS keep
+        FROM bp LEFT JOIN cdf ON md5(bp.para) = cdf.ph
+        WHERE bp.para <> ''),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+          CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_dropped,
+          COALESCE(string_agg(CASE WHEN keep THEN para END,
+            chr(10) || chr(10) ORDER BY pos), '') AS text_clean
+        FROM j GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(a.n_paragraphs, 0) AS n_paragraphs,
+        COALESCE(a.n_dropped, 0) AS n_dropped,
+        COALESCE(a.text_clean, '') AS text_clean
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      LEFT JOIN agg a USING (doc_id)""",
     "dedup_paragraph" -> """
       WITH p AS (
         SELECT doc_id, i AS pos,

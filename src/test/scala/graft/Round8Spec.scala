@@ -227,6 +227,34 @@ class Round8Spec extends SparkSpec {
     assert(kept === 0L)
   }
 
+  test("paragraph ingest drops corpus boilerplate; index round-trips with its regex") {
+    val boiler = "subscribe to our newsletter"
+    val corpus = Seq(
+      (1L, s"one body\n\n$boiler"), (2L, s"$boiler\n\ntwo body"),
+      (3L, s"three body\n\n$boiler")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"fresh content\n\n$boiler"),     // corpus boilerplate drops
+      (11L, "batch dup\n\nown text"),
+      (12L, "batch dup\n\nother text"))       // batch-internal dup NOT counted
+      .toDF("doc_id", "text")
+    val built = graft.operators.Paragraph
+      .buildParagraphIndex(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("paraidx").toString
+    graft.operators.Paragraph
+      .saveParagraphIndex(built, "graft_t8_para", dir, nBuckets = 4)
+    spark.sql("DROP TABLE IF EXISTS graft_t8_para_paradf")
+    val loaded = graft.operators.Paragraph
+      .loadParagraphIndex(spark, "graft_t8_para", dir)
+    assert(loaded.splitRegex === built.splitRegex)
+    val out = graft.operators.Paragraph
+      .cleanAgainstIndex(loaded, batch, "doc_id", "text", maxDf = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) === ((2L, 1L, "fresh content")))
+    assert(out(11L) === ((2L, 0L, "batch dup\n\nown text")))
+    assert(out(12L) === ((2L, 0L, "batch dup\n\nother text")))
+  }
+
   test("loaded index probe: corpus relations read bucketed, never reshuffled") {
     val dir = java.nio.file.Files.createTempDirectory("graftidx2").toString
     val corpus = (0L until 40L).map(i =>
