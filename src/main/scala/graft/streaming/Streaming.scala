@@ -418,6 +418,27 @@ object Streaming {
         finally graft.operators.Dedup.release(cleaned)
       }
 
+  /** Continuous-ingest boilerplate removal: every micro-batch is
+    * rewritten against a STATIC persisted paragraph-df index by the
+    * SAME [[graft.operators.Paragraph.cleanAgainstIndex]] the batch
+    * path uses — corpus-known boilerplate paragraphs drop in flight;
+    * batch-internal repetition waits for the next index refresh
+    * (identical static-index contract to [[dedupIngestStream]]). Call
+    * `.start()` on the returned writer. */
+  def paragraphIngestStream(stream: DataFrame,
+      index: graft.operators.Paragraph.ParagraphIndex,
+      idCol: String, textCol: String, maxDf: Long,
+      joiner: String = "\n\n")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.Paragraph.cleanAgainstIndex(
+          index, batch.toDF(), idCol, textCol, maxDf, joiner), id)
+      }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** #43 — stateful gap-based sessionization via

@@ -464,6 +464,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("continuous-ingest paragraph cleaning matches the batch path per micro-batch") {
+    implicit val sql = spark.sqlContext
+    val boiler = "subscribe to our newsletter"
+    val corpus = Seq(
+      (1L, s"one\n\n$boiler"), (2L, s"$boiler\n\ntwo"),
+      (3L, s"three\n\n$boiler")).toDF("doc_id", "text")
+    val index = graft.operators.Paragraph
+      .buildParagraphIndex(corpus, "doc_id", "text")
+    val b0 = Seq(StreamDoc(10L, ts(0), s"fresh stuff\n\n$boiler"),
+      StreamDoc(11L, ts(1), "all original here"))
+    val b1 = Seq(StreamDoc(12L, ts(2), s"$boiler"))
+    val src = MemoryStream[StreamDoc]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, String)]]
+    val query = Streaming.paragraphIngestStream(src.toDF(), index,
+      "doc_id", "text", maxDf = 2) { (cleaned, id) =>
+      got(id) = cleaned.select("doc_id", "n_paragraphs", "n_dropped",
+        "text_clean").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    }.start()
+    try {
+      src.addData(b0: _*); query.processAllAvailable()
+      src.addData(b1: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(got(0L) === Set(
+      (10L, 1L, "fresh stuff"),
+      (11L, 0L, "all original here")))
+    assert(got(1L) === Set((12L, 1L, ""))) // all-boilerplate doc emptied
+    // per-micro-batch result equals the batch path over the same rows
+    Seq(b0 -> 0L, b1 -> 1L).foreach { case (rows, id) =>
+      val batchOut = graft.operators.Paragraph.cleanAgainstIndex(
+        index, rows.toDF(), "doc_id", "text", maxDf = 2)
+        .select("doc_id", "n_paragraphs", "n_dropped", "text_clean")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(batchOut === got(id))
+    }
+  }
+
   test("anomaly monitor surfaces silent baseline groups and brand-new groups") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
