@@ -285,7 +285,30 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** q35_rolling — 24-hour ROLLING (sliding, time-RANGE) volumes per
+    * event type, computed over the hourly pre-aggregate: the
+    * continuous-monitoring shape q11's tumbling windows don't cover
+    * (every hour gets the trailing day's totals, not just its own
+    * bucket). The RANGE window runs over the tiny (type, hour) grid —
+    * the same pre-shrink trick as q29/q30, so the 5-value type key is
+    * never a parallelism ceiling — and all sums are exact integers. */
+  def q35Rolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hour_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Core.cents(col("value"))).as("value_cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_id").asc)
+      .rangeBetween(-23, 0)
+    hourly.select(col("event_type"), col("hour_id"), col("n_events"),
+      sum(col("n_events")).over(w).as("n_24h"),
+      sum(col("value_cents")).over(w).as("cents_24h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_rolling" -> q35Rolling,
     "q34_transitions" -> q34Transitions,
     "q33_attribution" -> q33Attribution,
     "q32_corr" -> q32Corr,
@@ -299,6 +322,19 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q35_rolling" -> """
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS value_cents
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, hour_id, n_events,
+        CAST(SUM(n_events) OVER w AS BIGINT) AS n_24h,
+        CAST(SUM(value_cents) OVER w AS BIGINT) AS cents_24h
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id ASC
+        RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)""",
     "q34_transitions" -> """
       WITH e AS (
         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id

@@ -156,7 +156,47 @@ object CurationQueries {
     Corpus.pairwiseJaccard(docs(s, dir), col("source"), "doc_id",
       "text", NgramN)
 
+  /** curation_source_report (round-8) — the per-source corpus report
+    * card: document count, exact-unique count (normalized content
+    * hash), token volume, and mean quality score, one row per source —
+    * the composition dashboard a curation run starts and ends with.
+    * Exact-integer aggregation throughout: token counts sum as longs,
+    * quality scores sum as round(q·10⁶) micro-units (each per-row score
+    * is bit-identical across engines — text_quality_score is
+    * hash-checked — so the rounded micro-value is too), and the two
+    * means are single divisions from exact parts. Two
+    * map-side-combined aggregates (per-source + per-(source, hash)
+    * distinct) joined on the source key. */
+  def curationSourceReport(s: SparkSession, dir: String): DataFrame =
+    sourceReport(docs(s, dir))
+
+  /** [[curationSourceReport]] over any (doc_id, source, text) frame. */
+  def sourceReport(d: DataFrame): DataFrame = {
+    val perDoc = d.select(col("doc_id"), col("source"),
+        md5(graft.operators.Dedup.normalized(col("text"))).as("_h"),
+        size(split(lower(trim(col("text"))), " ")).cast("long").as("_nt"))
+      .join(TextOps.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+      .withColumn("_qmicro",
+        expr("CAST(round(quality_score * 1000000) AS BIGINT)"))
+    val base = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_nt")).as("sum_tokens"),
+      sum(col("_qmicro")).as("_sq"))
+    val uniq = perDoc.select(col("source"), col("_h")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    base.join(uniq, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("sum_tokens"),
+        (col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        (col("_sq").cast("double") /
+          (lit(1000000.0) * col("n_docs").cast("double")))
+          .as("mean_quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_source_report" -> curationSourceReport,
     "curation_source_quota" -> curationSourceQuota,
     "corpus_jaccard" -> corpusJaccard,
     "decon_exact" -> deconExact,
@@ -243,6 +283,30 @@ object CurationQueries {
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "curation_source_report" -> s"""
+      WITH perdoc AS (
+        SELECT d.doc_id, d.source,
+          md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS h,
+          CAST(len(string_split(lower(trim(d.text)), ' ')) AS BIGINT)
+            AS nt,
+          CAST(round(q.quality_score * 1000000) AS BIGINT) AS qmicro
+        FROM documents d
+        JOIN (${TextQueries.oracleSql("text_quality_score")}) q
+          ON d.doc_id = q.doc_id),
+      base AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+          CAST(SUM(qmicro) AS BIGINT) AS sq
+        FROM perdoc GROUP BY 1),
+      uniq AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unique
+        FROM (SELECT DISTINCT source, h FROM perdoc) GROUP BY 1)
+      SELECT b.source, b.n_docs, u.n_unique, b.sum_tokens,
+        CAST(b.sum_tokens AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+          AS mean_tokens,
+        CAST(b.sq AS DOUBLE) / (1000000.0 * CAST(b.n_docs AS DOUBLE))
+          AS mean_quality
+      FROM base b JOIN uniq u ON b.source = u.source""",
     "curation_source_quota" -> s"""
       WITH feat AS (
         SELECT doc_id,

@@ -127,6 +127,42 @@ class Round8Spec extends SparkSpec {
       ("purchase", 30000000L, 0L)))
   }
 
+  test("24h rolling volumes slide over hour gaps (RANGE frame, not ROWS)") {
+    // hours 0, 1, and 30 for one type: hour 30 must NOT see hours 0-1
+    // (a ROWS frame would) — RANGE over hour_id respects the gap
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, hour * 3600L * 1000000000L, 1L, "view", v)
+    val rows = Seq(ev(1, 0, 1.0), ev(2, 0, 2.0), ev(3, 1, 4.0),
+      ev(4, 30, 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("roll").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.AnalyticsQueries.q35Rolling(spark, dir)
+      .select("hour_id", "n_events", "n_24h", "cents_24h")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (0L, 2L, 2L, 300L),   // hours 0: itself
+      (1L, 1L, 3L, 700L),   // hour 1: hours 0+1
+      (30L, 1L, 1L, 800L))) // hour 30: alone — the gap is respected
+  }
+
+  test("source report: exact counts, unique hashes, micro-exact quality mean") {
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma"),
+      (2L, "a", "alpha  beta   gamma"),  // normalizes to doc 1 → dup
+      (3L, "a", "something else here"),
+      (4L, "b", "only doc of source b"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.queries.CurationQueries.sourceReport(docs)
+      .select("source", "n_docs", "n_unique", "sum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 2's doubled spaces keep raw split tokens (6) but hash-dedupe
+    // against doc 1 after normalization
+    assert(out("a") === ((3L, 2L, 12L)))
+    assert(out("b") === ((1L, 1L, 5L)))
+  }
+
   test("bpe_count: greedy longest-match against a fixed vocab") {
     graft.functions.GraftFunctions.register(spark)
     def count(text: String, vocab: Seq[String]): Long =
