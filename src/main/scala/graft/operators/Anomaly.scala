@@ -54,4 +54,55 @@ object Anomaly {
       .withColumnRenamed("_graft_n", "n_obs")
       .drop("_graft_s", "_graft_q")
   }
+
+  /** Robust per-group outliers: |x − median| > k·MAD — the
+    * median/median-absolute-deviation test that stays calibrated when
+    * the anomalies themselves inflate the moments (one 100× spike
+    * widens σ enough to hide the next one; it barely moves the
+    * median). Both medians are LOWER medians selected by exact rank
+    * ((n+1) div 2 over the sorted integers) — pure integer selection
+    * and comparison, no float anywhere, so the decision is
+    * bit-identical on any engine and DuckDB-replayable. A zero-MAD
+    * group (> half the values identical) flags ANY deviation, the
+    * robust analogue of the zero-variance degenerate case.
+    *
+    * Scale: two rank-selection window passes + two broadcast joins of
+    * the group-count-sized medians. The windows sort WITHIN groups —
+    * size this operator like the other per-group rankers: fine on
+    * pre-aggregated observation tables (the dq_anomaly_robust binding
+    * runs on the (type, hour) grid), and on raw billion-row groups
+    * prefer [[flagOutliers]]' one-pass moments. */
+  def flagOutliersRobust(obs: DataFrame, groupCol: String,
+      valueCol: String, k: Long = 5L): DataFrame = {
+    require(k > 0, "k must be positive")
+    Seq("_graft_rn", "_graft_n", "_graft_med", "_graft_d", "_graft_mad",
+      "is_anomaly").foreach(c =>
+      require(!obs.columns.contains(c),
+        s"obs already has a '$c' column — rename it before flagOutliersRobust"))
+    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col(c).asc)
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+      df.withColumn("_graft_rn", row_number().over(w))
+        .withColumn("_graft_n", count(lit(1)).over(wn))
+        // `div`, not `/`: Spark's / on integers returns double
+        .filter(col("_graft_rn") === expr("(_graft_n + 1) div 2"))
+        .select(col(groupCol), col(c).as(out))
+    }
+    val med = lowerMedian(obs.select(col(groupCol), col(valueCol)),
+      valueCol, "_graft_med")
+    val withDev = obs.join(broadcast(med), groupCol)
+      .withColumn("_graft_d",
+        abs(col(valueCol) - col("_graft_med")))
+    val mad = lowerMedian(
+      withDev.select(col(groupCol), col("_graft_d")),
+      "_graft_d", "_graft_mad")
+    withDev.join(broadcast(mad), groupCol)
+      .withColumn("is_anomaly",
+        (col("_graft_d") > lit(k) * col("_graft_mad")).cast("int"))
+      .withColumnRenamed("_graft_med", "med")
+      .withColumnRenamed("_graft_mad", "mad")
+      .drop("_graft_d")
+  }
 }

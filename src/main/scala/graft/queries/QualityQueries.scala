@@ -307,7 +307,23 @@ object QualityQueries {
         (col("_anchor_us") - col("last_seen_us")).as("staleness_us"))
   }
 
+  /** dq_anomaly_robust — [[graft.operators.Anomaly.flagOutliersRobust]]
+    * over the same hourly per-type volumes as dq_anomaly: the
+    * median/MAD flag that stays calibrated when the spikes themselves
+    * inflate σ (k=5 ≈ 3.4σ on clean data under normality). */
+  def dqAnomalyRobust(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hour_id"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.Anomaly
+      .flagOutliersRobust(hourly, "event_type", "n_events", k = 5L)
+      .select(col("event_type"), col("hour_id"), col("n_events"),
+        col("med"), col("mad"), col("is_anomaly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_anomaly_robust" -> dqAnomalyRobust,
     "dq_freshness" -> dqFreshness,
     "dq_hotkeys" -> dqHotkeys,
     "dq_anomaly" -> dqAnomaly,
@@ -322,6 +338,34 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_anomaly_robust" -> """
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+      med AS (
+        SELECT event_type, n_events AS med FROM (
+          SELECT event_type, n_events,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY n_events ASC) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM hourly) WHERE rn = (n + 1) // 2),
+      dev AS (
+        SELECT h.event_type, h.hour_id, h.n_events, m.med,
+          abs(h.n_events - m.med) AS d
+        FROM hourly h JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, d AS mad FROM (
+          SELECT event_type, d,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY d ASC) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM dev) WHERE rn = (n + 1) // 2)
+      SELECT dev.event_type, dev.hour_id, dev.n_events, dev.med,
+        mad.mad,
+        CAST(CASE WHEN dev.d > 5 * mad.mad THEN 1 ELSE 0 END AS INTEGER)
+          AS is_anomaly
+      FROM dev JOIN mad USING (event_type)""",
     "dq_freshness" -> """
       WITH e AS (
         SELECT event_type, epoch_us(ts) AS ts_us FROM events),

@@ -163,6 +163,29 @@ class Round8Spec extends SparkSpec {
     assert(out("b") === ((1L, 1L, 5L)))
   }
 
+  test("flagOutliersRobust: median/MAD catches what spike-inflated sigma hides") {
+    // group a: nine quiet hours of ~100 plus TWO spikes of 5000.
+    // moments: sigma is so inflated by the spikes that 5000 sits inside
+    // 3 sigma (k-sigma test misses BOTH); median/MAD flags exactly them.
+    val a = Seq(98L, 99L, 100L, 100L, 100L, 101L, 101L, 102L, 103L,
+      5000L, 5000L).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+    val df = a.toDF("grp", "id", "v")
+    val robust = graft.operators.Anomaly
+      .flagOutliersRobust(df, "grp", "v", k = 5L)
+      .filter(col("is_anomaly") === 1).select("id").as[Long].collect().toSet
+    assert(robust === Set(9L, 10L))
+    val moments = graft.operators.Anomaly.flagOutliers(df, "grp", "v")
+      .filter(col("is_anomaly") === 1).select("id").as[Long].collect().toSet
+    assert(moments === Set.empty[Long]) // the motivating failure mode
+    // zero-MAD group: >half identical — any deviation flags
+    val b = ((1L to 6L).map(i => ("b", i, 7L)) :+ (("b", 7L, 9L)))
+      .toDF("grp", "id", "v")
+    val zb = graft.operators.Anomaly
+      .flagOutliersRobust(b, "grp", "v", k = 5L)
+      .filter(col("is_anomaly") === 1).select("id").as[Long].collect().toSet
+    assert(zb === Set(7L))
+  }
+
   test("bpe_count: greedy longest-match against a fixed vocab") {
     graft.functions.GraftFunctions.register(spark)
     def count(text: String, vocab: Seq[String]): Long =
