@@ -322,7 +322,43 @@ object QualityQueries {
         col("med"), col("mad"), col("is_anomaly"))
   }
 
+  /** dq_reconciliation — the ACCURACY dimension as a cross-table
+    * audit: does each order's header total equal the sum of its line
+    * amounts (extendedprice·(1−discount)·(1+tax))? One summary row:
+    * order count, headers with no lines at all, exact matches,
+    * within-1% matches (integer comparison — \|diff\|·100 ≤ total),
+    * and the worst/total absolute discrepancy in cents. On this
+    * synthetic corpus NOTHING reconciles exactly — which is the
+    * point: the audit quantifies the mismatch instead of assuming
+    * consistency. One map-side-combined per-order aggregation joined
+    * to headers, then a single global fold; exact cents throughout. */
+  def dqReconciliation(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Core.cents(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+        .as("line_cents"))
+    val diff = col("total_cents") - col("line_cents")
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        Core.cents(col("o_totalprice")).as("total_cents"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("line_cents").isNull, 1L).otherwise(0L))
+          .as("n_no_lines"),
+        sum(when(diff === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("line_cents").isNotNull &&
+          abs(diff) * 100 <= col("total_cents"), 1L).otherwise(0L))
+          .as("n_within_1pct"),
+        max(abs(col("total_cents") - coalesce(col("line_cents"), lit(0L))))
+          .as("max_abs_diff_cents"),
+        sum(abs(col("total_cents") - coalesce(col("line_cents"), lit(0L))))
+          .as("sum_abs_diff_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_reconciliation" -> dqReconciliation,
     "dq_anomaly_robust" -> dqAnomalyRobust,
     "dq_freshness" -> dqFreshness,
     "dq_hotkeys" -> dqHotkeys,
@@ -338,6 +374,32 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_reconciliation" -> """
+      WITH l AS (
+        SELECT l_orderkey,
+          CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+            * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS line_cents
+        FROM lineitem GROUP BY 1),
+      o AS (
+        SELECT o_orderkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders),
+      j AS (
+        SELECT o.total_cents, l.line_cents
+        FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_no_lines,
+        CAST(SUM(CASE WHEN total_cents - line_cents = 0 THEN 1 ELSE 0
+          END) AS BIGINT) AS n_exact,
+        CAST(SUM(CASE WHEN line_cents IS NOT NULL
+          AND abs(total_cents - line_cents) * 100 <= total_cents
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+        MAX(abs(total_cents - COALESCE(line_cents, 0)))
+          AS max_abs_diff_cents,
+        CAST(SUM(abs(total_cents - COALESCE(line_cents, 0))) AS BIGINT)
+          AS sum_abs_diff_cents
+      FROM j""",
     "dq_anomaly_robust" -> """
       WITH hourly AS (
         SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,

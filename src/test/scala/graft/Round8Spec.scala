@@ -186,6 +186,27 @@ class Round8Spec extends SparkSpec {
     assert(zb === Set(7L))
   }
 
+  test("reconciliation audit classifies exact / near / missing / divergent orders") {
+    val dir = java.nio.file.Files.createTempDirectory("recon").toString
+    Seq(
+      (1L, 100.00), // exact: one line of 100.00
+      (2L, 100.00), // within 1%: lines sum to 100.50
+      (3L, 100.00), // divergent: lines sum to 150.00
+      (4L, 100.00)) // no lines at all
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, 100.00, 0.0, 0.0),
+      (2L, 100.50, 0.0, 0.0),
+      (3L, 100.00, 0.0, 0.5))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.QualityQueries.dqReconciliation(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    //          n,  none, exact, within1pct,  maxdiff,  sumdiff
+    assert(out === ((4L, 1L, 1L, 2L, 10000L, 15050L)))
+  }
+
   test("bpe_count: greedy longest-match against a fixed vocab") {
     graft.functions.GraftFunctions.register(spark)
     def count(text: String, vocab: Seq[String]): Long =
