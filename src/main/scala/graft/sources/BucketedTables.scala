@@ -26,7 +26,14 @@ object BucketedTables {
     require(nBuckets > 0, "nBuckets must be positive")
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite")
+    // repartition on the bucket keys first: a bucketed write emits one
+    // file PER (task, bucket), so N input partitions × B buckets would
+    // scatter each bucket over up to N small files — the small-files
+    // tax is paid on every subsequent probe. Hash-repartitioning to B
+    // tasks on the same keys (same Murmur3 hash the bucketing uses)
+    // lands each bucket in exactly one task → one file per bucket.
+    df.repartition(nBuckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
       .option("path", path)
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
