@@ -218,6 +218,26 @@ class PlanAuditSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, qe.sparkPlan))
   }
 
+  test("paragraph dedup family: equi-joins only, bounded per-doc state") {
+    Seq("dedup_paragraph", "dedup_paragraph_incr").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q35_rolling: RANGE window rides the hourly pre-aggregate (≤2 shuffles)") {
+    val p = plan("q35_rolling")
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    assert(count(p, "FileScan parquet") == 1, p)
+  }
+
+  test("dq_reconciliation: one fact-table aggregation, header side broadcast") {
+    val p = plan("dq_reconciliation")
+    assert(count(p, "Exchange hashpartitioning") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(
