@@ -46,6 +46,9 @@ object BpeTok {
     val ascii = new Array[Trie](128)
     var other: java.util.HashMap[Character, Trie] = _
     var terminal = false
+    /** 1-based vocabulary position of the entry ending here (0 while
+      * non-terminal; first occurrence wins for duplicate entries). */
+    var id = 0L
 
     def child(c: Char): Trie =
       if (c < 128) ascii(c)
@@ -67,13 +70,21 @@ object BpeTok {
     }
   }
 
-  def build(vocab: Iterable[String]): Trie = {
+  def build(vocab: Iterable[String]): Trie =
+    buildIndexed(vocab.iterator.zipWithIndex.map {
+      case (v, i) => (v, i + 1L)
+    })
+
+  /** Build with explicit 1-based ids — callers that filter null/empty
+    * vocabulary slots pass the ORIGINAL array position so ids stay
+    * aligned with the oracle's element order. */
+  def buildIndexed(vocab: Iterator[(String, Long)]): Trie = {
     val root = new Trie
-    vocab.foreach { v =>
+    vocab.foreach { case (v, vid) =>
       var node = root
       var i = 0
       while (i < v.length) { node = node.ensureChild(v.charAt(i)); i += 1 }
-      node.terminal = true
+      if (!node.terminal) { node.terminal = true; node.id = vid }
     }
     root
   }
@@ -107,20 +118,75 @@ object BpeTok {
             }
           }
         }
-        i = if (best > i) best else i + 1
+        // fallback advances one CODEPOINT, not one UTF-16 unit: a
+        // supplementary-plane char (emoji) is ONE unknown token, matching
+        // the oracle's codepoint-based substr/len (round-9 ADVICE fix)
+        i = if (best > i) best else i + Character.charCount(s.codePointAt(i))
         n += 1L
       }
     }
     n
   }
+
+  /** Greedy longest-match token IDS over whitespace-separated words —
+    * the same walk as [[countTokens]], emitting the id of each consumed
+    * vocabulary entry (1-based position in the vocabulary array) and 0
+    * for each single-codepoint unknown fallback. The id assignment is
+    * part of the contract: callers and the DuckDB oracle both read ids
+    * off the vocabulary's element order. */
+  def tokenIds(text: UTF8String, root: Trie): Array[Long] = {
+    val s = text.toString
+    val len = s.length
+    var i = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Long](len / 4 + 4)
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ') i += 1
+      else {
+        var node = root
+        var j = i
+        var best = -1
+        var bestId = 0L
+        var walking = true
+        while (walking && j < len) {
+          val ch = s.charAt(j)
+          if (ch == ' ') walking = false
+          else {
+            val next = node.child(ch)
+            if (next == null) walking = false
+            else {
+              node = next
+              j += 1
+              if (node.terminal) { best = j; bestId = node.id }
+            }
+          }
+        }
+        if (best > i) { out += bestId; i = best }
+        else { out += 0L; i += Character.charCount(s.codePointAt(i)) }
+      }
+    }
+    out.toArray
+  }
+
+  /** ArrayData wrapper for codegen call sites. */
+  def tokenIdsArray(text: UTF8String, root: Trie): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tokenIds(text, root))
+
+  /** Trie of a literal vocabulary ArrayData; null/empty slots are
+    * skipped but ids keep the ORIGINAL 1-based array position. */
+  def trieFrom(arr: ArrayData): Trie =
+    buildIndexed((0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => (arr.getUTF8String(i).toString, i + 1L))
+      .filter(_._1.nonEmpty))
 }
 
-/** bpe_count(string, array<string>) → bigint; the vocabulary must be a
-  * foldable literal (it becomes the per-plan trie). */
-case class BpeCount(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "bpe_count"
+/** Shared analysis contract of the bpe_* expressions: string text +
+  * foldable non-null array<string> vocabulary, folded once per plan
+  * into a [[BpeTok.Trie]]. */
+trait BpeVocabExpression extends BinaryExpression {
+  def prettyName: String
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != StringType)
@@ -142,14 +208,16 @@ case class BpeCount(left: Expression, right: Expression)
           s"$prettyName requires array<string> vocabulary, got $other")
     }
 
-  @transient private lazy val trie: BpeTok.Trie = {
-    val arr = right.eval().asInstanceOf[ArrayData]
-    val entries = (0 until arr.numElements()).iterator
-      .filterNot(arr.isNullAt)
-      .map(i => arr.getUTF8String(i).toString)
-      .filter(_.nonEmpty)
-    BpeTok.build(entries.toSeq)
-  }
+  @transient protected lazy val trie: BpeTok.Trie =
+    BpeTok.trieFrom(right.eval().asInstanceOf[ArrayData])
+}
+
+/** bpe_count(string, array<string>) → bigint; the vocabulary must be a
+  * foldable literal (it becomes the per-plan trie). */
+case class BpeCount(left: Expression, right: Expression)
+    extends BpeVocabExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
 
   override protected def nullSafeEval(text: Any, vocab: Any): Any =
     BpeTok.countTokens(text.asInstanceOf[UTF8String], trie)
@@ -164,5 +232,32 @@ case class BpeCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** bpe_tokens(string, array<string>) → array<bigint>: the greedy
+  * longest-match segmentation itself — each element is the 1-based
+  * vocabulary position of the consumed entry, 0 for a single-codepoint
+  * unknown fallback. `size(bpe_tokens(t, v)) == bpe_count(t, v)` by
+  * construction (same walk). This is the id stream a packed training
+  * shard consumes; [[graft.operators.Pack]] concatenates it per shard. */
+case class BpeTokens(left: Expression, right: Expression)
+    extends BpeVocabExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override protected def nullSafeEval(text: Any, vocab: Any): Any =
+    BpeTok.tokenIdsArray(text.asInstanceOf[UTF8String], trie)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("bpeTrie", trie,
+      classOf[BpeTok.Trie].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.BpeTok.tokenIdsArray($t, $trieRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeTokens =
     copy(left = newLeft, right = newRight)
 }

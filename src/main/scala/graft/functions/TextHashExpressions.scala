@@ -236,6 +236,9 @@ object GraftFunctions {
     (FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
       (args: Seq[Expression]) => BpeCount(args(0), args(1))),
+    (FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
+      (args: Seq[Expression]) => BpeTokens(args(0), args(1))),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))),

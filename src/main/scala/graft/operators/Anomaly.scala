@@ -30,11 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  import org.apache.spark.sql.types._
+
+  /** The exact-arithmetic contract holds only for integral inputs: a
+    * double cast to decimal(38,0) would silently round before the
+    * moments accumulate. Fail fast instead. */
+  private[graft] def requireIntegral(obs: DataFrame, valueCol: String,
+      op: String): Unit = {
+    val dt = obs.schema(valueCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(ok, s"$op: value column '$valueCol' is $dt — the exact " +
+      "integer z-test needs an integral type (byte/short/int/long or " +
+      "scale-0 decimal); pre-scale doubles to integer units " +
+      "(e.g. round(x*1e6) micro-units) before calling")
+  }
+
   /** Flag each row of (group, integral value): adds `n_obs` (group
     * size) and `is_anomaly` (0/1, strict k-sigma exceedance). */
   def flagOutliers(obs: DataFrame, groupCol: String, valueCol: String,
       k: Int = 3): DataFrame = {
     require(k > 0, "k must be positive")
+    requireIntegral(obs, valueCol, "flagOutliers")
     Seq("_graft_n", "_graft_s", "_graft_q", "n_obs", "is_anomaly")
       .foreach { c =>
         require(!obs.columns.contains(c),
@@ -71,27 +91,50 @@ object Anomaly {
     * size this operator like the other per-group rankers: fine on
     * pre-aggregated observation tables (the dq_anomaly_robust binding
     * runs on the (type, hour) grid), and on raw billion-row groups
-    * prefer [[flagOutliers]]' one-pass moments. */
+    * prefer [[flagOutliers]]' one-pass moments. The contract is
+    * self-enforcing: the first rank window already counts each group,
+    * and any group over `maxGroupRows` (default 10M — past the point
+    * where a single-task sort is sane) aborts the job with a
+    * raise_error naming the group, instead of silently grinding
+    * through a corpus-sized per-group sort. The check rides the
+    * existing window — no extra pass, plan stays lazy. */
   def flagOutliersRobust(obs: DataFrame, groupCol: String,
-      valueCol: String, k: Long = 5L): DataFrame = {
+      valueCol: String, k: Long = 5L,
+      maxGroupRows: Long = 10000000L): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxGroupRows > 0, "maxGroupRows must be positive")
+    requireIntegral(obs, valueCol, "flagOutliersRobust")
     Seq("_graft_rn", "_graft_n", "_graft_med", "_graft_d", "_graft_mad",
       "is_anomaly").foreach(c =>
       require(!obs.columns.contains(c),
         s"obs already has a '$c' column — rename it before flagOutliersRobust"))
-    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame = {
+    def lowerMedian(df: DataFrame, c: String, out: String,
+        guard: Boolean = false): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(groupCol)).orderBy(col(c).asc)
       val wn = org.apache.spark.sql.expressions.Window
         .partitionBy(col(groupCol))
-      df.withColumn("_graft_rn", row_number().over(w))
+      val counted = df.withColumn("_graft_rn", row_number().over(w))
         .withColumn("_graft_n", count(lit(1)).over(wn))
+      val checked =
+        if (!guard) counted
+        else counted.withColumn("_graft_n",
+          when(col("_graft_n") <= lit(maxGroupRows), col("_graft_n"))
+            .otherwise(raise_error(concat(
+              lit("flagOutliersRobust: group "),
+              col(groupCol).cast("string"), lit(" has "),
+              col("_graft_n").cast("string"),
+              lit(s" rows > maxGroupRows=$maxGroupRows — this " +
+                "operator sorts within groups; feed it pre-aggregated " +
+                "grids, use flagOutliers (one-pass moments) for raw " +
+                "tables, or raise maxGroupRows explicitly")))))
+      checked
         // `div`, not `/`: Spark's / on integers returns double
         .filter(col("_graft_rn") === expr("(_graft_n + 1) div 2"))
         .select(col(groupCol), col(c).as(out))
     }
     val med = lowerMedian(obs.select(col(groupCol), col(valueCol)),
-      valueCol, "_graft_med")
+      valueCol, "_graft_med", guard = true)
     val withDev = obs.join(broadcast(med), groupCol)
       .withColumn("_graft_d",
         abs(col(valueCol) - col("_graft_med")))

@@ -42,4 +42,56 @@ object Pack {
         .cast("long"))
       .drop("_start")
   }
+
+  /** The packed token STREAM itself (round-9): where [[sequences]]
+    * assigns each doc its shard bookkeeping, this emits the artifact a
+    * training job consumes — per (group, shard) the concatenated
+    * token-id array, cut every `maxTokens` ids, docs straddling shard
+    * boundaries split mid-array exactly like a real token stream.
+    * `tokensCol` is an `array<bigint>` of ids (plug in
+    * `bpe_tokens(text, vocab)` — [[graft.functions.BpeTokens]]);
+    * `orderCol` must totally order each group.
+    *
+    * Every shard but each group's last holds exactly `maxTokens` ids,
+    * and flattening a group's shards in shard_ix order reproduces the
+    * concatenation of its docs' arrays in `orderCol` order (the
+    * reassembly invariant — tested).
+    *
+    * Scale: the same per-group window cumsum as [[sequences]] (group
+    * parallelism, never a global order), then ONE generator expression
+    * per doc exploding it into its straddled shards (rows out = docs +
+    * boundary crossings, each carrying only its in-shard slice), then
+    * one aggregation keyed (group, shard) whose state is bounded by
+    * `maxTokens` ids — shard assembly shuffles token ids once and
+    * holds ≤ one shard per aggregation state. Integer arithmetic
+    * end-to-end; deterministic and oracle-reproducible. */
+  def packedShards(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.select(col(groupCol), col(orderCol), col(tokensCol).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .filter(col("_n") > 0)
+      .withColumn("_start",
+        coalesce(sum(col("_n")).over(w) - col("_n"), lit(0L)).cast("long"))
+      .withColumn("shard_ix",
+        explode(sequence(expr(s"_start div ${maxTokens}L"),
+          expr(s"(_start + _n - 1) div ${maxTokens}L"))))
+      // the doc's ids covering [shard_ix·max, (shard_ix+1)·max) ∩
+      // [_start, _start+_n), re-based 1-relative into _toks
+      .withColumn("_from",
+        greatest(col("shard_ix") * maxTokens, col("_start")))
+      .withColumn("_until",
+        least((col("shard_ix") + 1) * maxTokens, col("_start") + col("_n")))
+      .withColumn("_piece", slice(col("_toks"),
+        (col("_from") - col("_start") + 1).cast("int"),
+        (col("_until") - col("_from")).cast("int")))
+      .groupBy(col(groupCol), col("shard_ix"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_from"), col("_piece")))),
+        s => s.getField("_piece"))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .select(col(groupCol), col("shard_ix"), col("n_tokens"),
+        col("tokens"))
+  }
 }

@@ -401,6 +401,14 @@ object Similarity {
       rerank: Int = 0): DataFrame = {
     val subDim = index.subDim
     val all = vecs(embs, idCol, vecCol)
+    // mirror buildPqIndex's dimension check on the serve path: a
+    // mismatched probe corpus would slice() short subvectors and score
+    // silently-wrong ADC distances instead of failing fast
+    val probeDims = all.select(size(col("e"))).head().getInt(0)
+    require(probeDims == index.subspaces * index.subDim,
+      s"pqQuery: probe embedding dim $probeDims != index dim " +
+        s"${index.subspaces * index.subDim} " +
+        s"(${index.subspaces} subspaces × ${index.subDim})")
     // per-(query, subspace, code) partial distance table — Q×M×K rows
     val qtab = all.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))

@@ -113,6 +113,26 @@ object CurationQueries {
           .as("n_tokens")),
       col("source"), col("doc_id"), col("n_tokens"), ShardTokens)
 
+  /** pack_tokens (round-9) — the packed shards THEMSELVES: per-doc
+    * `bpe_tokens` id arrays ([[graft.functions.BpeTokens]], the
+    * text_bpe_tokens vocabulary) concatenated per source in doc_id
+    * order and cut every [[ShardTokens]] ids by
+    * [[Pack.packedShards]]. The driver row projects each shard to
+    * (n_tokens, md5 of the comma-joined id stream) so the oracle
+    * checks the exact content AND order of every shard without
+    * hashing raw array columns; the reassembly invariant on the raw
+    * arrays lives in ScalaTest. */
+  def packTokens(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toks = docs(s, dir).select(col("doc_id"), col("source"),
+      call_function("bpe_tokens", lower(trim(col("text"))),
+        typedLit(TextQueries.BpeVocab)).as("toks"))
+    Pack.packedShards(toks, "source", "doc_id", "toks", ShardTokens)
+      .select(col("source"), col("shard_ix"), col("n_tokens"),
+        md5(array_join(transform(col("tokens"),
+          t => t.cast("string")), ",")).as("tokens_md5"))
+  }
+
   /** q23_cube — CUBE over (returnflag, linestatus) with grouping flags:
     * the grouping-sets surface q10's ROLLUP does not cover. */
   def q23Cube(s: SparkSession, dir: String): DataFrame =
@@ -210,6 +230,7 @@ object CurationQueries {
     "pii_redact" -> piiRedact,
     "sample_weighted" -> sampleWeighted,
     "pack_sequences" -> packSequences,
+    "pack_tokens" -> packTokens,
     "q23_cube" -> q23Cube)
 
   /** [[Dedup.normalized]] → md5, as DuckDB SQL, over `ref`.text. */
@@ -409,6 +430,51 @@ object CurationQueries {
                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
                   AS n_tokens
               FROM documents))""",
+    // greedy-tokenize replay emitting IDS (1-based vocab position via
+    // arg_max over matching entries, 0 for the one-codepoint unknown
+    // fallback), globally positioned per source by (doc_id, word,
+    // token), then cut every $ShardTokens ids — md5 of the ordered
+    // comma-joined stream checks each shard's exact content and order
+    "pack_tokens" -> s"""
+      WITH RECURSIVE varr AS (
+        SELECT [${TextQueries.BpeVocab.map(v => s"'$v'").mkString(", ")}]
+          AS a),
+      vocab AS (
+        SELECT a[i] AS v, CAST(i AS BIGINT) AS vid
+        FROM varr, LATERAL (SELECT unnest(generate_series(1, len(a)))
+          AS i) r),
+      words AS (
+        SELECT doc_id, source, i AS w_ix, parts[i] AS w
+        FROM (SELECT doc_id, source,
+                string_split(lower(trim(text)), ' ') AS parts
+              FROM documents) t,
+             LATERAL (SELECT unnest(generate_series(1, len(parts)))
+               AS i) r),
+      seg AS (
+        SELECT doc_id, source, w_ix, w, CAST(0 AS BIGINT) AS pos,
+          CAST(0 AS BIGINT) AS t_ix, CAST(NULL AS BIGINT) AS tid
+        FROM words
+        UNION ALL
+        SELECT doc_id, source, w_ix, w,
+          pos + COALESCE((SELECT MAX(len(v)) FROM vocab
+            WHERE substr(w, CAST(pos + 1 AS INT), len(v)) = v), 1),
+          t_ix + 1,
+          COALESCE((SELECT arg_max(vid, len(v)) FROM vocab
+            WHERE substr(w, CAST(pos + 1 AS INT), len(v)) = v), 0)
+        FROM seg WHERE pos < len(w)),
+      toks AS (
+        SELECT source, doc_id, w_ix, t_ix, tid FROM seg
+        WHERE tid IS NOT NULL),
+      ordered AS (
+        SELECT source, tid,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY doc_id, w_ix, t_ix) - 1 AS BIGINT) AS gpos
+        FROM toks)
+      SELECT source, CAST(gpos // $ShardTokens AS BIGINT) AS shard_ix,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos))
+          AS tokens_md5
+      FROM ordered GROUP BY 1, 2""",
     // NOT EXISTS, not NOT IN (ADVICE r3): one NULL text in the
     // benchmark slice makes NOT IN three-valued-NULL for EVERY row,
     // emptying the oracle while the engine's left_anti keeps

@@ -330,7 +330,7 @@ object DedupQueries {
     "dedup_paragraph_incr" -> """
       WITH cp AS (
         SELECT doc_id,
-          lower(trim(regexp_replace(parts[i], '\s+', ' ', 'g'))) AS para
+          lower(regexp_replace(trim(parts[i]), '\s+', ' ', 'g')) AS para
         FROM (SELECT doc_id, string_split(text, ' the ') AS parts
               FROM documents WHERE doc_id % 5 <> 0) t,
              LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) r),
@@ -340,7 +340,7 @@ object DedupQueries {
         FROM cp WHERE para <> '' GROUP BY 1),
       bp AS (
         SELECT doc_id, i AS pos,
-          lower(trim(regexp_replace(parts[i], '\s+', ' ', 'g'))) AS para
+          lower(regexp_replace(trim(parts[i]), '\s+', ' ', 'g')) AS para
         FROM (SELECT doc_id, string_split(text, ' the ') AS parts
               FROM documents WHERE doc_id % 5 = 0) t,
              LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) r),
@@ -365,7 +365,7 @@ object DedupQueries {
     "dedup_paragraph" -> """
       WITH p AS (
         SELECT doc_id, i AS pos,
-          lower(trim(regexp_replace(parts[i], '\s+', ' ', 'g'))) AS para
+          lower(regexp_replace(trim(parts[i]), '\s+', ' ', 'g')) AS para
         FROM (SELECT doc_id, string_split(text, ' the ') AS parts
               FROM documents) t,
              LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) r),

@@ -85,8 +85,12 @@ object SimilarityQueries {
     * stays a lazy scan-speed projection (deliberately not checkpointed
     * — the query mains release checkpoint blocks after consuming each
     * result, which would kill a cached materialization). */
-  private val pqIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqIndex]()
+  // keyed by (session, dir), not dir alone: the cached DataFrames are
+  // bound to the session that built them, and a test-harness rerun that
+  // stops and recreates the session in the same JVM must rebuild rather
+  // than serve plans from the dead session (round-9 ADVICE fix)
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Similarity.PqIndex]()
 
   /** ann_pq_topk (rows-only; recall vs exact L2 in ScalaTest) —
     * [[Similarity.buildPqIndex]] (cached per corpus) +
@@ -94,9 +98,10 @@ object SimilarityQueries {
     * become `subspaces` codes; the query scan reads codes, never raw
     * embeddings — only the rerank×queries refinement set does). */
   def annPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val index = pqIndexCache.computeIfAbsent(dir, d =>
-      Similarity.buildPqIndex(embs(s, d), "vec_id", "embedding",
-        subspaces = PqSubspaces, codebook = PqCodebook))
+    val index = pqIndexCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      Similarity.buildPqIndex(embs(sess, d), "vec_id", "embedding",
+        subspaces = PqSubspaces, codebook = PqCodebook)
+    })
     Similarity.pqQuery(index, embs(s, dir), "vec_id", "embedding",
       isQuery = col("vec_id") < NumQueries, k = K, rerank = PqRerank)
   }

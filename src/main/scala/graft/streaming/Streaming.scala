@@ -323,8 +323,12 @@ object Streaming {
 
   /** Baseline (group, n, S, Q) integer moments of a (group, value)
     * observation table. Moments accumulate as decimal(38,0) — the same
-    * overflow headroom as [[graft.operators.Anomaly.flagOutliers]]. */
+    * overflow headroom (and the same integral-input contract: a double
+    * value column fails fast rather than silently rounding) as
+    * [[graft.operators.Anomaly.flagOutliers]]. */
   def baselineMoments(baseline: DataFrame, groupCol: String): DataFrame = {
+    graft.operators.Anomaly.requireIntegral(baseline, "value",
+      "baselineMoments")
     def d(c: Column) = c.cast("decimal(38,0)")
     baseline.groupBy(col(groupCol)).agg(
       count(lit(1)).as("_graft_n"),

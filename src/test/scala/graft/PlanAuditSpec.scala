@@ -226,6 +226,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pack_tokens: group-partitioned window, one scan, no global order") {
+    val qe = SparkEntry.queries("pack_tokens")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // shard assembly must stay group-parallel: every window partitions
+    // on a key (a global token stream would serialize the corpus), the
+    // cumsum + shard aggregation ride one documents scan, and nothing
+    // plans a cartesian
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, p))
+    assert(count(p, "FileScan parquet") == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("q35_rolling: RANGE window rides the hourly pre-aggregate (≤2 shuffles)") {
     val p = plan("q35_rolling")
     assert(count(p, "Exchange hashpartitioning") <= 2, p)

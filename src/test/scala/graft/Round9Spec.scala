@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{Anomaly, Pack}
+
+/** Round-9 operator tests: token-id emission + packed shards, the
+  * self-enforcing anomaly contracts, codepoint-fallback parity. */
+class Round9Spec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private val vocab = Seq("the", "he", "in", "ing", "th")
+
+  test("bpe_tokens: ids are 1-based vocab positions, 0 for fallback") {
+    // "thing" → greedy: "th"(5), "ing"(4); "xthe" → x(0), "the"(1)
+    val out = Seq("thing xthe").toDF("t")
+      .select(expr(s"bpe_tokens(t, array(${vocab.map(v => s"'$v'").mkString(",")}))").as("ids"))
+      .as[Seq[Long]].head()
+    assert(out === Seq(5L, 4L, 0L, 1L))
+  }
+
+  test("bpe_tokens size equals bpe_count on real corpus text") {
+    val varr = s"array(${vocab.map(v => s"'$v'").mkString(",")})"
+    val bad = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(expr(s"size(bpe_tokens(lower(trim(text)), $varr))").as("a"),
+        expr(s"bpe_count(lower(trim(text)), $varr)").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad === 0L)
+  }
+
+  test("bpe fallback advances one codepoint: emoji is ONE unknown token") {
+    val varr = s"array(${vocab.map(v => s"'$v'").mkString(",")})"
+    // U+1F600 is a surrogate pair in UTF-16; pre-fix it counted as 2
+    val out = Seq("😀 the 😀😀").toDF("t")
+      .select(expr(s"bpe_tokens(t, $varr)").as("ids"),
+        expr(s"bpe_count(t, $varr)").as("n"))
+      .as[(Seq[Long], Long)].head()
+    assert(out._1 === Seq(0L, 1L, 0L, 0L))
+    assert(out._2 === 4L)
+  }
+
+  test("bpe_tokens: duplicate vocab entry keeps FIRST id; null/empty slots skipped") {
+    val out = Seq("the").toDF("t")
+      .select(expr("bpe_tokens(t, array('', 'the', NULL, 'the'))").as("ids"))
+      .as[Seq[Long]].head()
+    assert(out === Seq(2L)) // original array position, first occurrence
+  }
+
+  test("packedShards: exact cuts, straddling docs, reassembly invariant") {
+    val docs = Seq(
+      ("a", 1L, Seq(1L, 2L, 3L)),
+      ("a", 2L, Seq(4L, 5L, 6L, 7L, 8L)), // straddles shards 0→2 at max=3
+      ("a", 3L, Seq(9L)),
+      ("b", 1L, Seq(10L, 11L)),
+      ("b", 2L, Seq.empty[Long]),          // zero-token doc vanishes
+      ("b", 3L, Seq(12L))).toDF("g", "o", "toks")
+    val shards = Pack.packedShards(docs, "g", "o", "toks", maxTokens = 3L)
+      .orderBy("g", "shard_ix")
+      .as[(String, Long, Long, Seq[Long])].collect().toList
+    assert(shards === List(
+      ("a", 0L, 3L, Seq(1L, 2L, 3L)),
+      ("a", 1L, 3L, Seq(4L, 5L, 6L)),
+      ("a", 2L, 3L, Seq(7L, 8L, 9L)),
+      ("b", 0L, 3L, Seq(10L, 11L, 12L))))
+    // reassembly: flatten per-group shards in shard_ix order == the
+    // concatenation of the group's doc arrays in order
+    val reassembled = shards.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).flatMap(_._4)).toMap
+    assert(reassembled === Map(
+      "a" -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
+      "b" -> Seq(10L, 11L, 12L)))
+    // every shard but each group's last is exactly full
+    shards.groupBy(_._1).foreach { case (_, ss) =>
+      ss.sortBy(_._2).init.foreach(s => assert(s._3 === 3L))
+    }
+  }
+
+  test("packedShards reassembly on corpus bpe ids (sf0.001)") {
+    val varr = "array('th', 'he', 'in', 'an', 're')"
+    val toks = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"bpe_tokens(lower(trim(text)), $varr)").as("toks"))
+    val expected = toks.orderBy("source", "doc_id")
+      .as[(Long, String, Seq[Long])].collect().toList
+      .groupBy(_._2).view.mapValues(_.flatMap(_._3)).toMap
+    val got = Pack.packedShards(toks, "source", "doc_id", "toks", 500L)
+      .as[(String, Long, Long, Seq[Long])].collect().toList
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).flatMap(_._4)).toMap
+    assert(got === expected)
+  }
+
+  test("flagOutliers rejects a non-integral value column") {
+    val df = Seq(("a", 1.5), ("a", 2.5)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException](
+      Anomaly.flagOutliers(df, "g", "v"))
+    assert(e.getMessage.contains("integral"))
+    // and scale-0 decimal is accepted
+    Anomaly.flagOutliers(
+      Seq(("a", BigDecimal(1)), ("a", BigDecimal(2)))
+        .toDF("g", "v").select(col("g"), col("v").cast("decimal(38,0)")),
+      "g", "v").collect()
+  }
+
+  test("flagOutliersRobust aborts on an over-cap group instead of sorting it") {
+    val small = (1L to 50L).map(("a", _)).toDF("g", "v")
+    // cap respected: runs fine under the cap
+    assert(Anomaly.flagOutliersRobust(small, "g", "v",
+      maxGroupRows = 50L).count() === 50L)
+    // one row over the cap: the plan executes but raises, naming the group
+    val e = intercept[Exception] {
+      Anomaly.flagOutliersRobust(small, "g", "v",
+        maxGroupRows = 49L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null &&
+      m.contains("maxGroupRows") && m.contains("flagOutliersRobust")))
+  }
+
+  test("pqQuery fails fast on probe dims != index dims") {
+    val emb = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val index = graft.operators.Similarity.buildPqIndex(
+      emb, "vec_id", "embedding", subspaces = 4, codebook = 2)
+    val probe6 = (0L until 4L).map(i =>
+      (i, Array.tabulate(6)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Similarity.pqQuery(index, probe6, "vec_id",
+        "embedding", isQuery = col("vec_id") < 2, k = 2))
+    assert(e.getMessage.contains("probe embedding dim"))
+  }
+}
