@@ -215,6 +215,25 @@ class MedallionPipeline(spark: SparkSession, root: String,
   def read(zone: DataZone.Value, dataset: String): DataFrame =
     spark.read.parquet(path(zone, dataset))
 
+  /** Record a per-file min/max stats manifest for a zone dataset —
+    * [[graft.sources.StatsManifest.write]] (round-9): call after any
+    * write/compact, typically on the columns the data was range-laid
+    * by. The manifest lives inside the dataset dir (ignored by plain
+    * reads, swapped atomically with the data by [[replace]]'s rename). */
+  def writeManifest(zone: DataZone.Value, dataset: String,
+      statsCols: Seq[String]): Unit =
+    graft.sources.StatsManifest.write(spark, path(zone, dataset), statsCols)
+
+  /** Manifest-pruned read: only files whose [min, max] range can
+    * satisfy `colName BETWEEN lo AND hi` reach the scan planner —
+    * emulated Delta/Iceberg data skipping (SURVEY §6, third swap
+    * seam). Conservative: unknown files kept, missing manifest → full
+    * read. Callers still apply the predicate. */
+  def readPruned(zone: DataZone.Value, dataset: String, colName: String,
+      lo: Any, hi: Any): DataFrame =
+    graft.sources.StatsManifest.prunedRead(spark, path(zone, dataset),
+      colName, lo, hi)
+
   /** Distributed _write_to_zone (etl_manager.py:441-475). `key` is the
     * upsert identity for MERGE/INCREMENTAL (reference: the `id` field).
     */

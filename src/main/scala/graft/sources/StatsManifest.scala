@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file min/max data skipping over plain-parquet zones (round-9) —
+  * the one slice of the Delta/Iceberg gap (SURVEY §6) buildable in
+  * this container: at write time a manifest records (file, rows,
+  * per-column min/max); at read time the file LIST is pruned against a
+  * predicate interval before the scan is planned, so a selective query
+  * opens the few files whose range intersects instead of every footer
+  * in the dataset — Delta's `stats`/Iceberg's manifest-entry skipping,
+  * emulated at the directory layer. Partition-directory pruning
+  * (writePartitioned) handles the coarse key; this handles the SORTED
+  * or range-written fine column inside each directory.
+  *
+  * Layout: the manifest is a tiny parquet relation written INSIDE the
+  * dataset directory under `_graft_manifest` — Spark's file index
+  * ignores `_`-prefixed paths, so plain `spark.read.parquet(dataset)`
+  * is untouched, and the manifest travels with the directory through
+  * [[graft.etl.MedallionPipeline]]'s atomic-rename `replace` swap (the
+  * third swap seam: a real table format replaces write+prune with its
+  * transaction log).
+  *
+  * Stats collection is one distributed scan of the freshly written
+  * files (`input_file_name` groupBy — map-side combined, one row per
+  * file out), the same cost class as Delta's write-time stats. Min/max
+  * are stored as canonical strings + the column's dtype; pruning
+  * parses them back with the dtype's own ordering (numerics as
+  * BigDecimal, date/timestamp/string lexical — Spark's cast-to-string
+  * forms are order-preserving for these types).
+  *
+  * Safety: pruning is CONSERVATIVE — a data file missing from the
+  * manifest (e.g. appended after the last [[write]]) is always kept, a
+  * file with null stats (all-null column) is always kept, and a
+  * missing/unreadable manifest degrades to the full unpruned read. So
+  * a stale manifest can only cost performance, never rows. */
+object StatsManifest {
+
+  val ManifestDir = "_graft_manifest"
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Compute and write the manifest for `dataPath` over `statsCols`.
+    * One row per (file, column): rows, min/max as canonical strings,
+    * dtype tag. Overwrites any previous manifest. */
+  def write(spark: SparkSession, dataPath: String,
+      statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    val df = spark.read.parquet(dataPath)
+    val perFile = df
+      .select(input_file_name().as("_file") +: statsCols.map(col): _*)
+      .groupBy(col("_file"))
+      .agg(count(lit(1)).as("_rows"),
+        statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"_min_$c"),
+          max(col(c)).cast("string").as(s"_max_$c"))): _*)
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    statsCols.foreach(c => require(dtypes.contains(c),
+      s"StatsManifest: no column '$c' in $dataPath"))
+    // long form: (file, rows, col, dtype, min_s, max_s)
+    val longForm = perFile.select(col("_file").as("file"),
+      col("_rows").as("n_rows"),
+      explode(array(statsCols.map(c => struct(
+        lit(c).as("col_name"),
+        lit(dtypes(c).catalogString).as("dtype"),
+        col(s"_min_$c").as("min_s"),
+        col(s"_max_$c").as("max_s"))): _*)).as("s"))
+      .select(col("file"), col("n_rows"), col("s.col_name"),
+        col("s.dtype"), col("s.min_s"), col("s.max_s"))
+    longForm.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dataPath/$ManifestDir")
+  }
+
+  private def manifestPath(dataPath: String) =
+    new org.apache.hadoop.fs.Path(s"$dataPath/$ManifestDir")
+
+  /** The dataset's data files (parquet parts, `_`/`.` paths excluded)
+    * as fully-qualified URI strings — the same form
+    * `input_file_name()` records, so manifest and listing join. */
+  private def dataFiles(spark: SparkSession, dataPath: String)
+      : Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val f = fs(spark, p)
+    val out = Seq.newBuilder[String]
+    val it = f.listFiles(p, true) // recursive: partitioned layouts
+    val base = p.toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(base)
+        // drop hidden segments anywhere under the root (_graft_manifest
+        // parts, _SUCCESS, .crc files)
+        if (!rel.split('/').exists(s =>
+            s.startsWith("_") || s.startsWith(".")))
+          out += st.getPath.toUri.toString
+      }
+    }
+    out.result()
+  }
+
+  /** True when a [min_s, max_s] file range can intersect [lo, hi] under
+    * the column's dtype ordering; null bounds keep the file. */
+  private def intersects(dtype: String, minS: String, maxS: String,
+      lo: String, hi: String): Boolean = {
+    if (minS == null || maxS == null) return true
+    val numeric = Set("tinyint", "smallint", "int", "bigint", "float",
+      "double").contains(dtype) || dtype.startsWith("decimal")
+    def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b))
+      else a.compareTo(b) // string/date/timestamp cast-to-string forms
+    !(cmp(maxS, lo) < 0 || cmp(minS, hi) > 0)
+  }
+
+  /** The file list a `colName BETWEEN lo AND hi` scan needs: manifest
+    * files whose range intersects, plus (conservatively) every data
+    * file the manifest doesn't cover. Returns (kept, total). */
+  def pruneFiles(spark: SparkSession, dataPath: String, colName: String,
+      lo: Any, hi: Any): (Seq[String], Int) = {
+    val all = dataFiles(spark, dataPath)
+    val mp = manifestPath(dataPath)
+    if (!fs(spark, mp).exists(mp)) return (all, all.size)
+    val entries = spark.read.parquet(mp.toString)
+      .filter(col("col_name") === colName)
+      .select("file", "dtype", "min_s", "max_s")
+      .collect()
+    if (entries.isEmpty) return (all, all.size)
+    val dtype = entries.head.getString(1)
+    // canonicalize the probe bounds through the SAME cast the stats
+    // took (a one-row local job — constant-folded, no scan)
+    val bounds = spark.range(1)
+      .select(lit(lo).cast(dtype).cast("string"),
+        lit(hi).cast(dtype).cast("string")).head()
+    val (loS, hiS) = (bounds.getString(0), bounds.getString(1))
+    require(loS != null && hiS != null,
+      s"StatsManifest: bounds ($lo, $hi) do not cast to $dtype")
+    val known = entries.map(r => r.getString(0) ->
+      intersects(dtype, r.getString(2), r.getString(3), loS, hiS)).toMap
+    (all.filter(f => known.getOrElse(f, true)), all.size)
+  }
+
+  /** Manifest-pruned read: the dataset restricted to files whose
+    * [min, max] can satisfy `colName BETWEEN lo AND hi`. The predicate
+    * itself is NOT applied — callers filter as usual (and parquet
+    * row-group pushdown still applies inside the kept files); this
+    * only shrinks the file list the scan plans over. Degrades to the
+    * full read when no manifest exists. */
+  def prunedRead(spark: SparkSession, dataPath: String, colName: String,
+      lo: Any, hi: Any): DataFrame = {
+    val (kept, _) = pruneFiles(spark, dataPath, colName, lo, hi)
+    if (kept.isEmpty)
+      spark.read.parquet(dataPath).filter(lit(false)) // schema-preserving
+    else
+      spark.read.schema(spark.read.parquet(dataPath).schema)
+        // basePath keeps directory-partition columns resolvable when
+        // the dataset is also writePartitioned
+        .option("basePath", dataPath)
+        .parquet(kept: _*)
+  }
+}

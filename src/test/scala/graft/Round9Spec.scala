@@ -120,6 +120,55 @@ class Round9Spec extends SparkSpec {
       m.contains("maxGroupRows") && m.contains("flagOutliersRobust")))
   }
 
+  test("StatsManifest prunes the file list; results unchanged; append-safe") {
+    import graft.sources.StatsManifest
+    val dir = java.nio.file.Files.createTempDirectory("graftmf").toString
+    val data = s"$dir/t"
+    // range-lay 100 rows over 8 files → disjoint id ranges per file
+    (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, col("id"))
+      .write.parquet(data)
+    StatsManifest.write(spark, data, Seq("id"))
+
+    val full = spark.read.parquet(data)
+    assert(full.inputFiles.length === 8)
+    val pruned = StatsManifest.prunedRead(spark, data, "id", 10L, 20L)
+    // the scan plans over FEWER files than the dataset holds...
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      pruned.inputFiles.mkString(","))
+    // ...and the filtered result is identical to the unpruned one
+    val want = full.filter(col("id").between(10, 20))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val got = pruned.filter(col("id").between(10, 20))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === want && got.size === 11)
+
+    // a file appended AFTER the manifest must be kept conservatively
+    Seq((1000L, "late")).toDF("id", "v")
+      .write.mode("append").parquet(data)
+    val lateRows = StatsManifest.prunedRead(spark, data, "id", 999L, 1001L)
+      .filter(col("id").between(999, 1001)).count()
+    assert(lateRows === 1L)
+    // out-of-range prune with no matching file still keeps schema
+    assert(StatsManifest.prunedRead(spark, data, "id", -50L, -40L)
+      .filter(col("id").between(-50, -40)).count() === 0L)
+  }
+
+  test("MedallionPipeline writeManifest/readPruned round-trips a zone") {
+    import graft.etl.{LoadType, MedallionPipeline}
+    import graft.quality.DataZone
+    val root = java.nio.file.Files.createTempDirectory("graftmp").toString
+    val p = new MedallionPipeline(spark, root)
+    val df = (0L until 64L).map(i => (i, i % 4)).toDF("id", "k")
+      .repartitionByRange(4, col("id"))
+    p.write(DataZone.Silver, "m9", df, LoadType.Full)
+    p.writeManifest(DataZone.Silver, "m9", Seq("id"))
+    val pruned = p.readPruned(DataZone.Silver, "m9", "id", 0L, 10L)
+    assert(pruned.inputFiles.length < p.read(DataZone.Silver, "m9")
+      .inputFiles.length)
+    assert(pruned.filter(col("id") <= 10).count() === 11L)
+  }
+
   test("pqQuery fails fast on probe dims != index dims") {
     val emb = (0L until 32L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
