@@ -444,6 +444,104 @@ object Similarity {
     }
   }
 
+  /** IVFADC structures (Jégou et al. 2011, the FAISS IVF+PQ serving
+    * shape): the coarse cell table ([[kmeansCells]]' centroids), the
+    * per-subspace RESIDUAL codebooks, and the corpus code relation
+    * carrying each vector's cell beside its codes — so a probe joins
+    * on (cell, m, code) and only vectors in probed cells are ever
+    * scored. Codes are lazy narrow projections like [[PqIndex]]. */
+  final case class IvfPqIndex(codes: DataFrame, centroids: DataFrame,
+      cells: DataFrame, subspaces: Int, codebook: Int, subDim: Int,
+      nCells: Int)
+
+  /** Train + encode an [[IvfPqIndex]]: coarse-quantize with the seeded
+    * KMeans cells, then product-quantize each vector's RESIDUAL
+    * (x − c_cell) — the standard composition (residuals concentrate
+    * near zero, so the same codebook budget spends its resolution
+    * where the data is). The PQ fit reuses [[buildPqIndex]] on the
+    * residual relation; the codes relation joins the cell back on. */
+  def buildIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+      cells: Int, subspaces: Int = 8, codebook: Int = 16,
+      trainTarget: Int = 0): IvfPqIndex = {
+    val (assigned, centersDf) = kmeansCells(embs, idCol, vecCol, cells)
+    val residuals = assigned.join(broadcast(centersDf), "cell")
+      .select(col("vec_id"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("e"))
+    val pq = buildPqIndex(residuals, "vec_id", "e", subspaces, codebook,
+      trainTarget)
+    val codes = pq.codes
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    IvfPqIndex(codes, pq.centroids, centersDf, subspaces, codebook,
+      pq.subDim, cells)
+  }
+
+  /** ADC query against an [[IvfPqIndex]]: each query probes its
+    * `nProbes` nearest coarse cells, builds a PER-(query, cell)
+    * residual distance table (q − c_cell vs the residual codebooks —
+    * Q×nProbes×M×K rows, broadcast-sized by construction), and the
+    * corpus code relation joins it on (cell, m, code) — so the scored
+    * candidate set is exactly the probed cells' vectors, a
+    * nProbes/nCells sliver of the corpus, where flat [[pqQuery]]
+    * scores every vector for every query batch. `rerank` > 0 refines
+    * the top candidates with exact distances on raw vectors, same as
+    * [[pqQuery]]. Deterministic given the seeded fits; not
+    * SQL-replayable (rows-only in the driver gate, recall-tested in
+    * ScalaTest). Output: (query_id, cand_id, approx_d2 | d2, rank). */
+  def ivfPqQuery(index: IvfPqIndex, embs: DataFrame, idCol: String,
+      vecCol: String, isQuery: Column, k: Int, nProbes: Int,
+      rerank: Int = 0): DataFrame = {
+    val subDim = index.subDim
+    val all = vecs(embs, idCol, vecCol)
+    val probeDims = all.select(size(col("e"))).head().getInt(0)
+    require(probeDims == index.subspaces * index.subDim,
+      s"ivfPqQuery: probe embedding dim $probeDims != index dim " +
+        s"${index.subspaces * index.subDim}")
+    val qside = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nn").as("qnn"))
+    // nearest nProbes cells per query (broadcast cell table, window cap)
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2").asc, col("cell").asc)
+    val probes = qside.crossJoin(broadcast(index.cells))
+      .withColumn("cd2",
+        col("qnn") - lit(2.0) * expr("vec_dot(qe, ce)") + col("cnn"))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nProbes)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("qres"))
+    // per-(query, probed cell, subspace, code) residual partials
+    val qtab = probes.crossJoin(broadcast(index.centroids))
+      .withColumn("qsub", expr(s"slice(qres, (m * $subDim) + 1, $subDim)"))
+      .withColumn("d2", expr(
+        "vec_dot(zip_with(qsub, ce, (x, y) -> x - y), " +
+          "zip_with(qsub, ce, (x, y) -> x - y))"))
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        col("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("cand_id").asc)
+    val approx = index.codes.join(broadcast(qtab), Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("d2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0) approx.filter(col("rank") <= k)
+    else {
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("cand_id").asc)
+      approx.drop("rank", "approx_d2")
+        .join(all.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          col("nn").as("cnn")), "cand_id")
+        .join(all.filter(isQuery).select(col("vec_id").as("query_id"),
+          col("e").as("qe"), col("nn").as("qnn")), "query_id")
+        .select(col("query_id"), col("cand_id"),
+          (col("qnn") - lit(2.0) * expr("vec_dot(qe, ce)") + col("cnn"))
+            .as("d2"))
+        .withColumn("rank", row_number().over(wx).cast("long"))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** One-shot PQ ANN: [[buildPqIndex]] + [[pqQuery]]. Sessions serving
     * many query batches should build the index once (amortizing the
     * KMeans fits) and call [[pqQuery]] directly. */

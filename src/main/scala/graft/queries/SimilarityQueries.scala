@@ -106,6 +106,34 @@ object SimilarityQueries {
       isQuery = col("vec_id") < NumQueries, k = K, rerank = PqRerank)
   }
 
+  /** IVFADC config: more, smaller cells than plain IVF (finer probe
+    * targeting), probing 1/4 of them — on this weakly-clustered
+    * synthetic corpus that buys a 0.90 probe-coverage ceiling at a
+    * ~2.5× candidate shrink; a real embedding corpus clusters harder
+    * and runs far smaller probe fractions at the same recall. */
+  val IvfPqCells = 64
+  val IvfPqProbes = 16
+
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Similarity.IvfPqIndex]()
+
+  /** ann_ivf_pq_topk (rows-only; recall vs exact + candidate-shrink in
+    * ScalaTest) — [[Similarity.buildIvfPqIndex]] (cached per corpus) +
+    * [[Similarity.ivfPqQuery]]: the IVFADC composition — coarse cells
+    * restrict the candidate set to nProbes/nCells of the corpus,
+    * residual-PQ codes ADC-score only those candidates. The big-corpus
+    * serving shape: flat PQ still scans every code row per query batch;
+    * this scans only the probed cells'. */
+  def annIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val index = ivfPqIndexCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      Similarity.buildIvfPqIndex(embs(sess, d), "vec_id", "embedding",
+        cells = IvfPqCells, subspaces = PqSubspaces, codebook = PqCodebook)
+    })
+    Similarity.ivfPqQuery(index, embs(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < NumQueries, k = K, nProbes = IvfPqProbes,
+      rerank = PqRerank)
+  }
+
   /** SemDeDup parameters: the IVF cell count doubles as the cluster
     * granularity; τ = 0.4 matches the embedding-dedup family. */
   val SemCells = IvfCells
@@ -141,6 +169,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> annRecall,
     "ann_pq_topk" -> annPqTopk,
+    "ann_ivf_pq_topk" -> annIvfPqTopk,
     "semdedup" -> semDedup,
     "knn_graph" -> knnGraph,
     "knn_graph_lsh" -> knnGraphLsh,

@@ -254,6 +254,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann_ivf_pq_topk: corpus codes hash-join the BROADCAST probe table") {
+    // the IVFADC contract: the per-(query, cell, m, code) distance
+    // table is broadcast-sized by construction and the corpus code
+    // relation equi-joins it on (cell, m, code) — the codes side must
+    // never hash-exchange for that join, and nothing may plan as a
+    // real cartesian (the cells/centroids crossJoins are one-row-ish
+    // broadcast relations)
+    val p = plan("ann_ivf_pq_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastHashJoin \\[cell") >= 1, p)
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(

@@ -169,6 +169,61 @@ class Round9Spec extends SparkSpec {
     assert(pruned.filter(col("id") <= 10).count() === 11L)
   }
 
+  test("ivfPqQuery: deterministic; recall at equal rerank >= flat PQ; " +
+      "scored candidates shrink to the probed cells") {
+    import graft.operators.Similarity
+    val embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val isQ = col("vec_id") < 10
+    val k = 5
+    val rerank = 10 * k
+    val index = Similarity.buildIvfPqIndex(embs, "vec_id", "embedding",
+      cells = 64, subspaces = 8, codebook = 16)
+    val got = Similarity.ivfPqQuery(index, embs, "vec_id", "embedding",
+      isQ, k, nProbes = 16, rerank = rerank)
+      .select("query_id", "cand_id").as[(Long, Long)].collect.toSet
+    assert(got.size === 50 && got.forall(p => p._1 != p._2))
+    // determinism: seeded coarse + residual fits -> identical result
+    val index2 = Similarity.buildIvfPqIndex(embs, "vec_id", "embedding",
+      cells = 64, subspaces = 8, codebook = 16)
+    val again = Similarity.ivfPqQuery(index2, embs, "vec_id", "embedding",
+      isQ, k, nProbes = 16, rerank = rerank)
+      .select("query_id", "cand_id").as[(Long, Long)].collect.toSet
+    assert(again === got)
+    // exact L2 top-k baseline
+    val v = Similarity.vecs(embs, "vec_id", "embedding")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id").asc)
+    val exact = v.filter(isQ).as("a")
+      .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"),
+        (col("a.nn") - lit(2.0) * expr("vec_dot(a.e, b.e)") + col("b.nn"))
+          .as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect.toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    val flatPq = Similarity.pqTopK(embs, "vec_id", "embedding", isQ, k,
+      rerank = rerank)
+      .select("query_id", "cand_id").as[(Long, Long)].collect.toSet
+    val flatRecall = flatPq.intersect(exact).size.toDouble / exact.size
+    info(s"IVFADC recall@$k = $recall vs flat PQ $flatRecall")
+    assert(recall >= flatRecall,
+      s"IVFADC recall $recall < flat PQ $flatRecall at equal rerank")
+    assert(recall >= 0.5, s"IVFADC rerank recall@$k = $recall")
+    // candidate shrink: with unbounded k and no rerank the output IS
+    // the scored candidate set — only vectors in the 16/64 probed cells
+    val n = embs.count()
+    val candPerQuery = Similarity.ivfPqQuery(index, embs, "vec_id",
+      "embedding", isQ, k = n.toInt, nProbes = 16, rerank = 0)
+      .groupBy("query_id").count().select("count").as[Long].collect
+    assert(candPerQuery.length === 10)
+    val worst = candPerQuery.max.toDouble / n
+    info(s"worst probed-cell candidate fraction = $worst of $n")
+    assert(worst < 0.6,
+      s"probed candidates $worst of corpus — cells not restricting")
+  }
+
   test("pqQuery fails fast on probe dims != index dims") {
     val emb = (0L until 32L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
