@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{LmScore, Search, TextOps}
+import graft.operators.{LmScore, NaiveBayes, Search, TextOps}
 
 /** Text analysis (SURVEY.md §2.7) — per-document feature extraction for
   * training-data curation. Every operator is a narrow projection (no
@@ -112,7 +112,32 @@ object TextQueries {
         col("n_tokens_ws").cast("long").as("n_tokens_ws"),
         col("n_tokens_vocab"))
 
+  /** text_quality_nb (round-9) — [[NaiveBayes.trainScore]] on weak
+    * quality labels: the four [[TextOps.qualityScore]] indicators with
+    * INTEGER weights (3·len + 2·punct + 3·stop + 2·wordlen ≥ 8 ⇔ the
+    * float score's "high" band, but integer-exact end-to-end), then an
+    * add-one NB trained on those labels scores every doc — the
+    * fastText-style "learn what high-quality looks like from a cheap
+    * heuristic, generalize to the corpus" curation signal. */
+  def textQualityNb(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = split(lower(trim(t)), " ")
+    val nStop = size(filter(toks, x => x.isInCollection(stopwords)))
+    val score =
+      when(length(t).between(100, 5000), 3).otherwise(0) +
+      when(length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(t) <= 0.1, 2).otherwise(0) +
+      when((nStop.cast("double") / size(toks)).between(0.02, 0.6), 3)
+        .otherwise(0) +
+      when((length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+        size(toks)).between(3.0, 8.0), 2).otherwise(0)
+    val labeled = docs(s, dir)
+      .select(col("doc_id"), t, (score >= 8).as("label"))
+    NaiveBayes.trainScore(labeled, "doc_id", "text", "label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_nb" -> textQualityNb,
     "text_bpe_tokens" -> textBpeTokens,
     "search_bm25" -> searchBm25,
     "search_index" -> searchIndex,
@@ -261,6 +286,61 @@ object TextQueries {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_quality_nb" -> s"""
+      WITH lab AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
+          (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 3 ELSE 0 END)
+          + (CASE WHEN CAST(length(regexp_replace(text,
+              '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              <= 0.1 THEN 2 ELSE 0 END)
+          + (CASE WHEN CAST(len(list_filter(
+              string_split(lower(trim(text)), ' '),
+              t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
+              AS DOUBLE) / len(string_split(lower(trim(text)), ' '))
+              BETWEEN 0.02 AND 0.6 THEN 3 ELSE 0 END)
+          + (CASE WHEN CAST(length(regexp_replace(text,
+              '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / len(string_split(lower(trim(text)), ' '))
+              BETWEEN 3.0 AND 8.0 THEN 2 ELSE 0 END)
+          >= 8 AS label
+        FROM documents),
+      inst AS (SELECT doc_id, label, unnest(w) AS t FROM lab),
+      counts AS (
+        SELECT t,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+          CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        FROM inst GROUP BY 1),
+      model AS (
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+          CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+          CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts),
+      dmodel AS (
+        SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+            AS d_pos,
+          CAST(COUNT(*) AS BIGINT) AS d
+        FROM lab),
+      scored AS (
+        SELECT i.doc_id,
+          SUM(ln(CAST(c.c_pos + 1 AS DOUBLE)
+            / CAST(m.t_pos + m.v AS DOUBLE))) AS lp_pos_t,
+          SUM(ln(CAST(c.c_neg + 1 AS DOUBLE)
+            / CAST(m.t_neg + m.v AS DOUBLE))) AS lp_neg_t
+        FROM inst i JOIN counts c USING (t) CROSS JOIN model m
+        GROUP BY 1),
+      fin AS (
+        SELECT l.doc_id,
+          CAST(CASE WHEN l.label THEN 1 ELSE 0 END AS BIGINT) AS label,
+          CAST(len(l.w) AS INTEGER) AS n_tokens,
+          round(ln(CAST(dm.d_pos + 1 AS DOUBLE)
+            / CAST(dm.d + 2 AS DOUBLE)) + s.lp_pos_t, 6) AS lp_pos,
+          round(ln(CAST(dm.d - dm.d_pos + 1 AS DOUBLE)
+            / CAST(dm.d + 2 AS DOUBLE)) + s.lp_neg_t, 6) AS lp_neg
+        FROM lab l LEFT JOIN scored s USING (doc_id) CROSS JOIN dmodel dm)
+      SELECT doc_id, label, n_tokens, lp_pos, lp_neg,
+        CAST(CASE WHEN lp_pos >= lp_neg THEN 1 ELSE 0 END AS BIGINT)
+          AS pred
+      FROM fin""",
     // greedy longest-match replay: each word instance advances by the
     // LONGEST vocab entry matching at its position (else 1 char — the
     // unknown-token fallback), one recursion step per emitted token

@@ -266,6 +266,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin \\[cell") >= 1, p)
   }
 
+  test("text_quality_nb: model scalars broadcast; instance joins hash, not NLJ") {
+    // the lm_score contract applied to NB: the one-row model crosses
+    // back as a broadcast (BNLJ against one row IS the broadcast);
+    // token instances join the vocabulary counts as a hash join; the
+    // token relation is the widest thing shuffled — no cartesian over
+    // anything data-sized
+    val p = plan("text_quality_nb")
+    info(s"hash exchanges: ${count(p, "Exchange hashpartitioning")}, " +
+      s"broadcasts: ${count(p, "BroadcastExchange")}, " +
+      s"scans: ${count(p, "FileScan parquet")}")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastExchange") >= 2, p)
+    assert(count(p, "Exchange hashpartitioning") <= 5, p)
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(

@@ -224,6 +224,37 @@ class Round9Spec extends SparkSpec {
       s"probed candidates $worst of corpus — cells not restricting")
   }
 
+  test("naive Bayes: planted vocabularies separate; mixed doc follows its lean") {
+    import graft.operators.NaiveBayes
+    // two disjoint vocabularies; labels follow the vocabulary exactly
+    val pos = (0L until 20L).map(i =>
+      (i, "alpha beta gamma alpha delta beta", true))
+    val neg = (20L until 40L).map(i =>
+      (i, "zork grok blark zork snarf grok", false))
+    // a held-back-style probe: label says NEGATIVE but the text leans
+    // positive 4:2 — the trained model should overrule the weak label
+    val mixed = Seq((40L, "alpha beta gamma alpha zork grok", false))
+    val docs = (pos ++ neg ++ mixed).toDF("doc_id", "text", "label")
+    val out = NaiveBayes.trainScore(docs, "doc_id", "text", "label")
+      .select("doc_id", "label", "pred", "lp_pos", "lp_neg")
+      .as[(Long, Long, Long, Double, Double)].collect
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 41)
+    (0L until 40L).foreach { i =>
+      val (_, label, pred, lpPos, lpNeg) = out(i)
+      assert(pred === label, s"doc $i: pred $pred != label $label")
+      if (label == 1L) assert(lpPos > lpNeg) else assert(lpNeg > lpPos)
+    }
+    assert(out(40L)._3 === 1L,
+      s"mixed positive-leaning doc predicted ${out(40L)}")
+    // determinism: exact counts + one rounded division per term
+    val again = NaiveBayes.trainScore(docs, "doc_id", "text", "label")
+      .select("doc_id", "label", "pred", "lp_pos", "lp_neg")
+      .as[(Long, Long, Long, Double, Double)].collect
+      .map(r => r._1 -> r).toMap
+    assert(again === out)
+  }
+
   test("pqQuery fails fast on probe dims != index dims") {
     val emb = (0L until 32L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
