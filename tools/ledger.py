@@ -1,0 +1,226 @@
+#!/usr/bin/env python3
+"""Generate the SURVEY coverage ledger (SURVEY.md section 2i).
+
+Dev-only (not part of the shipped library). Reads a graft.Verify
+output dir (driver-entry dirs + oracle_sql.json) and emits the
+row-number -> carrier ledger as markdown, CROSS-CHECKED mechanically:
+
+  - every SURVEY row's driver carrier must exist as a Verify output;
+  - rows marked `hash` must have oracle SQL, `rows-only` must not;
+  - every driver entry must be claimed by exactly one row (or be in
+    the explicit supplement of unnumbered entries);
+  - totals are computed, never hand-maintained.
+
+Usage: python3 tools/ledger.py /tmp/verify_out > /tmp/ledger.md
+"""
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+# SURVEY row -> verification carrier.
+# ("name", "hash") / ("name", "rows")  : driver entry, oracle kind
+# ("suite | file", "api")              : API/streaming row, ScalaTest
+# (("a", "b"), "shared")               : row verified through other
+#                                        rows' driver entries (no own)
+# ("note", "plans")                    : stress row recorded in PLANS.md
+ROWS = [
+    (1, "q01_pricing_summary", "hash"), (2, "q02_filter_project", "hash"),
+    (3, "q03_join_agg", "hash"), (4, "q04_multi_join", "hash"),
+    (5, "q05_topk", "hash"), (6, "q06_window_rank", "hash"),
+    (7, "q07_semi_join", "hash"), (8, "q08_anti_join", "hash"),
+    (9, "q09_distinct_agg", "hash"), (10, "q10_rollup", "hash"),
+    (11, "q11_event_windows", "hash"), (12, "q12_sessionize", "hash"),
+    (13, "q13_above_avg", "hash"), (14, "q14_conditional_agg", "hash"),
+    (15, "dq_completeness", "hash"), (16, "dq_validity_format", "hash"),
+    (17, "dq_value_ranges", "hash"), (18, "dq_uniqueness", "hash"),
+    (19, "dq_referential_integrity", "hash"),
+    (20, "dq_quality_report", "hash"),
+    (21, "QualitySpec | quality/Quality.scala", "api"),
+    (22, "etl_bronze_cleanse", "hash"), (23, "etl_merge_upsert", "hash"),
+    (24, "etl_incremental", "hash"), (25, "etl_standardize_dates", "hash"),
+    (26, "EtlSpec | etl/Medallion.scala", "api"),
+    (27, "lineage_edges", "rows"),
+    (28, "LineageSpec | lineage/Lineage.scala", "api"),
+    (29, "dedup_exact", "hash"), (30, "dedup_ngram_jaccard", "hash"),
+    (31, "dedup_minhash_lsh", "hash"), (32, "dedup_simhash", "hash"),
+    (33, "dedup_embedding", "hash"), (34, "ann_bruteforce_topk", "hash"),
+    (35, "ann_lsh_topk", "hash"), (36, "text_stats", "hash"),
+    (37, "text_quality_score", "hash"), (38, "text_lang_id", "hash"),
+    (39, "text_fingerprint", "hash"), (40, "mm_metadata", "hash"),
+    (41, "MediaSpec | multimodal/Media.scala", "api"),
+    (42, "StreamingSpec (windowed agg) | streaming/Streaming.scala", "api"),
+    (43, "StreamingSpec (sessionize) | streaming/Streaming.scala", "api"),
+    (44, "dq_profile", "hash"), (45, "sample_bernoulli", "hash"),
+    (46, "sample_stratified", "hash"), (47, "q21_range_join", "hash"),
+    (48, "etl_scd2", "hash"), (49, "q22_kmv_overlap", "rows"),
+    (50, "dedup_clusters", "hash"), (51, "dedup_dropdups", "hash"),
+    (52, "StreamingSpec (dedup) | streaming/Streaming.scala", "api"),
+    (53, "StreamingSpec (quality) | streaming/Streaming.scala", "api"),
+    (54, "EtlSpec (writePartitioned/compact) | etl/Medallion.scala", "api"),
+    (55, "MediaSpec (frames/resize) | multimodal/Media.scala", "api"),
+    (56, "EtlSpec (toDataFrames) | lineage/Lineage.scala", "api"),
+    (57, "PlanAuditSpec | test", "api"),
+    (58, "decon_exact", "hash"), (59, "decon_ngram", "hash"),
+    (60, "text_repetition", "hash"), (61, "text_gopher_filter", "hash"),
+    (62, "pii_scan", "hash"), (63, "sample_weighted", "hash"),
+    (64, "q23_cube", "hash"),
+    (65, ("dedup_clusters", "dedup_dropdups"), "shared"),
+    (66, "StressDedup -> PLANS.md round 3", "plans"),
+    (67, "q24_pivot", "hash"), (68, "q25_setops", "hash"),
+    (69, "q26_funnel", "hash"), (70, "q27_histogram", "hash"),
+    (71, "q28_retention", "hash"), (72, "sample_split", "hash"),
+    (73, "curation_source_quota", "hash"), (74, "corpus_jaccard", "hash"),
+    (75, "search_index", "hash"), (76, "search_bm25", "hash"),
+    (77, "etl_cdc_apply", "hash"), (78, "etl_scd2_snapshot", "hash"),
+    (79, "knn_graph", "hash"), (80, "knn_graph_lsh", "hash"),
+    (81, "layout_zorder", "hash"), (82, "decon_bloom", "hash"),
+    (83, "FunctionsSpec (mg_topk aggregate) | functions/MisraGries.scala",
+     "api"),
+    (84, "StreamingSpec (trending terms) | streaming/Streaming.scala",
+     "api"),
+    (85, "doc_chunks", "hash"), (86, "emb_normalize", "hash"),
+    (87, "emb_quantize", "hash"), (88, "mixture_rates", "hash"),
+    (89, "mixture_sample", "hash"), (90, "graph_degrees", "hash"),
+    (91, "graph_components", "hash"), (92, "graph_pagerank", "rows"),
+    (93, "pii_redact", "hash"), (94, "dedup_keep_best", "hash"),
+    (95, "q29_gapfill", "hash"), (96, "search_tfidf", "hash"),
+    (97, "lm_score", "hash"), (98, "dq_drift", "hash"),
+    (99, "semdedup", "rows"), (100, "dedup_incremental", "hash"),
+    (101, "q30_interpolate", "hash"),
+    (102, "StreamingSpec (drift monitor) | streaming/Streaming.scala",
+     "api"),
+    (103, "EtlSpec (recoverStaging) | etl/Medallion.scala", "api"),
+    (104, "er_fuzzy_match", "hash"), (105, "vocab_oov", "hash"),
+    (106, "ann_pq_topk", "rows"),
+    (107, "Round7/8Spec (persisted dedup index) | operators/Dedup.scala",
+     "api"),
+    (108, "StreamingSpec (ingest dedup) | streaming/Streaming.scala",
+     "api"),
+    (109, "q31_twa", "hash"), (110, "media_near_dup", "rows"),
+    (111, "dq_anomaly", "hash"),
+    (112, "StreamingSpec (anomaly monitor) | streaming/Streaming.scala",
+     "api"),
+    (113, "q32_corr", "hash"), (114, "decon_near", "hash"),
+    (115, "text_top_global", "hash"), (116, "pack_sequences", "hash"),
+    (117, "dedup_paragraph", "hash"), (118, "text_bpe_tokens", "hash"),
+    (119, "dq_hotkeys", "hash"), (120, "q33_attribution", "hash"),
+    (121, "q34_transitions", "hash"), (122, "dq_freshness", "hash"),
+    (123, "ann_recall", "hash"), (124, "dedup_paragraph_incr", "hash"),
+    (125, "Round8Spec (streaming paragraph ingest) | "
+     "streaming/Streaming.scala", "api"),
+    (126, "q35_rolling", "hash"), (127, "curation_source_report", "hash"),
+    (128, "dq_anomaly_robust", "hash"), (129, "dq_reconciliation", "hash"),
+    (130, "pack_tokens", "hash"),
+    (131, "Round9Spec (StatsManifest) | sources/StatsManifest.scala",
+     "api"),
+    (132, "ann_ivf_pq_topk", "rows"), (133, "text_quality_nb", "hash"),
+]
+
+# Driver entries shipped beyond the numbered inventory (SURVEY section 8
+# "additions beyond the inventory") — same correctness contract.
+SUPPLEMENT = [
+    ("q15_json_extract", "hash"), ("q16_asof_join", "hash"),
+    ("q17_moving_avg", "hash"), ("q18_percentile_disc", "hash"),
+    ("q19_approx_distinct", "rows"), ("q20_sql_surface", "hash"),
+    ("text_top_terms", "hash"), ("ann_ivf_topk", "rows"),
+    ("dedup_embedding_lsh", "hash"),
+]
+
+KIND_LABEL = {"hash": "driver, oracle hash", "rows": "driver, rows-only",
+              "api": "ScalaTest", "shared": "shared driver carrier",
+              "plans": "stress, PLANS.md"}
+
+
+def binding_file(name: str) -> str:
+    """Locate the queries file registering this driver entry."""
+    out = subprocess.run(
+        ["grep", "-rln", f'"{name}" ->', "src/main/scala/graft/"],
+        capture_output=True, text=True).stdout.strip().splitlines()
+    files = sorted(p.split("graft/")[-1] for p in out)
+    return files[0] if files else "?"
+
+
+def main(verify_dir: str) -> int:
+    vd = Path(verify_dir)
+    oracle = set(json.load(open(vd / "oracle_sql.json")).keys())
+    dirs = {d.name for d in vd.iterdir() if d.name != "oracle_sql.json"}
+
+    claimed = {}
+    errors = []
+    for row, carrier, kind in ROWS:
+        if kind in ("hash", "rows"):
+            if carrier in claimed:
+                errors.append(f"row {row}: {carrier} doubly claimed "
+                              f"(also row {claimed[carrier]})")
+            claimed[carrier] = row
+            if carrier not in dirs:
+                errors.append(f"row {row}: no Verify output for {carrier}")
+            if kind == "hash" and carrier not in oracle:
+                errors.append(f"row {row}: {carrier} marked hash, "
+                              "no oracle SQL")
+            if kind == "rows" and carrier in oracle:
+                errors.append(f"row {row}: {carrier} marked rows-only "
+                              "but HAS oracle SQL")
+        elif kind == "shared":
+            for c in carrier:
+                if c not in dirs:
+                    errors.append(f"row {row}: shared carrier {c} missing")
+    for name, kind in SUPPLEMENT:
+        if name in claimed:
+            errors.append(f"supplement {name} already claimed by "
+                          f"row {claimed[name]}")
+        claimed[name] = "supp"
+        if name not in dirs:
+            errors.append(f"supplement: no Verify output for {name}")
+        if kind == "hash" and name not in oracle:
+            errors.append(f"supplement {name} marked hash, no oracle SQL")
+        if kind == "rows" and name in oracle:
+            errors.append(f"supplement {name} marked rows-only but HAS "
+                          "oracle SQL")
+    unclaimed = dirs - set(claimed)
+    if unclaimed:
+        errors.append(f"driver entries claimed by NO row: "
+                      f"{sorted(unclaimed)}")
+    if errors:
+        for e in errors:
+            print("ERROR:", e, file=sys.stderr)
+        return 1
+
+    n_hash = sum(1 for _, c, k in ROWS if k == "hash") + \
+        sum(1 for _, k in SUPPLEMENT if k == "hash")
+    n_rows = sum(1 for _, c, k in ROWS if k == "rows") + \
+        sum(1 for _, k in SUPPLEMENT if k == "rows")
+    n_api = sum(1 for _, c, k in ROWS if k == "api")
+    n_other = sum(1 for _, c, k in ROWS if k in ("shared", "plans"))
+
+    print(f"<!-- generated by tools/ledger.py against {verify_dir}; "
+          "re-run after adding a row -->")
+    print(f"Totals (computed): **{len(dirs)} driver entries "
+          f"({n_hash} oracle-hash, {n_rows} rows-only), {n_api} "
+          f"API/streaming rows, {n_other} shared/stress rows; "
+          f"{len(ROWS)} numbered rows + {len(SUPPLEMENT)} supplementary "
+          "driver entries.**\n")
+    print("| row | carrier | kind | binding / suite |")
+    print("| --- | --- | --- | --- |")
+    for row, carrier, kind in ROWS:
+        if kind in ("hash", "rows"):
+            print(f"| {row} | {carrier} | {KIND_LABEL[kind]} | "
+                  f"{binding_file(carrier)} |")
+        elif kind == "shared":
+            print(f"| {row} | {', '.join(carrier)} | {KIND_LABEL[kind]} "
+                  "| see carrier rows |")
+        else:
+            print(f"| {row} | {carrier} | {KIND_LABEL[kind]} | — |")
+    print("\nSupplementary driver entries (shipped beyond the numbered "
+          "inventory, same contract):\n")
+    print("| entry | kind | binding |")
+    print("| --- | --- | --- |")
+    for name, kind in SUPPLEMENT:
+        print(f"| {name} | {KIND_LABEL[kind]} | {binding_file(name)} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"))
