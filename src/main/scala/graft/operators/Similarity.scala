@@ -475,6 +475,45 @@ object Similarity {
       pq.subDim, cells)
   }
 
+  /** Persist an [[IvfPqIndex]]: the code relation as a parquet table
+    * bucketed by the (cell, m, code) probe key (one ingest-time
+    * repartition, then every query run joins it pre-partitioned —
+    * [[graft.sources.BucketedTables]]), cells + residual codebooks +
+    * structural parameters beside it. The standing-corpus form:
+    * build on corpus change, serve query batches forever from the
+    * 32×-smaller codes. */
+  def saveIvfPqIndex(index: IvfPqIndex, prefix: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    val s = index.codes.sparkSession
+    graft.sources.BucketedTables.save(index.codes, s"${prefix}_codes",
+      s"$path/codes", Seq("cell", "m", "code"), nBuckets)
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.cells.write.mode("overwrite").parquet(s"$path/cells")
+    import s.implicits._
+    Seq((index.subspaces, index.codebook, index.subDim, index.nCells,
+      nBuckets))
+      .toDF("subspaces", "codebook", "sub_dim", "n_cells", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveIvfPqIndex]]-persisted index (idempotent bucketed-DDL
+    * re-registration); structural parameters come from the meta table,
+    * never from the caller. */
+  def loadIvfPqIndex(s: org.apache.spark.sql.SparkSession, prefix: String,
+      path: String): IvfPqIndex = {
+    val meta = s.read.parquet(s"$path/meta").head()
+    IvfPqIndex(
+      codes = graft.sources.BucketedTables.load(s, s"${prefix}_codes",
+        s"$path/codes", "vec_id BIGINT, m INT, code INT, cell INT",
+        Seq("cell", "m", "code"), meta.getAs[Int]("n_buckets")),
+      centroids = s.read.parquet(s"$path/centroids"),
+      cells = s.read.parquet(s"$path/cells"),
+      subspaces = meta.getAs[Int]("subspaces"),
+      codebook = meta.getAs[Int]("codebook"),
+      subDim = meta.getAs[Int]("sub_dim"),
+      nCells = meta.getAs[Int]("n_cells"))
+  }
+
   /** ADC query against an [[IvfPqIndex]]: each query probes its
     * `nProbes` nearest coarse cells, builds a PER-(query, cell)
     * residual distance table (q − c_cell vs the residual codebooks —

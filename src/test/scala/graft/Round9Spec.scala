@@ -224,6 +224,32 @@ class Round9Spec extends SparkSpec {
       s"probed candidates $worst of corpus — cells not restricting")
   }
 
+  test("saveIvfPqIndex/loadIvfPqIndex: persisted round-trip serves identical results") {
+    import graft.operators.Similarity
+    val embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val isQ = col("vec_id") < 10
+    val built = Similarity.buildIvfPqIndex(embs, "vec_id", "embedding",
+      cells = 16, subspaces = 8, codebook = 16)
+    val want = Similarity.ivfPqQuery(built, embs, "vec_id", "embedding",
+      isQ, k = 5, nProbes = 4, rerank = 20)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Long)].collect.toSet
+    val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString
+    Similarity.saveIvfPqIndex(built, "graft_t_ivfpq", dir, nBuckets = 8)
+    val loaded = Similarity.loadIvfPqIndex(spark, "graft_t_ivfpq", dir)
+    assert(loaded.subspaces === 8 && loaded.codebook === 16 &&
+      loaded.nCells === 16)
+    val got = Similarity.ivfPqQuery(loaded, embs, "vec_id", "embedding",
+      isQ, k = 5, nProbes = 4, rerank = 20)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Long)].collect.toSet
+    assert(got === want)
+    // the persisted codes table is one file per bucket (probe-key
+    // bucketing really landed: no per-task scatter)
+    val codeFiles = loaded.codes.inputFiles.length
+    assert(codeFiles <= 8, s"$codeFiles files for 8 buckets")
+  }
+
   test("naive Bayes: planted vocabularies separate; mixed doc follows its lean") {
     import graft.operators.NaiveBayes
     // two disjoint vocabularies; labels follow the vocabulary exactly
