@@ -52,4 +52,29 @@ object Corpus {
       .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
         col("n_inter"), col("jaccard"))
   }
+
+  /** Corpus-version diff (round-9): per-doc added / removed / changed /
+    * unchanged between two snapshots — the audit a curation pipeline
+    * runs after every refresh ("what did this crawl/filter change?"),
+    * and the input to incremental downstream work (re-embed/re-dedup
+    * only `added ∪ changed`). Content identity is md5 of the raw text
+    * (swap in [[Dedup.normalized]] upstream for normalization-
+    * insensitive diffs).
+    *
+    * Scale: each side reduces to (doc_id, hash) in its scan, then ONE
+    * co-partitioned full-outer equi-join on doc_id — unique keys, so
+    * no skew; nothing wider than (id, 32-byte hash) ever shuffles. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("h_old"))
+    val n = newSnap.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("h_old"), col("h_new"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

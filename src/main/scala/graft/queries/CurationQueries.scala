@@ -176,6 +176,23 @@ object CurationQueries {
     Corpus.pairwiseJaccard(docs(s, dir), col("source"), "doc_id",
       "text", NgramN)
 
+  /** corpus_snapshot_diff (round-9) — [[Corpus.snapshotDiff]] between
+    * two deterministically-derived snapshots of `documents` (the
+    * refresh-audit surface: what did this crawl change?): the old
+    * snapshot omits doc_id % 10 == 7 (those diff as `added`), the new
+    * omits % 10 == 5 (`removed`) and revises % 10 == 3 with a
+    * deterministic edit (`changed`); everything else is `unchanged`. */
+  def corpusSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 7)
+    val newSnap = d.filter(col("doc_id") % 10 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+  }
+
   /** curation_source_report (round-8) — the per-source corpus report
     * card: document count, exact-unique count (normalized content
     * hash), token volume, and mean quality score, one row per source —
@@ -219,6 +236,7 @@ object CurationQueries {
     "curation_source_report" -> curationSourceReport,
     "curation_source_quota" -> curationSourceQuota,
     "corpus_jaccard" -> corpusJaccard,
+    "corpus_snapshot_diff" -> corpusSnapshotDiff,
     "decon_exact" -> deconExact,
     "decon_bloom" -> deconBloom,
     "decon_ngram" -> deconNgram,
@@ -363,6 +381,21 @@ object CurationQueries {
         FROM scored)
       SELECT doc_id, source, score_10, quota_rank
       FROM ranked WHERE quota_rank <= $SourceQuota""",
+    "corpus_snapshot_diff" -> """
+      WITH oldsnap AS (
+        SELECT doc_id, md5(text) AS h_old
+        FROM documents WHERE doc_id % 10 <> 7),
+      newsnap AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]'
+              ELSE text END) AS h_new
+        FROM documents WHERE doc_id % 10 <> 5)
+      SELECT doc_id, h_old, h_new,
+        CASE WHEN h_old IS NULL THEN 'added'
+             WHEN h_new IS NULL THEN 'removed'
+             WHEN h_old = h_new THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM oldsnap FULL JOIN newsnap USING (doc_id)""",
     "corpus_jaccard" -> s"""
       WITH g AS (
         SELECT DISTINCT source,

@@ -136,7 +136,29 @@ object TextQueries {
     NaiveBayes.trainScore(labeled, "doc_id", "text", "label")
   }
 
+  /** nb_calibration (round-9) — the classifier EVALUATION surface
+    * (what ann_recall is to ANN): confusion cells of the NB prediction
+    * against its own weak labels plus the mean decision margin per
+    * cell — the number a quality-classifier rollout watches (large
+    * disagreement cells with strong margins = the model actively
+    * overrules the heuristic, which is either generalization or rot).
+    * Margins aggregate as round(margin·10⁶) micro-unit longs (each
+    * per-doc margin is a difference of two hash-checked 6-dp values,
+    * so the micro value is engine-identical); the mean is one
+    * division at the end. Cost beyond text_quality_nb: one ≤4-row
+    * aggregation. */
+  def nbCalibration(s: SparkSession, dir: String): DataFrame =
+    textQualityNb(s, dir)
+      .withColumn("_mmicro",
+        expr("CAST(round((lp_pos - lp_neg) * 1000000) AS BIGINT)"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"), sum(col("_mmicro")).as("margin_micro"))
+      .select(col("label"), col("pred"), col("n"), col("margin_micro"),
+        (col("margin_micro").cast("double") /
+          (lit(1000000.0) * col("n").cast("double"))).as("mean_margin"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nb_calibration" -> nbCalibration,
     "text_quality_nb" -> textQualityNb,
     "text_bpe_tokens" -> textBpeTokens,
     "search_bm25" -> searchBm25,
@@ -285,9 +307,11 @@ object TextQueries {
     s"(${tfidfIdf(i)} * ${tfidfIdf(i)})"
   }.mkString(" + ")
 
-  val oracleSql: Map[String, String] = Map(
-    "text_quality_nb" -> s"""
-      WITH lab AS (
+  /** Shared NB-replay CTEs: the weak-label rule + count model +
+    * smoothed ln scoring, ending in `fin` (doc_id, label, n_tokens,
+    * lp_pos, lp_neg) — composed by both the per-doc entry and the
+    * calibration report, exactly like the ann_recall composition. */
+  private val nbCtes: String = s"""lab AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
           (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 3 ELSE 0 END)
           + (CASE WHEN CAST(length(regexp_replace(text,
@@ -336,11 +360,28 @@ object TextQueries {
             / CAST(dm.d + 2 AS DOUBLE)) + s.lp_pos_t, 6) AS lp_pos,
           round(ln(CAST(dm.d - dm.d_pos + 1 AS DOUBLE)
             / CAST(dm.d + 2 AS DOUBLE)) + s.lp_neg_t, 6) AS lp_neg
-        FROM lab l LEFT JOIN scored s USING (doc_id) CROSS JOIN dmodel dm)
+        FROM lab l LEFT JOIN scored s USING (doc_id) CROSS JOIN dmodel dm)"""
+
+  private val nbSelect: String = """
       SELECT doc_id, label, n_tokens, lp_pos, lp_neg,
         CAST(CASE WHEN lp_pos >= lp_neg THEN 1 ELSE 0 END AS BIGINT)
           AS pred
-      FROM fin""",
+      FROM fin"""
+
+  val oracleSql: Map[String, String] = Map(
+    "text_quality_nb" -> s"WITH $nbCtes $nbSelect",
+    "nb_calibration" -> s"""
+      WITH $nbCtes,
+      nb AS ($nbSelect),
+      cells AS (
+        SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round((lp_pos - lp_neg) * 1000000) AS BIGINT))
+            AS BIGINT) AS margin_micro
+        FROM nb GROUP BY 1, 2)
+      SELECT label, pred, n, margin_micro,
+        CAST(margin_micro AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+          AS mean_margin
+      FROM cells""",
     // greedy longest-match replay: each word instance advances by the
     // LONGEST vocab entry matching at its position (else 1 char — the
     // unknown-token fallback), one recursion step per emitted token

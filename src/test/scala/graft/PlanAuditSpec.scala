@@ -281,6 +281,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 5, p)
   }
 
+  test("corpus_snapshot_diff: one co-partitioned full-outer join, no cartesian") {
+    // each snapshot reduces to (doc_id, md5) inside its scan; the diff
+    // is ONE full-outer equi-join on unique doc_id — nothing wider
+    // than (id, hash) shuffles, and only the two join sides do
+    val p = plan("corpus_snapshot_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "FullOuter") >= 1, p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(

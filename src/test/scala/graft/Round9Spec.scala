@@ -281,6 +281,33 @@ class Round9Spec extends SparkSpec {
     assert(again === out)
   }
 
+  test("nb_calibration: cells partition the corpus; margins align with pred") {
+    val out = graft.queries.TextQueries.nbCalibration(spark,
+      "/root/testdata/sf0.001")
+      .select("label", "pred", "n", "margin_micro", "mean_margin")
+      .as[(Long, Long, Long, Long, Double)].collect
+    assert(out.map(_._3).sum === 500L)
+    assert(out.map(r => (r._1, r._2)).distinct.length === out.length)
+    out.foreach { case (_, pred, n, mmicro, mean) =>
+      // pred = 1 iff lp_pos >= lp_neg, so the cell's every margin —
+      // and therefore its mean — has the prediction's sign
+      if (pred == 1L) assert(mmicro >= 0L) else assert(mmicro < 0L)
+      assert(math.abs(mean - mmicro.toDouble / (1e6 * n)) < 1e-12)
+    }
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified per doc") {
+    import graft.operators.Corpus
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect.toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("pqQuery fails fast on probe dims != index dims") {
     val emb = (0L until 32L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")

@@ -116,6 +116,7 @@ ROWS = [
     (131, "Round9Spec (StatsManifest) | sources/StatsManifest.scala",
      "api"),
     (132, "ann_ivf_pq_topk", "rows"), (133, "text_quality_nb", "hash"),
+    (134, "nb_calibration", "hash"), (135, "corpus_snapshot_diff", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
