@@ -443,6 +443,26 @@ object Streaming {
           index, batch.toDF(), idCol, textCol, maxDf, joiner), id)
       }
 
+  /** Continuous quality-classifier scoring: every micro-batch is
+    * scored against a STATIC persisted [[graft.operators.NaiveBayes]]
+    * model by the SAME batch scorer — the classifier trains on corpus
+    * refresh cadence, the stream consumes it (identical static-index
+    * contract to [[dedupIngestStream]]/[[paragraphIngestStream]]; OOV
+    * tokens in never-seen stream text stay exactly smoothed). Call
+    * `.start()` on the returned writer. */
+  def nbScoreStream(stream: DataFrame,
+      model: graft.operators.NaiveBayes.NbModel,
+      idCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.NaiveBayes.score(
+          model, batch.toDF(), idCol, textCol), id)
+      }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** #43 — stateful gap-based sessionization via

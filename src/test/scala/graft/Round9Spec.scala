@@ -308,6 +308,37 @@ class Round9Spec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("NB model: OOV docs score by smoothing floors; persisted round-trip identical") {
+    import graft.operators.NaiveBayes
+    val docs = ((0L until 20L).map(i => (i, "alpha beta gamma", true)) ++
+      (20L until 40L).map(i => (i, "zork grok blark", false)))
+      .toDF("doc_id", "text", "label")
+    val model = NaiveBayes.train(docs, "doc_id", "text", "label")
+    // a doc of entirely never-seen tokens scores the exact smoothing
+    // floor per class: prior + n · ln(1 / (T_c + V)); T_pos = T_neg
+    // and D_pos = D/2 here, so the two scores tie -> pred = positive
+    val oov = Seq((100L, "qqq www eee")).toDF("doc_id", "text")
+    val got = NaiveBayes.score(model, oov, "doc_id", "text")
+      .select("n_tokens", "lp_pos", "lp_neg", "pred")
+      .as[(Int, Double, Double, Long)].head()
+    val floor = math.log(21.0 / 42.0) + 3.0 * math.log(1.0 / (60 + 6))
+    assert(got._1 === 3 && got._4 === 1L)
+    assert(math.abs(got._2 - floor) < 1e-6 && got._2 === got._3)
+    // persisted model serves identical scores
+    val dir = java.nio.file.Files.createTempDirectory("graftnb").toString
+    NaiveBayes.saveModel(model, "graft_t_nb", dir, nBuckets = 8)
+    val loaded = NaiveBayes.loadModel(spark, "graft_t_nb", dir)
+    val probe = Seq((200L, "alpha zork beta"), (201L, "qqq alpha"))
+      .toDF("doc_id", "text")
+    val want = NaiveBayes.score(model, probe, "doc_id", "text")
+      .select("doc_id", "lp_pos", "lp_neg", "pred")
+      .as[(Long, Double, Double, Long)].collect.toSet
+    val again = NaiveBayes.score(loaded, probe, "doc_id", "text")
+      .select("doc_id", "lp_pos", "lp_neg", "pred")
+      .as[(Long, Double, Double, Long)].collect.toSet
+    assert(again === want)
+  }
+
   test("pqQuery fails fast on probe dims != index dims") {
     val emb = (0L until 32L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")

@@ -502,6 +502,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("continuous NB scoring matches the batch scorer per micro-batch") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.NaiveBayes
+    val corpus = ((0L until 10L).map(i => (i, "alpha beta gamma", true)) ++
+      (10L until 20L).map(i => (i, "zork grok blark", false)))
+      .toDF("doc_id", "text", "label")
+    val model = NaiveBayes.train(corpus, "doc_id", "text", "label")
+    val b0 = Seq(StreamDoc(30L, ts(0), "alpha beta zork"),
+      StreamDoc(31L, ts(1), "totally unseen words"))
+    val b1 = Seq(StreamDoc(32L, ts(2), "grok grok blark"))
+    val src = MemoryStream[StreamDoc]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val query = Streaming.nbScoreStream(src.toDF(), model,
+      "doc_id", "text") { (scored, id) =>
+      got(id) = scored.select("doc_id", "pred").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }.start()
+    try {
+      src.addData(b0: _*); query.processAllAvailable()
+      src.addData(b1: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(got(0L).map(_._1) === Set(30L, 31L))
+    assert(got(1L) === Set(32L -> 0L))
+    // per-micro-batch result equals the batch scorer over the same rows
+    Seq(b0 -> 0L, b1 -> 1L).foreach { case (rows, id) =>
+      val batchOut = NaiveBayes.score(model, rows.toDF(), "doc_id", "text")
+        .select("doc_id", "pred").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchOut === got(id))
+    }
+  }
+
   test("anomaly monitor surfaces silent baseline groups and brand-new groups") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)

@@ -117,6 +117,7 @@ ROWS = [
      "api"),
     (132, "ann_ivf_pq_topk", "rows"), (133, "text_quality_nb", "hash"),
     (134, "nb_calibration", "hash"), (135, "corpus_snapshot_diff", "hash"),
+    (136, "StreamingSpec (NB scoring) | streaming/Streaming.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
