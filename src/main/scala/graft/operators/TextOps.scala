@@ -256,4 +256,48 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
+
+  /** Unicode-script character classes for [[scriptProfile]]: BMP code
+    * point ranges, spelled per-engine in the oracle (Java `\uXXXX`
+    * here, RE2 `\x{XXXX}` in DuckDB) but denoting the SAME sets. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "digit" -> "0-9",
+    "cyrillic" -> "\u0400-\u04FF",
+    "greek" -> "\u0370-\u03FF",
+    "cjk" -> "\u3040-\u30FF\u4E00-\u9FFF",
+    "arabic" -> "\u0600-\u06FF")
+
+  /** Per-doc script composition (round-9): how many characters of each
+    * writing system a document carries, plus the dominant script — the
+    * multilingual curation signal language-ID marker words cannot give
+    * (a doc can be 90% CJK with English marker words sprinkled in, and
+    * #38 would call it English). One narrow scan-speed projection:
+    * per-script counts are `length(regexp_replace(text, [^class], ''))`
+    * over fixed BMP ranges (exact integers → hash-checkable), dominant
+    * is a deterministic max with the declaration-order tie-break.
+    * Contract: BMP scripts only — supplementary-plane text (emoji)
+    * counts toward no class and shows up as `char_len − Σ counts`. */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = prepared(docs, idCol, textCol)
+      .withColumn("char_len", length(col("text")))
+    val counted = scriptRanges.foldLeft(base) { case (d, (name, cls)) =>
+      d.withColumn(s"n_$name",
+        length(regexp_replace(col("text"), s"[^$cls]", "")).cast("long"))
+    }
+    // deterministic argmax: first script in declaration order whose
+    // count is >= every other's (all-zero docs resolve to 'latin')
+    val names = scriptRanges.map(_._1)
+    val dominant = names.init.foldRight(lit(names.last): Column) {
+      case (name, rest) =>
+        val isMax = names.filterNot(_ == name)
+          .map(o => col(s"n_$name") >= col(s"n_$o")).reduce(_ && _)
+        when(isMax, name).otherwise(rest)
+    }
+    counted.select(
+      Seq(col("doc_id"), col("char_len").cast("long").as("char_len")) ++
+        names.map(n => col(s"n_$n")) :+
+        dominant.as("dominant_script"): _*)
+  }
 }

@@ -157,7 +157,14 @@ object TextQueries {
         (col("margin_micro").cast("double") /
           (lit(1000000.0) * col("n").cast("double"))).as("mean_margin"))
 
+  /** text_script_profile (round-9) — [[TextOps.scriptProfile]]: per-doc
+    * writing-system composition + dominant script; the multilingual
+    * curation signal marker-word language ID (#38) cannot give. */
+  def textScriptProfile(s: SparkSession, dir: String): DataFrame =
+    TextOps.scriptProfile(docs(s, dir), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script_profile" -> textScriptProfile,
     "nb_calibration" -> nbCalibration,
     "text_quality_nb" -> textQualityNb,
     "text_bpe_tokens" -> textBpeTokens,
@@ -369,6 +376,44 @@ object TextQueries {
       FROM fin"""
 
   val oracleSql: Map[String, String] = Map(
+    "text_script_profile" -> """
+      WITH counted AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS char_len,
+          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            AS BIGINT) AS n_latin,
+          CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+            AS BIGINT) AS n_digit,
+          CAST(length(regexp_replace(text,
+            '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+          CAST(length(regexp_replace(text,
+            '[^\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+          CAST(length(regexp_replace(text,
+            '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g'))
+            AS BIGINT) AS n_cjk,
+          CAST(length(regexp_replace(text,
+            '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic
+        FROM documents)
+      SELECT doc_id, char_len, n_latin, n_digit, n_cyrillic, n_greek,
+        n_cjk, n_arabic,
+        CASE
+          WHEN n_latin >= n_digit AND n_latin >= n_cyrillic
+            AND n_latin >= n_greek AND n_latin >= n_cjk
+            AND n_latin >= n_arabic THEN 'latin'
+          WHEN n_digit >= n_latin AND n_digit >= n_cyrillic
+            AND n_digit >= n_greek AND n_digit >= n_cjk
+            AND n_digit >= n_arabic THEN 'digit'
+          WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_digit
+            AND n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+            AND n_cyrillic >= n_arabic THEN 'cyrillic'
+          WHEN n_greek >= n_latin AND n_greek >= n_digit
+            AND n_greek >= n_cyrillic AND n_greek >= n_cjk
+            AND n_greek >= n_arabic THEN 'greek'
+          WHEN n_cjk >= n_latin AND n_cjk >= n_digit
+            AND n_cjk >= n_cyrillic AND n_cjk >= n_greek
+            AND n_cjk >= n_arabic THEN 'cjk'
+          ELSE 'arabic'
+        END AS dominant_script
+      FROM counted""",
     "text_quality_nb" -> s"WITH $nbCtes $nbSelect",
     "nb_calibration" -> s"""
       WITH $nbCtes,

@@ -339,6 +339,29 @@ class Round9Spec extends SparkSpec {
     assert(again === want)
   }
 
+  test("scriptProfile: planted multilingual text counts by script; dominant deterministic") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "hello world 42"),             // latin-dominant, 2 digits
+      (2L, "привет мир"),                 // cyrillic
+      (3L, "日本語のテキスト"),             // cjk (kanji + kana)
+      (4L, "αβγ abc"),                    // greek ties latin -> latin first
+      (5L, "مرحبا"),                      // arabic
+      (6L, "!!! ...")                     // no script at all -> latin
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptProfile(docs, "doc_id", "text")
+      .select("doc_id", "n_latin", "n_digit", "n_cyrillic", "n_greek",
+        "n_cjk", "n_arabic", "dominant_script")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect.map(r => r._1 -> r).toMap
+    assert(out(1L)._8 === "latin" && out(1L)._2 === 10L && out(1L)._3 === 2L)
+    assert(out(2L)._8 === "cyrillic" && out(2L)._4 === 9L)
+    assert(out(3L)._8 === "cjk" && out(3L)._6 === 8L)
+    assert(out(4L)._8 === "latin" && out(4L)._5 === 3L && out(4L)._2 === 3L)
+    assert(out(5L)._8 === "arabic" && out(5L)._7 === 5L)
+    assert(out(6L)._8 === "latin" && out(6L)._2 === 0L)
+  }
+
   test("pqQuery fails fast on probe dims != index dims") {
     val emb = (0L until 32L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")

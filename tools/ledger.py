@@ -118,6 +118,7 @@ ROWS = [
     (132, "ann_ivf_pq_topk", "rows"), (133, "text_quality_nb", "hash"),
     (134, "nb_calibration", "hash"), (135, "corpus_snapshot_diff", "hash"),
     (136, "StreamingSpec (NB scoring) | streaming/Streaming.scala", "api"),
+    (137, "text_script_profile", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
