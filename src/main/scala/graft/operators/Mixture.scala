@@ -80,4 +80,35 @@ object Mixture {
       .drop("_graft_grp")
       .withColumnRenamed("_graft_thr", "keep_thr")
   }
+
+  /** α = 0.5 temperature-mixing rate table (round-9): targets derive
+    * from the data itself as floor(√avail_g) — the standard
+    * upsample-the-small-sources knob of multilingual/multi-domain LLM
+    * mixes (w_g ∝ n_g^α with α < 1 flattens the source distribution;
+    * XLM-R/mT5-style sampling). α is pinned to 0.5 because IEEE-754
+    * specifies sqrt EXACTLY-rounded — the derived integer targets are
+    * bit-identical on every engine, which a pow(n, α) (libm-dependent)
+    * could not promise; other α come from passing explicit targets to
+    * [[rates]]. Downstream is the identical integer λ/threshold grid:
+    * (grp, avail, target, keep_thr), feedable to [[sample]]'s rule.
+    * Same plan shape as [[rates]]: one map-side-combined mass
+    * aggregation, broadcast-sized reductions, no data shuffle. */
+  def temperatureRates(df: DataFrame, groupCol: Column, massCol: Column)
+      : DataFrame = {
+    val avail = df.groupBy(groupCol.as("grp"))
+      .agg(sum(massCol.cast("long")).as("avail"))
+    val lamG = avail
+      .filter(col("avail") > 0L)
+      .withColumn("target",
+        expr("CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)"))
+      .withColumn("_lam_g", expr(
+        s"CAST(avail AS DECIMAL(38,0)) * ${Scale}L div " +
+          "CAST(target AS DECIMAL(38,0))"))
+    val lam = lamG.agg(min(col("_lam_g")).as("_lam"))
+    lamG.crossJoin(broadcast(lam))
+      .withColumn("keep_thr", least(lit(Scale), expr(
+        "CAST(_lam AS DECIMAL(38,0)) * CAST(target AS DECIMAL(38,0)) " +
+          "div CAST(avail AS DECIMAL(38,0))")))
+      .select(col("grp"), col("avail"), col("target"), col("keep_thr"))
+  }
 }

@@ -133,4 +133,27 @@ object Profile {
       agg.select(explode(array(entries: _*)).as("_e")).select(col("_e.*"))
     }
   }
+
+  /** k-anonymity audit (round-9): group the table by its
+    * quasi-identifier columns and flag equivalence classes smaller
+    * than k — the re-identification risk surface a privacy review of
+    * a de-identified dataset starts from (Sweeney 2002; the check a
+    * healthcare lakehouse runs before any data release). Output: one
+    * row per QI combination — (qi..., n, at_risk 0/1) — so the caller
+    * can both count the risk classes and locate them; suppression
+    * rate = Σ n[at_risk] / Σ n, derivable exactly.
+    *
+    * Scale: ONE map-side-combined count aggregation on the QI key —
+    * the output is equivalence-class-sized, never row-sized; the QI
+    * combination count is the diagnostic (millions of size-1 classes
+    * IS the finding, not a skew problem — each reduces to one row in
+    * the partial aggregate). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long)
+      : DataFrame = {
+    require(qiCols.nonEmpty, "quasi-identifier columns must be non-empty")
+    require(k >= 2, "k must be at least 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", when(col("n") < k, 1L).otherwise(0L))
+  }
 }

@@ -357,7 +357,20 @@ object QualityQueries {
           .as("sum_abs_diff_cents"))
   }
 
+  /** k for the customer quasi-identifier audit. */
+  val KAnon = 10L
+
+  /** dq_k_anonymity (round-9) — [[Profile.kAnonymity]] over customer's
+    * (nation, market-segment) quasi-identifiers: equivalence classes
+    * smaller than k are the re-identification risk a de-identified
+    * release must suppress or generalize first. */
+  def dqKAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.kAnonymity(
+      Tables(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      KAnon)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_k_anonymity" -> dqKAnonymity,
     "dq_reconciliation" -> dqReconciliation,
     "dq_anomaly_robust" -> dqAnomalyRobust,
     "dq_freshness" -> dqFreshness,
@@ -374,6 +387,11 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_k_anonymity" -> s"""
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(CASE WHEN COUNT(*) < $KAnon THEN 1 ELSE 0 END AS BIGINT)
+          AS at_risk
+      FROM customer GROUP BY 1, 2""",
     "dq_reconciliation" -> """
       WITH l AS (
         SELECT l_orderkey,

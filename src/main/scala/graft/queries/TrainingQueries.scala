@@ -58,6 +58,11 @@ object TrainingQueries {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("keep_thr"))
 
+  /** mixture_temperature — [[Mixture.temperatureRates]]: the α = 0.5
+    * temperature recipe, targets derived from the corpus itself. */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    Mixture.temperatureRates(docs(s, dir), col("source"), col("n_chars"))
+
   /** The kNN-LSH similarity graph all three graph queries run over. */
   private def knnEdges(s: SparkSession, dir: String): DataFrame =
     SimilarityQueries.knnGraphLsh(s, dir)
@@ -82,6 +87,7 @@ object TrainingQueries {
     "emb_normalize" -> embNormalize,
     "emb_quantize" -> embQuantize,
     "mixture_rates" -> mixtureRates,
+    "mixture_temperature" -> mixtureTemperature,
     "mixture_sample" -> mixtureSample,
     "graph_degrees" -> graphDegrees,
     "graph_components" -> graphComponents,
@@ -125,6 +131,25 @@ object TrainingQueries {
         FROM embeddings)"""
 
   val oracleSql: Map[String, String] = Map(
+    "mixture_temperature" -> s"""
+      WITH mass AS (
+        SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS avail
+        FROM documents GROUP BY 1),
+      j AS (
+        SELECT grp, avail,
+          CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS target,
+          CAST(avail AS HUGEINT) * ${Mixture.Scale}
+            // CAST(CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)
+              AS HUGEINT) AS lam_g
+        FROM mass WHERE avail > 0),
+      l AS (SELECT MIN(lam_g) AS lam FROM j),
+      rates AS (
+        SELECT grp, avail, target,
+          CAST(least(${Mixture.Scale}, CAST(l.lam AS HUGEINT)
+            * CAST(target AS HUGEINT) // CAST(avail AS HUGEINT))
+            AS BIGINT) AS keep_thr
+        FROM j, l)
+      SELECT grp, avail, target, keep_thr FROM rates""",
     "doc_chunks" -> s"""
       WITH toks AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w

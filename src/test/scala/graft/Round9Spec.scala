@@ -362,6 +362,36 @@ class Round9Spec extends SparkSpec {
     assert(out(6L)._8 === "latin" && out(6L)._2 === 0L)
   }
 
+  test("temperatureRates: sqrt targets upsample small sources on the exact grid") {
+    import graft.operators.Mixture
+    // masses 10000 vs 100: proportional sampling gives the small
+    // source ~1% of the mix; sqrt targets (100 vs 10) give it ~9%
+    val df = ((0 until 100).map(i => ("big", 100L)) ++
+      (0 until 10).map(i => ("small", 10L))).toDF("src", "mass")
+    val out = Mixture.temperatureRates(df, col("src"), col("mass"))
+      .select("grp", "avail", "target", "keep_thr")
+      .as[(String, Long, Long, Long)].collect.map(r => r._1 -> r).toMap
+    // avail: big 10000 -> target 100; small 100 -> target 10
+    assert(out("big") === (("big", 10000L, 100L, 100000L)))
+    assert(out("small") === (("small", 100L, 10L, 1000000L)))
+    // kept-mass ratio 1000:100 == the sqrt ratio 100:10 — flattened
+    // from the 100:1 raw ratio, binding source kept whole
+  }
+
+  test("kAnonymity flags sub-k equivalence classes exactly") {
+    import graft.operators.Profile
+    val df = ((0 until 12).map(i => ("US", "A")) ++
+      (0 until 3).map(i => ("US", "B")) ++
+      Seq(("FR", "A"))).toDF("nation", "seg")
+    val out = Profile.kAnonymity(df, Seq("nation", "seg"), k = 5L)
+      .as[(String, String, Long, Long)].collect.toSet
+    assert(out === Set(("US", "A", 12L, 0L), ("US", "B", 3L, 1L),
+      ("FR", "A", 1L, 1L)))
+    val e = intercept[IllegalArgumentException](
+      Profile.kAnonymity(df, Seq.empty, 5L))
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("pqQuery fails fast on probe dims != index dims") {
     val emb = (0L until 32L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")

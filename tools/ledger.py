@@ -119,6 +119,7 @@ ROWS = [
     (134, "nb_calibration", "hash"), (135, "corpus_snapshot_diff", "hash"),
     (136, "StreamingSpec (NB scoring) | streaming/Streaming.scala", "api"),
     (137, "text_script_profile", "hash"),
+    (138, "mixture_temperature", "hash"), (139, "dq_k_anonymity", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
