@@ -307,7 +307,63 @@ object AnalyticsQueries {
       sum(col("value_cents")).over(w).as("cents_24h"))
   }
 
+  /** q36_grouping_sets (round-9) — arbitrary aggregation levels in one
+    * pass: (status, priority), (status), () over orders, the GROUPING
+    * SETS surface rollup (#10) and cube (#64) don't cover (rollup is
+    * prefix-only, cube is all 2ⁿ). The level marker derives from which
+    * keys are NULL (both engines agree; the grouped columns are
+    * non-null in the data), so no engine-specific grouping_id is in
+    * the contract. One Expand + one aggregation, like rollup/cube. */
+  def q36GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(CASE WHEN o_orderstatus IS NULL THEN 2
+                  WHEN o_orderpriority IS NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS lvl,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS total_cents
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), ())""")
+  }
+
+  /** q37_unpivot (round-9) — wide-to-long reshaping (the melt half of
+    * the pivot surface, #67's inverse): each lineitem's three charge
+    * stages (extended, discounted, charged) become rows via `stack`,
+    * exact cents. Generator-based: rows×3 out of one scan, no shuffle. */
+  def q37Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        Core.cents(col("l_extendedprice")).as("_ext"),
+        Core.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("_disc"),
+        Core.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("_chrg"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'extended', _ext, 'discounted', _disc, " +
+          "'charged', _chrg)").as(Seq("component", "cents")))
+
+  /** q38_ntile (round-9) — equal-frequency quartiles of customers by
+    * account balance within market segment (the banding primitive of
+    * cohort/LTV reporting); deterministic total order (exact cents,
+    * custkey tie-break) so both engines assign identical tiles. */
+  def q38Ntile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        Core.cents(col("c_acctbal")).as("bal_cents"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_grouping_sets" -> q36GroupingSets,
+    "q37_unpivot" -> q37Unpivot,
+    "q38_ntile" -> q38Ntile,
     "q35_rolling" -> q35Rolling,
     "q34_transitions" -> q34Transitions,
     "q33_attribution" -> q33Attribution,
@@ -322,6 +378,39 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q36_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(CASE WHEN o_orderstatus IS NULL THEN 2
+                  WHEN o_orderpriority IS NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS lvl,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS total_cents
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), ())""",
+    "q37_unpivot" -> """
+      WITH base AS (
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS ext,
+          CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+            AS disc,
+          CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+            * 100) AS BIGINT) AS chrg
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, 'extended' AS component,
+        ext AS cents FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discounted', disc FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'charged', chrg FROM base""",
+    "q38_ntile" -> """
+      SELECT c_custkey, c_mktsegment,
+        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+          ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
+            c_custkey ASC) AS BIGINT) AS quartile
+      FROM customer""",
     "q35_rolling" -> """
       WITH hourly AS (
         SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,

@@ -463,6 +463,29 @@ object Streaming {
           model, batch.toDF(), idCol, textCol), id)
       }
 
+  /** Watermarked STREAM-STREAM interval join (round-9): each left
+    * event pairs with right events sharing its key whose timestamp
+    * falls in [leftTs − lookback, leftTs] — the online form of the
+    * attribution/correlation joins (purchase ⋈ its prior clicks,
+    * alert ⋈ its causal window). Spark buffers both sides in state;
+    * the watermark + the interval bound are exactly what lets it
+    * EVICT: right rows older than (left watermark − lookback) can
+    * never match again and are dropped, so state is bounded by
+    * lookback × arrival rate, not by stream length — the condition
+    * shape is load-bearing, not stylistic. Inner join; append mode. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
+      lookback: String, watermark: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    val cond = keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $lookback") &&
+      r(rightTsCol) <= l(leftTsCol)
+    // inner equi-join on the keys -> the right copies are redundant
+    keyCols.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** #43 — stateful gap-based sessionization via

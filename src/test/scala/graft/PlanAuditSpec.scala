@@ -291,6 +291,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q36/q37/q38: grouping-sets expands once; unpivot stays narrow; ntile windows keyed") {
+    val p36 = plan("q36_grouping_sets")
+    assert(count(p36, "Expand") == 1, p36)
+    assert(count(p36, "Exchange hashpartitioning") == 1, p36)
+    val p37 = plan("q37_unpivot")
+    assert(count(p37, "Exchange hashpartitioning") == 0, p37)
+    assert(count(p37, "FileScan parquet") == 1, p37)
+    val p38 = plan("q38_ntile")
+    assert(count(p38, "Exchange hashpartitioning") == 1, p38)
+    assert(!p38.contains("partitionBy=\\[\\]"), p38)
+  }
+
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
     val sc = spark.sparkContext
     val sites = java.util.Collections.synchronizedList(

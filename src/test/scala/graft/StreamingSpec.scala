@@ -534,6 +534,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks only") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[StreamDoc]    // (doc_id=user, ts, text=channel)
+    val buys = MemoryStream[StreamDoc]      // (doc_id=user, ts, text=amount)
+    val joined = Streaming.streamIntervalJoin(
+      buys.toDF().withColumnRenamed("text", "amount")
+        .withColumnRenamed("ts", "p_ts"),
+      clicks.toDF().withColumnRenamed("text", "channel")
+        .withColumnRenamed("ts", "c_ts"),
+      keyCols = Seq("doc_id"), leftTsCol = "p_ts", rightTsCol = "c_ts",
+      lookback = "1 hour", watermark = "2 hours")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj").outputMode("append").start()
+    try {
+      // user 1: click 30 min before purchase (in window), click 90 min
+      // before (outside); user 2: purchase with no click at all
+      clicks.addData(StreamDoc(1L, ts(0), "search"),
+        StreamDoc(1L, ts(60), "social"))
+      buys.addData(StreamDoc(1L, ts(90), "9.99"),
+        StreamDoc(2L, ts(95), "5.00"))
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select("doc_id", "amount", "channel")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(got === Set((1L, "9.99", "social")))
+      // a later click inside a later purchase's window still joins
+      clicks.addData(StreamDoc(2L, ts(120), "email"))
+      buys.addData(StreamDoc(2L, ts(150), "7.50"))
+      q.processAllAvailable()
+      val got2 = spark.table("ssj")
+        .select("doc_id", "amount", "channel")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(got2 === Set((1L, "9.99", "social"), (2L, "7.50", "email")))
+    } finally q.stop()
+  }
+
   test("anomaly monitor surfaces silent baseline groups and brand-new groups") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)

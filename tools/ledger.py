@@ -120,6 +120,10 @@ ROWS = [
     (136, "StreamingSpec (NB scoring) | streaming/Streaming.scala", "api"),
     (137, "text_script_profile", "hash"),
     (138, "mixture_temperature", "hash"), (139, "dq_k_anonymity", "hash"),
+    (140, "q36_grouping_sets", "hash"), (141, "q37_unpivot", "hash"),
+    (142, "q38_ntile", "hash"),
+    (143, "StreamingSpec (interval join) | streaming/Streaming.scala",
+     "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
