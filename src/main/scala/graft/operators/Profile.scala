@@ -156,4 +156,47 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", when(col("n") < k, 1L).otherwise(0L))
   }
+
+  /** Pre-flight join-cardinality audit (round-9): EXACT output size of
+    * an equi-join computed WITHOUT running it — per-key row counts on
+    * each side, joined key-to-key (two vocabulary-sized count tables,
+    * never the data), n_out = n_left · n_right per key; the top
+    * contributors are the keys that decide whether the real join is
+    * broadcastable, needs salting, or should not run at all. The
+    * 100 TB pre-flight: two map-side-combined counts + one tiny join,
+    * bounded TakeOrderedAndProject top-N — cost is two scans, output
+    * is N rows, and the answer is exact, not a sketch. */
+  def joinCardinality(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, topN: Int): DataFrame = {
+    val l = left.groupBy(leftKey.as("join_key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(rightKey.as("join_key"))
+      .agg(count(lit(1)).as("n_right"))
+    l.join(r, Seq("join_key"))
+      .withColumn("n_out", col("n_left") * col("n_right"))
+      .orderBy(col("n_out").desc, col("join_key").asc)
+      .limit(topN)
+  }
+
+  /** Benford first-digit audit (round-9): the leading-digit
+    * distribution of a money column against the 30.1%/17.6%/… law —
+    * the classic fabricated-amounts screen (Nigrini 1999; billing
+    * fraud, expense anomalies). The digit comes from the CENTS LONG
+    * rendered as a string (a ×100 shift never changes the leading
+    * significant digit), so the extraction is pure integer/string —
+    * no log10 near power-of-ten boundaries, bit-identical on every
+    * engine. One map-side-combined 9-row aggregation; `share` is one
+    * division from exact counts. */
+  def benford(df: DataFrame, amount: Column): DataFrame = {
+    val cents = round(amount * 100).cast("long")
+    val digits = df.select(cents.as("_cents"))
+      .filter(col("_cents") > 0L)
+      .select(substring(col("_cents").cast("string"), 1, 1).as("digit"))
+    val total = digits.agg(count(lit(1)).as("_n_total"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast("double") / col("_n_total").cast("double"))
+          .as("share"))
+  }
 }

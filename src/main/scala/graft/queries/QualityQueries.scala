@@ -369,7 +369,26 @@ object QualityQueries {
       Tables(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
       KAnon)
 
+  /** Top-N for the join-cardinality audit. */
+  val JoinEstTopN = 10
+
+  /** dq_join_estimate (round-9) — [[Profile.joinCardinality]] for
+    * customer ⋈ orders on custkey: the exact pre-flight answer to
+    * "how big is this join, and which keys dominate it". */
+  def dqJoinEstimate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.joinCardinality(
+      Tables(s, dir, "customer"), col("c_custkey"),
+      Tables(s, dir, "orders"), col("o_custkey"), JoinEstTopN)
+
+  /** dq_benford (round-9) — [[Profile.benford]] over order totals:
+    * the first-digit fabricated-amounts screen. */
+  def dqBenford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.benford(
+      Tables(s, dir, "orders"), col("o_totalprice"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_join_estimate" -> dqJoinEstimate,
+    "dq_benford" -> dqBenford,
     "dq_k_anonymity" -> dqKAnonymity,
     "dq_reconciliation" -> dqReconciliation,
     "dq_anomaly_robust" -> dqAnomalyRobust,
@@ -387,6 +406,28 @@ object QualityQueries {
     "dq_quality_report" -> dqQualityReport)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_join_estimate" -> s"""
+      WITH l AS (
+        SELECT c_custkey AS join_key, CAST(COUNT(*) AS BIGINT) AS n_left
+        FROM customer GROUP BY 1),
+      r AS (
+        SELECT o_custkey AS join_key, CAST(COUNT(*) AS BIGINT) AS n_right
+        FROM orders GROUP BY 1)
+      SELECT l.join_key, l.n_left, r.n_right,
+        CAST(l.n_left * r.n_right AS BIGINT) AS n_out
+      FROM l JOIN r USING (join_key)
+      ORDER BY n_out DESC, join_key ASC LIMIT $JoinEstTopN""",
+    "dq_benford" -> """
+      WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      d AS (
+        SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit
+        FROM c WHERE cents > 0),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+      FROM d, t GROUP BY digit, t.n_total""",
     "dq_k_anonymity" -> s"""
       SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(CASE WHEN COUNT(*) < $KAnon THEN 1 ELSE 0 END AS BIGINT)

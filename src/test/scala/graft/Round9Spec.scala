@@ -392,6 +392,34 @@ class Round9Spec extends SparkSpec {
     assert(e.getMessage.contains("non-empty"))
   }
 
+  test("joinCardinality predicts exact join output size, hot keys first") {
+    import graft.operators.Profile
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
+      .toDF("k", "v")
+    val right = Seq((1L, "x"), (1L, "y"), (2L, "z"), (4L, "w"))
+      .toDF("k", "v")
+    val est = Profile.joinCardinality(left, col("k"), right, col("k"),
+      topN = 10)
+      .as[(Long, Long, Long, Long)].collect.toList
+    assert(est === List((1L, 3L, 2L, 6L), (2L, 1L, 1L, 1L)))
+    // the prediction equals the real join's size
+    val real = left.join(right.withColumnRenamed("v", "w"), Seq("k")).count()
+    assert(est.map(_._4).sum === real)
+  }
+
+  test("benford: digits from cents strings; zero/negative amounts excluded") {
+    import graft.operators.Profile
+    val df = Seq(1.23, 19.99, 102.5, 0.0, -5.0, 9999.01, 0.11)
+      .toDF("amt")
+    val out = Profile.benford(df, col("amt"))
+      .as[(String, Long, Double)].collect.map(r => r._1 -> r).toMap
+    // cents: 123, 1999, 10250, (0 excluded), (-500 excluded), 999901, 11
+    // -> leading digits 1, 1, 1, 9, 1
+    assert(out("1")._2 === 4L && out("9")._2 === 1L)
+    assert(out.values.map(_._2).sum === 5L)
+    out.values.foreach(r => assert(r._3 === r._2.toDouble / 5.0))
+  }
+
   test("pqQuery fails fast on probe dims != index dims") {
     val emb = (0L until 32L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")

@@ -124,6 +124,7 @@ ROWS = [
     (142, "q38_ntile", "hash"),
     (143, "StreamingSpec (interval join) | streaming/Streaming.scala",
      "api"),
+    (144, "dq_join_estimate", "hash"), (145, "dq_benford", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
