@@ -46,32 +46,74 @@ object StatsManifest {
   /** Compute and write the manifest for `dataPath` over `statsCols`.
     * One row per (file, column): rows, min/max as canonical strings,
     * dtype tag. Overwrites any previous manifest. */
-  def write(spark: SparkSession, dataPath: String,
-      statsCols: Seq[String]): Unit = {
-    require(statsCols.nonEmpty, "statsCols must be non-empty")
-    val df = spark.read.parquet(dataPath)
-    val perFile = df
-      .select(input_file_name().as("_file") +: statsCols.map(col): _*)
+  /** Long-form stats relation for one scan: (file, n_rows, col_name,
+    * dtype, min_s, max_s) — one distributed input_file_name groupBy. */
+  private def statsLong(df: DataFrame, statsCols: Seq[String],
+      where: String): DataFrame = {
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    statsCols.foreach(c => require(dtypes.contains(c),
+      s"StatsManifest: no column '$c' in $where"))
+    df.select(input_file_name().as("_file") +: statsCols.map(col): _*)
       .groupBy(col("_file"))
       .agg(count(lit(1)).as("_rows"),
         statsCols.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"_min_$c"),
           max(col(c)).cast("string").as(s"_max_$c"))): _*)
-    val dtypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    statsCols.foreach(c => require(dtypes.contains(c),
-      s"StatsManifest: no column '$c' in $dataPath"))
-    // long form: (file, rows, col, dtype, min_s, max_s)
-    val longForm = perFile.select(col("_file").as("file"),
-      col("_rows").as("n_rows"),
-      explode(array(statsCols.map(c => struct(
-        lit(c).as("col_name"),
-        lit(dtypes(c).catalogString).as("dtype"),
-        col(s"_min_$c").as("min_s"),
-        col(s"_max_$c").as("max_s"))): _*)).as("s"))
+      .select(col("_file").as("file"),
+        col("_rows").as("n_rows"),
+        explode(array(statsCols.map(c => struct(
+          lit(c).as("col_name"),
+          lit(dtypes(c).catalogString).as("dtype"),
+          col(s"_min_$c").as("min_s"),
+          col(s"_max_$c").as("max_s"))): _*)).as("s"))
       .select(col("file"), col("n_rows"), col("s.col_name"),
         col("s.dtype"), col("s.min_s"), col("s.max_s"))
-    longForm.coalesce(1).write.mode(SaveMode.Overwrite)
+  }
+
+  def write(spark: SparkSession, dataPath: String,
+      statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    statsLong(spark.read.parquet(dataPath), statsCols, dataPath)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dataPath/$ManifestDir")
+  }
+
+  /** INCREMENTAL manifest refresh (the 100 TB form): stat ONLY data
+    * files the manifest doesn't cover yet (appends since the last
+    * write), drop rows for files that no longer exist (compaction),
+    * keep everything else untouched — a refresh after appending a
+    * day's partition scans that day, not the dataset. The existing
+    * manifest rows ride through the driver (file-count×col-count
+    * rows, tiny by construction), so the rewrite never reads data it
+    * didn't have to. Falls back to a full [[write]] when no manifest
+    * exists. Returns the number of files freshly stat'ed. */
+  def update(spark: SparkSession, dataPath: String,
+      statsCols: Seq[String]): Int = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    val mp = manifestPath(dataPath)
+    val all = dataFiles(spark, dataPath)
+    if (!fs(spark, mp).exists(mp)) {
+      write(spark, dataPath, statsCols)
+      return all.size
+    }
+    val allSet = all.toSet
+    val existing = spark.read.parquet(mp.toString)
+    val existingRows = existing.collect().toSeq
+    val keptRows = existingRows.filter(r => allSet.contains(r.getString(0)))
+    val covered = keptRows.map(_.getString(0)).toSet
+    val missing = (allSet -- covered).toSeq.sorted
+    if (missing.isEmpty && keptRows.size == existingRows.size) return 0
+    val keptDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(keptRows, 1), existing.schema)
+    val fresh =
+      if (missing.isEmpty) keptDf.limit(0)
+      else statsLong(
+        spark.read.schema(spark.read.parquet(dataPath).schema)
+          .option("basePath", dataPath).parquet(missing: _*),
+        statsCols, dataPath)
+    keptDf.unionByName(fresh).coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(mp.toString)
+    missing.size
   }
 
   private def manifestPath(dataPath: String) =

@@ -154,6 +154,29 @@ class Round9Spec extends SparkSpec {
       .filter(col("id").between(-50, -40)).count() === 0L)
   }
 
+  test("StatsManifest.update stats only new files; idempotent when current") {
+    import graft.sources.StatsManifest
+    val dir = java.nio.file.Files.createTempDirectory("graftmu").toString
+    val data = s"$dir/t"
+    (0L until 80L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, col("id"))
+      .write.parquet(data)
+    StatsManifest.write(spark, data, Seq("id"))
+    val before = spark.read.parquet(data).inputFiles.length
+    // append two more ranges; update must stat exactly the new files
+    (100L until 120L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+      .write.mode("append").parquet(data)
+    val after = spark.read.parquet(data).inputFiles.length
+    assert(StatsManifest.update(spark, data, Seq("id")) === after - before)
+    // refreshed manifest prunes INSIDE the appended range too
+    val pruned = StatsManifest.prunedRead(spark, data, "id", 100L, 105L)
+    assert(pruned.inputFiles.length < after)
+    assert(pruned.filter(col("id").between(100, 105)).count() === 6L)
+    // and a second update with nothing new is a no-op
+    assert(StatsManifest.update(spark, data, Seq("id")) === 0)
+  }
+
   test("MedallionPipeline writeManifest/readPruned round-trips a zone") {
     import graft.etl.{LoadType, MedallionPipeline}
     import graft.quality.DataZone
