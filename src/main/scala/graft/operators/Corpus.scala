@@ -63,7 +63,10 @@ object Corpus {
     *
     * Scale: each side reduces to (doc_id, hash) in its scan, then ONE
     * co-partitioned full-outer equi-join on doc_id — unique keys, so
-    * no skew; nothing wider than (id, 32-byte hash) ever shuffles. */
+    * no skew; nothing wider than (id, 32-byte hash) ever shuffles.
+    * Contract: ids must be unique WITHIN each snapshot (true of any
+    * id-keyed zone table); duplicated ids would cross-product per key
+    * like any equi-join. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val o = oldSnap.select(col(idCol).cast("long").as("doc_id"),

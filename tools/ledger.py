@@ -14,7 +14,6 @@ row-number -> carrier ledger as markdown, CROSS-CHECKED mechanically:
 Usage: python3 tools/ledger.py /tmp/verify_out > /tmp/ledger.md
 """
 import json
-import re
 import subprocess
 import sys
 from pathlib import Path
