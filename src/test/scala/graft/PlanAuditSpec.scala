@@ -298,9 +298,14 @@ class PlanAuditSpec extends SparkSpec {
     val p37 = plan("q37_unpivot")
     assert(count(p37, "Exchange hashpartitioning") == 0, p37)
     assert(count(p37, "FileScan parquet") == 1, p37)
-    val p38 = plan("q38_ntile")
-    assert(count(p38, "Exchange hashpartitioning") == 1, p38)
-    assert(!p38.contains("partitionBy=\\[\\]"), p38)
+    val qe38 = SparkEntry.queries("q38_ntile")(spark, sf).queryExecution
+    assert(count(qe38.executedPlan.toString,
+      "Exchange hashpartitioning") == 1, qe38.executedPlan)
+    val windows = qe38.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      qe38.sparkPlan)
   }
 
   test("q24 pivot declares its values — no hidden distinct job at plan time") {
