@@ -21,6 +21,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a thrown query must be LOUD: a silently-absent output dir once let a
+    // 16-entry regression read as "all green" (round 9) — record every
+    // failure in _failed.json so the correctness file can't shrink quietly
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -33,6 +37,7 @@ object Verify {
         finally graft.operators.Dedup.release(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +55,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (possibly {}) so consumers can distinguish "no
+    // failures" from "marker never produced"
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // exit 0 regardless: the driver must still oracle-check the entries
+    // that DID run; _failed.json is the loud record of the ones that didn't
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

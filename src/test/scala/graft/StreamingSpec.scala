@@ -95,9 +95,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
+    val rawStream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+    val stream = rawStream
+      .select(Tables.tsCol(rawStream).as("ts"),
         col("event_type"), col("value"))
     val query = Streaming.windowedEventCounts(stream, watermark = "1 hour")
       .writeStream.format("memory").queryName("file_win")
@@ -105,10 +106,10 @@ class StreamingSpec extends SparkSpec {
     try {
       query.processAllAvailable()
       val streamed = spark.table("file_win")
+      val rawBatch = Tables(spark, sf, "events")
       val batch = Streaming.windowedEventCounts(
-        Tables(spark, sf, "events")
-          .select(expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)")
-            .as("ts"), col("event_type"), col("value")))
+        rawBatch.select(Tables.tsCol(rawBatch).as("ts"),
+          col("event_type"), col("value")))
       // append mode emits only watermark-closed windows: a prefix of batch
       val closed = streamed.count()
       assert(closed > 0)
@@ -241,8 +242,7 @@ class StreamingSpec extends SparkSpec {
       Rule("SQ2", "type_present", Dimension.Completeness, "critical",
         fails = col("event_type").isNull))
     def evCols(df: org.apache.spark.sql.DataFrame) = df.select(
-      expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)").as("ts"),
-      col("event_type"), col("value"))
+      Tables.tsCol(df).as("ts"), col("event_type"), col("value"))
     val schema = Tables(spark, sf, "events").schema
     val streamDir = java.nio.file.Files.createTempDirectory("dqstream")
     java.nio.file.Files.copy(

@@ -124,6 +124,7 @@ ROWS = [
     (143, "StreamingSpec (interval join) | streaming/Streaming.scala",
      "api"),
     (144, "dq_join_estimate", "hash"), (145, "dq_benford", "hash"),
+    (146, "TxLogSpec | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
@@ -153,7 +154,23 @@ def binding_file(name: str) -> str:
 def main(verify_dir: str) -> int:
     vd = Path(verify_dir)
     oracle = set(json.load(open(vd / "oracle_sql.json")).keys())
-    dirs = {d.name for d in vd.iterdir() if d.name != "oracle_sql.json"}
+    dirs = {d.name for d in vd.iterdir()
+            if d.name not in ("oracle_sql.json", "_failed.json")}
+    # Verify writes _failed.json per thrown query; a failed entry has no
+    # output dir, so without this check a regression would just shrink the
+    # ledger (round-9 lesson). Refuse loudly instead.
+    failed_marker = vd / "_failed.json"
+    if failed_marker.exists():
+        failed = json.load(open(failed_marker))
+        if failed:
+            for name, err in failed.items():
+                print(f"ERROR: Verify FAILED for {name}: {err}",
+                      file=sys.stderr)
+            return 1
+    else:
+        print("WARNING: no _failed.json marker — Verify predates loud "
+              "failures; absent entries may be silent throws",
+              file=sys.stderr)
 
     claimed = {}
     errors = []
