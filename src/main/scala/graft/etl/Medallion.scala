@@ -158,13 +158,29 @@ final case class JobResult(
 
 /** Parquet-zone medallion pipeline with quality-gated promotion.
   *
-  * @param root    warehouse directory; each zone is `root/<zone>/<dataset>`
-  * @param lineage when present, every job records a plan-derived
-  *                transformation step into the tracker
-  *                (etl_manager.py:313-320 `_track_lineage`)
+  * @param root     warehouse directory; each zone is `root/<zone>/<dataset>`
+  * @param lineage  when present, every job records a plan-derived
+  *                 transformation step into the tracker
+  *                 (etl_manager.py:313-320 `_track_lineage`)
+  * @param useTxLog opt-in ACID mode: zone datasets are written through
+  *                 [[graft.sources.TxLog]] (snapshot-isolated reads,
+  *                 optimistic multi-writer commits, time travel via
+  *                 `TxLog.read(asOf)`, and — the headline —
+  *                 exactly-once [[ingestStream]]: each micro-batch
+  *                 commits with a (jobId, batchId) txn marker, so a
+  *                 replayed batch is skipped instead of duplicating
+  *                 bronze rows). Datasets written before enabling the
+  *                 flag keep working: an unlogged dir reads/writes
+  *                 plain until its first logged write claims version 0.
   */
 class MedallionPipeline(spark: SparkSession, root: String,
-    lineage: Option[LineageTracker] = None) {
+    lineage: Option[LineageTracker] = None,
+    useTxLog: Boolean = false) {
+
+  import graft.sources.TxLog
+
+  private def logged(zone: DataZone.Value, dataset: String): Boolean =
+    useTxLog && TxLog.isLogged(spark, path(zone, dataset))
 
   /** Named transform registry — etl_manager.py:162-205's
     * TransformSpec/register_transform. The six standard transforms come
@@ -210,10 +226,27 @@ class MedallionPipeline(spark: SparkSession, root: String,
     s"$root/${zone.toString.toLowerCase}/$dataset"
 
   def exists(zone: DataZone.Value, dataset: String): Boolean =
-    Files.exists(Paths.get(path(zone, dataset)))
+    logged(zone, dataset) || Files.exists(Paths.get(path(zone, dataset)))
 
   def read(zone: DataZone.Value, dataset: String): DataFrame =
-    spark.read.parquet(path(zone, dataset))
+    if (logged(zone, dataset)) TxLog.read(spark, path(zone, dataset))
+    else spark.read.parquet(path(zone, dataset))
+
+  /** Time travel (TxLog mode only): the dataset as of log `version`. */
+  def readAsOf(zone: DataZone.Value, dataset: String,
+      version: Long): DataFrame = {
+    require(logged(zone, dataset),
+      s"readAsOf needs a TxLog-backed dataset (useTxLog=true and a " +
+        s"logged write of $dataset)")
+    TxLog.read(spark, path(zone, dataset), Some(version))
+  }
+
+  /** Commit history (TxLog mode only): one row per version. */
+  def history(zone: DataZone.Value, dataset: String): DataFrame = {
+    require(logged(zone, dataset),
+      s"history needs a TxLog-backed dataset")
+    TxLog.history(spark, path(zone, dataset))
+  }
 
   /** Record a per-file min/max stats manifest for a zone dataset —
     * [[graft.sources.StatsManifest.write]] (round-9): call after any
@@ -221,8 +254,13 @@ class MedallionPipeline(spark: SparkSession, root: String,
     * by. The manifest lives inside the dataset dir (ignored by plain
     * reads, swapped atomically with the data by [[replace]]'s rename). */
   def writeManifest(zone: DataZone.Value, dataset: String,
-      statsCols: Seq[String]): Unit =
+      statsCols: Seq[String]): Unit = {
+    require(!logged(zone, dataset),
+      "StatsManifest skipping applies to rename-managed datasets; a " +
+        "TxLog-backed dataset's dir holds removed-but-unvacuumed files " +
+        "a directory-level manifest would wrongly include")
     graft.sources.StatsManifest.write(spark, path(zone, dataset), statsCols)
+  }
 
   /** Manifest-pruned read: only files whose [min, max] range can
     * satisfy `colName BETWEEN lo AND hi` reach the scan planner —
@@ -230,16 +268,51 @@ class MedallionPipeline(spark: SparkSession, root: String,
     * seam). Conservative: unknown files kept, missing manifest → full
     * read. Callers still apply the predicate. */
   def readPruned(zone: DataZone.Value, dataset: String, colName: String,
-      lo: Any, hi: Any): DataFrame =
+      lo: Any, hi: Any): DataFrame = {
+    require(!logged(zone, dataset),
+      "readPruned applies to rename-managed datasets; read a " +
+        "TxLog-backed dataset through read/readAsOf (snapshot file list)")
     graft.sources.StatsManifest.prunedRead(spark, path(zone, dataset),
       colName, lo, hi)
+  }
 
   /** Distributed _write_to_zone (etl_manager.py:441-475). `key` is the
     * upsert identity for MERGE/INCREMENTAL (reference: the `id` field).
+    *
+    * In TxLog mode every branch lands as one log commit (snapshot
+    * isolation replaces the stage-and-swap rename); `txn` carries an
+    * idempotence marker through to the commit, making a replayed
+    * streaming batch a no-op ([[ingestStream]]).
     */
   def write(zone: DataZone.Value, dataset: String, df: DataFrame,
-      loadType: LoadType.Value, key: Seq[String] = Seq("id")): Unit = {
+      loadType: LoadType.Value, key: Seq[String] = Seq("id"),
+      txn: Option[(String, Long)] = None): Unit = {
     val target = path(zone, dataset)
+    if (useTxLog) {
+      loadType match {
+        case LoadType.Full =>
+          TxLog.commitOverwrite(spark, target, df)
+        case LoadType.Append =>
+          TxLog.commitAppend(spark, target, df, txn)
+        case LoadType.Merge if !exists(zone, dataset) =>
+          TxLog.commitOverwrite(spark, target, df)
+        case LoadType.Merge =>
+          val existing = read(zone, dataset).withColumn("_prec", lit(1))
+          val incoming = df.withColumn("_prec", lit(0))
+          val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec"))
+          val merged = existing.unionByName(incoming)
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_prec", "_rn")
+          TxLog.commitOverwrite(spark, target, merged)
+        case LoadType.Incremental if !exists(zone, dataset) =>
+          TxLog.commitOverwrite(spark, target, df)
+        case LoadType.Incremental =>
+          val existingKeys = read(zone, dataset).select(key.map(col): _*)
+          val newRows = df.join(existingKeys, key, "left_anti")
+          TxLog.commitAppend(spark, target, newRows, txn)
+      }
+      return
+    }
     loadType match {
       case LoadType.Full if exists(zone, dataset) =>
         // stage-and-swap: a FULL load whose input plan READS this same
@@ -306,7 +379,12 @@ class MedallionPipeline(spark: SparkSession, root: String,
     val df = read(zone, dataset)
     val nFiles = math.max(1, math.ceil(
       df.count().toDouble / rowsPerFile).toInt)
-    replace(path(zone, dataset), df.repartition(nFiles))
+    if (logged(zone, dataset))
+      // one remove+add commit; concurrent appends commute (rebase),
+      // and readers mid-scan keep their snapshot's files
+      TxLog.compact(spark, path(zone, dataset), nFiles)
+    else
+      replace(path(zone, dataset), df.repartition(nFiles))
     nFiles
   }
 
@@ -430,7 +508,8 @@ class MedallionPipeline(spark: SparkSession, root: String,
       transforms: Seq[DataFrame => DataFrame],
       rules: Seq[Rule],
       key: Seq[String],
-      enableQuarantine: Boolean): JobResult = {
+      enableQuarantine: Boolean,
+      txn: Option[(String, Long)] = None): JobResult = {
     val startedAt = System.currentTimeMillis()
     val runId = lineage.map(_.startPipelineRun(jobId))
     var stepIds = Seq.empty[String]
@@ -451,7 +530,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
       // replaces the very files this plan reads
       val nOut = transformed.count()
       stepIds ++= trackLineage(jobId, dataset, transformed, targetZone)
-      write(targetZone, dataset, transformed, loadType, key)
+      write(targetZone, dataset, transformed, loadType, key, txn)
       return finish(JobResult(jobId, "completed", recordsRead, nOut, 0L, None))
     }
 
@@ -480,7 +559,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
     }
     val nClean = clean.count() // before the write replaces source files
     stepIds ++= trackLineage(jobId, dataset, clean, targetZone)
-    write(targetZone, dataset, clean, loadType, key)
+    write(targetZone, dataset, clean, loadType, key, txn)
     finish(JobResult(jobId, "completed", recordsRead, nClean,
       nQuarantined, Some(report)))
   }
@@ -497,10 +576,17 @@ class MedallionPipeline(spark: SparkSession, root: String,
     * `<jobId>_b<batchId>`.
     *
     * Delivery: foreachBatch + the stream checkpoint replay a failed
-    * batch, and a replayed APPEND duplicates rows in bronze (plain
-    * parquet has no txn) — pair with downstream dedup or an ACID table
-    * format when exactly-once matters. Small files accrete per batch;
-    * schedule [[compact]] as maintenance. */
+    * batch. With `useTxLog = false` a replayed APPEND duplicates rows
+    * in bronze (plain parquet has no txn) — pair with downstream dedup
+    * when exactly-once matters. With `useTxLog = true` delivery is
+    * EXACTLY-ONCE: each batch's bronze append commits with txn marker
+    * `(jobId, batchId)`, so a replayed batch is recognized by the log
+    * and skipped before any work (and even a race between two replays
+    * of the same batch collapses inside [[graft.sources.TxLog
+    * .commitAppend]]'s commit loop). Quarantine dirs are keyed
+    * `<jobId>_b<batchId>` + overwrite-mode, hence replay-idempotent
+    * either way. Small files accrete per batch; schedule [[compact]]
+    * as maintenance. */
   def ingestStream(stream: DataFrame, jobId: String, dataset: String,
       transforms: Seq[DataFrame => DataFrame] = Seq.empty,
       rules: Seq[Rule] = Seq.empty,
@@ -511,8 +597,13 @@ class MedallionPipeline(spark: SparkSession, root: String,
     val withCp =
       checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
     withCp.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      gateAndWrite(s"${jobId}_b$batchId", dataset, batch, DataZone.Bronze,
-        LoadType.Append, transforms, rules, key, enableQuarantine = true)
+      val bronzeDir = path(DataZone.Bronze, dataset)
+      val replayed = useTxLog && TxLog.isLogged(spark, bronzeDir) &&
+        TxLog.snapshot(spark, bronzeDir).txns.get(jobId).exists(_ >= batchId)
+      if (!replayed)
+        gateAndWrite(s"${jobId}_b$batchId", dataset, batch, DataZone.Bronze,
+          LoadType.Append, transforms, rules, key, enableQuarantine = true,
+          txn = if (useTxLog) Some((jobId, batchId)) else None)
       ()
     }.start()
   }

@@ -116,10 +116,28 @@ object TxLog {
   }
 
   /** Atomic claim of one log slot: create-if-absent (the Delta-on-HDFS
-    * commit primitive). False = another writer owns this version. */
+    * commit primitive). False = another writer owns this version.
+    *
+    * On HDFS `create(…, overwrite = false)` is an atomic namenode op.
+    * Hadoop's LOCAL filesystem, however, implements it as
+    * check-then-act (exists? then open) — two same-JVM writers can both
+    * pass the check and the second SILENTLY truncates the first's
+    * commit, losing it. For `file:` URIs claim with O_EXCL
+    * (`CREATE_NEW`) through java.nio instead, which is atomic at the
+    * syscall level. */
   private def tryWrite(f: FileSystem, p: Path, content: String): Boolean = {
     if (f.exists(p)) return false
-    try {
+    if (f.getUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try {
+        java.nio.file.Files.write(local, content.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else try {
       val out = f.create(p, false)
       try out.write(content.getBytes(UTF_8)) finally out.close()
       true

@@ -1,0 +1,271 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.etl.{LoadType, MedallionPipeline}
+import graft.quality.{DataZone, Dimension, Rule}
+import graft.sources.TxLog
+
+/** The multi-writer ACID slice (SURVEY §6): TxLog's commit protocol —
+  * snapshot isolation, optimistic rebase, remove-conflicts, idempotent
+  * txn markers, time travel, checkpoints, vacuum — plus its opt-in
+  * wiring through MedallionPipeline (exactly-once ingestStream).
+  */
+class TxLogSpec extends SparkSpec {
+
+  private def tmp(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  private def df(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, s"name_$i")).toDF("id", "name")
+  }
+
+  private def idSet(d: DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("overwrite/append roundtrip, history, and time travel") {
+    val dir = tmp("txlog").toString
+    val v0 = TxLog.commitOverwrite(spark, dir, df(1, 2))
+    val v1 = TxLog.commitAppend(spark, dir, df(3))
+    val v2 = TxLog.commitOverwrite(spark, dir, df(10))
+    assert(Seq(v0, v1, v2) == Seq(0L, 1L, 2L))
+    assert(idSet(TxLog.read(spark, dir)) == Set(10L))
+    assert(idSet(TxLog.read(spark, dir, Some(0))) == Set(1L, 2L))
+    assert(idSet(TxLog.read(spark, dir, Some(1))) == Set(1L, 2L, 3L))
+    val h = TxLog.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq == Seq("overwrite", "append", "overwrite"))
+    // row counts come from commit metadata, no data scan
+    assert(h.map(_.getLong(4)).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("append schema mismatch is rejected; staged files are cleaned up") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txschema").toString
+    TxLog.commitOverwrite(spark, dir, df(1))
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, dir,
+        Seq((1L, 2.5)).toDF("id", "score"))
+    }
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L))
+    // the loser's staged files must not linger as orphans forever —
+    // they were deleted eagerly, so vacuum finds nothing stale
+    assert(TxLog.vacuum(spark, dir) == 0)
+  }
+
+  test("a lost commit slot rebases: foreign commit at the claimed version") {
+    val dir = tmp("txrebase").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))
+    // simulate a concurrent writer that claimed version 1 between our
+    // head read and our create-if-absent: an empty append commit
+    Files.write(
+      java.nio.file.Paths.get(dir, TxLog.LogDir, f"${1L}%020d.json"),
+      """{"version":1,"op":"append","add":[],"remove":[]}"""
+        .getBytes(UTF_8))
+    val v = TxLog.commitAppend(spark, dir, df(3))
+    assert(v == 2L, "loser must rebase onto the foreign head and take the next slot")
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L, 3L))
+  }
+
+  test("concurrent appends from many threads all land, versions contiguous") {
+    val dir = tmp("txconc").toString
+    TxLog.commitOverwrite(spark, dir, df(0))
+    val threads = (1 to 6).map { i =>
+      new Thread(() => { TxLog.commitAppend(spark, dir, df(i * 100L)) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(idSet(TxLog.read(spark, dir)) ==
+      (Set(0L) ++ (1 to 6).map(_ * 100L)))
+    val versions = TxLog.history(spark, dir)
+      .select("version").collect().map(_.getLong(0)).sorted
+    assert(versions.sameElements(0L to 6L), "no gaps, no double-claims")
+  }
+
+  test("compact conflicts with a concurrent remove of the same files") {
+    val dir = tmp("txconflict").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))
+    TxLog.commitAppend(spark, dir, df(3))
+    val snap = TxLog.snapshot(spark, dir)
+    // a concurrent overwrite removes every file the compactor read
+    TxLog.commitOverwrite(spark, dir, df(9))
+    val (added, schemaJson) = TxLog.stageData(spark, dir, df(1, 2, 3))
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commitStaged(spark, dir, "compact", added,
+        snap.files.map(_.path), removeAll = false, schemaJson, None)
+    }
+    // conflict must not corrupt the winner's state
+    assert(idSet(TxLog.read(spark, dir)) == Set(9L))
+  }
+
+  test("compact rewrites files, keeps rows, commutes with nothing removed twice") {
+    val dir = tmp("txcompact").toString
+    TxLog.commitOverwrite(spark, dir, df(1))
+    (2 to 5).foreach(i => TxLog.commitAppend(spark, dir, df(i.toLong)))
+    assert(TxLog.snapshot(spark, dir).files.size >= 5)
+    TxLog.compact(spark, dir, targetFiles = 1)
+    assert(TxLog.snapshot(spark, dir).files.size == 1)
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("crash mid-commit: staged-but-uncommitted files are invisible and vacuumable") {
+    val dir = tmp("txcrash").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))
+    // writer stages data then dies before claiming a log slot
+    val (orphans, _) = TxLog.stageData(spark, dir, df(99))
+    assert(orphans.nonEmpty)
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L),
+      "uncommitted files must not appear in any snapshot")
+    val deleted = TxLog.vacuum(spark, dir)
+    assert(deleted == orphans.size)
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L))
+  }
+
+  test("idempotent txn markers: a replayed batch commits nothing") {
+    val dir = tmp("txidem").toString
+    TxLog.commitOverwrite(spark, dir, df(1))
+    val v1 = TxLog.commitAppend(spark, dir, df(2), Some(("app", 0L)))
+    val v2 = TxLog.commitAppend(spark, dir, df(2), Some(("app", 0L)))
+    assert(v1 == 1L && v2 == 1L, "replay must return the already-committed version")
+    assert(TxLog.read(spark, dir).count() == 2)
+    // an EARLIER batch replayed after a later one is also skipped
+    val v3 = TxLog.commitAppend(spark, dir, df(3), Some(("app", 1L)))
+    val v4 = TxLog.commitAppend(spark, dir, df(2), Some(("app", 0L)))
+    assert(v3 == 2L && v4 == 2L)
+    assert(TxLog.read(spark, dir).count() == 3)
+  }
+
+  test("checkpoint + truncateLog: snapshots resolve without the dropped commits") {
+    val dir = tmp("txcp").toString
+    TxLog.commitOverwrite(spark, dir, df(0))
+    (1 to 11).foreach(i => TxLog.commitAppend(spark, dir, df(i.toLong)))
+    // CheckpointInterval = 10 → checkpoint written at v10
+    assert(Files.exists(java.nio.file.Paths.get(
+      dir, TxLog.LogDir, f"${10L}%020d.checkpoint.json")))
+    val dropped = TxLog.truncateLog(spark, dir)
+    assert(dropped == 10, "commits 0..9 are below the checkpoint")
+    // head resolves from checkpoint + post-checkpoint commits
+    assert(idSet(TxLog.read(spark, dir)) == (0 to 11).map(_.toLong).toSet)
+    assert(idSet(TxLog.read(spark, dir, Some(10))) ==
+      (0 to 10).map(_.toLong).toSet)
+    // a pre-checkpoint version is honestly unreachable now
+    intercept[IllegalArgumentException] {
+      TxLog.snapshot(spark, dir, Some(5))
+    }
+  }
+
+  test("vacuum honors retention: time travel lives until its files are reaped") {
+    val dir = tmp("txvac").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))
+    TxLog.commitOverwrite(spark, dir, df(3))
+    // retain both versions: nothing live is deleted
+    assert(TxLog.vacuum(spark, dir, retainVersions = 1) == 0)
+    assert(idSet(TxLog.read(spark, dir, Some(0))) == Set(1L, 2L))
+    // retain only head: v0's files go; head is untouched
+    val deleted = TxLog.vacuum(spark, dir)
+    assert(deleted > 0)
+    assert(idSet(TxLog.read(spark, dir)) == Set(3L))
+  }
+
+  test("exactlyOnceSink: replayed micro-batches never duplicate rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = tmp("txsink").toString
+    val cp = tmp("txsinkcp").toString
+    val src = MemoryStream[(Long, String)]
+    val query = TxLog.exactlyOnceSink(
+      src.toDF().toDF("id", "name"), dir, appId = "ingest", cp)
+    try {
+      src.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      src.addData((3L, "c"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L, 3L))
+    // foreachBatch is at-least-once: simulate the replay of batch 0
+    // after a recovery — the txn marker makes it a no-op
+    val vBefore = TxLog.snapshot(spark, dir).version
+    TxLog.commitAppend(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), Some(("ingest", 0L)))
+    assert(TxLog.snapshot(spark, dir).version == vBefore)
+    assert(TxLog.read(spark, dir).count() == 3)
+  }
+
+  // ---- MedallionPipeline integration (useTxLog = true) ----
+
+  test("medallion zone writes route through the log: full/append/merge/incremental") {
+    val root = tmp("medtx").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    p.write(DataZone.Bronze, "pts", df(1, 2), LoadType.Full)
+    p.write(DataZone.Bronze, "pts", df(3), LoadType.Append)
+    assert(idSet(p.read(DataZone.Bronze, "pts")) == Set(1L, 2L, 3L))
+    // merge upserts by id: row 3 replaced, row 4 added
+    val s = spark
+    import s.implicits._
+    val upsert = Seq((3L, "NEW"), (4L, "name_4")).toDF("id", "name")
+    p.write(DataZone.Bronze, "pts", upsert, LoadType.Merge)
+    val merged = p.read(DataZone.Bronze, "pts")
+    assert(idSet(merged) == Set(1L, 2L, 3L, 4L))
+    assert(merged.filter(col("id") === 3).select("name").head.getString(0)
+      == "NEW")
+    // incremental: only unseen ids append
+    p.write(DataZone.Bronze, "pts", df(4, 5), LoadType.Incremental)
+    assert(idSet(p.read(DataZone.Bronze, "pts")) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(merged.filter(col("id") === 4).count() == 1)
+    // the whole edit history is addressable
+    assert(idSet(p.readAsOf(DataZone.Bronze, "pts", 0)) == Set(1L, 2L))
+    assert(p.history(DataZone.Bronze, "pts").count() == 4)
+    // compact through the log
+    p.compact(DataZone.Bronze, "pts", rowsPerFile = 1000L)
+    assert(idSet(p.read(DataZone.Bronze, "pts")) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("medallion ingestStream is exactly-once under TxLog") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val root = tmp("medstream").toString
+    val cp = tmp("medstreamcp").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    val rules = Seq(Rule("R1", "id_present", Dimension.Completeness,
+      "critical", fails = col("id").isNull))
+    val src = MemoryStream[(Long, String)]
+    val query = p.ingestStream(src.toDF().toDF("id", "name"),
+      jobId = "ing", dataset = "pts", rules = rules,
+      checkpointDir = Some(cp))
+    try {
+      src.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      src.addData((3L, "c"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val bronze = p.read(DataZone.Bronze, "pts")
+    assert(idSet(bronze) == Set(1L, 2L, 3L))
+    // replay batch 0 through the pipeline's own write path: skipped
+    p.write(DataZone.Bronze, "pts",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").withColumn("_dup", lit(1))
+        .drop("_dup"),
+      LoadType.Append, txn = Some(("ing", 0L)))
+    assert(p.read(DataZone.Bronze, "pts").count() == 3)
+  }
+
+  test("manifest skipping refuses TxLog-backed datasets (stale-file hazard)") {
+    val root = tmp("medman").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    p.write(DataZone.Bronze, "pts", df(1, 2), LoadType.Full)
+    intercept[IllegalArgumentException] {
+      p.writeManifest(DataZone.Bronze, "pts", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      p.readPruned(DataZone.Bronze, "pts", "id", 1, 2)
+    }
+  }
+}
