@@ -54,9 +54,12 @@ object NaiveBayes {
 
   /** Train an [[NbModel]] on `labelCol` (boolean weak labels). */
   def train(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String): NbModel = {
-    val base = tokens(docs, idCol, textCol,
-      Seq(col(labelCol).cast("boolean").as("label")))
+      labelCol: String): NbModel =
+    trainFromBase(tokens(docs, idCol, textCol,
+      Seq(col(labelCol).cast("boolean").as("label"))))
+
+  /** Train from a prepared (doc_id, w, label) token relation. */
+  private def trainFromBase(base: DataFrame): NbModel = {
     val inst = base.select(col("label"), explode(col("w")).as("t"))
     val counts = inst.groupBy(col("t")).agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("c_pos"),
@@ -75,11 +78,15 @@ object NaiveBayes {
     * — lp_* are the full per-class log-scores at 6 dp. `labelCol`,
     * when present, passes the weak label through for evaluation. */
   def score(model: NbModel, docs: DataFrame, idCol: String,
-      textCol: String, labelCol: Option[String] = None): DataFrame = {
+      textCol: String, labelCol: Option[String] = None): DataFrame =
+    scoreFromBase(model, tokens(docs, idCol, textCol,
+      labelCol.toSeq.map(c => col(c))), labelCol)
+
+  /** Score from a prepared (doc_id, w[, label]) token relation. */
+  private def scoreFromBase(model: NbModel, base: DataFrame,
+      labelCol: Option[String]): DataFrame = {
     val labelOut = labelCol.toSeq.map(c =>
       col(c).cast("boolean").cast("long").as("label"))
-    val base = tokens(docs, idCol, textCol,
-      labelCol.toSeq.map(c => col(c)))
     // OOV tokens left-join to null counts -> coalesce to 0 keeps the
     // add-one smoothing exact for never-seen vocabulary
     val scored = base.select(col("doc_id"), explode(col("w")).as("t"))
@@ -109,11 +116,27 @@ object NaiveBayes {
 
   /** Train on `labelCol` and score the SAME docs (the one-shot form;
     * column contract unchanged from round-9's first landing).
-    * Output: (doc_id, label 0/1, n_tokens, lp_pos, lp_neg, pred). */
+    * Output: (doc_id, label 0/1, n_tokens, lp_pos, lp_neg, pred).
+    *
+    * `materialize = true` localCheckpoints the tokenized instance
+    * relation ONCE and derives training counts, model scalars, AND
+    * scoring from it — without it every downstream stage re-reads and
+    * re-tokenizes the documents (7 scans in the round-9 plan audit).
+    * The checkpoint is executor-local MEMORY_AND_DISK storage sized
+    * like the token arrays, so at full 100 TB corpus scale prefer a
+    * durable checkpoint dir or accept the rescans; at weak-label
+    * training scale (a labeled sample, the fastText recipe) it is the
+    * right default trade. Results are bit-identical either way
+    * (verified by the unchanged oracle hash); callers that consume
+    * the result should release the checkpoint blocks when done
+    * ([[graft.operators.Dedup.release]] — Verify already does). */
   def trainScore(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String): DataFrame = {
-    val m = train(docs, idCol, textCol, labelCol)
-    score(m, docs, idCol, textCol, Some(labelCol))
+      labelCol: String, materialize: Boolean = false): DataFrame = {
+    val base = tokens(docs, idCol, textCol,
+      Seq(col(labelCol).cast("boolean").as("label")))
+    val shared = if (materialize) base.localCheckpoint() else base
+    val m = trainFromBase(shared)
+    scoreFromBase(m, shared, Some("label"))
       .select(col("doc_id"), col("label"), col("n_tokens"),
         col("lp_pos"), col("lp_neg"), col("pred"))
   }

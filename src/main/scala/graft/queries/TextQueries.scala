@@ -133,7 +133,10 @@ object TextQueries {
         size(toks)).between(3.0, 8.0), 2).otherwise(0)
     val labeled = docs(s, dir)
       .select(col("doc_id"), t, (score >= 8).as("label"))
-    NaiveBayes.trainScore(labeled, "doc_id", "text", "label")
+    // materialize: tokenize + label ONCE (localCheckpoint), instead of
+    // the 7 re-scans the round-9 plan audit measured; hash unchanged
+    NaiveBayes.trainScore(labeled, "doc_id", "text", "label",
+      materialize = true)
   }
 
   /** nb_calibration (round-9) — the classifier EVALUATION surface

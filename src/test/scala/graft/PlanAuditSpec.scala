@@ -272,13 +272,19 @@ class PlanAuditSpec extends SparkSpec {
     // token instances join the vocabulary counts as a hash join; the
     // token relation is the widest thing shuffled — no cartesian over
     // anything data-sized
-    val p = plan("text_quality_nb")
+    val df = SparkEntry.queries("text_quality_nb")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
     info(s"hash exchanges: ${count(p, "Exchange hashpartitioning")}, " +
       s"broadcasts: ${count(p, "BroadcastExchange")}, " +
       s"scans: ${count(p, "FileScan parquet")}")
     assert(!p.contains("CartesianProduct"), p)
     assert(count(p, "BroadcastExchange") >= 2, p)
     assert(count(p, "Exchange hashpartitioning") <= 5, p)
+    // round-10: the tokenized instance relation is checkpointed once
+    // (trainScore materialize=true) — every stage reads the checkpoint,
+    // not the parquet; 7 documents scans collapse to 0
+    assert(count(p, "FileScan parquet") <= 3, p)
+    graft.operators.Dedup.release(df) // free the audited checkpoint
   }
 
   test("corpus_snapshot_diff: one co-partitioned full-outer join, no cartesian") {
