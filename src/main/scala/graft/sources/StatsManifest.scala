@@ -82,11 +82,21 @@ object StatsManifest {
     * files the manifest doesn't cover yet (appends since the last
     * write), drop rows for files that no longer exist (compaction),
     * keep everything else untouched — a refresh after appending a
-    * day's partition scans that day, not the dataset. The existing
-    * manifest rows ride through the driver (file-count×col-count
-    * rows, tiny by construction), so the rewrite never reads data it
-    * didn't have to. Falls back to a full [[write]] when no manifest
-    * exists. Returns the number of files freshly stat'ed. */
+    * day's partition scans that day, not the dataset.
+    *
+    * Nothing manifest-sized rides through the driver: kept rows are a
+    * left-semi join of the old manifest against the file listing,
+    * missing files a left-anti join the other way, and the new
+    * manifest is kept ∪ freshly-stat'ed written distributed. Only the
+    * directory LISTING (inherent to a directory-layer manifest — a
+    * table format's log is the real fix at 10⁷ files) and the
+    * APPEND-DELTA file names (needed as concrete read paths) touch
+    * the driver. The rewrite stages beside the manifest and swaps via
+    * rename because the new manifest's plan reads the old one; a
+    * crash in the window leaves no manifest → [[prunedRead]] degrades
+    * to the full unpruned read, never wrong rows. Falls back to a
+    * full [[write]] when no manifest exists. Returns the number of
+    * files freshly stat'ed. */
   def update(spark: SparkSession, dataPath: String,
       statsCols: Seq[String]): Int = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
@@ -96,23 +106,30 @@ object StatsManifest {
       write(spark, dataPath, statsCols)
       return all.size
     }
-    val allSet = all.toSet
+    import spark.implicits._
+    val allDf = spark.createDataset(all).toDF("file")
     val existing = spark.read.parquet(mp.toString)
-    val existingRows = existing.collect().toSeq
-    val keptRows = existingRows.filter(r => allSet.contains(r.getString(0)))
-    val covered = keptRows.map(_.getString(0)).toSet
-    val missing = (allSet -- covered).toSeq.sorted
-    if (missing.isEmpty && keptRows.size == existingRows.size) return 0
-    val keptDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(keptRows, 1), existing.schema)
+    val missing = allDf
+      .join(existing.select(col("file")), Seq("file"), "left_anti")
+      .as[String].collect().sorted.toSeq // append-delta-sized: the new files
+    val anyDropped = !existing.select(col("file"))
+      .join(allDf, Seq("file"), "left_anti").isEmpty
+    if (missing.isEmpty && !anyDropped) return 0
+    val kept = existing.join(allDf, Seq("file"), "left_semi")
     val fresh =
-      if (missing.isEmpty) keptDf.limit(0)
+      if (missing.isEmpty) kept.limit(0)
       else statsLong(
         spark.read.schema(spark.read.parquet(dataPath).schema)
           .option("basePath", dataPath).parquet(missing: _*),
         statsCols, dataPath)
-    keptDf.unionByName(fresh).coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(mp.toString)
+    val tmp = new org.apache.hadoop.fs.Path(s"${mp.toString}__tmp")
+    kept.unionByName(fresh).coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    val f = fs(spark, mp)
+    f.delete(mp, true)
+    if (!f.rename(tmp, mp))
+      throw new IllegalStateException(
+        s"StatsManifest.update: swap failed, staged manifest at $tmp")
     missing.size
   }
 
