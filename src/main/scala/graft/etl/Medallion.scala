@@ -172,10 +172,16 @@ final case class JobResult(
   *                 bronze rows). Datasets written before enabling the
   *                 flag keep working: an unlogged dir reads/writes
   *                 plain until its first logged write claims version 0.
+  * @param txStatsCols TxLog mode only: columns whose per-file min/max
+  *                 every logged write records in its commit
+  *                 (stats-in-log), powering [[readPruned]] file
+  *                 skipping without a directory manifest. Columns a
+  *                 given dataset lacks are skipped for that write.
   */
 class MedallionPipeline(spark: SparkSession, root: String,
     lineage: Option[LineageTracker] = None,
-    useTxLog: Boolean = false) {
+    useTxLog: Boolean = false,
+    txStatsCols: Seq[String] = Nil) {
 
   import graft.sources.TxLog
 
@@ -268,13 +274,14 @@ class MedallionPipeline(spark: SparkSession, root: String,
     * seam). Conservative: unknown files kept, missing manifest → full
     * read. Callers still apply the predicate. */
   def readPruned(zone: DataZone.Value, dataset: String, colName: String,
-      lo: Any, hi: Any): DataFrame = {
-    require(!logged(zone, dataset),
-      "readPruned applies to rename-managed datasets; read a " +
-        "TxLog-backed dataset through read/readAsOf (snapshot file list)")
-    graft.sources.StatsManifest.prunedRead(spark, path(zone, dataset),
-      colName, lo, hi)
-  }
+      lo: Any, hi: Any): DataFrame =
+    if (logged(zone, dataset))
+      // stats-in-log skipping: the snapshot's own per-file min/max
+      // (recorded when txStatsCols covers the column) prunes the list
+      TxLog.readPruned(spark, path(zone, dataset), colName, lo, hi)
+    else
+      graft.sources.StatsManifest.prunedRead(spark, path(zone, dataset),
+        colName, lo, hi)
 
   /** Distributed _write_to_zone (etl_manager.py:441-475). `key` is the
     * upsert identity for MERGE/INCREMENTAL (reference: the `id` field).
@@ -289,13 +296,14 @@ class MedallionPipeline(spark: SparkSession, root: String,
       txn: Option[(String, Long)] = None): Unit = {
     val target = path(zone, dataset)
     if (useTxLog) {
+      def sc(d: DataFrame) = txStatsCols.filter(d.columns.contains)
       loadType match {
         case LoadType.Full =>
-          TxLog.commitOverwrite(spark, target, df)
+          TxLog.commitOverwrite(spark, target, df, sc(df))
         case LoadType.Append =>
-          TxLog.commitAppend(spark, target, df, txn)
+          TxLog.commitAppend(spark, target, df, txn, sc(df))
         case LoadType.Merge if !exists(zone, dataset) =>
-          TxLog.commitOverwrite(spark, target, df)
+          TxLog.commitOverwrite(spark, target, df, sc(df))
         case LoadType.Merge =>
           val existing = read(zone, dataset).withColumn("_prec", lit(1))
           val incoming = df.withColumn("_prec", lit(0))
@@ -303,13 +311,13 @@ class MedallionPipeline(spark: SparkSession, root: String,
           val merged = existing.unionByName(incoming)
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_prec", "_rn")
-          TxLog.commitOverwrite(spark, target, merged)
+          TxLog.commitOverwrite(spark, target, merged, sc(merged))
         case LoadType.Incremental if !exists(zone, dataset) =>
-          TxLog.commitOverwrite(spark, target, df)
+          TxLog.commitOverwrite(spark, target, df, sc(df))
         case LoadType.Incremental =>
           val existingKeys = read(zone, dataset).select(key.map(col): _*)
           val newRows = df.join(existingKeys, key, "left_anti")
-          TxLog.commitAppend(spark, target, newRows, txn)
+          TxLog.commitAppend(spark, target, newRows, txn, sc(newRows))
       }
       return
     }
@@ -382,7 +390,8 @@ class MedallionPipeline(spark: SparkSession, root: String,
     if (logged(zone, dataset))
       // one remove+add commit; concurrent appends commute (rebase),
       // and readers mid-scan keep their snapshot's files
-      TxLog.compact(spark, path(zone, dataset), nFiles)
+      TxLog.compact(spark, path(zone, dataset), nFiles,
+        txStatsCols.filter(df.columns.contains))
     else
       replace(path(zone, dataset), df.repartition(nFiles))
     nFiles

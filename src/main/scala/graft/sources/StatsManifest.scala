@@ -161,8 +161,9 @@ object StatsManifest {
   }
 
   /** True when a [min_s, max_s] file range can intersect [lo, hi] under
-    * the column's dtype ordering; null bounds keep the file. */
-  private def intersects(dtype: String, minS: String, maxS: String,
+    * the column's dtype ordering; null bounds keep the file. Shared
+    * with [[TxLog.readPruned]] (stats-in-log skipping). */
+  private[sources] def intersects(dtype: String, minS: String, maxS: String,
       lo: String, hi: String): Boolean = {
     if (minS == null || maxS == null) return true
     val numeric = Set("tinyint", "smallint", "int", "bigint", "float",

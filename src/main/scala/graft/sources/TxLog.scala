@@ -67,10 +67,22 @@ object TxLog {
 
   private val MaxAttempts = 20
 
+  /** Per-column stats a commit may record for a data file: the
+    * column's catalog dtype plus min/max as Spark's canonical
+    * cast-to-string forms (order-preserving for numerics, strings,
+    * dates, timestamps — the [[StatsManifest]] encoding). `None`
+    * min/max = all-null column → pruning keeps the file. */
+  final case class ColStats(dtype: String, min: Option[String],
+      max: Option[String])
+
   /** One live data file in a snapshot: `path` relative to the dataset
-    * dir, plus its row count (commit-time metadata, so `history` and
-    * row-count queries never touch the data). */
-  final case class TxFile(path: String, rows: Long)
+    * dir, plus its row count and optional per-column min/max — all
+    * commit-time metadata, so `history`, row-count queries, and
+    * [[readPruned]] file skipping never touch the data (Delta's
+    * stats-in-log). Commits written before stats existed parse with
+    * an empty map (json4s applies the default). */
+  final case class TxFile(path: String, rows: Long,
+      stats: Map[String, ColStats] = Map.empty)
 
   /** The resolved state of the table at `version`: live files, the
     * schema (Spark StructType JSON), and the latest batchId committed
@@ -148,7 +160,14 @@ object TxLog {
   }
 
   private def filesJson(files: Seq[TxFile]): JValue =
-    files.map(a => ("path" -> a.path) ~ ("rows" -> a.rows))
+    files.map { a =>
+      val base = ("path" -> a.path) ~ ("rows" -> a.rows)
+      if (a.stats.isEmpty) base
+      else base ~ ("stats" -> JObject(a.stats.toList.sortBy(_._1).map {
+        case (c, st) => JField(c,
+          ("dtype" -> st.dtype) ~ ("min" -> st.min) ~ ("max" -> st.max))
+      }))
+    }
 
   private def renderCommit(v: Long, op: String, added: Seq[TxFile],
       removed: Seq[String], schemaJson: Option[String],
@@ -166,18 +185,16 @@ object TxLog {
   /** Mutable replay state (driver-side; file-count sized). */
   private final class State {
     var schemaJson: String = ""
-    val files = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val files = scala.collection.mutable.LinkedHashMap[String, TxFile]()
     val txns = scala.collection.mutable.Map[String, Long]()
     def toSnapshot(v: Long): TxSnapshot =
-      TxSnapshot(v, schemaJson,
-        files.toSeq.sortBy(_._1).map { case (p, r) => TxFile(p, r) },
-        txns.toMap)
+      TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path), txns.toMap)
   }
 
   private def applyCommit(st: State, j: JValue): Unit = {
     (j \ "schemaJson").extractOpt[String].foreach(st.schemaJson = _)
     (j \ "remove").extract[Seq[String]].foreach(st.files.remove)
-    (j \ "add").extract[Seq[TxFile]].foreach(a => st.files(a.path) = a.rows)
+    (j \ "add").extract[Seq[TxFile]].foreach(a => st.files(a.path) = a)
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
       b <- (j \ "txn" \ "batchId").extractOpt[Long]
@@ -201,7 +218,7 @@ object TxLog {
     cp.foreach { v =>
       val j = JsonMethods.parse(readText(f, checkpointFile(dir, v)))
       st.schemaJson = (j \ "schemaJson").extract[String]
-      (j \ "files").extract[Seq[TxFile]].foreach(a => st.files(a.path) = a.rows)
+      (j \ "files").extract[Seq[TxFile]].foreach(a => st.files(a.path) = a)
       (j \ "txns").extract[Map[String, Long]].foreach { case (k, b) =>
         st.txns(k) = b
       }
@@ -235,30 +252,46 @@ object TxLog {
   }
 
   /** Write `df`'s data into the dataset dir as immutable uniquely-named
-    * parquet files WITHOUT touching the log: stage, stat rows per file
-    * (one scan of just the new files), move into place. The files are
-    * invisible until a commit references them. */
+    * parquet files WITHOUT touching the log: stage, stat rows (and
+    * `statsCols` min/max — the [[readPruned]] skipping metadata) per
+    * file in one scan of just the new files, move into place. The
+    * files are invisible until a commit references them. */
   private[graft] def stageData(spark: SparkSession, dir: String,
-      df: DataFrame): (Seq[TxFile], String) = {
+      df: DataFrame, statsCols: Seq[String] = Nil): (Seq[TxFile], String) = {
     val stageDir = new Path(dir, s"_graft_stage_${UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
     val f = fs(spark, stageDir)
     val parts = f.listStatus(stageDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
-    val rowsByName: Map[String, Long] =
+    val dtypes = df.schema.fields
+      .map(fl => fl.name -> fl.dataType.catalogString).toMap
+    statsCols.foreach(c => require(dtypes.contains(c),
+      s"TxLog: no column '$c' to stat in commit of $dir"))
+    val byName: Map[String, (Long, Map[String, ColStats])] =
       if (parts.isEmpty) Map.empty
       else spark.read.parquet(stageDir.toString)
-        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"),
+          statsCols.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"_min_$c"),
+            max(col(c)).cast("string").as(s"_max_$c"))): _*)
         .collect()
-        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+        .map { r =>
+          val stats = statsCols.map(c => c -> ColStats(dtypes(c),
+            Option(r.getAs[String](s"_min_$c")),
+            Option(r.getAs[String](s"_max_$c")))).toMap
+          r.getString(0).split('/').last -> (r.getLong(1), stats)
+        }.toMap
     val uuid = UUID.randomUUID().toString.take(8)
     val added = parts.zipWithIndex.map { case (st, i) =>
       val name = f"$uuid-p$i%05d.parquet"
       if (!f.rename(st.getPath, new Path(dir, name)))
         throw new IllegalStateException(
           s"TxLog: staging move failed for ${st.getPath}")
-      TxFile(name, rowsByName.getOrElse(st.getPath.getName, 0L))
+      val (rows, stats) =
+        byName.getOrElse(st.getPath.getName, (0L, Map.empty[String, ColStats]))
+      TxFile(name, rows, stats)
     }.toSeq
     f.delete(stageDir, true)
     (added, df.schema.json)
@@ -334,10 +367,12 @@ object TxLog {
   }
 
   /** Transactionally replace the table contents with `df`. Creates the
-    * table (version 0) if no log exists. May change the schema. */
+    * table (version 0) if no log exists. May change the schema.
+    * `statsCols` records per-file min/max in the commit for
+    * [[readPruned]] file skipping. */
   def commitOverwrite(spark: SparkSession, dir: String,
-      df: DataFrame): Long = {
-    val (added, schemaJson) = stageData(spark, dir, df)
+      df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    val (added, schemaJson) = stageData(spark, dir, df, statsCols)
     commitStaged(spark, dir, "overwrite", added, Nil, removeAll = true,
       schemaJson, None)
   }
@@ -346,14 +381,15 @@ object TxLog {
     * `txn = Some((appId, batchId))` makes the append idempotent: a
     * batchId already recorded for appId is skipped (replay-safe). */
   def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      statsCols: Seq[String] = Nil): Long = {
     if (txn.isDefined && isLogged(spark, dir)) {
       // fast path: skip staging entirely for an already-seen batch
       val snap = snapshot(spark, dir)
       for ((app, b) <- txn)
         if (snap.txns.get(app).exists(_ >= b)) return snap.version
     }
-    val (added, schemaJson) = stageData(spark, dir, df)
+    val (added, schemaJson) = stageData(spark, dir, df, statsCols)
     commitStaged(spark, dir, "append", added, Nil, removeAll = false,
       schemaJson, txn)
   }
@@ -363,10 +399,11 @@ object TxLog {
     * rewrite. Concurrent appends commute (their files survive the
     * rebase); a concurrent commit that removed one of the same files
     * raises ConcurrentModificationException. */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int): Long = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int,
+      statsCols: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, dir)
     val df = readSnapshot(spark, dir, snap).repartition(targetFiles)
-    val (added, schemaJson) = stageData(spark, dir, df)
+    val (added, schemaJson) = stageData(spark, dir, df, statsCols)
     commitStaged(spark, dir, "compact", added, snap.files.map(_.path),
       removeAll = false, schemaJson, None)
   }
@@ -388,6 +425,41 @@ object TxLog {
   def read(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame =
     readSnapshot(spark, dir, snapshot(spark, dir, asOf))
+
+  /** Stats-in-log data skipping: the snapshot restricted to files
+    * whose recorded [min, max] for `colName` can intersect [lo, hi] —
+    * answered from commit METADATA alone, no footer reads (the Delta
+    * `stats` recipe; [[StatsManifest]] is the rename-managed
+    * equivalent). Conservative: a file without stats for the column
+    * (older commit, different writer) is always kept, and when NO
+    * live file has them this is exactly [[read]]. The predicate is
+    * NOT applied — callers filter as usual, and parquet row-group
+    * pushdown still applies inside kept files. At 10⁶ files this
+    * turns a selective scan's planning input from the dataset into
+    * the intersecting sliver, resolved in one driver pass over the
+    * snapshot list. */
+  def readPruned(spark: SparkSession, dir: String, colName: String,
+      lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, asOf)
+    val dtype = snap.files.flatMap(_.stats.get(colName)).headOption
+      .map(_.dtype)
+    val kept = dtype match {
+      case None => snap.files
+      case Some(dt) =>
+        // canonicalize probe bounds through the SAME cast the stats
+        // took (a one-row local job — constant-folded, no scan)
+        val bounds = spark.range(1)
+          .select(lit(lo).cast(dt).cast("string"),
+            lit(hi).cast(dt).cast("string")).head()
+        val (loS, hiS) = (bounds.getString(0), bounds.getString(1))
+        require(loS != null && hiS != null,
+          s"TxLog: bounds ($lo, $hi) do not cast to $dt")
+        snap.files.filter(f => f.stats.get(colName).forall(st =>
+          StatsManifest.intersects(st.dtype, st.min.orNull, st.max.orNull,
+            loS, hiS)))
+    }
+    readSnapshot(spark, dir, snap.copy(files = kept))
+  }
 
   /** The commit history as a relation: one row per version with the
     * op, file/row deltas, and any txn marker — answered purely from
@@ -467,12 +539,13 @@ object TxLog {
     * (foreachBatch is at-least-once) is skipped by the log instead of
     * duplicating rows. */
   def exactlyOnceSink(stream: DataFrame, dir: String, appId: String,
-      checkpointDir: String)
+      checkpointDir: String, statsCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitAppend(batch.sparkSession, dir, batch, Some((appId, batchId)))
+        commitAppend(batch.sparkSession, dir, batch, Some((appId, batchId)),
+          statsCols)
         ()
       }.start()
 }

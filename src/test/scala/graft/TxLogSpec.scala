@@ -257,15 +257,73 @@ class TxLogSpec extends SparkSpec {
     assert(p.read(DataZone.Bronze, "pts").count() == 3)
   }
 
-  test("manifest skipping refuses TxLog-backed datasets (stale-file hazard)") {
+  test("directory manifests refuse TxLog-backed datasets (stale-file hazard)") {
     val root = tmp("medman").toString
     val p = new MedallionPipeline(spark, root, useTxLog = true)
     p.write(DataZone.Bronze, "pts", df(1, 2), LoadType.Full)
     intercept[IllegalArgumentException] {
       p.writeManifest(DataZone.Bronze, "pts", Seq("id"))
     }
-    intercept[IllegalArgumentException] {
-      p.readPruned(DataZone.Bronze, "pts", "id", 1, 2)
-    }
+  }
+
+  test("stats-in-log: readPruned skips files whose range can't match") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txstats").toString
+    // three disjoint-range files via range partitioning
+    val data = (1L to 300L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartitionByRange(3, col("id"))
+    TxLog.commitOverwrite(spark, dir, data, statsCols = Seq("id"))
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.files.size == 3)
+    assert(snap.files.forall(_.stats.contains("id")))
+    val full = TxLog.read(spark, dir)
+    val pruned = TxLog.readPruned(spark, dir, "id", 1, 5)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      "a 5-id probe must not plan over all three range files")
+    // pruning shrinks the FILE LIST, never the matching rows
+    assert(pruned.filter(col("id").between(1, 5)).count() == 5)
+    // an unknown column prunes nothing (conservative)
+    assert(TxLog.readPruned(spark, dir, "name", "a", "b")
+      .inputFiles.length == full.inputFiles.length)
+  }
+
+  test("stats-in-log survives checkpoints and mixes with stat-less commits") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txstatsmix").toString
+    val lowHalf = (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")
+    TxLog.commitOverwrite(spark, dir, lowHalf, statsCols = Seq("id"))
+    // a writer that records no stats: its files are always kept
+    TxLog.commitAppend(spark, dir,
+      (1000L to 1100L).map(i => (i, s"n$i")).toDF("id", "name"))
+    // force a checkpoint so stats must round-trip through it
+    (1 to 9).foreach(i => TxLog.commitAppend(spark, dir,
+      df(5000L + i), statsCols = Seq("id")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir, TxLog.LogDir, f"${10L}%020d.checkpoint.json")))
+    val pruned = TxLog.readPruned(spark, dir, "id", 1, 50)
+    val full = TxLog.read(spark, dir)
+    // low-half file kept, stat-less files kept (conservative), the
+    // nine out-of-range singleton commits skipped
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.filter(col("id") <= 50).count() == 50)
+    assert(full.count() == 100 + 101 + 9)
+  }
+
+  test("medallion readPruned prunes from the log under txStatsCols") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("medstat").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true,
+      txStatsCols = Seq("id"))
+    p.write(DataZone.Bronze, "pts",
+      (1L to 300L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartitionByRange(3, col("id")),
+      LoadType.Full)
+    val pruned = p.readPruned(DataZone.Bronze, "pts", "id", 1, 5)
+    assert(pruned.inputFiles.length <
+      p.read(DataZone.Bronze, "pts").inputFiles.length)
+    assert(pruned.filter(col("id").between(1, 5)).count() == 5)
   }
 }
