@@ -461,6 +461,59 @@ object TxLog {
     readSnapshot(spark, dir, snap.copy(files = kept))
   }
 
+  /** Incremental consumption: the rows ADDED by commits in
+    * `(sinceVersion, untilVersion]` — the Delta-streaming-source /
+    * CDC-read shape that lets downstream work (re-embed, re-dedup,
+    * re-score) process only what arrived instead of the table. A
+    * consumer remembers the version it read through ([[snapshot]]
+    * `.version`) and passes it back as `sinceVersion`; `-1` reads
+    * from the table's creation.
+    *
+    * Append commits contribute their added files; compactions
+    * contribute NOTHING (their additions are rewrites of removed
+    * rows, not new data); an overwrite inside the span throws — its
+    * retractions are not expressible as additions (same contract as
+    * Delta's streaming source without ignoreChanges) — except the
+    * table-creating commit when reading from `-1`, which is the
+    * initial load. Cost: log metadata + a scan of ONLY the delta
+    * files. */
+  def changesSince(spark: SparkSession, dir: String, sinceVersion: Long,
+      untilVersion: Option[Long] = None): DataFrame = {
+    val (commits, _) = listLog(spark, dir)
+    require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
+    val head = commits.max
+    val until = untilVersion.getOrElse(head)
+    require(until <= head, s"TxLog: until $until beyond head $head")
+    require(sinceVersion <= until,
+      s"TxLog: since $sinceVersion beyond until $until")
+    val span = (sinceVersion + 1) to until
+    val present = commits.toSet
+    val missing = span.filterNot(present)
+    require(missing.isEmpty,
+      s"TxLog: commits ${missing.take(3).mkString(",")}… truncated; " +
+        "incremental read from this version is no longer possible")
+    val f = fs(spark, logPath(dir))
+    val added = span.flatMap { v =>
+      val j = JsonMethods.parse(readText(f, versionFile(dir, v)))
+      (j \ "op").extract[String] match {
+        case "append" => (j \ "add").extract[Seq[TxFile]]
+        case "compact" => Nil // rewrites, not new rows
+        case "overwrite" if v == 0 && sinceVersion < 0 =>
+          (j \ "add").extract[Seq[TxFile]] // initial load
+        case op => throw new IllegalArgumentException(
+          s"TxLog: commit $v is '$op' — the span's delta is not " +
+            "expressible as additions; re-read the full snapshot")
+      }
+    }
+    val schema = DataType.fromJson(snapshot(spark, dir, Some(until))
+      .schemaJson).asInstanceOf[StructType]
+    if (added.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else
+      spark.read.schema(schema)
+        .parquet(added.map(a => s"$dir/${a.path}"): _*)
+  }
+
   /** The commit history as a relation: one row per version with the
     * op, file/row deltas, and any txn marker — answered purely from
     * log metadata (no data scan). */

@@ -311,6 +311,30 @@ class TxLogSpec extends SparkSpec {
     assert(full.count() == 100 + 101 + 9)
   }
 
+  test("changesSince reads only the delta; compaction adds no rows; overwrite refuses") {
+    val dir = tmp("txdelta").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))          // v0 create
+    TxLog.commitAppend(spark, dir, df(3))                // v1
+    TxLog.commitAppend(spark, dir, df(4))                // v2
+    TxLog.compact(spark, dir, targetFiles = 1)           // v3
+    TxLog.commitAppend(spark, dir, df(5))                // v4
+    assert(idSet(TxLog.changesSince(spark, dir, -1)) ==
+      Set(1L, 2L, 3L, 4L, 5L), "from -1 = initial load + every append")
+    assert(idSet(TxLog.changesSince(spark, dir, 0)) == Set(3L, 4L, 5L),
+      "compaction must contribute no rows — its additions are rewrites")
+    assert(idSet(TxLog.changesSince(spark, dir, 2)) == Set(5L))
+    assert(TxLog.changesSince(spark, dir, 4).isEmpty)
+    // the consumer loop: read through head, remember version, resume
+    val v = TxLog.snapshot(spark, dir).version
+    TxLog.commitAppend(spark, dir, df(6))
+    assert(idSet(TxLog.changesSince(spark, dir, v)) == Set(6L))
+    // a mid-span overwrite's retractions are not expressible as adds
+    TxLog.commitOverwrite(spark, dir, df(9))
+    intercept[IllegalArgumentException] {
+      TxLog.changesSince(spark, dir, v)
+    }
+  }
+
   test("medallion readPruned prunes from the log under txStatsCols") {
     val s = spark
     import s.implicits._
