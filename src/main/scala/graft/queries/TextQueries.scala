@@ -78,6 +78,32 @@ object TextQueries {
   def lmScore(s: SparkSession, dir: String): DataFrame =
     LmScore.bigramScore(docs(s, dir), "doc_id", "text")
 
+  /** curation_ppl_buckets (round-10) — the CCNet recipe (Wenzek et
+    * al. 2020, arXiv:1911.00359): per-LANGUAGE perplexity terciles of
+    * the corpus under the cheap LM, head/middle kept, tail flagged —
+    * the classic "keep the fluent two-thirds" web-corpus curation
+    * step. Higher avg_logp = lower perplexity = more fluent, so head
+    * is the top tercile of [[lmScore]]'s per-doc average. The ntile
+    * window is KEYED by language (the same q38 contract: per-key
+    * sort, no global order) with a (avg_logp DESC, doc_id) total
+    * order on the 6-dp-rounded score, so both engines assign
+    * identical tiles. Sub-2-token docs (no bigrams) are excluded —
+    * they have no perplexity to rank. */
+  def curationPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col("doc_id").asc)
+    lmScore(s, dir).filter(col("n_bigrams") > 0)
+      .join(docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("lang")), "doc_id")
+      .withColumn("tile", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        when(col("tile") <= 2, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Vocabulary size for the OOV report. */
   val VocabV = 500
 
@@ -175,6 +201,7 @@ object TextQueries {
     "search_index" -> searchIndex,
     "search_tfidf" -> searchTfidf,
     "lm_score" -> lmScore,
+    "curation_ppl_buckets" -> curationPplBuckets,
     "vocab_oov" -> vocabOov,
     "text_top_terms" -> textTopTerms,
     "text_stats" -> textStats,
@@ -378,6 +405,37 @@ object TextQueries {
           AS pred
       FROM fin"""
 
+  /** Shared DuckDB CTE chain replaying the bigram LM up to the per-doc
+    * (doc_id, n_tokens, n_bigrams, avg_logp) relation `lm` — composed
+    * by lm_score and curation_ppl_buckets exactly like the NB replay
+    * CTEs are by text_quality_nb / nb_calibration. */
+  private val LmReplayCtes: String = """
+      d AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      uni AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
+      voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+      cb AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM bg GROUP BY 1, 2),
+      scored AS (
+        SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          SUM(ln(CAST(cb.cb + 1 AS DOUBLE)
+            / CAST(uni.c1 + voc.v AS DOUBLE))) AS logp
+        FROM bg JOIN cb USING (w1, w2)
+        JOIN uni ON uni.t = bg.w1 CROSS JOIN voc
+        GROUP BY 1),
+      lm AS (
+        SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
+          CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          round(s.logp / s.n_bigrams, 6) AS avg_logp
+        FROM d LEFT JOIN scored s USING (doc_id))"""
+
   val oracleSql: Map[String, String] = Map(
     "text_script_profile" -> """
       WITH counted AS (
@@ -517,31 +575,22 @@ object TextQueries {
             AS BIGINT) AS rank
         FROM final)
       SELECT doc_id, score, rank FROM ranked WHERE rank <= $Bm25K""",
-    "lm_score" -> """
-      WITH d AS (
-        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        FROM documents),
-      uni AS (
-        SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
-        FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
-      voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
-      bg AS (
-        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-        FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
-      cb AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
-        FROM bg GROUP BY 1, 2),
-      scored AS (
-        SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-          SUM(ln(CAST(cb.cb + 1 AS DOUBLE)
-            / CAST(uni.c1 + voc.v AS DOUBLE))) AS logp
-        FROM bg JOIN cb USING (w1, w2)
-        JOIN uni ON uni.t = bg.w1 CROSS JOIN voc
-        GROUP BY 1)
-      SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
-        CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        round(s.logp / s.n_bigrams, 6) AS avg_logp
-      FROM d LEFT JOIN scored s USING (doc_id)""",
+    "lm_score" -> s"""
+      WITH $LmReplayCtes
+      SELECT doc_id, n_tokens, n_bigrams, avg_logp FROM lm""",
+    "curation_ppl_buckets" -> s"""
+      WITH $LmReplayCtes,
+      ranked AS (
+        SELECT lm.doc_id, docs.lang, lm.avg_logp,
+          CAST(ntile(3) OVER (PARTITION BY docs.lang
+            ORDER BY lm.avg_logp DESC, lm.doc_id ASC) AS BIGINT) AS tile
+        FROM lm JOIN documents docs USING (doc_id)
+        WHERE lm.n_bigrams > 0)
+      SELECT doc_id, lang, avg_logp,
+        CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+          ELSE 'tail' END AS bucket,
+        CAST(CASE WHEN tile <= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM ranked""",
     "search_bm25" -> s"""
       WITH d AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w

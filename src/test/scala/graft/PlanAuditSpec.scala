@@ -297,6 +297,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("curation_ppl_buckets: tercile window is keyed by language, never global") {
+    // the CCNet bucketing sorts PER LANGUAGE — a global ntile would be
+    // a single-partition sort at corpus scale (q38's contract)
+    val qe = SparkEntry.queries("curation_ppl_buckets")(spark, sf)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // (the LM's one-row vocabulary reduction legitimately uses a
+    // SinglePartition exchange — only the WINDOW must be keyed)
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      qe.sparkPlan)
+  }
+
   test("q36/q37/q38: grouping-sets expands once; unpivot stays narrow; ntile windows keyed") {
     val p36 = plan("q36_grouping_sets")
     assert(count(p36, "Expand") == 1, p36)

@@ -125,6 +125,7 @@ ROWS = [
      "api"),
     (144, "dq_join_estimate", "hash"), (145, "dq_benford", "hash"),
     (146, "TxLogSpec | sources/TxLog.scala", "api"),
+    (147, "curation_ppl_buckets", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
