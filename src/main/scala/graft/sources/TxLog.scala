@@ -315,7 +315,8 @@ object TxLog {
   private[graft] def commitStaged(spark: SparkSession, dir: String,
       op: String, added: Seq[TxFile], remove: Seq[String],
       removeAll: Boolean, schemaJson: String,
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)],
+      mergeSchema: Boolean = false): Long = {
     val f = fs(spark, logPath(dir))
     var attempt = 0
     while (true) {
@@ -326,11 +327,34 @@ object TxLog {
           deleteStaged(spark, dir, added) // replayed batch: no-op
           return bs.version
         }
+      // an append must fit the table schema; with mergeSchema it may
+      // WIDEN it (new columns append; shared names must keep their
+      // type — Delta's mergeSchema contract), recomputed against the
+      // fresh head on every rebase attempt
+      var evolvedSchema: Option[String] = None
       if (op == "append") base.foreach { bs =>
         if (schemaKey(bs.schemaJson) != schemaKey(schemaJson)) {
-          deleteStaged(spark, dir, added)
-          throw new IllegalArgumentException(
-            s"TxLog: append schema does not match table schema at $dir")
+          if (!mergeSchema) {
+            deleteStaged(spark, dir, added)
+            throw new IllegalArgumentException(
+              s"TxLog: append schema does not match table schema at $dir" +
+                " (pass mergeSchema = true to widen)")
+          }
+          val baseT = DataType.fromJson(bs.schemaJson)
+            .asInstanceOf[StructType]
+          val newT = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          val baseM = baseT.fields.map(fl => fl.name -> fl.dataType).toMap
+          val conflicts = newT.fields.filter(fl =>
+            baseM.get(fl.name).exists(_ != fl.dataType))
+          if (conflicts.nonEmpty) {
+            deleteStaged(spark, dir, added)
+            throw new IllegalArgumentException(
+              s"TxLog: mergeSchema cannot change column types: " +
+                conflicts.map(_.name).mkString(", "))
+          }
+          val widened = StructType(baseT.fields ++
+            newT.fields.filterNot(fl => baseM.contains(fl.name)))
+          evolvedSchema = Some(widened.json)
         }
       }
       val removeNow =
@@ -347,9 +371,10 @@ object TxLog {
         }
       }
       val v = base.map(_.version + 1).getOrElse(0L)
-      // schema is recorded when it (re)defines the table; appends inherit
+      // schema is recorded when it (re)defines the table; appends
+      // inherit, except a widening merge which records the new union
       val schemaOut =
-        if (removeAll || base.isEmpty) Some(schemaJson) else None
+        if (removeAll || base.isEmpty) Some(schemaJson) else evolvedSchema
       if (tryWrite(f, versionFile(dir, v),
           renderCommit(v, op, added, removeNow, schemaOut, txn))) {
         if (v > 0 && v % CheckpointInterval == 0)
@@ -377,12 +402,16 @@ object TxLog {
       schemaJson, None)
   }
 
-  /** Transactionally append `df`. Schema must match the table's.
-    * `txn = Some((appId, batchId))` makes the append idempotent: a
-    * batchId already recorded for appId is skipped (replay-safe). */
+  /** Transactionally append `df`. Schema must match the table's —
+    * or, with `mergeSchema = true`, may WIDEN it: new columns join
+    * the table schema (older files read them as null), shared names
+    * must keep their type (Delta's mergeSchema contract). `txn =
+    * Some((appId, batchId))` makes the append idempotent: a batchId
+    * already recorded for appId is skipped (replay-safe). */
   def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
       txn: Option[(String, Long)] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Long = {
     if (txn.isDefined && isLogged(spark, dir)) {
       // fast path: skip staging entirely for an already-seen batch
       val snap = snapshot(spark, dir)
@@ -391,7 +420,7 @@ object TxLog {
     }
     val (added, schemaJson) = stageData(spark, dir, df, statsCols)
     commitStaged(spark, dir, "append", added, Nil, removeAll = false,
-      schemaJson, txn)
+      schemaJson, txn, mergeSchema)
   }
 
   /** Rewrite the current live files into `targetFiles` files (small-file

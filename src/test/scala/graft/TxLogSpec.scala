@@ -311,6 +311,40 @@ class TxLogSpec extends SparkSpec {
     assert(full.count() == 100 + 101 + 9)
   }
 
+  test("mergeSchema widens on append: new column joins, old rows read null") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txevolve").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))
+    // widened append: extra `score` column
+    TxLog.commitAppend(spark, dir,
+      Seq((3L, "name_3", 0.9)).toDF("id", "name", "score"),
+      mergeSchema = true)
+    val out = TxLog.read(spark, dir)
+    assert(out.columns.toSeq == Seq("id", "name", "score"))
+    val byId = out.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty, "pre-evolution rows read null")
+    assert(byId(3L).contains(0.9))
+    // a narrower-schema append still fits the widened table? no —
+    // schema is the union now; without mergeSchema it must match
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, dir, df(4))
+    }
+    // but merges in fine (its missing column reads null)
+    TxLog.commitAppend(spark, dir, df(4), mergeSchema = true)
+    assert(TxLog.read(spark, dir).count() == 4)
+    // type conflicts refuse even under mergeSchema
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, dir,
+        Seq((5L, 42L, 1.0)).toDF("id", "name", "score"),
+        mergeSchema = true)
+    }
+    // time travel still shows the pre-evolution schema
+    assert(TxLog.read(spark, dir, Some(0)).columns.toSeq ==
+      Seq("id", "name"))
+  }
+
   test("changesSince reads only the delta; compaction adds no rows; overwrite refuses") {
     val dir = tmp("txdelta").toString
     TxLog.commitOverwrite(spark, dir, df(1, 2))          // v0 create
