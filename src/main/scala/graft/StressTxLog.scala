@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxLog
+
+/** TxLog scale-stress (round-10, PLANS.md): measures the three claims
+  * the log's 100 TB story rests on, against the sf0.1 lineitem
+  * (~600k rows) — big enough that table-sized vs batch-sized work is
+  * visibly different in wall-clock.
+  *
+  *  1. COMMIT COST IS BATCH-SIZED: appending 1k rows to the 600k-row
+  *     logged table must cost what staging 1k rows costs — the log
+  *     write itself is one tiny JSON file regardless of table size.
+  *  2. STATS-IN-LOG SKIPPING WORKS: with the table range-laid on the
+  *     stats column, a narrow readPruned must plan over a small
+  *     fraction of the files and return EXACTLY the rows the full
+  *     scan's filter returns.
+  *  3. DELTA READS ARE DELTA-SIZED: changesSince after the append
+  *     must read only the appended files.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=... runMain graft.StressTxLog
+  */
+object StressTxLog {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress-txlog] $what%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("txstress").toString
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+    // 32 range-laid files so per-file l_orderkey ranges are disjoint
+    timed(s"commitOverwrite ${li.count()} rows, 32 range files") {
+      TxLog.commitOverwrite(spark, dir,
+        li.repartitionByRange(32, col("l_orderkey")),
+        statsCols = Seq("l_orderkey"))
+    }
+
+    // claim 1: batch-sized commit
+    val batch = li.limit(1000).withColumn("l_orderkey",
+      col("l_orderkey") + 100000000L) // out-of-range keys: new files only
+    timed("commitAppend 1k rows to 600k table") {
+      TxLog.commitAppend(spark, dir, batch, statsCols = Seq("l_orderkey"))
+    }
+
+    // claim 2: narrow probe plans over a file sliver, rows exact
+    val snap = TxLog.snapshot(spark, dir)
+    val (lo, hi) = (1000L, 2000L)
+    val pruned = TxLog.readPruned(spark, dir, "l_orderkey", lo, hi)
+    val nFilesPruned = pruned.inputFiles.length
+    val prunedRows = timed("readPruned narrow range count") {
+      pruned.filter(col("l_orderkey").between(lo, hi)).count()
+    }
+    val fullRows = timed("full-scan filter count") {
+      TxLog.read(spark, dir).filter(col("l_orderkey").between(lo, hi))
+        .count()
+    }
+    println(s"[stress-txlog] files planned: $nFilesPruned of " +
+      s"${snap.files.size}; rows pruned=$prunedRows full=$fullRows")
+    require(prunedRows == fullRows, "pruning changed the answer")
+    require(nFilesPruned * 4 <= snap.files.size,
+      s"expected <=25% of files for a narrow probe, got $nFilesPruned")
+
+    // claim 3: the delta read scans only the appended files
+    val delta = TxLog.changesSince(spark, dir, sinceVersion = 0)
+    println(s"[stress-txlog] delta rows=${delta.count()} files=" +
+      s"${delta.inputFiles.length}")
+    require(delta.count() == 1000, "delta must be exactly the batch")
+
+    spark.stop()
+  }
+}
