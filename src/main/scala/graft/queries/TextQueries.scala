@@ -78,6 +78,28 @@ object TextQueries {
   def lmScore(s: SparkSession, dir: String): DataFrame =
     LmScore.bigramScore(docs(s, dir), "doc_id", "text")
 
+  /** text_fertility (round-10) — per-language tokenizer fertility:
+    * characters per subword token under the fixed vocabulary — the
+    * multilingual tokenizer-health metric (a language whose fertility
+    * collapses toward 1 is being segmented to near-characters: it is
+    * underserved by the vocabulary and will eat the token budget;
+    * XLM-R/mT5 report exactly this number when sizing multilingual
+    * vocabularies). Exact integer sums per language (chars, subword
+    * tokens from the codegen'd trie walk); fertility is one division
+    * from the exact parts. One narrow scan + one language-sized
+    * aggregation. */
+  def textFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("lang"), length(col("text")).cast("long").as("_chars"))
+      .join(textBpeTokens(s, dir), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_chars")).as("total_chars"),
+        sum(col("n_tokens_vocab")).as("total_tokens_vocab"))
+      .withColumn("fertility",
+        round(col("total_chars").cast("double") /
+          col("total_tokens_vocab").cast("double"), 6))
+
   /** curation_ppl_buckets (round-10) — the CCNet recipe (Wenzek et
     * al. 2020, arXiv:1911.00359): per-LANGUAGE perplexity terciles of
     * the corpus under the cheap LM, head/middle kept, tail flagged —
@@ -202,6 +224,7 @@ object TextQueries {
     "search_tfidf" -> searchTfidf,
     "lm_score" -> lmScore,
     "curation_ppl_buckets" -> curationPplBuckets,
+    "text_fertility" -> textFertility,
     "vocab_oov" -> vocabOov,
     "text_top_terms" -> textTopTerms,
     "text_stats" -> textStats,
@@ -405,6 +428,29 @@ object TextQueries {
           AS pred
       FROM fin"""
 
+  /** Shared DuckDB recursive-CTE chain replaying the greedy
+    * longest-match subword segmentation up to the per-doc `cnt`
+    * relation (doc_id, n_tokens_vocab) — composed by text_bpe_tokens
+    * and text_fertility. */
+  private lazy val BpeReplayCtes: String = s"""words AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      vocab AS (SELECT unnest([${BpeVocab.map(v => s"'$v'").mkString(", ")}]) AS v),
+      seg AS (
+        SELECT doc_id, w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+        FROM words
+        UNION ALL
+        SELECT doc_id, w,
+          pos + COALESCE((SELECT MAX(len(v)) FROM vocab
+            WHERE substr(w, CAST(pos + 1 AS INT), len(v)) = v), 1),
+          n + 1
+        FROM seg WHERE pos < len(w)),
+      cnt AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN pos >= len(w) THEN n ELSE 0 END) AS BIGINT)
+            AS n_tokens_vocab
+        FROM seg GROUP BY 1)"""
+
   /** Shared DuckDB CTE chain replaying the bigram LM up to the per-doc
     * (doc_id, n_tokens, n_bigrams, avg_logp) relation `lm` — composed
     * by lm_score and curation_ppl_buckets exactly like the NB replay
@@ -492,29 +538,21 @@ object TextQueries {
     // LONGEST vocab entry matching at its position (else 1 char — the
     // unknown-token fallback), one recursion step per emitted token
     "text_bpe_tokens" -> s"""
-      WITH RECURSIVE words AS (
-        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
-        FROM documents),
-      vocab AS (SELECT unnest([${BpeVocab.map(v => s"'$v'").mkString(", ")}]) AS v),
-      seg AS (
-        SELECT doc_id, w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
-        FROM words
-        UNION ALL
-        SELECT doc_id, w,
-          pos + COALESCE((SELECT MAX(len(v)) FROM vocab
-            WHERE substr(w, CAST(pos + 1 AS INT), len(v)) = v), 1),
-          n + 1
-        FROM seg WHERE pos < len(w)),
-      cnt AS (
-        SELECT doc_id,
-          CAST(SUM(CASE WHEN pos >= len(w) THEN n ELSE 0 END) AS BIGINT)
-            AS n_tokens_vocab
-        FROM seg GROUP BY 1)
+      WITH RECURSIVE $BpeReplayCtes
       SELECT d.doc_id,
         CAST(len(string_split(lower(trim(d.text)), ' ')) AS BIGINT)
           AS n_tokens_ws,
         cnt.n_tokens_vocab
       FROM documents d JOIN cnt USING (doc_id)""",
+    "text_fertility" -> s"""
+      WITH RECURSIVE $BpeReplayCtes
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(d.text)) AS BIGINT) AS total_chars,
+        CAST(SUM(cnt.n_tokens_vocab) AS BIGINT) AS total_tokens_vocab,
+        round(CAST(SUM(len(d.text)) AS DOUBLE)
+          / CAST(SUM(cnt.n_tokens_vocab) AS DOUBLE), 6) AS fertility
+      FROM documents d JOIN cnt USING (doc_id)
+      GROUP BY 1""",
     "vocab_oov" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))

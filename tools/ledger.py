@@ -126,6 +126,7 @@ ROWS = [
     (144, "dq_join_estimate", "hash"), (145, "dq_benford", "hash"),
     (146, "TxLogSpec | sources/TxLog.scala", "api"),
     (147, "curation_ppl_buckets", "hash"),
+    (148, "text_fertility", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
