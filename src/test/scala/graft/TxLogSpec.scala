@@ -311,6 +311,50 @@ class TxLogSpec extends SparkSpec {
     assert(full.count() == 100 + 101 + 9)
   }
 
+  test("model check: 40 random ops replay to exactly the modeled table state") {
+    // seeded random op sequence applied both to TxLog and to a trivial
+    // in-memory model; the log must agree with the model at the head
+    // after every op AND at every historical version at the end — the
+    // strongest single invariant: replay IS the table.
+    val rnd = new scala.util.Random(42)
+    val dir = tmp("txmodel").toString
+    var model = Set.empty[Long]            // current rows (by id)
+    val history = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    var nextId = 0L
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = (0 until n).map(_ + nextId)
+      nextId += n
+      ids
+    }
+    (1 to 40).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 => // overwrite with 1-3 fresh rows
+          val ids = freshIds(1 + rnd.nextInt(3))
+          TxLog.commitOverwrite(spark, dir, df(ids: _*))
+          model = ids.toSet
+        case 1 | 2 => // append 1-3 fresh rows (appends dominate ingest)
+          val ids = freshIds(1 + rnd.nextInt(3))
+          TxLog.commitAppend(spark, dir, df(ids: _*))
+          model = model ++ ids
+        case 3 if TxLog.isLogged(spark, dir) => // compact: rows unchanged
+          TxLog.compact(spark, dir, targetFiles = 1)
+        case _ => // compact before the table exists: create it instead
+          val ids = freshIds(1)
+          TxLog.commitOverwrite(spark, dir, df(ids: _*))
+          model = ids.toSet
+      }
+      history += model
+      assert(idSet(TxLog.read(spark, dir)) == model)
+    }
+    // every historical version still replays to its recorded state
+    // (checkpoints at v9/v19/v29/v39 must not corrupt the replay)
+    history.zipWithIndex.foreach { case (want, v) =>
+      assert(idSet(TxLog.read(spark, dir, Some(v.toLong))) == want,
+        s"version $v diverged from the model")
+    }
+    assert(TxLog.history(spark, dir).count() == 40)
+  }
+
   test("mergeSchema widens on append: new column joins, old rows read null") {
     val s = spark
     import s.implicits._
