@@ -88,17 +88,21 @@ object TextQueries {
     * tokens from the codegen'd trie walk); fertility is one division
     * from the exact parts. One narrow scan + one language-sized
     * aggregation. */
-  def textFertility(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
-        col("lang"), length(col("text")).cast("long").as("_chars"))
-      .join(textBpeTokens(s, dir), "doc_id")
+  def textFertility(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // chars + trie-walk token count in ONE scan projection — no join,
+    // no second documents scan; the aggregation is language-sized
+    docs(s, dir).select(col("lang"),
+        length(col("text")).cast("long").as("_chars"),
+        TextOps.vocabTokens(col("text"), BpeVocab).as("_toks"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_chars")).as("total_chars"),
-        sum(col("n_tokens_vocab")).as("total_tokens_vocab"))
+        sum(col("_toks")).as("total_tokens_vocab"))
       .withColumn("fertility",
         round(col("total_chars").cast("double") /
           col("total_tokens_vocab").cast("double"), 6))
+  }
 
   /** curation_ppl_buckets (round-10) — the CCNet recipe (Wenzek et
     * al. 2020, arXiv:1911.00359): per-LANGUAGE perplexity terciles of
