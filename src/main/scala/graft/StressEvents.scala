@@ -47,11 +47,14 @@ object StressEvents {
     val base = Tables(spark, sfDir, "events")
     val nBase = base.count()
 
-    // 10 shifted copies: user spaces disjoint, event ids disjoint
+    // 10 shifted copies: user spaces disjoint, event ids disjoint.
+    // ts normalized through Tables.tsCol so the union with the
+    // timestamp-built planted rows is encoding-agnostic (a nanos-long
+    // base would otherwise fail analysis against TimestampType)
     val copies = (0 until 10).map { i =>
       base.select(
         (col("event_id") + lit(i * 10000000L)).as("event_id"),
-        col("ts"),
+        Tables.tsCol(base).as("ts"),
         (col("user_id") + lit(i * 1000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)

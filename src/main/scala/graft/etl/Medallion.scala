@@ -295,8 +295,28 @@ class MedallionPipeline(spark: SparkSession, root: String,
       loadType: LoadType.Value, key: Seq[String] = Seq("id"),
       txn: Option[(String, Long)] = None): Unit = {
     val target = path(zone, dataset)
+    // union+window upsert shared by both storage modes: existing rows
+    // lose to incoming on the same key
+    def upsert(): DataFrame = {
+      val existing = read(zone, dataset).withColumn("_prec", lit(1))
+      val incoming = df.withColumn("_prec", lit(0))
+      val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec"))
+      existing.unionByName(incoming)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_prec", "_rn")
+    }
     if (useTxLog) {
       def sc(d: DataFrame) = txStatsCols.filter(d.columns.contains)
+      // MIGRATION: a dataset written before useTxLog was enabled is
+      // plain parquet — register its files as log version 0 IN PLACE
+      // before the first logged commit. Without this, an Append/
+      // Incremental would claim v0 with only the batch's files: logged
+      // reads would drop every pre-existing row and vacuum would
+      // delete the historical files as non-live.
+      if (!TxLog.isLogged(spark, target) &&
+          Files.exists(Paths.get(target)))
+        TxLog.convertInPlace(spark, target,
+          txStatsCols.filter(spark.read.parquet(target).columns.contains))
       loadType match {
         case LoadType.Full =>
           TxLog.commitOverwrite(spark, target, df, sc(df))
@@ -305,12 +325,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
         case LoadType.Merge if !exists(zone, dataset) =>
           TxLog.commitOverwrite(spark, target, df, sc(df))
         case LoadType.Merge =>
-          val existing = read(zone, dataset).withColumn("_prec", lit(1))
-          val incoming = df.withColumn("_prec", lit(0))
-          val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec"))
-          val merged = existing.unionByName(incoming)
-            .withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1).drop("_prec", "_rn")
+          val merged = upsert()
           TxLog.commitOverwrite(spark, target, merged, sc(merged))
         case LoadType.Incremental if !exists(zone, dataset) =>
           TxLog.commitOverwrite(spark, target, df, sc(df))
@@ -334,13 +349,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
       case LoadType.Merge if !exists(zone, dataset) =>
         df.write.mode(SaveMode.Overwrite).parquet(target)
       case LoadType.Merge =>
-        val existing = read(zone, dataset).withColumn("_prec", lit(1))
-        val incoming = df.withColumn("_prec", lit(0))
-        val w = Window.partitionBy(key.map(col): _*).orderBy(col("_prec"))
-        val merged = existing.unionByName(incoming)
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_prec", "_rn")
-        replace(target, merged)
+        replace(target, upsert())
       case LoadType.Incremental if !exists(zone, dataset) =>
         df.write.mode(SaveMode.Overwrite).parquet(target)
       case LoadType.Incremental =>

@@ -174,6 +174,21 @@ object StatsManifest {
     !(cmp(maxS, lo) < 0 || cmp(minS, hi) > 0)
   }
 
+  /** Canonicalize probe bounds through the SAME cast the stats took
+    * (a one-row local job — constant-folded, no scan). Shared by both
+    * pruning paths (this manifest and [[TxLog.readPruned]]) so bound
+    * handling can never diverge between them. */
+  private[sources] def canonicalBounds(spark: SparkSession, dtype: String,
+      lo: Any, hi: Any): (String, String) = {
+    val bounds = spark.range(1)
+      .select(lit(lo).cast(dtype).cast("string"),
+        lit(hi).cast(dtype).cast("string")).head()
+    val (loS, hiS) = (bounds.getString(0), bounds.getString(1))
+    require(loS != null && hiS != null,
+      s"stats pruning: bounds ($lo, $hi) do not cast to $dtype")
+    (loS, hiS)
+  }
+
   /** The file list a `colName BETWEEN lo AND hi` scan needs: manifest
     * files whose range intersects, plus (conservatively) every data
     * file the manifest doesn't cover. Returns (kept, total). */
@@ -188,14 +203,7 @@ object StatsManifest {
       .collect()
     if (entries.isEmpty) return (all, all.size)
     val dtype = entries.head.getString(1)
-    // canonicalize the probe bounds through the SAME cast the stats
-    // took (a one-row local job — constant-folded, no scan)
-    val bounds = spark.range(1)
-      .select(lit(lo).cast(dtype).cast("string"),
-        lit(hi).cast(dtype).cast("string")).head()
-    val (loS, hiS) = (bounds.getString(0), bounds.getString(1))
-    require(loS != null && hiS != null,
-      s"StatsManifest: bounds ($lo, $hi) do not cast to $dtype")
+    val (loS, hiS) = canonicalBounds(spark, dtype, lo, hi)
     val known = entries.map(r => r.getString(0) ->
       intersects(dtype, r.getString(2), r.getString(3), loS, hiS)).toMap
     (all.filter(f => known.getOrElse(f, true)), all.size)

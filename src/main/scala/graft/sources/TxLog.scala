@@ -258,16 +258,30 @@ object TxLog {
     * files are invisible until a commit references them. */
   private[graft] def stageData(spark: SparkSession, dir: String,
       df: DataFrame, statsCols: Seq[String] = Nil): (Seq[TxFile], String) = {
-    val stageDir = new Path(dir, s"_graft_stage_${UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
-    val f = fs(spark, stageDir)
-    val parts = f.listStatus(stageDir)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
+    // validate BEFORE the expensive distributed write: a statsCols
+    // typo must not cost a full staged copy of the batch
     val dtypes = df.schema.fields
       .map(fl => fl.name -> fl.dataType.catalogString).toMap
     statsCols.foreach(c => require(dtypes.contains(c),
       s"TxLog: no column '$c' to stat in commit of $dir"))
+    val stageDir = new Path(dir, s"_graft_stage_${UUID.randomUUID()}")
+    val f = fs(spark, stageDir)
+    try stageBody(spark, dir, df, statsCols, stageDir, f, dtypes)
+    catch { case e: Throwable =>
+      // a failed stage (write error, stats scan error, rename race)
+      // must not leak the staged copy: vacuum never touches `_` dirs
+      f.delete(stageDir, true)
+      throw e
+    }
+  }
+
+  private def stageBody(spark: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String], stageDir: Path, f: FileSystem,
+      dtypes: Map[String, String]): (Seq[TxFile], String) = {
+    df.write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
+    val parts = f.listStatus(stageDir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
     val byName: Map[String, (Long, Map[String, ColStats])] =
       if (parts.isEmpty) Map.empty
       else spark.read.parquet(stageDir.toString)
@@ -391,6 +405,58 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Register a pre-existing PLAIN-parquet dataset's files in a new
+    * log IN PLACE (Delta's CONVERT TO DELTA): list the data files,
+    * stat rows (and `statsCols` min/max) in one scan, commit them as
+    * version 0 — no data is rewritten, and from then on logged
+    * commits/vacuum treat the historical files as live table state.
+    * The missing-migration failure mode this prevents: claiming v0
+    * with only a new batch's files would make logged reads drop the
+    * pre-existing rows and vacuum DELETE them as non-live. No-op
+    * (returns current head) if the dir is already logged; requires
+    * the dir to contain data files. */
+  def convertInPlace(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Nil): Long = {
+    if (isLogged(spark, dir)) return snapshot(spark, dir).version
+    val df = spark.read.parquet(dir)
+    val root = new Path(dir)
+    val f = fs(spark, root)
+    val dataFiles = f.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.getName).sorted
+    require(dataFiles.nonEmpty, s"TxLog: nothing to convert under $dir")
+    val dtypes = df.schema.fields
+      .map(fl => fl.name -> fl.dataType.catalogString).toMap
+    statsCols.foreach(c => require(dtypes.contains(c),
+      s"TxLog: no column '$c' to stat in convert of $dir"))
+    val byName = df.groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"_min_$c"),
+          max(col(c)).cast("string").as(s"_max_$c"))): _*)
+      .collect()
+      .map { r =>
+        val stats = statsCols.map(c => c -> ColStats(dtypes(c),
+          Option(r.getAs[String](s"_min_$c")),
+          Option(r.getAs[String](s"_max_$c")))).toMap
+        r.getString(0).split('/').last -> (r.getLong(1), stats)
+      }.toMap
+    val added = dataFiles.map { n =>
+      val (rows, stats) = byName.getOrElse(n, (0L, Map.empty[String, ColStats]))
+      TxFile(n, rows, stats)
+    }.toSeq
+    // claim version 0 directly (NOT via commitStaged: its contention
+    // cleanup deletes `added`, which here are the REAL data files). A
+    // lost claim means another writer logged the dir first — theirs is
+    // the table now.
+    val lf = fs(spark, logPath(dir))
+    if (tryWrite(lf, versionFile(dir, 0L),
+        renderCommit(0L, "overwrite", added, Nil, Some(df.schema.json), None)))
+      0L
+    else snapshot(spark, dir).version
+  }
+
   /** Transactionally replace the table contents with `df`. Creates the
     * table (version 0) if no log exists. May change the schema.
     * `statsCols` records per-file min/max in the commit for
@@ -475,14 +541,7 @@ object TxLog {
     val kept = dtype match {
       case None => snap.files
       case Some(dt) =>
-        // canonicalize probe bounds through the SAME cast the stats
-        // took (a one-row local job — constant-folded, no scan)
-        val bounds = spark.range(1)
-          .select(lit(lo).cast(dt).cast("string"),
-            lit(hi).cast(dt).cast("string")).head()
-        val (loS, hiS) = (bounds.getString(0), bounds.getString(1))
-        require(loS != null && hiS != null,
-          s"TxLog: bounds ($lo, $hi) do not cast to $dt")
+        val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
         snap.files.filter(f => f.stats.get(colName).forall(st =>
           StatsManifest.intersects(st.dtype, st.min.orNull, st.max.orNull,
             loS, hiS)))

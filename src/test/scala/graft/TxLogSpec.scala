@@ -311,6 +311,47 @@ class TxLogSpec extends SparkSpec {
     assert(full.count() == 100 + 101 + 9)
   }
 
+  test("pre-txlog plain datasets migrate in place: append keeps history, vacuum keeps files") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("medmigrate").toString
+    // week 1: a pipeline WITHOUT the flag writes plain parquet
+    val plain = new MedallionPipeline(spark, root)
+    plain.write(DataZone.Bronze, "pts", df(1, 2, 3), LoadType.Full)
+    // week 2: the flag is enabled and the first logged write is an
+    // APPEND — the historical rows must be registered, not dropped
+    val p = new MedallionPipeline(spark, root, useTxLog = true,
+      txStatsCols = Seq("id"))
+    p.write(DataZone.Bronze, "pts", df(4), LoadType.Append)
+    assert(idSet(p.read(DataZone.Bronze, "pts")) == Set(1L, 2L, 3L, 4L),
+      "migration must register pre-existing rows in the log")
+    // v0 is the conversion (whole history addressable), v1 the append
+    assert(idSet(p.readAsOf(DataZone.Bronze, "pts", 0)) == Set(1L, 2L, 3L))
+    // vacuum must treat the converted files as live
+    val deleted = TxLog.vacuum(spark, p.path(DataZone.Bronze, "pts"))
+    assert(deleted == 0, "converted historical files are live, not garbage")
+    assert(idSet(p.read(DataZone.Bronze, "pts")) == Set(1L, 2L, 3L, 4L))
+    // incremental after migration: only unseen keys append
+    p.write(DataZone.Bronze, "pts", df(3, 5), LoadType.Incremental)
+    assert(idSet(p.read(DataZone.Bronze, "pts")) == Set(1L, 2L, 3L, 4L, 5L))
+    // the conversion recorded stats: a point probe prunes to a sliver
+    val pruned = p.readPruned(DataZone.Bronze, "pts", "id", 1, 1)
+    assert(pruned.inputFiles.length <=
+      p.read(DataZone.Bronze, "pts").inputFiles.length)
+  }
+
+  test("a failed stage cleans up after itself: bad statsCols leaves no staged copy") {
+    val dir = tmp("txstagefail").toString
+    TxLog.commitOverwrite(spark, dir, df(1))
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, dir, df(2), statsCols = Seq("no_such_col"))
+    }
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_graft_stage_"))
+    assert(leftovers.isEmpty, "no orphaned staging dir after a failed commit")
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L))
+  }
+
   test("model check: 40 random ops replay to exactly the modeled table state") {
     // seeded random op sequence applied both to TxLog and to a trivial
     // in-memory model; the log must agree with the model at the head
