@@ -413,8 +413,11 @@ object TxLog {
     * The missing-migration failure mode this prevents: claiming v0
     * with only a new batch's files would make logged reads drop the
     * pre-existing rows and vacuum DELETE them as non-live. No-op
-    * (returns current head) if the dir is already logged; requires
-    * the dir to contain data files. */
+    * (returns current head) if the dir is already logged. FLAT
+    * layouts only: a directory-partitioned plain dataset (nested
+    * part files) refuses loudly ("nothing to convert") rather than
+    * registering a partial file set — repartition it flat, or
+    * overwrite through the log, to migrate. */
   def convertInPlace(spark: SparkSession, dir: String,
       statsCols: Seq[String] = Nil): Long = {
     if (isLogged(spark, dir)) return snapshot(spark, dir).version

@@ -47,6 +47,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # thrown queries have no output dir; without this check a broken
+    # entry reads as a shorter-but-green run (the round-9 lesson)
+    failed_marker = Path(out_dir) / "_failed.json"
+    if failed_marker.exists():
+        failed = json.loads(failed_marker.read_text())
+        for name, err in failed.items():
+            print(f"FAIL {name}: query THREW in Verify: {err}")
+        if failed:
+            print(f"\n{len(failed)} queries threw — gate FAILED")
+            return 1
     n_ok = n_bad = 0
     only_rows = []
     for d in sorted(Path(out_dir).iterdir()):
