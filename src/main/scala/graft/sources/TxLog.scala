@@ -330,7 +330,13 @@ object TxLog {
       op: String, added: Seq[TxFile], remove: Seq[String],
       removeAll: Boolean, schemaJson: String,
       txn: Option[(String, Long)],
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      ownsAdded: Boolean = true): Long = {
+    // `ownsAdded = false`: the added files are PRE-EXISTING table data
+    // ([[restore]] re-registers an old snapshot's files) — abort paths
+    // must never delete them
+    def abortCleanup(): Unit =
+      if (ownsAdded) deleteStaged(spark, dir, added)
     val f = fs(spark, logPath(dir))
     var attempt = 0
     while (true) {
@@ -338,7 +344,7 @@ object TxLog {
         if (isLogged(spark, dir)) Some(snapshot(spark, dir)) else None
       for ((app, b) <- txn; bs <- base)
         if (bs.txns.get(app).exists(_ >= b)) {
-          deleteStaged(spark, dir, added) // replayed batch: no-op
+          abortCleanup() // replayed batch: no-op
           return bs.version
         }
       // an append must fit the table schema; with mergeSchema it may
@@ -349,7 +355,7 @@ object TxLog {
       if (op == "append") base.foreach { bs =>
         if (schemaKey(bs.schemaJson) != schemaKey(schemaJson)) {
           if (!mergeSchema) {
-            deleteStaged(spark, dir, added)
+            abortCleanup()
             throw new IllegalArgumentException(
               s"TxLog: append schema does not match table schema at $dir" +
                 " (pass mergeSchema = true to widen)")
@@ -361,7 +367,7 @@ object TxLog {
           val conflicts = newT.fields.filter(fl =>
             baseM.get(fl.name).exists(_ != fl.dataType))
           if (conflicts.nonEmpty) {
-            deleteStaged(spark, dir, added)
+            abortCleanup()
             throw new IllegalArgumentException(
               s"TxLog: mergeSchema cannot change column types: " +
                 conflicts.map(_.name).mkString(", "))
@@ -378,7 +384,7 @@ object TxLog {
         val live = base.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
         val gone = remove.filterNot(live)
         if (gone.nonEmpty) {
-          deleteStaged(spark, dir, added)
+          abortCleanup()
           throw new java.util.ConcurrentModificationException(
             s"TxLog: files removed by a concurrent commit: " +
               gone.take(3).mkString(", "))
@@ -397,7 +403,7 @@ object TxLog {
       }
       attempt += 1 // lost the slot: rebase on the new head and retry
       if (attempt >= MaxAttempts) {
-        deleteStaged(spark, dir, added)
+        abortCleanup()
         throw new java.io.IOException(
           s"TxLog: gave up after $MaxAttempts contended commit attempts")
       }
@@ -603,6 +609,24 @@ object TxLog {
     else
       spark.read.schema(schema)
         .parquet(added.map(a => s"$dir/${a.path}"): _*)
+  }
+
+  /** Restore the table to the state of `version` as a NEW commit
+    * (Delta's RESTORE): re-register that snapshot's files as the
+    * current state — no data is copied, history is preserved (the
+    * restore is itself an overwrite commit; the undone versions stay
+    * addressable). Fails loudly if any of the target version's files
+    * were already vacuumed — like Delta, restore cannot reach past
+    * [[vacuum]]'s retention. */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val snap = snapshot(spark, dir, Some(version))
+    val f = fs(spark, new Path(dir))
+    val gone = snap.files.filterNot(a => f.exists(new Path(dir, a.path)))
+    require(gone.isEmpty,
+      s"TxLog: cannot restore to $version — ${gone.size} of its files " +
+        s"were vacuumed (first: ${gone.take(2).map(_.path).mkString(", ")})")
+    commitStaged(spark, dir, "overwrite", snap.files, Nil,
+      removeAll = true, snap.schemaJson, None, ownsAdded = false)
   }
 
   /** The commit history as a relation: one row per version with the

@@ -311,6 +311,27 @@ class TxLogSpec extends SparkSpec {
     assert(full.count() == 100 + 101 + 9)
   }
 
+  test("restore rewinds to a prior version as a new commit; refuses past vacuum") {
+    val dir = tmp("txrestore").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))   // v0
+    TxLog.commitAppend(spark, dir, df(3))         // v1
+    TxLog.commitOverwrite(spark, dir, df(9))      // v2: the bad write
+    val v3 = TxLog.restore(spark, dir, 1)
+    assert(v3 == 3L, "restore is a NEW commit, not a log rewrite")
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L, 3L))
+    // the undone version stays addressable (history preserved)
+    assert(idSet(TxLog.read(spark, dir, Some(2))) == Set(9L))
+    // restored files are LIVE at head: vacuum must not reap them
+    TxLog.vacuum(spark, dir)
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L, 3L))
+    // but v2's file (9) was non-live at head → reaped → restore to it
+    // now refuses loudly instead of committing a broken snapshot
+    intercept[IllegalArgumentException] {
+      TxLog.restore(spark, dir, 2)
+    }
+    assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L, 3L))
+  }
+
   test("pre-txlog plain datasets migrate in place: append keeps history, vacuum keeps files") {
     val s = spark
     import s.implicits._
