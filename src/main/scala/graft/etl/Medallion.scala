@@ -254,6 +254,39 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.history(spark, path(zone, dataset))
   }
 
+  private def requireLogged(zone: DataZone.Value, dataset: String,
+      what: String): String = {
+    require(logged(zone, dataset), s"$what needs a TxLog-backed dataset")
+    path(zone, dataset)
+  }
+
+  /** Undo to a prior version (TxLog mode only) — a NEW commit, no data
+    * copy, history preserved; refuses past [[vacuumTable]]'s retention. */
+  def restore(zone: DataZone.Value, dataset: String, version: Long): Long =
+    TxLog.restore(spark, requireLogged(zone, dataset, "restore"), version)
+
+  /** Rows appended after `sinceVersion` (TxLog mode only) — the
+    * delta-sized incremental read for downstream re-processing. */
+  def changesSince(zone: DataZone.Value, dataset: String,
+      sinceVersion: Long): DataFrame =
+    TxLog.changesSince(spark,
+      requireLogged(zone, dataset, "changesSince"), sinceVersion)
+
+  /** Reap data files no retained version references (TxLog mode only).
+    * Returns files deleted. Time travel / restore older than the
+    * retained span dies with the files. */
+  def vacuumTable(zone: DataZone.Value, dataset: String,
+      retainVersions: Int = 0, minAgeMs: Long = 0L): Int =
+    TxLog.vacuum(spark, requireLogged(zone, dataset, "vacuumTable"),
+      retainVersions, minAgeMs)
+
+  /** Drop commit files below the latest eligible checkpoint (TxLog
+    * mode only). Returns log files removed. */
+  def truncateHistory(zone: DataZone.Value, dataset: String,
+      retainVersions: Int = 0): Int =
+    TxLog.truncateLog(spark,
+      requireLogged(zone, dataset, "truncateHistory"), retainVersions)
+
   /** Record a per-file min/max stats manifest for a zone dataset —
     * [[graft.sources.StatsManifest.write]] (round-9): call after any
     * write/compact, typically on the columns the data was range-laid

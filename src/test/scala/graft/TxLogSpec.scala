@@ -475,6 +475,29 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("medallion maintenance surface: restore/changesSince/vacuum/truncate") {
+    val root = tmp("medmaint").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    p.write(DataZone.Bronze, "pts", df(1, 2), LoadType.Full)       // v0
+    p.write(DataZone.Bronze, "pts", df(3), LoadType.Append)        // v1
+    assert(idSet(p.changesSince(DataZone.Bronze, "pts", 0)) == Set(3L))
+    p.write(DataZone.Bronze, "pts", df(9), LoadType.Full)          // v2 bad
+    // a span crossing the overwrite correctly refuses delta form
+    intercept[IllegalArgumentException] {
+      p.changesSince(DataZone.Bronze, "pts", 0).count()
+    }
+    p.restore(DataZone.Bronze, "pts", 1)                           // v3
+    assert(idSet(p.read(DataZone.Bronze, "pts")) == Set(1L, 2L, 3L))
+    assert(p.vacuumTable(DataZone.Bronze, "pts") > 0) // reaps v2's file
+    assert(idSet(p.read(DataZone.Bronze, "pts")) == Set(1L, 2L, 3L))
+    // maintenance refuses non-logged datasets
+    val plain = new MedallionPipeline(spark, tmp("medmaint2").toString)
+    plain.write(DataZone.Bronze, "pts", df(1), LoadType.Full)
+    intercept[IllegalArgumentException] {
+      plain.vacuumTable(DataZone.Bronze, "pts")
+    }
+  }
+
   test("medallion readPruned prunes from the log under txStatsCols") {
     val s = spark
     import s.implicits._
