@@ -360,7 +360,29 @@ object AnalyticsQueries {
       .withColumn("quartile", ntile(4).over(w).cast("long"))
   }
 
+  /** q39_dist_rank (round-10) — the relative-standing pair that
+    * completes the window-distribution surface beside rank (#6),
+    * percentile (#18) and ntile (#142): per market segment, each
+    * customer's percent_rank (position among peers, 0..1) and
+    * cume_dist (fraction of peers at-or-below) of account balance —
+    * the "what percentile is this account in" primitive of cohort
+    * reporting. The ORDER BY is the same deterministic (cents,
+    * custkey) total order as q38, so ranks have no tie groups and
+    * both engines emit identical 6-dp fractions. One keyed window,
+    * no global order. */
+  def q39DistRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        Core.cents(col("c_acctbal")).as("bal_cents"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cum_dist", round(cume_dist().over(w), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_dist_rank" -> q39DistRank,
     "q36_grouping_sets" -> q36GroupingSets,
     "q37_unpivot" -> q37Unpivot,
     "q38_ntile" -> q38Ntile,
@@ -410,6 +432,16 @@ object AnalyticsQueries {
         CAST(ntile(4) OVER (PARTITION BY c_mktsegment
           ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
             c_custkey ASC) AS BIGINT) AS quartile
+      FROM customer""",
+    "q39_dist_rank" -> """
+      SELECT c_custkey, c_mktsegment,
+        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        round(percent_rank() OVER (PARTITION BY c_mktsegment
+          ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
+            c_custkey ASC), 6) AS pct_rank,
+        round(cume_dist() OVER (PARTITION BY c_mktsegment
+          ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
+            c_custkey ASC), 6) AS cum_dist
       FROM customer""",
     "q35_rolling" -> """
       WITH hourly AS (

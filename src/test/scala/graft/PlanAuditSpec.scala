@@ -320,14 +320,18 @@ class PlanAuditSpec extends SparkSpec {
     val p37 = plan("q37_unpivot")
     assert(count(p37, "Exchange hashpartitioning") == 0, p37)
     assert(count(p37, "FileScan parquet") == 1, p37)
-    val qe38 = SparkEntry.queries("q38_ntile")(spark, sf).queryExecution
-    assert(count(qe38.executedPlan.toString,
-      "Exchange hashpartitioning") == 1, qe38.executedPlan)
-    val windows = qe38.sparkPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    // q38 ntile and q39 percent_rank/cume_dist share the contract:
+    // one keyed window, one hash exchange, never a global sort
+    Seq("q38_ntile", "q39_dist_rank").foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      assert(count(qe.executedPlan.toString,
+        "Exchange hashpartitioning") == 1, s"$name: ${qe.executedPlan}")
+      val windows = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"$name: ${qe.sparkPlan}")
     }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
-      qe38.sparkPlan)
   }
 
   test("q24 pivot declares its values — no hidden distinct job at plan time") {

@@ -127,6 +127,7 @@ ROWS = [
     (146, "TxLogSpec | sources/TxLog.scala", "api"),
     (147, "curation_ppl_buckets", "hash"),
     (148, "text_fertility", "hash"),
+    (149, "q39_dist_rank", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
