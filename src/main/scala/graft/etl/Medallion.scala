@@ -287,6 +287,46 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.truncateLog(spark,
       requireLogged(zone, dataset, "truncateHistory"), retainVersions)
 
+  private def watermarkFile(jobId: String, zone: DataZone.Value,
+      dataset: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      s"$root/_graft_wm/${zone.toString.toLowerCase}_${dataset}_$jobId")
+
+  /** EXACTLY-ONCE incremental zone promotion (TxLog mode only) — the
+    * bronze→silver micro-batch pattern without a streaming runtime:
+    * transform ONLY the rows the source zone gained since this job's
+    * last run ([[TxLog.changesSince]]), gate + append them to the
+    * target zone, and advance a persisted per-(job, target) version
+    * watermark. Delivery is exactly-once even across crashes: the
+    * append commits with txn marker `(jobId, sourceHeadVersion)`, so
+    * a rerun after a crash BETWEEN the write and the watermark
+    * advance replays the same delta and the log skips it. A source
+    * overwrite inside the span surfaces as the changesSince refusal —
+    * re-seed with a full [[runJob]] and delete the watermark.
+    * Returns a no-op completed JobResult when the source has no new
+    * commits. */
+  def runIncrementalJob(
+      jobId: String, dataset: String,
+      sourceZone: DataZone.Value, targetZone: DataZone.Value,
+      transforms: Seq[DataFrame => DataFrame] = Seq.empty,
+      rules: Seq[Rule] = Seq.empty,
+      key: Seq[String] = Seq("id")): JobResult = {
+    val srcDir = requireLogged(sourceZone, dataset, "runIncrementalJob")
+    val head = TxLog.snapshot(spark, srcDir).version
+    val wm = watermarkFile(jobId, targetZone, dataset)
+    val last =
+      if (Files.exists(wm)) Files.readString(wm).trim.toLong else -1L
+    if (head <= last)
+      return JobResult(jobId, "completed", 0L, 0L, 0L, None)
+    val delta = TxLog.changesSince(spark, srcDir, last, Some(head))
+    val result = gateAndWrite(jobId, dataset, delta, targetZone,
+      LoadType.Append, transforms, rules, key,
+      enableQuarantine = true, txn = Some((jobId, head)))
+    Files.createDirectories(wm.getParent)
+    Files.writeString(wm, head.toString)
+    result
+  }
+
   /** Record a per-file min/max stats manifest for a zone dataset —
     * [[graft.sources.StatsManifest.write]] (round-9): call after any
     * write/compact, typically on the columns the data was range-laid
