@@ -287,24 +287,27 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.truncateLog(spark,
       requireLogged(zone, dataset, "truncateHistory"), retainVersions)
 
-  private def watermarkFile(jobId: String, zone: DataZone.Value,
-      dataset: String): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      s"$root/_graft_wm/${zone.toString.toLowerCase}_${dataset}_$jobId")
-
   /** EXACTLY-ONCE incremental zone promotion (TxLog mode only) — the
     * bronze→silver micro-batch pattern without a streaming runtime:
     * transform ONLY the rows the source zone gained since this job's
-    * last run ([[TxLog.changesSince]]), gate + append them to the
-    * target zone, and advance a persisted per-(job, target) version
-    * watermark. Delivery is exactly-once even across crashes: the
-    * append commits with txn marker `(jobId, sourceHeadVersion)`, so
-    * a rerun after a crash BETWEEN the write and the watermark
-    * advance replays the same delta and the log skips it. A source
-    * overwrite inside the span surfaces as the changesSince refusal —
-    * re-seed with a full [[runJob]] and delete the watermark.
-    * Returns a no-op completed JobResult when the source has no new
-    * commits. */
+    * last run ([[TxLog.changesSince]]), then gate + append them to the
+    * target zone with txn marker `(jobId, sourceHeadVersion)`.
+    *
+    * The watermark IS that txn marker: the last-applied source version
+    * is recovered from the TARGET zone's own log
+    * (`TxLog.snapshot(target).txns(jobId)`), the durable fact the
+    * append commit already records — there is no driver-local side
+    * state to lose. A crash anywhere leaves the log either without the
+    * commit (rerun replays the same span) or with it (rerun sees the
+    * marker and promotes nothing), even when the SOURCE gains new
+    * commits between the crash and the rerun — the rerun's delta then
+    * starts at the marker's version, never before it. Per-run
+    * quarantine is keyed `<jobId>_v<head>` (the [[ingestStream]]
+    * per-batch convention), so a later run never overwrites an earlier
+    * run's quarantined rows. A source overwrite inside the span
+    * surfaces as the changesSince refusal — re-seed with a full
+    * [[runJob]]. Returns a no-op completed JobResult when the source
+    * has no new commits. */
   def runIncrementalJob(
       jobId: String, dataset: String,
       sourceZone: DataZone.Value, targetZone: DataZone.Value,
@@ -313,18 +316,17 @@ class MedallionPipeline(spark: SparkSession, root: String,
       key: Seq[String] = Seq("id")): JobResult = {
     val srcDir = requireLogged(sourceZone, dataset, "runIncrementalJob")
     val head = TxLog.snapshot(spark, srcDir).version
-    val wm = watermarkFile(jobId, targetZone, dataset)
+    val tgtDir = path(targetZone, dataset)
     val last =
-      if (Files.exists(wm)) Files.readString(wm).trim.toLong else -1L
+      if (TxLog.isLogged(spark, tgtDir))
+        TxLog.snapshot(spark, tgtDir).txns.getOrElse(jobId, -1L)
+      else -1L
     if (head <= last)
       return JobResult(jobId, "completed", 0L, 0L, 0L, None)
     val delta = TxLog.changesSince(spark, srcDir, last, Some(head))
-    val result = gateAndWrite(jobId, dataset, delta, targetZone,
+    gateAndWrite(s"${jobId}_v$head", dataset, delta, targetZone,
       LoadType.Append, transforms, rules, key,
       enableQuarantine = true, txn = Some((jobId, head)))
-    Files.createDirectories(wm.getParent)
-    Files.writeString(wm, head.toString)
-    result
   }
 
   /** Record a per-file min/max stats manifest for a zone dataset —

@@ -435,6 +435,17 @@ object TxLog {
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }.map(_.getPath.getName).sorted
     require(dataFiles.nonEmpty, s"TxLog: nothing to convert under $dir")
+    // a partitioned (or mixed) layout nests data under key=value dirs;
+    // registering only the top-level files would make logged reads
+    // silently drop every nested row — refuse instead of half-convert
+    val nested = f.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(nested.isEmpty,
+      s"TxLog: $dir has subdirectories (${nested.take(2)
+        .map(_.getPath.getName).mkString(", ")}…) — partitioned " +
+        "layouts cannot be converted in place; rewrite flat first")
     val dtypes = df.schema.fields
       .map(fl => fl.name -> fl.dataType.catalogString).toMap
     statsCols.foreach(c => require(dtypes.contains(c),
@@ -601,6 +612,20 @@ object TxLog {
           s"TxLog: commit $v is '$op' — the span's delta is not " +
             "expressible as additions; re-read the full snapshot")
       }
+    }
+    // an appended file later compacted away AND vacuumed is gone from
+    // disk even though its commit survives — refuse with the same
+    // clear contract as log truncation instead of a scan-time
+    // path-not-found (one driver listing, not one RPC per file)
+    if (added.nonEmpty) {
+      val live = fs(spark, new Path(dir)).listStatus(new Path(dir))
+        .filter(_.isFile).map(_.getPath.getName).toSet
+      val gone = added.filterNot(a => live.contains(a.path))
+      require(gone.isEmpty,
+        s"TxLog: ${gone.size} delta file(s) in ($sinceVersion, $until] " +
+          s"were vacuumed (first: ${gone.take(2).map(_.path)
+            .mkString(", ")}); incremental read from this version is " +
+          "no longer possible; re-read the full snapshot")
     }
     val schema = DataType.fromJson(snapshot(spark, dir, Some(until))
       .schemaJson).asInstanceOf[StructType]

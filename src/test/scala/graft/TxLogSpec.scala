@@ -115,6 +115,32 @@ class TxLogSpec extends SparkSpec {
     assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("convertInPlace refuses partitioned/mixed layouts outright") {
+    val dir = tmp("txconvmixed").toString
+    df(1, 2).write.mode("overwrite").parquet(dir)
+    df(3).write.parquet(s"$dir/part=extra") // nested rows beside flat files
+    val e = intercept[IllegalArgumentException] {
+      TxLog.convertInPlace(spark, dir)
+    }
+    assert(e.getMessage.contains("subdirectories"),
+      "mixed layout must refuse conversion, not half-register: " +
+        e.getMessage)
+  }
+
+  test("changesSince refuses a span whose delta files were vacuumed") {
+    val dir = tmp("txvacdelta").toString
+    TxLog.commitOverwrite(spark, dir, df(1))        // v0
+    TxLog.commitAppend(spark, dir, df(2))           // v1
+    TxLog.compact(spark, dir, targetFiles = 1)      // v2 rewrites v1's file
+    assert(TxLog.vacuum(spark, dir) > 0)            // reaps it from disk
+    val e = intercept[IllegalArgumentException] {
+      TxLog.changesSince(spark, dir, 0, Some(1)).count()
+    }
+    assert(e.getMessage.contains("no longer possible"),
+      "vacuumed delta must refuse loudly, not fail at scan time: " +
+        e.getMessage)
+  }
+
   test("crash mid-commit: staged-but-uncommitted files are invisible and vacuumable") {
     val dir = tmp("txcrash").toString
     TxLog.commitOverwrite(spark, dir, df(1, 2))
@@ -516,17 +542,44 @@ class TxLogSpec extends SparkSpec {
     val r3 = p.runIncrementalJob("inc", "pts", DataZone.Bronze,
       DataZone.Silver)
     assert(r3.recordsRead == 0 && r3.recordsWritten == 0)
-    // crash between the silver append and the watermark advance:
-    // simulate by deleting the watermark — the rerun replays the
-    // whole span but the (jobId, sourceVersion) txn marker makes the
-    // silver append a no-op instead of a duplication
-    val wmDir = java.nio.file.Paths.get(s"$root/_graft_wm")
-    java.nio.file.Files.list(wmDir).forEach(f =>
-      java.nio.file.Files.delete(f))
-    p.runIncrementalJob("inc", "pts", DataZone.Bronze, DataZone.Silver)
-    assert(p.read(DataZone.Silver, "pts").count() == 3,
+    // the watermark IS the target log's txn marker, so losing every
+    // driver-local artifact (a fresh pipeline on another host) changes
+    // nothing: the rerun promotes zero rows
+    val p2 = new MedallionPipeline(spark, root, useTxLog = true)
+    val r4 = p2.runIncrementalJob("inc", "pts", DataZone.Bronze,
+      DataZone.Silver)
+    assert(r4.recordsRead == 0 && r4.recordsWritten == 0,
+      "a fresh driver must recover the watermark from the target log")
+    assert(idSet(p2.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L))
+    // crash after the silver append, then the SOURCE gains a commit
+    // before the rerun: the rerun's span must start at the marker's
+    // version — the already-applied delta must not ride in again under
+    // the new head (the round-10 duplicate-delivery hole)
+    p2.write(DataZone.Bronze, "pts", df(4), LoadType.Append)
+    val r5 = new MedallionPipeline(spark, root, useTxLog = true)
+      .runIncrementalJob("inc", "pts", DataZone.Bronze, DataZone.Silver)
+    assert(r5.recordsRead == 1 && r5.recordsWritten == 1,
+      "rerun after the source advanced must promote only the new delta")
+    assert(p2.read(DataZone.Silver, "pts").count() == 4,
       "crash replay must not duplicate silver rows")
-    assert(idSet(p.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L))
+    assert(idSet(p2.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("incremental quarantine is keyed per source head (no clobber)") {
+    val root = tmp("medincq").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    val rules = Seq(Rule("R1", "id_nonneg", Dimension.Accuracy, "major",
+      fails = col("id") < 0, failBelow = 1.0, warnBelow = 1.0))
+    p.write(DataZone.Bronze, "pts", df(1, -1), LoadType.Full)   // v0
+    p.runIncrementalJob("inc", "pts", DataZone.Bronze, DataZone.Silver,
+      rules = rules)
+    p.write(DataZone.Bronze, "pts", df(2, -2), LoadType.Append) // v1
+    p.runIncrementalJob("inc", "pts", DataZone.Bronze, DataZone.Silver,
+      rules = rules)
+    assert(idSet(p.read(DataZone.Silver, "pts")) == Set(1L, 2L))
+    // run 1's quarantined row must survive run 2's overwrite-mode write
+    assert(idSet(p.quarantined("inc_v0", "pts")) == Set(-1L))
+    assert(idSet(p.quarantined("inc_v1", "pts")) == Set(-2L))
   }
 
   test("medallion readPruned prunes from the log under txStatsCols") {
