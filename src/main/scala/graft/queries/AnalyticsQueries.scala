@@ -351,13 +351,20 @@ object AnalyticsQueries {
     * cohort/LTV reporting); deterministic total order (exact cents,
     * custkey tie-break) so both engines assign identical tiles. */
   def q38Ntile(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
-    Tables(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"),
-        Core.cents(col("c_acctbal")).as("bal_cents"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    // scale-safe form (round-11): c_mktsegment has 5 values, so an
+    // ntile window keyed by it alone is a 5-reducer table sort at
+    // 100×; Banding derives the identical tile from (row_number, n)
+    // computed via the value-distribution relation
+    val ranked = graft.operators.Banding.withRowNumber(
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          Core.cents(col("c_acctbal")).as("bal_cents")),
+      Seq("c_mktsegment"), "bal_cents", "c_custkey")
+    ranked
+      .withColumn("quartile",
+        graft.operators.Banding.ntileOf(col("_rn"), col("_n"), 4))
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+        col("quartile"))
   }
 
   /** q39_dist_rank (round-10) — the relative-standing pair that
@@ -371,14 +378,24 @@ object AnalyticsQueries {
     * both engines emit identical 6-dp fractions. One keyed window,
     * no global order. */
   def q39DistRank(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
-    Tables(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"),
-        Core.cents(col("c_acctbal")).as("bal_cents"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cum_dist", round(cume_dist().over(w), 6))
+    // scale-safe form (round-11): under the total (bal_cents,
+    // c_custkey) order percent_rank = (rn−1)/(n−1) and cume_dist =
+    // rn/n, so both reduce to Banding's shuffle-lean (rn, n) pair —
+    // no row sort inside the 5 c_mktsegment window partitions
+    val ranked = graft.operators.Banding.withRowNumber(
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          Core.cents(col("c_acctbal")).as("bal_cents")),
+      Seq("c_mktsegment"), "bal_cents", "c_custkey")
+    ranked
+      .withColumn("pct_rank",
+        round(when(col("_n") === 1L, lit(0.0))
+          .otherwise((col("_rn") - 1L).cast("double") /
+            (col("_n") - 1L).cast("double")), 6))
+      .withColumn("cum_dist",
+        round(col("_rn").cast("double") / col("_n").cast("double"), 6))
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+        col("pct_rank"), col("cum_dist"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

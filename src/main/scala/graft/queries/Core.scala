@@ -239,23 +239,37 @@ object Core {
 
   /** q18 — discrete percentiles (median, p95) of order value per
     * priority, via explicit rank selection: position arithmetic on exact
-    * integers, no interpolation, so both engines pick the same row. */
+    * integers, no interpolation, so both engines pick the same row.
+    *
+    * Value-distribution form (round-11, [[graft.operators.Banding]]):
+    * the value at rank ceil(n·f) depends only on
+    * `groupBy(priority, value).count()`, so the cumulative window runs
+    * over the value-cardinality relation — never a row-relation sort
+    * inside the 5 `o_orderpriority` partitions (5 reducers sorting the
+    * whole table at 100×). */
   def q18PercentileDisc(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("price_cents").asc, col("o_orderkey").asc)
-    Tables(s, dir, "orders")
-      .select(col("o_orderpriority"), col("o_orderkey"),
+    val below = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col("o_orderpriority"))
+    val vc = Tables(s, dir, "orders")
+      .select(col("o_orderpriority"),
         cents(col("o_totalprice")).as("price_cents"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy(col("o_orderpriority"))))
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        max(col("n")).as("n_orders"),
-        max(when(col("rn") === ceil(col("n") * 0.5), col("price_cents")))
-          .as("median_cents"),
-        max(when(col("rn") === ceil(col("n") * 0.95), col("price_cents")))
-          .as("p95_cents"))
+      .groupBy(col("o_orderpriority"), col("price_cents"))
+      .agg(count(lit(1)).as("_vc"))
+      .withColumn("_below", coalesce(sum(col("_vc")).over(below), lit(0L)))
+      .withColumn("_n", sum(col("_vc")).over(whole))
+    // the value whose cumulative span [_below+1, _below+_vc] covers the
+    // target rank IS the discrete percentile — one group matches each
+    def at(f: Double) = {
+      val target = ceil(col("_n") * f)
+      max(when(target > col("_below") &&
+        target <= col("_below") + col("_vc"), col("price_cents")))
+    }
+    vc.groupBy(col("o_orderpriority"))
+      .agg(max(col("_n")).as("n_orders"),
+        at(0.5).as("median_cents"),
+        at(0.95).as("p95_cents"))
   }
 
   /** q19 (rows-only) — sketch-based distinct counts: HLL++ per group

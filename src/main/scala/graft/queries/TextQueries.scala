@@ -116,13 +116,17 @@ object TextQueries {
     * identical tiles. Sub-2-token docs (no bigrams) are excluded —
     * they have no perplexity to rank. */
   def curationPplBuckets(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(col("avg_logp").desc, col("doc_id").asc)
-    lmScore(s, dir).filter(col("n_bigrams") > 0)
+    // scale-safe form (round-11): lang has a handful of values, so the
+    // tercile window keyed by it alone is a few-reducer corpus sort at
+    // 100×; Banding computes the identical tile from (row_number, n)
+    // via the score-distribution relation
+    val scored = lmScore(s, dir).filter(col("n_bigrams") > 0)
       .join(docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
         col("lang")), "doc_id")
-      .withColumn("tile", ntile(3).over(w).cast("long"))
+    graft.operators.Banding.withRowNumber(scored, Seq("lang"),
+        "avg_logp", "doc_id", descValue = true)
+      .withColumn("tile",
+        graft.operators.Banding.ntileOf(col("_rn"), col("_n"), 3))
       .select(col("doc_id"), col("lang"), col("avg_logp"),
         when(col("tile") === 1, "head")
           .when(col("tile") === 2, "middle")

@@ -183,6 +183,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("banding family: no row-relation window keyed by the low-card column") {
+    // q18/q38/q39/curation_ppl_buckets band by a ≤5-value key
+    // (priority, segment, lang). A window partitioned by that key
+    // alone over UN-aggregated rows sorts the table in ≤5 reducers at
+    // any scale — the Banding contract is: windows over raw rows must
+    // carry the (key, value) composite; only the value-distribution
+    // relation (below an aggregate) may window on the bare key.
+    Seq("q18_percentile_disc", "q38_ntile", "q39_dist_rank",
+      "curation_ppl_buckets").foreach { q =>
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val windows = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$q:\n${qe.sparkPlan}")
+      val rawWindows = windows.filter(w => w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isEmpty)
+      rawWindows.foreach { w =>
+        assert(w.partitionSpec.size >= 2,
+          s"$q: raw-row window partitions on ${w.partitionSpec} — " +
+            s"single-key sort cliff:\n${qe.sparkPlan}")
+      }
+    }
+  }
+
   test("vocab_oov: top-V selection plans as TakeOrderedAndProject") {
     // the rank-≤-V filter over the term table must collapse to a
     // bounded top-V (per-partition heap + driver merge of V rows), not
@@ -320,12 +345,16 @@ class PlanAuditSpec extends SparkSpec {
     val p37 = plan("q37_unpivot")
     assert(count(p37, "Exchange hashpartitioning") == 0, p37)
     assert(count(p37, "FileScan parquet") == 1, p37)
-    // q38 ntile and q39 percent_rank/cume_dist share the contract:
-    // one keyed window, one hash exchange, never a global sort
+    // q38 ntile and q39 percent_rank/cume_dist share the Banding
+    // contract: the row relation shuffles ONCE on the composite
+    // (segment, value) key; the other ≤2 exchanges carry only the
+    // value-distribution relation, whose boundaries come back
+    // broadcast for a scan-speed band assignment
     Seq("q38_ntile", "q39_dist_rank").foreach { name =>
       val qe = SparkEntry.queries(name)(spark, sf).queryExecution
-      assert(count(qe.executedPlan.toString,
-        "Exchange hashpartitioning") == 1, s"$name: ${qe.executedPlan}")
+      val p = qe.executedPlan.toString
+      assert(count(p, "Exchange hashpartitioning") <= 3, s"$name: $p")
+      assert(p.contains("BroadcastHashJoin"), s"$name: $p")
       val windows = qe.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
