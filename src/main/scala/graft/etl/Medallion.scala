@@ -701,6 +701,48 @@ class MedallionPipeline(spark: SparkSession, root: String,
     }.start()
   }
 
+  /** CONTINUOUS zone promotion (TxLog mode only) — the streaming form
+    * of [[runIncrementalJob]]: the source zone's logged table becomes a
+    * Structured Streaming source ([[graft.sources.TxLogStreamProvider]]
+    * — offsets ARE log versions), and every micro-batch runs the same
+    * gate-and-write core into the target zone. Where runIncrementalJob
+    * must be SCHEDULED, this runs until stopped and picks up each
+    * source commit as it lands.
+    *
+    * Delivery is exactly-once end to end: the stream checkpoint replays
+    * an uncommitted span after restart, and the target append's txn
+    * marker `(jobId, batchId)` makes the replayed batch a recognized
+    * no-op before any work — the [[ingestStream]] contract, pointed at
+    * an arbitrary zone pair. Quarantine/lineage are keyed
+    * `<jobId>_b<batchId>` per batch. A source OVERWRITE fails the
+    * stream (its retractions are not expressible as additions);
+    * re-seed with a full [[runJob]] and a fresh checkpoint. */
+  def promoteStream(jobId: String, dataset: String,
+      sourceZone: DataZone.Value, targetZone: DataZone.Value,
+      transforms: Seq[DataFrame => DataFrame] = Seq.empty,
+      rules: Seq[Rule] = Seq.empty,
+      key: Seq[String] = Seq("id"),
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(useTxLog, "promoteStream requires useTxLog = true: " +
+      "exactly-once needs the target log's txn marker")
+    val srcDir = requireLogged(sourceZone, dataset, "promoteStream")
+    val stream = spark.readStream.format("txlog").load(srcDir)
+    val writer = stream.writeStream.outputMode("append")
+    val withCp =
+      checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+    withCp.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tgtDir = path(targetZone, dataset)
+      val replayed = TxLog.isLogged(spark, tgtDir) &&
+        TxLog.snapshot(spark, tgtDir).txns.get(jobId).exists(_ >= batchId)
+      if (!replayed)
+        gateAndWrite(s"${jobId}_b$batchId", dataset, batch, targetZone,
+          LoadType.Append, transforms, rules, key, enableQuarantine = true,
+          txn = Some((jobId, batchId)))
+      ()
+    }.start()
+  }
+
   /** promote_zone (etl_manager.py:597-629) — FULL load to the next zone
     * with the target zone's quality gate. */
   def promoteZone(dataset: String, from: DataZone.Value, to: DataZone.Value,

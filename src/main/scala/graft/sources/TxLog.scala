@@ -587,6 +587,22 @@ object TxLog {
     * files. */
   def changesSince(spark: SparkSession, dir: String, sinceVersion: Long,
       untilVersion: Option[Long] = None): DataFrame = {
+    val (added, schema) = changedFiles(spark, dir, sinceVersion, untilVersion)
+    if (added.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else
+      spark.read.schema(schema)
+        .parquet(added.map(a => s"$dir/${a.path}"): _*)
+  }
+
+  /** The core of [[changesSince]], shared with the streaming source
+    * ([[TxLogStreamProvider]]): the files the commits in
+    * `(sinceVersion, untilVersion]` ADDED, plus the span-end schema —
+    * with every refusal (truncated span, overwrite inside the span,
+    * vacuumed delta files) applied here so both consumption forms get
+    * identical contracts. */
+  def changedFiles(spark: SparkSession, dir: String, sinceVersion: Long,
+      untilVersion: Option[Long] = None): (Seq[TxFile], StructType) = {
     val (commits, _) = listLog(spark, dir)
     require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
     val head = commits.max
@@ -629,11 +645,7 @@ object TxLog {
     }
     val schema = DataType.fromJson(snapshot(spark, dir, Some(until))
       .schemaJson).asInstanceOf[StructType]
-    if (added.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else
-      spark.read.schema(schema)
-        .parquet(added.map(a => s"$dir/${a.path}"): _*)
+    (added, schema)
   }
 
   /** Restore the table to the state of `version` as a NEW commit

@@ -1,0 +1,37 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The minimal `private[sql]` bridge a DataSource-v1 streaming source
+  * needs (the same package-placement pattern Spark's own bundled
+  * connectors use, e.g. the Kafka source living under
+  * `org.apache.spark.sql.kafka010`): a v1 `Source.getBatch` must
+  * return a DataFrame whose logical plan is marked `isStreaming=true`
+  * (MicroBatchExecution asserts it), and both the plan constructor
+  * (`Dataset.ofRows`) and the relation copy live behind
+  * `private[sql]`. Nothing else of Spark's internals is touched. */
+object PlanBridge {
+
+  private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Re-wrap a file-relation DataFrame as a streaming batch — the
+    * FileStreamSource.getBatch shape. */
+  def asStreamingBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    ofRows(spark, df.queryExecution.analyzed match {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case other => other
+    })
+
+  /** An empty streaming batch with the given schema (a span that added
+    * no rows — e.g. only compactions). */
+  def emptyStreamingBatch(spark: SparkSession, schema: StructType): DataFrame =
+    ofRows(spark, LocalRelation(DataTypeUtils.toAttributes(schema),
+      Seq.empty[InternalRow], isStreaming = true))
+}

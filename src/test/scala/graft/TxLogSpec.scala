@@ -565,6 +565,68 @@ class TxLogSpec extends SparkSpec {
     assert(idSet(p2.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("txlog streaming source: appends flow bronze→silver exactly once, across restart") {
+    val root = tmp("txstream").toString
+    val cp = tmp("txstreamcp").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    p.write(DataZone.Bronze, "pts", df(1, 2), LoadType.Full)       // v0
+    val q1 = p.promoteStream("sj", "pts", DataZone.Bronze,
+      DataZone.Silver, checkpointDir = Some(cp.toString))
+    try {
+      q1.processAllAvailable()
+      assert(idSet(p.read(DataZone.Silver, "pts")) == Set(1L, 2L),
+        "initial load must flow through the stream")
+      // a live append lands continuously, without re-reading the table
+      p.write(DataZone.Bronze, "pts", df(3), LoadType.Append)      // v1
+      q1.processAllAvailable()
+      assert(idSet(p.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L))
+      assert(p.read(DataZone.Silver, "pts").count() == 3)
+    } finally q1.stop()
+    // appends made while the stream is DOWN are picked up on restart
+    // from the same checkpoint, exactly once
+    p.write(DataZone.Bronze, "pts", df(4), LoadType.Append)        // v2
+    val q2 = p.promoteStream("sj", "pts", DataZone.Bronze,
+      DataZone.Silver, checkpointDir = Some(cp.toString))
+    try {
+      q2.processAllAvailable()
+      assert(idSet(p.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L, 4L))
+      assert(p.read(DataZone.Silver, "pts").count() == 4,
+        "restart must not duplicate silver rows")
+      // matches the batch-incremental form exactly
+      assert(idSet(p.read(DataZone.Silver, "pts")) ==
+        idSet(p.read(DataZone.Bronze, "pts")))
+    } finally q2.stop()
+  }
+
+  test("txlog source contract: compaction-only batch is empty; overwrite fails the stream") {
+    val dir = tmp("txsrc").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))                    // v0
+    val q = spark.readStream.format("txlog").load(dir)
+      .writeStream.format("memory").queryName("txsrc_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txsrc_mem").count() == 2)
+      TxLog.commitAppend(spark, dir, df(3))                        // v1
+      q.processAllAvailable()
+      assert(spark.table("txsrc_mem").count() == 3)
+      // a compaction-only span is a (valid) EMPTY micro-batch:
+      // rewrites are not new rows
+      TxLog.compact(spark, dir, targetFiles = 1)                   // v2
+      q.processAllAvailable()
+      assert(spark.table("txsrc_mem").count() == 3,
+        "compaction must contribute zero rows to the stream")
+      // an overwrite is not expressible as additions → stream fails
+      // loudly (Delta-source contract without ignoreChanges)
+      TxLog.commitOverwrite(spark, dir, df(9))                     // v3
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def mentions(t: Throwable): Boolean = t != null &&
+        (String.valueOf(t.getMessage).contains("expressible") ||
+          mentions(t.getCause))
+      assert(mentions(e), s"unexpected stream failure: $e")
+    } finally q.stop()
+  }
+
   test("incremental quarantine is keyed per source head (no clobber)") {
     val root = tmp("medincq").toString
     val p = new MedallionPipeline(spark, root, useTxLog = true)
