@@ -350,13 +350,21 @@ class MedallionPipeline(spark: SparkSession, root: String,
     * read. Callers still apply the predicate. */
   def readPruned(zone: DataZone.Value, dataset: String, colName: String,
       lo: Any, hi: Any): DataFrame =
+    readPrunedAll(zone, dataset, Seq((colName, lo, hi)))
+
+  /** [[readPruned]] for a CONJUNCTION of intervals — `date BETWEEN …
+    * AND region = …` prunes on both columns (an equality is the
+    * degenerate interval `(col, v, v)`). Routed to whichever stats
+    * substrate backs the dataset, like the single-column form. */
+  def readPrunedAll(zone: DataZone.Value, dataset: String,
+      preds: Seq[(String, Any, Any)]): DataFrame =
     if (logged(zone, dataset))
       // stats-in-log skipping: the snapshot's own per-file min/max
       // (recorded when txStatsCols covers the column) prunes the list
-      TxLog.readPruned(spark, path(zone, dataset), colName, lo, hi)
+      TxLog.readPrunedAll(spark, path(zone, dataset), preds)
     else
-      graft.sources.StatsManifest.prunedRead(spark, path(zone, dataset),
-        colName, lo, hi)
+      graft.sources.StatsManifest.prunedReadAll(spark,
+        path(zone, dataset), preds)
 
   /** Distributed _write_to_zone (etl_manager.py:441-475). `key` is the
     * upsert identity for MERGE/INCREMENTAL (reference: the `id` field).

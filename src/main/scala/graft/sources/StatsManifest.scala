@@ -195,18 +195,35 @@ object StatsManifest {
   def pruneFiles(spark: SparkSession, dataPath: String, colName: String,
       lo: Any, hi: Any): (Seq[String], Int) = {
     val all = dataFiles(spark, dataPath)
+    (pruneAgainstManifest(spark, dataPath, all,
+      Seq((colName, lo, hi))), all.size)
+  }
+
+  /** Compound skipping over the manifest: `files` restricted to those
+    * whose ranges can satisfy EVERY `(col, lo, hi)` — one manifest
+    * read for the whole conjunction, each predicate independently
+    * conservative (files the manifest doesn't cover for that column
+    * pass it). */
+  private def pruneAgainstManifest(spark: SparkSession, dataPath: String,
+      files: Seq[String], preds: Seq[(String, Any, Any)]): Seq[String] = {
     val mp = manifestPath(dataPath)
-    if (!fs(spark, mp).exists(mp)) return (all, all.size)
+    if (!fs(spark, mp).exists(mp) || preds.isEmpty) return files
     val entries = spark.read.parquet(mp.toString)
-      .filter(col("col_name") === colName)
-      .select("file", "dtype", "min_s", "max_s")
+      .filter(col("col_name").isin(preds.map(_._1): _*))
+      .select("col_name", "file", "dtype", "min_s", "max_s")
       .collect()
-    if (entries.isEmpty) return (all, all.size)
-    val dtype = entries.head.getString(1)
-    val (loS, hiS) = canonicalBounds(spark, dtype, lo, hi)
-    val known = entries.map(r => r.getString(0) ->
-      intersects(dtype, r.getString(2), r.getString(3), loS, hiS)).toMap
-    (all.filter(f => known.getOrElse(f, true)), all.size)
+    preds.foldLeft(files) { case (kept, (c, lo, hi)) =>
+      val forCol = entries.filter(_.getString(0) == c)
+      if (forCol.isEmpty) kept
+      else {
+        val dtype = forCol.head.getString(2)
+        val (loS, hiS) = canonicalBounds(spark, dtype, lo, hi)
+        val known = forCol.map(r => r.getString(1) ->
+          intersects(dtype, r.getString(3), r.getString(4), loS, hiS))
+          .toMap
+        kept.filter(f => known.getOrElse(f, true))
+      }
+    }
   }
 
   /** Manifest-pruned read: the dataset restricted to files whose
@@ -216,8 +233,15 @@ object StatsManifest {
     * only shrinks the file list the scan plans over. Degrades to the
     * full read when no manifest exists. */
   def prunedRead(spark: SparkSession, dataPath: String, colName: String,
-      lo: Any, hi: Any): DataFrame = {
-    val (kept, _) = pruneFiles(spark, dataPath, colName, lo, hi)
+      lo: Any, hi: Any): DataFrame =
+    prunedReadAll(spark, dataPath, Seq((colName, lo, hi)))
+
+  /** [[prunedRead]] for a conjunction: only files whose ranges can
+    * satisfy every `(col, lo, hi)` reach the scan planner. */
+  def prunedReadAll(spark: SparkSession, dataPath: String,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    val kept = pruneAgainstManifest(spark, dataPath,
+      dataFiles(spark, dataPath), preds)
     if (kept.isEmpty)
       spark.read.parquet(dataPath).filter(lit(false)) // schema-preserving
     else

@@ -554,17 +554,29 @@ object TxLog {
     * the intersecting sliver, resolved in one driver pass over the
     * snapshot list. */
   def readPruned(spark: SparkSession, dir: String, colName: String,
-      lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
+      lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame =
+    readPrunedAll(spark, dir, Seq((colName, lo, hi)), asOf)
+
+  /** Compound data skipping (Delta's conjunction shape): a file is
+    * kept only when EVERY `(col, lo, hi)` interval can intersect its
+    * recorded range — `date BETWEEN … AND region = …` prunes on BOTH
+    * columns, not whichever one the caller picked. Each predicate is
+    * independently conservative (a file without stats for that column
+    * passes it); an empty `preds` is exactly [[read]]. An equality is
+    * the degenerate interval `(col, v, v)`. */
+  def readPrunedAll(spark: SparkSession, dir: String,
+      preds: Seq[(String, Any, Any)], asOf: Option[Long] = None)
+      : DataFrame = {
     val snap = snapshot(spark, dir, asOf)
-    val dtype = snap.files.flatMap(_.stats.get(colName)).headOption
-      .map(_.dtype)
-    val kept = dtype match {
-      case None => snap.files
-      case Some(dt) =>
-        val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
-        snap.files.filter(f => f.stats.get(colName).forall(st =>
-          StatsManifest.intersects(st.dtype, st.min.orNull, st.max.orNull,
-            loS, hiS)))
+    val kept = preds.foldLeft(snap.files) { case (files, (c, lo, hi)) =>
+      files.flatMap(_.stats.get(c)).headOption.map(_.dtype) match {
+        case None => files // no live file carries stats for this column
+        case Some(dt) =>
+          val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
+          files.filter(f => f.stats.get(c).forall(st =>
+            StatsManifest.intersects(st.dtype, st.min.orNull,
+              st.max.orNull, loS, hiS)))
+      }
     }
     readSnapshot(spark, dir, snap.copy(files = kept))
   }

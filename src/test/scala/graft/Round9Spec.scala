@@ -154,6 +154,28 @@ class Round9Spec extends SparkSpec {
       .filter(col("id").between(-50, -40)).count() === 0L)
   }
 
+  test("StatsManifest.prunedReadAll intersects a predicate conjunction") {
+    import graft.sources.StatsManifest
+    val dir = java.nio.file.Files.createTempDirectory("graftmc").toString
+    val data = s"$dir/t"
+    def seg(ids: Range, r: String) =
+      ids.map(i => (i.toLong, r)).toDF("id", "region").coalesce(1)
+    seg(1 to 100, "A").write.parquet(data)
+    seg(101 to 200, "A").write.mode("append").parquet(data)
+    seg(201 to 300, "B").write.mode("append").parquet(data)
+    StatsManifest.write(spark, data, Seq("id", "region"))
+    assert(StatsManifest.prunedRead(spark, data, "id", 150L, 250L)
+      .inputFiles.length == 2)
+    assert(StatsManifest.prunedRead(spark, data, "region", "A", "A")
+      .inputFiles.length == 2)
+    val both = StatsManifest.prunedReadAll(spark, data,
+      Seq(("id", 150L, 250L), ("region", "A", "A")))
+    assert(both.inputFiles.length == 1,
+      s"conjunction must intersect, got ${both.inputFiles.mkString(",")}")
+    assert(both.filter(col("id").between(150, 250) &&
+      col("region") === "A").count() == 51)
+  }
+
   test("StatsManifest.update stats only new files; idempotent when current") {
     import graft.sources.StatsManifest
     val dir = java.nio.file.Files.createTempDirectory("graftmu").toString

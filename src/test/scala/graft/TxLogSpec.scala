@@ -644,6 +644,34 @@ class TxLogSpec extends SparkSpec {
     assert(idSet(p.quarantined("inc_v1", "pts")) == Set(-2L))
   }
 
+  test("readPrunedAll intersects stats across a predicate conjunction") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txcompound").toString
+    def seg(ids: Range, r: String) =
+      ids.map(i => (i.toLong, r)).toDF("id", "region").coalesce(1)
+    val sc = Seq("id", "region")
+    TxLog.commitOverwrite(spark, dir, seg(1 to 100, "A"), sc)
+    TxLog.commitAppend(spark, dir, seg(101 to 200, "A"), None, sc)
+    TxLog.commitAppend(spark, dir, seg(201 to 300, "B"), None, sc)
+    // each single predicate keeps 2 of 3 files…
+    assert(TxLog.readPruned(spark, dir, "id", 150, 250)
+      .inputFiles.length == 2)
+    assert(TxLog.readPruned(spark, dir, "region", "A", "A")
+      .inputFiles.length == 2)
+    // …the conjunction intersects down to 1 (id ∈ f2,f3 ∩ region ∈ f1,f2)
+    val both = TxLog.readPrunedAll(spark, dir,
+      Seq(("id", 150, 250), ("region", "A", "A")))
+    assert(both.inputFiles.length == 1,
+      s"conjunction must intersect, got ${both.inputFiles.mkString(",")}")
+    assert(both.filter(col("id").between(150, 250) &&
+      col("region") === "A").count() == 51)
+    // unknown column stays conservative: no extra pruning, full result
+    val withUnknown = TxLog.readPrunedAll(spark, dir,
+      Seq(("id", 150, 250), ("nope", 0, 1)))
+    assert(withUnknown.inputFiles.length == 2)
+  }
+
   test("medallion readPruned prunes from the log under txStatsCols") {
     val s = spark
     import s.implicits._
