@@ -398,7 +398,62 @@ object AnalyticsQueries {
         col("pct_rank"), col("cum_dist"))
   }
 
+  /** q40_percentile_global (round-11) — EXACT global discrete
+    * percentiles (p50/p90/p99) of lineitem extended price: q18's
+    * per-key form completed for the no-key case, which is where the
+    * naive plan is at its worst (a single-partition sort of the whole
+    * table). The Banding identity makes the global form CHEAPER, not
+    * harder: the percentile value depends only on the value
+    * distribution, so the only cumulated relation is
+    * `groupBy(price_cents).count()` — bounded by the price DOMAIN
+    * (~10⁷ cents values at any SF), never the row count. The global
+    * window rides that tiny relation; the table itself sees one
+    * map-side-combined aggregation and no sort at all. */
+  def q40PercentileGlobal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val below = Window.orderBy(col("price_cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.orderBy(col("price_cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val vc = Tables(s, dir, "lineitem")
+      .select(Core.cents(col("l_extendedprice")).as("price_cents"))
+      .groupBy(col("price_cents")).agg(count(lit(1)).as("_vc"))
+      .withColumn("_below", coalesce(sum(col("_vc")).over(below), lit(0L)))
+      .withColumn("_n", sum(col("_vc")).over(whole))
+    def at(f: Double) = {
+      val target = ceil(col("_n") * f)
+      max(when(target > col("_below") &&
+        target <= col("_below") + col("_vc"), col("price_cents")))
+    }
+    vc.agg(max(col("_n")).as("n_rows"), at(0.5).as("p50_cents"),
+      at(0.9).as("p90_cents"), at(0.99).as("p99_cents"))
+  }
+
+  /** q41_approx_percentile (round-11, rows-only) — the MERGEABLE
+    * percentile sketch beside q40's exact form: per return flag,
+    * Greenwald-Khanna approximate p50/p90/p99 (`percentile_approx`,
+    * accuracy 10⁴ → rank error ≤ n/10⁴ per partial). At 100 TB this is
+    * the one-pass profiling shape — KB-sized partials merge up the
+    * tree, no value relation, no second pass — the quantile sibling of
+    * q19's HLL distinct. No DuckDB oracle (approx_quantile runs
+    * t-digest, a different sketch); ApproxSpec pins the rank-error
+    * bound against the exact distribution instead. */
+  def q41ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Core.cents(col("l_extendedprice")).as("price_cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        percentile_approx(col("price_cents"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("_p"))
+      .select(col("l_returnflag"), col("n_rows"),
+        element_at(col("_p"), 1).as("p50_approx"),
+        element_at(col("_p"), 2).as("p90_approx"),
+        element_at(col("_p"), 3).as("p99_approx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_percentile_global" -> q40PercentileGlobal,
+    "q41_approx_percentile" -> q41ApproxPercentile,
     "q39_dist_rank" -> q39DistRank,
     "q36_grouping_sets" -> q36GroupingSets,
     "q37_unpivot" -> q37Unpivot,
@@ -417,6 +472,26 @@ object AnalyticsQueries {
     "q28_retention" -> q28Retention)
 
   val oracleSql: Map[String, String] = Map(
+    "q40_percentile_global" -> """
+      WITH vc AS (
+        SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+          COUNT(*) AS c
+        FROM lineitem GROUP BY 1),
+      b AS (
+        SELECT price_cents, c,
+          COALESCE(SUM(c) OVER (ORDER BY price_cents ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS below,
+          SUM(c) OVER () AS n
+        FROM vc)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+        MAX(CASE WHEN CEIL(n*0.5) > below AND CEIL(n*0.5) <= below + c
+          THEN price_cents END) AS p50_cents,
+        MAX(CASE WHEN CEIL(n*0.9) > below AND CEIL(n*0.9) <= below + c
+          THEN price_cents END) AS p90_cents,
+        MAX(CASE WHEN CEIL(n*0.99) > below AND CEIL(n*0.99) <= below + c
+          THEN price_cents END) AS p99_cents
+      FROM b""",
     "q36_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,
         CAST(CASE WHEN o_orderstatus IS NULL THEN 2

@@ -51,6 +51,36 @@ class ApproxSpec extends SparkSpec {
         / exactI < 0.35, s"$row vs i=$exactI")
   }
 
+  test("q40 exact and q41 approx percentiles agree within the GK rank bound") {
+    import graft.queries.AnalyticsQueries
+    // q40's exact global percentiles equal a brute-force sorted pick
+    val g = AnalyticsQueries.q40PercentileGlobal(spark, sf).head()
+    val vals = Tables(spark, sf, "lineitem")
+      .select(graft.queries.Core.cents(col("l_extendedprice")).as("c"))
+      .as[Long].collect().sorted
+    def exactAt(f: Double): Long = vals(math.ceil(vals.length * f).toInt - 1)
+    assert(g.getAs[Long]("n_rows") == vals.length)
+    assert(g.getAs[Long]("p50_cents") == exactAt(0.5), g.toString)
+    assert(g.getAs[Long]("p90_cents") == exactAt(0.9), g.toString)
+    assert(g.getAs[Long]("p99_cents") == exactAt(0.99), g.toString)
+    // q41's sketch values land within the Greenwald-Khanna rank bound
+    // (accuracy 10⁴ → ε = 1e-4; allow 10ε for partial-merge slack)
+    AnalyticsQueries.q41ApproxPercentile(spark, sf).collect().foreach { r =>
+      val flag = r.getString(0)
+      val group = Tables(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === flag)
+        .select(graft.queries.Core.cents(col("l_extendedprice")).as("c"))
+        .as[Long].collect().sorted
+      for ((c, f) <- Seq("p50_approx" -> 0.5, "p90_approx" -> 0.9,
+          "p99_approx" -> 0.99)) {
+        val v = r.getAs[Long](c)
+        val rank = group.count(_ <= v).toDouble / group.length
+        assert(math.abs(rank - f) <= 1e-3 + 1.0 / group.length,
+          s"$flag $c: value $v at rank $rank vs target $f")
+      }
+    }
+  }
+
   test("KMV estimate is exact below k and merge-order independent") {
     graft.functions.GraftFunctions.register(spark)
     // 100 distinct values < k=256 ⇒ sketch holds them all, estimate exact

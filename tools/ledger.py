@@ -128,6 +128,13 @@ ROWS = [
     (147, "curation_ppl_buckets", "hash"),
     (148, "text_fertility", "hash"),
     (149, "q39_dist_rank", "hash"),
+    (150, "TxLogSpec (streaming source) | sources/TxLogStreamSource.scala",
+     "api"),
+    (151, "TxLogSpec + Round9Spec (compound skipping) | sources/TxLog.scala",
+     "api"),
+    (152, "BandingSpec + StressBanding | operators/Banding.scala", "api"),
+    (153, "q40_percentile_global", "hash"),
+    (154, "q41_approx_percentile", "rows"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
