@@ -120,9 +120,14 @@ object TextQueries {
     // tercile window keyed by it alone is a few-reducer corpus sort at
     // 100×; Banding computes the identical tile from (row_number, n)
     // via the score-distribution relation
+    // Banding consumes its input twice (tie window + value relation);
+    // the LM-replay relation is the expensive part, so materialize it
+    // ONCE (the NB-instance precedent, NaiveBayes.scala) — both passes
+    // then read the checkpointed rows, not the whole LM pipeline
     val scored = lmScore(s, dir).filter(col("n_bigrams") > 0)
       .join(docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
         col("lang")), "doc_id")
+      .localCheckpoint(true)
     graft.operators.Banding.withRowNumber(scored, Seq("lang"),
         "avg_logp", "doc_id", descValue = true)
       .withColumn("tile",
