@@ -513,12 +513,42 @@ object TxLog {
     * compaction) as one commit: remove exactly the files read, add the
     * rewrite. Concurrent appends commute (their files survive the
     * rebase); a concurrent commit that removed one of the same files
-    * raises ConcurrentModificationException. */
+    * raises ConcurrentModificationException.
+    *
+    * `zorderBy` makes this the OPTIMIZE-with-clustering maintenance
+    * form (Delta's `OPTIMIZE … ZORDER BY`): the rewrite is laid out
+    * by the clustering key before the write, so each new file covers
+    * a tight min/max envelope on the key column(s) and
+    * [[readPruned]]'s stats-in-log skipping improves after
+    * maintenance — the same data, the same commit shape, better
+    * pruning. One column range-partitions + sorts on it; two columns
+    * interleave through [[graft.operators.ZOrder.layoutByZ]] (Morton
+    * order — files get tight boxes in BOTH dimensions, so predicates
+    * on EITHER column prune). Clustering columns are always recorded
+    * in the per-file stats (unioned into `statsCols`) — an OPTIMIZE
+    * whose layout the reader can't see would be maintenance theater.
+    * Cost: one range-partitioned shuffle of the LIVE data (the same
+    * cost every compaction already pays) — log metadata stays
+    * KB-sized regardless of table size. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, dir)
-    val df = readSnapshot(spark, dir, snap).repartition(targetFiles)
-    val (added, schemaJson) = stageData(spark, dir, df, statsCols)
+    val base = readSnapshot(spark, dir, snap)
+    val df = zorderBy match {
+      case Nil => base.repartition(targetFiles)
+      case Seq(c) =>
+        base.repartitionByRange(targetFiles, col(c))
+          .sortWithinPartitions(col(c))
+      case Seq(a, b) =>
+        graft.operators.ZOrder
+          .layoutByZ(base, col(a), col(b), targetFiles)
+          .drop("zv")
+      case more => throw new IllegalArgumentException(
+        s"zorderBy supports 1 or 2 columns, got ${more.size}")
+    }
+    val (added, schemaJson) =
+      stageData(spark, dir, df, (statsCols ++ zorderBy).distinct)
     commitStaged(spark, dir, "compact", added, snap.files.map(_.path),
       removeAll = false, schemaJson, None)
   }

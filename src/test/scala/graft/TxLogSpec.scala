@@ -672,6 +672,45 @@ class TxLogSpec extends SparkSpec {
     assert(withUnknown.inputFiles.length == 2)
   }
 
+  test("z-ordered compact tightens file stats so pruning improves") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txzorder").toString
+    // interleaved arrival: round-robin files each span the FULL (x, y)
+    // domain, so stats-in-log skipping has nothing to cut
+    val data = (for (x <- 0 until 100; y <- 0 until 100)
+      yield (x, y, x * 100L + y)).toDF("x", "y", "payload")
+      .repartition(8)
+    TxLog.commitOverwrite(spark, dir, data, statsCols = Seq("x", "y"))
+    val preds = Seq(("x", 0, 12), ("y", 0, 12))
+    val before = TxLog.readPrunedAll(spark, dir, preds)
+    assert(before.inputFiles.length == 8,
+      "round-robin files must be unprunable before maintenance")
+
+    TxLog.compact(spark, dir, targetFiles = 8, zorderBy = Seq("x", "y"))
+    val after = TxLog.readPrunedAll(spark, dir, preds)
+    assert(after.inputFiles.length < before.inputFiles.length,
+      s"z-ordered compact must improve pruning, " +
+        s"still plans ${after.inputFiles.length} files")
+    // maintenance must never change the answer
+    def probe(d: DataFrame): Seq[Long] =
+      d.filter(col("x").between(0, 12) && col("y").between(0, 12))
+        .select("payload").as[Long].collect().sorted.toSeq
+    assert(probe(after) == probe(before))
+    assert(TxLog.read(spark, dir).count() == 10000L)
+
+    // single-column form: range layout on x alone; clustering columns
+    // are recorded in stats even when the caller passes none
+    TxLog.compact(spark, dir, targetFiles = 8, zorderBy = Seq("x"))
+    val xOnly = TxLog.readPruned(spark, dir, "x", 0, 12)
+    assert(xOnly.inputFiles.length <= 2)
+    assert(xOnly.filter(col("x").between(0, 12)).count() == 13L * 100)
+
+    intercept[IllegalArgumentException] {
+      TxLog.compact(spark, dir, 8, zorderBy = Seq("x", "y", "payload"))
+    }
+  }
+
   test("medallion readPruned prunes from the log under txStatsCols") {
     val s = spark
     import s.implicits._
