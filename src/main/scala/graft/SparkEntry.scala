@@ -17,7 +17,7 @@ object SparkEntry {
       DedupQueries.queries ++ TextQueries.queries ++
       SamplingQueries.queries ++ CurationQueries.queries ++
       SimilarityQueries.queries ++ AnalyticsQueries.queries ++
-      TrainingQueries.queries ++
+      TrainingQueries.queries ++ graft.queries.TxQueries.queries ++
       graft.multimodal.MediaQueries.queries ++
       graft.sources.Json.queries ++ graft.operators.AsOf.queries ++
       graft.queries.RangeQueries.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SamplingQueries.oracleSql ++ CurationQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
-      TrainingQueries.oracleSql ++
+      TrainingQueries.oracleSql ++ graft.queries.TxQueries.oracleSql ++
       graft.multimodal.MediaQueries.oracleSql ++
       graft.sources.Json.oracleSql ++ graft.operators.AsOf.oracleSql ++
       graft.queries.RangeQueries.oracleSql

@@ -1,0 +1,114 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.TxLog
+
+/** Driver-checkable queries over the TxLog DML surface (SURVEY §2 /
+  * §6): the reference's ETL merge path (etl_manager.py:206 run_job +
+  * LoadType.MERGE) covers the QUERY form of an upsert; these entries
+  * check the LOG-NATIVE form — DELETE / UPDATE / MERGE INTO as
+  * copy-on-write commits — end to end against a relational DuckDB
+  * replay of the same mutations.
+  */
+object TxQueries {
+
+  /** #155 txn_dml — a three-statement DML session on a logged lineitem
+    * projection, hash-checked against a pure-SQL replay:
+    *   1. DELETE WHERE qty >= 48            (row-level delete)
+    *   2. UPDATE WHERE k <= 1000 SET pc+100 (stats-pruned: only the
+    *      low-key files are rewritten — `k` is the range-layout and
+    *      stats column)
+    *   3. MERGE INTO: every k % 97 == 0 row replaced with negated
+    *      price (when-matched), every k % 89 == 0 row re-keyed past
+    *      the table's key range and inserted (when-not-matched)
+    * The final table is aggregated per return flag (count + exact
+    * cents sums) so the oracle compares a value-complete but tiny
+    * relation. The logged table lives in a per-call temp dir; the
+    * aggregate is materialized eagerly and the dir deleted before
+    * returning, so repeated Verify/Bench passes leak nothing.
+    *
+    * Scale: each statement rewrites ONLY the files holding affected
+    * rows (delete touches every file by design; the update's k-range
+    * predicate prunes to the low file via stats-in-log) — table size
+    * outside the touched range is irrelevant, the Delta DML cost
+    * model. */
+  def txnDml(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"),
+      col("l_returnflag").as("rf"))
+    val root = Files.createTempDirectory("graft_dml")
+    val tbl = s"$root/t"
+    TxLog.commitOverwrite(s, tbl,
+      t.repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    TxLog.delete(s, tbl, col("qty") >= 48)
+    TxLog.update(s, tbl, col("k") <= 1000, Map("pc" -> (col("pc") + 100)))
+    // the synthetic lineitem is NOT unique on (orderkey, linenumber),
+    // so derive the source from a deterministically keyed aggregate —
+    // a merge source must be unique on its keys
+    val tk = t.groupBy(col("k"), col("ln"))
+      .agg(min(col("qty")).as("qty"), min(col("pc")).as("pc"),
+        min(col("rf")).as("rf"))
+    val source = tk.filter(col("k") % 97 === 0)
+      .select(col("k"), col("ln"), col("qty"),
+        (-col("pc")).as("pc"), col("rf"))
+      .unionByName(tk.filter(col("k") % 89 === 0)
+        .select((col("k") + 2000000000L).as("k"), col("ln"),
+          lit(1).as("qty"), lit(0L).as("pc"), col("rf")))
+    TxLog.merge(s, tbl, source, Seq("k", "ln"))
+    val agg = TxLog.read(s, tbl)
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pc")).as("sum_pc"),
+        sum(col("qty").cast("long")).as("sum_qty"))
+      .withColumnRenamed("rf", "l_returnflag")
+    // materialize the (≤ flag-cardinality) result, then drop the
+    // temp table — the returned frame must not depend on it
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txn_dml" -> txnDml)
+
+  val oracleSql: Map[String, String] = Map(
+    "txn_dml" -> """
+      WITH t AS (
+        SELECT l_orderkey AS k, l_linenumber AS ln,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+          l_returnflag AS rf
+        FROM lineitem),
+      d AS (SELECT * FROM t WHERE NOT coalesce(qty >= 48, false)),
+      u AS (SELECT k, ln, qty,
+              CASE WHEN k <= 1000 THEN pc + 100 ELSE pc END AS pc, rf
+            FROM d),
+      tk AS (
+        SELECT k, ln, MIN(qty) AS qty, MIN(pc) AS pc, MIN(rf) AS rf
+        FROM t GROUP BY k, ln),
+      src AS (
+        SELECT k, ln, qty, -pc AS pc, rf FROM tk WHERE k % 97 = 0
+        UNION ALL
+        SELECT k + 2000000000 AS k, ln, 1 AS qty, 0 AS pc, rf
+        FROM tk WHERE k % 89 = 0),
+      kept AS (
+        SELECT u.* FROM u
+        WHERE NOT EXISTS (SELECT 1 FROM src
+                          WHERE src.k = u.k AND src.ln = u.ln)),
+      m AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
+      SELECT rf AS l_returnflag,
+        COUNT(*) AS n_rows,
+        CAST(SUM(pc) AS BIGINT) AS sum_pc,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM m GROUP BY 1""")
+}

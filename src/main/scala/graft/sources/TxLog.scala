@@ -553,6 +553,271 @@ object TxLog {
       removeAll = false, schemaJson, None)
   }
 
+  // ---- Row-level mutations (copy-on-write) -------------------------
+  //
+  // The Delta DML surface (DELETE / UPDATE / MERGE INTO) on the same
+  // commit protocol: find the files that actually hold affected rows
+  // (stats-in-log pruning first, then an exact match scan), rewrite
+  // ONLY those files, and commit (remove = touched, add = rewrites) —
+  // untouched files survive by path, so a predicate that hits one
+  // day's files rewrites one day's files no matter how large the
+  // table is. Isolation is write-serializable (Delta's default): a
+  // concurrent commit that removed one of the touched files conflicts
+  // (ConcurrentModificationException → caller retries on the new
+  // snapshot); a concurrent APPEND commutes, so rows appended while a
+  // DELETE runs are not deleted even if they match its predicate.
+
+  /** Conservative per-column [lo, hi] constraints implied by a
+    * predicate, for stats-in-log file skipping: the predicate is
+    * ANALYZED against the table schema (the DSL builds lazy column
+    * nodes, and analysis is also what folds `lit(50)` into the
+    * column's type), then conjunctions of comparisons between a bare
+    * column and a foldable value contribute bounds; anything else
+    * (OR, casts on the COLUMN side, column-vs-column) contributes
+    * nothing — the file scan stays exact, skipping is only ever an
+    * optimization. Returned per column as (Option[lo], Option[hi])
+    * with None = unbounded on that side. */
+  private[graft] def skippingBounds(spark: SparkSession,
+      schema: StructType, pred: org.apache.spark.sql.Column)
+      : Map[String, (Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    val analyzed = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+      .filter(pred).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // a foldable side (literal, or the implicit cast analysis wraps
+    // one in) evaluates to its external value; null → no constraint
+    def value(e: Expression): Option[Any] =
+      if (e.foldable)
+        Option(CatalystTypeConverters.convertToScala(e.eval(), e.dataType))
+      else None
+    def leaf(e: Expression): Seq[(String, Option[Any], Option[Any])] =
+      e match {
+        case EqualTo(a, v) if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, value(v), value(v)))
+        case EqualTo(v, a) if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, value(v), value(v)))
+        case EqualNullSafe(a, v)
+            if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, value(v), value(v)))
+        case GreaterThan(a, v)
+            if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, value(v), None))
+        case GreaterThanOrEqual(a, v)
+            if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, value(v), None))
+        case LessThan(a, v) if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, None, value(v)))
+        case LessThanOrEqual(a, v)
+            if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, None, value(v)))
+        case GreaterThan(v, a)
+            if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, None, value(v)))
+        case GreaterThanOrEqual(v, a)
+            if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, None, value(v)))
+        case LessThan(v, a) if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, value(v), None))
+        case LessThanOrEqual(v, a)
+            if attr(a).isDefined && value(v).isDefined =>
+          Seq((attr(a).get, value(v), None))
+        case And(l, r) => leaf(l) ++ leaf(r)
+        case _ => Nil
+      }
+    cond.map(leaf).getOrElse(Nil).groupBy(_._1).map { case (c, cs) =>
+      // any single constraint on a column is a NECESSARY condition,
+      // so pruning with one lo and one hi from the set is sound
+      // (conservative when several constraints overlap)
+      c -> ((cs.flatMap(_._2).headOption, cs.flatMap(_._3).headOption))
+    }
+  }
+
+  /** `files` restricted to those whose recorded stats can hold a row
+    * matching `pred` (via [[skippingBounds]]); files without stats for
+    * a constrained column always pass. */
+  private def pruneForPredicate(spark: SparkSession, schema: StructType,
+      files: Seq[TxFile],
+      pred: org.apache.spark.sql.Column): Seq[TxFile] =
+    skippingBounds(spark, schema, pred)
+      .foldLeft(files) { case (kept, (c, (lo, hi))) =>
+      kept.flatMap(_.stats.get(c)).headOption.map(_.dtype) match {
+        case None => kept
+        case Some(dt) =>
+          def side(v: Any): String = spark.range(1)
+            .select(lit(v).cast(dt).cast("string")).head().getString(0)
+          val loS = lo.map(side)
+          val hiS = hi.map(side)
+          if (loS.exists(_ == null) || hiS.exists(_ == null)) kept
+          else kept.filter(_.stats.get(c).forall(st =>
+            StatsManifest.intersects(st.dtype, st.min.orNull, st.max.orNull,
+              loS.getOrElse(st.min.orNull), hiS.getOrElse(st.max.orNull))))
+      }
+    }
+
+  /** The candidate files that actually contain rows matching `pred`:
+    * stats-prune first, then one scan of just the candidates keeping
+    * `input_file_name` — exact, file-count-sized on the driver. */
+  private def touchedFiles(spark: SparkSession, dir: String,
+      snap: TxSnapshot, pred: org.apache.spark.sql.Column): Seq[String] = {
+    val schema =
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val cands = pruneForPredicate(spark, schema, snap.files, pred)
+    if (cands.isEmpty) return Nil
+    val touched = readSnapshot(spark, dir, snap.copy(files = cands))
+      .filter(pred)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0).split('/').last)
+    touched.toSeq.sorted
+  }
+
+  /** Inherit skip-stats across a rewrite: the union of columns any
+    * rewritten file recorded, plus what the caller asked for — an
+    * OPTIMIZE/DML that silently dropped the table's pruning metadata
+    * would degrade every later readPruned. */
+  private def inheritStats(files: Seq[TxFile],
+      statsCols: Seq[String]): Seq[String] =
+    (statsCols ++ files.flatMap(_.stats.keys)).distinct
+
+  /** Row-level DELETE (Delta's `DELETE FROM t WHERE …`): remove the
+    * rows where `pred` is TRUE (null- and false-rows survive, SQL
+    * semantics) by rewriting only the files that hold matching rows.
+    * Returns the committed version — or the CURRENT version unchanged
+    * when nothing matched (no empty commit). */
+  def delete(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Nil): Long = {
+    val snap = snapshot(spark, dir)
+    val touched = touchedFiles(spark, dir, snap, pred)
+    if (touched.isEmpty) return snap.version
+    val tSet = touched.toSet
+    val keepFiles = snap.files.filter(f => tSet.contains(f.path))
+    val kept = readSnapshot(spark, dir, snap.copy(files = keepFiles))
+      .filter(!pred.eqNullSafe(true))
+    val (added, _) = stageData(spark, dir, kept,
+      inheritStats(keepFiles, statsCols))
+    commitStaged(spark, dir, "delete", added, touched,
+      removeAll = false, snap.schemaJson, None)
+  }
+
+  /** Row-level UPDATE (Delta's `UPDATE t SET … WHERE …`): rows where
+    * `pred` is TRUE get each `set` expression (cast back to the
+    * column's declared type — an UPDATE never mutates the schema);
+    * all other rows and all untouched files survive byte-identical.
+    * Returns the committed version, or the current version when
+    * nothing matched. */
+  def update(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val known = schema.fieldNames.toSet
+    val unknown = set.keys.filterNot(known)
+    require(unknown.isEmpty,
+      s"TxLog: update sets unknown column(s): ${unknown.mkString(", ")}")
+    val touched = touchedFiles(spark, dir, snap, pred)
+    if (touched.isEmpty) return snap.version
+    val tSet = touched.toSet
+    val keepFiles = snap.files.filter(f => tSet.contains(f.path))
+    val rewritten = readSnapshot(spark, dir, snap.copy(files = keepFiles))
+      .select(schema.fields.map { fl =>
+        set.get(fl.name) match {
+          case Some(expr) =>
+            when(pred.eqNullSafe(true), expr.cast(fl.dataType))
+              .otherwise(col(fl.name)).as(fl.name)
+          case None => col(fl.name)
+        }
+      }.toSeq: _*)
+    val (added, _) = stageData(spark, dir, rewritten,
+      inheritStats(keepFiles, statsCols))
+    commitStaged(spark, dir, "update", added, touched,
+      removeAll = false, snap.schemaJson, None)
+  }
+
+  /** MERGE INTO (upsert): for each source row, the target row with
+    * the same `keyCols` is REPLACED by it (when-matched update-all);
+    * source rows matching nothing are INSERTED (when-not-matched
+    * insert-all) — Delta's canonical merge. The source must be unique
+    * on the keys (two source rows claiming one target row is
+    * ambiguous — refused, Delta's multiple-matches error) and must
+    * carry the table's schema. A table that is itself NOT unique on
+    * the keys collapses on merge: every target row matching a source
+    * key is replaced by that ONE source row (primary-key upsert
+    * semantics — the table is expected to be keyed). Only files holding matched keys are
+    * rewritten; inserts ride in the same staged write, so the whole
+    * upsert is ONE commit. Cost at scale: a stats-pruned semi-join to
+    * find touched files + one shuffle-join of (touched files ∪
+    * source) — the table outside the key range is never read. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "TxLog: merge needs at least one key column")
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val srcTypes = source.schema.fields
+      .map(fl => fl.name -> fl.dataType).toMap
+    val missing = schema.fields.filterNot(fl =>
+      srcTypes.get(fl.name).contains(fl.dataType))
+    require(missing.isEmpty,
+      s"TxLog: merge source must carry the table schema; missing or " +
+        s"mistyped: ${missing.map(_.name).mkString(", ")}")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"TxLog: merge key '$k' is not a table column"))
+    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+    val dupKeys = src.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      "TxLog: merge source has duplicate keys — each target row " +
+        "would match multiple source rows (ambiguous, refused)")
+
+    // stats-prune candidates by the source's key envelope (one tiny
+    // agg over the source), then exact-match via a semi-join
+    val keyBounds = src.select(keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
+      .head()
+    val cands = keyCols.foldLeft(snap.files) { case (kept, k) =>
+      val lo = keyBounds.getAs[Any](s"_lo_$k")
+      val hi = keyBounds.getAs[Any](s"_hi_$k")
+      if (lo == null || hi == null) kept
+      else kept.flatMap(_.stats.get(k)).headOption.map(_.dtype) match {
+        case None => kept
+        case Some(dt) =>
+          val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
+          kept.filter(_.stats.get(k).forall(st =>
+            StatsManifest.intersects(st.dtype, st.min.orNull,
+              st.max.orNull, loS, hiS)))
+      }
+    }
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val touched: Seq[String] =
+      if (cands.isEmpty) Nil
+      else readSnapshot(spark, dir, snap.copy(files = cands))
+        .select((input_file_name().as("_graft_f") +:
+          keyCols.map(col)).toSeq: _*)
+        .join(srcKeys, keyCols, "left_semi")
+        .select("_graft_f").distinct().collect()
+        .map(_.getString(0).split('/').last).toSeq.sorted
+    val tSet = touched.toSet
+    val keepFiles = snap.files.filter(f => tSet.contains(f.path))
+    val survivors =
+      if (keepFiles.isEmpty) src
+      else readSnapshot(spark, dir, snap.copy(files = keepFiles))
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(src)
+    val (added, _) = stageData(spark, dir, survivors,
+      inheritStats(keepFiles, statsCols))
+    commitStaged(spark, dir, "merge", added, touched,
+      removeAll = false, snap.schemaJson, None)
+  }
+
   private def readSnapshot(spark: SparkSession, dir: String,
       snap: TxSnapshot): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -666,6 +931,10 @@ object TxLog {
         case "compact" => Nil // rewrites, not new rows
         case "overwrite" if v == 0 && sinceVersion < 0 =>
           (j \ "add").extract[Seq[TxFile]] // initial load
+        case "merge" if (j \ "remove").extract[Seq[String]].isEmpty =>
+          // an insert-only merge removed nothing: its adds ARE the
+          // delta; a merge that rewrote files falls through to refuse
+          (j \ "add").extract[Seq[TxFile]]
         case op => throw new IllegalArgumentException(
           s"TxLog: commit $v is '$op' — the span's delta is not " +
             "expressible as additions; re-read the full snapshot")

@@ -33,5 +33,4 @@ object PlanBridge {
     * no rows — e.g. only compactions). */
   def emptyStreamingBatch(spark: SparkSession, schema: StructType): DataFrame =
     ofRows(spark, LocalRelation(DataTypeUtils.toAttributes(schema),
-      Seq.empty[InternalRow], isStreaming = true))
-}
+      Seq.empty[InternalRow], isStreaming = true))}

@@ -399,48 +399,88 @@ class TxLogSpec extends SparkSpec {
     assert(idSet(TxLog.read(spark, dir)) == Set(1L))
   }
 
-  test("model check: 40 random ops replay to exactly the modeled table state") {
-    // seeded random op sequence applied both to TxLog and to a trivial
-    // in-memory model; the log must agree with the model at the head
-    // after every op AND at every historical version at the end — the
-    // strongest single invariant: replay IS the table.
+  test("model check: 40 random ops (incl. DML) replay to the modeled state") {
+    // seeded random op sequence — overwrite/append/compact AND
+    // delete/update/merge — applied both to TxLog and to a trivial
+    // in-memory Map[id → name] model; the log must agree with the
+    // model at the head after every op AND at every historical
+    // version at the end — the strongest single invariant: replay IS
+    // the table.
+    val s = spark
+    import s.implicits._
     val rnd = new scala.util.Random(42)
     val dir = tmp("txmodel").toString
-    var model = Set.empty[Long]            // current rows (by id)
-    val history = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    var model = Map.empty[Long, String]
+    val history =
+      scala.collection.mutable.ArrayBuffer[Map[Long, String]]()
     var nextId = 0L
     def freshIds(n: Int): Seq[Long] = {
       val ids = (0 until n).map(_ + nextId)
       nextId += n
       ids
     }
+    def named(ids: Seq[Long]): Map[Long, String] =
+      ids.map(i => i -> s"name_$i").toMap
+    def tableState: Map[Long, String] =
+      TxLog.read(spark, dir).select("id", "name").as[(Long, String)]
+        .collect().toMap
+    def pickId(): Long = {
+      val keys = model.keys.toSeq.sorted
+      keys(rnd.nextInt(keys.size))
+    }
     (1 to 40).foreach { _ =>
-      rnd.nextInt(4) match {
+      rnd.nextInt(7) match {
         case 0 => // overwrite with 1-3 fresh rows
           val ids = freshIds(1 + rnd.nextInt(3))
           TxLog.commitOverwrite(spark, dir, df(ids: _*))
-          model = ids.toSet
+          model = named(ids)
         case 1 | 2 => // append 1-3 fresh rows (appends dominate ingest)
           val ids = freshIds(1 + rnd.nextInt(3))
           TxLog.commitAppend(spark, dir, df(ids: _*))
-          model = model ++ ids
-        case 3 if TxLog.isLogged(spark, dir) => // compact: rows unchanged
+          model = model ++ named(ids)
+        case 3 if model.nonEmpty => // compact: rows unchanged
           TxLog.compact(spark, dir, targetFiles = 1)
-        case _ => // compact before the table exists: create it instead
+        case 4 if model.nonEmpty => // delete a guaranteed-hit range
+          val x = pickId()
+          TxLog.delete(spark, dir, col("id") <= x)
+          model = model.filter(_._1 > x)
+          if (model.isEmpty) { // an emptied table: re-seed so later
+            history += model // the delete's own version: empty table
+            val ids = freshIds(1) //  ops have rows to work with
+            TxLog.commitAppend(spark, dir, df(ids: _*))
+            model = named(ids)
+          }
+        case 5 if model.nonEmpty => // update a guaranteed-hit range
+          val x = pickId()
+          TxLog.update(spark, dir, col("id") <= x,
+            Map("name" -> concat(col("name"), lit("!"))))
+          model = model.map { case (k, v) =>
+            k -> (if (k <= x) v + "!" else v)
+          }
+        case 6 if model.nonEmpty => // merge: replace one + insert one
+          val hit = pickId()
+          val ins = freshIds(1).head
+          TxLog.merge(spark, dir,
+            Seq((hit, s"merged_$hit"), (ins, s"name_$ins"))
+              .toDF("id", "name"),
+            Seq("id"))
+          model = model + (hit -> s"merged_$hit") + (ins -> s"name_$ins")
+        case _ => // DML before the table exists: create it instead
           val ids = freshIds(1)
           TxLog.commitOverwrite(spark, dir, df(ids: _*))
-          model = ids.toSet
+          model = named(ids)
       }
       history += model
-      assert(idSet(TxLog.read(spark, dir)) == model)
+      assert(tableState == model)
     }
     // every historical version still replays to its recorded state
-    // (checkpoints at v9/v19/v29/v39 must not corrupt the replay)
+    // (checkpoints every 10 commits must not corrupt the replay)
     history.zipWithIndex.foreach { case (want, v) =>
-      assert(idSet(TxLog.read(spark, dir, Some(v.toLong))) == want,
+      assert(TxLog.read(spark, dir, Some(v.toLong))
+        .select("id", "name").as[(Long, String)].collect().toMap == want,
         s"version $v diverged from the model")
     }
-    assert(TxLog.history(spark, dir).count() == 40)
+    assert(TxLog.history(spark, dir).count() == history.size)
   }
 
   test("mergeSchema widens on append: new column joins, old rows read null") {
@@ -709,6 +749,141 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxLog.compact(spark, dir, 8, zorderBy = Seq("x", "y", "payload"))
     }
+  }
+
+  test("delete rewrites only the files that hold matching rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdelete").toString
+    val data = (1L to 300L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartitionByRange(3, col("id"))
+    TxLog.commitOverwrite(spark, dir, data, statsCols = Seq("id"))
+    val pre = TxLog.snapshot(spark, dir)
+    assert(pre.files.size == 3)
+
+    val v = TxLog.delete(spark, dir, col("id") <= 50)
+    assert(v == pre.version + 1)
+    val post = TxLog.snapshot(spark, dir)
+    // copy-on-write: the two files outside the predicate's range
+    // survive BY PATH — only the low-range file was rewritten
+    val survivors = pre.files.map(_.path).toSet
+      .intersect(post.files.map(_.path).toSet)
+    assert(survivors.size == 2,
+      s"expected 2 untouched files to survive, got ${survivors.size}")
+    assert(idSet(TxLog.read(spark, dir)) == (51L to 300L).toSet)
+    // stats are inherited across the rewrite: pruning still works
+    assert(post.files.forall(_.stats.contains("id")))
+    // the deleted rows are still in history (time travel)
+    assert(TxLog.read(spark, dir, Some(pre.version)).count() == 300)
+
+    // nothing matches → current version unchanged, no empty commit
+    assert(TxLog.delete(spark, dir, col("id") > 100000) == v)
+
+    // SQL null semantics: a null predicate row SURVIVES a delete
+    val dir2 = tmp("txdelnull").toString
+    TxLog.commitOverwrite(spark, dir2,
+      Seq((1L, Some(10L)), (2L, None), (3L, Some(1L)))
+        .toDF("id", "v"))
+    TxLog.delete(spark, dir2, col("v") > 5)
+    assert(idSet(TxLog.read(spark, dir2)) == Set(2L, 3L))
+  }
+
+  test("update rewrites matched rows in place, schema preserved") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txupdate").toString
+    val data = (1L to 300L).map(i => (i, s"name_$i", i * 10L))
+      .toDF("id", "name", "amount")
+      .repartitionByRange(3, col("id"))
+    TxLog.commitOverwrite(spark, dir, data, statsCols = Seq("id"))
+    val pre = TxLog.snapshot(spark, dir)
+
+    TxLog.update(spark, dir, col("id") <= 50,
+      Map("name" -> upper(col("name")), "amount" -> (col("amount") + 1)))
+    val post = TxLog.snapshot(spark, dir)
+    assert(pre.files.map(_.path).toSet
+      .intersect(post.files.map(_.path).toSet).size == 2)
+    val out = TxLog.read(spark, dir)
+    // an UPDATE never mutates the schema (nullability normalizes
+    // through the parquet round-trip, so compare names + types)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      data.schema.map(f => (f.name, f.dataType)))
+    assert(out.filter(col("id") === 5)
+      .select("name", "amount").head() == org.apache.spark.sql.Row(
+        "NAME_5", 51L))
+    assert(out.filter(col("id") === 200)
+      .select("name", "amount").head() == org.apache.spark.sql.Row(
+        "name_200", 2000L))
+    assert(out.count() == 300)
+
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, dir, col("id") === 1, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("merge upserts: matched rows replaced, new keys inserted") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txmerge").toString
+    val data = (1L to 300L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartitionByRange(3, col("id"))
+    TxLog.commitOverwrite(spark, dir, data, statsCols = Seq("id"))
+    val pre = TxLog.snapshot(spark, dir)
+
+    val source = Seq((10L, "UPDATED_10"), (11L, "UPDATED_11"),
+      (1000L, "new_1000"), (1001L, "new_1001")).toDF("id", "name")
+    TxLog.merge(spark, dir, source, Seq("id"))
+    val post = TxLog.snapshot(spark, dir)
+    // keys 10/11 live in the low file only: the other two survive
+    assert(pre.files.map(_.path).toSet
+      .intersect(post.files.map(_.path).toSet).size == 2)
+    val out = TxLog.read(spark, dir)
+    assert(out.count() == 302)
+    assert(out.filter(col("id") === 10).select("name").head().getString(0)
+      == "UPDATED_10")
+    assert(out.filter(col("id") === 42).select("name").head().getString(0)
+      == "name_42")
+    assert(idSet(out).contains(1000L))
+
+    // ambiguous source (two rows per key) is refused
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir,
+        Seq((5L, "a"), (5L, "b")).toDF("id", "name"), Seq("id"))
+    }
+    // source missing a table column is refused
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, Seq(Tuple1(7L)).toDF("id"), Seq("id"))
+    }
+
+    // a rewriting merge inside the span breaks incremental reads …
+    intercept[IllegalArgumentException] {
+      TxLog.changesSince(spark, dir, pre.version)
+    }
+    // … but an INSERT-ONLY merge is a pure addition and streams fine
+    val preInsert = TxLog.snapshot(spark, dir).version
+    TxLog.merge(spark, dir,
+      Seq((5000L, "n5000")).toDF("id", "name"), Seq("id"))
+    val delta = TxLog.changesSince(spark, dir, preInsert)
+    assert(idSet(delta) == Set(5000L))
+  }
+
+  test("skipping bounds extract only sound conjunctive constraints") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", IntegerType), StructField("d", IntegerType),
+      StructField("e", IntegerType), StructField("x", LongType)))
+    val b = TxLog.skippingBounds(spark, schema,
+      col("a") > 5 && col("b") === "x" &&
+        (col("c") < 2 || col("d") > 1) && lit(3) >= col("e"))
+    assert(b("a") == ((Some(5L), None))) // analysis folds 5 to long
+    assert(b("b") == ((Some("x"), Some("x"))))
+    assert(!b.contains("c") && !b.contains("d")) // OR: no constraint
+    assert(b("e") == ((None, Some(3))))
+    // a BETWEEN is two one-sided constraints on the same column
+    val r = TxLog.skippingBounds(spark, schema,
+      col("x") >= 10 && col("x") <= 20)
+    assert(r("x") == ((Some(10L), Some(20L))))
   }
 
   test("medallion readPruned prunes from the log under txStatsCols") {

@@ -135,6 +135,10 @@ ROWS = [
     (152, "BandingSpec + StressBanding | operators/Banding.scala", "api"),
     (153, "q40_percentile_global", "hash"),
     (154, "q41_approx_percentile", "rows"),
+    (155, "txn_dml", "hash"),
+    (156, "TxLogSpec (z-ordered compact) | sources/TxLog.scala", "api"),
+    (157, "TxLogSpec (delete/update/merge + model check) | "
+     "sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
