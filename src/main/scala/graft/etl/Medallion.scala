@@ -272,6 +272,45 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.changesSince(spark,
       requireLogged(zone, dataset, "changesSince"), sinceVersion)
 
+  /** Row-level change feed after `sinceVersion` (TxLog mode only) —
+    * [[TxLog.changeFeed]]: the insert/delete row diff that lets a
+    * downstream copy follow this dataset THROUGH deletes, updates
+    * and merges, where [[changesSince]] refuses. */
+  def changeFeed(zone: DataZone.Value, dataset: String,
+      sinceVersion: Long): DataFrame =
+    TxLog.changeFeed(spark,
+      requireLogged(zone, dataset, "changeFeed"), sinceVersion)
+
+  /** Row-level DELETE on a logged dataset (TxLog mode only): rows
+    * where `pred` is TRUE are removed by rewriting only the files
+    * that hold them ([[TxLog.delete]] — copy-on-write, stats-pruned).
+    * Returns the committed version (unchanged if nothing matched). */
+  private def statsColsOf(zone: DataZone.Value, dataset: String)
+      : Seq[String] =
+    txStatsCols.filter(read(zone, dataset).columns.contains)
+
+  def deleteWhere(zone: DataZone.Value, dataset: String,
+      pred: Column): Long =
+    TxLog.delete(spark, requireLogged(zone, dataset, "deleteWhere"),
+      pred, statsColsOf(zone, dataset))
+
+  /** Row-level UPDATE on a logged dataset (TxLog mode only): rows
+    * where `pred` is TRUE get each `set` expression; only the files
+    * holding matched rows are rewritten ([[TxLog.update]]). */
+  def updateWhere(zone: DataZone.Value, dataset: String, pred: Column,
+      set: Map[String, Column]): Long =
+    TxLog.update(spark, requireLogged(zone, dataset, "updateWhere"),
+      pred, set, statsColsOf(zone, dataset))
+
+  /** MERGE INTO a logged dataset (TxLog mode only): source rows
+    * replace target rows sharing `keyCols`, unmatched source rows
+    * insert — one commit, only key-matching files rewritten
+    * ([[TxLog.merge]]). The log-native form of [[LoadType.Merge]]. */
+  def mergeInto(zone: DataZone.Value, dataset: String,
+      source: DataFrame, keyCols: Seq[String]): Long =
+    TxLog.merge(spark, requireLogged(zone, dataset, "mergeInto"),
+      source, keyCols, statsColsOf(zone, dataset))
+
   /** Reap data files no retained version references (TxLog mode only).
     * Returns files deleted. Time travel / restore older than the
     * retained span dies with the files. */

@@ -959,6 +959,86 @@ object TxLog {
     (added, schema)
   }
 
+  /** Row-level CHANGE DATA FEED over `(sinceVersion, untilVersion]`
+    * (the Delta CDF shape, computed post-hoc from the log): one row
+    * per changed row, stamped `_change_type` (`insert` / `delete`)
+    * and `_commit_version`, such that applying the feed in version
+    * order — delete pre-rows, add insert-rows, multiset semantics —
+    * transforms snapshot(since) into snapshot(until). This is what
+    * lets a downstream copy follow a table THROUGH deletes, updates
+    * and merges, which [[changesSince]] (additions only) refuses.
+    *
+    * Per commit: appends contribute their rows as inserts;
+    * compactions contribute nothing; DML commits contribute the
+    * multiset diff of JUST their touched files (pre \ post = delete,
+    * post \ pre = insert — an UPDATE's pre/post image pair appears as
+    * one delete + one insert); a mid-span overwrite still refuses
+    * (its retraction is the whole prior table, not a delta) — except
+    * the table-creating commit when reading from `-1`. Cost: log
+    * metadata + scans of only the span's added/removed files, plus
+    * one delta-sized exceptAll shuffle per DML commit. Like
+    * [[changesSince]], refuses when a needed file was vacuumed. */
+  def changeFeed(spark: SparkSession, dir: String, sinceVersion: Long,
+      untilVersion: Option[Long] = None): DataFrame = {
+    val (commits, _) = listLog(spark, dir)
+    require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
+    val head = commits.max
+    val until = untilVersion.getOrElse(head)
+    require(until <= head, s"TxLog: until $until beyond head $head")
+    require(sinceVersion <= until,
+      s"TxLog: since $sinceVersion beyond until $until")
+    val span = (sinceVersion + 1) to until
+    val present = commits.toSet
+    val missing = span.filterNot(present)
+    require(missing.isEmpty,
+      s"TxLog: commits ${missing.take(3).mkString(",")}… truncated; " +
+        "change feed from this version is no longer possible")
+    val f = fs(spark, logPath(dir))
+    val schema = DataType.fromJson(snapshot(spark, dir, Some(until))
+      .schemaJson).asInstanceOf[StructType]
+    val live = fs(spark, new Path(dir)).listStatus(new Path(dir))
+      .filter(_.isFile).map(_.getPath.getName).toSet
+    def readFiles(paths: Seq[String], v: Long): DataFrame = {
+      val gone = paths.filterNot(live.contains)
+      require(gone.isEmpty,
+        s"TxLog: commit $v's file(s) ${gone.take(2).mkString(", ")} " +
+          "were vacuumed; change feed from this version is no longer " +
+          "possible; re-read the full snapshot")
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), schema)
+      else spark.read.schema(schema)
+        .parquet(paths.map(p => s"$dir/$p"): _*)
+    }
+    def stamp(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v))
+    val legs = span.flatMap { v =>
+      val j = JsonMethods.parse(readText(f, versionFile(dir, v)))
+      val adds = (j \ "add").extract[Seq[TxFile]].map(_.path)
+      val removes = (j \ "remove").extract[Seq[String]]
+      (j \ "op").extract[String] match {
+        case "append" => Seq(stamp(readFiles(adds, v), "insert", v))
+        case "compact" => Nil
+        case "overwrite" if v == 0 && sinceVersion < 0 =>
+          Seq(stamp(readFiles(adds, v), "insert", v))
+        case "delete" | "update" | "merge" =>
+          val pre = readFiles(removes, v)
+          val post = readFiles(adds, v)
+          Seq(stamp(pre.exceptAll(post), "delete", v),
+            stamp(post.exceptAll(pre), "insert", v))
+        case op => throw new IllegalArgumentException(
+          s"TxLog: commit $v is '$op' — its retraction is the whole " +
+            "prior table, not a delta; re-read the full snapshot")
+      }
+    }
+    legs.reduceOption(_.unionByName(_)).getOrElse {
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+      stamp(empty, "insert", until).limit(0)
+    }
+  }
+
   /** Restore the table to the state of `version` as a NEW commit
     * (Delta's RESTORE): re-register that snapshot's files as the
     * current state — no data is copied, history is preserved (the

@@ -886,6 +886,99 @@ class TxLogSpec extends SparkSpec {
     assert(r("x") == ((Some(10L), Some(20L))))
   }
 
+  test("changeFeed: applying the row diff replays any DML span") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txcdf").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2, 3, 4, 5, 6),
+      statsCols = Seq("id"))                                   // v0
+    TxLog.commitAppend(spark, dir, df(7, 8))                   // v1
+    TxLog.delete(spark, dir, col("id") <= 2)                   // v2
+    TxLog.update(spark, dir, col("id") === 5,
+      Map("name" -> lit("five")))                              // v3
+    TxLog.merge(spark, dir,
+      Seq((7L, "m7"), (9L, "name_9")).toDF("id", "name"),
+      Seq("id"))                                               // v4
+    TxLog.compact(spark, dir, targetFiles = 1)                 // v5
+
+    def rowsOf(d: DataFrame): Seq[(Long, String)] =
+      d.select("id", "name").as[(Long, String)].collect().toSeq
+    def multiset(rs: Seq[(Long, String)]): Map[(Long, String), Int] =
+      rs.groupBy(identity).view.mapValues(_.size).toMap
+
+    // THE invariant: snapshot(since) + feed = snapshot(until)
+    val feed = TxLog.changeFeed(spark, dir, 0)
+      .select(col("id"), col("name"), col("_change_type"),
+        col("_commit_version")).collect()
+    var state = scala.collection.mutable.Map[(Long, String), Int]()
+      .withDefaultValue(0)
+    multiset(rowsOf(TxLog.read(spark, dir, Some(0)))).foreach {
+      case (k, n) => state(k) = n
+    }
+    feed.sortBy(_.getLong(3)).foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      r.getString(2) match {
+        case "insert" => state(k) += 1
+        case "delete" =>
+          assert(state(k) > 0, s"deleting absent row $k")
+          state(k) -= 1
+      }
+    }
+    assert(state.filter(_._2 > 0).toMap ==
+      multiset(rowsOf(TxLog.read(spark, dir))))
+
+    // per-commit shape: the update is one delete + one insert pair
+    val v3 = feed.filter(_.getLong(3) == 3L)
+    assert(v3.map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+      .toSet == Set(("delete", 5L, "name_5"), ("insert", 5L, "five")))
+    // the compact contributes nothing
+    assert(!feed.exists(_.getLong(3) == 5L))
+    // from -1 the initial load rides along as inserts
+    assert(TxLog.changeFeed(spark, dir, -1)
+      .filter(col("_commit_version") === 0).count() == 6)
+    // a mid-span overwrite still refuses
+    TxLog.commitOverwrite(spark, dir, df(100))                 // v6
+    intercept[IllegalArgumentException] {
+      TxLog.changeFeed(spark, dir, 0).count()
+    }
+    // medallion delegation surfaces the same feed
+    val root = tmp("medcdf").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    p.write(DataZone.Bronze, "pts",
+      Seq((1L, "a")).toDF("id", "name"), LoadType.Full)
+    p.deleteWhere(DataZone.Bronze, "pts", col("id") === 1)
+    assert(p.changeFeed(DataZone.Bronze, "pts", 0)
+      .filter(col("_change_type") === "delete").count() == 1)
+  }
+
+  test("medallion DML delegates: deleteWhere/updateWhere/mergeInto") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("meddml").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true,
+      txStatsCols = Seq("id", "not_a_column"))
+    p.write(DataZone.Bronze, "pts",
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+      LoadType.Full)
+    p.deleteWhere(DataZone.Bronze, "pts", col("id") > 90)
+    p.updateWhere(DataZone.Bronze, "pts", col("id") === 1,
+      Map("name" -> lit("first")))
+    p.mergeInto(DataZone.Bronze, "pts",
+      Seq((50L, "merged"), (200L, "new")).toDF("id", "name"), Seq("id"))
+    val out = p.read(DataZone.Bronze, "pts")
+    assert(out.count() == 91) // 100 - 10 deleted + 1 inserted
+    val byId = out.as[(Long, String)].collect().toMap
+    assert(byId(1L) == "first" && byId(50L) == "merged" &&
+      byId(200L) == "new" && !byId.contains(95L))
+    // a non-logged dataset refuses the DML surface
+    val plain = new MedallionPipeline(spark, tmp("meddml2").toString)
+    plain.write(DataZone.Bronze, "pts",
+      Seq((1L, "a")).toDF("id", "name"), LoadType.Full)
+    intercept[IllegalArgumentException] {
+      plain.deleteWhere(DataZone.Bronze, "pts", col("id") === 1)
+    }
+  }
+
   test("medallion readPruned prunes from the log under txStatsCols") {
     val s = spark
     import s.implicits._
