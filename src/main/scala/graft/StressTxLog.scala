@@ -85,6 +85,56 @@ object StressTxLog {
       s"${delta.inputFiles.length}")
     require(delta.count() == 1000, "delta must be exactly the batch")
 
+    // claim 4: DML cost is affected-data-sized — a key-range delete
+    // against the 600k-row table must rewrite only the file sliver
+    // whose stats intersect the range, at a cost far under the
+    // table write's
+    val preDel = TxLog.snapshot(spark, dir)
+    val cdfSince = preDel.version
+    timed("delete narrow key range (copy-on-write)") {
+      TxLog.delete(spark, dir, col("l_orderkey").between(lo, hi))
+    }
+    val postDel = TxLog.snapshot(spark, dir)
+    val rewrittenDel = preDel.files.map(_.path)
+      .diff(postDel.files.map(_.path)).size
+    println(s"[stress-txlog] delete rewrote $rewrittenDel of " +
+      s"${preDel.files.size} files")
+    require(rewrittenDel * 4 <= preDel.files.size,
+      s"a narrow delete must rewrite <=25% of files, got $rewrittenDel")
+    require(TxLog.read(spark, dir)
+      .filter(col("l_orderkey").between(lo, hi)).count() == 0)
+
+    // claim 5: merge prunes by the source's key envelope — an upsert
+    // whose keys live in one file's range touches that sliver only
+    val preMrg = TxLog.snapshot(spark, dir)
+    val src = TxLog.read(spark, dir)
+      .filter(col("l_orderkey").between(10000L, 11000L))
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("l_extendedprice")).as("l_extendedprice"))
+      .withColumn("l_extendedprice", col("l_extendedprice") * 2)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .localCheckpoint()
+    timed(s"merge ${src.count()}-row keyed source") {
+      TxLog.merge(spark, dir, src, Seq("l_orderkey", "l_partkey"),
+        statsCols = Seq("l_orderkey"))
+    }
+    val postMrg = TxLog.snapshot(spark, dir)
+    val rewrittenMrg = preMrg.files.map(_.path)
+      .diff(postMrg.files.map(_.path)).size
+    println(s"[stress-txlog] merge rewrote $rewrittenMrg of " +
+      s"${preMrg.files.size} files")
+    require(rewrittenMrg * 4 <= preMrg.files.size,
+      s"a narrow merge must rewrite <=25% of files, got $rewrittenMrg")
+
+    // claim 6: the change feed over the DML span is touched-file-sized
+    val feed = TxLog.changeFeed(spark, dir, cdfSince)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[stress-txlog] changeFeed over DML span: $byType")
+    require(byType.getOrElse("delete", 0L) > 0 &&
+      byType.getOrElse("insert", 0L) > 0)
+
     spark.stop()
   }
 }

@@ -139,6 +139,8 @@ ROWS = [
     (156, "TxLogSpec (z-ordered compact) | sources/TxLog.scala", "api"),
     (157, "TxLogSpec (delete/update/merge + model check) | "
      "sources/TxLog.scala", "api"),
+    (158, "TxLogSpec (changeFeed replay invariant) | sources/TxLog.scala",
+     "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
