@@ -272,6 +272,9 @@ object GraftFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(args(0), args(1), args(2))
           .toAggregateExpression()),
+    (FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(classOf[BloomProbe].getName, "bloom_probe"),
+      (args: Seq[Expression]) => BloomProbe(args(0), args(1))),
     (FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sources.TxLog
+import graft.sources.{BloomIndex, TxLog}
 
 /** Driver-checkable queries over the TxLog DML surface (SURVEY §2 /
   * §6): the reference's ETL merge path (etl_manager.py:206 run_job +
@@ -78,8 +78,48 @@ object TxQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** #159 bloom_point_lookup — bloom-filter file skipping driven end
+    * to end: the documents projection is HASH-scattered over 16 files
+    * (so every file spans the full doc_id range and min/max stats can
+    * never prune a point probe), a per-file bloom index is built on
+    * doc_id, and three present keys + one absent key are point-looked-
+    * up through [[BloomIndex.prunedRead]]. The entry hard-fails unless
+    * the index actually pruned (present probes must plan < half the
+    * files; the absent probe ≤ 2 — fpp headroom), and the returned
+    * rows hash-match a plain relational lookup — bloom pruning is
+    * EXACT because false negatives are impossible. */
+  def bloomPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = Files.createTempDirectory("graft_bloom")
+    val tbl = s"$root/t"
+    docs.repartition(16, col("doc_id")).write.parquet(tbl)
+    BloomIndex.write(s, tbl, Seq("doc_id"))
+    val present = Seq(0L, 1L, 2L) // the generator keys every SF holds
+    val probes = present :+ -1L   // plus one impossible key
+    val keptCounts = probes.map { v =>
+      BloomIndex.prunedFiles(s, tbl, "doc_id", v)
+    }
+    keptCounts.take(3).foreach { case (kept, total) =>
+      require(kept.size * 2 < total,
+        s"bloom index failed to prune: ${kept.size} of $total files")
+    }
+    require(keptCounts.last._1.size <= 2,
+      "an absent key should prune nearly everything")
+    val out = probes.map { v =>
+      BloomIndex.prunedRead(s, tbl, "doc_id", v)
+        .filter(col("doc_id") === v)
+    }.reduce(_.unionByName(_))
+    val rows = out.collect().toSeq
+    val schema = out.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "txn_dml" -> txnDml)
+    "txn_dml" -> txnDml,
+    "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
     "txn_dml" -> """
@@ -110,5 +150,8 @@ object TxQueries {
         COUNT(*) AS n_rows,
         CAST(SUM(pc) AS BIGINT) AS sum_pc,
         CAST(SUM(qty) AS BIGINT) AS sum_qty
-      FROM m GROUP BY 1""")
+      FROM m GROUP BY 1""",
+    "bloom_point_lookup" -> """
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id IN (0, 1, 2)""")
 }

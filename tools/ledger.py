@@ -141,6 +141,8 @@ ROWS = [
      "sources/TxLog.scala", "api"),
     (158, "TxLogSpec (changeFeed replay invariant) | sources/TxLog.scala",
      "api"),
+    (159, "bloom_point_lookup", "hash"),
+    (160, "BloomIndexSpec | sources/BloomIndex.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
