@@ -93,6 +93,41 @@ class BloomIndexSpec extends SparkSpec {
     assert(kept2.size < total2)
   }
 
+  test("refresh indexes only uncovered files and drops dead rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("bloomrefresh")
+    val data = (0 until 2000).map(i => (s"id_%04d".format(i), i.toLong))
+      .toDF("k", "v").repartition(8, col("k"))
+    TxLog.commitOverwrite(spark, dir, data)
+    BloomIndex.write(spark, dir, Seq("k"))
+    assert(BloomIndex.refresh(spark, dir) == 0) // already covered
+
+    // an append + a DML rewrite leave exactly their files uncovered
+    TxLog.commitAppend(spark, dir,
+      (2000 until 2400).map(i => (s"id_%04d".format(i), i.toLong))
+        .toDF("k", "v").repartition(2, col("k")))
+    TxLog.delete(spark, dir, col("k") === "id_0100")
+    val preFiles = TxLog.snapshot(spark, dir).files.size
+    val indexed = BloomIndex.refresh(spark, dir)
+    assert(indexed >= 3, s"append (2) + rewrite (1) files, got $indexed")
+
+    // post-refresh: probes over appended AND rewritten ranges prune
+    // again, results exact, dead-file rows no longer in the index
+    val idx = spark.read.parquet(s"$dir/${BloomIndex.IndexDir}")
+    val liveNames = TxLog.snapshot(spark, dir).files.map(_.path).toSet
+    assert(idx.select("file").distinct().collect()
+      .map(_.getString(0)).forall(liveNames))
+    Seq("id_2200", "id_0101").foreach { key =>
+      val (kept, total) = BloomIndex.prunedFiles(spark, dir, "k", key)
+      assert(total == preFiles && kept.size < total,
+        s"$key planned $kept of $total")
+      assert(BloomIndex.prunedRead(spark, dir, "k", key)
+        .filter(col("k") === key).count() ==
+        TxLog.read(spark, dir).filter(col("k") === key).count())
+    }
+  }
+
   test("bloom_probe round-trips bloom_agg bytes") {
     graft.functions.GraftFunctions.register(spark)
     val s = spark
