@@ -272,6 +272,15 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.changesSince(spark,
       requireLogged(zone, dataset, "changesSince"), sinceVersion)
 
+  /** Metadata-first COUNT of a logged dataset ([[TxLog.countWhere]]):
+    * excluded files contribute zero, fully-contained null-free files
+    * count from the log, only the boundary sliver scans. Empty
+    * `preds` = the table's row count with no scan at all. */
+  def countRows(zone: DataZone.Value, dataset: String,
+      preds: Seq[(String, Any, Any)] = Nil): Long =
+    TxLog.countWhere(spark,
+      requireLogged(zone, dataset, "countRows"), preds)
+
   /** Row-level change feed after `sinceVersion` (TxLog mode only) —
     * [[TxLog.changeFeed]]: the insert/delete row diff that lets a
     * downstream copy follow this dataset THROUGH deletes, updates

@@ -163,15 +163,20 @@ object StatsManifest {
   /** True when a [min_s, max_s] file range can intersect [lo, hi] under
     * the column's dtype ordering; null bounds keep the file. Shared
     * with [[TxLog.readPruned]] (stats-in-log skipping). */
+  /** Compare two canonical cast-to-string stat values under the
+    * column dtype's ordering. Shared by intersection (pruning) and
+    * containment ([[TxLog.countWhere]]'s metadata-only counting). */
+  private[sources] def cmpStat(dtype: String, a: String, b: String): Int = {
+    val numeric = Set("tinyint", "smallint", "int", "bigint", "float",
+      "double").contains(dtype) || dtype.startsWith("decimal")
+    if (numeric) BigDecimal(a).compare(BigDecimal(b))
+    else a.compareTo(b) // string/date/timestamp cast-to-string forms
+  }
+
   private[sources] def intersects(dtype: String, minS: String, maxS: String,
       lo: String, hi: String): Boolean = {
     if (minS == null || maxS == null) return true
-    val numeric = Set("tinyint", "smallint", "int", "bigint", "float",
-      "double").contains(dtype) || dtype.startsWith("decimal")
-    def cmp(a: String, b: String): Int =
-      if (numeric) BigDecimal(a).compare(BigDecimal(b))
-      else a.compareTo(b) // string/date/timestamp cast-to-string forms
-    !(cmp(maxS, lo) < 0 || cmp(minS, hi) > 0)
+    !(cmpStat(dtype, maxS, lo) < 0 || cmpStat(dtype, minS, hi) > 0)
   }
 
   /** Canonicalize probe bounds through the SAME cast the stats took

@@ -71,9 +71,14 @@ object TxLog {
     * column's catalog dtype plus min/max as Spark's canonical
     * cast-to-string forms (order-preserving for numerics, strings,
     * dates, timestamps — the [[StatsManifest]] encoding). `None`
-    * min/max = all-null column → pruning keeps the file. */
+    * min/max = all-null column → pruning keeps the file. `nulls` is
+    * the column's null count (Delta's nullCount): it makes
+    * fully-contained files countable from METADATA in [[countWhere]]
+    * (min/max ignore nulls, so rows-in-range ≠ file rows when nulls
+    * exist). `None` on commits written before it was recorded —
+    * consumers must treat that as unknown, not zero. */
   final case class ColStats(dtype: String, min: Option[String],
-      max: Option[String])
+      max: Option[String], nulls: Option[Long] = None)
 
   /** One live data file in a snapshot: `path` relative to the dataset
     * dir, plus its row count and optional per-column min/max — all
@@ -159,13 +164,32 @@ object TxLog {
     }
   }
 
+  /** One stats-collection projection per column: min/max in the
+    * canonical cast-to-string form plus the null count — shared by
+    * [[stageData]] and [[convertInPlace]] so the recorded stats can
+    * never diverge between the two write paths. */
+  private def statAggExprs(statsCols: Seq[String])
+      : Seq[org.apache.spark.sql.Column] =
+    statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c")))
+
+  private def statsOfRow(r: Row, statsCols: Seq[String],
+      dtypes: Map[String, String]): Map[String, ColStats] =
+    statsCols.map(c => c -> ColStats(dtypes(c),
+      Option(r.getAs[String](s"_min_$c")),
+      Option(r.getAs[String](s"_max_$c")),
+      Some(r.getAs[Long](s"_nulls_$c")))).toMap
+
   private def filesJson(files: Seq[TxFile]): JValue =
     files.map { a =>
       val base = ("path" -> a.path) ~ ("rows" -> a.rows)
       if (a.stats.isEmpty) base
       else base ~ ("stats" -> JObject(a.stats.toList.sortBy(_._1).map {
         case (c, st) => JField(c,
-          ("dtype" -> st.dtype) ~ ("min" -> st.min) ~ ("max" -> st.max))
+          ("dtype" -> st.dtype) ~ ("min" -> st.min) ~
+            ("max" -> st.max) ~ ("nulls" -> st.nulls))
       }))
     }
 
@@ -286,16 +310,11 @@ object TxLog {
       if (parts.isEmpty) Map.empty
       else spark.read.parquet(stageDir.toString)
         .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("n"),
-          statsCols.flatMap(c => Seq(
-            min(col(c)).cast("string").as(s"_min_$c"),
-            max(col(c)).cast("string").as(s"_max_$c"))): _*)
+        .agg(count(lit(1)).as("n"), statAggExprs(statsCols): _*)
         .collect()
         .map { r =>
-          val stats = statsCols.map(c => c -> ColStats(dtypes(c),
-            Option(r.getAs[String](s"_min_$c")),
-            Option(r.getAs[String](s"_max_$c")))).toMap
-          r.getString(0).split('/').last -> (r.getLong(1), stats)
+          r.getString(0).split('/').last ->
+            (r.getLong(1), statsOfRow(r, statsCols, dtypes))
         }.toMap
     val uuid = UUID.randomUUID().toString.take(8)
     val added = parts.zipWithIndex.map { case (st, i) =>
@@ -451,16 +470,11 @@ object TxLog {
     statsCols.foreach(c => require(dtypes.contains(c),
       s"TxLog: no column '$c' to stat in convert of $dir"))
     val byName = df.groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n"),
-        statsCols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"_min_$c"),
-          max(col(c)).cast("string").as(s"_max_$c"))): _*)
+      .agg(count(lit(1)).as("n"), statAggExprs(statsCols): _*)
       .collect()
       .map { r =>
-        val stats = statsCols.map(c => c -> ColStats(dtypes(c),
-          Option(r.getAs[String](s"_min_$c")),
-          Option(r.getAs[String](s"_max_$c")))).toMap
-        r.getString(0).split('/').last -> (r.getLong(1), stats)
+        r.getString(0).split('/').last ->
+          (r.getLong(1), statsOfRow(r, statsCols, dtypes))
       }.toMap
     val added = dataFiles.map { n =>
       val (rows, stats) = byName.getOrElse(n, (0L, Map.empty[String, ColStats]))
@@ -874,6 +888,80 @@ object TxLog {
       }
     }
     readSnapshot(spark, dir, snap.copy(files = kept))
+  }
+
+  /** Metadata-first COUNT (the Delta metadata-only-aggregate shape):
+    * the exact number of rows satisfying every `(col, lo, hi)`
+    * interval, scanning as little as possible. Per file, from the
+    * log alone: a file whose recorded range cannot intersect some
+    * interval contributes ZERO; a file FULLY CONTAINED in every
+    * interval with zero recorded nulls on every probed column
+    * contributes its logged row count; only the boundary sliver —
+    * files straddling an interval edge, carrying nulls, or missing
+    * stats — is actually scanned, with the predicate applied. Empty
+    * `preds` is the table's row count straight from the log (no scan
+    * at all — the `SELECT COUNT(*)` that costs one metadata read at
+    * any table size). */
+  def countWhere(spark: SparkSession, dir: String,
+      preds: Seq[(String, Any, Any)] = Nil,
+      asOf: Option[Long] = None): Long =
+    countWhereDetailed(spark, dir, preds, asOf)._1
+
+  /** [[countWhere]] plus the names of the files it had to scan —
+    * exposed private[graft] so tests can pin the metadata-only
+    * claim, not just the answer. */
+  private[graft] def countWhereDetailed(spark: SparkSession, dir: String,
+      preds: Seq[(String, Any, Any)], asOf: Option[Long])
+      : (Long, Seq[String]) = {
+    val snap = snapshot(spark, dir, asOf)
+    if (preds.isEmpty) return (snap.files.map(_.rows).sum, Nil)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val fields = schema.fields.map(f => f.name -> f.dataType).toMap
+    preds.foreach { case (c, _, _) => require(fields.contains(c),
+      s"TxLog: countWhere on unknown column '$c'") }
+    val bounds = preds.map { case (c, lo, hi) =>
+      val dt = fields(c).catalogString
+      val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
+      (c, dt, loS, hiS)
+    }
+    sealed trait Verdict
+    case object Excluded extends Verdict
+    case object Contained extends Verdict
+    case object Boundary extends Verdict
+    def judge(f: TxFile): Verdict = {
+      var contained = true
+      bounds.foreach { case (c, dt, loS, hiS) =>
+        f.stats.get(c) match {
+          case Some(st) if st.min.isDefined && st.max.isDefined =>
+            if (!StatsManifest.intersects(dt, st.min.get, st.max.get,
+                loS, hiS))
+              return Excluded
+            if (!(StatsManifest.cmpStat(dt, st.min.get, loS) >= 0 &&
+                StatsManifest.cmpStat(dt, st.max.get, hiS) <= 0 &&
+                st.nulls.contains(0L)))
+              contained = false
+          case Some(st) if st.min.isEmpty && st.max.isEmpty =>
+            // all-null column: no row satisfies a range predicate
+            return Excluded
+          case _ => contained = false // no stats: must scan
+        }
+      }
+      if (contained) Contained else Boundary
+    }
+    val verdicts = snap.files.map(f => f -> judge(f))
+    val metaCount = verdicts
+      .collect { case (f, Contained) => f.rows }.sum
+    val toScan = verdicts.collect { case (f, Boundary) => f }
+    val scanned =
+      if (toScan.isEmpty) 0L
+      else {
+        val pred = preds.map { case (c, lo, hi) =>
+          col(c).between(lit(lo).cast(fields(c)), lit(hi).cast(fields(c)))
+        }.reduce(_ && _)
+        readSnapshot(spark, dir, snap.copy(files = toScan))
+          .filter(pred).count()
+      }
+    (metaCount + scanned, toScan.map(_.path))
   }
 
   /** Incremental consumption: the rows ADDED by commits in

@@ -886,6 +886,64 @@ class TxLogSpec extends SparkSpec {
     assert(r("x") == ((Some(10L), Some(20L))))
   }
 
+  test("countWhere answers from metadata, scanning only the boundary") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txcount").toString
+    // ids 1..300 over 3 range files; v is null on every 10th row
+    val data = (1L to 300L)
+      .map(i => (i, if (i % 10 == 0) None else Some(i * 2)))
+      .toDF("id", "v")
+      .repartitionByRange(3, col("id"))
+    TxLog.commitOverwrite(spark, dir, data, statsCols = Seq("id", "v"))
+
+    // no predicate: the row count is pure log metadata
+    val (total, scanned0) =
+      TxLog.countWhereDetailed(spark, dir, Nil, None)
+    assert(total == 300 && scanned0.isEmpty)
+
+    // id has no nulls: a probe containing file 2 fully and straddling
+    // files 1 and 3 counts the middle from the log, scans the edges
+    val (n, scanned) = TxLog.countWhereDetailed(spark, dir,
+      Seq(("id", 50, 250)), None)
+    assert(n == 201)
+    assert(scanned.size == 2, s"expected 2 boundary files, got $scanned")
+
+    // the full-range id probe is contained everywhere: zero scans
+    val (all, scannedAll) = TxLog.countWhereDetailed(spark, dir,
+      Seq(("id", 1, 300)), None)
+    assert(all == 300 && scannedAll.isEmpty)
+
+    // v carries nulls: even a full-range probe must SCAN (min/max
+    // ignore nulls; counting from metadata would overcount) — and
+    // the answer excludes the null rows, like the predicate does
+    val (nv, scannedV) = TxLog.countWhereDetailed(spark, dir,
+      Seq(("v", 2, 600)), None)
+    assert(nv == 270, s"nulls must not be counted, got $nv")
+    assert(scannedV.size == 3)
+
+    // conjunction: exclusion beats containment file-by-file
+    assert(TxLog.countWhere(spark, dir,
+      Seq(("id", 50, 250), ("v", 100, 460))) ==
+      data.filter(col("id").between(50, 250) &&
+        col("v").between(100, 460)).count())
+
+    // stat-less columns fall back to scanning, same answer
+    val dir2 = tmp("txcount2").toString
+    TxLog.commitOverwrite(spark, dir2, data) // no statsCols at all
+    assert(TxLog.countWhere(spark, dir2, Seq(("id", 50, 250))) == 201)
+
+    // medallion delegation
+    val root = tmp("medcount").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true,
+      txStatsCols = Seq("id"))
+    p.write(DataZone.Bronze, "pts",
+      (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"),
+      LoadType.Full)
+    assert(p.countRows(DataZone.Bronze, "pts") == 50)
+    assert(p.countRows(DataZone.Bronze, "pts", Seq(("id", 1, 10))) == 10)
+  }
+
   test("changeFeed: applying the row diff replays any DML span") {
     val s = spark
     import s.implicits._

@@ -143,6 +143,8 @@ ROWS = [
      "api"),
     (159, "bloom_point_lookup", "hash"),
     (160, "BloomIndexSpec | sources/BloomIndex.scala", "api"),
+    (161, "TxLogSpec (countWhere metadata-only) | sources/TxLog.scala",
+     "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
