@@ -272,6 +272,21 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.changesSince(spark,
       requireLogged(zone, dataset, "changesSince"), sinceVersion)
 
+  /** Add a CHECK constraint to a logged dataset
+    * ([[TxLog.addCheckConstraint]]): existing rows validate first,
+    * then every later write through any path refuses batches that
+    * violate it, naming the constraint. */
+  def addConstraint(zone: DataZone.Value, dataset: String,
+      name: String, exprStr: String): Long =
+    TxLog.addCheckConstraint(spark,
+      requireLogged(zone, dataset, "addConstraint"), name, exprStr)
+
+  /** Drop a CHECK constraint by name ([[TxLog.dropCheckConstraint]]). */
+  def dropConstraint(zone: DataZone.Value, dataset: String,
+      name: String): Long =
+    TxLog.dropCheckConstraint(spark,
+      requireLogged(zone, dataset, "dropConstraint"), name)
+
   /** Metadata-first COUNT of a logged dataset ([[TxLog.countWhere]]):
     * excluded files contribute zero, fully-contained null-free files
     * count from the log, only the boundary sliver scans. Empty

@@ -90,10 +90,12 @@ object TxLog {
       stats: Map[String, ColStats] = Map.empty)
 
   /** The resolved state of the table at `version`: live files, the
-    * schema (Spark StructType JSON), and the latest batchId committed
-    * per streaming appId. */
+    * schema (Spark StructType JSON), the latest batchId committed
+    * per streaming appId, and the active CHECK constraints
+    * (name → SQL expression). */
   final case class TxSnapshot(version: Long, schemaJson: String,
-      files: Seq[TxFile], txns: Map[String, Long])
+      files: Seq[TxFile], txns: Map[String, Long],
+      constraints: Map[String, String] = Map.empty)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -211,14 +213,24 @@ object TxLog {
     var schemaJson: String = ""
     val files = scala.collection.mutable.LinkedHashMap[String, TxFile]()
     val txns = scala.collection.mutable.Map[String, Long]()
+    var constraints = Map.empty[String, String]
     def toSnapshot(v: Long): TxSnapshot =
-      TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path), txns.toMap)
+      TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path),
+        txns.toMap, constraints)
   }
 
   private def applyCommit(st: State, j: JValue): Unit = {
     (j \ "schemaJson").extractOpt[String].foreach(st.schemaJson = _)
     (j \ "remove").extract[Seq[String]].foreach(st.files.remove)
     (j \ "add").extract[Seq[TxFile]].foreach(a => st.files(a.path) = a)
+    // a constraints commit carries the FULL new map (replay-simple).
+    // NB: extractOpt[Map] of an ABSENT field yields Some(empty map)
+    // in json4s — match on presence, or every ordinary commit would
+    // silently reset the constraints
+    (j \ "constraints") match {
+      case JNothing => ()
+      case jv => st.constraints = jv.extract[Map[String, String]]
+    }
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
       b <- (j \ "txn" \ "batchId").extractOpt[Long]
@@ -246,6 +258,10 @@ object TxLog {
       (j \ "txns").extract[Map[String, Long]].foreach { case (k, b) =>
         st.txns(k) = b
       }
+      (j \ "constraints") match { // same json4s absent-field quirk
+        case JNothing => ()
+        case jv => st.constraints = jv.extract[Map[String, String]]
+      }
     }
     val needed = (cp.getOrElse(-1L) + 1) to target
     val present = commits.toSet
@@ -262,11 +278,14 @@ object TxLog {
   private def writeCheckpoint(spark: SparkSession, dir: String,
       v: Long): Unit = {
     val snap = snapshot(spark, dir, Some(v))
-    val j: JObject =
+    val base: JObject =
       ("version" -> v) ~ ("schemaJson" -> snap.schemaJson) ~
         ("files" -> filesJson(snap.files)) ~
         ("txns" -> JObject(snap.txns.toList.sortBy(_._1)
           .map { case (k, b) => JField(k, JLong(b)) }))
+    val j: JObject =
+      if (snap.constraints.isEmpty) base
+      else base ~ ("constraints" -> snap.constraints)
     val p = checkpointFile(dir, v)
     val f = fs(spark, p)
     // deterministic content: overwrite is safe if two writers race here
@@ -497,6 +516,7 @@ object TxLog {
     * [[readPruned]] file skipping. */
   def commitOverwrite(spark: SparkSession, dir: String,
       df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    enforceConstraints(spark, dir, df)
     val (added, schemaJson) = stageData(spark, dir, df, statsCols)
     commitStaged(spark, dir, "overwrite", added, Nil, removeAll = true,
       schemaJson, None)
@@ -518,6 +538,7 @@ object TxLog {
       for ((app, b) <- txn)
         if (snap.txns.get(app).exists(_ >= b)) return snap.version
     }
+    enforceConstraints(spark, dir, df)
     val (added, schemaJson) = stageData(spark, dir, df, statsCols)
     commitStaged(spark, dir, "append", added, Nil, removeAll = false,
       schemaJson, txn, mergeSchema)
@@ -565,6 +586,87 @@ object TxLog {
       stageData(spark, dir, df, (statsCols ++ zorderBy).distinct)
     commitStaged(spark, dir, "compact", added, snap.files.map(_.path),
       removeAll = false, schemaJson, None)
+  }
+
+  // ---- CHECK constraints -------------------------------------------
+
+  /** Add a table-level CHECK constraint (Delta's `ALTER TABLE … ADD
+    * CONSTRAINT`): `exprStr` is a SQL boolean expression over the
+    * table's columns; SQL CHECK semantics — a row violates only when
+    * the expression is FALSE (null passes). EXISTING rows are
+    * validated first (one scan; refused loudly if any violate —
+    * Delta's contract), then the full constraint map is recorded in
+    * the log as its own commit, so constraints time-travel, survive
+    * checkpoints, and bind every later writer. Every subsequent
+    * append / overwrite / update / merge validates its batch (one
+    * batch-sized scan) and refuses naming the violated constraint —
+    * nothing is staged or committed on refusal. */
+  def addCheckConstraint(spark: SparkSession, dir: String,
+      name: String, exprStr: String): Long = {
+    require(name.nonEmpty, "TxLog: constraint needs a name")
+    val snap = snapshot(spark, dir)
+    val bad = read(spark, dir)
+      .filter(expr(exprStr).eqNullSafe(false)).limit(1).count()
+    require(bad == 0,
+      s"TxLog: cannot add constraint '$name' ($exprStr) — existing " +
+        "rows violate it")
+    commitConstraints(spark, dir, snap.constraints + (name -> exprStr))
+  }
+
+  /** Drop a CHECK constraint by name (unknown names refuse — a typo'd
+    * drop that silently "succeeds" leaves the constraint enforcing). */
+  def dropCheckConstraint(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir)
+    require(snap.constraints.contains(name),
+      s"TxLog: no constraint '$name' on $dir " +
+        s"(active: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
+    commitConstraints(spark, dir, snap.constraints - name)
+  }
+
+  /** Validate `df` against the table's active constraints — ONE scan
+    * for the happy path (any-violation check); only on refusal does a
+    * second pass name the culprit. No-op on unlogged dirs and
+    * constraint-free tables. */
+  private def enforceConstraints(spark: SparkSession, dir: String,
+      df: DataFrame): Unit = {
+    if (!isLogged(spark, dir)) return
+    val cs = snapshot(spark, dir).constraints
+    if (cs.isEmpty) return
+    val anyBad = cs.values.map(e => expr(e).eqNullSafe(false))
+      .reduce(_ || _)
+    if (df.filter(anyBad).limit(1).count() == 0) return
+    val culprit = cs.toSeq.sortBy(_._1).find { case (_, e) =>
+      df.filter(expr(e).eqNullSafe(false)).limit(1).count() > 0
+    }.map(_._1).getOrElse(cs.keys.head)
+    throw new IllegalArgumentException(
+      s"TxLog: CHECK constraint '$culprit' (${cs(culprit)}) violated " +
+        s"by the batch — nothing was written to $dir")
+  }
+
+  /** The constraints commit: no files move, the full new map rides in
+    * its own log slot (lost claims rebase like any commit). */
+  private def commitConstraints(spark: SparkSession, dir: String,
+      all: Map[String, String]): Long = {
+    val f = fs(spark, logPath(dir))
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      val base = snapshot(spark, dir)
+      val v = base.version + 1
+      val j: JObject =
+        ("version" -> v) ~ ("op" -> "constraints") ~
+          ("add" -> JArray(Nil)) ~ ("remove" -> JArray(Nil)) ~
+          ("constraints" -> all)
+      if (tryWrite(f, versionFile(dir, v),
+          JsonMethods.compact(JsonMethods.render(j)))) {
+        if (v > 0 && v % CheckpointInterval == 0)
+          writeCheckpoint(spark, dir, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog: gave up after $MaxAttempts contended constraint commits")
   }
 
   // ---- Row-level mutations (copy-on-write) -------------------------
@@ -751,6 +853,7 @@ object TxLog {
           case None => col(fl.name)
         }
       }.toSeq: _*)
+    enforceConstraints(spark, dir, rewritten)
     val (added, _) = stageData(spark, dir, rewritten,
       inheritStats(keepFiles, statsCols))
     commitStaged(spark, dir, "update", added, touched,
@@ -826,6 +929,9 @@ object TxLog {
       else readSnapshot(spark, dir, snap.copy(files = keepFiles))
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(src)
+    // validating just the SOURCE suffices (survivor rows from touched
+    // files were already valid under the standing constraints)
+    enforceConstraints(spark, dir, src)
     val (added, _) = stageData(spark, dir, survivors,
       inheritStats(keepFiles, statsCols))
     commitStaged(spark, dir, "merge", added, touched,
@@ -1023,6 +1129,7 @@ object TxLog {
           // an insert-only merge removed nothing: its adds ARE the
           // delta; a merge that rewrote files falls through to refuse
           (j \ "add").extract[Seq[TxFile]]
+        case "constraints" => Nil // metadata only, no rows
         case op => throw new IllegalArgumentException(
           s"TxLog: commit $v is '$op' — the span's delta is not " +
             "expressible as additions; re-read the full snapshot")
@@ -1107,7 +1214,7 @@ object TxLog {
       val removes = (j \ "remove").extract[Seq[String]]
       (j \ "op").extract[String] match {
         case "append" => Seq(stamp(readFiles(adds, v), "insert", v))
-        case "compact" => Nil
+        case "compact" | "constraints" => Nil
         case "overwrite" if v == 0 && sinceVersion < 0 =>
           Seq(stamp(readFiles(adds, v), "insert", v))
         case "delete" | "update" | "merge" =>

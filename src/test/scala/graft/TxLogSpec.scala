@@ -886,6 +886,80 @@ class TxLogSpec extends SparkSpec {
     assert(r("x") == ((Some(10L), Some(20L))))
   }
 
+  test("CHECK constraints gate every write path and time-travel") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txcheck").toString
+    TxLog.commitOverwrite(spark, dir,
+      Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, Some(20L)),
+        (3L, None)).toDF("id", "v"))
+
+    // cannot add a constraint existing rows violate
+    intercept[IllegalArgumentException] {
+      TxLog.addCheckConstraint(spark, dir, "v_big", "v > 15")
+    }
+    // null rows PASS a check (SQL semantics) — this one adds fine
+    val vAdd = TxLog.addCheckConstraint(spark, dir, "v_pos", "v > 0")
+    assert(TxLog.snapshot(spark, dir).constraints ==
+      Map("v_pos" -> "v > 0"))
+
+    // append of a violating batch refuses, names the constraint,
+    // commits nothing, stages nothing
+    val pre = TxLog.snapshot(spark, dir).version
+    val e = intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, dir, Seq((4L, -5L)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(TxLog.snapshot(spark, dir).version == pre)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_graft_stage_")))
+    // a null-v append passes, a clean append passes
+    TxLog.commitAppend(spark, dir,
+      Seq[(Long, Option[Long])]((4L, None), (5L, Some(50L)))
+        .toDF("id", "v"))
+
+    // update and merge refuse too
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, dir, col("id") === 1, Map("v" -> lit(-1L)))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, Seq((9L, -9L)).toDF("id", "v"), Seq("id"))
+    }
+    // overwrite refuses — the constraint outlives full replacement
+    intercept[IllegalArgumentException] {
+      TxLog.commitOverwrite(spark, dir, Seq((1L, -1L)).toDF("id", "v"))
+    }
+
+    // constraints survive checkpoints (push past the interval)
+    (1 to 11).foreach(i =>
+      TxLog.commitAppend(spark, dir, Seq((100L + i, 1L)).toDF("id", "v")))
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, dir, Seq((999L, -1L)).toDF("id", "v"))
+    }
+    // pre-constraint versions still read (time travel unaffected)
+    assert(TxLog.read(spark, dir, Some(0)).count() == 3)
+
+    // dropping an unknown name refuses; dropping the real one unlocks
+    intercept[IllegalArgumentException] {
+      TxLog.dropCheckConstraint(spark, dir, "nope")
+    }
+    TxLog.dropCheckConstraint(spark, dir, "v_pos")
+    TxLog.commitAppend(spark, dir, Seq((999L, -1L)).toDF("id", "v"))
+    assert(TxLog.snapshot(spark, dir).constraints.isEmpty)
+
+    // medallion delegation
+    val root = tmp("medcheck").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    p.write(DataZone.Bronze, "pts",
+      Seq((1L, "a")).toDF("id", "name"), LoadType.Full)
+    p.addConstraint(DataZone.Bronze, "pts", "id_pos", "id > 0")
+    intercept[IllegalArgumentException] {
+      p.write(DataZone.Bronze, "pts",
+        Seq((-1L, "x")).toDF("id", "name"), LoadType.Append)
+    }
+    assert(vAdd > 0)
+  }
+
   test("countWhere answers from metadata, scanning only the boundary") {
     val s = spark
     import s.implicits._

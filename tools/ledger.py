@@ -145,6 +145,7 @@ ROWS = [
     (160, "BloomIndexSpec | sources/BloomIndex.scala", "api"),
     (161, "TxLogSpec (countWhere metadata-only) | sources/TxLog.scala",
      "api"),
+    (162, "TxLogSpec (CHECK constraints) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
