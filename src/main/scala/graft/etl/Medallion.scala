@@ -313,18 +313,32 @@ class MedallionPipeline(spark: SparkSession, root: String,
       : Seq[String] =
     txStatsCols.filter(read(zone, dataset).columns.contains)
 
+  /** `mor = true` switches to merge-on-read ([[TxLog.deleteMor]] —
+    * deletion vectors): no file is rewritten, cost scales with the
+    * matched rows; schedule [[compactTable]] to materialize. */
   def deleteWhere(zone: DataZone.Value, dataset: String,
-      pred: Column): Long =
-    TxLog.delete(spark, requireLogged(zone, dataset, "deleteWhere"),
-      pred, statsColsOf(zone, dataset))
+      pred: Column, mor: Boolean = false): Long =
+    if (mor)
+      TxLog.deleteMor(spark, requireLogged(zone, dataset, "deleteWhere"),
+        pred)
+    else
+      TxLog.delete(spark, requireLogged(zone, dataset, "deleteWhere"),
+        pred, statsColsOf(zone, dataset))
 
   /** Row-level UPDATE on a logged dataset (TxLog mode only): rows
     * where `pred` is TRUE get each `set` expression; only the files
-    * holding matched rows are rewritten ([[TxLog.update]]). */
+    * holding matched rows are rewritten ([[TxLog.update]]). With
+    * `mor = true`, nothing is rewritten: old positions join the
+    * deletion vector and updated images append
+    * ([[TxLog.updateMor]]). */
   def updateWhere(zone: DataZone.Value, dataset: String, pred: Column,
-      set: Map[String, Column]): Long =
-    TxLog.update(spark, requireLogged(zone, dataset, "updateWhere"),
-      pred, set, statsColsOf(zone, dataset))
+      set: Map[String, Column], mor: Boolean = false): Long =
+    if (mor)
+      TxLog.updateMor(spark, requireLogged(zone, dataset, "updateWhere"),
+        pred, set, statsColsOf(zone, dataset))
+    else
+      TxLog.update(spark, requireLogged(zone, dataset, "updateWhere"),
+        pred, set, statsColsOf(zone, dataset))
 
   /** MERGE INTO a logged dataset (TxLog mode only): source rows
     * replace target rows sharing `keyCols`, unmatched source rows

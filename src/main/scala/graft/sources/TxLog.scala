@@ -85,9 +85,22 @@ object TxLog {
     * commit-time metadata, so `history`, row-count queries, and
     * [[readPruned]] file skipping never touch the data (Delta's
     * stats-in-log). Commits written before stats existed parse with
-    * an empty map (json4s applies the default). */
+    * an empty map (json4s applies the default).
+    *
+    * `dv` is the file's DELETION VECTOR (Delta's merge-on-read DML):
+    * the dir-relative path of a parquet relation of `(file,
+    * row_index)` pairs under `_graft_dv/` naming the rows of this
+    * file that are logically deleted — the data file itself is
+    * byte-identical, reads subtract the vector, [[compact]]
+    * materializes it away. `dvRows` counts this file's deleted rows,
+    * so `rows - dvRows` is its live count. Several file entries may
+    * share one vector relation (a single DML commit writes ONE), and
+    * a superseded vector may still carry stale pairs for files whose
+    * entry moved on — harmless, the read subtracts by (file, row)
+    * identity. Plain files parse with `dv = None` (json4s default). */
   final case class TxFile(path: String, rows: Long,
-      stats: Map[String, ColStats] = Map.empty)
+      stats: Map[String, ColStats] = Map.empty,
+      dv: Option[String] = None, dvRows: Long = 0L)
 
   /** The resolved state of the table at `version`: live files, the
     * schema (Spark StructType JSON), the latest batchId committed
@@ -187,12 +200,15 @@ object TxLog {
   private def filesJson(files: Seq[TxFile]): JValue =
     files.map { a =>
       val base = ("path" -> a.path) ~ ("rows" -> a.rows)
-      if (a.stats.isEmpty) base
-      else base ~ ("stats" -> JObject(a.stats.toList.sortBy(_._1).map {
-        case (c, st) => JField(c,
-          ("dtype" -> st.dtype) ~ ("min" -> st.min) ~
-            ("max" -> st.max) ~ ("nulls" -> st.nulls))
-      }))
+      val withStats =
+        if (a.stats.isEmpty) base
+        else base ~ ("stats" -> JObject(a.stats.toList.sortBy(_._1).map {
+          case (c, st) => JField(c,
+            ("dtype" -> st.dtype) ~ ("min" -> st.min) ~
+              ("max" -> st.max) ~ ("nulls" -> st.nulls))
+        }))
+      a.dv.fold(withStats)(d =>
+        withStats ~ ("dv" -> d) ~ ("dvRows" -> a.dvRows))
     }
 
   private def renderCommit(v: Long, op: String, added: Seq[TxFile],
@@ -369,7 +385,8 @@ object TxLog {
       removeAll: Boolean, schemaJson: String,
       txn: Option[(String, Long)],
       mergeSchema: Boolean = false,
-      ownsAdded: Boolean = true): Long = {
+      ownsAdded: Boolean = true,
+      expectDv: Map[String, Option[String]] = Map.empty): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
@@ -426,6 +443,24 @@ object TxLog {
           throw new java.util.ConcurrentModificationException(
             s"TxLog: files removed by a concurrent commit: " +
               gone.take(3).mkString(", "))
+        }
+      }
+      // merge-on-read DML re-adds the SAME path, so path liveness
+      // alone cannot see a concurrent vector change on a touched
+      // file — a lost-update window CoW never has (its removes fail
+      // the liveness check). The caller pins the vector pointer it
+      // computed from; a head whose pointer moved conflicts.
+      if (expectDv.nonEmpty) {
+        val cur = base.map(_.files.map(fl => fl.path -> fl.dv).toMap)
+          .getOrElse(Map.empty)
+        val moved = expectDv.collect {
+          case (p, d) if cur.get(p).exists(_ != d) => p
+        }
+        if (moved.nonEmpty) {
+          abortCleanup()
+          throw new java.util.ConcurrentModificationException(
+            s"TxLog: deletion vector changed by a concurrent commit " +
+              s"on: ${moved.take(3).mkString(", ")}")
         }
       }
       val v = base.map(_.version + 1).getOrElse(0L)
@@ -584,8 +619,12 @@ object TxLog {
     }
     val (added, schemaJson) =
       stageData(spark, dir, df, (statsCols ++ zorderBy).distinct)
+    // a compaction reads EVERY live file — pin every vector pointer,
+    // or a concurrent merge-on-read DML (same paths stay live) would
+    // be silently materialized away
     commitStaged(spark, dir, "compact", added, snap.files.map(_.path),
-      removeAll = false, schemaJson, None)
+      removeAll = false, schemaJson, None,
+      expectDv = snap.files.map(f => f.path -> f.dv).toMap)
   }
 
   // ---- CHECK constraints -------------------------------------------
@@ -788,10 +827,13 @@ object TxLog {
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val cands = pruneForPredicate(spark, schema, snap.files, pred)
     if (cands.isEmpty) return Nil
-    val touched = readSnapshot(spark, dir, snap.copy(files = cands))
+    // tagged read: already-deleted (dv'd) rows can't re-touch a file,
+    // and the file identity comes from `_metadata`, which survives
+    // the dv anti-join (input_file_name would not)
+    val touched = readSnapshotTagged(spark, dir, snap.copy(files = cands))
       .filter(pred)
-      .select(input_file_name().as("f")).distinct().collect()
-      .map(_.getString(0).split('/').last)
+      .select(col(TagFile)).distinct().collect()
+      .map(_.getString(0))
     touched.toSeq.sorted
   }
 
@@ -820,8 +862,12 @@ object TxLog {
       .filter(!pred.eqNullSafe(true))
     val (added, _) = stageData(spark, dir, kept,
       inheritStats(keepFiles, statsCols))
+    // pin the touched files' vector pointers: a concurrent
+    // merge-on-read DML keeps the path LIVE while changing its rows —
+    // liveness alone would let this rewrite silently undo it
     commitStaged(spark, dir, "delete", added, touched,
-      removeAll = false, snap.schemaJson, None)
+      removeAll = false, snap.schemaJson, None,
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
   }
 
   /** Row-level UPDATE (Delta's `UPDATE t SET … WHERE …`): rows where
@@ -857,7 +903,137 @@ object TxLog {
     val (added, _) = stageData(spark, dir, rewritten,
       inheritStats(keepFiles, statsCols))
     commitStaged(spark, dir, "update", added, touched,
-      removeAll = false, snap.schemaJson, None)
+      removeAll = false, snap.schemaJson, None,
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
+  }
+
+  // ---- merge-on-read DML (deletion vectors) ------------------------
+
+  /** Where a table's deletion vectors live (dir-relative). */
+  val DvDir = "_graft_dv"
+
+  /** Stage ONE vector relation covering this DML's matches merged
+    * with the touched files' existing vectors, and build the updated
+    * file entries. `matched` must be `(TagFile, TagIdx)` pairs of
+    * LIVE rows (already-deleted rows excluded by the tagged read).
+    * Returns None when nothing matched; otherwise (vector path, the
+    * re-added entries, the dv pointers to pin at commit). */
+  private def stageDv(spark: SparkSession, dir: String, snap: TxSnapshot,
+      matched: DataFrame)
+      : Option[(String, Seq[TxFile], Map[String, Option[String]])] = {
+    val counts = matched.groupBy(TagFile).count().collect()
+    if (counts.isEmpty) return None
+    val newCnt = counts.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byPath = snap.files.map(f => f.path -> f).toMap
+    val touched = newCnt.keys.toSeq.sorted
+    val pairs = matched.select(col(TagFile).as("file"),
+      col(TagIdx).as("row_index"))
+    val oldDvs = touched.flatMap(p => byPath(p).dv).distinct
+    val merged =
+      if (oldDvs.isEmpty) pairs
+      else pairs.unionByName(
+        spark.read.parquet(oldDvs.map(p => s"$dir/$p"): _*)
+          .filter(col("file").isInCollection(touched)))
+    // metadata-known output size → file count; one file until vectors
+    // grow to millions of pairs
+    val total = newCnt.values.sum +
+      touched.map(p => byPath(p).dvRows).sum
+    val parts = math.min(32L, total / DvBroadcastRows + 1).toInt
+    val dvPath = s"$DvDir/${UUID.randomUUID().toString.take(12)}"
+    merged.repartition(parts).write.parquet(s"$dir/$dvPath")
+    val entries = touched.map { p =>
+      val f = byPath(p)
+      f.copy(dv = Some(dvPath), dvRows = f.dvRows + newCnt(p))
+    }
+    Some((dvPath, entries, touched.map(p => p -> byPath(p).dv).toMap))
+  }
+
+  /** Merge-on-read DELETE (Delta's deletion-vector delete): the
+    * matched rows' (file, row position) pairs are recorded in a
+    * vector relation and SUBTRACTED on read — no data file is
+    * rewritten, so delete cost scales with the MATCHED ROWS, not the
+    * size of the files that hold them (CoW [[delete]] rewrites a
+    * whole file to drop one row; at 1 GB files and point deletes
+    * that is a 10⁹× write amplification this path removes). The
+    * commit re-adds each touched file entry with the new vector
+    * pointer; stats stay as written (now upper bounds — pruning
+    * remains conservative, and [[countWhere]] scans dv-bearing
+    * files instead of trusting their logged row count). [[compact]]
+    * materializes vectors away; [[vacuum]] collects superseded
+    * vector relations. Concurrency: write-serializable — the commit
+    * pins each touched file's vector pointer, so two merge-on-read
+    * DMLs racing on the same FILE conflict (CoW's liveness check
+    * cannot see same-path vector moves), while DMLs on disjoint
+    * files and appends commute. */
+  def deleteMor(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val cands = pruneForPredicate(spark, schema, snap.files, pred)
+    if (cands.isEmpty) return snap.version
+    val matched = readSnapshotTagged(spark, dir, snap.copy(files = cands))
+      .filter(pred)
+      .select(col(TagFile), col(TagIdx))
+    stageDv(spark, dir, snap, matched) match {
+      case None => snap.version
+      case Some((dvPath, entries, expect)) =>
+        try commitStaged(spark, dir, "delete-dv", entries,
+          entries.map(_.path), removeAll = false, snap.schemaJson, None,
+          ownsAdded = false, expectDv = expect)
+        catch { case e: Throwable =>
+          fs(spark, new Path(dir)).delete(new Path(dir, dvPath), true)
+          throw e
+        }
+    }
+  }
+
+  /** Merge-on-read UPDATE: the matched rows' positions join the
+    * touched files' deletion vectors and their UPDATED images are
+    * appended as new files — one commit, no touched file rewritten
+    * (Delta's DV update shape). Write cost scales with the matched
+    * rows (vector pairs + updated images), not the touched files'
+    * size. CHECK constraints validate the updated images before
+    * anything is staged. */
+  def updateMor(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val known = schema.fieldNames.toSet
+    val unknown = set.keys.filterNot(known)
+    require(unknown.isEmpty,
+      s"TxLog: update sets unknown column(s): ${unknown.mkString(", ")}")
+    val cands = pruneForPredicate(spark, schema, snap.files, pred)
+    if (cands.isEmpty) return snap.version
+    val matchedRows = readSnapshotTagged(spark, dir,
+      snap.copy(files = cands)).filter(pred).cache()
+    try {
+      val updated = matchedRows.select(schema.fields.map { fl =>
+        set.get(fl.name) match {
+          case Some(e) => e.cast(fl.dataType).as(fl.name)
+          case None => col(fl.name)
+        }
+      }.toSeq: _*)
+      enforceConstraints(spark, dir, updated)
+      stageDv(spark, dir, snap,
+        matchedRows.select(col(TagFile), col(TagIdx))) match {
+        case None => snap.version
+        case Some((dvPath, entries, expect)) =>
+          val touchedEntries = entries
+          val (added, _) = stageData(spark, dir, updated,
+            inheritStats(touchedEntries, statsCols))
+          try commitStaged(spark, dir, "update-dv",
+            touchedEntries ++ added, touchedEntries.map(_.path),
+            removeAll = false, snap.schemaJson, None,
+            ownsAdded = false, expectDv = expect)
+          catch { case e: Throwable =>
+            fs(spark, new Path(dir)).delete(new Path(dir, dvPath), true)
+            deleteStaged(spark, dir, added)
+            throw e
+          }
+      }
+    } finally matchedRows.unpersist()
   }
 
   /** MERGE INTO (upsert): for each source row, the target row with
@@ -916,12 +1092,11 @@ object TxLog {
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val touched: Seq[String] =
       if (cands.isEmpty) Nil
-      else readSnapshot(spark, dir, snap.copy(files = cands))
-        .select((input_file_name().as("_graft_f") +:
-          keyCols.map(col)).toSeq: _*)
+      else readSnapshotTagged(spark, dir, snap.copy(files = cands))
+        .select((col(TagFile) +: keyCols.map(col)).toSeq: _*)
         .join(srcKeys, keyCols, "left_semi")
-        .select("_graft_f").distinct().collect()
-        .map(_.getString(0).split('/').last).toSeq.sorted
+        .select(TagFile).distinct().collect()
+        .map(_.getString(0)).toSeq.sorted
     val tSet = touched.toSet
     val keepFiles = snap.files.filter(f => tSet.contains(f.path))
     val survivors =
@@ -935,7 +1110,72 @@ object TxLog {
     val (added, _) = stageData(spark, dir, survivors,
       inheritStats(keepFiles, statsCols))
     commitStaged(spark, dir, "merge", added, touched,
-      removeAll = false, snap.schemaJson, None)
+      removeAll = false, snap.schemaJson, None,
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
+  }
+
+  /** Name of the hidden column carrying `_metadata.file_name` in
+    * tagged reads; collision with a real column is refused. */
+  private[graft] val TagFile = "__graft_file"
+  private[graft] val TagIdx = "__graft_ridx"
+
+  /** Broadcast the deletion-vector relation into the anti-join below
+    * this many deleted rows; past it, fall back to a shuffled
+    * anti-join (and schedule a [[compact]] — a vector this large has
+    * outlived merge-on-read). */
+  private val DvBroadcastRows = 4L * 1000 * 1000
+
+  /** Raw tagged scan of explicit file paths: the table columns plus
+    * `(TagFile, TagIdx)` = (file name, row position in the file) from
+    * the parquet `_metadata` struct — the row's PHYSICAL identity,
+    * which is what deletion vectors address. No vector is applied. */
+  private def readFilesTagged(spark: SparkSession, dir: String,
+      schema: StructType, paths: Seq[String]): DataFrame = {
+    require(!schema.fieldNames.contains(TagFile) &&
+      !schema.fieldNames.contains(TagIdx),
+      s"TxLog: table columns collide with reserved names $TagFile/$TagIdx")
+    val tagged = StructType(schema.fields ++ Seq(
+      StructField(TagFile, StringType, nullable = true),
+      StructField(TagIdx, LongType, nullable = true)))
+    if (paths.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), tagged)
+    else
+      spark.read.schema(schema)
+        .parquet(paths.map(p => s"$dir/$p"): _*)
+        .select(col("*"), col("_metadata.file_name").as(TagFile),
+          col("_metadata.row_index").as(TagIdx))
+  }
+
+  /** The union of the snapshot's referenced deletion vectors as a
+    * `(file, row_index)` relation — deleted-row-count sized, NOT
+    * table sized. */
+  private def dvRelation(spark: SparkSession, dir: String,
+      files: Seq[TxFile]): Option[DataFrame] = {
+    val dvs = files.flatMap(_.dv).distinct
+    if (dvs.isEmpty) None
+    else Some(spark.read.parquet(dvs.map(p => s"$dir/$p"): _*))
+  }
+
+  /** Snapshot read with physical row identity: table columns +
+    * `(TagFile, TagIdx)`, deletion vectors ALREADY SUBTRACTED. Files
+    * without a vector scan clean (no join on that branch); only the
+    * dv-bearing sliver pays the anti-join, against a broadcast of the
+    * (deleted-rows-sized) vector relation. */
+  private def readSnapshotTagged(spark: SparkSession, dir: String,
+      snap: TxSnapshot): DataFrame = {
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val (dvFiles, clean) = snap.files.partition(_.dv.isDefined)
+    val cleanDf = readFilesTagged(spark, dir, schema, clean.map(_.path))
+    if (dvFiles.isEmpty) return cleanDf
+    val dvDf0 = dvRelation(spark, dir, dvFiles).get
+    val dvDf =
+      if (dvFiles.map(_.dvRows).sum <= DvBroadcastRows) broadcast(dvDf0)
+      else dvDf0
+    val scanned = readFilesTagged(spark, dir, schema, dvFiles.map(_.path))
+    val live = scanned.join(dvDf,
+      scanned(TagFile) === dvDf("file") &&
+        scanned(TagIdx) === dvDf("row_index"), "left_anti")
+    cleanDf.unionByName(live)
   }
 
   private def readSnapshot(spark: SparkSession, dir: String,
@@ -944,9 +1184,11 @@ object TxLog {
     if (snap.files.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
-    else
+    else if (snap.files.forall(_.dv.isEmpty))
       spark.read.schema(schema)
         .parquet(snap.files.map(a => s"$dir/${a.path}"): _*)
+    else
+      readSnapshotTagged(spark, dir, snap).drop(TagFile, TagIdx)
   }
 
   /** Snapshot-isolated read at `asOf` (default: head). The file list
@@ -1020,7 +1262,11 @@ object TxLog {
       preds: Seq[(String, Any, Any)], asOf: Option[Long])
       : (Long, Seq[String]) = {
     val snap = snapshot(spark, dir, asOf)
-    if (preds.isEmpty) return (snap.files.map(_.rows).sum, Nil)
+    // rows − dvRows is EXACT per file (the vector's pair count is
+    // commit-time metadata), so COUNT(*) stays a pure metadata read
+    // even after merge-on-read DML
+    if (preds.isEmpty)
+      return (snap.files.map(f => f.rows - f.dvRows).sum, Nil)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val fields = schema.fields.map(f => f.name -> f.dataType).toMap
     preds.foreach { case (c, _, _) => require(fields.contains(c),
@@ -1035,7 +1281,10 @@ object TxLog {
     case object Contained extends Verdict
     case object Boundary extends Verdict
     def judge(f: TxFile): Verdict = {
-      var contained = true
+      // a deletion vector makes the logged row count an OVERcount and
+      // the stats upper bounds: exclusion stays sound (removing rows
+      // can't add values), but a "contained" file must scan
+      var contained = f.dv.isEmpty
       bounds.foreach { case (c, dt, loS, hiS) =>
         f.stats.get(c) match {
           case Some(st) if st.min.isDefined && st.max.isDefined =>
@@ -1222,6 +1471,47 @@ object TxLog {
           val post = readFiles(adds, v)
           Seq(stamp(pre.exceptAll(post), "delete", v),
             stamp(post.exceptAll(pre), "insert", v))
+        case "delete-dv" | "update-dv" =>
+          // deletes = the rows this commit's vectors cover BEYOND the
+          // touched files' vectors at v−1 (pair-identity diff — both
+          // relations are deleted-rows sized); inserts = the commit's
+          // genuinely new files (an update's post-images)
+          val entries = (j \ "add").extract[Seq[TxFile]]
+          val prevFiles = snapshot(spark, dir, Some(v - 1)).files
+            .map(fl => fl.path -> fl).toMap
+          val (reAdds, newFiles) =
+            entries.partition(e => prevFiles.contains(e.path))
+          val touchedPaths = reAdds.map(_.path)
+          val goneData = touchedPaths.filterNot(live.contains)
+          require(goneData.isEmpty,
+            s"TxLog: commit $v's file(s) ${goneData.take(2).mkString(", ")} " +
+              "were vacuumed; change feed from this version is no " +
+              "longer possible; re-read the full snapshot")
+          val dvPaths = (reAdds.flatMap(_.dv) ++
+            touchedPaths.flatMap(p => prevFiles(p).dv)).distinct
+          val goneDv = dvPaths.filterNot(p =>
+            f.exists(new Path(dir, p)))
+          require(goneDv.isEmpty,
+            s"TxLog: commit $v's deletion vector(s) " +
+              s"${goneDv.take(2).mkString(", ")} were vacuumed; change " +
+              "feed from this version is no longer possible; re-read " +
+              "the full snapshot")
+          def dvRel(paths: Seq[String]): Option[DataFrame] =
+            if (paths.isEmpty) None
+            else Some(spark.read.parquet(paths.map(p => s"$dir/$p"): _*)
+              .filter(col("file").isInCollection(touchedPaths)))
+          val newRel = dvRel(reAdds.flatMap(_.dv).distinct).get
+          val fresh = dvRel(touchedPaths.flatMap(p => prevFiles(p).dv)
+            .distinct).fold(newRel)(old => newRel.except(old))
+          val raw = readFilesTagged(spark, dir, schema, touchedPaths)
+          val pre = raw.join(broadcast(fresh),
+            raw(TagFile) === fresh("file") &&
+              raw(TagIdx) === fresh("row_index"), "left_semi")
+            .drop(TagFile, TagIdx)
+          Seq(stamp(pre, "delete", v)) ++
+            (if (newFiles.isEmpty) Nil
+             else Seq(stamp(readFiles(newFiles.map(_.path), v),
+               "insert", v)))
         case op => throw new IllegalArgumentException(
           s"TxLog: commit $v is '$op' — its retraction is the whole " +
             "prior table, not a delta; re-read the full snapshot")
@@ -1248,6 +1538,11 @@ object TxLog {
     require(gone.isEmpty,
       s"TxLog: cannot restore to $version — ${gone.size} of its files " +
         s"were vacuumed (first: ${gone.take(2).map(_.path).mkString(", ")})")
+    val goneDv = snap.files.flatMap(_.dv).distinct
+      .filterNot(d => f.exists(new Path(dir, d)))
+    require(goneDv.isEmpty,
+      s"TxLog: cannot restore to $version — its deletion vector(s) " +
+        s"${goneDv.take(2).mkString(", ")} were vacuumed")
     commitStaged(spark, dir, "overwrite", snap.files, Nil,
       removeAll = true, snap.schemaJson, None, ownsAdded = false)
   }
@@ -1295,8 +1590,9 @@ object TxLog {
     require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
     val head = commits.max
     val keep = commits.filter(_ >= head - retainVersions)
-    val live = keep.flatMap(v =>
-      snapshot(spark, dir, Some(v)).files.map(_.path)).toSet
+    val keptSnaps = keep.map(v => snapshot(spark, dir, Some(v)))
+    val live = keptSnaps.flatMap(_.files.map(_.path)).toSet
+    val liveDv = keptSnaps.flatMap(_.files.flatMap(_.dv)).toSet
     val root = new Path(dir)
     val f = fs(spark, root)
     val now = System.currentTimeMillis()
@@ -1306,7 +1602,18 @@ object TxLog {
         !live.contains(n) && (now - st.getModificationTime) >= minAgeMs
     }
     stale.foreach(st => f.delete(st.getPath, false))
-    stale.length
+    // superseded deletion vectors: a vector relation referenced by no
+    // retained version (each DML writes a fresh merged one, compaction
+    // drops the pointers) — same retention and age guard as data files
+    val dvRoot = new Path(dir, DvDir)
+    val staleDv =
+      if (!f.exists(dvRoot)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(dvRoot).filter { st =>
+        !liveDv.contains(s"$DvDir/${st.getPath.getName}") &&
+          (now - st.getModificationTime) >= minAgeMs
+      }
+    staleDv.foreach(st => f.delete(st.getPath, true))
+    stale.length + staleDv.length
   }
 
   /** Drop commit files strictly below the latest checkpoint ≤ head −

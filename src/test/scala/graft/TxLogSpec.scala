@@ -429,7 +429,7 @@ class TxLogSpec extends SparkSpec {
       keys(rnd.nextInt(keys.size))
     }
     (1 to 40).foreach { _ =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
         case 0 => // overwrite with 1-3 fresh rows
           val ids = freshIds(1 + rnd.nextInt(3))
           TxLog.commitOverwrite(spark, dir, df(ids: _*))
@@ -465,6 +465,23 @@ class TxLogSpec extends SparkSpec {
               .toDF("id", "name"),
             Seq("id"))
           model = model + (hit -> s"merged_$hit") + (ins -> s"name_$ins")
+        case 7 if model.nonEmpty => // merge-on-read delete (vectors)
+          val x = pickId()
+          TxLog.deleteMor(spark, dir, col("id") <= x)
+          model = model.filter(_._1 > x)
+          if (model.isEmpty) {
+            history += model
+            val ids = freshIds(1)
+            TxLog.commitAppend(spark, dir, df(ids: _*))
+            model = named(ids)
+          }
+        case 8 if model.nonEmpty => // merge-on-read update
+          val x = pickId()
+          TxLog.updateMor(spark, dir, col("id") <= x,
+            Map("name" -> concat(col("name"), lit("?"))))
+          model = model.map { case (k, v) =>
+            k -> (if (k <= x) v + "?" else v)
+          }
         case _ => // DML before the table exists: create it instead
           val ids = freshIds(1)
           TxLog.commitOverwrite(spark, dir, df(ids: _*))
@@ -1125,5 +1142,227 @@ class TxLogSpec extends SparkSpec {
     assert(pruned.inputFiles.length <
       p.read(DataZone.Bronze, "pts").inputFiles.length)
     assert(pruned.filter(col("id").between(1, 5)).count() == 5)
+  }
+
+  // ---- merge-on-read DML (deletion vectors) ------------------------
+
+  test("deleteMor: no file rewritten, vectors subtract on read, counts stay metadata") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdvdel").toString
+    val data = (1L to 300L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartitionByRange(3, col("id"))
+    TxLog.commitOverwrite(spark, dir, data, statsCols = Seq("id"))
+    val pre = TxLog.snapshot(spark, dir)
+    assert(pre.files.size == 3)
+
+    val v = TxLog.deleteMor(spark, dir, col("id") <= 50)
+    assert(v == pre.version + 1)
+    val post = TxLog.snapshot(spark, dir)
+    // EVERY data file survives by path — that is the point of MoR
+    assert(post.files.map(_.path).toSet == pre.files.map(_.path).toSet)
+    // exactly one file carries a vector (stats prune the other two)
+    val dvd = post.files.filter(_.dv.isDefined)
+    assert(dvd.size == 1 && dvd.head.dvRows == 50)
+    assert(idSet(TxLog.read(spark, dir)) == (51L to 300L).toSet)
+    // time travel: the pre-delete version still reads all rows
+    assert(TxLog.read(spark, dir, Some(pre.version)).count() == 300)
+    // COUNT(*) stays a pure metadata read: rows − dvRows
+    val (n, scanned) = TxLog.countWhereDetailed(spark, dir, Nil, None)
+    assert(n == 250 && scanned.isEmpty)
+    // a range count over the dv'd file must SCAN it (stats are now
+    // upper bounds), and the answer subtracts the vector
+    val (n2, scanned2) = TxLog.countWhereDetailed(spark, dir,
+      Seq(("id", 1L, 60L)), None)
+    assert(n2 == 10 && scanned2 == dvd.map(_.path))
+
+    // a second MoR delete on the same file merges vectors
+    TxLog.deleteMor(spark, dir, col("id") <= 70)
+    val post2 = TxLog.snapshot(spark, dir)
+    val dvd2 = post2.files.filter(_.dv.isDefined)
+    assert(dvd2.size == 1 && dvd2.head.dvRows == 70)
+    assert(dvd2.head.dv != dvd.head.dv) // fresh merged vector
+    assert(idSet(TxLog.read(spark, dir)) == (71L to 300L).toSet)
+
+    // nothing matches → current version unchanged, no empty commit
+    val head = TxLog.snapshot(spark, dir).version
+    assert(TxLog.deleteMor(spark, dir, col("id") > 100000) == head)
+
+    // SQL null semantics: a null predicate row SURVIVES
+    val dir2 = tmp("txdvnull").toString
+    TxLog.commitOverwrite(spark, dir2,
+      Seq((1L, Some(10L)), (2L, None), (3L, Some(1L))).toDF("id", "v"))
+    TxLog.deleteMor(spark, dir2, col("v") > 5)
+    assert(idSet(TxLog.read(spark, dir2)) == Set(2L, 3L))
+  }
+
+  test("updateMor: old positions vectored, images appended, one commit") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdvupd").toString
+    val data = (1L to 300L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartitionByRange(3, col("id"))
+    TxLog.commitOverwrite(spark, dir, data, statsCols = Seq("id"))
+    val pre = TxLog.snapshot(spark, dir)
+
+    val v = TxLog.updateMor(spark, dir, col("id") <= 50,
+      Map("name" -> lit("X")))
+    assert(v == pre.version + 1)
+    val post = TxLog.snapshot(spark, dir)
+    // touched file survives by path with a vector; images are new files
+    assert(pre.files.map(_.path).toSet.subsetOf(
+      post.files.map(_.path).toSet))
+    assert(post.files.count(_.dv.isDefined) == 1)
+    assert(post.files.size > pre.files.size)
+    val out = TxLog.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(out.size == 300)
+    assert((1L to 50L).forall(out(_) == "X"))
+    assert((51L to 300L).forall(i => out(i) == s"name_$i"))
+    // history shows ONE commit for the whole update
+    assert(TxLog.snapshot(spark, dir).version == pre.version + 1)
+
+    // CHECK constraints gate the images with nothing staged on refusal
+    TxLog.addCheckConstraint(spark, dir, "name_nonempty",
+      "length(name) > 0")
+    val before = TxLog.snapshot(spark, dir)
+    intercept[IllegalArgumentException] {
+      TxLog.updateMor(spark, dir, col("id") === 60,
+        Map("name" -> lit("")))
+    }
+    assert(TxLog.snapshot(spark, dir).version == before.version)
+    assert(TxLog.vacuum(spark, dir, retainVersions = Int.MaxValue) == 0,
+      "refused updateMor left staged data or vectors behind")
+  }
+
+  test("merge-on-read concurrency: a moved vector pointer conflicts") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdvrace").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 100L).map(i => (i, s"name_$i")).toDF("id", "name"))
+    val stale = TxLog.snapshot(spark, dir)
+    // writer A lands a vector on the file
+    TxLog.deleteMor(spark, dir, col("id") === 1)
+    // writer B committed against the STALE snapshot: same path still
+    // live, but its vector moved — liveness alone would lose A's
+    // delete; the pinned pointer must conflict
+    val f0 = stale.files.head
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commitStaged(spark, dir, "delete-dv",
+        Seq(f0.copy(dv = Some("_graft_dv/bogus"), dvRows = 1)),
+        Seq(f0.path), removeAll = false, stale.schemaJson, None,
+        ownsAdded = false, expectDv = Map(f0.path -> f0.dv))
+    }
+    // same hazard for copy-on-write paths reading the file: a stale
+    // compact/delete/update/merge must not materialize A away
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commitStaged(spark, dir, "compact",
+        Seq(f0), Seq(f0.path), removeAll = false, stale.schemaJson,
+        None, ownsAdded = false,
+        expectDv = stale.files.map(fl => fl.path -> fl.dv).toMap)
+    }
+    // disjoint-file MoR deletes commute (fresh snapshots, no conflict)
+    assert(idSet(TxLog.read(spark, dir)) == (2L to 100L).toSet)
+  }
+
+  test("compact materializes vectors; vacuum collects superseded ones") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdvcompact").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 200L).map(i => (i, s"name_$i")).toDF("id", "name")
+        .repartition(2), statsCols = Seq("id"))
+    TxLog.deleteMor(spark, dir, col("id") <= 10)  // vector 1
+    TxLog.deleteMor(spark, dir, col("id") <= 20)  // vector 2 supersedes
+    val dvRoot = new java.io.File(dir, TxLog.DvDir)
+    assert(dvRoot.listFiles().length == 2)
+    // with full retention both vectors are still referenced by SOME
+    // retained version — vacuum must keep them
+    assert(TxLog.vacuum(spark, dir, retainVersions = Int.MaxValue) == 0)
+    // head-only retention: the superseded vector goes, the live stays
+    assert(TxLog.vacuum(spark, dir) == 1)
+    assert(dvRoot.listFiles().length == 1)
+    assert(idSet(TxLog.read(spark, dir)) == (21L to 200L).toSet)
+    // restore cannot reach the version whose vector was collected
+    val err = intercept[IllegalArgumentException] {
+      TxLog.restore(spark, dir, 1)
+    }
+    assert(err.getMessage.contains("deletion vector"))
+
+    // compaction materializes: no entry carries a vector afterwards
+    TxLog.compact(spark, dir, targetFiles = 1)
+    val post = TxLog.snapshot(spark, dir)
+    assert(post.files.forall(_.dv.isEmpty))
+    assert(idSet(TxLog.read(spark, dir)) == (21L to 200L).toSet)
+    // and the last vector is now unreferenced at the head → collected
+    assert(TxLog.vacuum(spark, dir) >= 1)
+    assert(dvRoot.listFiles().length == 0)
+  }
+
+  test("changeFeed replays through merge-on-read commits") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdvcdf").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2, 3, 4, 5, 6),
+      statsCols = Seq("id"))                                    // v0
+    TxLog.deleteMor(spark, dir, col("id") <= 2)                 // v1
+    TxLog.updateMor(spark, dir, col("id") === 5,
+      Map("name" -> lit("five")))                               // v2
+    TxLog.deleteMor(spark, dir, col("id") === 3)                // v3
+
+    def rowsOf(d: DataFrame): Seq[(Long, String)] =
+      d.select("id", "name").as[(Long, String)].collect().toSeq
+    def multiset(rs: Seq[(Long, String)]): Map[(Long, String), Int] =
+      rs.groupBy(identity).view.mapValues(_.size).toMap
+
+    val feed = TxLog.changeFeed(spark, dir, 0)
+      .select(col("id"), col("name"), col("_change_type"),
+        col("_commit_version")).collect()
+    // v1 deletes exactly rows 1,2 — NOT the rows v3 deletes later
+    // (the per-commit diff is vector(v) ∖ vector(v−1), not the head)
+    assert(feed.filter(_.getLong(3) == 1L)
+      .map(r => (r.getString(2), r.getLong(0))).toSet ==
+      Set(("delete", 1L), ("delete", 2L)))
+    // the MoR update is one delete + one insert pair
+    assert(feed.filter(_.getLong(3) == 2L)
+      .map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+      .toSet == Set(("delete", 5L, "name_5"), ("insert", 5L, "five")))
+    assert(feed.filter(_.getLong(3) == 3L)
+      .map(r => (r.getString(2), r.getLong(0))).toSet ==
+      Set(("delete", 3L)))
+    // THE invariant: snapshot(0) + feed = head
+    val state = scala.collection.mutable.Map[(Long, String), Int]()
+      .withDefaultValue(0)
+    multiset(rowsOf(TxLog.read(spark, dir, Some(0)))).foreach {
+      case (k, n) => state(k) = n
+    }
+    feed.sortBy(_.getLong(3)).foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      r.getString(2) match {
+        case "insert" => state(k) += 1
+        case "delete" =>
+          assert(state(k) > 0, s"deleting absent row $k"); state(k) -= 1
+      }
+    }
+    assert(state.filter(_._2 > 0).toMap ==
+      multiset(rowsOf(TxLog.read(spark, dir))))
+
+    // changesSince refuses the span (a vector REMOVES rows)
+    intercept[IllegalArgumentException] {
+      TxLog.changesSince(spark, dir, 0)
+    }
+    // medallion MoR delegation reads back consistently
+    val root = tmp("medmor").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    p.write(DataZone.Bronze, "pts",
+      (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"),
+      LoadType.Full)
+    p.deleteWhere(DataZone.Bronze, "pts", col("id") <= 10, mor = true)
+    p.updateWhere(DataZone.Bronze, "pts", col("id") === 11,
+      Map("name" -> lit("next")), mor = true)
+    val out = p.read(DataZone.Bronze, "pts").as[(Long, String)]
+      .collect().toMap
+    assert(out.size == 40 && out(11L) == "next" && !out.contains(5L))
+    assert(p.countRows(DataZone.Bronze, "pts") == 40)
   }
 }
