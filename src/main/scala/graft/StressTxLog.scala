@@ -135,6 +135,57 @@ object StressTxLog {
     require(byType.getOrElse("delete", 0L) > 0 &&
       byType.getOrElse("insert", 0L) > 0)
 
+    // claim 7: merge-on-read delete cost is MATCHED-ROWS-sized, not
+    // touched-FILE-sized — the same narrow delete shape as claim 4
+    // on a fresh copy of the table, once copy-on-write and once via
+    // deletion vectors; MoR must rewrite ZERO data files and beat
+    // CoW wall-clock on the same sliver (CoW rewrites the touched
+    // files whole; MoR writes a vector of just the matches)
+    val dirCow = java.nio.file.Files.createTempDirectory("txmorA").toString
+    val dirMor = java.nio.file.Files.createTempDirectory("txmorB").toString
+    val laid = li.repartitionByRange(32, col("l_orderkey"))
+      .localCheckpoint()
+    TxLog.commitOverwrite(spark, dirCow, laid, statsCols = Seq("l_orderkey"))
+    TxLog.commitOverwrite(spark, dirMor, laid, statsCols = Seq("l_orderkey"))
+    val (dlo, dhi) = (20000L, 21000L)
+    val tCow = {
+      val t0 = System.nanoTime()
+      TxLog.delete(spark, dirCow, col("l_orderkey").between(dlo, dhi))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tMor = {
+      val t0 = System.nanoTime()
+      TxLog.deleteMor(spark, dirMor, col("l_orderkey").between(dlo, dhi))
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[stress-txlog] narrow delete: CoW $tCow%.2f s vs MoR $tMor%.2f s")
+    val morFiles = TxLog.snapshot(spark, dirMor).files
+    require(morFiles.count(_.dv.isDefined) >= 1 &&
+      morFiles.map(_.path).toSet ==
+        TxLog.snapshot(spark, dirMor, Some(0)).files.map(_.path).toSet,
+      "MoR delete must keep every data file by path")
+    val cowDel = TxLog.read(spark, dirCow)
+      .filter(col("l_orderkey").between(dlo, dhi)).count()
+    val morDel = TxLog.read(spark, dirMor)
+      .filter(col("l_orderkey").between(dlo, dhi)).count()
+    require(cowDel == 0 && morDel == 0, "both modes must delete the range")
+    require(TxLog.countWhere(spark, dirMor, Nil) ==
+      TxLog.countWhere(spark, dirCow, Nil),
+      "MoR and CoW must agree on the surviving row count")
+    // vector-subtracted full read stays within 2x of the clean read
+    val tReadCow = {
+      val t0 = System.nanoTime()
+      TxLog.read(spark, dirCow).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tReadMor = {
+      val t0 = System.nanoTime()
+      TxLog.read(spark, dirMor).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[stress-txlog] full read after delete: CoW $tReadCow%.2f s" +
+      f" vs MoR (vector-subtracting) $tReadMor%.2f s")
+
     spark.stop()
   }
 }

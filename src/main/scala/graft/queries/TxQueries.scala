@@ -117,8 +117,73 @@ object TxQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** #163 txn_dml_mor — the same delete+update session as [[txnDml]]
+    * driven MERGE-ON-READ (deletion vectors), hash-checked against
+    * the identical relational replay:
+    *   1. deleteMor WHERE qty >= 48  — touches EVERY file, yet no
+    *      data file is rewritten: the matches' (file, row) pairs go
+    *      to a vector relation that reads subtract
+    *   2. updateMor WHERE k <= 1000 SET pc+100 — old positions join
+    *      the vector, updated images append as new files
+    *   3. compact — materializes the vectors away
+    * The entry hard-fails unless (a) every original file survives BY
+    * PATH through both DMLs (the no-rewrite guarantee that makes MoR
+    * cheap), (b) vectors are present before compact and gone after,
+    * and (c) the logged COUNT(*) — a pure metadata read of
+    * rows − dvRows — matches the scan count at each step. The final
+    * aggregate is read mid-session (vector-subtracted) so the HASH
+    * check exercises the MoR read path, not the compacted table.
+    *
+    * Scale: delete cost = matched rows (vector pairs), not the size
+    * of the files that hold them — a point delete in a 1 GB file
+    * writes KBs, the Delta deletion-vector cost model. */
+  def txnDmlMor(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"),
+      col("l_returnflag").as("rf"))
+    val root = Files.createTempDirectory("graft_dml_mor")
+    val tbl = s"$root/t"
+    TxLog.commitOverwrite(s, tbl,
+      t.repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    val pre = TxLog.snapshot(s, tbl)
+    TxLog.deleteMor(s, tbl, col("qty") >= 48)
+    TxLog.updateMor(s, tbl, col("k") <= 1000,
+      Map("pc" -> (col("pc") + 100)))
+    val post = TxLog.snapshot(s, tbl)
+    require(pre.files.map(_.path).toSet.subsetOf(
+      post.files.map(_.path).toSet),
+      "merge-on-read DML rewrote a data file")
+    require(post.files.exists(_.dv.isDefined),
+      "merge-on-read DML recorded no deletion vector")
+    val live = TxLog.read(s, tbl)
+    require(TxLog.countWhere(s, tbl, Nil) == live.count(),
+      "metadata COUNT(*) diverged from the vector-subtracted scan")
+    // aggregate through the MoR read path (vectors subtracting)
+    val agg = live
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pc")).as("sum_pc"),
+        sum(col("qty").cast("long")).as("sum_qty"))
+      .withColumnRenamed("rf", "l_returnflag")
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    // maintenance: compact materializes, vacuum collects the vectors
+    TxLog.compact(s, tbl, targetFiles = 4)
+    require(TxLog.snapshot(s, tbl).files.forall(_.dv.isEmpty),
+      "compact left deletion vectors behind")
+    require(TxLog.countWhere(s, tbl, Nil) == rows.map(_.getLong(1)).sum,
+      "compacted table diverged from the merge-on-read read")
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txn_dml" -> txnDml,
+    "txn_dml_mor" -> txnDmlMor,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -151,6 +216,22 @@ object TxQueries {
         CAST(SUM(pc) AS BIGINT) AS sum_pc,
         CAST(SUM(qty) AS BIGINT) AS sum_qty
       FROM m GROUP BY 1""",
+    "txn_dml_mor" -> """
+      WITH t AS (
+        SELECT l_orderkey AS k, l_linenumber AS ln,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+          l_returnflag AS rf
+        FROM lineitem),
+      d AS (SELECT * FROM t WHERE NOT coalesce(qty >= 48, false)),
+      u AS (SELECT k, ln, qty,
+              CASE WHEN k <= 1000 THEN pc + 100 ELSE pc END AS pc, rf
+            FROM d)
+      SELECT rf AS l_returnflag,
+        COUNT(*) AS n_rows,
+        CAST(SUM(pc) AS BIGINT) AS sum_pc,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM u GROUP BY 1""",
     "bloom_point_lookup" -> """
       SELECT doc_id, lang, n_chars FROM documents
       WHERE doc_id IN (0, 1, 2)""")

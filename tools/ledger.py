@@ -146,6 +146,9 @@ ROWS = [
     (161, "TxLogSpec (countWhere metadata-only) | sources/TxLog.scala",
      "api"),
     (162, "TxLogSpec (CHECK constraints) | sources/TxLog.scala", "api"),
+    (163, "txn_dml_mor", "hash"),
+    (164, "TxLogSpec (deletion vectors ×5 + model check) | "
+          "sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
