@@ -82,7 +82,23 @@ object TrainingQueries {
     Graph.pagerank(knnEdges(s, dir), "query_id", "cand_id",
       iters = PagerankIters)
 
+  /** #165 vocab_train_bpe — distributed BPE merge learning
+    * ([[graft.operators.Vocab.trainBpe]], Sennrich et al. 2016) on the
+    * corpus: ONE corpus scan to the word-frequency relation, then 16
+    * merge iterations over that domain-bounded relation (pair counts
+    * map-side combined; the argmax is a pair-vocabulary-sized global
+    * top-1 with a deterministic tie-break; the merge applies as a
+    * catalyst higher-order fold — no UDF). Rows-only by design: the
+    * training loop's per-iteration argmax recursion is not
+    * SQL-expressible; TrainingSpec pins the learned sequence
+    * merge-for-merge against a single-node reference trainer, and the
+    * learned vocabulary round-trips into the codegen'd `bpe_count`
+    * tokenizer (train → tokenize → fertility fully in-engine). */
+  def vocabTrainBpe(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.trainBpe(docs(s, dir), "text", numMerges = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_train_bpe" -> vocabTrainBpe,
     "doc_chunks" -> docChunks,
     "emb_normalize" -> embNormalize,
     "emb_quantize" -> embQuantize,

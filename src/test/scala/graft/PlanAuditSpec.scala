@@ -393,4 +393,31 @@ class PlanAuditSpec extends SparkSpec {
         s"hidden pivot-value job(s) at: ${offenders.mkString(", ")}")
     } finally sc.removeSparkListener(listener)
   }
+
+  test("deletion vectors: dv-free reads plan join-free; dv sliver anti-joins broadcast") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dvplan").toString
+    graft.sources.TxLog.commitOverwrite(spark, dir,
+      (1L to 400L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    // a table with NO vectors must pay ZERO read overhead: one scan,
+    // no join, no projection of metadata columns
+    val clean = graft.sources.TxLog.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(count(clean, "Join") == 0, clean)
+    assert(count(clean, "FileScan parquet") == 1, clean)
+    // after a MoR delete: the vector subtracts via ONE broadcast
+    // anti-join, and only the dv-bearing sliver pays it — the clean
+    // files' branch scans join-free beside it
+    graft.sources.TxLog.deleteMor(spark, dir, col("id") === 5)
+    val p = graft.sources.TxLog.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(count(p, "LeftAnti") == 1, p)
+    assert(count(p, "BroadcastExchange") == 1, p)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    // 3 scans: clean files, dv-bearing file, the vector relation
+    assert(count(p, "FileScan parquet") == 3, p)
+  }
 }

@@ -241,4 +241,95 @@ class TrainingSpec extends SparkSpec {
     assert(chainRounds < 100)
     early.foreach { case (n, r) => assert(math.abs(r - full(n)) < 1e-8) }
   }
+
+  // ------------------------------------------------------ BPE training
+
+  /** Single-node reference BPE trainer (Sennrich et al. 2016): the
+    * exact algorithm on in-memory maps, same deterministic tie-break
+    * as [[graft.operators.Vocab.trainBpe]]. */
+  private def refBpe(corpus: Seq[String], n: Int, minFreq: Long)
+      : Seq[(String, String, Long)] = {
+    var words: Map[List[String], Long] = corpus
+      .flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toList -> g.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var done = false
+    (1 to n).foreach { _ =>
+      if (!done) {
+        val pc = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        words.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => pc(p) += c) }
+        val cands = pc.toSeq.filter(_._2 >= minFreq)
+        if (cands.isEmpty) done = true
+        else {
+          val ((a, b), f) = cands.minBy { case ((x, y), c) =>
+            (-c, x, y) }
+          out += ((a, b, f))
+          def apply(l: List[String]): List[String] =
+            l.foldLeft(List.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc.init :+ (a + b)
+              else acc :+ x
+            }
+          words = words.map { case (s, c) => apply(s) -> c }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("trainBpe matches the single-node reference trainer merge for merge") {
+    // the classic illustration corpus plus repetition to force ties
+    val texts = Seq(
+      "low low low low low lower lower newest newest",
+      "newest newest newest widest widest widest",
+      "low lower lowest newest widest the the the the the the")
+    val docs = texts.toDF("text")
+    val got = graft.operators.Vocab.trainBpe(docs, "text", 12)
+      .orderBy("rank")
+      .select("left", "right", "freq")
+      .as[(String, String, Long)].collect().toSeq
+    val want = refBpe(texts, 12, 2L)
+    assert(got == want,
+      s"distributed merges diverged:\n got=$got\nwant=$want")
+    // early stop: no pair reaches minPairFreq on a hapax-only corpus
+    val hapax = Seq("ab cd ef").toDF("text")
+    assert(graft.operators.Vocab.trainBpe(hapax, "text", 5).count() == 0)
+    // and a HUGE minFreq stops immediately even on the rich corpus
+    assert(graft.operators.Vocab
+      .trainBpe(docs, "text", 5, minPairFreq = 1000L).count() == 0)
+  }
+
+  test("trainBpe on real documents: learned vocab shrinks bpe_count monotonically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).limit(200).localCheckpoint()
+    val texts = docs.as[String].collect().toSeq
+    val merges = graft.operators.Vocab.trainBpe(docs, "text", 25)
+    val got = merges.orderBy("rank")
+      .select("left", "right", "freq")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == refBpe(texts, 25, 2L),
+      "corpus-trained merges diverged from the reference")
+    // merge tokens compose: every token = left + right
+    val toks = merges.orderBy("rank")
+      .select("left", "right", "token").as[(String, String, String)]
+      .collect()
+    assert(toks.forall { case (l, r, t) => l + r == t })
+    // the trained vocabulary drives the tokenizer: more merges →
+    // no more tokens (longest-match counts shrink monotonically)
+    val v10 = graft.operators.Vocab.bpeVocab(merges.filter(col("rank") <= 10))
+    val v25 = graft.operators.Vocab.bpeVocab(merges)
+    def total(v: Seq[String]): Long = docs
+      .select(sum(graft.operators.TextOps.vocabTokens(col("text"), v)))
+      .as[Long].head()
+    val chars = docs.select(sum(length(regexp_replace(
+      lower(trim(col("text"))), "\\s+", "")))).as[Long].head()
+    val (t10, t25) = (total(v10), total(v25))
+    assert(t25 <= t10 && t10 <= chars,
+      s"expected monotone compression: chars=$chars t10=$t10 t25=$t25")
+    assert(t25 < chars, "25 merges should compress a real corpus")
+  }
 }

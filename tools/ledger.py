@@ -149,6 +149,7 @@ ROWS = [
     (163, "txn_dml_mor", "hash"),
     (164, "TxLogSpec (deletion vectors ×5 + model check) | "
           "sources/TxLog.scala", "api"),
+    (165, "vocab_train_bpe", "rows"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
