@@ -58,6 +58,68 @@ object CurationQueries {
   def textGopherFilter(s: SparkSession, dir: String): DataFrame =
     TextOps.gopherFilter(docs(s, dir), "doc_id", "text")
 
+  /** #166 curation_pipeline — the END-TO-END corpus-curation funnel
+    * (the CCNet/FineWeb recipe shape) as ONE composed relation,
+    * hash-checked: language-ID gate → Gopher quality gate → exact
+    * dedup (first doc per normalized-content hash AMONG survivors) →
+    * per-language perplexity tercile tail-drop (LM trained on the
+    * FULL corpus — CCNet's reference-LM semantics — terciles computed
+    * over the surviving set via the scale-safe [[graft.operators
+    * .Banding]] identity, never a per-language corpus sort). Output:
+    * the per-language funnel (n_lang, n_quality, n_dedup, n_final) —
+    * the report a curation run ships.
+    *
+    * Composition discipline: every stage reuses the EXACT operator
+    * its standalone entry hash-checks (langId #38, gopherFilter,
+    * Dedup.normalized #29, lmScore, Banding #147), and the oracle
+    * composes those entries' replay CTEs — so a pipeline mismatch
+    * isolates to the composition, not the pieces. All per-doc
+    * signals land in ONE localCheckpointed relation (docs scanned
+    * once per signal family); the funnel stages are then filters
+    * over it and the aggregations are language-cardinality-sized. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Banding, Dedup}
+    val d = docs(s, dir)
+    val lang = TextOps.langId(d, "doc_id", "text", TextQueries.langMarkers)
+      .select(col("doc_id"), col("predicted_lang"))
+    val gopher = TextOps.gopherFilter(d, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val hash = d.select(col("doc_id"), col("source"),
+      md5(Dedup.normalized(col("text"))).as("h"))
+    val lm = TextQueries.lmScore(s, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
+    val perDoc = lang.join(gopher, "doc_id").join(hash, "doc_id")
+      .join(lm, "doc_id")
+      .filter(col("predicted_lang") =!= "unknown") // stage 1 gate
+      .localCheckpoint(true)
+    val s2 = perDoc.filter(col("q_keep") === 1)
+    val keepers = s2.groupBy("h").agg(min("doc_id").as("keeper"))
+    val s3 = s2.join(keepers, "h").filter(col("doc_id") === col("keeper"))
+      .select(perDoc.columns.map(col).toSeq: _*)
+      .localCheckpoint(true) // Banding consumes its input twice
+    val ranked = Banding.withRowNumber(
+      s3.filter(col("n_bigrams") > 0), Seq("predicted_lang"),
+      "avg_logp", "doc_id", descValue = true)
+      .withColumn("tile", Banding.ntileOf(col("_rn"), col("_n"), 3))
+    // the funnel reports per (language, SOURCE) — the per-crawl
+    // accounting a curation run ships — while the tercile stays
+    // per-language (CCNet's semantics: one reference-LM band per
+    // language, sources compete within it)
+    val keys = Seq("predicted_lang", "source")
+    def funnel(df: DataFrame, n: String): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(n))
+    funnel(perDoc, "n_lang")
+      .join(funnel(s2, "n_quality"), keys, "left")
+      .join(funnel(s3, "n_dedup"), keys, "left")
+      .join(funnel(ranked.filter(col("tile") <= 2), "n_final"),
+        keys, "left")
+      .select(col("predicted_lang").as("lang"), col("source"),
+        col("n_lang"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+  }
+
   /** pii_scan — per-doc PII match counts. */
   def piiScan(s: SparkSession, dir: String): DataFrame =
     Pii.scan(docs(s, dir), "doc_id", "text")
@@ -233,6 +295,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pipeline" -> curationPipeline,
     "curation_source_report" -> curationSourceReport,
     "curation_source_quota" -> curationSourceQuota,
     "corpus_jaccard" -> corpusJaccard,
@@ -320,6 +383,61 @@ object CurationQueries {
     * [[Sampling.hashBucket]]). */
   private val docBucket =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** The Gopher-filter replay, shared by text_gopher_filter and the
+    * composed curation_pipeline oracle. */
+  private val gopherOracle: String = """
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
+          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+            / len(string_split(lower(trim(text)), ' ')) AS avg_word_len
+        FROM documents),
+      uni AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(MAX(tf) AS BIGINT) AS top_token_tf
+        FROM (SELECT doc_id, t, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+              WHERE t <> '' GROUP BY doc_id, t)
+        GROUP BY doc_id),
+      bi AS (
+        SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+          CAST(MAX(bf) AS BIGINT) AS top_bigram_tf
+        FROM (SELECT doc_id, b, COUNT(*) AS bf
+              FROM (SELECT doc_id,
+                      unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i + 1])) AS b
+                    FROM toks WHERE len(w) >= 2)
+              GROUP BY doc_id, b)
+        GROUP BY doc_id),
+      sig AS (
+        SELECT u.doc_id, u.n_tokens, t.avg_word_len,
+          CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS distinct_ratio,
+          CAST(u.top_token_tf AS DOUBLE) / u.n_tokens AS top_token_frac,
+          CAST(COALESCE(bi.top_bigram_tf, 0) AS DOUBLE)
+            / greatest(COALESCE(bi.n_bigrams, 0), 1) AS top_bigram_frac
+        FROM uni u
+        LEFT JOIN bi USING (doc_id)
+        JOIN toks t USING (doc_id)),
+      flagged AS (
+        SELECT *,
+          (n_tokens BETWEEN 30 AND 50000) AS f_tokens,
+          (avg_word_len BETWEEN 3.0 AND 10.0) AS f_awl,
+          (distinct_ratio >= 0.2) AS f_dr,
+          (top_token_frac <= 0.2) AS f_ttf,
+          (top_bigram_frac <= 0.2) AS f_tbf
+        FROM sig)
+      SELECT doc_id, n_tokens, avg_word_len, distinct_ratio,
+        top_token_frac, top_bigram_frac,
+        CAST(CASE WHEN f_tokens AND f_awl AND f_dr AND f_ttf AND f_tbf
+          THEN 1 ELSE 0 END AS INTEGER) AS keep,
+        (CASE WHEN f_tokens THEN '' ELSE 'n_tokens;' END ||
+         CASE WHEN f_awl THEN '' ELSE 'avg_word_len;' END ||
+         CASE WHEN f_dr THEN '' ELSE 'distinct_ratio;' END ||
+         CASE WHEN f_ttf THEN '' ELSE 'top_token_frac;' END ||
+         CASE WHEN f_tbf THEN '' ELSE 'top_bigram_frac;' END)
+          AS drop_reasons
+      FROM flagged"""
 
   val oracleSql: Map[String, String] = Map(
     "curation_source_report" -> s"""
@@ -575,58 +693,52 @@ object CurationQueries {
         CAST(COALESCE(bi.top_bigram_tf, 0) AS DOUBLE)
           / greatest(COALESCE(bi.n_bigrams, 0), 1) AS top_bigram_frac
       FROM uni u LEFT JOIN bi USING (doc_id)""",
-    "text_gopher_filter" -> """
-      WITH toks AS (
-        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
-          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-            / len(string_split(lower(trim(text)), ' ')) AS avg_word_len
+    "text_gopher_filter" -> gopherOracle,
+    "curation_pipeline" -> s"""
+      WITH ${TextQueries.LmReplayCtes},
+      s1 AS (
+        SELECT doc_id, predicted_lang
+        FROM (${TextQueries.langIdOracle})
+        WHERE predicted_lang <> 'unknown'),
+      s2 AS (
+        SELECT s1.* FROM s1
+        JOIN ($gopherOracle) g USING (doc_id)
+        WHERE g.keep = 1),
+      hsh AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
         FROM documents),
-      uni AS (
-        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-          CAST(COUNT(*) AS BIGINT) AS n_distinct,
-          CAST(MAX(tf) AS BIGINT) AS top_token_tf
-        FROM (SELECT doc_id, t, COUNT(*) AS tf
-              FROM (SELECT doc_id, unnest(w) AS t FROM toks)
-              WHERE t <> '' GROUP BY doc_id, t)
-        GROUP BY doc_id),
-      bi AS (
-        SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
-          CAST(MAX(bf) AS BIGINT) AS top_bigram_tf
-        FROM (SELECT doc_id, b, COUNT(*) AS bf
-              FROM (SELECT doc_id,
-                      unnest(list_transform(range(1, len(w)),
-                        i -> w[i] || ' ' || w[i + 1])) AS b
-                    FROM toks WHERE len(w) >= 2)
-              GROUP BY doc_id, b)
-        GROUP BY doc_id),
-      sig AS (
-        SELECT u.doc_id, u.n_tokens, t.avg_word_len,
-          CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS distinct_ratio,
-          CAST(u.top_token_tf AS DOUBLE) / u.n_tokens AS top_token_frac,
-          CAST(COALESCE(bi.top_bigram_tf, 0) AS DOUBLE)
-            / greatest(COALESCE(bi.n_bigrams, 0), 1) AS top_bigram_frac
-        FROM uni u
-        LEFT JOIN bi USING (doc_id)
-        JOIN toks t USING (doc_id)),
-      flagged AS (
-        SELECT *,
-          (n_tokens BETWEEN 30 AND 50000) AS f_tokens,
-          (avg_word_len BETWEEN 3.0 AND 10.0) AS f_awl,
-          (distinct_ratio >= 0.2) AS f_dr,
-          (top_token_frac <= 0.2) AS f_ttf,
-          (top_bigram_frac <= 0.2) AS f_tbf
-        FROM sig)
-      SELECT doc_id, n_tokens, avg_word_len, distinct_ratio,
-        top_token_frac, top_bigram_frac,
-        CAST(CASE WHEN f_tokens AND f_awl AND f_dr AND f_ttf AND f_tbf
-          THEN 1 ELSE 0 END AS INTEGER) AS keep,
-        (CASE WHEN f_tokens THEN '' ELSE 'n_tokens;' END ||
-         CASE WHEN f_awl THEN '' ELSE 'avg_word_len;' END ||
-         CASE WHEN f_dr THEN '' ELSE 'distinct_ratio;' END ||
-         CASE WHEN f_ttf THEN '' ELSE 'top_token_frac;' END ||
-         CASE WHEN f_tbf THEN '' ELSE 'top_bigram_frac;' END)
-          AS drop_reasons
-      FROM flagged""",
+      s3 AS (
+        SELECT doc_id, predicted_lang FROM (
+          SELECT s2.doc_id, s2.predicted_lang,
+            MIN(s2.doc_id) OVER (PARTITION BY hsh.h) AS keeper
+          FROM s2 JOIN hsh USING (doc_id))
+        WHERE doc_id = keeper),
+      rk AS (
+        SELECT s3.doc_id, s3.predicted_lang,
+          ntile(3) OVER (PARTITION BY s3.predicted_lang
+            ORDER BY lm.avg_logp DESC, s3.doc_id) AS tile
+        FROM s3 JOIN lm USING (doc_id)
+        WHERE lm.n_bigrams > 0),
+      srcs AS (SELECT doc_id, source FROM documents),
+      f1 AS (SELECT predicted_lang, source, COUNT(*) AS n
+             FROM s1 JOIN srcs USING (doc_id) GROUP BY 1, 2),
+      f2 AS (SELECT predicted_lang, source, COUNT(*) AS n
+             FROM s2 JOIN srcs USING (doc_id) GROUP BY 1, 2),
+      f3 AS (SELECT predicted_lang, source, COUNT(*) AS n
+             FROM s3 JOIN srcs USING (doc_id) GROUP BY 1, 2),
+      f4 AS (SELECT predicted_lang, source, COUNT(*) AS n
+             FROM rk JOIN srcs USING (doc_id)
+             WHERE tile <= 2 GROUP BY 1, 2)
+      SELECT f1.predicted_lang AS lang, f1.source,
+        CAST(f1.n AS BIGINT) AS n_lang,
+        CAST(COALESCE(f2.n, 0) AS BIGINT) AS n_quality,
+        CAST(COALESCE(f3.n, 0) AS BIGINT) AS n_dedup,
+        CAST(COALESCE(f4.n, 0) AS BIGINT) AS n_final
+      FROM f1
+      LEFT JOIN f2 USING (predicted_lang, source)
+      LEFT JOIN f3 USING (predicted_lang, source)
+      LEFT JOIN f4 USING (predicted_lang, source)""",
     "pii_scan" -> s"""
       SELECT doc_id,
         $piiCounts,

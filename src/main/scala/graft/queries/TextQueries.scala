@@ -332,7 +332,7 @@ object TextQueries {
       JOIN sim USING (doc_id)"""
 
   /** DuckDB replay of [[TextOps.langId]] on the testdata markers. */
-  private val langIdOracle: String = {
+  private[queries] val langIdOracle: String = {
     val langs = langMarkers.keys.toSeq.sorted
     val hitExprs = langs.map { l =>
       val arr = langMarkers(l).map(w => s"'$w'").mkString("(", ", ", ")")
@@ -468,7 +468,7 @@ object TextQueries {
     * (doc_id, n_tokens, n_bigrams, avg_logp) relation `lm` — composed
     * by lm_score and curation_ppl_buckets exactly like the NB replay
     * CTEs are by text_quality_nb / nb_calibration. */
-  private val LmReplayCtes: String = """
+  private[queries] val LmReplayCtes: String = """
       d AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
         FROM documents),

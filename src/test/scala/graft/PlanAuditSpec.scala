@@ -191,7 +191,8 @@ class PlanAuditSpec extends SparkSpec {
     // carry the (key, value) composite; only the value-distribution
     // relation (below an aggregate) may window on the bare key.
     Seq("q18_percentile_disc", "q38_ntile", "q39_dist_rank",
-      "curation_ppl_buckets", "q40_percentile_global").foreach { q =>
+      "curation_ppl_buckets", "q40_percentile_global",
+      "curation_pipeline").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       val windows = qe.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w

@@ -150,6 +150,7 @@ ROWS = [
     (164, "TxLogSpec (deletion vectors ×5 + model check) | "
           "sources/TxLog.scala", "api"),
     (165, "vocab_train_bpe", "rows"),
+    (166, "curation_pipeline", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
