@@ -349,6 +349,23 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.merge(spark, requireLogged(zone, dataset, "mergeInto"),
       source, keyCols, statsColsOf(zone, dataset))
 
+  /** RENAME COLUMN on a logged dataset (TxLog mode only) — one
+    * KB-sized metadata commit, no data file touched
+    * ([[TxLog.renameColumn]]). */
+  def renameColumn(zone: DataZone.Value, dataset: String,
+      oldName: String, newName: String): Long =
+    TxLog.renameColumn(spark,
+      requireLogged(zone, dataset, "renameColumn"), oldName, newName)
+
+  /** DROP COLUMN on a logged dataset (TxLog mode only) — metadata
+    * commit; old files keep the bytes, reads never see them, and the
+    * name's physical column is retired against resurrection
+    * ([[TxLog.dropColumn]]). */
+  def dropColumn(zone: DataZone.Value, dataset: String,
+      name: String): Long =
+    TxLog.dropColumn(spark,
+      requireLogged(zone, dataset, "dropColumn"), name)
+
   /** Reap data files no retained version references (TxLog mode only).
     * Returns files deleted. Time travel / restore older than the
     * retained span dies with the files. */

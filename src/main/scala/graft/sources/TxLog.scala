@@ -105,10 +105,28 @@ object TxLog {
   /** The resolved state of the table at `version`: live files, the
     * schema (Spark StructType JSON), the latest batchId committed
     * per streaming appId, and the active CHECK constraints
-    * (name → SQL expression). */
+    * (name → SQL expression).
+    *
+    * `mapping` is Delta-style COLUMN MAPPING (LOGICAL name →
+    * PHYSICAL parquet column): empty = identity (the pre-mapping
+    * fast path — zero read/write overhead). [[renameColumn]] /
+    * [[dropColumn]] only ever edit this map and the logical schema —
+    * the physical columns inside data files NEVER change, so DDL is
+    * a KB commit at any table size. `retired` lists physical names
+    * that still exist inside live data files but belong to no
+    * logical column (dropped, or freed by a rename) — a later
+    * re-add of that logical name must take a FRESH physical name or
+    * the old files' values would silently resurrect. */
   final case class TxSnapshot(version: Long, schemaJson: String,
       files: Seq[TxFile], txns: Map[String, Long],
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      mapping: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) {
+    /** The physical parquet name of a logical column. */
+    def phys(logical: String): String = mapping.getOrElse(logical, logical)
+    /** Physical names no new column may claim. */
+    def reservedPhys: Set[String] = mapping.values.toSet ++ retired
+  }
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -213,13 +231,17 @@ object TxLog {
 
   private def renderCommit(v: Long, op: String, added: Seq[TxFile],
       removed: Seq[String], schemaJson: Option[String],
-      txn: Option[(String, Long)]): String = {
+      txn: Option[(String, Long)],
+      ddl: Option[(Map[String, String], Seq[String])] = None): String = {
     val base: JObject =
       ("version" -> v) ~ ("op" -> op) ~
         ("add" -> filesJson(added)) ~ ("remove" -> removed)
     val withSchema = schemaJson.fold(base)(s => base ~ ("schemaJson" -> s))
-    val withTxn = txn.fold(withSchema) { case (app, b) =>
-      withSchema ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
+    val withDdl = ddl.fold(withSchema) { case (m, r) =>
+      withSchema ~ ("mapping" -> m) ~ ("retired" -> r)
+    }
+    val withTxn = txn.fold(withDdl) { case (app, b) =>
+      withDdl ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
     }
     JsonMethods.compact(JsonMethods.render(withTxn))
   }
@@ -230,9 +252,11 @@ object TxLog {
     val files = scala.collection.mutable.LinkedHashMap[String, TxFile]()
     val txns = scala.collection.mutable.Map[String, Long]()
     var constraints = Map.empty[String, String]
+    var mapping = Map.empty[String, String]
+    var retired = Seq.empty[String]
     def toSnapshot(v: Long): TxSnapshot =
       TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path),
-        txns.toMap, constraints)
+        txns.toMap, constraints, mapping, retired)
   }
 
   private def applyCommit(st: State, j: JValue): Unit = {
@@ -246,6 +270,16 @@ object TxLog {
     (j \ "constraints") match {
       case JNothing => ()
       case jv => st.constraints = jv.extract[Map[String, String]]
+    }
+    // column mapping + retired physical names: same full-state,
+    // presence-matched replay as constraints
+    (j \ "mapping") match {
+      case JNothing => ()
+      case jv => st.mapping = jv.extract[Map[String, String]]
+    }
+    (j \ "retired") match {
+      case JNothing => ()
+      case jv => st.retired = jv.extract[Seq[String]]
     }
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
@@ -278,6 +312,14 @@ object TxLog {
         case JNothing => ()
         case jv => st.constraints = jv.extract[Map[String, String]]
       }
+      (j \ "mapping") match {
+        case JNothing => ()
+        case jv => st.mapping = jv.extract[Map[String, String]]
+      }
+      (j \ "retired") match {
+        case JNothing => ()
+        case jv => st.retired = jv.extract[Seq[String]]
+      }
     }
     val needed = (cp.getOrElse(-1L) + 1) to target
     val present = commits.toSet
@@ -299,9 +341,15 @@ object TxLog {
         ("files" -> filesJson(snap.files)) ~
         ("txns" -> JObject(snap.txns.toList.sortBy(_._1)
           .map { case (k, b) => JField(k, JLong(b)) }))
-    val j: JObject =
+    val withCons =
       if (snap.constraints.isEmpty) base
       else base ~ ("constraints" -> snap.constraints)
+    val withMap =
+      if (snap.mapping.isEmpty) withCons
+      else withCons ~ ("mapping" -> snap.mapping)
+    val j: JObject =
+      if (snap.retired.isEmpty) withMap
+      else withMap ~ ("retired" -> snap.retired)
     val p = checkpointFile(dir, v)
     val f = fs(spark, p)
     // deterministic content: overwrite is safe if two writers race here
@@ -316,17 +364,33 @@ object TxLog {
     * file in one scan of just the new files, move into place. The
     * files are invisible until a commit references them. */
   private[graft] def stageData(spark: SparkSession, dir: String,
-      df: DataFrame, statsCols: Seq[String] = Nil): (Seq[TxFile], String) = {
+      df: DataFrame, statsCols: Seq[String] = Nil,
+      mapping: Map[String, String] = Map.empty): (Seq[TxFile], String) = {
     // validate BEFORE the expensive distributed write: a statsCols
-    // typo must not cost a full staged copy of the batch
-    val dtypes = df.schema.fields
+    // typo must not cost a full staged copy of the batch (LOGICAL
+    // names — the caller's view)
+    val logicalDtypes = df.schema.fields
       .map(fl => fl.name -> fl.dataType.catalogString).toMap
-    statsCols.foreach(c => require(dtypes.contains(c),
+    statsCols.foreach(c => require(logicalDtypes.contains(c),
       s"TxLog: no column '$c' to stat in commit of $dir"))
+    // the recorded table schema is the LOGICAL one; files are written
+    // (and stats keyed) under PHYSICAL names — rename/drop then never
+    // touch data
+    val logicalJson = df.schema.json
+    val physDf =
+      if (mapping.isEmpty) df
+      else df.select(df.schema.fields.map(fl =>
+        col(fl.name).as(mapping.getOrElse(fl.name, fl.name))).toSeq: _*)
+    val physStats = statsCols.map(c => mapping.getOrElse(c, c))
+    val dtypes = physDf.schema.fields
+      .map(fl => fl.name -> fl.dataType.catalogString).toMap
     val stageDir = new Path(dir, s"_graft_stage_${UUID.randomUUID()}")
     val f = fs(spark, stageDir)
-    try stageBody(spark, dir, df, statsCols, stageDir, f, dtypes)
-    catch { case e: Throwable =>
+    try {
+      val (added, _) =
+        stageBody(spark, dir, physDf, physStats, stageDir, f, dtypes)
+      (added, logicalJson)
+    } catch { case e: Throwable =>
       // a failed stage (write error, stats scan error, rename race)
       // must not leak the staged copy: vacuum never touches `_` dirs
       f.delete(stageDir, true)
@@ -386,7 +450,10 @@ object TxLog {
       txn: Option[(String, Long)],
       mergeSchema: Boolean = false,
       ownsAdded: Boolean = true,
-      expectDv: Map[String, Option[String]] = Map.empty): Long = {
+      expectDv: Map[String, Option[String]] = Map.empty,
+      ddlState: Option[(Map[String, String], Seq[String])] = None,
+      freshPhys: Map[String, String] = Map.empty,
+      stagedFields: Option[Set[String]] = None): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
@@ -407,6 +474,7 @@ object TxLog {
       // type — Delta's mergeSchema contract), recomputed against the
       // fresh head on every rebase attempt
       var evolvedSchema: Option[String] = None
+      var evolvedMapping: Option[Map[String, String]] = None
       if (op == "append") base.foreach { bs =>
         if (schemaKey(bs.schemaJson) != schemaKey(schemaJson)) {
           if (!mergeSchema) {
@@ -427,9 +495,40 @@ object TxLog {
               s"TxLog: mergeSchema cannot change column types: " +
                 conflicts.map(_.name).mkString(", "))
           }
-          val widened = StructType(baseT.fields ++
-            newT.fields.filterNot(fl => baseM.contains(fl.name)))
+          val newFields = newT.fields.filterNot(fl => baseM.contains(fl.name))
+          // column-mapping safety across the stage→commit window: a
+          // field that is new NOW but existed when the caller STAGED
+          // means a concurrent DROP — our files carry its old
+          // physical column, and widening it back would resurrect
+          // the dropped data in every old file. Conflict, don't merge.
+          stagedFields.foreach { sf =>
+            val dropped = newFields.filter(fl => sf.contains(fl.name))
+            if (dropped.nonEmpty) {
+              abortCleanup()
+              throw new java.util.ConcurrentModificationException(
+                s"TxLog: column(s) ${dropped.map(_.name).mkString(", ")} " +
+                  "dropped by a concurrent commit")
+            }
+          }
+          // a new field whose physical name the head has since
+          // reserved (concurrent rename/drop) cannot land as staged
+          val reserved = bs.reservedPhys
+          val clash = newFields.filter { fl =>
+            val phys = freshPhys.getOrElse(fl.name, fl.name)
+            reserved.contains(phys) && !freshPhys.contains(fl.name)
+          }
+          if (clash.nonEmpty) {
+            abortCleanup()
+            throw new java.util.ConcurrentModificationException(
+              s"TxLog: physical name(s) ${clash.map(_.name).mkString(", ")} " +
+                "reserved by a concurrent schema change")
+          }
+          val widened = StructType(baseT.fields ++ newFields)
           evolvedSchema = Some(widened.json)
+          val addMap = newFields.flatMap(fl =>
+            freshPhys.get(fl.name).map(fl.name -> _)).toMap
+          if (addMap.nonEmpty || bs.mapping.nonEmpty)
+            evolvedMapping = Some(bs.mapping ++ addMap)
         }
       }
       val removeNow =
@@ -468,8 +567,14 @@ object TxLog {
       // inherit, except a widening merge which records the new union
       val schemaOut =
         if (removeAll || base.isEmpty) Some(schemaJson) else evolvedSchema
+      // column-mapping state rides the commit when the caller set it
+      // (rename/drop/restore/overwrite-reset) or a widening merge
+      // assigned fresh physical names
+      val ddlOut: Option[(Map[String, String], Seq[String])] =
+        ddlState.orElse(evolvedMapping.map(m =>
+          (m, base.map(_.retired).getOrElse(Nil))))
       if (tryWrite(f, versionFile(dir, v),
-          renderCommit(v, op, added, removeNow, schemaOut, txn))) {
+          renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut))) {
         if (v > 0 && v % CheckpointInterval == 0)
           writeCheckpoint(spark, dir, v)
         return v
@@ -553,8 +658,11 @@ object TxLog {
       df: DataFrame, statsCols: Seq[String] = Nil): Long = {
     enforceConstraints(spark, dir, df)
     val (added, schemaJson) = stageData(spark, dir, df, statsCols)
+    // an overwrite REDEFINES the table: the new files are written
+    // under identity physical names, so any column mapping (and its
+    // retired-name reservations) resets with the schema
     commitStaged(spark, dir, "overwrite", added, Nil, removeAll = true,
-      schemaJson, None)
+      schemaJson, None, ddlState = Some((Map.empty, Nil)))
   }
 
   /** Transactionally append `df`. Schema must match the table's —
@@ -567,16 +675,31 @@ object TxLog {
       txn: Option[(String, Long)] = None,
       statsCols: Seq[String] = Nil,
       mergeSchema: Boolean = false): Long = {
-    if (txn.isDefined && isLogged(spark, dir)) {
-      // fast path: skip staging entirely for an already-seen batch
-      val snap = snapshot(spark, dir)
-      for ((app, b) <- txn)
-        if (snap.txns.get(app).exists(_ >= b)) return snap.version
-    }
+    val snap0 = if (isLogged(spark, dir)) Some(snapshot(spark, dir)) else None
+    // fast path: skip staging entirely for an already-seen batch
+    for (s0 <- snap0; (app, b) <- txn)
+      if (s0.txns.get(app).exists(_ >= b)) return s0.version
     enforceConstraints(spark, dir, df)
-    val (added, schemaJson) = stageData(spark, dir, df, statsCols)
+    // stage under the table's column mapping; brand-new columns
+    // (mergeSchema) claim their own name unless a dropped/renamed
+    // column retired it — then a FRESH physical name, or old files'
+    // orphaned data would resurrect into the re-added column
+    val mapping = snap0.map(_.mapping).getOrElse(Map.empty)
+    val baseFields = snap0.map(s0 => DataType.fromJson(s0.schemaJson)
+      .asInstanceOf[StructType].fieldNames.toSet)
+    val reserved = snap0.map(_.reservedPhys).getOrElse(Set.empty)
+    val freshPhys = baseFields match {
+      case None => Map.empty[String, String]
+      case Some(bf) => df.schema.fieldNames
+        .filterNot(bf).filter(reserved.contains)
+        .map(n => n -> s"${n}_${UUID.randomUUID().toString.take(8)}")
+        .toMap
+    }
+    val (added, schemaJson) =
+      stageData(spark, dir, df, statsCols, mapping ++ freshPhys)
     commitStaged(spark, dir, "append", added, Nil, removeAll = false,
-      schemaJson, txn, mergeSchema)
+      schemaJson, txn, mergeSchema,
+      freshPhys = freshPhys, stagedFields = baseFields)
   }
 
   /** Rewrite the current live files into `targetFiles` files (small-file
@@ -618,7 +741,8 @@ object TxLog {
         s"zorderBy supports 1 or 2 columns, got ${more.size}")
     }
     val (added, schemaJson) =
-      stageData(spark, dir, df, (statsCols ++ zorderBy).distinct)
+      stageData(spark, dir, df, (statsCols ++ zorderBy).distinct,
+        snap.mapping)
     // a compaction reads EVERY live file — pin every vector pointer,
     // or a concurrent merge-on-read DML (same paths stay live) would
     // be silently materialized away
@@ -706,6 +830,97 @@ object TxLog {
     }
     throw new java.io.IOException(
       s"TxLog: gave up after $MaxAttempts contended constraint commits")
+  }
+
+  // ---- Column mapping DDL (rename / drop without rewrite) ----------
+
+  /** The unresolved column names a SQL expression references — used
+    * to refuse DDL that would orphan a CHECK constraint. */
+  private def exprRefs(spark: SparkSession, exprStr: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(exprStr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.toSet
+
+  /** One metadata-only DDL commit: new logical schema + full mapping
+    * and retired list. Rebases like any commit; no files move. */
+  private def commitSchemaChange(spark: SparkSession, dir: String,
+      op: String, schemaJson: String, mapping: Map[String, String],
+      retired: Seq[String], expectVersion: Long): Long = {
+    val f = fs(spark, logPath(dir))
+    val v = expectVersion + 1
+    val j: JObject =
+      ("version" -> v) ~ ("op" -> op) ~
+        ("add" -> JArray(Nil)) ~ ("remove" -> JArray(Nil)) ~
+        ("schemaJson" -> schemaJson) ~
+        ("mapping" -> mapping) ~ ("retired" -> retired)
+    if (!tryWrite(f, versionFile(dir, v),
+        JsonMethods.compact(JsonMethods.render(j))))
+      // schema DDL races are rare and the state it was computed from
+      // is stale — refuse rather than silently rebase a schema edit
+      throw new java.util.ConcurrentModificationException(
+        s"TxLog: concurrent commit while altering schema of $dir — retry")
+    if (v > 0 && v % CheckpointInterval == 0)
+      writeCheckpoint(spark, dir, v)
+    v
+  }
+
+  /** RENAME COLUMN without touching a single data file (Delta's
+    * column-mapping rename): the logical schema and the logical→
+    * physical mapping change in ONE KB-sized metadata commit — the
+    * physical parquet column keeps its name forever, so at 100 TB
+    * this costs the same as at 100 KB. The old logical name's
+    * physical stays reserved: a later column named `oldName` gets a
+    * fresh physical name instead of resurrecting old data. Refuses
+    * when a CHECK constraint references the column (Delta's rule —
+    * drop the constraint first), when `oldName` is absent, or when
+    * `newName` already exists. Time travel is schema-faithful:
+    * reads at pre-rename versions show the old name. */
+  def renameColumn(spark: SparkSession, dir: String,
+      oldName: String, newName: String): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"TxLog: no column '$oldName' to rename in $dir")
+    require(!schema.fieldNames.contains(newName),
+      s"TxLog: column '$newName' already exists in $dir")
+    val bound = snap.constraints.filter { case (_, e) =>
+      exprRefs(spark, e).contains(oldName) }
+    require(bound.isEmpty,
+      s"TxLog: CHECK constraint(s) ${bound.keys.mkString(", ")} " +
+        s"reference '$oldName' — drop them before renaming")
+    val newSchema = StructType(schema.fields.map(fl =>
+      if (fl.name == oldName) fl.copy(name = newName) else fl))
+    val newMapping = (snap.mapping - oldName) +
+      (newName -> snap.phys(oldName))
+    commitSchemaChange(spark, dir, "rename", newSchema.json,
+      newMapping, snap.retired, snap.version)
+  }
+
+  /** DROP COLUMN without touching a single data file: the column
+    * leaves the logical schema and its physical name joins the
+    * RETIRED list (still present inside old files, claimable by no
+    * future column — re-adding the name via mergeSchema gets a fresh
+    * physical, so the dropped values can never resurrect). Refuses
+    * when a CHECK constraint references the column or when it is the
+    * table's last column. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"TxLog: no column '$name' to drop in $dir")
+    require(schema.fields.length > 1,
+      s"TxLog: cannot drop the last column of $dir")
+    val bound = snap.constraints.filter { case (_, e) =>
+      exprRefs(spark, e).contains(name) }
+    require(bound.isEmpty,
+      s"TxLog: CHECK constraint(s) ${bound.keys.mkString(", ")} " +
+        s"reference '$name' — drop them before dropping the column")
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    val newMapping = snap.mapping - name
+    val newRetired = (snap.retired :+ snap.phys(name)).distinct
+    commitSchemaChange(spark, dir, "drop", newSchema.json,
+      newMapping, newRetired, snap.version)
   }
 
   // ---- Row-level mutations (copy-on-write) -------------------------
@@ -801,8 +1016,10 @@ object TxLog {
     * a constrained column always pass. */
   private def pruneForPredicate(spark: SparkSession, schema: StructType,
       files: Seq[TxFile],
-      pred: org.apache.spark.sql.Column): Seq[TxFile] =
+      pred: org.apache.spark.sql.Column,
+      mapping: Map[String, String] = Map.empty): Seq[TxFile] =
     skippingBounds(spark, schema, pred)
+      .map { case (c, b) => (mapping.getOrElse(c, c), b) } // stats: phys
       .foldLeft(files) { case (kept, (c, (lo, hi))) =>
       kept.flatMap(_.stats.get(c)).headOption.map(_.dtype) match {
         case None => kept
@@ -825,7 +1042,8 @@ object TxLog {
       snap: TxSnapshot, pred: org.apache.spark.sql.Column): Seq[String] = {
     val schema =
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val cands = pruneForPredicate(spark, schema, snap.files, pred)
+    val cands =
+      pruneForPredicate(spark, schema, snap.files, pred, snap.mapping)
     if (cands.isEmpty) return Nil
     // tagged read: already-deleted (dv'd) rows can't re-touch a file,
     // and the file identity comes from `_metadata`, which survives
@@ -842,8 +1060,18 @@ object TxLog {
     * OPTIMIZE/DML that silently dropped the table's pruning metadata
     * would degrade every later readPruned. */
   private def inheritStats(files: Seq[TxFile],
-      statsCols: Seq[String]): Seq[String] =
-    (statsCols ++ files.flatMap(_.stats.keys)).distinct
+      statsCols: Seq[String],
+      snap: TxSnapshot): Seq[String] = {
+    // file stats are keyed by PHYSICAL name; stageData wants LOGICAL.
+    // Stats of dropped columns (physical name with no logical owner)
+    // cannot be carried forward — their column is gone from the view.
+    val reverse = snap.mapping.map(_.swap)
+    val logical = DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType].fieldNames.toSet
+    val fromFiles = files.flatMap(_.stats.keys)
+      .map(p => reverse.getOrElse(p, p)).filter(logical)
+    (statsCols ++ fromFiles).distinct
+  }
 
   /** Row-level DELETE (Delta's `DELETE FROM t WHERE …`): remove the
     * rows where `pred` is TRUE (null- and false-rows survive, SQL
@@ -861,7 +1089,7 @@ object TxLog {
     val kept = readSnapshot(spark, dir, snap.copy(files = keepFiles))
       .filter(!pred.eqNullSafe(true))
     val (added, _) = stageData(spark, dir, kept,
-      inheritStats(keepFiles, statsCols))
+      inheritStats(keepFiles, statsCols, snap), snap.mapping)
     // pin the touched files' vector pointers: a concurrent
     // merge-on-read DML keeps the path LIVE while changing its rows —
     // liveness alone would let this rewrite silently undo it
@@ -901,7 +1129,7 @@ object TxLog {
       }.toSeq: _*)
     enforceConstraints(spark, dir, rewritten)
     val (added, _) = stageData(spark, dir, rewritten,
-      inheritStats(keepFiles, statsCols))
+      inheritStats(keepFiles, statsCols, snap), snap.mapping)
     commitStaged(spark, dir, "update", added, touched,
       removeAll = false, snap.schemaJson, None,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
@@ -969,7 +1197,8 @@ object TxLog {
       pred: org.apache.spark.sql.Column): Long = {
     val snap = snapshot(spark, dir)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val cands = pruneForPredicate(spark, schema, snap.files, pred)
+    val cands =
+      pruneForPredicate(spark, schema, snap.files, pred, snap.mapping)
     if (cands.isEmpty) return snap.version
     val matched = readSnapshotTagged(spark, dir, snap.copy(files = cands))
       .filter(pred)
@@ -1004,7 +1233,8 @@ object TxLog {
     val unknown = set.keys.filterNot(known)
     require(unknown.isEmpty,
       s"TxLog: update sets unknown column(s): ${unknown.mkString(", ")}")
-    val cands = pruneForPredicate(spark, schema, snap.files, pred)
+    val cands =
+      pruneForPredicate(spark, schema, snap.files, pred, snap.mapping)
     if (cands.isEmpty) return snap.version
     val matchedRows = readSnapshotTagged(spark, dir,
       snap.copy(files = cands)).filter(pred).cache()
@@ -1022,7 +1252,7 @@ object TxLog {
         case Some((dvPath, entries, expect)) =>
           val touchedEntries = entries
           val (added, _) = stageData(spark, dir, updated,
-            inheritStats(touchedEntries, statsCols))
+            inheritStats(touchedEntries, statsCols, snap), snap.mapping)
           try commitStaged(spark, dir, "update-dv",
             touchedEntries ++ added, touchedEntries.map(_.path),
             removeAll = false, snap.schemaJson, None,
@@ -1077,14 +1307,15 @@ object TxLog {
       Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
       .head()
     val cands = keyCols.foldLeft(snap.files) { case (kept, k) =>
+      val pk = snap.phys(k) // stats are keyed by physical name
       val lo = keyBounds.getAs[Any](s"_lo_$k")
       val hi = keyBounds.getAs[Any](s"_hi_$k")
       if (lo == null || hi == null) kept
-      else kept.flatMap(_.stats.get(k)).headOption.map(_.dtype) match {
+      else kept.flatMap(_.stats.get(pk)).headOption.map(_.dtype) match {
         case None => kept
         case Some(dt) =>
           val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
-          kept.filter(_.stats.get(k).forall(st =>
+          kept.filter(_.stats.get(pk).forall(st =>
             StatsManifest.intersects(st.dtype, st.min.orNull,
               st.max.orNull, loS, hiS)))
       }
@@ -1108,7 +1339,7 @@ object TxLog {
     // files were already valid under the standing constraints)
     enforceConstraints(spark, dir, src)
     val (added, _) = stageData(spark, dir, survivors,
-      inheritStats(keepFiles, statsCols))
+      inheritStats(keepFiles, statsCols, snap), snap.mapping)
     commitStaged(spark, dir, "merge", added, touched,
       removeAll = false, snap.schemaJson, None,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
@@ -1125,12 +1356,22 @@ object TxLog {
     * outlived merge-on-read). */
   private val DvBroadcastRows = 4L * 1000 * 1000
 
+  /** The logical schema with every field renamed to its physical
+    * parquet column (identity when the mapping is empty). */
+  private def physSchema(schema: StructType,
+      mapping: Map[String, String]): StructType =
+    if (mapping.isEmpty) schema
+    else StructType(schema.fields.map(fl =>
+      fl.copy(name = mapping.getOrElse(fl.name, fl.name))))
+
   /** Raw tagged scan of explicit file paths: the table columns plus
     * `(TagFile, TagIdx)` = (file name, row position in the file) from
     * the parquet `_metadata` struct — the row's PHYSICAL identity,
-    * which is what deletion vectors address. No vector is applied. */
+    * which is what deletion vectors address. No vector is applied.
+    * Scans under PHYSICAL column names, returns LOGICAL ones. */
   private def readFilesTagged(spark: SparkSession, dir: String,
-      schema: StructType, paths: Seq[String]): DataFrame = {
+      schema: StructType, paths: Seq[String],
+      mapping: Map[String, String] = Map.empty): DataFrame = {
     require(!schema.fieldNames.contains(TagFile) &&
       !schema.fieldNames.contains(TagIdx),
       s"TxLog: table columns collide with reserved names $TagFile/$TagIdx")
@@ -1140,10 +1381,12 @@ object TxLog {
     if (paths.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), tagged)
     else
-      spark.read.schema(schema)
+      spark.read.schema(physSchema(schema, mapping))
         .parquet(paths.map(p => s"$dir/$p"): _*)
-        .select(col("*"), col("_metadata.file_name").as(TagFile),
-          col("_metadata.row_index").as(TagIdx))
+        .select(schema.fields.map(fl =>
+          col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq ++
+          Seq(col("_metadata.file_name").as(TagFile),
+            col("_metadata.row_index").as(TagIdx)): _*)
   }
 
   /** The union of the snapshot's referenced deletion vectors as a
@@ -1165,13 +1408,15 @@ object TxLog {
       snap: TxSnapshot): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val (dvFiles, clean) = snap.files.partition(_.dv.isDefined)
-    val cleanDf = readFilesTagged(spark, dir, schema, clean.map(_.path))
+    val cleanDf =
+      readFilesTagged(spark, dir, schema, clean.map(_.path), snap.mapping)
     if (dvFiles.isEmpty) return cleanDf
     val dvDf0 = dvRelation(spark, dir, dvFiles).get
     val dvDf =
       if (dvFiles.map(_.dvRows).sum <= DvBroadcastRows) broadcast(dvDf0)
       else dvDf0
-    val scanned = readFilesTagged(spark, dir, schema, dvFiles.map(_.path))
+    val scanned =
+      readFilesTagged(spark, dir, schema, dvFiles.map(_.path), snap.mapping)
     val live = scanned.join(dvDf,
       scanned(TagFile) === dvDf("file") &&
         scanned(TagIdx) === dvDf("row_index"), "left_anti")
@@ -1184,10 +1429,13 @@ object TxLog {
     if (snap.files.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
-    else if (snap.files.forall(_.dv.isEmpty))
-      spark.read.schema(schema)
+    else if (snap.files.forall(_.dv.isEmpty)) {
+      val raw = spark.read.schema(physSchema(schema, snap.mapping))
         .parquet(snap.files.map(a => s"$dir/${a.path}"): _*)
-    else
+      if (snap.mapping.isEmpty) raw
+      else raw.select(schema.fields.map(fl =>
+        col(snap.phys(fl.name)).as(fl.name)).toSeq: _*)
+    } else
       readSnapshotTagged(spark, dir, snap).drop(TagFile, TagIdx)
   }
 
@@ -1225,7 +1473,8 @@ object TxLog {
       preds: Seq[(String, Any, Any)], asOf: Option[Long] = None)
       : DataFrame = {
     val snap = snapshot(spark, dir, asOf)
-    val kept = preds.foldLeft(snap.files) { case (files, (c, lo, hi)) =>
+    val kept = preds.foldLeft(snap.files) { case (files, (c0, lo, hi)) =>
+      val c = snap.phys(c0) // stats are keyed by physical name
       files.flatMap(_.stats.get(c)).headOption.map(_.dtype) match {
         case None => files // no live file carries stats for this column
         case Some(dt) =>
@@ -1274,7 +1523,7 @@ object TxLog {
     val bounds = preds.map { case (c, lo, hi) =>
       val dt = fields(c).catalogString
       val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
-      (c, dt, loS, hiS)
+      (snap.phys(c), dt, loS, hiS) // stats are keyed by physical name
     }
     sealed trait Verdict
     case object Excluded extends Verdict
@@ -1337,12 +1586,17 @@ object TxLog {
     * files. */
   def changesSince(spark: SparkSession, dir: String, sinceVersion: Long,
       untilVersion: Option[Long] = None): DataFrame = {
-    val (added, schema) = changedFiles(spark, dir, sinceVersion, untilVersion)
+    val (added, schema, mapping) =
+      changedFiles(spark, dir, sinceVersion, untilVersion)
     if (added.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else
-      spark.read.schema(schema)
+    else {
+      val raw = spark.read.schema(physSchema(schema, mapping))
         .parquet(added.map(a => s"$dir/${a.path}"): _*)
+      if (mapping.isEmpty) raw
+      else raw.select(schema.fields.map(fl =>
+        col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
+    }
   }
 
   /** The core of [[changesSince]], shared with the streaming source
@@ -1352,7 +1606,8 @@ object TxLog {
     * vacuumed delta files) applied here so both consumption forms get
     * identical contracts. */
   def changedFiles(spark: SparkSession, dir: String, sinceVersion: Long,
-      untilVersion: Option[Long] = None): (Seq[TxFile], StructType) = {
+      untilVersion: Option[Long] = None)
+      : (Seq[TxFile], StructType, Map[String, String]) = {
     val (commits, _) = listLog(spark, dir)
     require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
     val head = commits.max
@@ -1378,7 +1633,8 @@ object TxLog {
           // an insert-only merge removed nothing: its adds ARE the
           // delta; a merge that rewrote files falls through to refuse
           (j \ "add").extract[Seq[TxFile]]
-        case "constraints" => Nil // metadata only, no rows
+        case "constraints" | "rename" | "drop" =>
+          Nil // metadata only, no rows
         case op => throw new IllegalArgumentException(
           s"TxLog: commit $v is '$op' — the span's delta is not " +
             "expressible as additions; re-read the full snapshot")
@@ -1398,9 +1654,10 @@ object TxLog {
             .mkString(", ")}); incremental read from this version is " +
           "no longer possible; re-read the full snapshot")
     }
-    val schema = DataType.fromJson(snapshot(spark, dir, Some(until))
-      .schemaJson).asInstanceOf[StructType]
-    (added, schema)
+    val untilSnap = snapshot(spark, dir, Some(until))
+    val schema =
+      DataType.fromJson(untilSnap.schemaJson).asInstanceOf[StructType]
+    (added, schema, untilSnap.mapping)
   }
 
   /** Row-level CHANGE DATA FEED over `(sinceVersion, untilVersion]`
@@ -1438,8 +1695,10 @@ object TxLog {
       s"TxLog: commits ${missing.take(3).mkString(",")}… truncated; " +
         "change feed from this version is no longer possible")
     val f = fs(spark, logPath(dir))
-    val schema = DataType.fromJson(snapshot(spark, dir, Some(until))
-      .schemaJson).asInstanceOf[StructType]
+    val untilSnap = snapshot(spark, dir, Some(until))
+    val schema =
+      DataType.fromJson(untilSnap.schemaJson).asInstanceOf[StructType]
+    val mapping = untilSnap.mapping
     val live = fs(spark, new Path(dir)).listStatus(new Path(dir))
       .filter(_.isFile).map(_.getPath.getName).toSet
     def readFiles(paths: Seq[String], v: Long): DataFrame = {
@@ -1451,8 +1710,13 @@ object TxLog {
       if (paths.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[Row](), schema)
-      else spark.read.schema(schema)
-        .parquet(paths.map(p => s"$dir/$p"): _*)
+      else {
+        val raw = spark.read.schema(physSchema(schema, mapping))
+          .parquet(paths.map(p => s"$dir/$p"): _*)
+        if (mapping.isEmpty) raw
+        else raw.select(schema.fields.map(fl =>
+          col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
+      }
     }
     def stamp(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe))
@@ -1463,7 +1727,7 @@ object TxLog {
       val removes = (j \ "remove").extract[Seq[String]]
       (j \ "op").extract[String] match {
         case "append" => Seq(stamp(readFiles(adds, v), "insert", v))
-        case "compact" | "constraints" => Nil
+        case "compact" | "constraints" | "rename" | "drop" => Nil
         case "overwrite" if v == 0 && sinceVersion < 0 =>
           Seq(stamp(readFiles(adds, v), "insert", v))
         case "delete" | "update" | "merge" =>
@@ -1503,7 +1767,8 @@ object TxLog {
           val newRel = dvRel(reAdds.flatMap(_.dv).distinct).get
           val fresh = dvRel(touchedPaths.flatMap(p => prevFiles(p).dv)
             .distinct).fold(newRel)(old => newRel.except(old))
-          val raw = readFilesTagged(spark, dir, schema, touchedPaths)
+          val raw =
+            readFilesTagged(spark, dir, schema, touchedPaths, mapping)
           val pre = raw.join(broadcast(fresh),
             raw(TagFile) === fresh("file") &&
               raw(TagIdx) === fresh("row_index"), "left_semi")
@@ -1544,7 +1809,8 @@ object TxLog {
       s"TxLog: cannot restore to $version — its deletion vector(s) " +
         s"${goneDv.take(2).mkString(", ")} were vacuumed")
     commitStaged(spark, dir, "overwrite", snap.files, Nil,
-      removeAll = true, snap.schemaJson, None, ownsAdded = false)
+      removeAll = true, snap.schemaJson, None, ownsAdded = false,
+      ddlState = Some((snap.mapping, snap.retired)))
   }
 
   /** The commit history as a relation: one row per version with the

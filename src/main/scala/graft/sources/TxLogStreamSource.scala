@@ -74,12 +74,22 @@ class TxLogSource(spark: SparkSession, dir: String) extends Source {
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val since = start.map(version).getOrElse(-1L)
     val until = version(end)
-    val (added, spanSchema) =
+    val (added, spanSchema, mapping) =
       TxLog.changedFiles(spark, dir, since, Some(until))
     if (added.isEmpty) PlanBridge.emptyStreamingBatch(spark, spanSchema)
-    else PlanBridge.asStreamingBatch(spark,
-      spark.read.schema(spanSchema)
-        .parquet(added.map(a => s"$dir/${a.path}"): _*))
+    else {
+      val physSchema = org.apache.spark.sql.types.StructType(
+        spanSchema.fields.map(fl =>
+          fl.copy(name = mapping.getOrElse(fl.name, fl.name))))
+      val raw = spark.read.schema(physSchema)
+        .parquet(added.map(a => s"$dir/${a.path}"): _*)
+      val logical =
+        if (mapping.isEmpty) raw
+        else raw.select(spanSchema.fields.map(fl =>
+          org.apache.spark.sql.functions
+            .col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
+      PlanBridge.asStreamingBatch(spark, logical)
+    }
   }
 
   override def stop(): Unit = ()

@@ -22,11 +22,13 @@ object PlanBridge {
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
   /** Re-wrap a file-relation DataFrame as a streaming batch — the
-    * FileStreamSource.getBatch shape. */
+    * FileStreamSource.getBatch shape. The file relation may sit under
+    * narrow plan nodes (e.g. the column-mapping physical→logical
+    * rename Project), so the streaming mark is applied bottom-up
+    * wherever the relation appears. */
   def asStreamingBatch(spark: SparkSession, df: DataFrame): DataFrame =
-    ofRows(spark, df.queryExecution.analyzed match {
+    ofRows(spark, df.queryExecution.analyzed.transformUp {
       case lr: LogicalRelation => lr.copy(isStreaming = true)
-      case other => other
     })
 
   /** An empty streaming batch with the given schema (a span that added

@@ -1365,4 +1365,166 @@ class TxLogSpec extends SparkSpec {
     assert(out.size == 40 && out(11L) == "next" && !out.contains(5L))
     assert(p.countRows(DataZone.Bronze, "pts") == 40)
   }
+
+  // ---- column mapping (rename / drop without rewrite) --------------
+
+  test("renameColumn: metadata-only commit — files untouched, reads faithful") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txrename").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 300L).map(i => (i, s"name_$i")).toDF("id", "name")
+        .repartitionByRange(3, col("id")), statsCols = Seq("id"))
+    val pre = TxLog.snapshot(spark, dir)
+
+    val v = TxLog.renameColumn(spark, dir, "name", "title")
+    assert(v == pre.version + 1)
+    val post = TxLog.snapshot(spark, dir)
+    // NOT ONE file entry changed — rename is a KB of metadata
+    assert(post.files == pre.files)
+    assert(TxLog.read(spark, dir).columns.toSeq == Seq("id", "title"))
+    assert(TxLog.read(spark, dir).filter(col("id") === 7)
+      .select("title").as[String].head() == "name_7")
+    // time travel is schema-faithful: the old version keeps "name"
+    assert(TxLog.read(spark, dir, Some(pre.version)).columns.toSeq ==
+      Seq("id", "name"))
+
+    // stats-in-log pruning survives renaming the STATS column itself
+    TxLog.renameColumn(spark, dir, "id", "key")
+    val pruned = TxLog.readPruned(spark, dir, "key", 1, 5)
+    assert(pruned.inputFiles.length < 3)
+    assert(pruned.filter(col("key").between(1, 5)).count() == 5)
+    assert(TxLog.countWhere(spark, dir, Seq(("key", 1L, 100L))) == 100)
+
+    // appends speak the NEW logical schema but write the OLD physical
+    // layout — a renamed table keeps accepting data with no rewrite
+    TxLog.commitAppend(spark, dir,
+      Seq((1000L, "late")).toDF("key", "title"), statsCols = Seq("key"))
+    assert(TxLog.read(spark, dir).count() == 301)
+    val newFile = TxLog.snapshot(spark, dir).files.map(_.path)
+      .diff(pre.files.map(_.path)).head
+    assert(spark.read.parquet(s"$dir/$newFile").columns.toSeq ==
+      Seq("id", "name"), "appended file must keep the physical layout")
+
+    // DML through the mapping: predicates and sets use logical names
+    TxLog.update(spark, dir, col("key") === 1000L,
+      Map("title" -> lit("LATE")))
+    TxLog.deleteMor(spark, dir, col("key") <= 10)
+    val outMap = TxLog.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(outMap(1000L) == "LATE" && !outMap.contains(5L) &&
+      outMap.size == 291)
+
+    // refusals: unknown source, existing target, constraint-bound
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, dir, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, dir, "key", "title")
+    }
+    TxLog.addCheckConstraint(spark, dir, "title_nonempty",
+      "length(title) > 0")
+    val err = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, dir, "title", "headline")
+    }
+    assert(err.getMessage.contains("title_nonempty"))
+  }
+
+  test("dropColumn: retired physical can never resurrect into a re-add") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdrop").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i", i * 10L))
+        .toDF("id", "name", "score"))
+    val pre = TxLog.snapshot(spark, dir)
+
+    TxLog.dropColumn(spark, dir, "score")
+    assert(TxLog.snapshot(spark, dir).files == pre.files) // no rewrite
+    assert(TxLog.read(spark, dir).columns.toSeq == Seq("id", "name"))
+    // time travel still sees the dropped column's values
+    assert(TxLog.read(spark, dir, Some(pre.version))
+      .filter(col("id") === 3).select("score").as[Long].head() == 30L)
+
+    // THE resurrection pin: re-add "score" via mergeSchema — old rows
+    // must read NULL, never the dropped 10·id values lingering in
+    // their files' physical "score" column
+    TxLog.commitAppend(spark, dir,
+      Seq((200L, "new", 7L)).toDF("id", "name", "score"),
+      mergeSchema = true)
+    val scores = TxLog.read(spark, dir)
+      .select(col("id"), col("score")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(scores(200L).contains(7L))
+    assert(scores(3L).isEmpty,
+      s"dropped column resurrected: id=3 reads ${scores(3L)}")
+    // the re-added column lives under a FRESH physical name
+    val snap = TxLog.snapshot(spark, dir)
+    val physScore = snap.phys("score")
+    assert(physScore != "score" && physScore.startsWith("score_"))
+
+    // refusals
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, dir, "absent")
+    }
+    TxLog.addCheckConstraint(spark, dir, "id_pos", "id > 0")
+    assert(intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, dir, "id")
+    }.getMessage.contains("id_pos"))
+    val dir2 = tmp("txdroplast").toString
+    TxLog.commitOverwrite(spark, dir2, Seq(Tuple1(1L)).toDF("only"))
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, dir2, "only")
+    }
+  }
+
+  test("column mapping: checkpoints, compaction, change feed, restore, stream") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txmapfull").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"))   // v0
+    TxLog.renameColumn(spark, dir, "name", "label")           // v1
+    val sinceForFeed = 1L
+    (1 to 10).foreach(i => TxLog.commitAppend(spark, dir,
+      Seq((100L + i, s"x$i")).toDF("id", "label")))           // v2..v11
+    // v10 wrote a checkpoint — the mapping must survive replay from it
+    assert(TxLog.snapshot(spark, dir).mapping == Map("label" -> "name"))
+    assert(TxLog.read(spark, dir).columns.toSeq == Seq("id", "label"))
+
+    // changesSince across the span reads LOGICAL names
+    val delta = TxLog.changesSince(spark, dir, sinceForFeed)
+    assert(delta.columns.toSeq == Seq("id", "label") && delta.count() == 10)
+    // changeFeed too (rename itself contributes no rows)
+    val feed = TxLog.changeFeed(spark, dir, 0)
+    assert(feed.filter(col("_change_type") === "insert").count() == 10)
+    assert(feed.columns.contains("label"))
+
+    // compaction rewrites under the SAME physical layout
+    TxLog.compact(spark, dir, targetFiles = 1)
+    val cFile = TxLog.snapshot(spark, dir).files.head.path
+    assert(spark.read.parquet(s"$dir/$cFile").columns.toSeq ==
+      Seq("id", "name"), "compaction must keep the physical layout")
+    assert(TxLog.read(spark, dir).columns.toSeq == Seq("id", "label"))
+    assert(TxLog.read(spark, dir).count() == 60)
+
+    // restore to v0 brings the OLD logical schema (and mapping) back
+    TxLog.restore(spark, dir, 0)
+    assert(TxLog.read(spark, dir).columns.toSeq == Seq("id", "name"))
+    assert(TxLog.snapshot(spark, dir).mapping.isEmpty)
+
+    // the streaming source reads a renamed table under logical names
+    val dir3 = tmp("txmapstream").toString
+    TxLog.commitOverwrite(spark, dir3,
+      Seq((1L, "a")).toDF("id", "name"))
+    TxLog.renameColumn(spark, dir3, "name", "tag")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("txlog").load(dir3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("txmapck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.select("id", "tag").as[(Long, String)].collect(); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet == Set((1L, "a")))
+  }
 }

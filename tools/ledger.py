@@ -151,6 +151,7 @@ ROWS = [
           "sources/TxLog.scala", "api"),
     (165, "vocab_train_bpe", "rows"),
     (166, "curation_pipeline", "hash"),
+    (167, "TxLogSpec (column mapping ×3) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
