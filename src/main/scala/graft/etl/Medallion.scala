@@ -366,6 +366,17 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.dropColumn(spark,
       requireLogged(zone, dataset, "dropColumn"), name)
 
+  /** Run the compact-when-needed maintenance policy on a logged
+    * dataset ([[TxLog.maintain]]): compacts only under small-file or
+    * deletion-vector pressure, no-ops (from metadata alone) on a
+    * healthy table. */
+  def maintainTable(zone: DataZone.Value, dataset: String,
+      maxFiles: Int = 64, maxDvFraction: Double = 0.10,
+      targetFiles: Int = 16): TxLog.Maintenance =
+    TxLog.maintain(spark, requireLogged(zone, dataset, "maintainTable"),
+      maxFiles, maxDvFraction, targetFiles,
+      statsColsOf(zone, dataset))
+
   /** Reap data files no retained version references (TxLog mode only).
     * Returns files deleted. Time travel / restore older than the
     * retained span dies with the files. */

@@ -832,6 +832,51 @@ object TxLog {
       s"TxLog: gave up after $MaxAttempts contended constraint commits")
   }
 
+  // ---- maintenance policy ------------------------------------------
+
+  /** What [[maintain]] decided and did. */
+  final case class Maintenance(compacted: Boolean, reason: String,
+      version: Long)
+
+  /** The OPTIMIZE-when-needed policy (Delta's auto-compaction shape):
+    * compact IFF the table accumulated debt — more than `maxFiles`
+    * live files (small-file pressure from streaming/incremental
+    * appends) or deletion vectors covering more than `maxDvFraction`
+    * of the logged rows (merge-on-read read overhead) — otherwise do
+    * NOTHING (no empty commits, no needless rewrite of a healthy
+    * table). Both triggers are answered from log METADATA alone; the
+    * compaction itself is the one data-sized cost and only runs when
+    * the policy fires. Vacuum is deliberately NOT bundled: deleting
+    * history is a retention decision, not a performance one. Schedule
+    * this after ingest batches; at 100 TB the no-op path costs one
+    * snapshot resolution. */
+  def maintain(spark: SparkSession, dir: String,
+      maxFiles: Int = 64, maxDvFraction: Double = 0.10,
+      targetFiles: Int = 16, statsCols: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Maintenance = {
+    require(maxFiles > 0 && targetFiles > 0,
+      "maintain thresholds must be positive")
+    val snap = snapshot(spark, dir)
+    val rows = snap.files.map(_.rows).sum
+    val dvRows = snap.files.map(_.dvRows).sum
+    val tooManyFiles = snap.files.size > maxFiles
+    val dvHeavy = rows > 0 &&
+      dvRows.toDouble / rows.toDouble > maxDvFraction
+    if (!tooManyFiles && !dvHeavy)
+      Maintenance(compacted = false,
+        s"healthy: ${snap.files.size} files, $dvRows/$rows dv rows",
+        snap.version)
+    else {
+      val why =
+        (if (tooManyFiles) Seq(s"${snap.files.size} files > $maxFiles")
+         else Nil) ++
+          (if (dvHeavy) Seq(f"dv ${dvRows.toDouble / rows}%.2f > " +
+            f"$maxDvFraction%.2f") else Nil)
+      val v = compact(spark, dir, targetFiles, statsCols, zorderBy)
+      Maintenance(compacted = true, why.mkString("; "), v)
+    }
+  }
+
   // ---- Column mapping DDL (rename / drop without rewrite) ----------
 
   /** The unresolved column names a SQL expression references — used

@@ -152,6 +152,8 @@ ROWS = [
     (165, "vocab_train_bpe", "rows"),
     (166, "curation_pipeline", "hash"),
     (167, "TxLogSpec (column mapping ×3) | sources/TxLog.scala", "api"),
+    (168, "Round11Spec (lifecycle + CDC follower) + TxLog.maintain | "
+          "sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
