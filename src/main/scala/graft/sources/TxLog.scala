@@ -135,6 +135,21 @@ object TxLog {
 
   private def logPath(dir: String) = new Path(dir, LogDir)
 
+  /** Resolve a file-entry path against the dataset dir. Entries are
+    * normally dir-relative; a SHALLOW CLONE registers the source's
+    * files by ABSOLUTE path (zero copy), which resolve as themselves. */
+  private def resolveData(dir: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p"
+
+  private def resolvePath(dir: String, p: String): Path = {
+    val pp = new Path(p)
+    if (pp.isAbsolute) pp else new Path(dir, p)
+  }
+
+  /** The bare file name of an entry path (what `_metadata.file_name`
+    * and deletion vectors key by — names are UUID-unique). */
+  private def nameOf(p: String): String = p.split('/').last
+
   private def versionFile(dir: String, v: Long) =
     new Path(logPath(dir), f"$v%020d.json")
 
@@ -832,6 +847,41 @@ object TxLog {
       s"TxLog: gave up after $MaxAttempts contended constraint commits")
   }
 
+  // ---- shallow clone -----------------------------------------------
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): a new
+    * logged table whose version 0 registers the SOURCE snapshot's
+    * files (and deletion vectors) by ABSOLUTE path — no byte of data
+    * is copied, so cloning a 100 TB table costs one KB metadata
+    * commit. The clone then evolves INDEPENDENTLY: its appends, DML
+    * and compactions write into its own dir (new entries are
+    * dir-relative as usual) and remove source files only LOGICALLY
+    * (from the clone's file list — [[vacuum]] on the clone never
+    * deletes a file outside its own dir, because reaping is keyed by
+    * the clone-root listing). Schema, column mapping, retired names
+    * and CHECK constraints carry over; txn markers do NOT (the clone
+    * is a new sink). The documented Delta caveat applies equally:
+    * VACUUM on the SOURCE can reap files the clone still references —
+    * retain source history while clones live, or [[compact]] the
+    * clone to make it self-contained. `asOf` clones a historical
+    * version (time-travel clone). */
+  def clone(spark: SparkSession, sourceDir: String, targetDir: String,
+      asOf: Option[Long] = None): Long = {
+    require(!isLogged(spark, targetDir),
+      s"TxLog: clone target $targetDir is already a logged table")
+    val snap = snapshot(spark, sourceDir, asOf)
+    val abs = new java.io.File(sourceDir).getAbsolutePath
+    val entries = snap.files.map(f => f.copy(
+      path = resolveData(abs, f.path),
+      dv = f.dv.map(d => resolveData(abs, d))))
+    val v = commitStaged(spark, targetDir, "clone", entries, Nil,
+      removeAll = true, snap.schemaJson, None, ownsAdded = false,
+      ddlState = Some((snap.mapping, snap.retired)))
+    if (snap.constraints.nonEmpty)
+      commitConstraints(spark, targetDir, snap.constraints)
+    else v
+  }
+
   // ---- maintenance policy ------------------------------------------
 
   /** What [[maintain]] decided and did. */
@@ -1130,7 +1180,7 @@ object TxLog {
     val touched = touchedFiles(spark, dir, snap, pred)
     if (touched.isEmpty) return snap.version
     val tSet = touched.toSet
-    val keepFiles = snap.files.filter(f => tSet.contains(f.path))
+    val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
     val kept = readSnapshot(spark, dir, snap.copy(files = keepFiles))
       .filter(!pred.eqNullSafe(true))
     val (added, _) = stageData(spark, dir, kept,
@@ -1138,7 +1188,7 @@ object TxLog {
     // pin the touched files' vector pointers: a concurrent
     // merge-on-read DML keeps the path LIVE while changing its rows —
     // liveness alone would let this rewrite silently undo it
-    commitStaged(spark, dir, "delete", added, touched,
+    commitStaged(spark, dir, "delete", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, None,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
   }
@@ -1162,7 +1212,7 @@ object TxLog {
     val touched = touchedFiles(spark, dir, snap, pred)
     if (touched.isEmpty) return snap.version
     val tSet = touched.toSet
-    val keepFiles = snap.files.filter(f => tSet.contains(f.path))
+    val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
     val rewritten = readSnapshot(spark, dir, snap.copy(files = keepFiles))
       .select(schema.fields.map { fl =>
         set.get(fl.name) match {
@@ -1175,7 +1225,7 @@ object TxLog {
     enforceConstraints(spark, dir, rewritten)
     val (added, _) = stageData(spark, dir, rewritten,
       inheritStats(keepFiles, statsCols, snap), snap.mapping)
-    commitStaged(spark, dir, "update", added, touched,
+    commitStaged(spark, dir, "update", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, None,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
   }
@@ -1197,7 +1247,7 @@ object TxLog {
     val counts = matched.groupBy(TagFile).count().collect()
     if (counts.isEmpty) return None
     val newCnt = counts.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val byPath = snap.files.map(f => f.path -> f).toMap
+    val byPath = snap.files.map(f => nameOf(f.path) -> f).toMap
     val touched = newCnt.keys.toSeq.sorted
     val pairs = matched.select(col(TagFile).as("file"),
       col(TagIdx).as("row_index"))
@@ -1205,7 +1255,7 @@ object TxLog {
     val merged =
       if (oldDvs.isEmpty) pairs
       else pairs.unionByName(
-        spark.read.parquet(oldDvs.map(p => s"$dir/$p"): _*)
+        spark.read.parquet(oldDvs.map(p => resolveData(dir, p)): _*)
           .filter(col("file").isInCollection(touched)))
     // metadata-known output size → file count; one file until vectors
     // grow to millions of pairs
@@ -1218,7 +1268,10 @@ object TxLog {
       val f = byPath(p)
       f.copy(dv = Some(dvPath), dvRows = f.dvRows + newCnt(p))
     }
-    Some((dvPath, entries, touched.map(p => p -> byPath(p).dv).toMap))
+    // pin by ENTRY PATH (what commitStaged compares against the head);
+    // `touched` holds bare names, which differ for cloned entries
+    Some((dvPath, entries,
+      touched.map(p => byPath(p).path -> byPath(p).dv).toMap))
   }
 
   /** Merge-on-read DELETE (Delta's deletion-vector delete): the
@@ -1374,7 +1427,7 @@ object TxLog {
         .select(TagFile).distinct().collect()
         .map(_.getString(0)).toSeq.sorted
     val tSet = touched.toSet
-    val keepFiles = snap.files.filter(f => tSet.contains(f.path))
+    val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
     val survivors =
       if (keepFiles.isEmpty) src
       else readSnapshot(spark, dir, snap.copy(files = keepFiles))
@@ -1385,7 +1438,7 @@ object TxLog {
     enforceConstraints(spark, dir, src)
     val (added, _) = stageData(spark, dir, survivors,
       inheritStats(keepFiles, statsCols, snap), snap.mapping)
-    commitStaged(spark, dir, "merge", added, touched,
+    commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, None,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
   }
@@ -1427,7 +1480,7 @@ object TxLog {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), tagged)
     else
       spark.read.schema(physSchema(schema, mapping))
-        .parquet(paths.map(p => s"$dir/$p"): _*)
+        .parquet(paths.map(p => resolveData(dir, p)): _*)
         .select(schema.fields.map(fl =>
           col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq ++
           Seq(col("_metadata.file_name").as(TagFile),
@@ -1441,7 +1494,7 @@ object TxLog {
       files: Seq[TxFile]): Option[DataFrame] = {
     val dvs = files.flatMap(_.dv).distinct
     if (dvs.isEmpty) None
-    else Some(spark.read.parquet(dvs.map(p => s"$dir/$p"): _*))
+    else Some(spark.read.parquet(dvs.map(p => resolveData(dir, p)): _*))
   }
 
   /** Snapshot read with physical row identity: table columns +
@@ -1476,7 +1529,7 @@ object TxLog {
         java.util.Collections.emptyList[Row](), schema)
     else if (snap.files.forall(_.dv.isEmpty)) {
       val raw = spark.read.schema(physSchema(schema, snap.mapping))
-        .parquet(snap.files.map(a => s"$dir/${a.path}"): _*)
+        .parquet(snap.files.map(a => resolveData(dir, a.path)): _*)
       if (snap.mapping.isEmpty) raw
       else raw.select(schema.fields.map(fl =>
         col(snap.phys(fl.name)).as(fl.name)).toSeq: _*)
@@ -1637,7 +1690,7 @@ object TxLog {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     else {
       val raw = spark.read.schema(physSchema(schema, mapping))
-        .parquet(added.map(a => s"$dir/${a.path}"): _*)
+        .parquet(added.map(a => resolveData(dir, a.path)): _*)
       if (mapping.isEmpty) raw
       else raw.select(schema.fields.map(fl =>
         col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
@@ -1672,7 +1725,7 @@ object TxLog {
       (j \ "op").extract[String] match {
         case "append" => (j \ "add").extract[Seq[TxFile]]
         case "compact" => Nil // rewrites, not new rows
-        case "overwrite" if v == 0 && sinceVersion < 0 =>
+        case "overwrite" | "clone" if v == 0 && sinceVersion < 0 =>
           (j \ "add").extract[Seq[TxFile]] // initial load
         case "merge" if (j \ "remove").extract[Seq[String]].isEmpty =>
           // an insert-only merge removed nothing: its adds ARE the
@@ -1692,7 +1745,10 @@ object TxLog {
     if (added.nonEmpty) {
       val live = fs(spark, new Path(dir)).listStatus(new Path(dir))
         .filter(_.isFile).map(_.getPath.getName).toSet
-      val gone = added.filterNot(a => live.contains(a.path))
+      val f2 = fs(spark, new Path(dir))
+      val gone = added.filterNot(a =>
+        if (a.path.contains("/")) f2.exists(resolvePath(dir, a.path))
+        else live.contains(a.path))
       require(gone.isEmpty,
         s"TxLog: ${gone.size} delta file(s) in ($sinceVersion, $until] " +
           s"were vacuumed (first: ${gone.take(2).map(_.path)
@@ -1747,7 +1803,10 @@ object TxLog {
     val live = fs(spark, new Path(dir)).listStatus(new Path(dir))
       .filter(_.isFile).map(_.getPath.getName).toSet
     def readFiles(paths: Seq[String], v: Long): DataFrame = {
-      val gone = paths.filterNot(live.contains)
+      val gone = paths.filterNot(p =>
+        if (p.contains("/")) fs(spark, new Path(dir))
+          .exists(resolvePath(dir, p))
+        else live.contains(p))
       require(gone.isEmpty,
         s"TxLog: commit $v's file(s) ${gone.take(2).mkString(", ")} " +
           "were vacuumed; change feed from this version is no longer " +
@@ -1757,7 +1816,7 @@ object TxLog {
           java.util.Collections.emptyList[Row](), schema)
       else {
         val raw = spark.read.schema(physSchema(schema, mapping))
-          .parquet(paths.map(p => s"$dir/$p"): _*)
+          .parquet(paths.map(p => resolveData(dir, p)): _*)
         if (mapping.isEmpty) raw
         else raw.select(schema.fields.map(fl =>
           col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
@@ -1773,7 +1832,7 @@ object TxLog {
       (j \ "op").extract[String] match {
         case "append" => Seq(stamp(readFiles(adds, v), "insert", v))
         case "compact" | "constraints" | "rename" | "drop" => Nil
-        case "overwrite" if v == 0 && sinceVersion < 0 =>
+        case "overwrite" | "clone" if v == 0 && sinceVersion < 0 =>
           Seq(stamp(readFiles(adds, v), "insert", v))
         case "delete" | "update" | "merge" =>
           val pre = readFiles(removes, v)
@@ -1791,7 +1850,10 @@ object TxLog {
           val (reAdds, newFiles) =
             entries.partition(e => prevFiles.contains(e.path))
           val touchedPaths = reAdds.map(_.path)
-          val goneData = touchedPaths.filterNot(live.contains)
+          val goneData = touchedPaths.filterNot(p =>
+            if (p.contains("/")) fs(spark, new Path(dir))
+              .exists(resolvePath(dir, p))
+            else live.contains(p))
           require(goneData.isEmpty,
             s"TxLog: commit $v's file(s) ${goneData.take(2).mkString(", ")} " +
               "were vacuumed; change feed from this version is no " +
@@ -1799,7 +1861,7 @@ object TxLog {
           val dvPaths = (reAdds.flatMap(_.dv) ++
             touchedPaths.flatMap(p => prevFiles(p).dv)).distinct
           val goneDv = dvPaths.filterNot(p =>
-            f.exists(new Path(dir, p)))
+            f.exists(resolvePath(dir, p)))
           require(goneDv.isEmpty,
             s"TxLog: commit $v's deletion vector(s) " +
               s"${goneDv.take(2).mkString(", ")} were vacuumed; change " +
@@ -1807,7 +1869,8 @@ object TxLog {
               "the full snapshot")
           def dvRel(paths: Seq[String]): Option[DataFrame] =
             if (paths.isEmpty) None
-            else Some(spark.read.parquet(paths.map(p => s"$dir/$p"): _*)
+            else Some(spark.read
+              .parquet(paths.map(p => resolveData(dir, p)): _*)
               .filter(col("file").isInCollection(touchedPaths)))
           val newRel = dvRel(reAdds.flatMap(_.dv).distinct).get
           val fresh = dvRel(touchedPaths.flatMap(p => prevFiles(p).dv)
@@ -1844,12 +1907,13 @@ object TxLog {
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val snap = snapshot(spark, dir, Some(version))
     val f = fs(spark, new Path(dir))
-    val gone = snap.files.filterNot(a => f.exists(new Path(dir, a.path)))
+    val gone = snap.files.filterNot(a =>
+      f.exists(resolvePath(dir, a.path)))
     require(gone.isEmpty,
       s"TxLog: cannot restore to $version — ${gone.size} of its files " +
         s"were vacuumed (first: ${gone.take(2).map(_.path).mkString(", ")})")
     val goneDv = snap.files.flatMap(_.dv).distinct
-      .filterNot(d => f.exists(new Path(dir, d)))
+      .filterNot(d => f.exists(resolvePath(dir, d)))
     require(goneDv.isEmpty,
       s"TxLog: cannot restore to $version — its deletion vector(s) " +
         s"${goneDv.take(2).mkString(", ")} were vacuumed")

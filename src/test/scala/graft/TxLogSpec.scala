@@ -1527,4 +1527,80 @@ class TxLogSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(got.toSet == Set((1L, "a")))
   }
+
+  // ---- shallow clone -----------------------------------------------
+
+  test("shallow clone: zero copy, independent evolution, compact makes it self-contained") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("txclsrc").toString
+    val dst = tmp("txcldst").toString
+    // a source with the full feature surface active: stats, a CHECK
+    // constraint, a renamed column (mapping) and a deletion vector
+    TxLog.commitOverwrite(spark, src,
+      (1L to 200L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartitionByRange(2, col("id")), statsCols = Seq("id"))
+    TxLog.addCheckConstraint(spark, src, "id_pos", "id > 0")
+    TxLog.renameColumn(spark, src, "name", "label")
+    TxLog.deleteMor(spark, src, col("id") <= 5)
+
+    TxLog.clone(spark, src, dst)
+    // ZERO data copied: the clone dir holds only its log
+    val dataIn = new java.io.File(dst).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_"))
+    assert(dataIn.isEmpty, s"clone copied data: ${dataIn.mkString(",")}")
+    // reads equal, logical names, vectors honored, stats prune
+    assert(idSet(TxLog.read(spark, dst)) == (6L to 200L).toSet)
+    assert(TxLog.read(spark, dst).columns.toSeq == Seq("id", "label"))
+    // (inputFiles also counts the deletion-vector relation, so
+    // compare against the unpruned read rather than a raw file count)
+    assert(TxLog.readPruned(spark, dst, "id", 10, 20).inputFiles.length
+      < TxLog.read(spark, dst).inputFiles.length)
+    // constraints carried over
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(spark, dst, Seq((-1L, "bad")).toDF("id", "label"))
+    }
+    // a time-travel clone of the PRE-delete version
+    val dstOld = tmp("txclold").toString
+    TxLog.clone(spark, src, dstOld, asOf = Some(0L))
+    assert(TxLog.read(spark, dstOld).count() == 200)
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] { TxLog.clone(spark, src, dst) }
+
+    // independent evolution: writes to the clone never touch the
+    // source (and vice versa)
+    val srcFilesBefore = new java.io.File(src).listFiles()
+      .filter(_.isFile).map(_.getName).toSet
+    TxLog.commitAppend(spark, dst, Seq((900L, "mine")).toDF("id", "label"))
+    TxLog.delete(spark, dst, col("id").between(100L, 110L)) // CoW on a
+    // cloned ABSOLUTE file: the rewrite lands in the CLONE's dir
+    assert(new java.io.File(src).listFiles().filter(_.isFile)
+      .map(_.getName).toSet == srcFilesBefore,
+      "clone DML mutated the source dir")
+    assert(idSet(TxLog.read(spark, dst)) ==
+      ((6L to 99L) ++ (111L to 200L)).toSet + 900L)
+    assert(idSet(TxLog.read(spark, src)) == (6L to 200L).toSet)
+    TxLog.deleteMor(spark, src, col("id") === 50) // source moves on
+    assert(idSet(TxLog.read(spark, dst)).contains(50L),
+      "source DML leaked into the clone")
+
+    // the clone's vacuum reaps only its own dir — every source file
+    // survives it
+    TxLog.vacuum(spark, dst)
+    assert(new java.io.File(src).listFiles().filter(_.isFile)
+      .map(_.getName).toSet == srcFilesBefore,
+      "clone vacuum deleted source files")
+    assert(idSet(TxLog.read(spark, dst)).size == 185)
+
+    // compact → self-contained: all entries dir-relative; after that
+    // even vacuuming the source's dead history cannot hurt the clone
+    TxLog.compact(spark, dst, targetFiles = 2, statsCols = Seq("id"))
+    assert(TxLog.snapshot(spark, dst).files.forall(f =>
+      !f.path.startsWith("/")), "compact left absolute references")
+    TxLog.commitOverwrite(spark, src,
+      Seq((1L, "gone")).toDF("id", "label")) // source replaces all
+    TxLog.vacuum(spark, src)                 // … and reaps history
+    assert(idSet(TxLog.read(spark, dst)).size == 185,
+      "self-contained clone must survive source vacuum")
+  }
 }

@@ -154,6 +154,7 @@ ROWS = [
     (167, "TxLogSpec (column mapping ×3) | sources/TxLog.scala", "api"),
     (168, "Round11Spec (lifecycle + CDC follower) + TxLog.maintain | "
           "sources/TxLog.scala", "api"),
+    (169, "TxLogSpec (shallow clone) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
