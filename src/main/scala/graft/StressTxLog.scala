@@ -186,6 +186,35 @@ object StressTxLog {
     println(f"[stress-txlog] full read after delete: CoW $tReadCow%.2f s" +
       f" vs MoR (vector-subtracting) $tReadMor%.2f s")
 
+    // claim 8: DDL and clone are METADATA-speed — rename and shallow
+    // clone of the 600k-row table must cost milliseconds (one KB
+    // commit each), and the maintenance no-op must answer from the
+    // log alone
+    val tRename = {
+      val t0 = System.nanoTime()
+      TxLog.renameColumn(spark, dirMor, "l_quantity", "qty")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cloneDir = java.nio.file.Files.createTempDirectory("txclone").toString
+    val tClone = {
+      val t0 = System.nanoTime()
+      TxLog.clone(spark, dirMor, cloneDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tNoop = {
+      val t0 = System.nanoTime()
+      val m = TxLog.maintain(spark, dirMor, maxFiles = 1000,
+        maxDvFraction = 0.99)
+      require(!m.compacted, "healthy table must not compact")
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[stress-txlog] rename $tRename%.3f s, shallow clone " +
+      f"$tClone%.3f s, maintain no-op $tNoop%.3f s (600k-row table)")
+    require(TxLog.read(spark, cloneDir).count() ==
+      TxLog.read(spark, dirMor).count(), "clone must read equal")
+    require(tRename < 2 && tClone < 2 && tNoop < 2,
+      "DDL/clone/no-op must be metadata-speed")
+
     spark.stop()
   }
 }
