@@ -105,4 +105,42 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= quota)
   }
+
+  /** Deterministic TRAINING ORDER: a seeded global shuffle with shard
+    * assignment and EXACT 1-based positions within each shard —
+    * `(key, shard, pos)` such that replaying with the same seed
+    * reproduces the epoch's data order bit-for-bit on any engine (the
+    * reproducibility contract training runs need for resume/ablation;
+    * a new seed is a new epoch permutation). Shard = hash mod
+    * `nShards`; within-shard order = (hash asc, key asc).
+    *
+    * Scale: positions are NOT computed with a per-shard window (that
+    * is a ≤nShards-reducer sort of the corpus — the banding cliff).
+    * The hash splits into `nBuckets` ORDER-ALIGNED buckets per shard:
+    * ranks come from (shard, bucket)-keyed windows (corpus/(shards·
+    * buckets)-sized partitions), bucket offsets from a cumulative sum
+    * over the (shard, bucket) COUNT relation (shards·buckets rows),
+    * broadcast back — same identity as [[graft.operators.Banding]],
+    * exact result, no wide sort. */
+  def trainingOrder(df: DataFrame, keyCol: Column, seed: String,
+      nShards: Int, nBuckets: Int = 1024): DataFrame = {
+    require(nShards > 0 && nBuckets > 0, "shards/buckets must be positive")
+    val width = math.max(1L, (HashSpace / nBuckets).toLong)
+    val base = df.select(keyCol.as("k"),
+      hashBucket(concat(lit(seed), lit(":"), keyCol.cast("string")))
+        .as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("_b", (col("_h") / lit(width)).cast("long"))
+    val rankW = Window.partitionBy(col("shard"), col("_b"))
+      .orderBy(col("_h").asc, col("k").asc)
+    val ranked = base.withColumn("_r", row_number().over(rankW).cast("long"))
+    val offW = Window.partitionBy(col("shard")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("shard"), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
+      .select(col("shard"), col("_b"), col("_off"))
+    ranked.join(broadcast(offsets), Seq("shard", "_b"))
+      .select(col("k"), col("shard"), (col("_off") + col("_r")).as("pos"))
+  }
 }

@@ -38,10 +38,24 @@ object SamplingQueries {
       col("doc_id"),
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
 
+  val Seed = "epoch0"
+  val Shards = 16
+
+  /** #170 training_order — [[Sampling.trainingOrder]]: the seeded
+    * epoch permutation (shard + exact within-shard position) every
+    * reproducible training run needs; same seed = bit-identical order
+    * on any engine, next seed = next epoch. Positions come from the
+    * order-aligned bucket identity, never a ≤nShards-reducer sort. */
+  def trainingOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.trainingOrder(docs(s, dir).select(col("doc_id")),
+      col("doc_id"), Seed, Shards)
+      .withColumnRenamed("k", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_bernoulli" -> sampleBernoulli,
     "sample_stratified" -> sampleStratified,
-    "sample_split" -> sampleSplit)
+    "sample_split" -> sampleSplit,
+    "training_order" -> trainingOrder)
 
   /** The 60-bit md5 hash bucket, as DuckDB SQL. */
   private val bucket =
@@ -63,5 +77,15 @@ object SamplingQueries {
         CASE WHEN ($bucket) % 100 < 80 THEN 'train'
              WHEN ($bucket) % 100 < 90 THEN 'val'
              ELSE 'test' END AS split
-      FROM documents""")
+      FROM documents""",
+    "training_order" -> s"""
+      WITH h AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5('$Seed:' || CAST(doc_id AS VARCHAR)),
+            1, 15)) AS BIGINT) AS hv
+        FROM documents)
+      SELECT doc_id, hv % $Shards AS shard,
+        CAST(row_number() OVER (PARTITION BY hv % $Shards
+          ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
+      FROM h""")
 }

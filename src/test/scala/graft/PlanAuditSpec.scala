@@ -192,7 +192,7 @@ class PlanAuditSpec extends SparkSpec {
     // relation (below an aggregate) may window on the bare key.
     Seq("q18_percentile_disc", "q38_ntile", "q39_dist_rank",
       "curation_ppl_buckets", "q40_percentile_global",
-      "curation_pipeline").foreach { q =>
+      "curation_pipeline", "training_order").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       val windows = qe.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w

@@ -332,4 +332,33 @@ class TrainingSpec extends SparkSpec {
       s"expected monotone compression: chars=$chars t10=$t10 t25=$t25")
     assert(t25 < chars, "25 merges should compress a real corpus")
   }
+
+  // ---------------------------------------------------- training order
+
+  test("trainingOrder: exact per-shard positions equal the naive window; seed permutes") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = (1L to 500L).map(Tuple1(_)).toDF("id")
+    val got = Sampling.trainingOrder(df, col("id"), "s1", 4, nBuckets = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // the naive form: ONE window per shard (the cliff the operator
+    // avoids) — must give identical (key, shard, pos)
+    val h = Sampling.hashBucket(
+      concat(lit("s1"), lit(":"), col("id").cast("string")))
+    val naive = df.select(col("id"), h.as("h"),
+      pmod(h, lit(4L)).as("shard"))
+      .withColumn("pos", row_number().over(
+        W.partitionBy("shard").orderBy(col("h").asc, col("id").asc))
+        .cast("long"))
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+    // positions are contiguous 1..n within every shard
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size).toSet)
+    }
+    // a different seed is a different permutation
+    val got2 = Sampling.trainingOrder(df, col("id"), "s2", 4, nBuckets = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 != got)
+  }
 }

@@ -155,6 +155,7 @@ ROWS = [
     (168, "Round11Spec (lifecycle + CDC follower) + TxLog.maintain | "
           "sources/TxLog.scala", "api"),
     (169, "TxLogSpec (shallow clone) | sources/TxLog.scala", "api"),
+    (170, "training_order", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
