@@ -366,6 +366,14 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.dropColumn(spark,
       requireLogged(zone, dataset, "dropColumn"), name)
 
+  /** Zero-copy SHALLOW CLONE of a logged dataset into another dataset
+    * of the same zone ([[TxLog.clone]]) — the instant experiment copy;
+    * evolve it independently, [[compactTable]] it to self-contain. */
+  def cloneTable(zone: DataZone.Value, dataset: String,
+      toDataset: String, asOf: Option[Long] = None): Long =
+    TxLog.clone(spark, requireLogged(zone, dataset, "cloneTable"),
+      path(zone, toDataset), asOf)
+
   /** Run the compact-when-needed maintenance policy on a logged
     * dataset ([[TxLog.maintain]]): compacts only under small-file or
     * deletion-vector pressure, no-ops (from metadata alone) on a

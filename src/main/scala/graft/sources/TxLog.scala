@@ -1379,9 +1379,14 @@ object TxLog {
     * find touched files + one shuffle-join of (touched files ∪
     * source) — the table outside the key range is never read. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-      keyCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+      keyCols: Seq[String], statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "TxLog: merge needs at least one key column")
     val snap = snapshot(spark, dir)
+    // idempotent upsert: a replayed (appId, batchId) short-circuits
+    // before any staging work — the streaming-sink contract
+    for ((app, b) <- txn)
+      if (snap.txns.get(app).exists(_ >= b)) return snap.version
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val srcTypes = source.schema.fields
       .map(fl => fl.name -> fl.dataType).toMap
@@ -1439,7 +1444,7 @@ object TxLog {
     val (added, _) = stageData(spark, dir, survivors,
       inheritStats(keepFiles, statsCols, snap), snap.mapping)
     commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
-      removeAll = false, snap.schemaJson, None,
+      removeAll = false, snap.schemaJson, txn,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
   }
 
@@ -2006,6 +2011,38 @@ object TxLog {
     drop.foreach(v => f.delete(versionFile(dir, v), false))
     drop.size
   }
+
+  /** Exactly-once streaming UPSERT sink (the CDC-apply shape): each
+    * micro-batch MERGEs into the logged table under txn marker
+    * (appId, batchId) — replayed batches short-circuit, so a stream
+    * of keyed changes lands exactly once even though foreachBatch is
+    * at-least-once. When `orderCol` is given, a batch holding several
+    * rows per key keeps the one with the greatest (orderCol, then
+    * key-hash) — the per-batch last-writer-wins a CDC feed needs;
+    * without it the source must be unique per key per batch (merge's
+    * ambiguity refusal applies). */
+  def exactlyOnceUpsertSink(stream: DataFrame, dir: String,
+      keyCols: Seq[String], appId: String, checkpointDir: String,
+      statsCols: Seq[String] = Nil,
+      orderCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val src = orderCol match {
+          case None => batch
+          case Some(oc) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*)
+              .orderBy(col(oc).desc,
+                xxhash64(keyCols.map(col): _*).desc)
+            batch.withColumn("_graft_rn", row_number().over(w))
+              .filter(col("_graft_rn") === 1).drop("_graft_rn")
+        }
+        merge(batch.sparkSession, dir, src, keyCols, statsCols,
+          txn = Some((appId, batchId)))
+        ()
+      }.start()
 
   /** Exactly-once streaming append sink: each micro-batch commits with
     * txn marker (appId, batchId), so a batch replayed after a failure

@@ -225,6 +225,49 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, dir).count() == 3)
   }
 
+  test("exactlyOnceUpsertSink: keyed CDC stream lands exactly once, last-writer-wins") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = tmp("txupsink").toString
+    val cp = tmp("txupsinkcp").toString
+    TxLog.commitOverwrite(spark, dir,
+      Seq((1L, "one", 0L), (2L, "two", 0L)).toDF("id", "name", "seq"))
+    val src = MemoryStream[(Long, String, Long)]
+    val query = TxLog.exactlyOnceUpsertSink(
+      src.toDF().toDF("id", "name", "seq"), dir, Seq("id"),
+      appId = "cdc", cp, orderCol = Some("seq"))
+    try {
+      // one batch updating id=1 TWICE (seq orders them) + inserting 3
+      src.addData((1L, "one_v1", 1L), (1L, "one_v2", 2L), (3L, "three", 1L))
+      query.processAllAvailable()
+      src.addData((2L, "two_v1", 3L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = TxLog.read(spark, dir).select("id", "name")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "one_v2", 2L -> "two_v1", 3L -> "three"))
+    // replayed batch (at-least-once foreachBatch) is a no-op
+    val vBefore = TxLog.snapshot(spark, dir).version
+    TxLog.merge(spark, dir,
+      Seq((1L, "one_v1", 1L)).toDF("id", "name", "seq"), Seq("id"),
+      txn = Some(("cdc", 0L)))
+    assert(TxLog.snapshot(spark, dir).version == vBefore)
+    assert(TxLog.read(spark, dir).select("id", "name")
+      .as[(Long, String)].collect().toMap == out)
+
+    // medallion cloneTable: instant experiment copy inside the zone
+    val root = tmp("medclone").toString
+    val p = new MedallionPipeline(spark, root, useTxLog = true)
+    p.write(DataZone.Silver, "pts",
+      (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name"),
+      LoadType.Full)
+    p.cloneTable(DataZone.Silver, "pts", "pts_exp")
+    p.deleteWhere(DataZone.Silver, "pts_exp", col("id") <= 10)
+    assert(p.read(DataZone.Silver, "pts_exp").count() == 20)
+    assert(p.read(DataZone.Silver, "pts").count() == 30)
+  }
+
   // ---- MedallionPipeline integration (useTxLog = true) ----
 
   test("medallion zone writes route through the log: full/append/merge/incremental") {

@@ -156,6 +156,8 @@ ROWS = [
           "sources/TxLog.scala", "api"),
     (169, "TxLogSpec (shallow clone) | sources/TxLog.scala", "api"),
     (170, "training_order", "hash"),
+    (171, "TxLogSpec (exactly-once upsert sink + cloneTable) | "
+          "sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
