@@ -67,6 +67,19 @@ object TxLog {
 
   private val MaxAttempts = 20
 
+  /** The highest log-format feature generation this reader
+    * understands (Delta's protocol/minReaderVersion shape): 1 = base
+    * log, 2 = deletion vectors + absolute file paths (shallow
+    * clone), 3 = column mapping. A commit that first USES a feature
+    * records the required generation; [[snapshot]] refuses a table
+    * whose recorded requirement exceeds this reader — because an
+    * OLDER reader would not refuse: it would parse the commit, drop
+    * the fields it doesn't know, and silently read deleted rows as
+    * live (dv), resolve absolute paths wrongly (clone), or project
+    * stale names (mapping). A loud version error is the only safe
+    * failure mode for forward compatibility. */
+  val CurrentReader = 3
+
   /** Per-column stats a commit may record for a data file: the
     * column's catalog dtype plus min/max as Spark's canonical
     * cast-to-string forms (order-preserving for numerics, strings,
@@ -121,7 +134,8 @@ object TxLog {
       files: Seq[TxFile], txns: Map[String, Long],
       constraints: Map[String, String] = Map.empty,
       mapping: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil) {
+      retired: Seq[String] = Nil,
+      minReader: Int = 1) {
     /** The physical parquet name of a logical column. */
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** Physical names no new column may claim. */
@@ -247,13 +261,16 @@ object TxLog {
   private def renderCommit(v: Long, op: String, added: Seq[TxFile],
       removed: Seq[String], schemaJson: Option[String],
       txn: Option[(String, Long)],
-      ddl: Option[(Map[String, String], Seq[String])] = None): String = {
+      ddl: Option[(Map[String, String], Seq[String])] = None,
+      minReader: Option[Int] = None): String = {
     val base: JObject =
       ("version" -> v) ~ ("op" -> op) ~
         ("add" -> filesJson(added)) ~ ("remove" -> removed)
     val withSchema = schemaJson.fold(base)(s => base ~ ("schemaJson" -> s))
-    val withDdl = ddl.fold(withSchema) { case (m, r) =>
-      withSchema ~ ("mapping" -> m) ~ ("retired" -> r)
+    val withMr = minReader.fold(withSchema)(m =>
+      withSchema ~ ("minReader" -> m))
+    val withDdl = ddl.fold(withMr) { case (m, r) =>
+      withMr ~ ("mapping" -> m) ~ ("retired" -> r)
     }
     val withTxn = txn.fold(withDdl) { case (app, b) =>
       withDdl ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
@@ -269,9 +286,10 @@ object TxLog {
     var constraints = Map.empty[String, String]
     var mapping = Map.empty[String, String]
     var retired = Seq.empty[String]
+    var minReader = 1
     def toSnapshot(v: Long): TxSnapshot =
       TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path),
-        txns.toMap, constraints, mapping, retired)
+        txns.toMap, constraints, mapping, retired, minReader)
   }
 
   private def applyCommit(st: State, j: JValue): Unit = {
@@ -296,6 +314,8 @@ object TxLog {
       case JNothing => ()
       case jv => st.retired = jv.extract[Seq[String]]
     }
+    (j \ "minReader").extractOpt[Int]
+      .foreach(m => st.minReader = math.max(st.minReader, m))
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
       b <- (j \ "txn" \ "batchId").extractOpt[Long]
@@ -335,6 +355,8 @@ object TxLog {
         case JNothing => ()
         case jv => st.retired = jv.extract[Seq[String]]
       }
+      (j \ "minReader").extractOpt[Int]
+        .foreach(m => st.minReader = math.max(st.minReader, m))
     }
     val needed = (cp.getOrElse(-1L) + 1) to target
     val present = commits.toSet
@@ -345,6 +367,12 @@ object TxLog {
     needed.foreach { v =>
       applyCommit(st, JsonMethods.parse(readText(f, versionFile(dir, v))))
     }
+    require(st.minReader <= CurrentReader,
+      s"TxLog: table at $dir requires log-format generation " +
+        s"${st.minReader}, this reader supports $CurrentReader — " +
+        "upgrade the library before reading (refusing is the only " +
+        "safe behavior: ignoring unknown features would silently " +
+        "corrupt the read)")
     st.toSnapshot(target)
   }
 
@@ -362,9 +390,12 @@ object TxLog {
     val withMap =
       if (snap.mapping.isEmpty) withCons
       else withCons ~ ("mapping" -> snap.mapping)
-    val j: JObject =
+    val withRet =
       if (snap.retired.isEmpty) withMap
       else withMap ~ ("retired" -> snap.retired)
+    val j: JObject =
+      if (snap.minReader <= 1) withRet
+      else withRet ~ ("minReader" -> snap.minReader)
     val p = checkpointFile(dir, v)
     val f = fs(spark, p)
     // deterministic content: overwrite is safe if two writers race here
@@ -468,7 +499,8 @@ object TxLog {
       expectDv: Map[String, Option[String]] = Map.empty,
       ddlState: Option[(Map[String, String], Seq[String])] = None,
       freshPhys: Map[String, String] = Map.empty,
-      stagedFields: Option[Set[String]] = None): Long = {
+      stagedFields: Option[Set[String]] = None,
+      minReader: Option[Int] = None): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
@@ -589,7 +621,8 @@ object TxLog {
         ddlState.orElse(evolvedMapping.map(m =>
           (m, base.map(_.retired).getOrElse(Nil))))
       if (tryWrite(f, versionFile(dir, v),
-          renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut))) {
+          renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut,
+            minReader))) {
         if (v > 0 && v % CheckpointInterval == 0)
           writeCheckpoint(spark, dir, v)
         return v
@@ -876,7 +909,8 @@ object TxLog {
       dv = f.dv.map(d => resolveData(abs, d))))
     val v = commitStaged(spark, targetDir, "clone", entries, Nil,
       removeAll = true, snap.schemaJson, None, ownsAdded = false,
-      ddlState = Some((snap.mapping, snap.retired)))
+      ddlState = Some((snap.mapping, snap.retired)),
+      minReader = Some(math.max(2, snap.minReader)))
     if (snap.constraints.nonEmpty)
       commitConstraints(spark, targetDir, snap.constraints)
     else v
@@ -948,7 +982,8 @@ object TxLog {
       ("version" -> v) ~ ("op" -> op) ~
         ("add" -> JArray(Nil)) ~ ("remove" -> JArray(Nil)) ~
         ("schemaJson" -> schemaJson) ~
-        ("mapping" -> mapping) ~ ("retired" -> retired)
+        ("mapping" -> mapping) ~ ("retired" -> retired) ~
+        ("minReader" -> 3)
     if (!tryWrite(f, versionFile(dir, v),
         JsonMethods.compact(JsonMethods.render(j))))
       // schema DDL races are rare and the state it was computed from
@@ -1306,7 +1341,7 @@ object TxLog {
       case Some((dvPath, entries, expect)) =>
         try commitStaged(spark, dir, "delete-dv", entries,
           entries.map(_.path), removeAll = false, snap.schemaJson, None,
-          ownsAdded = false, expectDv = expect)
+          ownsAdded = false, expectDv = expect, minReader = Some(2))
         catch { case e: Throwable =>
           fs(spark, new Path(dir)).delete(new Path(dir, dvPath), true)
           throw e
@@ -1354,7 +1389,7 @@ object TxLog {
           try commitStaged(spark, dir, "update-dv",
             touchedEntries ++ added, touchedEntries.map(_.path),
             removeAll = false, snap.schemaJson, None,
-            ownsAdded = false, expectDv = expect)
+            ownsAdded = false, expectDv = expect, minReader = Some(2))
           catch { case e: Throwable =>
             fs(spark, new Path(dir)).delete(new Path(dir, dvPath), true)
             deleteStaged(spark, dir, added)

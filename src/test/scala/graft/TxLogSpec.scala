@@ -1571,6 +1571,44 @@ class TxLogSpec extends SparkSpec {
     assert(got.toSet == Set((1L, "a")))
   }
 
+  test("log-format generations: features record minReader, future tables refuse loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txproto").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2, 3))
+    // a base table demands nothing
+    assert(TxLog.snapshot(spark, dir).minReader == 1)
+    // deletion vectors raise the requirement to generation 2…
+    TxLog.deleteMor(spark, dir, col("id") === 1)
+    assert(TxLog.snapshot(spark, dir).minReader == 2)
+    // …column mapping to 3 — and the requirement is MONOTONE
+    TxLog.renameColumn(spark, dir, "name", "label")
+    assert(TxLog.snapshot(spark, dir).minReader == 3)
+    TxLog.commitAppend(spark, dir, Seq((9L, "x")).toDF("id", "label"))
+    assert(TxLog.snapshot(spark, dir).minReader == 3)
+    // …survives checkpoints (cross the interval)
+    (1 to 10).foreach(i => TxLog.commitAppend(spark, dir,
+      Seq((100L + i, "y")).toDF("id", "label")))
+    assert(TxLog.snapshot(spark, dir).minReader == 3)
+    assert(idSet(TxLog.read(spark, dir)) ==
+      Set(2L, 3L, 9L) ++ (101L to 110L))
+
+    // a table written by a FUTURE generation refuses with an upgrade
+    // message — never a silent partial read
+    val head = TxLog.snapshot(spark, dir).version
+    val commit = java.nio.file.Paths.get(dir, "_graft_log",
+      f"${head + 1}%020d.json")
+    java.nio.file.Files.write(commit,
+      (s"""{"version":${head + 1},"op":"append","add":[],""" +
+        s""""remove":[],"minReader":99}""").getBytes(UTF_8))
+    val err = intercept[IllegalArgumentException] {
+      TxLog.snapshot(spark, dir)
+    }
+    assert(err.getMessage.contains("generation 99"))
+    // …but time travel BELOW the future commit still works
+    assert(TxLog.read(spark, dir, Some(head)).count() == 13)
+  }
+
   // ---- shallow clone -----------------------------------------------
 
   test("shallow clone: zero copy, independent evolution, compact makes it self-contained") {

@@ -158,6 +158,8 @@ ROWS = [
     (170, "training_order", "hash"),
     (171, "TxLogSpec (exactly-once upsert sink + cloneTable) | "
           "sources/TxLog.scala", "api"),
+    (172, "TxLogSpec (log-format generations) | sources/TxLog.scala",
+     "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
