@@ -442,9 +442,10 @@ class TxLogSpec extends SparkSpec {
     assert(idSet(TxLog.read(spark, dir)) == Set(1L))
   }
 
-  test("model check: 40 random ops (incl. DML) replay to the modeled state") {
-    // seeded random op sequence — overwrite/append/compact AND
-    // delete/update/merge — applied both to TxLog and to a trivial
+  test("model check: 40 random ops (incl. DML + DDL) replay to the modeled state") {
+    // seeded random op sequence — overwrite/append/compact,
+    // delete/update/merge, merge-on-read DML AND rename DDL — applied
+    // both to TxLog and to a trivial
     // in-memory Map[id → name] model; the log must agree with the
     // model at the head after every op AND at every historical
     // version at the end — the strongest single invariant: replay IS
@@ -464,22 +465,28 @@ class TxLogSpec extends SparkSpec {
     }
     def named(ids: Seq[Long]): Map[Long, String] =
       ids.map(i => i -> s"name_$i").toMap
-    def tableState: Map[Long, String] =
-      TxLog.read(spark, dir).select("id", "name").as[(Long, String)]
+    def tableState: Map[Long, String] = {
+      val d = TxLog.read(spark, dir) // positional: renames move names
+      d.select(d.columns(0), d.columns(1)).as[(Long, String)]
         .collect().toMap
+    }
     def pickId(): Long = {
       val keys = model.keys.toSeq.sorted
       keys(rnd.nextInt(keys.size))
     }
+    var valCol = "name"
+    var renames = 0
     (1 to 40).foreach { _ =>
-      rnd.nextInt(9) match {
-        case 0 => // overwrite with 1-3 fresh rows
+      rnd.nextInt(10) match {
+        case 0 => // overwrite with 1-3 fresh rows (schema resets too)
           val ids = freshIds(1 + rnd.nextInt(3))
           TxLog.commitOverwrite(spark, dir, df(ids: _*))
           model = named(ids)
+          valCol = "name"
         case 1 | 2 => // append 1-3 fresh rows (appends dominate ingest)
           val ids = freshIds(1 + rnd.nextInt(3))
-          TxLog.commitAppend(spark, dir, df(ids: _*))
+          TxLog.commitAppend(spark, dir,
+            df(ids: _*).withColumnRenamed("name", valCol))
           model = model ++ named(ids)
         case 3 if model.nonEmpty => // compact: rows unchanged
           TxLog.compact(spark, dir, targetFiles = 1)
@@ -490,13 +497,14 @@ class TxLogSpec extends SparkSpec {
           if (model.isEmpty) { // an emptied table: re-seed so later
             history += model // the delete's own version: empty table
             val ids = freshIds(1) //  ops have rows to work with
-            TxLog.commitAppend(spark, dir, df(ids: _*))
+            TxLog.commitAppend(spark, dir,
+              df(ids: _*).withColumnRenamed("name", valCol))
             model = named(ids)
           }
         case 5 if model.nonEmpty => // update a guaranteed-hit range
           val x = pickId()
           TxLog.update(spark, dir, col("id") <= x,
-            Map("name" -> concat(col("name"), lit("!"))))
+            Map(valCol -> concat(col(valCol), lit("!"))))
           model = model.map { case (k, v) =>
             k -> (if (k <= x) v + "!" else v)
           }
@@ -505,7 +513,7 @@ class TxLogSpec extends SparkSpec {
           val ins = freshIds(1).head
           TxLog.merge(spark, dir,
             Seq((hit, s"merged_$hit"), (ins, s"name_$ins"))
-              .toDF("id", "name"),
+              .toDF("id", valCol),
             Seq("id"))
           model = model + (hit -> s"merged_$hit") + (ins -> s"name_$ins")
         case 7 if model.nonEmpty => // merge-on-read delete (vectors)
@@ -515,20 +523,27 @@ class TxLogSpec extends SparkSpec {
           if (model.isEmpty) {
             history += model
             val ids = freshIds(1)
-            TxLog.commitAppend(spark, dir, df(ids: _*))
+            TxLog.commitAppend(spark, dir,
+              df(ids: _*).withColumnRenamed("name", valCol))
             model = named(ids)
           }
         case 8 if model.nonEmpty => // merge-on-read update
           val x = pickId()
           TxLog.updateMor(spark, dir, col("id") <= x,
-            Map("name" -> concat(col("name"), lit("?"))))
+            Map(valCol -> concat(col(valCol), lit("?"))))
           model = model.map { case (k, v) =>
             k -> (if (k <= x) v + "?" else v)
           }
+        case 9 if model.nonEmpty => // rename DDL between everything
+          renames += 1
+          val next = s"name_r$renames"
+          TxLog.renameColumn(spark, dir, valCol, next)
+          valCol = next // values unchanged — the MODEL doesn't move
         case _ => // DML before the table exists: create it instead
           val ids = freshIds(1)
           TxLog.commitOverwrite(spark, dir, df(ids: _*))
           model = named(ids)
+          valCol = "name"
       }
       history += model
       assert(tableState == model)
@@ -536,8 +551,9 @@ class TxLogSpec extends SparkSpec {
     // every historical version still replays to its recorded state
     // (checkpoints every 10 commits must not corrupt the replay)
     history.zipWithIndex.foreach { case (want, v) =>
-      assert(TxLog.read(spark, dir, Some(v.toLong))
-        .select("id", "name").as[(Long, String)].collect().toMap == want,
+      val d = TxLog.read(spark, dir, Some(v.toLong))
+      assert(d.select(d.columns(0), d.columns(1))
+        .as[(Long, String)].collect().toMap == want,
         s"version $v diverged from the model")
     }
     assert(TxLog.history(spark, dir).count() == history.size)
