@@ -1907,11 +1907,15 @@ object TxLog {
               s"${goneDv.take(2).mkString(", ")} were vacuumed; change " +
               "feed from this version is no longer possible; re-read " +
               "the full snapshot")
+          // vectors key rows by bare file NAME (`_metadata.file_name`)
+          // — a cloned entry's PATH is absolute, so filtering by path
+          // would silently drop its deletes from the feed
+          val touchedNames = touchedPaths.map(nameOf)
           def dvRel(paths: Seq[String]): Option[DataFrame] =
             if (paths.isEmpty) None
             else Some(spark.read
               .parquet(paths.map(p => resolveData(dir, p)): _*)
-              .filter(col("file").isInCollection(touchedPaths)))
+              .filter(col("file").isInCollection(touchedNames)))
           val newRel = dvRel(reAdds.flatMap(_.dv).distinct).get
           val fresh = dvRel(touchedPaths.flatMap(p => prevFiles(p).dv)
             .distinct).fold(newRel)(old => newRel.except(old))

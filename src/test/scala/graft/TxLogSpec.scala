@@ -1681,13 +1681,23 @@ class TxLogSpec extends SparkSpec {
     assert(idSet(TxLog.read(spark, dst)).contains(50L),
       "source DML leaked into the clone")
 
+    // the change feed follows MoR deletes on CLONED (absolute-path)
+    // files — vectors key by bare file name, not entry path
+    val cdfSince = TxLog.snapshot(spark, dst).version
+    TxLog.deleteMor(spark, dst, col("id") === 7)
+    val dels = TxLog.changeFeed(spark, dst, cdfSince)
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq
+    assert(dels == Seq(7L),
+      s"clone change feed missed the vector delete: $dels")
+
     // the clone's vacuum reaps only its own dir — every source file
     // survives it
     TxLog.vacuum(spark, dst)
     assert(new java.io.File(src).listFiles().filter(_.isFile)
       .map(_.getName).toSet == srcFilesBefore,
       "clone vacuum deleted source files")
-    assert(idSet(TxLog.read(spark, dst)).size == 185)
+    assert(idSet(TxLog.read(spark, dst)).size == 184)
 
     // compact → self-contained: all entries dir-relative; after that
     // even vacuuming the source's dead history cannot hurt the clone
@@ -1697,7 +1707,7 @@ class TxLogSpec extends SparkSpec {
     TxLog.commitOverwrite(spark, src,
       Seq((1L, "gone")).toDF("id", "label")) // source replaces all
     TxLog.vacuum(spark, src)                 // … and reaps history
-    assert(idSet(TxLog.read(spark, dst)).size == 185,
+    assert(idSet(TxLog.read(spark, dst)).size == 184,
       "self-contained clone must survive source vacuum")
   }
 }
