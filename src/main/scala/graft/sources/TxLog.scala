@@ -2004,7 +2004,21 @@ object TxLog {
     * travel older than the retained span dies with the files. Returns
     * the number of files deleted. */
   def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 0,
-      minAgeMs: Long = 0L): Int = {
+      minAgeMs: Long = 0L): Int =
+    vacuumList(spark, dir, retainVersions, minAgeMs,
+      dryRun = false).size
+
+  /** `vacuum` DRY RUN (Delta's `VACUUM … DRY RUN`): the dir-relative
+    * paths the same retention/age policy WOULD delete, touching
+    * nothing — audit the blast radius (and whether a needed
+    * time-travel version would die) before committing to it. */
+  def vacuumDryRun(spark: SparkSession, dir: String,
+      retainVersions: Int = 0, minAgeMs: Long = 0L): Seq[String] =
+    vacuumList(spark, dir, retainVersions, minAgeMs, dryRun = true)
+
+  private def vacuumList(spark: SparkSession, dir: String,
+      retainVersions: Int, minAgeMs: Long, dryRun: Boolean)
+      : Seq[String] = {
     val (commits, _) = listLog(spark, dir)
     require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
     val head = commits.max
@@ -2020,7 +2034,7 @@ object TxLog {
       st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
         !live.contains(n) && (now - st.getModificationTime) >= minAgeMs
     }
-    stale.foreach(st => f.delete(st.getPath, false))
+    if (!dryRun) stale.foreach(st => f.delete(st.getPath, false))
     // superseded deletion vectors: a vector relation referenced by no
     // retained version (each DML writes a fresh merged one, compaction
     // drops the pointers) — same retention and age guard as data files
@@ -2031,8 +2045,9 @@ object TxLog {
         !liveDv.contains(s"$DvDir/${st.getPath.getName}") &&
           (now - st.getModificationTime) >= minAgeMs
       }
-    staleDv.foreach(st => f.delete(st.getPath, true))
-    stale.length + staleDv.length
+    if (!dryRun) staleDv.foreach(st => f.delete(st.getPath, true))
+    (stale.map(_.getPath.getName) ++
+      staleDv.map(st => s"$DvDir/${st.getPath.getName}")).toSeq.sorted
   }
 
   /** Drop commit files strictly below the latest checkpoint ≤ head −

@@ -187,6 +187,34 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("vacuumDryRun lists the blast radius without touching a file") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdry").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2, 3))
+    TxLog.commitOverwrite(spark, dir, df(10))      // v0's files now dead
+    TxLog.deleteMor(spark, dir, col("id") === 10)  // vector 1
+    TxLog.deleteMor(spark, dir, col("id") === 999) // no-op (no match)
+    TxLog.compact(spark, dir, targetFiles = 1)     // vector dropped
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val would = TxLog.vacuumDryRun(spark, dir)
+    assert(would.nonEmpty)
+    // nothing moved
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet
+      == before)
+    assert(idSet(TxLog.read(spark, dir)).isEmpty ||
+      TxLog.read(spark, dir).count() >= 0) // table still reads
+    // the real vacuum deletes EXACTLY the dry run's list
+    val deleted = TxLog.vacuum(spark, dir)
+    assert(deleted == would.size)
+    val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // (LocalFileSystem reaps .crc sidecars with their data files)
+    val goneRoot = (before -- after)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(goneRoot == would.filterNot(_.contains("/")).toSet)
+    assert(TxLog.vacuumDryRun(spark, dir).isEmpty)
+  }
+
   test("vacuum honors retention: time travel lives until its files are reaped") {
     val dir = tmp("txvac").toString
     TxLog.commitOverwrite(spark, dir, df(1, 2))

@@ -160,6 +160,7 @@ ROWS = [
           "sources/TxLog.scala", "api"),
     (172, "TxLogSpec (log-format generations) | sources/TxLog.scala",
      "api"),
+    (173, "TxLogSpec (vacuum dry run) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
