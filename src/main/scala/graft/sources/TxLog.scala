@@ -904,6 +904,16 @@ object TxLog {
       s"TxLog: clone target $targetDir is already a logged table")
     val snap = snapshot(spark, sourceDir, asOf)
     val abs = new java.io.File(sourceDir).getAbsolutePath
+    // like restore: a snapshot whose files were already vacuumed
+    // cannot be cloned — refuse NOW, not as a scan-time path error
+    // on the clone's first read
+    val fsrc = fs(spark, new Path(sourceDir))
+    val gone = (snap.files.map(_.path) ++ snap.files.flatMap(_.dv))
+      .filterNot(p => fsrc.exists(resolvePath(sourceDir, p)))
+    require(gone.isEmpty,
+      s"TxLog: cannot clone $sourceDir@${snap.version} — ${gone.size} " +
+        s"of its files were vacuumed (first: ${gone.take(2)
+          .mkString(", ")})")
     val entries = snap.files.map(f => f.copy(
       path = resolveData(abs, f.path),
       dv = f.dv.map(d => resolveData(abs, d))))

@@ -1737,5 +1737,19 @@ class TxLogSpec extends SparkSpec {
     TxLog.vacuum(spark, src)                 // … and reaps history
     assert(idSet(TxLog.read(spark, dst)).size == 184,
       "self-contained clone must survive source vacuum")
+
+    // clone-of-clone: absolute entries pass through verbatim, the
+    // clone's own relative files absolutize against ITS dir
+    val dst2 = tmp("txclone2").toString
+    // dstOld still references src@v0, whose files the source vacuum
+    // just reaped — the grandclone must refuse AT CLONE TIME with the
+    // vacuum message, never hand out a table that dies on first read
+    val cloneErr = intercept[IllegalArgumentException] {
+      TxLog.clone(spark, dstOld, dst2)
+    }
+    assert(cloneErr.getMessage.contains("vacuumed"))
+    val dst3 = tmp("txclone3").toString
+    TxLog.clone(spark, dst, dst3) // the SELF-CONTAINED clone clones fine
+    assert(idSet(TxLog.read(spark, dst3)) == idSet(TxLog.read(spark, dst)))
   }
 }
