@@ -926,6 +926,46 @@ object TxLog {
     else v
   }
 
+  /** DESCRIBE DETAIL (the Delta shape): ONE row of table-level
+    * operational facts, answered from log metadata plus one root
+    * listing for bytes — version, file/row/deleted-row counts, bytes
+    * on disk vs live bytes referenced, feature state (vectors,
+    * mapping, constraints, required reader generation). What an
+    * operator checks before deciding to [[maintain]], [[vacuum]] or
+    * upgrade. */
+  def describeDetail(spark: SparkSession, dir: String): DataFrame = {
+    val snap = snapshot(spark, dir)
+    val f = fs(spark, new Path(dir))
+    val liveBytes = snap.files.map(a =>
+      try f.getFileStatus(resolvePath(dir, a.path)).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }).sum
+    val onDisk = f.listStatus(new Path(dir)).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getLen).sum
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("num_deleted_rows", LongType, nullable = false),
+      StructField("live_bytes", LongType, nullable = false),
+      StructField("bytes_in_dir", LongType, nullable = false),
+      StructField("num_dv_files", LongType, nullable = false),
+      StructField("num_constraints", LongType, nullable = false),
+      StructField("column_mapping", org.apache.spark.sql.types
+        .BooleanType, nullable = false),
+      StructField("min_reader", LongType, nullable = false)))
+    spark.createDataFrame(java.util.Collections.singletonList(Row(
+      snap.version, snap.files.size.toLong,
+      snap.files.map(a => a.rows - a.dvRows).sum,
+      snap.files.map(_.dvRows).sum,
+      liveBytes, onDisk,
+      snap.files.flatMap(_.dv).distinct.size.toLong,
+      snap.constraints.size.toLong,
+      snap.mapping.nonEmpty,
+      snap.minReader.toLong)), schema)
+  }
+
   // ---- maintenance policy ------------------------------------------
 
   /** What [[maintain]] decided and did. */

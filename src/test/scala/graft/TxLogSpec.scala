@@ -187,6 +187,29 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("describeDetail: one metadata row of table facts") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("txdetail").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartition(4))
+    TxLog.deleteMor(spark, dir, col("id") <= 10)
+    TxLog.renameColumn(spark, dir, "name", "label")
+    TxLog.addCheckConstraint(spark, dir, "id_pos", "id > 0")
+    val d = TxLog.describeDetail(spark, dir).collect().head
+    assert(d.getAs[Long]("version") == 3L)
+    assert(d.getAs[Long]("num_files") == 4L)
+    assert(d.getAs[Long]("num_rows") == 90L)
+    assert(d.getAs[Long]("num_deleted_rows") == 10L)
+    assert(d.getAs[Long]("num_dv_files") == 1L)
+    assert(d.getAs[Long]("num_constraints") == 1L)
+    assert(d.getAs[Boolean]("column_mapping"))
+    assert(d.getAs[Long]("min_reader") == 3L)
+    assert(d.getAs[Long]("live_bytes") > 0 &&
+      d.getAs[Long]("bytes_in_dir") >= d.getAs[Long]("live_bytes"))
+  }
+
   test("vacuumDryRun lists the blast radius without touching a file") {
     val s = spark
     import s.implicits._

@@ -161,6 +161,7 @@ ROWS = [
     (172, "TxLogSpec (log-format generations) | sources/TxLog.scala",
      "api"),
     (173, "TxLogSpec (vacuum dry run) | sources/TxLog.scala", "api"),
+    (174, "TxLogSpec (describeDetail) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
