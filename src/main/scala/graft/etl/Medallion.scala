@@ -385,6 +385,21 @@ class MedallionPipeline(spark: SparkSession, root: String,
       maxFiles, maxDvFraction, targetFiles,
       statsColsOf(zone, dataset))
 
+  /** One-row operational detail of a logged dataset
+    * ([[TxLog.describeDetail]]): live/deleted rows, vacuum debt,
+    * feature state, required reader generation. */
+  def describeTable(zone: DataZone.Value, dataset: String): DataFrame =
+    TxLog.describeDetail(spark,
+      requireLogged(zone, dataset, "describeTable"))
+
+  /** The files [[vacuumTable]] WOULD reap, touching nothing
+    * ([[TxLog.vacuumDryRun]]) — audit before deleting history. */
+  def vacuumDryRunTable(zone: DataZone.Value, dataset: String,
+      retainVersions: Int = 0, minAgeMs: Long = 0L): Seq[String] =
+    TxLog.vacuumDryRun(spark,
+      requireLogged(zone, dataset, "vacuumDryRunTable"),
+      retainVersions, minAgeMs)
+
   /** Reap data files no retained version references (TxLog mode only).
     * Returns files deleted. Time travel / restore older than the
     * retained span dies with the files. */

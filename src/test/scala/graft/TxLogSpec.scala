@@ -314,9 +314,14 @@ class TxLogSpec extends SparkSpec {
       (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name"),
       LoadType.Full)
     p.cloneTable(DataZone.Silver, "pts", "pts_exp")
-    p.deleteWhere(DataZone.Silver, "pts_exp", col("id") <= 10)
+    p.deleteWhere(DataZone.Silver, "pts_exp", col("id") <= 10, mor = true)
     assert(p.read(DataZone.Silver, "pts_exp").count() == 20)
     assert(p.read(DataZone.Silver, "pts").count() == 30)
+    // the operational surface delegates too
+    val det = p.describeTable(DataZone.Silver, "pts_exp").collect().head
+    assert(det.getAs[Long]("num_rows") == 20L &&
+      det.getAs[Long]("num_deleted_rows") == 10L)
+    assert(p.vacuumDryRunTable(DataZone.Silver, "pts_exp").isEmpty)
   }
 
   // ---- MedallionPipeline integration (useTxLog = true) ----
