@@ -262,7 +262,8 @@ object TxLog {
       removed: Seq[String], schemaJson: Option[String],
       txn: Option[(String, Long)],
       ddl: Option[(Map[String, String], Seq[String])] = None,
-      minReader: Option[Int] = None): String = {
+      minReader: Option[Int] = None,
+      constraints: Option[Map[String, String]] = None): String = {
     val base: JObject =
       ("version" -> v) ~ ("op" -> op) ~
         ("add" -> filesJson(added)) ~ ("remove" -> removed)
@@ -272,8 +273,9 @@ object TxLog {
     val withDdl = ddl.fold(withMr) { case (m, r) =>
       withMr ~ ("mapping" -> m) ~ ("retired" -> r)
     }
-    val withTxn = txn.fold(withDdl) { case (app, b) =>
-      withDdl ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
+    val withCons = constraints.fold(withDdl)(cs => withDdl ~ ("constraints" -> cs))
+    val withTxn = txn.fold(withCons) { case (app, b) =>
+      withCons ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
     }
     JsonMethods.compact(JsonMethods.render(withTxn))
   }
@@ -917,13 +919,23 @@ object TxLog {
     val entries = snap.files.map(f => f.copy(
       path = resolveData(abs, f.path),
       dv = f.dv.map(d => resolveData(abs, d))))
-    val v = commitStaged(spark, targetDir, "clone", entries, Nil,
-      removeAll = true, snap.schemaJson, None, ownsAdded = false,
-      ddlState = Some((snap.mapping, snap.retired)),
-      minReader = Some(math.max(2, snap.minReader)))
-    if (snap.constraints.nonEmpty)
-      commitConstraints(spark, targetDir, snap.constraints)
-    else v
+    // claim version 0 DIRECTLY (like convertInPlace), with the source's
+    // CHECK constraints riding in the same commit. Two bugs a
+    // commitStaged clone had: (a) its contention rebase would silently
+    // CLOBBER a table created concurrently at the target (logically
+    // removing its files) instead of refusing; (b) constraints landed
+    // as a SECOND commit, so a writer slipping between v0 and v1 could
+    // append data the source's constraints would have refused.
+    val lf = fs(spark, logPath(targetDir))
+    if (!tryWrite(lf, versionFile(targetDir, 0L),
+        renderCommit(0L, "clone", entries, Nil, Some(snap.schemaJson),
+          None, ddl = Some((snap.mapping, snap.retired)),
+          minReader = Some(math.max(2, snap.minReader)),
+          constraints = Some(snap.constraints).filter(_.nonEmpty))))
+      throw new java.util.ConcurrentModificationException(
+        s"TxLog: clone target $targetDir was concurrently created — " +
+          "refusing to clobber it")
+    0L
   }
 
   /** DESCRIBE DETAIL (the Delta shape): ONE row of table-level
@@ -1776,6 +1788,17 @@ object TxLog {
       untilVersion: Option[Long] = None): DataFrame = {
     val (added, schema, mapping) =
       changedFiles(spark, dir, sinceVersion, untilVersion)
+    readAdded(spark, dir, added, schema, mapping)
+  }
+
+  /** Materialize a [[changedFiles]] result under LOGICAL names — the
+    * ONE place both incremental consumption forms ([[changesSince]]
+    * and the streaming source) turn file entries into rows, so path
+    * resolution (dir-relative entries vs a clone's absolute v0
+    * entries) can never fork between them. */
+  private[sources] def readAdded(spark: SparkSession, dir: String,
+      added: Seq[TxFile], schema: StructType,
+      mapping: Map[String, String]): DataFrame =
     if (added.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     else {
@@ -1785,7 +1808,6 @@ object TxLog {
       else raw.select(schema.fields.map(fl =>
         col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
     }
-  }
 
   /** The core of [[changesSince]], shared with the streaming source
     * ([[TxLogStreamProvider]]): the files the commits in
@@ -1816,7 +1838,19 @@ object TxLog {
         case "append" => (j \ "add").extract[Seq[TxFile]]
         case "compact" => Nil // rewrites, not new rows
         case "overwrite" | "clone" if v == 0 && sinceVersion < 0 =>
-          (j \ "add").extract[Seq[TxFile]] // initial load
+          // initial load — but a CLONE's v0 may register the source's
+          // files WITH their deletion vectors, and reading those files
+          // raw would resurrect source-deleted rows as live inserts.
+          // Same contract as a dv commit inside the span: a vector
+          // removes rows, so the delta is not expressible as
+          // additions — refuse and re-seed from the snapshot.
+          val entries = (j \ "add").extract[Seq[TxFile]]
+          val withDv = entries.count(_.dv.isDefined)
+          require(withDv == 0,
+            s"TxLog: commit $v registers $withDv file(s) with deletion " +
+              "vectors (a vector removes rows) — the span's delta is " +
+              "not expressible as additions; re-read the full snapshot")
+          entries
         case "merge" if (j \ "remove").extract[Seq[String]].isEmpty =>
           // an insert-only merge removed nothing: its adds ARE the
           // delta; a merge that rewrote files falls through to refuse
@@ -1850,6 +1884,73 @@ object TxLog {
       DataType.fromJson(untilSnap.schemaJson).asInstanceOf[StructType]
     (added, schema, untilSnap.mapping)
   }
+
+  /** The (files, rows) a commit's stream-visible additions cost —
+    * answered from log metadata only; what the streaming source's
+    * admission control budgets against. Compactions cost zero (their
+    * adds are rewrites [[changedFiles]] skips, so admitting them
+    * against the cap would stall real data behind maintenance). */
+  private[sources] def commitAddCost(spark: SparkSession, dir: String,
+      v: Long): (Long, Long) = {
+    val f = fs(spark, logPath(dir))
+    val j = JsonMethods.parse(readText(f, versionFile(dir, v)))
+    if ((j \ "op").extract[String] == "compact") (0L, 0L)
+    else {
+      val adds = (j \ "add").extract[Seq[TxFile]]
+      (adds.size.toLong, adds.map(_.rows).sum)
+    }
+  }
+
+  // ---- time travel by timestamp ------------------------------------
+
+  /** Every present commit's (version, timestamp), timestamps taken
+    * from the commit files' modification times with Delta's
+    * monotonicity adjustment (`ts(v) = max(mtime(v), ts(v−1) + 1)`) —
+    * a clock that jumped backwards between commits must not make a
+    * later version resolve before an earlier one. Driver-side, one
+    * file status per commit. */
+  private def commitTimestamps(spark: SparkSession, dir: String)
+      : Seq[(Long, Long)] = {
+    val (commits, _) = listLog(spark, dir)
+    require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
+    val f = fs(spark, logPath(dir))
+    var prev = Long.MinValue
+    commits.map { v =>
+      val t = f.getFileStatus(versionFile(dir, v)).getModificationTime
+      val adj = if (prev == Long.MinValue) t else math.max(t, prev + 1)
+      prev = adj
+      (v, adj)
+    }
+  }
+
+  /** TIMESTAMP AS OF resolution (Delta's rule): the latest version
+    * whose commit timestamp is ≤ `ts`. Operators think in times ("the
+    * table as of yesterday 18:00"); this maps a time onto the version
+    * axis every other time-travel entry point ([[read]], [[clone]],
+    * [[restore]]) already speaks. Refuses a `ts` before the first
+    * AVAILABLE commit — which is also the [[truncateLog]] parity:
+    * once old commit files are dropped their timestamps are gone, so
+    * times in that range refuse exactly like the versions do. */
+  def versionAt(spark: SparkSession, dir: String, ts: Long): Long = {
+    val tss = commitTimestamps(spark, dir)
+    val (v0, t0) = tss.head
+    require(ts >= t0,
+      s"TxLog: timestamp $ts is before the first available commit " +
+        s"(version $v0 at $t0) of $dir" +
+        (if (v0 > 0) " — older history was truncated" else ""))
+    tss.takeWhile(_._2 <= ts).last._1
+  }
+
+  /** Snapshot-isolated read of the table as of wall-clock `ts`
+    * (Delta's `TIMESTAMP AS OF`): [[versionAt]] then [[read]]. */
+  def readAt(spark: SparkSession, dir: String, ts: Long): DataFrame =
+    read(spark, dir, Some(versionAt(spark, dir, ts)))
+
+  /** [[clone]] of the table as it stood at wall-clock `ts`. */
+  def cloneAt(spark: SparkSession, sourceDir: String, targetDir: String,
+      ts: Long): Long =
+    clone(spark, sourceDir, targetDir,
+      Some(versionAt(spark, sourceDir, ts)))
 
   /** Row-level CHANGE DATA FEED over `(sinceVersion, untilVersion]`
     * (the Delta CDF shape, computed post-hoc from the log): one row
@@ -1923,7 +2024,33 @@ object TxLog {
         case "append" => Seq(stamp(readFiles(adds, v), "insert", v))
         case "compact" | "constraints" | "rename" | "drop" => Nil
         case "overwrite" | "clone" if v == 0 && sinceVersion < 0 =>
-          Seq(stamp(readFiles(adds, v), "insert", v))
+          val entries = (j \ "add").extract[Seq[TxFile]]
+          if (entries.forall(_.dv.isEmpty))
+            Seq(stamp(readFiles(adds, v), "insert", v))
+          else {
+            // a clone's v0 carries the SOURCE's deletion vectors: the
+            // initial load is adds MINUS vectors (exactly read() of
+            // that snapshot) — raw files would resurrect deleted rows
+            val fd = fs(spark, new Path(dir))
+            val gone = adds.filterNot(p =>
+              if (p.contains("/")) fd.exists(resolvePath(dir, p))
+              else live.contains(p))
+            require(gone.isEmpty,
+              s"TxLog: commit $v's file(s) ${gone.take(2).mkString(", ")} " +
+                "were vacuumed; change feed from this version is no " +
+                "longer possible; re-read the full snapshot")
+            val goneDv = entries.flatMap(_.dv).distinct
+              .filterNot(p => fd.exists(resolvePath(dir, p)))
+            require(goneDv.isEmpty,
+              s"TxLog: commit $v's deletion vector(s) " +
+                s"${goneDv.take(2).mkString(", ")} were vacuumed; change " +
+                "feed from this version is no longer possible; re-read " +
+                "the full snapshot")
+            val liveRows = readSnapshotTagged(spark, dir,
+              TxSnapshot(v, untilSnap.schemaJson, entries, Map.empty,
+                mapping = mapping)).drop(TagFile, TagIdx)
+            Seq(stamp(liveRows, "insert", v))
+          }
         case "delete" | "update" | "merge" =>
           val pre = readFiles(removes, v)
           val post = readFiles(adds, v)
@@ -2023,10 +2150,11 @@ object TxLog {
     val (commits, _) = listLog(spark, dir)
     require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
     val f = fs(spark, logPath(dir))
+    val tsOf = commitTimestamps(spark, dir).toMap
     val rows = commits.map { v =>
       val j = JsonMethods.parse(readText(f, versionFile(dir, v)))
       val added = (j \ "add").extract[Seq[TxFile]]
-      Row(v, (j \ "op").extract[String],
+      Row(v, tsOf(v), (j \ "op").extract[String],
         added.size, (j \ "remove").extract[Seq[String]].size,
         added.map(_.rows).sum,
         (j \ "txn" \ "appId").extractOpt[String].orNull,
@@ -2035,6 +2163,7 @@ object TxLog {
     }
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
+      StructField("timestamp", LongType, nullable = false),
       StructField("op", StringType, nullable = false),
       StructField("n_added", org.apache.spark.sql.types.IntegerType,
         nullable = false),

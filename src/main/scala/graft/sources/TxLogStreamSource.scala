@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.PlanBridge
@@ -20,12 +21,36 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   * path (etl_manager.py:206 run_job + LoadType.INCREMENTAL), which a
   * user must SCHEDULE; this is its continuous form.
   *
+  * ADMISSION CONTROL (Delta's maxFilesPerTrigger shape):
+  * `.option("maxFilesPerTrigger", n)` / `.option("maxRowsPerTrigger",
+  * n)` bound how much of a backlog one micro-batch admits — without
+  * them, the first trigger after seeding (or any catch-up after
+  * downtime) would process the ENTIRE backlog as one batch, which at
+  * 100 TB is one giant batch or nothing. `getOffset` walks commit
+  * METADATA from the last admitted version, admitting whole commits
+  * until the next would exceed either budget (always ≥ 1 commit, so a
+  * single oversized commit still makes progress; both caps may be
+  * combined — the tighter one binds). The reference analog stays
+  * batch-bounded by construction (etl_manager.py:468-475); this keeps
+  * the continuous form bounded too.
+  *
+  * The admitted frontier is persisted in the source's own slice of
+  * the checkpoint (`metadataPath`, the [[FileStreamSource]] pattern):
+  * one empty marker file whose NAME is the offset, written BEFORE the
+  * offset is returned to the engine. Recovery takes the max marker,
+  * so a crash between our marker and the engine's offset log at worst
+  * widens one batch to two budgets — never skips or repeats rows
+  * (exactly-once rides the engine's own offset/commit log).
+  *
   * Contracts inherited from [[TxLog.changedFiles]]: compactions inside
-  * a span contribute nothing (rewrites, not new rows); an overwrite
-  * inside a span fails the stream (not expressible as additions — same
-  * as Delta's source without ignoreChanges); a truncated/vacuumed span
-  * refuses with the re-seed message. Cost per micro-batch: log
-  * metadata + a scan of only the delta files.
+  * a span contribute nothing (rewrites, not new rows — and cost zero
+  * admission budget); an overwrite inside a span fails the stream (not
+  * expressible as additions — same as Delta's source without
+  * ignoreChanges); a truncated/vacuumed span, or a clone-v0 carrying
+  * deletion vectors, refuses with the re-seed message. A dv-FREE
+  * clone streams fine: its absolute v0 entries resolve through the
+  * same [[TxLog.readAdded]] helper `changesSince` uses. Cost per
+  * micro-batch: log metadata + a scan of only the delta files.
   */
 class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -36,6 +61,15 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "txlog source needs a table directory: .load(<dir>) or " +
           ".option(\"path\", <dir>)"))
+
+  private def cap(parameters: Map[String, String], name: String)
+      : Option[Long] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v.toLong
+    }.map { n =>
+      require(n > 0, s"txlog source: $name must be positive, got $n")
+      n
+    }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -52,10 +86,14 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new TxLogSource(sqlContext.sparkSession, dir(parameters))
+    new TxLogSource(sqlContext.sparkSession, dir(parameters), metadataPath,
+      cap(parameters, "maxFilesPerTrigger"),
+      cap(parameters, "maxRowsPerTrigger"))
 }
 
-class TxLogSource(spark: SparkSession, dir: String) extends Source {
+class TxLogSource(spark: SparkSession, dir: String,
+    metadataPath: String, maxFiles: Option[Long], maxRows: Option[Long])
+  extends Source {
 
   override val schema: StructType =
     DataType.fromJson(TxLog.snapshot(spark, dir).schemaJson)
@@ -67,29 +105,86 @@ class TxLogSource(spark: SparkSession, dir: String) extends Source {
     case other => other.json.trim.toLong
   }
 
-  /** The table's head version — one driver pass over log metadata. */
-  override def getOffset: Option[V1Offset] =
-    Some(LongOffset(TxLog.snapshot(spark, dir).version))
+  // ---- admitted-frontier persistence (FileStreamSource pattern) ----
+
+  private val markerDir = new Path(metadataPath, "graft-admitted")
+  private val mfs = markerDir.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  /** The highest version ever RETURNED from getOffset (admitted to
+    * the engine), restored from the checkpoint on restart; −1 = fresh
+    * query. Admission budgets are measured from here, so a restart
+    * mid-backlog resumes capping where it left off instead of
+    * re-granting the whole backlog. */
+  private var admitted: Long = {
+    if (!mfs.exists(markerDir)) -1L
+    else {
+      val vs = mfs.listStatus(markerDir).toSeq
+        .flatMap(st => st.getPath.getName.toLongOption)
+      if (vs.isEmpty) -1L else vs.max
+    }
+  }
+
+  /** The (files, rows) stream-cost of each commit, parsed once — log
+    * metadata, never data. */
+  private val costCache =
+    scala.collection.mutable.Map.empty[Long, (Long, Long)]
+  private def costOf(v: Long): (Long, Long) =
+    costCache.getOrElseUpdate(v, TxLog.commitAddCost(spark, dir, v))
+
+  private def persistAdmitted(v: Long): Unit = {
+    if (v <= admitted) return
+    val marker = new Path(markerDir, f"$v%020d")
+    val prior =
+      if (!mfs.exists(markerDir)) Nil
+      else mfs.listStatus(markerDir).toSeq.map(_.getPath)
+    mfs.mkdirs(markerDir)
+    // the value rides in the NAME — an interrupted create still
+    // carries it, so content is irrelevant and the write is crash-safe
+    mfs.create(marker, true).close()
+    prior.filter(_.getName != marker.getName)
+      .foreach(p => mfs.delete(p, false))
+    admitted = v
+  }
+
+  /** The next offset to expose: the head, or — under admission
+    * control — the furthest version whose cumulative (files, rows)
+    * cost from the admitted frontier fits both budgets (≥ 1 commit
+    * always, for progress on oversized commits). One driver pass over
+    * log metadata either way. */
+  override def getOffset: Option[V1Offset] = {
+    val head = TxLog.snapshot(spark, dir).version
+    val next =
+      if (maxFiles.isEmpty && maxRows.isEmpty) head
+      else if (admitted >= head) head
+      else {
+        var v = admitted
+        var files = 0L
+        var rows = 0L
+        var granting = true
+        while (granting && v < head) {
+          val (cf, cr) = costOf(v + 1)
+          val fits = maxFiles.forall(files + cf <= _) &&
+            maxRows.forall(rows + cr <= _)
+          if (fits || v == admitted) { // ≥ 1 commit per trigger
+            v += 1; files += cf; rows += cr
+          } else granting = false
+        }
+        v
+      }
+    persistAdmitted(next)
+    Some(LongOffset(next))
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val since = start.map(version).getOrElse(-1L)
     val until = version(end)
+    persistAdmitted(until) // replayed batch after restart: re-anchor
     val (added, spanSchema, mapping) =
       TxLog.changedFiles(spark, dir, since, Some(until))
     if (added.isEmpty) PlanBridge.emptyStreamingBatch(spark, spanSchema)
-    else {
-      val physSchema = org.apache.spark.sql.types.StructType(
-        spanSchema.fields.map(fl =>
-          fl.copy(name = mapping.getOrElse(fl.name, fl.name))))
-      val raw = spark.read.schema(physSchema)
-        .parquet(added.map(a => s"$dir/${a.path}"): _*)
-      val logical =
-        if (mapping.isEmpty) raw
-        else raw.select(spanSchema.fields.map(fl =>
-          org.apache.spark.sql.functions
-            .col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
-      PlanBridge.asStreamingBatch(spark, logical)
-    }
+    else PlanBridge.asStreamingBatch(spark,
+      TxLog.readAdded(spark, dir, added, spanSchema, mapping))
   }
 
   override def stop(): Unit = ()

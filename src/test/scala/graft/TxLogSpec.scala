@@ -40,9 +40,14 @@ class TxLogSpec extends SparkSpec {
     assert(idSet(TxLog.read(spark, dir, Some(0))) == Set(1L, 2L))
     assert(idSet(TxLog.read(spark, dir, Some(1))) == Set(1L, 2L, 3L))
     val h = TxLog.history(spark, dir).orderBy("version").collect()
-    assert(h.map(_.getString(1)).toSeq == Seq("overwrite", "append", "overwrite"))
+    assert(h.map(_.getAs[String]("op")).toSeq ==
+      Seq("overwrite", "append", "overwrite"))
     // row counts come from commit metadata, no data scan
-    assert(h.map(_.getLong(4)).toSeq == Seq(2L, 1L, 1L))
+    assert(h.map(_.getAs[Long]("rows_added")).toSeq == Seq(2L, 1L, 1L))
+    // commit timestamps ride along, strictly increasing (monotonicity
+    // adjustment) — the TIMESTAMP AS OF axis
+    val ts = h.map(_.getAs[Long]("timestamp")).toSeq
+    assert(ts == ts.sorted && ts.distinct == ts)
   }
 
   test("append schema mismatch is rejected; staged files are cleaned up") {
