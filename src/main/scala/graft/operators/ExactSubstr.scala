@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-substring dedup (round-12): remove repeated ≥k-token spans
+  * across the corpus REGARDLESS of document structure — the
+  * distributed analog of Lee et al. 2021's ExactSubstr pass
+  * (arXiv:2107.06499), the strongest known train-set-repetition
+  * reducer. [[Paragraph.dedupParagraphs]] only sees repeats that are
+  * DELIMITER-ALIGNED (a whole paragraph shared verbatim); a licence
+  * header straddling a paragraph break, or boilerplate pasted
+  * mid-sentence, is invisible to it. This pass works on the token
+  * stream itself, so alignment never matters.
+  *
+  * The suffix-array construction of the paper is inherently
+  * single-machine; the Spark-shaped equivalent is k-token shingling
+  * at stride 1 — a span of ≥ k tokens repeats somewhere in the corpus
+  * iff EVERY k-token window inside it repeats, so marking duplicated
+  * windows and removing the tokens they cover deletes exactly the
+  * maximal repeated spans of length ≥ k (a window-granular
+  * over-approximation of at most k−1 tokens at each span edge).
+  *
+  * Pipeline: normalize → token array → per-start xxhash64 of the
+  * k-token window (computed INSIDE the row via a higher-order
+  * `transform`/`slice`, no self-join) → corpus-frequency of each
+  * window hash (one map-side-combined groupBy) → duplicated starts →
+  * covered token positions → per-doc rewrite keeping uncovered
+  * tokens in order.
+  *
+  * `keepFirst = true` (default, the paper's all-but-one policy) keeps
+  * the globally first occurrence of each repeated window ordered by
+  * (doc_id, position) — the first document to say something keeps
+  * saying it; later copies are removed. `false` removes every
+  * occurrence (the more aggressive policy some open implementations
+  * apply).
+  *
+  * Scale: the shingle relation is one row per token (hash-only, 8
+  * bytes — the window TEXT never shuffles); frequency is a map-side
+  * combined count on the hash; only DUPLICATED starts explode into
+  * covered positions (duplicated-content-sized × k, not corpus ×
+  * k); the rewrite shuffles once on doc_id buffering one document
+  * per group — the same envelope as [[Paragraph]]. Stop-window skew
+  * (a window repeated millions of times) lands on the frequency
+  * groupBy, which is a counter per key, not a buffer.
+  */
+object ExactSubstr {
+
+  private def guard(docs: DataFrame): Unit =
+    Seq("_pos", "_tok", "_h", "_cnt", "_first", "_rm",
+      "n_tokens", "n_removed", "text_clean").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"input column $c collides with exact-substring internals; rename it first"))
+
+  /** Rewrite docs removing every repeated k-token span. Output: one
+    * row per input doc — (doc_id, n_tokens, n_removed, text_clean)
+    * where n_tokens counts the doc's (normalized, non-empty) tokens,
+    * n_removed the ones covered by a duplicated window, and
+    * text_clean re-joins the kept tokens in order with single
+    * spaces. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, keepFirst: Boolean = true): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    guard(docs)
+    // the empty doc normalizes to [""] — array_remove leaves zero
+    // real tokens (non-empty docs contain no "" after normalization)
+    val toks = array_remove(split(Dedup.normalized(col(textCol)), " "), "")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("_toks"))
+    // (doc_id, _pos, _h): the xxhash64 of the k-token window starting
+    // at each position — computed in-row, so the only per-token state
+    // that ever leaves the scan is an 8-byte hash. Docs shorter than
+    // one window filter out BEFORE sequence() (which would count
+    // backwards for a negative end).
+    val starts = base.filter(size(col("_toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("_toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))))
+        ).as(Seq("_pos", "_h")))
+      .select(col("doc_id"), col("_pos").cast("long").as("_pos"), col("_h"))
+    // corpus frequency per window hash; with keepFirst also the
+    // globally first occurrence (min over the unique (doc_id, pos)
+    // pair) — an agg, never a window, so a million-fold repeated
+    // window costs a counter, not a sort
+    val freq = starts.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("doc_id"), col("_pos"))).as("_first"))
+      .filter(col("_cnt") >= 2)
+    val dupStarts = starts.join(freq, Seq("_h"))
+      .filter(if (keepFirst)
+        !(col("doc_id") === col("_first.doc_id") &&
+          col("_pos") === col("_first._pos"))
+      else lit(true))
+    // every token position a duplicated window covers
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("_pos"), col("_pos") + (k - 1))).as("_pos"))
+      .distinct()
+      .withColumn("_rm", lit(true))
+    val tokens = base.select(col("doc_id"),
+      posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .select(col("doc_id"), col("_pos").cast("long").as("_pos"),
+        col("_tok"))
+    val flagged = tokens.join(covered, Seq("doc_id", "_pos"), "left")
+      .withColumn("_rm", coalesce(col("_rm"), lit(false)))
+    val agg = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(
+                struct(col("_pos"), col("_rm"), col("_tok")))),
+              x => !x.getField("_rm")),
+            x => x.getField("_tok")),
+          " ").as("text_clean"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+}

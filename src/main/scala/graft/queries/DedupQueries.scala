@@ -125,7 +125,16 @@ object DedupQueries {
       d.filter(col("doc_id") % 5 === 0), "doc_id", "text", maxDf = 2)
   }
 
+  /** dedup_exact_substring — [[graft.operators.ExactSubstr.dedupSpans]]
+    * (round-12): Lee et al. 2021's ExactSubstr analog — repeated
+    * ≥8-token spans removed from all but their first occurrence,
+    * regardless of paragraph structure. */
+  def dedupExactSubstring(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactSubstr.dedupSpans(docs(s, dir), "doc_id", "text",
+      k = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_paragraph_incr" -> dedupParagraphIncr,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_incremental" -> dedupIncremental,
@@ -326,7 +335,53 @@ object DedupQueries {
       WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)
         AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""
 
+  // the engine groups windows by xxhash64 (8-byte shuffle key); the
+  // oracle groups by the window STRING — identical modulo hash
+  // collisions, which at any verification scale are absent
+  private val exactSubstrOracle: String = {
+    val k = 8
+    val joins = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""
+      WITH words AS (
+        SELECT doc_id,
+          string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+            ' ') AS w
+        FROM documents),
+      toks AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        FROM words, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+        WHERE w[i] <> ''),
+      sh AS (
+        SELECT doc_id, i - 1 AS pos, $joins AS s
+        FROM words, LATERAL (SELECT unnest(range(1, len(w) - $k + 2)) AS i)
+        WHERE len(w) >= $k),
+      occ AS (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY s) AS cnt,
+          row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+        FROM sh),
+      dup AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+      cover AS (
+        SELECT DISTINCT doc_id, pos + j AS cpos
+        FROM dup, LATERAL (SELECT unnest(range(0, $k)) AS j)),
+      flag AS (
+        SELECT t.doc_id, t.pos, t.tok, (c.cpos IS NOT NULL) AS rm
+        FROM toks t LEFT JOIN cover c
+          ON t.doc_id = c.doc_id AND t.pos = c.cpos),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+            ORDER BY pos), '') AS text_clean
+        FROM flag GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(a.n_tokens, 0) AS n_tokens,
+        COALESCE(a.n_removed, 0) AS n_removed,
+        COALESCE(a.text_clean, '') AS text_clean
+      FROM documents d LEFT JOIN agg a USING (doc_id)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_exact_substring" -> exactSubstrOracle,
     "dedup_paragraph_incr" -> """
       WITH cp AS (
         SELECT doc_id,

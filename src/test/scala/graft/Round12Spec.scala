@@ -224,6 +224,103 @@ class Round12Spec extends SparkSpec {
     assert(TxLog.versionAt(spark, dir, firstTs) == 10L)
   }
 
+  // ---- exact-substring dedup ---------------------------------------
+
+  test("exact-substring dedup removes a repeated span that straddles paragraph breaks") {
+    val s = spark
+    import s.implicits._
+    // the shared 8-token span s1..s8 crosses a blank-line break at a
+    // DIFFERENT offset in each doc, so no whole paragraph repeats —
+    // paragraph dedup is structurally blind to it
+    val docs = Seq(
+      (1L, "aa bb s1 s2 s3\n\ns4 s5 s6 s7 s8 cc dd"),
+      (2L, "ee ff gg s1 s2 s3 s4 s5\n\ns6 s7 s8 hh"))
+      .toDF("doc_id", "text")
+    val para = graft.operators.Paragraph
+      .dedupParagraphs(docs, "doc_id", "text", maxDf = 1)
+    assert(para.select(sum("n_dropped")).as[Long].head() == 0L,
+      "paragraph dedup should provably miss the straddling span")
+    val es = graft.operators.ExactSubstr
+      .dedupSpans(docs, "doc_id", "text", k = 6)
+      .orderBy("doc_id").collect()
+    // keepFirst: doc 1 (the globally first occurrence) stays intact
+    assert(es(0).getAs[Long]("n_removed") == 0L)
+    assert(es(0).getAs[String]("text_clean") ==
+      "aa bb s1 s2 s3 s4 s5 s6 s7 s8 cc dd")
+    // doc 2 loses exactly the 8 shared tokens — the windows mixing
+    // doc-specific context are unique and protect the surroundings
+    assert(es(1).getAs[Long]("n_tokens") == 12L)
+    assert(es(1).getAs[Long]("n_removed") == 8L)
+    assert(es(1).getAs[String]("text_clean") == "ee ff gg hh")
+    // keepFirst = false removes every copy
+    val all = graft.operators.ExactSubstr
+      .dedupSpans(docs, "doc_id", "text", k = 6, keepFirst = false)
+      .orderBy("doc_id").collect()
+    assert(all(0).getAs[String]("text_clean") == "aa bb cc dd")
+    assert(all(1).getAs[String]("text_clean") == "ee ff gg hh")
+  }
+
+  test("exact-substring dedup: self-repeat inside one doc, short and empty docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x a b c d e f x a b c d e f"), // 14 tokens, 7-token period
+      (2L, "too short"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val r = graft.operators.ExactSubstr
+      .dedupSpans(docs, "doc_id", "text", k = 6)
+      .orderBy("doc_id").collect()
+    // the second copy of the period is removed, the first kept
+    assert(r(0).getAs[Long]("n_tokens") == 14L)
+    assert(r(0).getAs[Long]("n_removed") == 7L)
+    assert(r(0).getAs[String]("text_clean") == "x a b c d e f")
+    assert(r(1).getAs[Long]("n_tokens") == 2L &&
+      r(1).getAs[Long]("n_removed") == 0L)
+    assert(r(2).getAs[Long]("n_tokens") == 0L &&
+      r(2).getAs[String]("text_clean") == "")
+  }
+
+  test("exact-substring dedup matches a naive single-node reference on a random corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(12)
+    val vocab = Vector("a", "b", "c", "d")
+    val k = 4
+    val corpus = (1L to 40L).map(i =>
+      (i, (0 until (5 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    // naive reference: global window counts + first-occurrence scan
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val windows = toks.flatMap { case (id, ws) =>
+      ws.sliding(k).zipWithIndex.collect {
+        case (w, p) if w.size == k => (w.mkString(" "), id, p)
+      }
+    }
+    val byWin = windows.groupBy(_._1)
+    def expected(keepFirst: Boolean): Map[Long, (Long, Long, String)] =
+      toks.map { case (id, ws) =>
+        val rm = Array.fill(ws.size)(false)
+        windows.filter(_._2 == id).foreach { case (w, _, p) =>
+          val occ = byWin(w)
+          val isDup = occ.size >= 2 &&
+            (!keepFirst || occ.minBy(o => (o._2, o._3)) != ((w, id, p)))
+          if (isDup) (p until p + k).foreach(rm(_) = true)
+        }
+        id -> ((ws.size.toLong, rm.count(identity).toLong,
+          ws.indices.filterNot(rm).map(ws).mkString(" ")))
+      }.toMap
+    Seq(true, false).foreach { kf =>
+      val got = graft.operators.ExactSubstr
+        .dedupSpans(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          k, keepFirst = kf)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("text_clean")))).toMap
+      assert(got == expected(kf), s"keepFirst=$kf diverged")
+    }
+  }
+
   // ---- clone commit atomicity --------------------------------------
 
   test("clone carries constraints in its v0 commit — no unvalidated window") {
