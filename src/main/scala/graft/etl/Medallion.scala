@@ -247,6 +247,18 @@ class MedallionPipeline(spark: SparkSession, root: String,
     TxLog.read(spark, path(zone, dataset), Some(version))
   }
 
+  /** Time travel by TIMESTAMP (TxLog mode only): the dataset as it
+    * stood at wall-clock `ts` millis — the latest version committed
+    * at-or-before that time ([[TxLog.versionAt]]). */
+  def readAt(zone: DataZone.Value, dataset: String, ts: Long): DataFrame =
+    TxLog.readAt(spark, requireLogged(zone, dataset, "readAt"), ts)
+
+  /** The log version live at wall-clock `ts` (TxLog mode only) — for
+    * pinning a version-keyed consumer ([[changesSince]], [[restore]])
+    * to a point in time. */
+  def versionAt(zone: DataZone.Value, dataset: String, ts: Long): Long =
+    TxLog.versionAt(spark, requireLogged(zone, dataset, "versionAt"), ts)
+
   /** Commit history (TxLog mode only): one row per version. */
   def history(zone: DataZone.Value, dataset: String): DataFrame = {
     require(logged(zone, dataset),
@@ -858,12 +870,23 @@ class MedallionPipeline(spark: SparkSession, root: String,
       transforms: Seq[DataFrame => DataFrame] = Seq.empty,
       rules: Seq[Rule] = Seq.empty,
       key: Seq[String] = Seq("id"),
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxRowsPerTrigger: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(useTxLog, "promoteStream requires useTxLog = true: " +
       "exactly-once needs the target log's txn marker")
     val srcDir = requireLogged(sourceZone, dataset, "promoteStream")
-    val stream = spark.readStream.format("txlog").load(srcDir)
+    // admission control: a catch-up after downtime (or the initial
+    // load of a large source) drains in budget-bounded micro-batches
+    // instead of one giant batch — exactly-once is unaffected (the
+    // txn marker recognizes each replayed slice independently)
+    val reader0 = spark.readStream.format("txlog")
+    val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    val reader = maxRowsPerTrigger.fold(reader1)(n =>
+      reader1.option("maxRowsPerTrigger", n))
+    val stream = reader.load(srcDir)
     val writer = stream.writeStream.outputMode("append")
     val withCp =
       checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))

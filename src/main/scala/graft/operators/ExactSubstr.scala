@@ -47,51 +47,39 @@ import org.apache.spark.sql.functions._
 object ExactSubstr {
 
   private def guard(docs: DataFrame): Unit =
-    Seq("_pos", "_tok", "_h", "_cnt", "_first", "_rm",
+    Seq("_pos", "_tok", "_h", "_cnt", "_first", "_rm", "_toks",
       "n_tokens", "n_removed", "text_clean").foreach(c =>
       require(!docs.columns.contains(c),
         s"input column $c collides with exact-substring internals; rename it first"))
 
-  /** Rewrite docs removing every repeated k-token span. Output: one
-    * row per input doc — (doc_id, n_tokens, n_removed, text_clean)
-    * where n_tokens counts the doc's (normalized, non-empty) tokens,
-    * n_removed the ones covered by a duplicated window, and
-    * text_clean re-joins the kept tokens in order with single
-    * spaces. */
-  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, keepFirst: Boolean = true): DataFrame = {
-    require(k >= 2, s"window must span at least 2 tokens, got $k")
-    guard(docs)
+  /** (doc_id, _toks): each doc's normalized token array. */
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     // the empty doc normalizes to [""] — array_remove leaves zero
     // real tokens (non-empty docs contain no "" after normalization)
     val toks = array_remove(split(Dedup.normalized(col(textCol)), " "), "")
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("_toks"))
-    // (doc_id, _pos, _h): the xxhash64 of the k-token window starting
-    // at each position — computed in-row, so the only per-token state
-    // that ever leaves the scan is an 8-byte hash. Docs shorter than
-    // one window filter out BEFORE sequence() (which would count
-    // backwards for a negative end).
-    val starts = base.filter(size(col("_toks")) >= k)
+    docs.select(col(idCol).as("doc_id"), toks.as("_toks"))
+  }
+
+  /** (doc_id, _pos, _h): the xxhash64 of the k-token window starting
+    * at each position — computed in-row via `transform`/`slice`, so
+    * the only per-token state that ever leaves the scan is an 8-byte
+    * hash. Docs shorter than one window filter out BEFORE sequence()
+    * (which would count backwards for a negative end). */
+  private def windowStarts(base: DataFrame, k: Int): DataFrame =
+    base.filter(size(col("_toks")) >= k)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), size(col("_toks")) - k),
           i => xxhash64(concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))))
         ).as(Seq("_pos", "_h")))
       .select(col("doc_id"), col("_pos").cast("long").as("_pos"), col("_h"))
-    // corpus frequency per window hash; with keepFirst also the
-    // globally first occurrence (min over the unique (doc_id, pos)
-    // pair) — an agg, never a window, so a million-fold repeated
-    // window costs a counter, not a sort
-    val freq = starts.groupBy(col("_h"))
-      .agg(count(lit(1)).as("_cnt"),
-        min(struct(col("doc_id"), col("_pos"))).as("_first"))
-      .filter(col("_cnt") >= 2)
-    val dupStarts = starts.join(freq, Seq("_h"))
-      .filter(if (keepFirst)
-        !(col("doc_id") === col("_first.doc_id") &&
-          col("_pos") === col("_first._pos"))
-      else lit(true))
-    // every token position a duplicated window covers
+
+  /** Rebuild one row per input doc from duplicated window starts:
+    * explode each into its covered token positions, flag, and re-join
+    * the kept tokens in order. */
+  private def rewrite(docs: DataFrame, idCol: String, base: DataFrame,
+      dupStarts: DataFrame, k: Int): DataFrame = {
     val covered = dupStarts
       .select(col("doc_id"),
         explode(sequence(col("_pos"), col("_pos") + (k - 1))).as("_pos"))
@@ -120,5 +108,97 @@ object ExactSubstr {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Rewrite docs removing every repeated k-token span. Output: one
+    * row per input doc — (doc_id, n_tokens, n_removed, text_clean)
+    * where n_tokens counts the doc's (normalized, non-empty) tokens,
+    * n_removed the ones covered by a duplicated window, and
+    * text_clean re-joins the kept tokens in order with single
+    * spaces. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, keepFirst: Boolean = true): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    guard(docs)
+    val base = tokenized(docs, idCol, textCol)
+    val starts = windowStarts(base, k)
+    // corpus frequency per window hash; with keepFirst also the
+    // globally first occurrence (min over the unique (doc_id, pos)
+    // pair) — an agg, never a window, so a million-fold repeated
+    // window costs a counter, not a sort
+    val freq = starts.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("doc_id"), col("_pos"))).as("_first"))
+      .filter(col("_cnt") >= 2)
+    val dupStarts = starts.join(freq, Seq("_h"))
+      .filter(if (keepFirst)
+        !(col("doc_id") === col("_first.doc_id") &&
+          col("_pos") === col("_first._pos"))
+      else lit(true))
+    rewrite(docs, idCol, base, dupStarts, k)
+  }
+
+  /** The standing corpus' repeated-window fingerprint: the DISTINCT
+    * xxhash64 of every k-token window the corpus contains, plus the
+    * k it was derived under (like [[Paragraph.ParagraphIndex]], the
+    * parameter travels WITH the relation — a probe windowed
+    * differently would silently match nothing). 8 bytes per distinct
+    * window on disk; no text. */
+  final case class SubstrIndex(hashes: DataFrame, k: Int)
+
+  /** Derive a [[SubstrIndex]] from a corpus — one scan + one
+    * map-side-combined distinct. */
+  def buildSubstrIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int): SubstrIndex = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    guard(corpus)
+    SubstrIndex(
+      windowStarts(tokenized(corpus, idCol, textCol), k)
+        .select(col("_h")).distinct(),
+      k)
+  }
+
+  /** Persist/load a [[SubstrIndex]] as a parquet table bucketed by the
+    * probe key ([[graft.sources.BucketedTables]]); k rides in the meta
+    * table. */
+  def saveSubstrIndex(index: SubstrIndex, prefix: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    val s = index.hashes.sparkSession
+    graft.sources.BucketedTables.save(index.hashes, s"${prefix}_substr",
+      s"$path/substr", Seq("_h"), nBuckets)
+    import s.implicits._
+    Seq((index.k, nBuckets)).toDF("k", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadSubstrIndex(s: org.apache.spark.sql.SparkSession,
+      prefix: String, path: String): SubstrIndex = {
+    val meta = s.read.parquet(s"$path/meta").head()
+    SubstrIndex(
+      hashes = graft.sources.BucketedTables.load(s, s"${prefix}_substr",
+        s"$path/substr", "_h BIGINT", Seq("_h"),
+        meta.getAs[Int]("n_buckets")),
+      k = meta.getAs[Int]("k"))
+  }
+
+  /** Daily-ingest form: rewrite an ARRIVING batch removing every span
+    * the CORPUS already contains — the corpus keeps its copy (the
+    * all-but-one policy with the corpus as the standing first
+    * occurrence). Batch-internal repetition is deliberately not
+    * counted here, the same static-index contract as
+    * [[Paragraph.cleanAgainstIndex]] — it becomes corpus knowledge
+    * when the batch is folded in and the index refreshed. The corpus
+    * contributes only its hash fingerprint — bucketed on the probe
+    * key when loaded from [[saveSubstrIndex]], so nothing
+    * corpus-sized shuffles per ingest; the probe is a left_semi
+    * equi-join on the 8-byte hash. Output shape identical to
+    * [[dedupSpans]]. */
+  def cleanAgainstIndex(index: SubstrIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    guard(batch)
+    val base = tokenized(batch, idCol, textCol)
+    val dupStarts = windowStarts(base, index.k)
+      .join(index.hashes, Seq("_h"), "left_semi")
+    rewrite(batch, idCol, base, dupStarts, index.k)
   }
 }

@@ -133,7 +133,22 @@ object DedupQueries {
     graft.operators.ExactSubstr.dedupSpans(docs(s, dir), "doc_id", "text",
       k = 8)
 
+  /** dedup_substr_incr — [[graft.operators.ExactSubstr
+    * .cleanAgainstIndex]]: the daily-ingest form of repeated-span
+    * removal. Corpus (doc_id % 5 ≠ 0, the dedup_incremental split)
+    * contributes only its 8-byte window-hash fingerprint; the
+    * arriving batch is rewritten removing every ≥8-token span the
+    * corpus already contains. */
+  def dedupSubstrIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.ExactSubstr.cleanAgainstIndex(
+      graft.operators.ExactSubstr.buildSubstrIndex(
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8),
+      d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substr_incr" -> dedupSubstrIncr,
     "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_paragraph_incr" -> dedupParagraphIncr,
     "dedup_paragraph" -> dedupParagraph,
@@ -380,7 +395,57 @@ object DedupQueries {
       FROM documents d LEFT JOIN agg a USING (doc_id)"""
   }
 
+  private val substrIncrOracle: String = {
+    val k = 8
+    val joins = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""
+      WITH cwords AS (
+        SELECT doc_id,
+          string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+            ' ') AS w
+        FROM documents WHERE doc_id % 5 <> 0),
+      cidx AS (
+        SELECT DISTINCT $joins AS s
+        FROM cwords, LATERAL (SELECT unnest(range(1, len(w) - $k + 2)) AS i)
+        WHERE len(w) >= $k),
+      bwords AS (
+        SELECT doc_id,
+          string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+            ' ') AS w
+        FROM documents WHERE doc_id % 5 = 0),
+      btoks AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        FROM bwords, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+        WHERE w[i] <> ''),
+      bsh AS (
+        SELECT doc_id, i - 1 AS pos, $joins AS s
+        FROM bwords, LATERAL (SELECT unnest(range(1, len(w) - $k + 2)) AS i)
+        WHERE len(w) >= $k),
+      dup AS (
+        SELECT doc_id, pos FROM bsh WHERE s IN (SELECT s FROM cidx)),
+      cover AS (
+        SELECT DISTINCT doc_id, pos + j AS cpos
+        FROM dup, LATERAL (SELECT unnest(range(0, $k)) AS j)),
+      flag AS (
+        SELECT t.doc_id, t.pos, t.tok, (c.cpos IS NOT NULL) AS rm
+        FROM btoks t LEFT JOIN cover c
+          ON t.doc_id = c.doc_id AND t.pos = c.cpos),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+            ORDER BY pos), '') AS text_clean
+        FROM flag GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(a.n_tokens, 0) AS n_tokens,
+        COALESCE(a.n_removed, 0) AS n_removed,
+        COALESCE(a.text_clean, '') AS text_clean
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      LEFT JOIN agg a USING (doc_id)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_substr_incr" -> substrIncrOracle,
     "dedup_exact_substring" -> exactSubstrOracle,
     "dedup_paragraph_incr" -> """
       WITH cp AS (

@@ -252,19 +252,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("dedup_exact_substring: equi-joins only, agg-based first-occurrence (no corpus window)") {
-    val qe = SparkEntry.queries("dedup_exact_substring")(spark, sf)
-      .queryExecution
-    val p = qe.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
-    // the keep-first selection must ride the map-side-combined
-    // frequency AGG (min over the occurrence struct) — a row_number
-    // window over the corpus-sized occurrence relation would sort a
-    // hot window's millions of occurrences on one partition
-    val windows = qe.sparkPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
+  test("exact-substring family: equi-joins only, agg-based first-occurrence (no corpus window)") {
+    Seq("dedup_exact_substring", "dedup_substr_incr").foreach { q =>
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val p = qe.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q:\n$p")
+      // the keep-first selection must ride the map-side-combined
+      // frequency AGG (min over the occurrence struct) — a row_number
+      // window over the corpus-sized occurrence relation would sort a
+      // hot window's millions of occurrences on one partition
+      val windows = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$q:\n$p")
     }
-    assert(windows.isEmpty, p)
   }
 
   test("pack_tokens: group-partitioned window, one scan, no global order") {

@@ -321,6 +321,75 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("exact-substring index: batch cleaned against a persisted corpus fingerprint") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated corpus content sits here quietly"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "intro words then the quick brown fox jumps over the lazy dog today and more"),
+      (11L, "the quick brown fox appears briefly"), // < k shared tokens
+      (12L, "batch only content with batch only content")) // batch-internal
+      .toDF("doc_id", "text")
+    val idx = graft.operators.ExactSubstr
+      .buildSubstrIndex(corpus, "doc_id", "text", k = 6)
+    val dir = tmp("r12es").toString
+    graft.operators.ExactSubstr.saveSubstrIndex(idx, "r12es", dir,
+      nBuckets = 4)
+    val loaded = graft.operators.ExactSubstr
+      .loadSubstrIndex(spark, "r12es", dir)
+    assert(loaded.k == 6)
+    val out = graft.operators.ExactSubstr
+      .cleanAgainstIndex(loaded, batch, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 10: the 10 corpus tokens are removed, its own context kept
+    assert(out(0).getAs[Long]("n_removed") == 10L)
+    assert(out(0).getAs[String]("text_clean") ==
+      "intro words then and more")
+    // doc 11 shares < k tokens: untouched
+    assert(out(1).getAs[Long]("n_removed") == 0L)
+    // batch-internal repetition is NOT the index's business
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("medallion surface: readAt timestamp travel and capped promoteStream") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("r12med").toString
+    val p = new graft.etl.MedallionPipeline(spark, root, useTxLog = true)
+    import graft.etl.LoadType
+    import graft.quality.DataZone
+    def batch(ids: Long*): DataFrame =
+      ids.map(i => (i, s"n$i")).toDF("id", "name")
+    p.write(DataZone.Bronze, "pts", batch(1, 2), LoadType.Full)     // v0
+    p.write(DataZone.Bronze, "pts", batch(3), LoadType.Append)      // v1
+    p.write(DataZone.Bronze, "pts", batch(4), LoadType.Append)      // v2
+    // timestamp travel through the pipeline: pin v1's commit time
+    val bronzeDir = p.path(DataZone.Bronze, "pts")
+    Seq((0L, 100000L), (1L, 200000L), (2L, 300000L)).foreach {
+      case (v, ts) => setCommitTime(bronzeDir, v, ts)
+    }
+    assert(p.versionAt(DataZone.Bronze, "pts", 250000L) == 1L)
+    assert(idSet(p.readAt(DataZone.Bronze, "pts", 250000L)) ==
+      Set(1L, 2L, 3L))
+    // capped continuous promotion: the 3-commit backlog drains in >1
+    // micro-batch, lands exactly once
+    val q = p.promoteStream("r12sj", "pts", DataZone.Bronze,
+      DataZone.Silver, checkpointDir = Some(tmp("r12medck").toString),
+      maxRowsPerTrigger = Some(2L))
+    try {
+      q.processAllAvailable()
+      assert(idSet(p.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L, 4L))
+      assert(p.read(DataZone.Silver, "pts").count() == 4)
+      // >1 batch under the cap: the silver log carries >1 txn batchId
+      val h = p.history(DataZone.Silver, "pts")
+        .filter(col("app_id") === "r12sj")
+      assert(h.count() >= 2, "capped backlog should land as several batches")
+    } finally q.stop()
+  }
+
   // ---- clone commit atomicity --------------------------------------
 
   test("clone carries constraints in its v0 commit — no unvalidated window") {
