@@ -162,6 +162,14 @@ ROWS = [
      "api"),
     (173, "TxLogSpec (vacuum dry run) | sources/TxLog.scala", "api"),
     (174, "TxLogSpec (describeDetail) | sources/TxLog.scala", "api"),
+    (175, "Round12Spec (clone x incremental-consumption fixes) | "
+          "sources/TxLog.scala", "api"),
+    (176, "Round12Spec (streaming admission control) | "
+          "sources/TxLogStreamSource.scala", "api"),
+    (177, "Round12Spec (timestamp time travel) | sources/TxLog.scala",
+     "api"),
+    (178, "dedup_exact_substring", "hash"),
+    (179, "dedup_substr_incr", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
