@@ -705,14 +705,22 @@ object TxLog {
     * `statsCols` records per-file min/max in the commit for
     * [[readPruned]] file skipping. */
   def commitOverwrite(spark: SparkSession, dir: String,
-      df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+      df: DataFrame, statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
+    // fast path: skip staging entirely for an already-seen batch
+    // (Complete-mode streaming sinks replay overwrites too)
+    if (isLogged(spark, dir))
+      for ((app, b) <- txn) {
+        val s0 = snapshot(spark, dir)
+        if (s0.txns.get(app).exists(_ >= b)) return s0.version
+      }
     enforceConstraints(spark, dir, df)
     val (added, schemaJson) = stageData(spark, dir, df, statsCols)
     // an overwrite REDEFINES the table: the new files are written
     // under identity physical names, so any column mapping (and its
     // retired-name reservations) resets with the schema
     commitStaged(spark, dir, "overwrite", added, Nil, removeAll = true,
-      schemaJson, None, ddlState = Some((Map.empty, Nil)))
+      schemaJson, txn, ddlState = Some((Map.empty, Nil)))
   }
 
   /** Transactionally append `df`. Schema must match the table's —

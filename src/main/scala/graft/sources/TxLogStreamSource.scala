@@ -1,12 +1,13 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.PlanBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{DataType, StructType}
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
 
 /** Structured-Streaming SOURCE over a [[TxLog]] table — the Delta
   * streaming-source analog that completes the incremental story:
@@ -52,7 +53,8 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   * same [[TxLog.readAdded]] helper `changesSince` uses. Cost per
   * micro-batch: log metadata + a scan of only the delta files.
   */
-class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogStreamProvider extends StreamSourceProvider
+  with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
 
@@ -71,6 +73,11 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
       n
     }
 
+  private def flag(parameters: Map[String, String], name: String): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v.toBoolean
+    }.getOrElse(false)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -78,9 +85,12 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
     require(TxLog.isLogged(sqlContext.sparkSession, d),
       s"txlog source: no transaction log under $d — create the table " +
         "first (commitOverwrite / a logged MedallionPipeline write)")
-    ("txlog", schema.getOrElse(
-      DataType.fromJson(TxLog.snapshot(sqlContext.sparkSession, d)
-        .schemaJson).asInstanceOf[StructType]))
+    val table = DataType.fromJson(TxLog.snapshot(sqlContext.sparkSession, d)
+      .schemaJson).asInstanceOf[StructType]
+    val out =
+      if (flag(parameters, "readChangeFeed")) TxLogSource.cdcSchema(table)
+      else table
+    ("txlog", schema.getOrElse(out))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -88,16 +98,86 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): Source =
     new TxLogSource(sqlContext.sparkSession, dir(parameters), metadataPath,
       cap(parameters, "maxFilesPerTrigger"),
-      cap(parameters, "maxRowsPerTrigger"))
+      cap(parameters, "maxRowsPerTrigger"),
+      cdc = flag(parameters, "readChangeFeed"))
+
+  /** `.writeStream.format("txlog")`: the native logged SINK — each
+    * micro-batch commits under an (appId, batchId) txn marker, so
+    * at-least-once replays land exactly once without the caller
+    * writing a foreachBatch body. Append mode commits appends;
+    * Complete mode overwrites the table each batch (replays
+    * recognized through the same marker). `appId` defaults to the
+    * query's checkpoint location — stable across restarts, distinct
+    * across queries — and may be set explicitly when several
+    * checkpoints should share one idempotence scope. `statsCols`
+    * (comma-separated) records per-file min/max for pruning. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val d = dir(parameters)
+    require(partitionColumns.isEmpty,
+      "txlog sink does not partitionBy: the log prunes by per-file " +
+        "column stats instead (statsCols)")
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+      s"txlog sink supports Append and Complete output modes, got $outputMode")
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation")).getOrElse(
+        throw new IllegalArgumentException(
+          "txlog sink needs an idempotence scope: set " +
+            ".option(\"checkpointLocation\", …) (usual) or an explicit " +
+            ".option(\"appId\", …)"))
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new TxLogSink(sqlContext.sparkSession, d, appId, statsCols, outputMode)
+  }
+}
+
+/** The v1 streaming SINK over a [[TxLog]] table: addBatch = one
+  * txn-marked commit. The micro-batch Dataset arrives
+  * streaming-planned (batch writes refuse on it), so it is re-rooted
+  * on the batch RDD first — the ForeachBatchSink recipe
+  * ([[PlanBridge.asBatch]]). CHECK constraints gate every batch like
+  * any other write path; a violating batch fails the QUERY loudly
+  * with nothing staged. */
+class TxLogSink(spark: SparkSession, dir: String, appId: String,
+    statsCols: Seq[String], outputMode: OutputMode) extends Sink {
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val batch = PlanBridge.asBatch(data.toDF())
+    if (outputMode == OutputMode.Complete())
+      TxLog.commitOverwrite(spark, dir, batch, statsCols,
+        txn = Some((appId, batchId)))
+    else
+      TxLog.commitAppend(spark, dir, batch, Some((appId, batchId)),
+        statsCols)
+    ()
+  }
+
+  override def toString: String = s"TxLogSink[$dir]"
+}
+
+object TxLogSource {
+  /** The change-feed schema: the table's columns plus the CDC stamp
+    * pair (Delta's readChangeFeed shape). */
+  def cdcSchema(table: StructType): StructType =
+    StructType(table.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
 }
 
 class TxLogSource(spark: SparkSession, dir: String,
-    metadataPath: String, maxFiles: Option[Long], maxRows: Option[Long])
+    metadataPath: String, maxFiles: Option[Long], maxRows: Option[Long],
+    cdc: Boolean = false)
   extends Source {
 
-  override val schema: StructType =
+  private val tableSchema: StructType =
     DataType.fromJson(TxLog.snapshot(spark, dir).schemaJson)
       .asInstanceOf[StructType]
+
+  override val schema: StructType =
+    if (cdc) TxLogSource.cdcSchema(tableSchema) else tableSchema
 
   private def version(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -180,11 +260,23 @@ class TxLogSource(spark: SparkSession, dir: String,
     val since = start.map(version).getOrElse(-1L)
     val until = version(end)
     persistAdmitted(until) // replayed batch after restart: re-anchor
-    val (added, spanSchema, mapping) =
-      TxLog.changedFiles(spark, dir, since, Some(until))
-    if (added.isEmpty) PlanBridge.emptyStreamingBatch(spark, spanSchema)
-    else PlanBridge.asStreamingBatch(spark,
-      TxLog.readAdded(spark, dir, added, spanSchema, mapping))
+    if (cdc) {
+      // CHANGE-FEED mode (Delta's readChangeFeed): the span's
+      // row-level diff, stamped (_change_type, _commit_version) — a
+      // downstream copy follows the table THROUGH deletes, updates
+      // and merges, which the plain source refuses. The feed plan
+      // composes joins over file relations, so it rides behind one
+      // streaming LogicalRDD leaf instead of per-relation marks.
+      if (until <= since) PlanBridge.emptyStreamingBatch(spark, schema)
+      else PlanBridge.asStreamingRdd(spark,
+        TxLog.changeFeed(spark, dir, since, Some(until)))
+    } else {
+      val (added, spanSchema, mapping) =
+        TxLog.changedFiles(spark, dir, since, Some(until))
+      if (added.isEmpty) PlanBridge.emptyStreamingBatch(spark, spanSchema)
+      else PlanBridge.asStreamingBatch(spark,
+        TxLog.readAdded(spark, dir, added, spanSchema, mapping))
+    }
   }
 
   override def stop(): Unit = ()

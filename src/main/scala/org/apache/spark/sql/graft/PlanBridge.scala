@@ -35,4 +35,25 @@ object PlanBridge {
     * no rows — e.g. only compactions). */
   def emptyStreamingBatch(spark: SparkSession, schema: StructType): DataFrame =
     ofRows(spark, LocalRelation(DataTypeUtils.toAttributes(schema),
-      Seq.empty[InternalRow], isStreaming = true))}
+      Seq.empty[InternalRow], isStreaming = true))
+
+  /** Re-wrap a COMPOSED DataFrame (joins/unions over file relations —
+    * e.g. a change-feed span) as one streaming batch behind a single
+    * streaming leaf: the plan compiles as the batch plan it is, and
+    * only the wrapping LogicalRDD carries the streaming mark — so the
+    * engine's streaming assertions never meet the inner joins. */
+  def asStreamingRdd(spark: SparkSession, df: DataFrame): DataFrame =
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      df.queryExecution.toRdd, df.asInstanceOf[ClassicDataset[_]],
+      isStreaming = true))
+
+  /** Re-wrap a streaming micro-batch DataFrame as a BATCH one (the
+    * ForeachBatchSink recipe): a v1 `Sink.addBatch` receives a
+    * streaming-planned Dataset on which batch writes refuse, so a
+    * sink that wants to `df.write` must first re-root the plan on the
+    * micro-batch's RDD with the streaming mark dropped. */
+  def asBatch(df: DataFrame): DataFrame =
+    ofRows(df.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        df.queryExecution.toRdd, df.asInstanceOf[ClassicDataset[_]],
+        isStreaming = false))}

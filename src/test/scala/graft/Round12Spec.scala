@@ -390,6 +390,153 @@ class Round12Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- native streaming sink + CDC streaming source ----------------
+
+  test("native txlog sink: append mode lands exactly once across restarts; constraints gate the stream") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmp("r12sink").toString
+    val cp = tmp("r12sinkck").toString
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "name")
+      .writeStream.format("txlog")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(idSet(TxLog.read(spark, out)) == Set(1L, 2L))
+      src.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(idSet(TxLog.read(spark, out)) == Set(1L, 2L, 3L))
+    // the sink is at-least-once underneath: simulate the recovery
+    // replay of batch 1 under the sink's marker scope (appId defaults
+    // to the checkpoint location) — recognized, nothing lands
+    val vBefore = TxLog.snapshot(spark, out).version
+    TxLog.commitAppend(spark, out, df(99), txn = Some((cp, 1L)))
+    assert(TxLog.snapshot(spark, out).version == vBefore)
+    assert(TxLog.read(spark, out).count() == 3, "replay must not duplicate")
+    // CHECK constraints gate the streaming path like any other write
+    TxLog.addCheckConstraint(spark, out, "id_pos", "id > 0")
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = src2.toDF().toDF("id", "name")
+      .writeStream.format("txlog")
+      .option("path", out)
+      .option("checkpointLocation", tmp("r12sinkck2").toString)
+      .outputMode("append").start()
+    try {
+      src2.addData((-5L, "bad"))
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      def mentions(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("id_pos")) ||
+          mentions(t.getCause))
+      assert(mentions(e), s"stream failed for the wrong reason: $e")
+    } finally q2.stop()
+    assert(TxLog.read(spark, out).count() == 3, "nothing staged on refusal")
+  }
+
+  test("native txlog sink: complete mode overwrites per batch, replay-safe") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmp("r12sinkc").toString
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "name")
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .writeStream.format("txlog")
+      .option("path", out)
+      .option("checkpointLocation", tmp("r12sinkcck").toString)
+      .outputMode("complete").start()
+    try {
+      src.addData((1L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      src.addData((3L, "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = TxLog.read(spark, out)
+      .as[(String, Long)].collect().toMap
+    assert(state == Map("x" -> 2L, "y" -> 1L),
+      s"complete mode must hold the LATEST aggregate, got $state")
+    // each batch is one overwrite commit carrying its txn marker
+    val ops = TxLog.history(spark, out).orderBy("version")
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops.forall(_ == "overwrite"), ops.toString)
+  }
+
+  test("streaming change feed: a follower materializes appends, dv deletes and CoW updates continuously") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r12cdc").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartitionByRange(2, col("id")))                        // v0
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val cp = tmp("r12cdcck").toString
+    def run(body: => Unit): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.select(col("id"), col("_change_type"),
+            col("_commit_version"))
+            .as[(Long, String, Long)].collect()
+          ()
+        }.start()
+      try { body; q.processAllAvailable() } finally q.stop()
+    }
+    run {
+      TxLog.commitAppend(spark, dir, df(7))                       // v1
+      TxLog.deleteMor(spark, dir, col("id") === 2)                // v2
+    }
+    // restart mid-feed: only the new span arrives
+    run {
+      TxLog.update(spark, dir, col("id") === 5,
+        Map("name" -> lit("renamed")))                            // v3
+    }
+    // the continuous feed must equal the batch feed over the whole span
+    val want = TxLog.changeFeed(spark, dir, -1)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect()
+    def ms(xs: Seq[(Long, String, Long)]) =
+      xs.groupBy(identity).view.mapValues(_.size).toMap
+    assert(ms(got.toSeq) == ms(want.toSeq),
+      s"continuous feed diverged:\n got=${got.sorted}\nwant=${want.sorted}")
+    // spot-check semantics: v2 contributed exactly one delete of id 2,
+    // v3 one delete + one insert of id 5 (the CoW pre/post pair)
+    assert(got.count(r => r._2 == "delete" && r._3 == 2L) == 1)
+    assert(got.filter(_._3 == 3L).map(_._2).sorted == Seq("delete", "insert"))
+  }
+
+  test("streaming change feed: initial load of a dv-bearing clone subtracts the vectors") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("r12cdcs").toString
+    TxLog.commitOverwrite(spark, src,
+      (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    TxLog.deleteMor(spark, src, col("id") <= 4)
+    val dst = tmp("r12cdcd").toString
+    TxLog.clone(spark, src, dst)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true").load(dst)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("r12cdcdck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.select(col("id"), col("_change_type"))
+          .as[(Long, String)].collect()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.forall(_._2 == "insert"))
+    assert(got.map(_._1).toSet == (5L to 10L).toSet,
+      "the CDC initial load of a clone must not resurrect dv-deleted rows")
+  }
+
   // ---- clone commit atomicity --------------------------------------
 
   test("clone carries constraints in its v0 commit — no unvalidated window") {

@@ -170,6 +170,10 @@ ROWS = [
      "api"),
     (178, "dedup_exact_substring", "hash"),
     (179, "dedup_substr_incr", "hash"),
+    (180, "Round12Spec (native txlog streaming sink) | "
+          "sources/TxLogStreamSource.scala", "api"),
+    (181, "Round12Spec (CDC streaming source) | "
+          "sources/TxLogStreamSource.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
