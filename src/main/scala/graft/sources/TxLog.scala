@@ -2060,7 +2060,39 @@ object TxLog {
             Seq(stamp(liveRows, "insert", v))
           }
         case "delete" | "update" | "merge" =>
-          val pre = readFiles(removes, v)
+          // the pre-image must be the rows LIVE at v−1, not the raw
+          // removed files: a CoW rewrite touching a file that carries
+          // a deletion vector (MoR delete followed by CoW DML) would
+          // otherwise resurrect the vector's rows as spurious feed
+          // deletes — the same class as the clone-v0 hole, at the
+          // CoW-after-MoR intersection (caught by the randomized
+          // feed-follower model check)
+          val prevEntries = snapshot(spark, dir, Some(v - 1)).files
+            .map(fl => fl.path -> fl).toMap
+          val removedEntries = removes.map(p =>
+            prevEntries.getOrElse(p, TxFile(p, 0L)))
+          val pre =
+            if (removedEntries.forall(_.dv.isEmpty)) readFiles(removes, v)
+            else {
+              val fd = fs(spark, new Path(dir))
+              val gone = removes.filterNot(p =>
+                if (p.contains("/")) fd.exists(resolvePath(dir, p))
+                else live.contains(p))
+              require(gone.isEmpty,
+                s"TxLog: commit $v's file(s) ${gone.take(2).mkString(", ")} " +
+                  "were vacuumed; change feed from this version is no " +
+                  "longer possible; re-read the full snapshot")
+              val goneDv = removedEntries.flatMap(_.dv).distinct
+                .filterNot(p => fd.exists(resolvePath(dir, p)))
+              require(goneDv.isEmpty,
+                s"TxLog: commit $v's deletion vector(s) " +
+                  s"${goneDv.take(2).mkString(", ")} were vacuumed; " +
+                  "change feed from this version is no longer " +
+                  "possible; re-read the full snapshot")
+              readSnapshotTagged(spark, dir,
+                TxSnapshot(v - 1, untilSnap.schemaJson, removedEntries,
+                  Map.empty, mapping = mapping)).drop(TagFile, TagIdx)
+            }
           val post = readFiles(adds, v)
           Seq(stamp(pre.exceptAll(post), "delete", v),
             stamp(post.exceptAll(pre), "insert", v))

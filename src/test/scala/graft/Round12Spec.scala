@@ -537,6 +537,120 @@ class Round12Spec extends SparkSpec {
       "the CDC initial load of a clone must not resurrect dv-deleted rows")
   }
 
+  test("change feed pre-image subtracts vectors: CoW DML after a MoR delete emits no spurious delete") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r12cowmor").toString
+    // one file holding ids 1..6
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name")
+        .coalesce(1))                                            // v0
+    TxLog.deleteMor(spark, dir, col("id") === 4)                 // v1: dv
+    // v2: a CoW delete touching the SAME file — its pre-image must be
+    // the rows live at v1 (without id 4), or the feed would emit a
+    // delete of the already-deleted row
+    TxLog.delete(spark, dir, col("id") === 2)                    // v2
+    val w = TxLog.changeFeed(spark, dir, 1, Some(2))
+      .select(col("id"), col("_change_type"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(w == Seq((2L, "delete")),
+      s"CoW-after-MoR window must be exactly one delete of id 2, got $w")
+    // the full feed replays to the table state
+    val replayed = TxLog.changeFeed(spark, dir, -1)
+      .select(col("id"), col("_change_type"))
+      .as[(Long, String)].collect()
+    val net = replayed.groupBy(_._1).view.mapValues(rs =>
+      rs.count(_._2 == "insert") - rs.count(_._2 == "delete")).toMap
+    assert(net.filter(_._2 > 0).keySet ==
+      idSet(TxLog.read(spark, dir)), s"feed replay diverged: $net")
+  }
+
+  test("randomized feed-follower model check: per-commit change feed reconstructs every snapshot") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1207)
+    val dir = tmp("r12model").toString
+    def mkDf(rows: Seq[(Long, String)]): DataFrame = rows.toDF("id", "name")
+    var nextId = 100L
+    def freshIds(n: Int): Seq[Long] = {
+      val r = (nextId until nextId + n).toSeq; nextId += n; r
+    }
+    // the follower holds a MULTISET of rows, maintained purely from
+    // per-commit feed windows — never from read()
+    var follower = Map.empty[(Long, String), Int]
+    def applyFeed(v: Long): Unit = {
+      val feed = TxLog.changeFeed(spark, dir, v - 1, Some(v))
+        .select(col("id"), col("name"), col("_change_type"))
+        .as[(Long, String, String)].collect()
+      feed.filter(_._3 == "delete").foreach { case (id, nm, _) =>
+        val k = (id, nm)
+        assert(follower.getOrElse(k, 0) > 0,
+          s"feed deleted a row the follower never saw: $k at v$v")
+        follower = (follower + (k -> (follower(k) - 1))).filter(_._2 > 0)
+      }
+      feed.filter(_._3 == "insert").foreach { case (id, nm, _) =>
+        val k = (id, nm)
+        follower += k -> (follower.getOrElse(k, 0) + 1)
+      }
+    }
+    def tableState: Map[(Long, String), Int] =
+      TxLog.read(spark, dir).as[(Long, String)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+
+    TxLog.commitOverwrite(spark, dir,
+      mkDf(freshIds(6).map(i => (i, s"n$i"))))
+    applyFeed(0)
+    assert(follower == tableState)
+    var head = 0L
+    (1 to 24).foreach { step =>
+      val existing = TxLog.read(spark, dir)
+        .select("id").as[Long].collect().toSeq.sorted
+      def pick(): Long = existing(rnd.nextInt(existing.size))
+      rnd.nextInt(7) match {
+        case 0 | 7 =>
+          TxLog.commitAppend(spark, dir,
+            mkDf(freshIds(1 + rnd.nextInt(3)).map(i => (i, s"a$step-$i"))))
+        case 1 if existing.nonEmpty =>
+          TxLog.delete(spark, dir, col("id") === pick())
+        case 2 if existing.nonEmpty =>
+          TxLog.deleteMor(spark, dir, col("id") === pick())
+        case 3 if existing.nonEmpty =>
+          TxLog.update(spark, dir, col("id") === pick(),
+            Map("name" -> lit(s"u$step")))
+        case 4 if existing.nonEmpty =>
+          TxLog.updateMor(spark, dir, col("id") === pick(),
+            Map("name" -> lit(s"m$step")))
+        case 5 =>
+          val upd = (if (existing.isEmpty) Nil
+            else Seq(pick()).distinct.map(i => (i, s"g$step-$i")))
+          TxLog.merge(spark, dir,
+            mkDf(upd ++ freshIds(1 + rnd.nextInt(2))
+              .map(i => (i, s"g$step-$i"))), Seq("id"))
+        case 6 =>
+          TxLog.compact(spark, dir, targetFiles = 2)
+        case _ =>
+          TxLog.commitAppend(spark, dir,
+            mkDf(freshIds(1).map(i => (i, s"a$step-$i"))))
+      }
+      val newHead = TxLog.snapshot(spark, dir).version
+      ((head + 1) to newHead).foreach(applyFeed)
+      head = newHead
+      assert(follower == tableState, s"step $step diverged at v$head")
+    }
+    // a clone made NOW (possibly dv-bearing) must hand a NEW follower
+    // the same initial image the incumbent one accumulated
+    val dst = tmp("r12modelclone").toString
+    TxLog.clone(spark, dir, dst)
+    val cloneLoad = TxLog.changeFeed(spark, dst, -1)
+      .select(col("id"), col("name"), col("_change_type"))
+      .as[(Long, String, String)].collect()
+    assert(cloneLoad.forall(_._3 == "insert"))
+    val cloneImage = cloneLoad.map(r => (r._1, r._2)).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(cloneImage == follower,
+      "a clone's CDC initial load diverged from the followed state")
+  }
+
   // ---- clone commit atomicity --------------------------------------
 
   test("clone carries constraints in its v0 commit — no unvalidated window") {
