@@ -130,7 +130,8 @@ class TxLogStreamProvider extends StreamSourceProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    new TxLogSink(sqlContext.sparkSession, d, appId, statsCols, outputMode)
+    new TxLogSink(sqlContext.sparkSession, d, appId, statsCols, outputMode,
+      mergeSchema = flag(parameters, "mergeSchema"))
   }
 }
 
@@ -142,7 +143,8 @@ class TxLogStreamProvider extends StreamSourceProvider
   * any other write path; a violating batch fails the QUERY loudly
   * with nothing staged. */
 class TxLogSink(spark: SparkSession, dir: String, appId: String,
-    statsCols: Seq[String], outputMode: OutputMode) extends Sink {
+    statsCols: Seq[String], outputMode: OutputMode,
+    mergeSchema: Boolean = false) extends Sink {
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val batch = PlanBridge.asBatch(data.toDF())
@@ -151,7 +153,7 @@ class TxLogSink(spark: SparkSession, dir: String, appId: String,
         txn = Some((appId, batchId)))
     else
       TxLog.commitAppend(spark, dir, batch, Some((appId, batchId)),
-        statsCols)
+        statsCols, mergeSchema = mergeSchema)
     ()
   }
 
@@ -195,15 +197,47 @@ class TxLogSource(spark: SparkSession, dir: String,
     * the engine), restored from the checkpoint on restart; −1 = fresh
     * query. Admission budgets are measured from here, so a restart
     * mid-backlog resumes capping where it left off instead of
-    * re-granting the whole backlog. */
+    * re-granting the whole backlog.
+    *
+    * When the markers are MISSING but the engine's own offset log is
+    * not (a checkpoint written before admission control existed, or a
+    * hand-deleted marker dir), the frontier recovers from the newest
+    * engine offset instead of −1 — a −1 restart under caps could
+    * compute an offset BELOW the engine's committed one, wedging the
+    * query in a crash loop. Parsing is defensive: any surprise falls
+    * back to −1 (fresh query), never an exception at source build. */
   private var admitted: Long = {
-    if (!mfs.exists(markerDir)) -1L
-    else {
-      val vs = mfs.listStatus(markerDir).toSeq
+    val fromMarkers =
+      if (!mfs.exists(markerDir)) None
+      else mfs.listStatus(markerDir).toSeq
         .flatMap(st => st.getPath.getName.toLongOption)
-      if (vs.isEmpty) -1L else vs.max
-    }
+        .maxOption
+    fromMarkers.orElse(engineOffsetFallback()).getOrElse(-1L)
   }
+
+  /** The newest offset the ENGINE recorded for this source, read from
+    * `<checkpoint>/offsets/<batchId>` (metadataPath is
+    * `<checkpoint>/sources/<i>`): the file's last non-empty line is
+    * this source's serialized offset — for a txlog source, a bare
+    * version number. */
+  private def engineOffsetFallback(): Option[Long] =
+    try {
+      val ckpt = new Path(metadataPath).getParent.getParent
+      val offsetsDir = new Path(ckpt, "offsets")
+      if (!mfs.exists(offsetsDir)) None
+      else {
+        val batches = mfs.listStatus(offsetsDir).toSeq
+          .flatMap(st => st.getPath.getName.toLongOption.map(_ -> st.getPath))
+        batches.sortBy(_._1).lastOption.flatMap { case (_, p) =>
+          val in = mfs.open(p)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.linesIterator.filter(_.trim.nonEmpty).toSeq.lastOption
+            .flatMap(_.trim.toLongOption)
+        }
+      }
+    } catch { case _: Exception => None }
 
   /** The (files, rows) stream-cost of each commit, parsed once — log
     * metadata, never data. */

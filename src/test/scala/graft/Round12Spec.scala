@@ -159,6 +159,37 @@ class Round12Spec extends SparkSpec {
     assert(sizes.sum == 7L)
   }
 
+  test("admission frontier recovers from the engine offset log when markers are missing") {
+    val dir = tmp("r12rec").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))
+    val cp = tmp("r12recck").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(cap: Option[Long]): Unit = {
+      val r0 = spark.readStream.format("txlog")
+      val q = cap.fold(r0)(n => r0.option("maxRowsPerTrigger", n))
+        .load(dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp.toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.select("id").collect().map(_.getLong(0)); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(cap = None) // uncapped first life writes the engine checkpoint
+    assert(got.toSet == Set(1L, 2L))
+    // wipe the source's own frontier markers (a pre-admission
+    // checkpoint looks exactly like this), append a backlog, restart
+    // CAPPED: the frontier must recover from the engine's offset log
+    // — a −1 restart would compute an offset below the committed one
+    val markers = new java.io.File(s"$cp/sources/0/graft-admitted")
+    assert(markers.exists, "markers should exist from the first life")
+    markers.listFiles().foreach(_.delete()); markers.delete()
+    (3L to 5L).foreach(i => TxLog.commitAppend(spark, dir, df(i)))
+    run(cap = Some(1L))
+    assert(got.toSeq.sorted == (1L to 5L).toSeq,
+      s"recovery lost or duplicated rows: ${got.sorted}")
+  }
+
   // ---- time travel by timestamp ------------------------------------
 
   private def setCommitTime(dir: String, v: Long, ts: Long): Unit =
@@ -467,6 +498,43 @@ class Round12Spec extends SparkSpec {
     assert(ops.forall(_ == "overwrite"), ops.toString)
   }
 
+  test("native txlog sink: schema widening refuses by default, merges under mergeSchema") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = tmp("r12sinkm").toString
+    TxLog.commitOverwrite(spark, out, df(1))
+    // a wider stream without mergeSchema fails the query loudly
+    val src0 = MemoryStream[(Long, String, Double)]
+    val q0 = src0.toDF().toDF("id", "name", "score")
+      .writeStream.format("txlog").option("path", out)
+      .option("checkpointLocation", tmp("r12sinkmck0").toString)
+      .outputMode("append").start()
+    try {
+      src0.addData((2L, "b", 0.5))
+      val e = intercept[Exception] { q0.processAllAvailable() }
+      def mentions(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("mergeSchema")) ||
+          mentions(t.getCause))
+      assert(mentions(e), s"stream failed for the wrong reason: $e")
+    } finally q0.stop()
+    // with mergeSchema the table widens; old rows read the new column
+    // as null
+    val src1 = MemoryStream[(Long, String, Double)]
+    val q1 = src1.toDF().toDF("id", "name", "score")
+      .writeStream.format("txlog").option("path", out)
+      .option("checkpointLocation", tmp("r12sinkmck1").toString)
+      .option("mergeSchema", "true")
+      .outputMode("append").start()
+    try { src1.addData((2L, "b", 0.5)); q1.processAllAvailable() }
+    finally q1.stop()
+    val r = TxLog.read(spark, out)
+    assert(r.columns.toSeq == Seq("id", "name", "score"))
+    assert(r.filter(col("id") === 1L).select("score").head().isNullAt(0))
+    assert(idSet(r) == Set(1L, 2L))
+  }
+
   test("streaming change feed: a follower materializes appends, dv deletes and CoW updates continuously") {
     val s = spark
     import s.implicits._
@@ -565,6 +633,24 @@ class Round12Spec extends SparkSpec {
       idSet(TxLog.read(spark, dir)), s"feed replay diverged: $net")
   }
 
+  test("change feed across a mid-span rename reads logical names, diffs correctly") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r12feedren").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2, 3))               // v0
+    TxLog.renameColumn(spark, dir, "name", "label")              // v1
+    TxLog.update(spark, dir, col("id") === 2,
+      Map("label" -> lit("renamed")))                            // v2
+    val feed = TxLog.changeFeed(spark, dir, -1)
+    assert(feed.columns.toSeq ==
+      Seq("id", "label", "_change_type", "_commit_version"))
+    val w = feed.filter(col("_commit_version") === 2)
+      .select(col("id"), col("label"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(w == Set((2L, "name_2", "delete"), (2L, "renamed", "insert")),
+      s"rename-span update window diverged: $w")
+  }
+
   test("randomized feed-follower model check: per-commit change feed reconstructs every snapshot") {
     val s = spark
     import s.implicits._
@@ -649,6 +735,39 @@ class Round12Spec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(cloneImage == follower,
       "a clone's CDC initial load diverged from the followed state")
+  }
+
+  test("versionAt properties under random clocks: inverse of history, monotone, total over the commit range") {
+    val rnd = new scala.util.Random(42)
+    val dir = tmp("r12tsprop").toString
+    TxLog.commitOverwrite(spark, dir, df(0))
+    (1L to 7L).foreach(i => TxLog.commitAppend(spark, dir, df(i)))
+    // random — possibly colliding, possibly backward — raw mtimes
+    (0L to 7L).foreach(v =>
+      setCommitTime(dir, v, 1000000L + rnd.nextInt(5000).toLong))
+    val h = TxLog.history(spark, dir).orderBy("version")
+      .select("version", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // adjusted timestamps are strictly increasing whatever the clock did
+    assert(h.map(_._2).toSeq == h.map(_._2).toSeq.sorted)
+    assert(h.map(_._2).distinct.length == h.length)
+    // versionAt is the exact inverse of history at every commit ts,
+    // sticky between commits, and total up to the head
+    h.foreach { case (v, ts) =>
+      assert(TxLog.versionAt(spark, dir, ts) == v)
+      assert(TxLog.versionAt(spark, dir, ts + 0L max ts) == v)
+      if (v < 7) assert(TxLog.versionAt(spark, dir,
+        h(v.toInt + 1)._2 - 1) == v)
+    }
+    assert(TxLog.versionAt(spark, dir, Long.MaxValue) == 7L)
+    intercept[IllegalArgumentException] {
+      TxLog.versionAt(spark, dir, h.head._2 - 1)
+    }
+    // readAt at each commit ts equals read at that version
+    h.foreach { case (v, ts) =>
+      assert(idSet(TxLog.readAt(spark, dir, ts)) ==
+        idSet(TxLog.read(spark, dir, Some(v))))
+    }
   }
 
   // ---- clone commit atomicity --------------------------------------
