@@ -902,6 +902,39 @@ class MedallionPipeline(spark: SparkSession, root: String,
     }.start()
   }
 
+  /** CONTINUOUS follower (the CDC mirror `promoteStream` cannot be):
+    * where promoteStream consumes APPENDS and fails on upstream DML,
+    * this follows the source THROUGH deletes, updates and merges —
+    * the target zone's copy tracks the source's row-level state via
+    * the change-feed stream + [[TxLog.changeFeedApplySink]]
+    * (exactly-once, keyed, first batch creates the follower). The
+    * derived-corpus maintenance pattern (re-embed/re-score mirrors)
+    * as one call. Admission caps bound catch-up batches like
+    * promoteStream's. */
+  def followStream(jobId: String, dataset: String,
+      sourceZone: DataZone.Value, targetZone: DataZone.Value,
+      key: Seq[String] = Seq("id"),
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxRowsPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(useTxLog, "followStream requires useTxLog = true")
+    val srcDir = requireLogged(sourceZone, dataset, "followStream")
+    val reader0 = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true")
+    val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    val reader = maxRowsPerTrigger.fold(reader1)(n =>
+      reader1.option("maxRowsPerTrigger", n))
+    TxLog.changeFeedApplySink(reader.load(srcDir),
+      path(targetZone, dataset), key, jobId,
+      checkpointDir.getOrElse(
+        s"${path(targetZone, dataset)}/_graft_ckpt_$jobId"),
+      // the follower may not exist yet (first batch creates it) —
+      // derive the stats columns from the source's identical schema
+      statsColsOf(sourceZone, dataset))
+  }
+
   /** promote_zone (etl_manager.py:597-629) — FULL load to the next zone
     * with the target zone's quality gate. */
   def promoteZone(dataset: String, from: DataZone.Value, to: DataZone.Value,

@@ -1553,6 +1553,128 @@ object TxLog {
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
   }
 
+  /** CDC APPLY (the Delta-DLT `APPLY CHANGES INTO` shape): one
+    * copy-on-write commit applying a batch of keyed change directives.
+    * `changes` carries the table columns plus boolean `deleteCol`: a
+    * matched target key is REPLACED (flag false) or DROPPED (flag
+    * true); an unmatched flag-false row inserts; an unmatched delete
+    * is a no-op (the row is already gone — the at-least-once replay
+    * case). At most one directive per key (ambiguity refused, like
+    * [[merge]]); `txn` gives exactly-once under streaming replay.
+    *
+    * Same cost shape as merge: candidates stats-prune by the
+    * directive keys' envelope, only files actually holding a directive
+    * key rewrite, survivors anti-join on the (directive-sized) key
+    * relation. CHECK constraints validate the INSERTED rows only
+    * (survivors were already valid; deletes add nothing). */
+  def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
+      keyCols: Seq[String], deleteCol: String,
+      statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
+    require(keyCols.nonEmpty, "TxLog: applyChanges needs at least one key column")
+    val snap = snapshot(spark, dir)
+    for ((app, b) <- txn)
+      if (snap.txns.get(app).exists(_ >= b)) return snap.version
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(changes.columns.contains(deleteCol),
+      s"TxLog: applyChanges needs the delete flag column '$deleteCol'")
+    val srcTypes = changes.schema.fields
+      .map(fl => fl.name -> fl.dataType).toMap
+    val missing = schema.fields.filterNot(fl =>
+      srcTypes.get(fl.name).contains(fl.dataType))
+    require(missing.isEmpty,
+      s"TxLog: applyChanges source must carry the table schema; " +
+        s"missing or mistyped: ${missing.map(_.name).mkString(", ")}")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"TxLog: applyChanges key '$k' is not a table column"))
+    val src = changes.select((schema.fieldNames.map(col) :+
+      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*)
+    val dupKeys = src.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      "TxLog: applyChanges has several directives for one key " +
+        "(ambiguous, refused) — collapse to the last change per key first")
+
+    val keyBounds = src.select(keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
+      .head()
+    val cands = keyCols.foldLeft(snap.files) { case (kept, k) =>
+      val pk = snap.phys(k)
+      val lo = keyBounds.getAs[Any](s"_lo_$k")
+      val hi = keyBounds.getAs[Any](s"_hi_$k")
+      if (lo == null || hi == null) kept
+      else kept.flatMap(_.stats.get(pk)).headOption.map(_.dtype) match {
+        case None => kept
+        case Some(dt) =>
+          val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
+          kept.filter(_.stats.get(pk).forall(st =>
+            StatsManifest.intersects(st.dtype, st.min.orNull,
+              st.max.orNull, loS, hiS)))
+      }
+    }
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val touched: Seq[String] =
+      if (cands.isEmpty) Nil
+      else readSnapshotTagged(spark, dir, snap.copy(files = cands))
+        .select((col(TagFile) +: keyCols.map(col)).toSeq: _*)
+        .join(srcKeys, keyCols, "left_semi")
+        .select(TagFile).distinct().collect()
+        .map(_.getString(0)).toSeq.sorted
+    val tSet = touched.toSet
+    val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
+    val inserts = src.filter(!col(deleteCol))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val survivors =
+      if (keepFiles.isEmpty) inserts
+      else readSnapshot(spark, dir, snap.copy(files = keepFiles))
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(inserts)
+    enforceConstraints(spark, dir, inserts)
+    val (added, _) = stageData(spark, dir, survivors,
+      inheritStats(keepFiles, statsCols, snap), snap.mapping)
+    commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
+      removeAll = false, snap.schemaJson, txn,
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
+  }
+
+  /** Exactly-once CDC-APPLY sink: materialize a FOLLOWER table from a
+    * change-feed stream (`readStream.format("txlog")
+    * .option("readChangeFeed", true)`) in ONE call — the derived-copy
+    * pattern (re-embed/re-score tables, downstream mirrors) that
+    * otherwise needs a hand-written foreachBatch. Each micro-batch
+    * collapses to its net directive per key — the LAST leg in
+    * (_commit_version, insert-over-delete) order wins, so a
+    * same-version delete+insert pair (an update's images) nets to the
+    * post-image — then lands through [[applyChanges]] under the
+    * (appId, batchId) txn marker. The first batch CREATES the
+    * follower (the feed's initial load is insert-only). */
+  def changeFeedApplySink(feed: DataFrame, dir: String,
+      keyCols: Seq[String], appId: String, checkpointDir: String,
+      statsCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_commit_version").desc,
+            when(col("_change_type") === "insert", 1).otherwise(0).desc)
+        val last = batch.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") === 1)
+        val src = last
+          .withColumn("_graft_del", col("_change_type") === "delete")
+          .drop("_change_type", "_commit_version", "_graft_rn")
+        if (!isLogged(sp, dir)) {
+          val inserts = src.filter(!col("_graft_del")).drop("_graft_del")
+          commitOverwrite(sp, dir, inserts, statsCols,
+            txn = Some((appId, batchId)))
+        } else
+          applyChanges(sp, dir, src, keyCols, "_graft_del", statsCols,
+            txn = Some((appId, batchId)))
+        ()
+      }.start()
+
   /** Name of the hidden column carrying `_metadata.file_name` in
     * tagged reads; collision with a real column is refused. */
   private[graft] val TagFile = "__graft_file"

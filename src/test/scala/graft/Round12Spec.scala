@@ -770,6 +770,89 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- CDC apply: applyChanges + the follower sink -----------------
+
+  test("applyChanges: upsert + delete in one commit; no-op deletes; ambiguity and constraints refuse") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r12apply").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name"),
+      statsCols = Seq("id"))
+    TxLog.addCheckConstraint(spark, dir, "id_pos", "id > 0")
+    def changes(rows: (Long, String, Boolean)*): DataFrame =
+      rows.toDF("id", "name", "del")
+    // one commit: update 2, delete 4, insert 9, delete-miss 77 (no-op)
+    val v = TxLog.applyChanges(spark, dir,
+      changes((2L, "upd", false), (4L, "x", true), (9L, "new", false),
+        (77L, "x", true)),
+      Seq("id"), "del")
+    assert(v == 2L)
+    val state = TxLog.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "n1", 2L -> "upd", 3L -> "n3", 5L -> "n5",
+      6L -> "n6", 9L -> "new"))
+    // replayed txn batch is a no-op
+    val v2 = TxLog.applyChanges(spark, dir,
+      changes((2L, "seen", false)), Seq("id"), "del",
+      txn = Some(("cdc", 1L)))
+    val v3 = TxLog.applyChanges(spark, dir,
+      changes((2L, "seen", false)), Seq("id"), "del",
+      txn = Some(("cdc", 1L)))
+    assert(v3 == v2, "replayed batch must short-circuit")
+    // two directives for one key refuse
+    intercept[IllegalArgumentException] {
+      TxLog.applyChanges(spark, dir,
+        changes((3L, "a", false), (3L, "b", true)), Seq("id"), "del")
+    }
+    // constraints gate the inserted rows; deletes alone are exempt
+    intercept[IllegalArgumentException] {
+      TxLog.applyChanges(spark, dir,
+        changes((-1L, "bad", false)), Seq("id"), "del")
+    }
+    val v4 = TxLog.applyChanges(spark, dir,
+      changes((6L, "whatever", true)), Seq("id"), "del")
+    assert(v4 > v3 && !idSet(TxLog.read(spark, dir)).contains(6L))
+  }
+
+  test("followStream: a medallion follower mirrors the source through DML, exactly once") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("r12follow").toString
+    val p = new graft.etl.MedallionPipeline(spark, root, useTxLog = true)
+    import graft.etl.LoadType
+    import graft.quality.DataZone
+    def batch(rows: (Long, String)*): DataFrame = rows.toDF("id", "name")
+    p.write(DataZone.Bronze, "pts", batch((1L, "a"), (2L, "b"), (3L, "c")),
+      LoadType.Full)
+    def silver: Map[Long, String] =
+      p.read(DataZone.Silver, "pts").as[(Long, String)].collect().toMap
+    def bronze: Map[Long, String] =
+      p.read(DataZone.Bronze, "pts").as[(Long, String)].collect().toMap
+    val cp = tmp("r12followck").toString
+    def run(body: => Unit): Unit = {
+      val q = p.followStream("fj", "pts", DataZone.Bronze, DataZone.Silver,
+        checkpointDir = Some(cp.toString))
+      try { body; q.processAllAvailable() } finally q.stop()
+    }
+    run(()) // initial load creates the follower
+    assert(silver == bronze)
+    run {
+      p.write(DataZone.Bronze, "pts", batch((4L, "d")), LoadType.Append)
+      p.deleteWhere(DataZone.Bronze, "pts", col("id") === 2, mor = true)
+      p.updateWhere(DataZone.Bronze, "pts", col("id") === 1,
+        Map("name" -> lit("a2")))
+    }
+    assert(silver == bronze)
+    assert(silver == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+    // a restart with upstream changes made while DOWN catches up
+    run {
+      p.mergeInto(DataZone.Bronze, "pts", batch((3L, "c2"), (5L, "e")),
+        Seq("id"))
+    }
+    assert(silver == bronze)
+    assert(silver == Map(1L -> "a2", 3L -> "c2", 4L -> "d", 5L -> "e"))
+  }
+
   // ---- clone commit atomicity --------------------------------------
 
   test("clone carries constraints in its v0 commit — no unvalidated window") {

@@ -174,6 +174,8 @@ ROWS = [
           "sources/TxLogStreamSource.scala", "api"),
     (181, "Round12Spec (CDC streaming source) | "
           "sources/TxLogStreamSource.scala", "api"),
+    (182, "Round12Spec (applyChanges + followStream CDC apply) | "
+          "sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
