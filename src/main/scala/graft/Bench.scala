@@ -12,8 +12,14 @@ object Bench {
       .config(Tables.NanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only filter (the driver passes no args): bench just the
+    // named queries — same shape as Verify's third arg
+    val only = args.headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // release once consumed: iterative operators (components,
         // pagerank) return localCheckpoint'ed frames whose blocks stay

@@ -131,9 +131,18 @@ object Dedup {
 
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, minhashK: Int = 16, bands: Int = 4,
-      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
     // not persisted — same recompute-beats-cache tradeoff as ngramJaccard
-    val sh = shingles(docs, idCol, textCol)
+    minhashLshShingles(shingles(docs, idCol, textCol), tau, minhashK,
+      bands, maxBucket)
+
+  /** [[minhashLsh]] over an already-derived (possibly checkpointed)
+    * shingle relation — lets [[incrementalCleanIndexed]] reuse ONE
+    * materialized shingle set across the cross-corpus and in-batch
+    * stages instead of re-exploding per consumer. */
+  private[graft] def minhashLshShingles(sh: DataFrame,
+      tau: Double, minhashK: Int, bands: Int,
+      maxBucket: Long): DataFrame = {
     val exploded = Skew.capBuckets(bandedBuckets(sh, minhashK, bands),
       Seq(col("band"), col("bh")), maxBucket)
     val candidates = exploded.as("a")
@@ -284,29 +293,51 @@ object Dedup {
   /** [[incrementalClean]] against a prebuilt (typically persisted)
     * [[DedupIndex]] — the ingest-cost-is-batch-sized form. MinHash
     * parameters come from the index itself ([[DedupIndex]]). */
-  def incrementalCleanIndexed(index: DedupIndex, batch: DataFrame,
-      idCol: String, textCol: String, tau: Double,
-      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+  /** The exact stage of [[incrementalCleanIndexed]]: the batch rows
+    * whose content hash is corpus-unknown, deduplicated within the
+    * batch (min id per hash). Exposed private[graft] so the plan
+    * audit can pin the bucketed-corpus-scan property on the stage
+    * plan itself — inside the operator the stage materializes behind
+    * a checkpoint, which hides the scan from the RESULT plan but not
+    * from execution. */
+  private[graft] def exactSurvivors(index: DedupIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     Seq("_graft_h", "_graft_rn").foreach(c =>
       require(!batch.columns.contains(c),
         s"input column $c collides with incrementalClean internals; rename it first"))
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_graft_h")).orderBy(col(idCol).asc)
-    val exactSurv = batch
+    batch
       .withColumn("_graft_h", md5(normalized(col(textCol))))
       .join(index.hashes.select(col("content_hash").as("_graft_h")),
         Seq("_graft_h"), "left_anti")
       .withColumn("_graft_rn", row_number().over(byHash))
       .filter(col("_graft_rn") === 1)
       .drop("_graft_h", "_graft_rn")
-    val shBatch = shingles(exactSurv, idCol, textCol)
+  }
+
+  def incrementalCleanIndexed(index: DedupIndex, batch: DataFrame,
+      idCol: String, textCol: String, tau: Double,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    // the exact-stage survivors feed FOUR consumers (their shingles,
+    // the in-batch LSH, and both final anti-joins) — without a
+    // checkpoint each consumer re-runs the anti-join against the
+    // corpus hash relation, the one corpus-sized input of this stage.
+    // Batch-sized by the incremental contract; the blocks ride the
+    // result plan, so the caller's [[release]] frees them once
+    // consumed. (The plan audit inspects [[exactSurvivors]] directly —
+    // the checkpoint hides the bucketed corpus scan from the result
+    // plan, not from execution.)
+    val exactSurv =
+      exactSurvivors(index, batch, idCol, textCol).localCheckpoint(true)
+    val shBatch = shingles(exactSurv, idCol, textCol).localCheckpoint(true)
     val crossLosers = Decontaminate
       .nearDupPairs(shBatch,
         bandedBuckets(shBatch, index.minhashK, index.bands),
         index.shingles, index.buckets, tau, maxBucket)
       .select(col("train_id").as(idCol)).distinct()
     val comp = components(
-      minhashLsh(exactSurv, idCol, textCol, tau, index.minhashK,
+      minhashLshShingles(shBatch, tau, index.minhashK,
         index.bands, maxBucket), "id_a", "id_b")
     val selfLosers = comp.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))

@@ -814,6 +814,22 @@ class Round12Spec extends SparkSpec {
     assert(v4 > v3 && !idSet(TxLog.read(spark, dir)).contains(6L))
   }
 
+  test("applyChanges on a column-mapped table stages under physical names") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r12applymap").toString
+    TxLog.commitOverwrite(spark, dir,
+      (1L to 4L).map(i => (i, s"n$i")).toDF("id", "name"))
+    TxLog.renameColumn(spark, dir, "name", "label")
+    TxLog.applyChanges(spark, dir,
+      Seq((2L, "upd", false), (3L, "x", true), (9L, "new", false))
+        .toDF("id", "label", "del"),
+      Seq("id"), "del")
+    val state = TxLog.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(TxLog.read(spark, dir).columns.toSeq == Seq("id", "label"))
+    assert(state == Map(1L -> "n1", 2L -> "upd", 4L -> "n4", 9L -> "new"))
+  }
+
   test("followStream: a medallion follower mirrors the source through DML, exactly once") {
     val s = spark
     import s.implicits._
