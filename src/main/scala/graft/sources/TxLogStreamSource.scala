@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.PlanBridge
@@ -27,21 +26,22 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   * n)` bound how much of a backlog one micro-batch admits — without
   * them, the first trigger after seeding (or any catch-up after
   * downtime) would process the ENTIRE backlog as one batch, which at
-  * 100 TB is one giant batch or nothing. `getOffset` walks commit
-  * METADATA from the last admitted version, admitting whole commits
-  * until the next would exceed either budget (always ≥ 1 commit, so a
-  * single oversized commit still makes progress; both caps may be
-  * combined — the tighter one binds). The reference analog stays
-  * batch-bounded by construction (etl_manager.py:468-475); this keeps
-  * the continuous form bounded too.
-  *
-  * The admitted frontier is persisted in the source's own slice of
-  * the checkpoint (`metadataPath`, the [[FileStreamSource]] pattern):
-  * one empty marker file whose NAME is the offset, written BEFORE the
-  * offset is returned to the engine. Recovery takes the max marker,
-  * so a crash between our marker and the engine's offset log at worst
-  * widens one batch to two budgets — never skips or repeats rows
-  * (exactly-once rides the engine's own offset/commit log).
+  * 100 TB is one giant batch or nothing. The source implements
+  * `SupportsAdmissionControl` (the same design Delta's source uses on
+  * a v1 `Source`): the engine hands `latestOffset` the START offset
+  * from its own offset log, and the source walks commit METADATA from
+  * there, admitting whole commits until the next would exceed either
+  * budget (always ≥ 1 commit, so a single oversized commit still
+  * makes progress; both caps may be combined — the tighter one
+  * binds). No side-channel frontier state exists, so restarts and
+  * crash recovery inherit the engine's own offset-log guarantees.
+  * `SupportsTriggerAvailableNow` pins the end bound at query start,
+  * so `Trigger.AvailableNow` drains the whole backlog in bounded
+  * batches and THEN terminates — a plain v1 getOffset wrapper would
+  * snapshot ONE capped offset and stop a budget short. The reference
+  * analog stays batch-bounded by construction
+  * (etl_manager.py:468-475); this keeps the continuous form bounded
+  * too.
   *
   * Contracts inherited from [[TxLog.changedFiles]]: compactions inside
   * a span contribute nothing (rewrites, not new rows — and cost zero
@@ -96,7 +96,7 @@ class TxLogStreamProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new TxLogSource(sqlContext.sparkSession, dir(parameters), metadataPath,
+    new TxLogSource(sqlContext.sparkSession, dir(parameters),
       cap(parameters, "maxFilesPerTrigger"),
       cap(parameters, "maxRowsPerTrigger"),
       cdc = flag(parameters, "readChangeFeed"))
@@ -170,9 +170,12 @@ object TxLogSource {
 }
 
 class TxLogSource(spark: SparkSession, dir: String,
-    metadataPath: String, maxFiles: Option[Long], maxRows: Option[Long],
+    maxFiles: Option[Long], maxRows: Option[Long],
     cdc: Boolean = false)
-  extends Source {
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
 
   private val tableSchema: StructType =
     DataType.fromJson(TxLog.snapshot(spark, dir).schemaJson)
@@ -181,63 +184,11 @@ class TxLogSource(spark: SparkSession, dir: String,
   override val schema: StructType =
     if (cdc) TxLogSource.cdcSchema(tableSchema) else tableSchema
 
-  private def version(o: V1Offset): Long = o match {
+  private def version(o: AnyRef): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.trim.toLong
+    case c: ConnOffset => c.json.trim.toLong
   }
-
-  // ---- admitted-frontier persistence (FileStreamSource pattern) ----
-
-  private val markerDir = new Path(metadataPath, "graft-admitted")
-  private val mfs = markerDir.getFileSystem(
-    spark.sparkContext.hadoopConfiguration)
-
-  /** The highest version ever RETURNED from getOffset (admitted to
-    * the engine), restored from the checkpoint on restart; −1 = fresh
-    * query. Admission budgets are measured from here, so a restart
-    * mid-backlog resumes capping where it left off instead of
-    * re-granting the whole backlog.
-    *
-    * When the markers are MISSING but the engine's own offset log is
-    * not (a checkpoint written before admission control existed, or a
-    * hand-deleted marker dir), the frontier recovers from the newest
-    * engine offset instead of −1 — a −1 restart under caps could
-    * compute an offset BELOW the engine's committed one, wedging the
-    * query in a crash loop. Parsing is defensive: any surprise falls
-    * back to −1 (fresh query), never an exception at source build. */
-  private var admitted: Long = {
-    val fromMarkers =
-      if (!mfs.exists(markerDir)) None
-      else mfs.listStatus(markerDir).toSeq
-        .flatMap(st => st.getPath.getName.toLongOption)
-        .maxOption
-    fromMarkers.orElse(engineOffsetFallback()).getOrElse(-1L)
-  }
-
-  /** The newest offset the ENGINE recorded for this source, read from
-    * `<checkpoint>/offsets/<batchId>` (metadataPath is
-    * `<checkpoint>/sources/<i>`): the file's last non-empty line is
-    * this source's serialized offset — for a txlog source, a bare
-    * version number. */
-  private def engineOffsetFallback(): Option[Long] =
-    try {
-      val ckpt = new Path(metadataPath).getParent.getParent
-      val offsetsDir = new Path(ckpt, "offsets")
-      if (!mfs.exists(offsetsDir)) None
-      else {
-        val batches = mfs.listStatus(offsetsDir).toSeq
-          .flatMap(st => st.getPath.getName.toLongOption.map(_ -> st.getPath))
-        batches.sortBy(_._1).lastOption.flatMap { case (_, p) =>
-          val in = mfs.open(p)
-          val text =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          text.linesIterator.filter(_.trim.nonEmpty).toSeq.lastOption
-            .flatMap(_.trim.toLongOption)
-        }
-      }
-    } catch { case _: Exception => None }
 
   /** The (files, rows) stream-cost of each commit, parsed once — log
     * metadata, never data. */
@@ -246,33 +197,45 @@ class TxLogSource(spark: SparkSession, dir: String,
   private def costOf(v: Long): (Long, Long) =
     costCache.getOrElseUpdate(v, TxLog.commitAddCost(spark, dir, v))
 
-  private def persistAdmitted(v: Long): Unit = {
-    if (v <= admitted) return
-    val marker = new Path(markerDir, f"$v%020d")
-    val prior =
-      if (!mfs.exists(markerDir)) Nil
-      else mfs.listStatus(markerDir).toSeq.map(_.getPath)
-    mfs.mkdirs(markerDir)
-    // the value rides in the NAME — an interrupted create still
-    // carries it, so content is irrelevant and the write is crash-safe
-    mfs.create(marker, true).close()
-    prior.filter(_.getName != marker.getName)
-      .foreach(p => mfs.delete(p, false))
-    admitted = v
+  /** Fixed end bound under Trigger.AvailableNow: the head at query
+    * start. The engine keeps calling [[latestOffset]] until the
+    * returned offset reaches it, so a capped backlog drains in
+    * several bounded batches and THEN the query terminates — the
+    * semantics a one-shot v1 getOffset wrapper cannot give (it
+    * snapshots one capped offset and stops a budget short). */
+  @volatile private var availableEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(TxLog.snapshot(spark, dir).version)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = (maxFiles.map(n => ReadLimit.maxFiles(n.toInt)) ++
+      maxRows.map(n => ReadLimit.maxRows(n))).toArray
+    limits.length match {
+      case 0 => ReadLimit.allAvailable()
+      case 1 => limits(0)
+      case _ => ReadLimit.compositeLimit(limits)
+    }
   }
 
-  /** The next offset to expose: the head, or — under admission
-    * control — the furthest version whose cumulative (files, rows)
-    * cost from the admitted frontier fits both budgets (≥ 1 commit
-    * always, for progress on oversized commits). One driver pass over
-    * log metadata either way. */
-  override def getOffset: Option[V1Offset] = {
-    val head = TxLog.snapshot(spark, dir).version
+  /** The next offset to expose, measured from the ENGINE-provided
+    * start (its own offset log — no side-channel frontier state to
+    * persist or recover): the head, or — under admission control —
+    * the furthest version whose cumulative (files, rows) cost from
+    * `start` fits both budgets (≥ 1 commit always, for progress on
+    * oversized commits). One driver pass over log metadata either
+    * way. Compactions cost zero (their adds are rewrites the span
+    * skips), so maintenance never stalls data behind the cap. */
+  override def latestOffset(start: ConnOffset, limit: ReadLimit)
+      : ConnOffset = {
+    val since = Option(start).map(o => version(o)).getOrElse(-1L)
+    val headNow = TxLog.snapshot(spark, dir).version
+    val head = availableEnd.fold(headNow)(math.min(headNow, _))
     val next =
       if (maxFiles.isEmpty && maxRows.isEmpty) head
-      else if (admitted >= head) head
+      else if (since >= head) head
       else {
-        var v = admitted
+        var v = since
         var files = 0L
         var rows = 0L
         var granting = true
@@ -280,20 +243,28 @@ class TxLogSource(spark: SparkSession, dir: String,
           val (cf, cr) = costOf(v + 1)
           val fits = maxFiles.forall(files + cf <= _) &&
             maxRows.forall(rows + cr <= _)
-          if (fits || v == admitted) { // ≥ 1 commit per trigger
+          if (fits || v == since) { // >= 1 commit per trigger
             v += 1; files += cf; rows += cr
           } else granting = false
         }
         v
       }
-    persistAdmitted(next)
-    Some(LongOffset(next))
+    LongOffset(math.max(next, since))
   }
 
+  override def reportLatestOffset(): ConnOffset =
+    LongOffset(TxLog.snapshot(spark, dir).version)
+
+  /** Legacy uncapped path — with [[SupportsTriggerAvailableNow]]
+    * mixed in, the engine drives this source through
+    * [[latestOffset]]; getOffset remains only for the Source
+    * contract and reports the raw head. */
+  override def getOffset: Option[V1Offset] =
+    Some(LongOffset(TxLog.snapshot(spark, dir).version))
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val since = start.map(version).getOrElse(-1L)
+    val since = start.map(o => version(o)).getOrElse(-1L)
     val until = version(end)
-    persistAdmitted(until) // replayed batch after restart: re-anchor
     if (cdc) {
       // CHANGE-FEED mode (Delta's readChangeFeed): the span's
       // row-level diff, stamped (_change_type, _commit_version) — a

@@ -159,7 +159,7 @@ class Round12Spec extends SparkSpec {
     assert(sizes.sum == 7L)
   }
 
-  test("admission frontier recovers from the engine offset log when markers are missing") {
+  test("enabling caps on an existing checkpoint resumes from the engine offset, no loss or duplication") {
     val dir = tmp("r12rec").toString
     TxLog.commitOverwrite(spark, dir, df(1, 2))
     val cp = tmp("r12recck").toString
@@ -177,17 +177,13 @@ class Round12Spec extends SparkSpec {
     }
     run(cap = None) // uncapped first life writes the engine checkpoint
     assert(got.toSet == Set(1L, 2L))
-    // wipe the source's own frontier markers (a pre-admission
-    // checkpoint looks exactly like this), append a backlog, restart
-    // CAPPED: the frontier must recover from the engine's offset log
-    // — a −1 restart would compute an offset below the committed one
-    val markers = new java.io.File(s"$cp/sources/0/graft-admitted")
-    assert(markers.exists, "markers should exist from the first life")
-    markers.listFiles().foreach(_.delete()); markers.delete()
+    // append a backlog, restart CAPPED: admission measures from the
+    // engine's own offset log (no side-channel state), so the new
+    // commits drain under the cap with nothing lost or repeated
     (3L to 5L).foreach(i => TxLog.commitAppend(spark, dir, df(i)))
     run(cap = Some(1L))
     assert(got.toSeq.sorted == (1L to 5L).toSeq,
-      s"recovery lost or duplicated rows: ${got.sorted}")
+      s"capped restart lost or duplicated rows: ${got.sorted}")
   }
 
   // ---- time travel by timestamp ------------------------------------
@@ -692,8 +688,8 @@ class Round12Spec extends SparkSpec {
       val existing = TxLog.read(spark, dir)
         .select("id").as[Long].collect().toSeq.sorted
       def pick(): Long = existing(rnd.nextInt(existing.size))
-      rnd.nextInt(7) match {
-        case 0 | 7 =>
+      rnd.nextInt(8) match {
+        case 0 =>
           TxLog.commitAppend(spark, dir,
             mkDf(freshIds(1 + rnd.nextInt(3)).map(i => (i, s"a$step-$i"))))
         case 1 if existing.nonEmpty =>
@@ -714,6 +710,19 @@ class Round12Spec extends SparkSpec {
               .map(i => (i, s"g$step-$i"))), Seq("id"))
         case 6 =>
           TxLog.compact(spark, dir, targetFiles = 2)
+        case 7 if existing.nonEmpty =>
+          // CDC APPLY: a mixed directive batch (update one, delete
+          // one, insert fresh) — lands as a merge-op commit whose
+          // feed leg must diff exactly like hand-rolled DML
+          val upd = pick()
+          val del = existing.filterNot(_ == upd)
+            .lift(rnd.nextInt(math.max(existing.size - 1, 1)))
+          TxLog.applyChanges(spark, dir,
+            (Seq((upd, s"c$step-$upd", false)) ++
+              del.map(d => (d, "x", true)) ++
+              freshIds(1).map(i => (i, s"c$step-$i", false)))
+              .toDF("id", "name", "del"),
+            Seq("id"), "del")
         case _ =>
           TxLog.commitAppend(spark, dir,
             mkDf(freshIds(1).map(i => (i, s"a$step-$i"))))
