@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+  * feature distribution looks like a TARGET corpus — the
+  * data-selection method that picks "Wikipedia-like" (or
+  * domain-like) text out of a web crawl without training a
+  * classifier. Completes the selection family beside the NB quality
+  * classifier (discriminative), perplexity buckets (model-based) and
+  * mixture reweighting (source-level): DSIR is distribution-matching
+  * at the FEATURE level, so it ranks individual documents even
+  * inside one source.
+  *
+  * Method (the paper's hashed n-gram variant):
+  *  1. features: unigrams + bigrams of the normalized token stream,
+  *     hashed into a fixed bucket space — here the first 4 hex chars
+  *     of md5 (65,536 buckets), so the bucketing is engine-portable
+  *     and needs no modulo arithmetic;
+  *  2. bucket distributions p_target / p_raw estimated with +1
+  *     (Laplace) smoothing over the UNION bucket universe;
+  *  3. per-doc log importance weight
+  *     `w_d = Σ_b count_d(b) · ln(p_t(b) / p_r(b))`;
+  *  4. Gumbel-top-k resampling: rank by `w_d + g_d` where `g_d` is
+  *     deterministic seeded Gumbel noise (md5-derived uniform), the
+  *     standard without-replacement sampling trick — `noise = false`
+  *     gives plain top-k by weight.
+  *
+  * Scale: two feature scans (raw + target) feeding map-side-combined
+  * (doc, bucket) and (bucket) counts; the distributions are
+  * bucket-space-sized (≤ 65,536 rows — broadcast); the per-doc weight
+  * is one join of the doc-feature relation against that broadcast
+  * plus a doc-keyed sum; selection is a TakeOrderedAndProject, never
+  * a global sort. Nothing corpus-sized shuffles except the
+  * (doc, bucket) aggregation, which is the data itself.
+  *
+  * The weight is a float sum of logs — deliberately NOT
+  * oracle-hashed (libm ulp differences across engines); correctness
+  * rides the exact-arithmetic spec against a hand-computed reference
+  * (Round12Spec) and the rows-only driver entry, the
+  * [[Vocab.trainBpe]] precedent.
+  */
+object Dsir {
+
+  val Buckets = 65536 // 16^4 — the md5-prefix bucket space
+
+  private def guard(docs: DataFrame): Unit =
+    Seq("_tok", "_b", "_cnt", "_w", "_g", "_u").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"input column $c collides with DSIR internals; rename it first"))
+
+  /** (doc_id, _b, _cnt): the doc's hashed feature counts — unigrams +
+    * bigrams of the normalized token stream, bucket = first 4 md5 hex
+    * chars of the feature string. */
+  private[graft] def featureCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = array_remove(
+      split(Dedup.normalized(col(textCol)), " "), "")
+    val unigrams = toks
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"),
+      explode(concat(unigrams, bigrams)).as("_tok"))
+      .select(col("doc_id"), substring(md5(col("_tok")), 1, 4).as("_b"))
+      .groupBy(col("doc_id"), col("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+  }
+
+  /** (_b, _w): the smoothed log importance ratio
+    * `ln(p_t(b)) − ln(p_r(b))` per bucket present in EITHER corpus —
+    * bucket-space-sized, the broadcast side of the weighting join. */
+  private[graft] def logRatios(rawFeats: DataFrame,
+      targetFeats: DataFrame): DataFrame = {
+    val nRaw = rawFeats.groupBy(col("_b")).agg(sum(col("_cnt")).as("_nr"))
+    val nTgt = targetFeats.groupBy(col("_b")).agg(sum(col("_cnt")).as("_nt"))
+    val universe = nRaw.join(nTgt, Seq("_b"), "full_outer")
+      .select(col("_b"), coalesce(col("_nr"), lit(0L)).as("_nr"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"))
+    // totals + universe size: one tiny driver row (bucket-space agg)
+    val t = universe.agg(sum(col("_nr")), sum(col("_nt")),
+      count(lit(1))).head()
+    val (totR, totT, u) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    universe.select(col("_b"),
+      (log((col("_nt") + 1).cast("double") / (totT + u)) -
+        log((col("_nr") + 1).cast("double") / (totR + u))).as("_w"))
+  }
+
+  /** Per-doc log importance weights of the RAW corpus against the
+    * TARGET: (doc_id, weight). Docs with zero features weigh 0. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    guard(raw); guard(target)
+    val fRaw = featureCounts(raw, idCol, textCol)
+    val ratios = logRatios(fRaw, featureCounts(target, idCol, textCol))
+    val w = fRaw.join(broadcast(ratios), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_cnt") * col("_w")).as("weight"))
+    raw.select(col(idCol).as("doc_id")).join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** Deterministic seeded Gumbel noise per doc: uniform from 60 md5
+    * bits of (seed, doc_id), then `−ln(−ln(u))`. */
+  private def gumbel(idCol: Column, seed: Long): Column = {
+    val u = (conv(substring(md5(concat(lit(s"dsir:$seed:"),
+      idCol.cast("string"))), 1, 15), 16, 10).cast("double") + 0.5) /
+      math.pow(16.0, 15)
+    -log(-log(u))
+  }
+
+  /** Select `k` raw docs by importance resampling: rank on
+    * `weight + Gumbel(seed)` (`noise = false` → plain top-k by
+    * weight; ties broken by doc_id for determinism). Output:
+    * (rank, doc_id, weight) — rank 1 = best. */
+  def resample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, seed: Long = 0L,
+      noise: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = importanceWeights(raw, target, idCol, textCol)
+    val keyed = w.withColumn("_g",
+      if (noise) col("weight") + gumbel(col("doc_id"), seed)
+      else col("weight"))
+    // TakeOrderedAndProject (orderBy+limit), never a global sort; the
+    // rank window runs over the k survivors only
+    val top = keyed.orderBy(col("_g").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("_g").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("weight"))
+  }
+}

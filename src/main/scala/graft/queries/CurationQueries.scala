@@ -294,7 +294,22 @@ object CurationQueries {
           .as("mean_quality"))
   }
 
+  /** curation_dsir — [[graft.operators.Dsir.resample]] (round-12):
+    * DSIR importance resampling. Target = the src0/src1 slice, raw =
+    * the rest; top-50 raw docs whose hashed-n-gram distribution is
+    * most target-like, Gumbel-seeded. Rows-only by design (float log
+    * sums — the vocab_train_bpe precedent); exact-arithmetic
+    * verification lives in Round12Spec. */
+  def curationDsir(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables(s, dir, "documents")
+    graft.operators.Dsir.resample(
+      d.filter(!col("source").isin("src0", "src1")),
+      d.filter(col("source").isin("src0", "src1")),
+      "doc_id", "text", k = 50, seed = 7L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_dsir" -> curationDsir,
     "curation_pipeline" -> curationPipeline,
     "curation_source_report" -> curationSourceReport,
     "curation_source_quota" -> curationSourceQuota,

@@ -252,6 +252,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("curation_dsir: broadcast ratio join, TakeOrdered selection (no global sort)") {
+    val qe = SparkEntry.queries("curation_dsir")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // the bucket-space ratio relation broadcasts onto doc features;
+    // selection is a per-partition-heap TakeOrderedAndProject, never
+    // a corpus-wide Sort; nothing plans a cartesian
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("exact-substring family: equi-joins only, agg-based first-occurrence (no corpus window)") {
     Seq("dedup_exact_substring", "dedup_substr_incr").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution

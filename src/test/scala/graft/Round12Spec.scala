@@ -878,6 +878,65 @@ class Round12Spec extends SparkSpec {
     assert(silver == Map(1L -> "a2", 3L -> "c2", 4L -> "d", 5L -> "e"))
   }
 
+  // ---- DSIR importance resampling ----------------------------------
+
+  test("DSIR weights match a hand-computed reference exactly; selection prefers target-like docs") {
+    val s = spark
+    import s.implicits._
+    // raw: two docs of target-ish vocabulary, two of off-target
+    val raw = Seq(
+      (1L, "alpha beta alpha"), (2L, "alpha beta gamma"),
+      (3L, "zz yy xx"), (4L, "qq rr ss")).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "alpha beta"), (101L, "beta gamma alpha")).toDF("doc_id", "text")
+    val got = graft.operators.Dsir
+      .importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // reference: identical formula in plain Scala (feature = unigrams
+    // + bigrams of the lowercased token stream; bucket = the feature
+    // itself, a faithful stand-in because md5-prefix bucketing is
+    // injective on this tiny vocabulary — no two features collide)
+    def feats(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val rawDocs = Map(1L -> "alpha beta alpha", 2L -> "alpha beta gamma",
+      3L -> "zz yy xx", 4L -> "qq rr ss")
+    val nR = rawDocs.values.toSeq.flatMap(feats)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = Seq("alpha beta", "beta gamma alpha").flatMap(feats)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val universe = (nR.keySet ++ nT.keySet).toSeq
+    val (totR, totT, u) =
+      (nR.values.sum, nT.values.sum, universe.size.toLong)
+    def ratio(f: String): Double =
+      math.log((nT.getOrElse(f, 0L) + 1).toDouble / (totT + u)) -
+        math.log((nR.getOrElse(f, 0L) + 1).toDouble / (totR + u))
+    val want = rawDocs.map { case (id, t) =>
+      id -> feats(t).map(ratio).sum
+    }
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 1e-9,
+        s"doc $id: got ${got(id)}, want $w")
+    }
+    // target-like docs outrank off-target ones decisively
+    assert(Seq(1L, 2L).map(got).min > Seq(3L, 4L).map(got).max + 1.0)
+    // noiseless top-k = exact weight order; Gumbel selection is
+    // deterministic per seed and k-sized
+    val plain = graft.operators.Dsir.resample(raw, target, "doc_id",
+      "text", k = 2, noise = false).select("doc_id").as[Long]
+      .collect().toSeq
+    assert(plain.toSet == Set(1L, 2L))
+    val g1 = graft.operators.Dsir.resample(raw, target, "doc_id",
+      "text", k = 3, seed = 9L).collect()
+    val g2 = graft.operators.Dsir.resample(raw, target, "doc_id",
+      "text", k = 3, seed = 9L).collect()
+    assert(g1.map(_.toSeq).toSeq == g2.map(_.toSeq).toSeq,
+      "same seed must select identically")
+    assert(g1.length == 3 &&
+      g1.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
   // ---- clone commit atomicity --------------------------------------
 
   test("clone carries constraints in its v0 commit — no unvalidated window") {

@@ -176,6 +176,7 @@ ROWS = [
           "sources/TxLogStreamSource.scala", "api"),
     (182, "Round12Spec (applyChanges + followStream CDC apply) | "
           "sources/TxLog.scala", "api"),
+    (183, "curation_dsir", "rows"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
