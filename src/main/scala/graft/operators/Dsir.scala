@@ -53,20 +53,32 @@ object Dsir {
 
   /** (doc_id, _b, _cnt): the doc's hashed feature counts — unigrams +
     * bigrams of the normalized token stream, bucket = first 4 md5 hex
-    * chars of the feature string. */
+    * chars of the feature string. Typed mapPartitions (one reused
+    * MessageDigest per partition) — the same compiled-beats-interpreted
+    * trade [[Dedup.shingles]] documents, byte-identical buckets. */
   private[graft] def featureCounts(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = array_remove(
-      split(Dedup.normalized(col(textCol)), " "), "")
-    val unigrams = toks
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"),
-      explode(concat(unigrams, bigrams)).as("_tok"))
-      .select(col("doc_id"), substring(md5(col("_tok")), 1, 4).as("_b"))
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      Dedup.normalized(col(textCol)).as("_t"))
+      .filter(col("_t").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(f: String): String = {
+          val d = md.digest(f.getBytes("UTF-8"))
+          f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
+        }
+        it.flatMap { case (id, t) =>
+          val w = t.split(" ").filter(_.nonEmpty)
+          val uni = w.iterator.map(bucket)
+          val bi = w.iterator.zip(w.iterator.drop(1))
+            .map { case (a, b) => bucket(a + " " + b) }
+          (uni ++ bi).map(b => (id, b))
+        }
+      }
+      .toDF("doc_id", "_b")
       .groupBy(col("doc_id"), col("_b"))
       .agg(count(lit(1)).as("_cnt"))
   }
@@ -95,8 +107,14 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     guard(raw); guard(target)
-    val fRaw = featureCounts(raw, idCol, textCol)
-    val ratios = logRatios(fRaw, featureCounts(target, idCol, textCol))
+    // each feature relation is consumed by BOTH the distribution agg
+    // (incl. its construction-time totals read) and the weighting
+    // join — checkpoint once instead of re-exploding the corpus per
+    // consumer ((doc, bucket)-count sized, far below the token
+    // stream; the blocks ride the result plan for [[Dedup.release]])
+    val fRaw = featureCounts(raw, idCol, textCol).localCheckpoint(true)
+    val ratios = logRatios(fRaw,
+      featureCounts(target, idCol, textCol).localCheckpoint(true))
     val w = fRaw.join(broadcast(ratios), Seq("_b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("_cnt") * col("_w")).as("weight"))

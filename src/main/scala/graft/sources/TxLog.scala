@@ -1589,6 +1589,9 @@ object TxLog {
       s"TxLog: applyChanges key '$k' is not a table column"))
     val src = changes.select((schema.fieldNames.map(col) :+
       col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*)
+    // an empty directive batch (e.g. a compaction-only feed span) is
+    // a no-op — never a table scan or an empty commit
+    if (src.isEmpty) return snap.version
     val dupKeys = src.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0,

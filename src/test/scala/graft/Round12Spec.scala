@@ -11,9 +11,14 @@ import graft.sources.TxLog
 /** Round-12 additions: the clone × incremental-consumption fixes
   * (dv-bearing clone v0 refuses / subtracts instead of resurrecting
   * deleted rows; streams on clones resolve absolute paths), streaming
-  * admission control (maxFilesPerTrigger / maxRowsPerTrigger), time
-  * travel by timestamp, and the clone commit carrying constraints
-  * atomically.
+  * admission control (maxFilesPerTrigger / maxRowsPerTrigger via
+  * SupportsAdmissionControl, incl. Trigger.AvailableNow), time travel
+  * by timestamp, the clone commit carrying constraints atomically,
+  * exact-substring dedup (batch + fingerprint-indexed incremental),
+  * the native txlog streaming sink, the CDC streaming source and
+  * CDC APPLY (applyChanges / followStream), DSIR importance
+  * resampling, and the randomized feed-follower model check that
+  * caught the CoW-after-MoR pre-image hole.
   */
 class Round12Spec extends SparkSpec {
 
@@ -876,6 +881,35 @@ class Round12Spec extends SparkSpec {
     }
     assert(silver == bronze)
     assert(silver == Map(1L -> "a2", 3L -> "c2", 4L -> "d", 5L -> "e"))
+  }
+
+  test("followStream: compaction-only source activity commits nothing on the follower") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("r12fnoop").toString
+    val p = new graft.etl.MedallionPipeline(spark, root, useTxLog = true)
+    import graft.etl.LoadType
+    import graft.quality.DataZone
+    p.write(DataZone.Bronze, "pts",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), LoadType.Full)
+    p.write(DataZone.Bronze, "pts",
+      Seq((3L, "c")).toDF("id", "name"), LoadType.Append)
+    val cp = tmp("r12fnoopck").toString
+    def run(body: => Unit): Unit = {
+      val q = p.followStream("fn", "pts", DataZone.Bronze, DataZone.Silver,
+        checkpointDir = Some(cp.toString))
+      try { body; q.processAllAvailable() } finally q.stop()
+    }
+    run(())
+    val vAfterLoad = TxLog.snapshot(spark,
+      p.path(DataZone.Silver, "pts")).version
+    // source compacts: the feed span is empty — the follower must not
+    // scan itself into a pointless commit
+    run { p.compact(DataZone.Bronze, "pts", rowsPerFile = 100L) }
+    assert(TxLog.snapshot(spark,
+      p.path(DataZone.Silver, "pts")).version == vAfterLoad,
+      "an empty feed span must leave the follower log untouched")
+    assert(idSet(p.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L))
   }
 
   // ---- DSIR importance resampling ----------------------------------
