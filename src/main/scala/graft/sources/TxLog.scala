@@ -1669,6 +1669,15 @@ object TxLog {
           .withColumn("_graft_del", col("_change_type") === "delete")
           .drop("_change_type", "_commit_version", "_graft_rn")
         if (!isLogged(sp, dir)) {
+          // a CREATING batch is the feed's insert-only initial load;
+          // deletes here mean the follower table vanished under an
+          // existing checkpoint — refuse rather than silently drop
+          // the delete directives into a fresh table
+          require(src.filter(col("_graft_del")).isEmpty,
+            s"TxLog: change-feed apply into $dir found DELETE " +
+              "directives while creating the follower — the target " +
+              "table is missing for an established feed; restore it " +
+              "or restart the follower from a fresh checkpoint")
           val inserts = src.filter(!col("_graft_del")).drop("_graft_del")
           commitOverwrite(sp, dir, inserts, statsCols,
             txn = Some((appId, batchId)))
