@@ -2088,6 +2088,20 @@ object TxLog {
   def readAt(spark: SparkSession, dir: String, ts: Long): DataFrame =
     read(spark, dir, Some(versionAt(spark, dir, ts)))
 
+  /** The dual of [[versionAt]]: the EARLIEST version committed
+    * at-or-after `ts` — what a streaming consumer's
+    * `startingTimestamp` resolves through (Delta's rule). Refuses a
+    * `ts` beyond the last commit (nothing starts there — use
+    * `startingVersion=latest` to tail only new commits). */
+  def versionAtOrAfter(spark: SparkSession, dir: String, ts: Long): Long = {
+    val tss = commitTimestamps(spark, dir)
+    tss.find(_._2 >= ts).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"TxLog: no commit of $dir at or after timestamp $ts (last is " +
+          s"${tss.last._2}) — use startingVersion=latest to consume " +
+          "only future commits"))
+  }
+
   /** [[clone]] of the table as it stood at wall-clock `ts`. */
   def cloneAt(spark: SparkSession, sourceDir: String, targetDir: String,
       ts: Long): Long =

@@ -99,7 +99,13 @@ class TxLogStreamProvider extends StreamSourceProvider
     new TxLogSource(sqlContext.sparkSession, dir(parameters),
       cap(parameters, "maxFilesPerTrigger"),
       cap(parameters, "maxRowsPerTrigger"),
-      cdc = flag(parameters, "readChangeFeed"))
+      cdc = flag(parameters, "readChangeFeed"),
+      startingVersion = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("startingVersion") => v
+      },
+      startingTimestamp = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("startingTimestamp") => v.toLong
+      })
 
   /** `.writeStream.format("txlog")`: the native logged SINK — each
     * micro-batch commits under an (appId, batchId) txn marker, so
@@ -171,7 +177,9 @@ object TxLogSource {
 
 class TxLogSource(spark: SparkSession, dir: String,
     maxFiles: Option[Long], maxRows: Option[Long],
-    cdc: Boolean = false)
+    cdc: Boolean = false,
+    startingVersion: Option[String] = None,
+    startingTimestamp: Option[Long] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -188,6 +196,29 @@ class TxLogSource(spark: SparkSession, dir: String,
     case l: LongOffset => l.offset
     case s: SerializedOffset => LongOffset(s).offset
     case c: ConnOffset => c.json.trim.toLong
+  }
+
+  /** Where a FRESH query begins (Delta's startingVersion /
+    * startingTimestamp): −1 = full initial load (default);
+    * `startingVersion=latest` tails only commits after query start;
+    * a number includes THAT version's additions onward; a timestamp
+    * resolves to the earliest commit at-or-after it. Resolved once at
+    * source construction; restarts ignore it (the engine's offset log
+    * wins, same as Delta). At 100 TB this is what lets a new consumer
+    * skip the table-sized initial load. */
+  private val since0: Long = (startingVersion, startingTimestamp) match {
+    case (Some(_), Some(_)) => throw new IllegalArgumentException(
+      "txlog source: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    case (Some(v), _) if v.equalsIgnoreCase("latest") =>
+      TxLog.snapshot(spark, dir).version
+    case (Some(v), _) =>
+      val n = v.toLong
+      require(n >= 0, s"txlog source: startingVersion must be >= 0 " +
+        s"or 'latest', got $n")
+      n - 1
+    case (_, Some(ts)) => TxLog.versionAtOrAfter(spark, dir, ts) - 1
+    case _ => -1L
   }
 
   /** The (files, rows) stream-cost of each commit, parsed once — log
@@ -228,7 +259,7 @@ class TxLogSource(spark: SparkSession, dir: String,
     * skips), so maintenance never stalls data behind the cap. */
   override def latestOffset(start: ConnOffset, limit: ReadLimit)
       : ConnOffset = {
-    val since = Option(start).map(o => version(o)).getOrElse(-1L)
+    val since = Option(start).map(o => version(o)).getOrElse(since0)
     val headNow = TxLog.snapshot(spark, dir).version
     val head = availableEnd.fold(headNow)(math.min(headNow, _))
     val next =
@@ -263,7 +294,7 @@ class TxLogSource(spark: SparkSession, dir: String,
     Some(LongOffset(TxLog.snapshot(spark, dir).version))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val since = start.map(o => version(o)).getOrElse(-1L)
+    val since = start.map(o => version(o)).getOrElse(since0)
     val until = version(end)
     if (cdc) {
       // CHANGE-FEED mode (Delta's readChangeFeed): the span's

@@ -191,6 +191,70 @@ class Round12Spec extends SparkSpec {
       s"capped restart lost or duplicated rows: ${got.sorted}")
   }
 
+  test("startingVersion / startingTimestamp: a new stream skips the initial load") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r12start").toString
+    TxLog.commitOverwrite(spark, dir, df(1, 2))   // v0
+    TxLog.commitAppend(spark, dir, df(3))         // v1
+    TxLog.commitAppend(spark, dir, df(4))         // v2
+    setCommitTime(dir, 0, 100000L)
+    setCommitTime(dir, 1, 200000L)
+    setCommitTime(dir, 2, 300000L)
+    def drain(opts: Map[String, String], after: => Unit = ()): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val r0 = spark.readStream.format("txlog")
+      val q = opts.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }
+        .load(dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("r12startck").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.select("id").as[Long].collect(); ()
+        }.start()
+      try { q.processAllAvailable(); after; q.processAllAvailable() }
+      finally q.stop()
+      got.toSeq
+    }
+    // numeric: includes THAT version's additions onward
+    assert(drain(Map("startingVersion" -> "1")).sorted == Seq(3L, 4L))
+    // latest: only commits made after query start
+    assert(drain(Map("startingVersion" -> "latest"),
+      after = TxLog.commitAppend(spark, dir, df(9))) == Seq(9L))
+    // timestamp: earliest commit at-or-after it (v1's 200000)
+    assert(drain(Map("startingTimestamp" -> "150000")).sorted ==
+      Seq(3L, 4L, 9L))
+    // beyond the last commit: refuse with the latest hint
+    val e = intercept[Exception] {
+      drain(Map("startingTimestamp" -> (System.currentTimeMillis() +
+        1000000L).toString))
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("startingVersion=latest")) ||
+        mentions(t.getCause))
+    assert(mentions(e), s"wrong refusal: $e")
+    // both options refuse
+    val e2 = intercept[Exception] {
+      drain(Map("startingVersion" -> "1", "startingTimestamp" -> "1"))
+    }
+    def mutex(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("mutually exclusive")) ||
+        mutex(t.getCause))
+    assert(mutex(e2), s"wrong refusal: $e2")
+    // CDC composes: the feed from startingVersion=2 is v2's insert only
+    val feed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val qf = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("r12startcdc").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        feed ++= b.select(col("id"), col("_change_type"))
+          .as[(Long, String)].collect(); ()
+      }.start()
+    try qf.processAllAvailable() finally qf.stop()
+    assert(feed.sorted == Seq((4L, "insert"), (9L, "insert")))
+  }
+
   // ---- time travel by timestamp ------------------------------------
 
   private def setCommitTime(dir: String, v: Long, ts: Long): Unit =

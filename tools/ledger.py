@@ -177,6 +177,8 @@ ROWS = [
     (182, "Round12Spec (applyChanges + followStream CDC apply) | "
           "sources/TxLog.scala", "api"),
     (183, "curation_dsir", "rows"),
+    (184, "Round12Spec (startingVersion/startingTimestamp) | "
+          "sources/TxLogStreamSource.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
