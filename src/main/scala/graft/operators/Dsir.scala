@@ -60,6 +60,18 @@ object Dsir {
       textCol: String): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // a non-numeric id would cast to null here and every weight
+    // downstream would silently come back 0 — fail fast instead,
+    // matching the caller-named-column discipline of the rest of the
+    // operator surface (e.g. winnow's analysis checks)
+    val idType = docs.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(idType),
+      s"DSIR id column '$idCol' must be an integral type, got " +
+        s"${idType.simpleString}; hash string ids to long first " +
+        "(e.g. xxhash64(id))")
     docs.select(col(idCol).cast("long").as("doc_id"),
       Dedup.normalized(col(textCol)).as("_t"))
       .filter(col("_t").isNotNull)

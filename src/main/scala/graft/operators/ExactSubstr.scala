@@ -21,12 +21,12 @@ import org.apache.spark.sql.functions._
   * maximal repeated spans of length ≥ k (a window-granular
   * over-approximation of at most k−1 tokens at each span edge).
   *
-  * Pipeline: normalize → token array → per-start xxhash64 of the
-  * k-token window (computed INSIDE the row via a higher-order
-  * `transform`/`slice`, no self-join) → corpus-frequency of each
-  * window hash (one map-side-combined groupBy) → duplicated starts →
-  * covered token positions → per-doc rewrite keeping uncovered
-  * tokens in order.
+  * Pipeline: normalize → token array → per-start 128-bit window
+  * identity (xxhash64 under two seeds, computed INSIDE the row via a
+  * higher-order `transform`/`slice`, no self-join) → corpus-frequency
+  * of each window identity (one map-side-combined groupBy) →
+  * duplicated starts → covered token positions → per-doc rewrite
+  * keeping uncovered tokens in order.
   *
   * `keepFirst = true` (default, the paper's all-but-one policy) keeps
   * the globally first occurrence of each repeated window ordered by
@@ -35,9 +35,9 @@ import org.apache.spark.sql.functions._
   * occurrence (the more aggressive policy some open implementations
   * apply).
   *
-  * Scale: the shingle relation is one row per token (hash-only, 8
+  * Scale: the shingle relation is one row per token (hash-only, 16
   * bytes — the window TEXT never shuffles); frequency is a map-side
-  * combined count on the hash; only DUPLICATED starts explode into
+  * combined count on the 128-bit identity; only DUPLICATED starts explode into
   * covered positions (duplicated-content-sized × k, not corpus ×
   * k); the rewrite shuffles once on doc_id buffering one document
   * per group — the same envelope as [[Paragraph]]. Stop-window skew
@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
 object ExactSubstr {
 
   private def guard(docs: DataFrame): Unit =
-    Seq("_pos", "_tok", "_h", "_cnt", "_first", "_rm", "_toks",
+    Seq("_pos", "_tok", "_h1", "_h2", "_cnt", "_first", "_rm", "_toks",
       "n_tokens", "n_removed", "text_clean").foreach(c =>
       require(!docs.columns.contains(c),
         s"input column $c collides with exact-substring internals; rename it first"))
@@ -61,19 +61,30 @@ object ExactSubstr {
     docs.select(col(idCol).as("doc_id"), toks.as("_toks"))
   }
 
-  /** (doc_id, _pos, _h): the xxhash64 of the k-token window starting
-    * at each position — computed in-row via `transform`/`slice`, so
-    * the only per-token state that ever leaves the scan is an 8-byte
-    * hash. Docs shorter than one window filter out BEFORE sequence()
-    * (which would count backwards for a negative end). */
+  /** (doc_id, _pos, _h1, _h2): a 128-bit identity of the k-token
+    * window starting at each position — xxhash64 under two seeds (the
+    * bare hash and the hash salted with a distinct leading literal),
+    * computed in-row via `transform`/`slice`, so the only per-token
+    * state that ever leaves the scan is 16 bytes of hash. 64 bits
+    * alone cannot carry the declared 100 TB target: at ~10^13
+    * distinct windows, birthday collisions produce ~10^6 false
+    * window matches, each silently deleting up to k tokens of UNIQUE
+    * text; at 128 bits the expected collision count is ~10^-12 —
+    * the same discipline as [[Paragraph.ParagraphIndex]]'s md5. Docs
+    * shorter than one window filter out BEFORE sequence() (which
+    * would count backwards for a negative end). */
   private def windowStarts(base: DataFrame, k: Int): DataFrame =
     base.filter(size(col("_toks")) >= k)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), size(col("_toks")) - k),
-          i => xxhash64(concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))))
-        ).as(Seq("_pos", "_h")))
-      .select(col("doc_id"), col("_pos").cast("long").as("_pos"), col("_h"))
+          i => {
+            val win = concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))
+            struct(xxhash64(win).as("_h1"),
+              xxhash64(lit(0x9E3779B97F4A7C15L), win).as("_h2"))
+          })).as(Seq("_pos", "_h")))
+      .select(col("doc_id"), col("_pos").cast("long").as("_pos"),
+        col("_h._h1").as("_h1"), col("_h._h2").as("_h2"))
 
   /** Rebuild one row per input doc from duplicated window starts:
     * explode each into its covered token positions, flag, and re-join
@@ -126,11 +137,11 @@ object ExactSubstr {
     // globally first occurrence (min over the unique (doc_id, pos)
     // pair) — an agg, never a window, so a million-fold repeated
     // window costs a counter, not a sort
-    val freq = starts.groupBy(col("_h"))
+    val freq = starts.groupBy(col("_h1"), col("_h2"))
       .agg(count(lit(1)).as("_cnt"),
         min(struct(col("doc_id"), col("_pos"))).as("_first"))
       .filter(col("_cnt") >= 2)
-    val dupStarts = starts.join(freq, Seq("_h"))
+    val dupStarts = starts.join(freq, Seq("_h1", "_h2"))
       .filter(if (keepFirst)
         !(col("doc_id") === col("_first.doc_id") &&
           col("_pos") === col("_first._pos"))
@@ -139,11 +150,12 @@ object ExactSubstr {
   }
 
   /** The standing corpus' repeated-window fingerprint: the DISTINCT
-    * xxhash64 of every k-token window the corpus contains, plus the
-    * k it was derived under (like [[Paragraph.ParagraphIndex]], the
-    * parameter travels WITH the relation — a probe windowed
-    * differently would silently match nothing). 8 bytes per distinct
-    * window on disk; no text. */
+    * 128-bit identity (`_h1`, `_h2` — xxhash64 under two seeds) of
+    * every k-token window the corpus contains, plus the k it was
+    * derived under (like [[Paragraph.ParagraphIndex]], the parameter
+    * travels WITH the relation — a probe windowed differently would
+    * silently match nothing). 16 bytes per distinct window on disk;
+    * no text. */
   final case class SubstrIndex(hashes: DataFrame, k: Int)
 
   /** Derive a [[SubstrIndex]] from a corpus — one scan + one
@@ -154,29 +166,38 @@ object ExactSubstr {
     guard(corpus)
     SubstrIndex(
       windowStarts(tokenized(corpus, idCol, textCol), k)
-        .select(col("_h")).distinct(),
+        .select(col("_h1"), col("_h2")).distinct(),
       k)
   }
 
   /** Persist/load a [[SubstrIndex]] as a parquet table bucketed by the
-    * probe key ([[graft.sources.BucketedTables]]); k rides in the meta
-    * table. */
+    * probe key ([[graft.sources.BucketedTables]]); k and the hash
+    * width ride in the meta table — `hash_bits` lets [[loadSubstrIndex]]
+    * REFUSE a pre-round-13 single-xxhash64 index instead of silently
+    * probing 64-bit identities against a 128-bit batch. */
   def saveSubstrIndex(index: SubstrIndex, prefix: String, path: String,
       nBuckets: Int = 64): Unit = {
     val s = index.hashes.sparkSession
     graft.sources.BucketedTables.save(index.hashes, s"${prefix}_substr",
-      s"$path/substr", Seq("_h"), nBuckets)
+      s"$path/substr", Seq("_h1", "_h2"), nBuckets)
     import s.implicits._
-    Seq((index.k, nBuckets)).toDF("k", "n_buckets")
+    Seq((index.k, nBuckets, 128)).toDF("k", "n_buckets", "hash_bits")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadSubstrIndex(s: org.apache.spark.sql.SparkSession,
       prefix: String, path: String): SubstrIndex = {
-    val meta = s.read.parquet(s"$path/meta").head()
+    val metaDf = s.read.parquet(s"$path/meta")
+    require(metaDf.columns.contains("hash_bits"),
+      s"substr index at $path predates 128-bit window identity " +
+        "(round 13); rebuild it with buildSubstrIndex/saveSubstrIndex")
+    val meta = metaDf.head()
+    require(meta.getAs[Int]("hash_bits") == 128,
+      s"substr index at $path has unsupported hash width " +
+        s"${meta.getAs[Int]("hash_bits")}; expected 128")
     SubstrIndex(
       hashes = graft.sources.BucketedTables.load(s, s"${prefix}_substr",
-        s"$path/substr", "_h BIGINT", Seq("_h"),
+        s"$path/substr", "_h1 BIGINT, _h2 BIGINT", Seq("_h1", "_h2"),
         meta.getAs[Int]("n_buckets")),
       k = meta.getAs[Int]("k"))
   }
@@ -191,14 +212,14 @@ object ExactSubstr {
     * contributes only its hash fingerprint — bucketed on the probe
     * key when loaded from [[saveSubstrIndex]], so nothing
     * corpus-sized shuffles per ingest; the probe is a left_semi
-    * equi-join on the 8-byte hash. Output shape identical to
-    * [[dedupSpans]]. */
+    * equi-join on the 16-byte 128-bit identity. Output shape
+    * identical to [[dedupSpans]]. */
   def cleanAgainstIndex(index: SubstrIndex, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     guard(batch)
     val base = tokenized(batch, idCol, textCol)
     val dupStarts = windowStarts(base, index.k)
-      .join(index.hashes, Seq("_h"), "left_semi")
+      .join(index.hashes, Seq("_h1", "_h2"), "left_semi")
     rewrite(batch, idCol, base, dupStarts, index.k)
   }
 }

@@ -350,9 +350,10 @@ object DedupQueries {
       WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)
         AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""
 
-  // the engine groups windows by xxhash64 (8-byte shuffle key); the
-  // oracle groups by the window STRING — identical modulo hash
-  // collisions, which at any verification scale are absent
+  // the engine groups windows by a 128-bit identity (xxhash64 under
+  // two seeds, 16-byte shuffle key); the oracle groups by the window
+  // STRING — identical up to 128-bit collisions, negligible even at
+  // the 100 TB target (~1e-12 expected at 1e13 windows)
   private val exactSubstrOracle: String = {
     val k = 8
     val joins = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
