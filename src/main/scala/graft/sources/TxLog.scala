@@ -1669,11 +1669,17 @@ object TxLog {
           .withColumn("_graft_del", col("_change_type") === "delete")
           .drop("_change_type", "_commit_version", "_graft_rn")
         if (!isLogged(sp, dir)) {
-          // a CREATING batch is the feed's insert-only initial load;
-          // deletes here mean the follower table vanished under an
-          // existing checkpoint — refuse rather than silently drop
-          // the delete directives into a fresh table
-          require(src.filter(col("_graft_del")).isEmpty,
+          // a CREATING batch: on the FIRST batch of a fresh
+          // checkpoint an uncapped feed read can span the source's
+          // whole DML history, so a key whose net state in the span
+          // is 'deleted' legitimately yields a delete directive — its
+          // net state in a table being created is simply absence, so
+          // drop it. On a LATER batch (batchId > 0) deletes into a
+          // missing table mean the follower vanished under an
+          // established checkpoint — refuse rather than silently
+          // recreate a partial table
+          require(batchId == 0L ||
+            src.filter(col("_graft_del")).isEmpty,
             s"TxLog: change-feed apply into $dir found DELETE " +
               "directives while creating the follower — the target " +
               "table is missing for an established feed; restore it " +
@@ -1925,11 +1931,26 @@ object TxLog {
     * Delta's streaming source without ignoreChanges) — except the
     * table-creating commit when reading from `-1`, which is the
     * initial load. Cost: log metadata + a scan of ONLY the delta
-    * files. */
+    * files.
+    *
+    * The refusal has Delta's two documented escape hatches for
+    * appends-only consumers that accept missing corrections:
+    * `ignoreDeletes` skips DELETE commits entirely (a CoW delete's
+    * adds are rewrites of surviving, already-consumed rows — like a
+    * compaction — and a MoR delete adds nothing, so skipping the
+    * commit neither duplicates nor resurrects); `skipChangeCommits`
+    * additionally skips UPDATE / row-rewriting MERGE / mid-span
+    * OVERWRITE commits wholesale — the consumer then silently misses
+    * the changed rows, which is the option's documented contract.
+    * Without either flag ONE DML commit on a curated table would
+    * permanently brick every appends-only downstream. */
   def changesSince(spark: SparkSession, dir: String, sinceVersion: Long,
-      untilVersion: Option[Long] = None): DataFrame = {
+      untilVersion: Option[Long] = None,
+      skipChangeCommits: Boolean = false,
+      ignoreDeletes: Boolean = false): DataFrame = {
     val (added, schema, mapping) =
-      changedFiles(spark, dir, sinceVersion, untilVersion)
+      changedFiles(spark, dir, sinceVersion, untilVersion,
+        skipChangeCommits, ignoreDeletes)
     readAdded(spark, dir, added, schema, mapping)
   }
 
@@ -1958,7 +1979,9 @@ object TxLog {
     * vacuumed delta files) applied here so both consumption forms get
     * identical contracts. */
   def changedFiles(spark: SparkSession, dir: String, sinceVersion: Long,
-      untilVersion: Option[Long] = None)
+      untilVersion: Option[Long] = None,
+      skipChangeCommits: Boolean = false,
+      ignoreDeletes: Boolean = false)
       : (Seq[TxFile], StructType, Map[String, String]) = {
     val (commits, _) = listLog(spark, dir)
     require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
@@ -1999,9 +2022,21 @@ object TxLog {
           (j \ "add").extract[Seq[TxFile]]
         case "constraints" | "rename" | "drop" =>
           Nil // metadata only, no rows
+        case "delete" | "delete-dv" if skipChangeCommits || ignoreDeletes =>
+          // skipped wholesale: a CoW delete's adds are rewrites of
+          // surviving rows the consumer already has; a MoR delete's
+          // adds re-register files under a vector. Emitting either
+          // would duplicate, skipping both loses only the deletion —
+          // exactly what the flag opts into
+          Nil
+        case "update" | "update-dv" | "merge" | "overwrite"
+            if skipChangeCommits =>
+          Nil // the consumer accepts missing these commits' changes
         case op => throw new IllegalArgumentException(
           s"TxLog: commit $v is '$op' — the span's delta is not " +
-            "expressible as additions; re-read the full snapshot")
+            "expressible as additions; re-read the full snapshot, " +
+            "stream with readChangeFeed, or opt in to skipping DML " +
+            "commits (skipChangeCommits / ignoreDeletes)")
       }
     }
     // an appended file later compacted away AND vacuumed is gone from
@@ -2033,10 +2068,19 @@ object TxLog {
     * adds are rewrites [[changedFiles]] skips, so admitting them
     * against the cap would stall real data behind maintenance). */
   private[sources] def commitAddCost(spark: SparkSession, dir: String,
-      v: Long): (Long, Long) = {
+      v: Long, skipChangeCommits: Boolean = false,
+      ignoreDeletes: Boolean = false): (Long, Long) = {
     val f = fs(spark, logPath(dir))
     val j = JsonMethods.parse(readText(f, versionFile(dir, v)))
-    if ((j \ "op").extract[String] == "compact") (0L, 0L)
+    val op = (j \ "op").extract[String]
+    val skipped = op == "compact" ||
+      (Seq("delete", "delete-dv").contains(op) &&
+        (skipChangeCommits || ignoreDeletes)) ||
+      (skipChangeCommits && Seq("update", "update-dv").contains(op)) ||
+      (skipChangeCommits && op == "overwrite" && v > 0) || // v0 = initial load
+      (skipChangeCommits && op == "merge" &&
+        (j \ "remove").extract[Seq[String]].nonEmpty)
+    if (skipped) (0L, 0L) // contributes no stream rows — budget-free
     else {
       val adds = (j \ "add").extract[Seq[TxFile]]
       (adds.size.toLong, adds.map(_.rows).sum)
@@ -2125,8 +2169,11 @@ object TxLog {
     * (its retraction is the whole prior table, not a delta) — except
     * the table-creating commit when reading from `-1`. Cost: log
     * metadata + scans of only the span's added/removed files, plus
-    * one delta-sized exceptAll shuffle per DML commit. Like
-    * [[changesSince]], refuses when a needed file was vacuumed. */
+    * one delta-sized exceptAll shuffle per DML commit; the v−1
+    * pre-image state is replayed ONCE and advanced incrementally
+    * across the span (a DML-heavy span costs one log replay, not one
+    * per DML commit). Like [[changesSince]], refuses when a needed
+    * file was vacuumed. */
   def changeFeed(spark: SparkSession, dir: String, sinceVersion: Long,
       untilVersion: Option[Long] = None): DataFrame = {
     val (commits, _) = listLog(spark, dir)
@@ -2172,11 +2219,27 @@ object TxLog {
     def stamp(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
+    // v−1 file state for DML pre-images, maintained INCREMENTALLY:
+    // seeded lazily by ONE snapshot at the first commit that needs a
+    // pre-image, then advanced per commit through the same applyCommit
+    // replay the snapshot reader uses — a long span over a
+    // copy-on-write table costs zero extra log replays, and a
+    // DML-heavy span costs one, not one per DML commit
+    var prevState: State = null
+    def prevFiles(v: Long): Map[String, TxFile] = {
+      if (prevState == null) {
+        prevState = new State
+        if (v > 0)
+          snapshot(spark, dir, Some(v - 1)).files
+            .foreach(fl => prevState.files(fl.path) = fl)
+      }
+      prevState.files.toMap
+    }
     val legs = span.flatMap { v =>
       val j = JsonMethods.parse(readText(f, versionFile(dir, v)))
       val adds = (j \ "add").extract[Seq[TxFile]].map(_.path)
       val removes = (j \ "remove").extract[Seq[String]]
-      (j \ "op").extract[String] match {
+      val out: Seq[DataFrame] = (j \ "op").extract[String] match {
         case "append" => Seq(stamp(readFiles(adds, v), "insert", v))
         case "compact" | "constraints" | "rename" | "drop" => Nil
         case "overwrite" | "clone" if v == 0 && sinceVersion < 0 =>
@@ -2215,8 +2278,7 @@ object TxLog {
           // deletes — the same class as the clone-v0 hole, at the
           // CoW-after-MoR intersection (caught by the randomized
           // feed-follower model check)
-          val prevEntries = snapshot(spark, dir, Some(v - 1)).files
-            .map(fl => fl.path -> fl).toMap
+          val prevEntries = prevFiles(v)
           val removedEntries = removes.map(p =>
             prevEntries.getOrElse(p, TxFile(p, 0L)))
           val pre =
@@ -2250,10 +2312,9 @@ object TxLog {
           // relations are deleted-rows sized); inserts = the commit's
           // genuinely new files (an update's post-images)
           val entries = (j \ "add").extract[Seq[TxFile]]
-          val prevFiles = snapshot(spark, dir, Some(v - 1)).files
-            .map(fl => fl.path -> fl).toMap
+          val prevAt = prevFiles(v)
           val (reAdds, newFiles) =
-            entries.partition(e => prevFiles.contains(e.path))
+            entries.partition(e => prevAt.contains(e.path))
           val touchedPaths = reAdds.map(_.path)
           val goneData = touchedPaths.filterNot(p =>
             if (p.contains("/")) fs(spark, new Path(dir))
@@ -2264,7 +2325,7 @@ object TxLog {
               "were vacuumed; change feed from this version is no " +
               "longer possible; re-read the full snapshot")
           val dvPaths = (reAdds.flatMap(_.dv) ++
-            touchedPaths.flatMap(p => prevFiles(p).dv)).distinct
+            touchedPaths.flatMap(p => prevAt(p).dv)).distinct
           val goneDv = dvPaths.filterNot(p =>
             f.exists(resolvePath(dir, p)))
           require(goneDv.isEmpty,
@@ -2282,7 +2343,7 @@ object TxLog {
               .parquet(paths.map(p => resolveData(dir, p)): _*)
               .filter(col("file").isInCollection(touchedNames)))
           val newRel = dvRel(reAdds.flatMap(_.dv).distinct).get
-          val fresh = dvRel(touchedPaths.flatMap(p => prevFiles(p).dv)
+          val fresh = dvRel(touchedPaths.flatMap(p => prevAt(p).dv)
             .distinct).fold(newRel)(old => newRel.except(old))
           val raw =
             readFilesTagged(spark, dir, schema, touchedPaths, mapping)
@@ -2298,6 +2359,8 @@ object TxLog {
           s"TxLog: commit $v is '$op' — its retraction is the whole " +
             "prior table, not a delta; re-read the full snapshot")
       }
+      if (prevState != null) applyCommit(prevState, j)
+      out
     }
     legs.reduceOption(_.unionByName(_)).getOrElse {
       val empty = spark.createDataFrame(

@@ -48,7 +48,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   * admission budget); an overwrite inside a span fails the stream (not
   * expressible as additions — same as Delta's source without
   * ignoreChanges); a truncated/vacuumed span, or a clone-v0 carrying
-  * deletion vectors, refuses with the re-seed message. A dv-FREE
+  * deletion vectors, refuses with the re-seed message. Delta's two
+  * documented escape hatches exist for appends-only consumers:
+  * `.option("ignoreDeletes", true)` skips DELETE commits wholesale
+  * (nothing duplicates or resurrects — a CoW delete's adds are
+  * rewrites of already-streamed rows, a MoR delete's are re-registered
+  * files under a vector), `.option("skipChangeCommits", true)`
+  * additionally skips UPDATE / row-rewriting MERGE / mid-span
+  * OVERWRITE commits — the stream then silently misses those commits'
+  * changes, the option's documented contract. Skipped commits cost
+  * zero admission budget. Both flags refuse under `readChangeFeed`
+  * (the feed already expresses DML as row-level diffs). A dv-FREE
   * clone streams fine: its absolute v0 entries resolve through the
   * same [[TxLog.readAdded]] helper `changesSince` uses. Cost per
   * micro-batch: log metadata + a scan of only the delta files.
@@ -95,17 +105,26 @@ class TxLogStreamProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val cdc = flag(parameters, "readChangeFeed")
+    val skipChanges = flag(parameters, "skipChangeCommits")
+    val ignoreDels = flag(parameters, "ignoreDeletes")
+    require(!(cdc && (skipChanges || ignoreDels)),
+      "txlog source: skipChangeCommits/ignoreDeletes apply to the " +
+        "plain source only — the change feed already expresses DML")
     new TxLogSource(sqlContext.sparkSession, dir(parameters),
       cap(parameters, "maxFilesPerTrigger"),
       cap(parameters, "maxRowsPerTrigger"),
-      cdc = flag(parameters, "readChangeFeed"),
+      cdc = cdc,
       startingVersion = parameters.collectFirst {
         case (k, v) if k.equalsIgnoreCase("startingVersion") => v
       },
       startingTimestamp = parameters.collectFirst {
         case (k, v) if k.equalsIgnoreCase("startingTimestamp") => v.toLong
-      })
+      },
+      skipChangeCommits = skipChanges,
+      ignoreDeletes = ignoreDels)
+  }
 
   /** `.writeStream.format("txlog")`: the native logged SINK — each
     * micro-batch commits under an (appId, batchId) txn marker, so
@@ -127,8 +146,19 @@ class TxLogStreamProvider extends StreamSourceProvider
     require(outputMode == OutputMode.Append() ||
       outputMode == OutputMode.Complete(),
       s"txlog sink supports Append and Complete output modes, got $outputMode")
+    // an explicit appId is used verbatim; a checkpoint-derived one is
+    // CANONICALIZED (resolved, scheme-qualified URI) first — the same
+    // logical checkpoint spelled differently across restarts
+    // (relative vs absolute, scheme-qualified after a config change)
+    // must not mint a fresh idempotence scope, or a replayed
+    // uncommitted batch would commit twice
     val appId = parameters.get("appId")
-      .orElse(parameters.get("checkpointLocation")).getOrElse(
+      .orElse(parameters.get("checkpointLocation").map { c =>
+        val p = new org.apache.hadoop.fs.Path(c)
+        val fc = p.getFileSystem(
+          sqlContext.sparkSession.sessionState.newHadoopConf())
+        p.makeQualified(fc.getUri, fc.getWorkingDirectory).toUri.toString
+      }).getOrElse(
         throw new IllegalArgumentException(
           "txlog sink needs an idempotence scope: set " +
             ".option(\"checkpointLocation\", …) (usual) or an explicit " +
@@ -179,7 +209,9 @@ class TxLogSource(spark: SparkSession, dir: String,
     maxFiles: Option[Long], maxRows: Option[Long],
     cdc: Boolean = false,
     startingVersion: Option[String] = None,
-    startingTimestamp: Option[Long] = None)
+    startingTimestamp: Option[Long] = None,
+    skipChangeCommits: Boolean = false,
+    ignoreDeletes: Boolean = false)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -226,7 +258,8 @@ class TxLogSource(spark: SparkSession, dir: String,
   private val costCache =
     scala.collection.mutable.Map.empty[Long, (Long, Long)]
   private def costOf(v: Long): (Long, Long) =
-    costCache.getOrElseUpdate(v, TxLog.commitAddCost(spark, dir, v))
+    costCache.getOrElseUpdate(v, TxLog.commitAddCost(spark, dir, v,
+      skipChangeCommits, ignoreDeletes))
 
   /** Fixed end bound under Trigger.AvailableNow: the head at query
     * start. The engine keeps calling [[latestOffset]] until the
@@ -306,9 +339,18 @@ class TxLogSource(spark: SparkSession, dir: String,
       if (until <= since) PlanBridge.emptyStreamingBatch(spark, schema)
       else PlanBridge.asStreamingRdd(spark,
         TxLog.changeFeed(spark, dir, since, Some(until)))
+    } else if (until <= since) {
+      // startingVersion=latest re-resolves since0 to the CURRENT head
+      // at every source construction; a crash between offset-WAL
+      // write and commit, plus table commits while the query is down,
+      // restarts with getBatch(None, oldEnd) where since0 > oldEnd —
+      // an empty batch, not a changedFiles refusal loop (the CDC
+      // branch has the same guard)
+      PlanBridge.emptyStreamingBatch(spark, schema)
     } else {
       val (added, spanSchema, mapping) =
-        TxLog.changedFiles(spark, dir, since, Some(until))
+        TxLog.changedFiles(spark, dir, since, Some(until),
+          skipChangeCommits, ignoreDeletes)
       if (added.isEmpty) PlanBridge.emptyStreamingBatch(spark, spanSchema)
       else PlanBridge.asStreamingBatch(spark,
         TxLog.readAdded(spark, dir, added, spanSchema, mapping))

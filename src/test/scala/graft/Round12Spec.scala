@@ -510,9 +510,15 @@ class Round12Spec extends SparkSpec {
     assert(idSet(TxLog.read(spark, out)) == Set(1L, 2L, 3L))
     // the sink is at-least-once underneath: simulate the recovery
     // replay of batch 1 under the sink's marker scope (appId defaults
-    // to the checkpoint location) — recognized, nothing lands
+    // to the CANONICALIZED checkpoint location — round 13 — so a
+    // respelled path cannot mint a fresh scope) — recognized, nothing
+    // lands
+    val cpP = new org.apache.hadoop.fs.Path(cp)
+    val cpFs = cpP.getFileSystem(spark.sessionState.newHadoopConf())
+    val canonicalCp = cpP.makeQualified(cpFs.getUri,
+      cpFs.getWorkingDirectory).toUri.toString
     val vBefore = TxLog.snapshot(spark, out).version
-    TxLog.commitAppend(spark, out, df(99), txn = Some((cp, 1L)))
+    TxLog.commitAppend(spark, out, df(99), txn = Some((canonicalCp, 1L)))
     assert(TxLog.snapshot(spark, out).version == vBefore)
     assert(TxLog.read(spark, out).count() == 3, "replay must not duplicate")
     // CHECK constraints gate the streaming path like any other write

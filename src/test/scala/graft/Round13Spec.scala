@@ -75,6 +75,174 @@ class Round13Spec extends SparkSpec {
     assert(out(2).getAs[String]("text_clean").startsWith("entirely unique"))
   }
 
+  // ---- skipChangeCommits / ignoreDeletes ---------------------------
+
+  test("batch changesSince: ignoreDeletes skips deletes; skipChangeCommits also skips updates") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13skip").toString
+    def df(ids: Long*): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, s"n$i")).toDF("id", "name")
+    graft.sources.TxLog.commitOverwrite(spark, dir,
+      df(1L to 10L: _*).repartition(2))                   // v0
+    graft.sources.TxLog.commitAppend(spark, dir, df(11, 12))  // v1
+    graft.sources.TxLog.delete(spark, dir, col("id") <= 3)    // v2 CoW delete
+    graft.sources.TxLog.commitAppend(spark, dir, df(13))      // v3
+
+    // default: the delete refuses, mentioning the escape hatches
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TxLog.changesSince(spark, dir, -1).count()
+    }
+    assert(e.getMessage.contains("skipChangeCommits"), e.getMessage)
+
+    // ignoreDeletes: v2 skipped wholesale — the delete is not
+    // reflected (documented), nothing duplicates (the CoW rewrite's
+    // adds are NOT emitted)
+    val ign = graft.sources.TxLog.changesSince(spark, dir, -1,
+      ignoreDeletes = true)
+    assert(ign.select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 13L))
+
+    graft.sources.TxLog.update(spark, dir, col("id") === 11,
+      Map("name" -> lit("updated")))                          // v4 CoW update
+    graft.sources.TxLog.commitAppend(spark, dir, df(14))      // v5
+
+    // ignoreDeletes alone still refuses the update
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.TxLog.changesSince(spark, dir, -1,
+        ignoreDeletes = true).count()
+    }
+    assert(e2.getMessage.contains("'update'"), e2.getMessage)
+
+    // skipChangeCommits skips delete AND update; appends still flow
+    val skp = graft.sources.TxLog.changesSince(spark, dir, -1,
+      skipChangeCommits = true)
+    assert(skp.select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 14L))
+  }
+
+  test("stream: skipChangeCommits lets appends flow through a MoR delete; default refuses; CDC refuses the flag") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13strm").toString
+    def df(ids: Long*): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, s"n$i")).toDF("id", "name")
+    graft.sources.TxLog.commitOverwrite(spark, dir, df(1, 2, 3))
+    graft.sources.TxLog.deleteMor(spark, dir, col("id") === 2)
+    graft.sources.TxLog.commitAppend(spark, dir, df(4, 5))
+
+    // default: the DML commit bricks the appends-only stream
+    val q0 = spark.readStream.format("txlog").load(dir)
+      .writeStream.format("memory").queryName("r13_noskip")
+      .option("checkpointLocation", tmp("r13ck0").toString)
+      .outputMode("append").start()
+    try {
+      intercept[Exception] { q0.processAllAvailable() }
+      ()
+    } finally q0.stop()
+
+    // skipChangeCommits: initial load + appends flow, delete skipped
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("txlog")
+      .option("skipChangeCommits", "true").load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("r13ck1").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("id").as[Long].collect(); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        "initial load keeps id=2 (v0 predates the delete); later appends flow")
+      graft.sources.TxLog.delete(spark, dir, col("id") === 4) // CoW too
+      graft.sources.TxLog.commitAppend(spark, dir, df(6))
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    } finally q.stop()
+
+    // the flags are refused in change-feed mode
+    val qc = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true")
+      .option("ignoreDeletes", "true").load(dir)
+      .writeStream.format("memory").queryName("r13_cdcflag")
+      .option("checkpointLocation", tmp("r13ck2").toString)
+      .outputMode("append")
+    val ce = intercept[Exception] { val qq = qc.start()
+      try qq.processAllAvailable() finally qq.stop() }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("plain source only")) ||
+        mentions(t.getCause))
+    assert(mentions(ce), s"wrong refusal: $ce")
+  }
+
+  test("startingVersion=latest: a stale end offset yields an empty batch, not a crash loop") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13latest").toString
+    graft.sources.TxLog.commitOverwrite(spark, dir,
+      Seq((1L, "a")).toDF("id", "name"))
+    graft.sources.TxLog.commitAppend(spark, dir,
+      Seq((2L, "b")).toDF("id", "name"))
+    // head is now 1; construct a source whose since0 resolves to the
+    // head, then replay a WAL offset from BEFORE the downtime commits
+    val src = new graft.sources.TxLogSource(spark, dir, None, None,
+      startingVersion = Some("latest"))
+    val b = src.getBatch(None,
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(0L))
+    // streaming-planned — don't execute; the point is that getBatch
+    // returned an EMPTY batch instead of a changedFiles refusal
+    assert(b.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(b.queryExecution.logical.toString.contains("LocalRelation"),
+      s"since0 > oldEnd must replay as an empty batch, got " +
+        b.queryExecution.logical)
+  }
+
+  test("txlog sink: checkpoint-derived appId is canonicalized — respelled path is the same idempotence scope") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13sink").toString
+    graft.sources.TxLog.commitOverwrite(spark, dir,
+      Seq((1L, "a")).toDF("id", "name"))
+    val ckReal = tmp("r13sinkck")
+    val prov = new graft.sources.TxLogStreamProvider
+    def sink(ck: String) = prov.createSink(spark.sqlContext,
+      Map("path" -> dir, "checkpointLocation" -> ck), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = Seq((2L, "b")).toDF("id", "name")
+    sink(ckReal.toString).addBatch(7L, batch)
+    // same logical checkpoint, different spelling: parent/../name
+    val respelled = s"${ckReal.getParent}/./${ckReal.getFileName}"
+    sink(respelled).addBatch(7L, batch) // replay — must be recognized
+    assert(graft.sources.TxLog.read(spark, dir).count() == 2L,
+      "a replayed batch under a respelled checkpoint path must not commit twice")
+  }
+
+  // ---- followStream on a source with DML history -------------------
+
+  test("followStream batch 0 over a whole DML history: net-deleted keys are absence, not a refusal") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("r13follow").toString
+    def df(ids: Long*): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, s"n$i")).toDF("id", "name")
+    graft.sources.TxLog.commitOverwrite(spark, src, df(1, 2, 3)) // v0
+    graft.sources.TxLog.commitAppend(spark, src, df(4))          // v1
+    graft.sources.TxLog.delete(spark, src, col("id") === 2)      // v2
+    // a fresh follower's uncapped first batch spans all three
+    // commits: key 2's net state is 'deleted' — that must create the
+    // follower WITHOUT key 2, not refuse
+    val dst = tmp("r13followdst").toString
+    val q = graft.sources.TxLog.changeFeedApplySink(
+      spark.readStream.format("txlog")
+        .option("readChangeFeed", "true").load(src),
+      dst, Seq("id"), "r13follow", tmp("r13followck").toString)
+    try {
+      q.processAllAvailable()
+      assert(graft.sources.TxLog.read(spark, dst)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   // ---- DSIR id-type guard ------------------------------------------
 
   test("DSIR refuses a non-integral id column instead of returning all-zero weights") {
