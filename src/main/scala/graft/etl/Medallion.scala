@@ -916,7 +916,8 @@ class MedallionPipeline(spark: SparkSession, root: String,
       key: Seq[String] = Seq("id"),
       checkpointDir: Option[String] = None,
       maxFilesPerTrigger: Option[Long] = None,
-      maxRowsPerTrigger: Option[Long] = None)
+      maxRowsPerTrigger: Option[Long] = None,
+      mor: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(useTxLog, "followStream requires useTxLog = true")
     val srcDir = requireLogged(sourceZone, dataset, "followStream")
@@ -932,7 +933,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
         s"${path(targetZone, dataset)}/_graft_ckpt_$jobId"),
       // the follower may not exist yet (first batch creates it) —
       // derive the stats columns from the source's identical schema
-      statsColsOf(sourceZone, dataset))
+      statsColsOf(sourceZone, dataset), mor = mor)
   }
 
   /** promote_zone (etl_manager.py:597-629) — FULL load to the next zone

@@ -1469,6 +1469,31 @@ object TxLog {
     } finally matchedRows.unpersist()
   }
 
+  /** Stats-prune a snapshot's files to those whose per-file key
+    * bounds intersect the source's key envelope — one tiny agg over
+    * the (directive-sized) source, no table scan. Shared by [[merge]]
+    * / [[applyChanges]] / [[applyChangesMor]]. */
+  private def pruneByKeyEnvelope(spark: SparkSession, snap: TxSnapshot,
+      src: DataFrame, keyCols: Seq[String]): Seq[TxFile] = {
+    val keyBounds = src.select(keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
+      .head()
+    keyCols.foldLeft(snap.files) { case (kept, k) =>
+      val pk = snap.phys(k) // stats are keyed by physical name
+      val lo = keyBounds.getAs[Any](s"_lo_$k")
+      val hi = keyBounds.getAs[Any](s"_hi_$k")
+      if (lo == null || hi == null) kept
+      else kept.flatMap(_.stats.get(pk)).headOption.map(_.dtype) match {
+        case None => kept
+        case Some(dt) =>
+          val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
+          kept.filter(_.stats.get(pk).forall(st =>
+            StatsManifest.intersects(st.dtype, st.min.orNull,
+              st.max.orNull, loS, hiS)))
+      }
+    }
+  }
+
   /** MERGE INTO (upsert): for each source row, the target row with
     * the same `keyCols` is REPLACED by it (when-matched update-all);
     * source rows matching nothing are INSERTED (when-not-matched
@@ -1511,23 +1536,7 @@ object TxLog {
 
     // stats-prune candidates by the source's key envelope (one tiny
     // agg over the source), then exact-match via a semi-join
-    val keyBounds = src.select(keyCols.flatMap(k =>
-      Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
-      .head()
-    val cands = keyCols.foldLeft(snap.files) { case (kept, k) =>
-      val pk = snap.phys(k) // stats are keyed by physical name
-      val lo = keyBounds.getAs[Any](s"_lo_$k")
-      val hi = keyBounds.getAs[Any](s"_hi_$k")
-      if (lo == null || hi == null) kept
-      else kept.flatMap(_.stats.get(pk)).headOption.map(_.dtype) match {
-        case None => kept
-        case Some(dt) =>
-          val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
-          kept.filter(_.stats.get(pk).forall(st =>
-            StatsManifest.intersects(st.dtype, st.min.orNull,
-              st.max.orNull, loS, hiS)))
-      }
-    }
+    val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val touched: Seq[String] =
       if (cands.isEmpty) Nil
@@ -1598,23 +1607,7 @@ object TxLog {
       "TxLog: applyChanges has several directives for one key " +
         "(ambiguous, refused) — collapse to the last change per key first")
 
-    val keyBounds = src.select(keyCols.flatMap(k =>
-      Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
-      .head()
-    val cands = keyCols.foldLeft(snap.files) { case (kept, k) =>
-      val pk = snap.phys(k)
-      val lo = keyBounds.getAs[Any](s"_lo_$k")
-      val hi = keyBounds.getAs[Any](s"_hi_$k")
-      if (lo == null || hi == null) kept
-      else kept.flatMap(_.stats.get(pk)).headOption.map(_.dtype) match {
-        case None => kept
-        case Some(dt) =>
-          val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
-          kept.filter(_.stats.get(pk).forall(st =>
-            StatsManifest.intersects(st.dtype, st.min.orNull,
-              st.max.orNull, loS, hiS)))
-      }
-    }
+    val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val touched: Seq[String] =
       if (cands.isEmpty) Nil
@@ -1640,6 +1633,89 @@ object TxLog {
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
   }
 
+  /** Merge-on-read CDC APPLY: same directive semantics as
+    * [[applyChanges]], but matched target rows are retired through a
+    * DELETION VECTOR instead of rewriting every touched file — the
+    * directives' replacement images and inserts append as new files,
+    * one `update-dv` commit. With scattered keys at scale this is the
+    * difference between write cost ∝ matched rows (vector pairs +
+    * images) and write cost ∝ touched-file bytes per batch — a
+    * follower applying a trickle of updates against a 100 TB table
+    * must not rewrite a file per touched key per micro-batch.
+    * [[compact]] materializes the vectors away on schedule; the same
+    * pin-by-vector-pointer concurrency contract as [[deleteMor]] /
+    * [[updateMor]] applies. A batch that matches nothing commits as
+    * an insert-only merge (no vector, no minReader bump). */
+  def applyChangesMor(spark: SparkSession, dir: String, changes: DataFrame,
+      keyCols: Seq[String], deleteCol: String,
+      statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
+    require(keyCols.nonEmpty,
+      "TxLog: applyChangesMor needs at least one key column")
+    val snap = snapshot(spark, dir)
+    for ((app, b) <- txn)
+      if (snap.txns.get(app).exists(_ >= b)) return snap.version
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(changes.columns.contains(deleteCol),
+      s"TxLog: applyChangesMor needs the delete flag column '$deleteCol'")
+    val srcTypes = changes.schema.fields
+      .map(fl => fl.name -> fl.dataType).toMap
+    val missing = schema.fields.filterNot(fl =>
+      srcTypes.get(fl.name).contains(fl.dataType))
+    require(missing.isEmpty,
+      s"TxLog: applyChangesMor source must carry the table schema; " +
+        s"missing or mistyped: ${missing.map(_.name).mkString(", ")}")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"TxLog: applyChangesMor key '$k' is not a table column"))
+    val src = changes.select((schema.fieldNames.map(col) :+
+      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*)
+    if (src.isEmpty) return snap.version
+    val dupKeys = src.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      "TxLog: applyChangesMor has several directives for one key " +
+        "(ambiguous, refused) — collapse to the last change per key first")
+
+    val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val inserts = src.filter(!col(deleteCol))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    enforceConstraints(spark, dir, inserts)
+    // matched LIVE rows' physical positions (readSnapshotTagged has
+    // already subtracted standing vectors, so a replayed or repeated
+    // key never double-counts into the new vector)
+    val matched =
+      if (cands.isEmpty) None
+      else Some(readSnapshotTagged(spark, dir, snap.copy(files = cands))
+        .join(srcKeys, keyCols, "left_semi")
+        .select(col(TagFile), col(TagIdx)))
+    matched.flatMap(stageDv(spark, dir, snap, _)) match {
+      case None =>
+        // nothing matched: a pure-insert batch (or an all-no-op
+        // delete batch). Stage inserts only; no vector, no touched
+        // files — an insert-only merge commit
+        if (inserts.isEmpty) return snap.version
+        val (added, _) = stageData(spark, dir, inserts,
+          inheritStats(Nil, statsCols, snap), snap.mapping)
+        commitStaged(spark, dir, "merge", added, Nil,
+          removeAll = false, snap.schemaJson, txn)
+      case Some((dvPath, entries, expect)) =>
+        val (added, _) =
+          if (inserts.isEmpty) (Seq.empty[TxFile], 0L)
+          else stageData(spark, dir, inserts,
+            inheritStats(entries, statsCols, snap), snap.mapping)
+        try commitStaged(spark, dir, "update-dv",
+          entries ++ added, entries.map(_.path),
+          removeAll = false, snap.schemaJson, txn,
+          ownsAdded = false, expectDv = expect, minReader = Some(2))
+        catch { case e: Throwable =>
+          fs(spark, new Path(dir)).delete(new Path(dir, dvPath), true)
+          if (added.nonEmpty) deleteStaged(spark, dir, added)
+          throw e
+        }
+    }
+  }
+
   /** Exactly-once CDC-APPLY sink: materialize a FOLLOWER table from a
     * change-feed stream (`readStream.format("txlog")
     * .option("readChangeFeed", true)`) in ONE call — the derived-copy
@@ -1650,10 +1726,15 @@ object TxLog {
     * same-version delete+insert pair (an update's images) nets to the
     * post-image — then lands through [[applyChanges]] under the
     * (appId, batchId) txn marker. The first batch CREATES the
-    * follower (the feed's initial load is insert-only). */
+    * follower (the feed's initial load is insert-only). `mor = true`
+    * routes established-table batches through [[applyChangesMor]] —
+    * matched keys retire into a deletion vector instead of rewriting
+    * each touched file, the write-amplification fix for a follower
+    * applying scattered-key trickle updates at scale (schedule
+    * [[compact]] on the follower to fold vectors away). */
   def changeFeedApplySink(feed: DataFrame, dir: String,
       keyCols: Seq[String], appId: String, checkpointDir: String,
-      statsCols: Seq[String] = Nil)
+      statsCols: Seq[String] = Nil, mor: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     feed.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1687,7 +1768,10 @@ object TxLog {
           val inserts = src.filter(!col("_graft_del")).drop("_graft_del")
           commitOverwrite(sp, dir, inserts, statsCols,
             txn = Some((appId, batchId)))
-        } else
+        } else if (mor)
+          applyChangesMor(sp, dir, src, keyCols, "_graft_del", statsCols,
+            txn = Some((appId, batchId)))
+        else
           applyChanges(sp, dir, src, keyCols, "_graft_del", statsCols,
             txn = Some((appId, batchId)))
         ()

@@ -243,6 +243,119 @@ class Round13Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- merge-on-read CDC apply -------------------------------------
+
+  test("applyChangesMor: directives land through a vector — no touched file rewritten") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13mor").toString
+    graft.sources.TxLog.commitOverwrite(spark, dir,
+      (1L to 12L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartitionByRange(3, col("id")), statsCols = Seq("id"))
+    val before = graft.sources.TxLog.snapshot(spark, dir)
+    assert(before.files.size == 3)
+
+    // scattered keys: one per file — replace 1, delete 5, insert 99,
+    // and a no-op delete for an absent key
+    graft.sources.TxLog.applyChangesMor(spark, dir,
+      Seq((1L, "one", false), (5L, "x", true), (99L, "new", false),
+        (77L, "x", true))
+        .toDF("id", "name", "del"), Seq("id"), "del",
+      txn = Some(("r13mor", 0L)))
+
+    val after = graft.sources.TxLog.snapshot(spark, dir)
+    // every pre-existing data file SURVIVES (now carrying a vector);
+    // the only new files are the images/inserts
+    val beforePaths = before.files.map(_.path).toSet
+    assert(beforePaths.subsetOf(after.files.map(_.path).toSet),
+      "merge-on-read apply must not rewrite touched data files")
+    assert(after.files.filter(f => beforePaths(f.path))
+      .count(_.dv.isDefined) == 2,
+      "the two files holding keys 1 and 5 carry the vector")
+    val got = graft.sources.TxLog.read(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got == ((2L to 12L).filter(_ != 5L).map(i => i -> s"n$i").toMap
+      + (1L -> "one") + (99L -> "new")))
+    // the commit is the dv shape and carries the txn marker
+    val h = graft.sources.TxLog.history(spark, dir)
+      .orderBy(col("version").desc).limit(1).collect()(0)
+    assert(h.getAs[String]("op") == "update-dv")
+    // replay under the same marker: recognized, nothing lands
+    val v = after.version
+    graft.sources.TxLog.applyChangesMor(spark, dir,
+      Seq((1L, "again", false)).toDF("id", "name", "del"),
+      Seq("id"), "del", txn = Some(("r13mor", 0L)))
+    assert(graft.sources.TxLog.snapshot(spark, dir).version == v)
+    // compact folds the vector away with contents intact
+    graft.sources.TxLog.compact(spark, dir, targetFiles = 2)
+    assert(graft.sources.TxLog.read(spark, dir)
+      .as[(Long, String)].collect().toMap == got)
+  }
+
+  test("followStream(mor=true): follower tracks random source DML; update batches rewrite nothing") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1307)
+    val src = tmp("r13morfollow").toString
+    def mkDf(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("id", "name")
+    var nextId = 100L
+    def freshIds(n: Int): Seq[Long] = {
+      val r = (nextId until nextId + n).toSeq; nextId += n; r
+    }
+    graft.sources.TxLog.commitOverwrite(spark, src,
+      mkDf((1L to 8L).map(i => (i, s"n$i"))))
+    val dst = tmp("r13morfollowdst").toString
+    val q = graft.sources.TxLog.changeFeedApplySink(
+      spark.readStream.format("txlog")
+        .option("readChangeFeed", "true").load(src),
+      dst, Seq("id"), "r13morf", tmp("r13morfck").toString, mor = true)
+    def multiset(dir: String): Map[(Long, String), Int] =
+      graft.sources.TxLog.read(spark, dir).as[(Long, String)]
+        .collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    try {
+      q.processAllAvailable()
+      assert(multiset(dst) == multiset(src))
+      var followerCreatedFiles =
+        graft.sources.TxLog.snapshot(spark, dst).files.map(_.path).toSet
+      (1 to 12).foreach { step =>
+        val existing = graft.sources.TxLog.read(spark, src)
+          .select("id").as[Long].collect().toSeq.sorted
+        def pick(): Long = existing(rnd.nextInt(existing.size))
+        rnd.nextInt(5) match {
+          case 0 =>
+            graft.sources.TxLog.commitAppend(spark, src,
+              mkDf(freshIds(2).map(i => (i, s"a$step-$i"))))
+          case 1 if existing.nonEmpty =>
+            graft.sources.TxLog.delete(spark, src, col("id") === pick())
+          case 2 if existing.nonEmpty =>
+            graft.sources.TxLog.updateMor(spark, src, col("id") === pick(),
+              Map("name" -> lit(s"u$step")))
+          case 3 if existing.nonEmpty =>
+            graft.sources.TxLog.merge(spark, src,
+              mkDf(Seq((pick(), s"g$step")) ++
+                freshIds(1).map(i => (i, s"g$step-$i"))).distinct(),
+              Seq("id"))
+          case _ =>
+            graft.sources.TxLog.commitAppend(spark, src,
+              mkDf(freshIds(1).map(i => (i, s"a$step-$i"))))
+        }
+        q.processAllAvailable()
+        assert(multiset(dst) == multiset(src), s"step $step diverged")
+        // zero data-file rewrites, ever: every follower file present
+        // before this batch is still registered after it
+        val nowFiles = graft.sources.TxLog.snapshot(spark, dst)
+          .files.map(_.path).toSet
+        assert(followerCreatedFiles.subsetOf(nowFiles),
+          s"step $step rewrote follower files")
+        followerCreatedFiles = nowFiles
+      }
+      // the vectors fold away on schedule without disturbing parity
+      graft.sources.TxLog.compact(spark, dst, targetFiles = 2)
+      assert(multiset(dst) == multiset(src))
+    } finally q.stop()
+  }
+
   // ---- DSIR id-type guard ------------------------------------------
 
   test("DSIR refuses a non-integral id column instead of returning all-zero weights") {
