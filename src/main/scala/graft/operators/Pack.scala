@@ -94,4 +94,76 @@ object Pack {
       .select(col(groupCol), col("shard_ix"), col("n_tokens"),
         col("tokens"))
   }
+
+  /** Best-fit-decreasing shard packing (round-13) — the OTHER standard
+    * training-shard policy beside [[sequences]]' concat-and-chunk:
+    * docs are never split across shards; within each group they are
+    * placed largest-first into the open shard whose remaining
+    * capacity fits them most tightly (classic BFD, within 11/9·OPT+1
+    * of the optimal shard count), opening a new shard only when none
+    * fits. Curation pipelines choose per dataset: concat-and-chunk
+    * fills every shard exactly but splits documents mid-stream; BFD
+    * keeps each document whole at the cost of per-shard padding —
+    * which this operator makes measurable (`maxTokens − sum(n_tokens)`
+    * per shard).
+    *
+    * Output: one row per input doc — (group, order, n_tokens,
+    * shard_ix), deterministic given `orderCol` totally ordering each
+    * group (ties in size break by it).
+    *
+    * Scale: bin packing is inherently sequential WITHIN a group, so
+    * the shape is the secondary-sort recipe — one hash exchange on the
+    * group column, an in-partition sort by (group, size desc, order),
+    * then a streaming per-group fold whose state is the open shards'
+    * remaining capacities (a TreeSet, O(shards-per-group)), never the
+    * docs. Parallelism = number of groups, the same envelope as
+    * [[sequences]]' per-group window — and like [[graft.operators
+    * .Dsir.featureCounts]], the imperative fold is a documented
+    * compiled-beats-interpreted boundary: no declarative operator
+    * expresses tightest-fit placement. A doc longer than `maxTokens`
+    * cannot be placed whole and refuses loudly. */
+  def bestFitShards(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val out = StructType(Seq(
+      df.schema(groupCol), df.schema(orderCol),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("shard_ix", LongType, nullable = false)))
+    df.select(col(groupCol), col(orderCol),
+        col(tokensCol).cast("long").as("_n"))
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col("_n").desc, col(orderCol))
+      .mapPartitions { rows =>
+        var curGroup: Any = null
+        var started = false
+        // open shards as (remaining, shard_ix), ordered ascending —
+        // rangeFrom((n, MIN)) yields the TIGHTEST fit, ties to the
+        // lowest shard index (deterministic)
+        var open = scala.collection.immutable.TreeSet.empty[(Long, Long)]
+        var nShards = 0L
+        rows.map { r =>
+          val g = r.get(0)
+          if (!started || g != curGroup) {
+            curGroup = g; started = true
+            open = scala.collection.immutable.TreeSet.empty[(Long, Long)]
+            nShards = 0L
+          }
+          val n = r.getLong(2)
+          if (n > maxTokens) throw new IllegalArgumentException(
+            s"bestFitShards: a document of $n tokens cannot be placed " +
+              s"whole under maxTokens=$maxTokens — filter or chunk it " +
+              "first (docs are never split here)")
+          val ix = open.rangeFrom((n, Long.MinValue)).headOption match {
+            case Some((rem, i)) =>
+              open = open - ((rem, i)) + ((rem - n, i)); i
+            case None =>
+              val i = nShards; nShards += 1
+              open = open + ((maxTokens - n, i)); i
+          }
+          Row(g, r.get(1), n, ix)
+        }
+      }(org.apache.spark.sql.Encoders.row(out))
+  }
 }

@@ -145,6 +145,10 @@ object CurationQueries {
   val MgK = 64
   /** Tokens per training shard for pack_sequences. */
   val ShardTokens = 2000L
+  /** Shard budget for pack_bestfit — small enough that each source's
+    * docs (≤ ~100 tokens) pack into several shards with real
+    * tightest-fit choices. */
+  val BestFitTokens = 256L
 
   /** decon_near — cross-corpus MinHash near-dup report: benchmark
     * leakage that was lightly edited (exact hash misses it). */
@@ -174,6 +178,19 @@ object CurationQueries {
         size(split(lower(trim(col("text"))), " ")).cast("long")
           .as("n_tokens")),
       col("source"), col("doc_id"), col("n_tokens"), ShardTokens)
+
+  /** pack_bestfit (round-13) — [[Pack.bestFitShards]]: best-fit-
+    * decreasing whole-doc shard packing per source, the
+    * padding-minimizing alternative to pack_sequences' concat-and-
+    * chunk (docs never split). The oracle replays the same BFD fold
+    * as a per-source recursive CTE carrying the open shards' fill
+    * levels. */
+  def packBestFit(s: SparkSession, dir: String): DataFrame =
+    Pack.bestFitShards(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), " ")).cast("long")
+          .as("n_tokens")),
+      "source", "doc_id", "n_tokens", BestFitTokens)
 
   /** pack_tokens (round-9) — the packed shards THEMSELVES: per-doc
     * `bpe_tokens` id arrays ([[graft.functions.BpeTokens]], the
@@ -326,6 +343,7 @@ object CurationQueries {
     "pii_redact" -> piiRedact,
     "sample_weighted" -> sampleWeighted,
     "pack_sequences" -> packSequences,
+    "pack_bestfit" -> packBestFit,
     "pack_tokens" -> packTokens,
     "q23_cube" -> q23Cube)
 
@@ -596,6 +614,47 @@ object CurationQueries {
                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
                   AS n_tokens
               FROM documents))""",
+    // the same BFD fold as the engine, replayed per source by a
+    // recursive CTE whose state is the open shards' fill levels:
+    // docs in (size desc, doc_id) order, each placed into the
+    // fullest shard that still fits (tie -> lowest index), else a
+    // new shard
+    "pack_bestfit" -> s"""
+      WITH RECURSIVE sized AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
+        FROM documents),
+      ord AS (
+        SELECT doc_id, source, n,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n DESC, doc_id) AS BIGINT) AS rn
+        FROM sized),
+      step AS (
+        SELECT source, CAST(0 AS BIGINT) AS rn,
+          CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
+          CAST(NULL AS BIGINT) AS shard_ix,
+          CAST([] AS BIGINT[]) AS fills
+        FROM (SELECT DISTINCT source FROM sized)
+        UNION ALL
+        SELECT o.source, o.rn, o.doc_id, o.n,
+          CASE WHEN b.best IS NULL THEN CAST(len(s.fills) AS BIGINT)
+               ELSE b.best - 1 END,
+          CASE WHEN b.best IS NULL THEN list_append(s.fills, o.n)
+               ELSE list_transform(range(1, len(s.fills) + 1),
+                      i -> CASE WHEN i = b.best THEN s.fills[i] + o.n
+                                ELSE s.fills[i] END)
+          END
+        FROM step s
+        JOIN ord o ON o.source = s.source AND o.rn = s.rn + 1,
+        LATERAL (
+          SELECT list_sort(
+                   list_transform(
+                     list_filter(range(1, len(s.fills) + 1),
+                       i -> s.fills[i] + o.n <= $BestFitTokens),
+                     i -> [-s.fills[i], i]))[1][2] AS best) b
+      )
+      SELECT doc_id, source, n AS n_tokens, shard_ix
+      FROM step WHERE rn > 0""",
     // greedy-tokenize replay emitting IDS (1-based vocab position via
     // arg_max over matching entries, 0 for the one-codepoint unknown
     // fallback), globally positioned per source by (doc_id, word,

@@ -110,10 +110,17 @@ object TxLog {
     * share one vector relation (a single DML commit writes ONE), and
     * a superseded vector may still carry stale pairs for files whose
     * entry moved on — harmless, the read subtracts by (file, row)
-    * identity. Plain files parse with `dv = None` (json4s default). */
+    * identity. Plain files parse with `dv = None` (json4s default).
+    *
+    * `bytes` is the file's on-disk size, recorded at commit time
+    * since round 13 — what stream admission's `maxBytesPerTrigger`
+    * budgets against. Entries from older commits parse as `None`;
+    * consumers must treat the absence CONSERVATIVELY (like null
+    * bounds in [[ColStats]]), never as zero. */
   final case class TxFile(path: String, rows: Long,
       stats: Map[String, ColStats] = Map.empty,
-      dv: Option[String] = None, dvRows: Long = 0L)
+      dv: Option[String] = None, dvRows: Long = 0L,
+      bytes: Option[Long] = None)
 
   /** The resolved state of the table at `version`: live files, the
     * schema (Spark StructType JSON), the latest batchId committed
@@ -207,14 +214,28 @@ object TxLog {
   private def tryWrite(f: FileSystem, p: Path, content: String): Boolean = {
     if (f.exists(p)) return false
     if (f.getUri.getScheme == "file") {
+      // two-step claim: write the FULL content to a dot-tmp sibling
+      // (invisible to listLog's name filter), then hard-link it into
+      // place — link(2) is atomic AND the target appears with its
+      // complete content, so a concurrent reader (a live streaming
+      // source polling the log) can never observe a half-written
+      // commit. A bare CREATE_NEW write makes the file visible EMPTY
+      // first — observed as a "No content to map" parse failure under
+      // concurrent stream polling.
       val local = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
+      val tmp = local.resolveSibling(
+        s".${local.getFileName}.${UUID.randomUUID.toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp, content.getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
       try {
-        java.nio.file.Files.write(local, content.getBytes(UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        java.nio.file.Files.createLink(local, tmp)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp)
+        ()
       }
     } else try {
       val out = f.create(p, false)
@@ -254,8 +275,9 @@ object TxLog {
             ("dtype" -> st.dtype) ~ ("min" -> st.min) ~
               ("max" -> st.max) ~ ("nulls" -> st.nulls))
         }))
-      a.dv.fold(withStats)(d =>
+      val withDv = a.dv.fold(withStats)(d =>
         withStats ~ ("dv" -> d) ~ ("dvRows" -> a.dvRows))
+      a.bytes.fold(withDv)(b => withDv ~ ("bytes" -> b))
     }
 
   private def renderCommit(v: Long, op: String, added: Seq[TxFile],
@@ -400,10 +422,26 @@ object TxLog {
       else withRet ~ ("minReader" -> snap.minReader)
     val p = checkpointFile(dir, v)
     val f = fs(spark, p)
-    // deterministic content: overwrite is safe if two writers race here
-    val out = f.create(p, true)
-    try out.write(JsonMethods.compact(JsonMethods.render(j)).getBytes(UTF_8))
-    finally out.close()
+    val content = JsonMethods.compact(JsonMethods.render(j)).getBytes(UTF_8)
+    // deterministic content: overwrite is safe if two writers race
+    // here — but the file must never be VISIBLE half-written (a live
+    // streaming source polls snapshot() concurrently and would parse
+    // an empty checkpoint), so land it with write-to-dot-tmp + atomic
+    // rename on local filesystems
+    if (f.getUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      val tmp = local.resolveSibling(
+        s".${local.getFileName}.${UUID.randomUUID.toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp, content)
+      java.nio.file.Files.move(tmp, local,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val out = f.create(p, true)
+      try out.write(content) finally out.close()
+    }
   }
 
   /** Write `df`'s data into the dataset dir as immutable uniquely-named
@@ -471,7 +509,7 @@ object TxLog {
           s"TxLog: staging move failed for ${st.getPath}")
       val (rows, stats) =
         byName.getOrElse(st.getPath.getName, (0L, Map.empty[String, ColStats]))
-      TxFile(name, rows, stats)
+      TxFile(name, rows, stats, bytes = Some(st.getLen))
     }.toSeq
     f.delete(stageDir, true)
     (added, df.schema.json)
@@ -658,10 +696,12 @@ object TxLog {
     val df = spark.read.parquet(dir)
     val root = new Path(dir)
     val f = fs(spark, root)
-    val dataFiles = f.listStatus(root).filter { st =>
+    val dataStatus = f.listStatus(root).filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getPath.getName).sorted
+    }
+    val lenOf = dataStatus.map(st => st.getPath.getName -> st.getLen).toMap
+    val dataFiles = dataStatus.map(_.getPath.getName).sorted
     require(dataFiles.nonEmpty, s"TxLog: nothing to convert under $dir")
     // a partitioned (or mixed) layout nests data under key=value dirs;
     // registering only the top-level files would make logged reads
@@ -687,7 +727,7 @@ object TxLog {
       }.toMap
     val added = dataFiles.map { n =>
       val (rows, stats) = byName.getOrElse(n, (0L, Map.empty[String, ColStats]))
-      TxFile(n, rows, stats)
+      TxFile(n, rows, stats, bytes = lenOf.get(n))
     }.toSeq
     // claim version 0 directly (NOT via commitStaged: its contention
     // cleanup deletes `added`, which here are the REAL data files). A
@@ -2146,14 +2186,17 @@ object TxLog {
     (added, schema, untilSnap.mapping)
   }
 
-  /** The (files, rows) a commit's stream-visible additions cost —
-    * answered from log metadata only; what the streaming source's
-    * admission control budgets against. Compactions cost zero (their
-    * adds are rewrites [[changedFiles]] skips, so admitting them
-    * against the cap would stall real data behind maintenance). */
+  /** The (files, rows, bytes) a commit's stream-visible additions
+    * cost — answered from log metadata only; what the streaming
+    * source's admission control budgets against. Compactions cost
+    * zero (their adds are rewrites [[changedFiles]] skips, so
+    * admitting them against the cap would stall real data behind
+    * maintenance). `bytes` is `None` when any added entry predates
+    * byte recording — the byte budget must then treat the commit
+    * CONSERVATIVELY (assume over-budget), never as free. */
   private[sources] def commitAddCost(spark: SparkSession, dir: String,
       v: Long, skipChangeCommits: Boolean = false,
-      ignoreDeletes: Boolean = false): (Long, Long) = {
+      ignoreDeletes: Boolean = false): (Long, Long, Option[Long]) = {
     val f = fs(spark, logPath(dir))
     val j = JsonMethods.parse(readText(f, versionFile(dir, v)))
     val op = (j \ "op").extract[String]
@@ -2164,10 +2207,13 @@ object TxLog {
       (skipChangeCommits && op == "overwrite" && v > 0) || // v0 = initial load
       (skipChangeCommits && op == "merge" &&
         (j \ "remove").extract[Seq[String]].nonEmpty)
-    if (skipped) (0L, 0L) // contributes no stream rows — budget-free
+    if (skipped) (0L, 0L, Some(0L)) // no stream rows — budget-free
     else {
       val adds = (j \ "add").extract[Seq[TxFile]]
-      (adds.size.toLong, adds.map(_.rows).sum)
+      val bytes =
+        if (adds.forall(_.bytes.isDefined)) Some(adds.flatMap(_.bytes).sum)
+        else None
+      (adds.size.toLong, adds.map(_.rows).sum, bytes)
     }
   }
 
@@ -2235,6 +2281,51 @@ object TxLog {
       ts: Long): Long =
     clone(spark, sourceDir, targetDir,
       Some(versionAt(spark, sourceDir, ts)))
+
+  /** Resolve a wall-clock window to the commit span `(since, until]`
+    * the batch feed readers consume: commits whose (monotonicity-
+    * adjusted) timestamp falls in `[sinceTs, untilTs]` — `sinceTs`
+    * resolves through [[versionAtOrAfter]] (Delta's startingTimestamp
+    * rule, same as the stream), `untilTs` through [[versionAt]]
+    * (at-or-before; None = head). A window that starts after the last
+    * commit, or ends before the first, refuses with the same
+    * truncation-aware messages as the version forms. */
+  private def timeSpan(spark: SparkSession, dir: String, sinceTs: Long,
+      untilTs: Option[Long]): (Long, Option[Long]) = {
+    val since = versionAtOrAfter(spark, dir, sinceTs) - 1
+    val until = untilTs.map(versionAt(spark, dir, _))
+    // an empty window resolves to since == until (the first commit
+    // at-or-after the start lies beyond the end) — refuse loudly
+    // rather than return a vacuously empty feed for what is almost
+    // certainly a caller mistake
+    until.foreach(u => require(since < u,
+      s"TxLog: time window [$sinceTs, ${untilTs.get}] contains no " +
+        s"commits of $dir"))
+    (since, until)
+  }
+
+  /** [[changesSince]] bounded by wall-clock timestamps instead of
+    * versions (Delta's `table_changes(…, startingTimestamp,
+    * endingTimestamp)` shape): the rows ADDED by commits whose
+    * timestamp is in `[sinceTs, untilTs]`. Same refusal contracts,
+    * including truncation. */
+  def changesSinceTimestamp(spark: SparkSession, dir: String,
+      sinceTs: Long, untilTs: Option[Long] = None,
+      skipChangeCommits: Boolean = false,
+      ignoreDeletes: Boolean = false): DataFrame = {
+    val (since, until) = timeSpan(spark, dir, sinceTs, untilTs)
+    changesSince(spark, dir, since, until, skipChangeCommits,
+      ignoreDeletes)
+  }
+
+  /** [[changeFeed]] bounded by wall-clock timestamps instead of
+    * versions: the row-level diff of commits whose timestamp is in
+    * `[sinceTs, untilTs]`. */
+  def changeFeedByTimestamp(spark: SparkSession, dir: String,
+      sinceTs: Long, untilTs: Option[Long] = None): DataFrame = {
+    val (since, until) = timeSpan(spark, dir, sinceTs, untilTs)
+    changeFeed(spark, dir, since, until)
+  }
 
   /** Row-level CHANGE DATA FEED over `(sinceVersion, untilVersion]`
     * (the Delta CDF shape, computed post-hoc from the log): one row

@@ -23,10 +23,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   *
   * ADMISSION CONTROL (Delta's maxFilesPerTrigger shape):
   * `.option("maxFilesPerTrigger", n)` / `.option("maxRowsPerTrigger",
-  * n)` bound how much of a backlog one micro-batch admits — without
+  * n)` / `.option("maxBytesPerTrigger", n)` bound how much of a
+  * backlog one micro-batch admits — without
   * them, the first trigger after seeding (or any catch-up after
   * downtime) would process the ENTIRE backlog as one batch, which at
-  * 100 TB is one giant batch or nothing. The source implements
+  * 100 TB is one giant batch or nothing. The byte budget reads
+  * per-file sizes recorded in the log at commit time (TxFile.bytes);
+  * a commit from before byte recording has unknown size and is
+  * admitted alone (conservative), never counted as free. The source implements
   * `SupportsAdmissionControl` (the same design Delta's source uses on
   * a v1 `Source`): the engine hands `latestOffset` the START offset
   * from its own offset log, and the source walks commit METADATA from
@@ -115,6 +119,7 @@ class TxLogStreamProvider extends StreamSourceProvider
     new TxLogSource(sqlContext.sparkSession, dir(parameters),
       cap(parameters, "maxFilesPerTrigger"),
       cap(parameters, "maxRowsPerTrigger"),
+      maxBytes = cap(parameters, "maxBytesPerTrigger"),
       cdc = cdc,
       startingVersion = parameters.collectFirst {
         case (k, v) if k.equalsIgnoreCase("startingVersion") => v
@@ -207,6 +212,7 @@ object TxLogSource {
 
 class TxLogSource(spark: SparkSession, dir: String,
     maxFiles: Option[Long], maxRows: Option[Long],
+    maxBytes: Option[Long] = None,
     cdc: Boolean = false,
     startingVersion: Option[String] = None,
     startingTimestamp: Option[Long] = None,
@@ -253,11 +259,12 @@ class TxLogSource(spark: SparkSession, dir: String,
     case _ => -1L
   }
 
-  /** The (files, rows) stream-cost of each commit, parsed once — log
-    * metadata, never data. */
+  /** The (files, rows, bytes) stream-cost of each commit, parsed
+    * once — log metadata, never data. bytes = None when the commit
+    * predates byte recording (treated as over-budget, never free). */
   private val costCache =
-    scala.collection.mutable.Map.empty[Long, (Long, Long)]
-  private def costOf(v: Long): (Long, Long) =
+    scala.collection.mutable.Map.empty[Long, (Long, Long, Option[Long])]
+  private def costOf(v: Long): (Long, Long, Option[Long]) =
     costCache.getOrElseUpdate(v, TxLog.commitAddCost(spark, dir, v,
       skipChangeCommits, ignoreDeletes))
 
@@ -274,7 +281,8 @@ class TxLogSource(spark: SparkSession, dir: String,
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = (maxFiles.map(n => ReadLimit.maxFiles(n.toInt)) ++
-      maxRows.map(n => ReadLimit.maxRows(n))).toArray
+      maxRows.map(n => ReadLimit.maxRows(n)) ++
+      maxBytes.map(n => ReadLimit.maxBytes(n))).toArray
     limits.length match {
       case 0 => ReadLimit.allAvailable()
       case 1 => limits(0)
@@ -296,19 +304,26 @@ class TxLogSource(spark: SparkSession, dir: String,
     val headNow = TxLog.snapshot(spark, dir).version
     val head = availableEnd.fold(headNow)(math.min(headNow, _))
     val next =
-      if (maxFiles.isEmpty && maxRows.isEmpty) head
+      if (maxFiles.isEmpty && maxRows.isEmpty && maxBytes.isEmpty) head
       else if (since >= head) head
       else {
         var v = since
         var files = 0L
         var rows = 0L
+        var bytes = 0L
         var granting = true
         while (granting && v < head) {
-          val (cf, cr) = costOf(v + 1)
+          val (cf, cr, cb) = costOf(v + 1)
+          // a commit predating byte recording has unknown size: under
+          // a byte budget it never "fits" (conservative, like null
+          // column bounds) — the >= 1 rule below still admits it
+          // alone, so old-log backlogs drain one commit per trigger
           val fits = maxFiles.forall(files + cf <= _) &&
-            maxRows.forall(rows + cr <= _)
+            maxRows.forall(rows + cr <= _) &&
+            maxBytes.forall(b => cb.exists(c => bytes + c <= b))
           if (fits || v == since) { // >= 1 commit per trigger
             v += 1; files += cf; rows += cr
+            bytes += cb.getOrElse(Long.MaxValue / 4)
           } else granting = false
         }
         v

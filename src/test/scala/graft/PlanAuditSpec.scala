@@ -263,6 +263,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("pack_bestfit: one group exchange + in-partition sort, no window, no cartesian") {
+    val qe = SparkEntry.queries("pack_bestfit")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // secondary-sort shape: hash exchange on the group column, sort
+    // WITHIN partitions, the BFD fold streams per group — never a
+    // global Sort (no rangepartitioning), never a window, never a
+    // cartesian
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(count(p, "Exchange rangepartitioning") == 0, p)
+    assert(qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("exact-substring family: equi-joins only, agg-based first-occurrence (no corpus window)") {
     Seq("dedup_exact_substring", "dedup_substr_incr").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution

@@ -356,6 +356,167 @@ class Round13Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- maxBytesPerTrigger ------------------------------------------
+
+  test("maxBytesPerTrigger slices a backlog by recorded file sizes; pre-bytes commits admit alone") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13bytes").toString
+    def df(ids: Long*): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, s"n$i")).toDF("id", "name")
+    graft.sources.TxLog.commitOverwrite(spark, dir, df(1))   // v0
+    (2L to 5L).foreach(i =>
+      graft.sources.TxLog.commitAppend(spark, dir, df(i)))   // v1..v4
+    // every commit writes one small parquet file; find its size and
+    // budget exactly two commits per trigger
+    val perCommit = graft.sources.TxLog.snapshot(spark, dir)
+      .files.map(_.bytes.get)
+    assert(perCommit.forall(_ > 0), "commit must record file bytes")
+    val budget = perCommit.max * 2
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("txlog")
+      .option("maxBytesPerTrigger", budget).load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("r13bytesck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes += b.count(); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(sizes.filter(_ > 0).toSeq == Seq(2L, 2L, 1L),
+      s"byte-capped slicing diverged: $sizes")
+
+    // OLD-LOG COMPATIBILITY: strip the recorded bytes from every
+    // commit (a table written before byte recording) — the budget
+    // must then admit one commit per trigger (conservative), never
+    // treat unknown sizes as free and admit the whole backlog
+    val old = tmp("r13bytesold").toString
+    graft.sources.TxLog.commitOverwrite(spark, old, df(1))
+    (2L to 3L).foreach(i =>
+      graft.sources.TxLog.commitAppend(spark, old, df(i)))
+    val logDir = java.nio.file.Paths.get(old, graft.sources.TxLog.LogDir)
+    java.nio.file.Files.list(logDir).forEach { p =>
+      if (p.toString.endsWith(".json")) {
+        val t = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        java.nio.file.Files.write(p,
+          t.replaceAll(",\"bytes\":\\d+", "").getBytes("UTF-8"))
+        ()
+      }
+    }
+    assert(graft.sources.TxLog.snapshot(spark, old)
+      .files.forall(_.bytes.isEmpty), "strip failed")
+    val oldSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("txlog")
+      .option("maxBytesPerTrigger", Long.MaxValue / 2).load(old)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("r13bytesoldck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        oldSizes += b.count(); ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(oldSizes.filter(_ > 0).toSeq == Seq(1L, 1L, 1L),
+      s"unknown-size commits must admit alone: $oldSizes")
+  }
+
+  // ---- best-fit shard packing --------------------------------------
+
+  test("bestFitShards: hand-computed BFD placement, invariants, determinism, oversized refusal") {
+    val s = spark
+    import s.implicits._
+    // one group, budget 10: sizes desc = 7(a) 6(b) 4(c) 3(d) 2(e) 1(f)
+    //   7 -> shard0 (rem 3); 6 -> shard1 (rem 4); 4 -> shard1 (rem 0)
+    //   3 -> shard0 (rem 0); 2 -> shard2 (rem 8); 1 -> shard2 (rem 7)
+    val docs = Seq(("g", 1L, 7L), ("g", 2L, 6L), ("g", 3L, 4L),
+      ("g", 4L, 3L), ("g", 5L, 2L), ("g", 6L, 1L))
+      .toDF("src", "id", "n")
+    val got = graft.operators.Pack
+      .bestFitShards(docs, "src", "id", "n", 10L)
+      .select("id", "shard_ix").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 2L, 6L -> 2L))
+
+    // randomized invariants across several groups: every doc placed
+    // exactly once, whole; no shard over budget; deterministic
+    val rnd = new scala.util.Random(13)
+    val big = (1 to 400).map(i =>
+      (s"g${i % 7}", i.toLong, 1L + rnd.nextInt(64).toLong))
+      .toDF("src", "id", "n")
+    def run() = graft.operators.Pack
+      .bestFitShards(big, "src", "id", "n", 64L)
+    val r1 = run().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val r2 = run().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(r1.toSeq == r2.toSeq, "BFD must be deterministic")
+    assert(r1.map(_._2).toSeq.sorted == (1L to 400L), "every doc exactly once")
+    val fills = r1.groupBy(t => (t._1, t._4)).view.mapValues(_.map(_._3).sum)
+    assert(fills.values.forall(_ <= 64L), "no shard over budget")
+    // BFD never uses more shards than docs, and with avg size 32 the
+    // packing should be near 2 docs/shard — sanity, not a theorem
+    val nShards = fills.size
+    assert(nShards < 400 / 7 * 7, s"suspicious shard count $nShards")
+
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Pack.bestFitShards(
+        Seq(("g", 1L, 11L)).toDF("src", "id", "n"), "src", "id", "n", 10L)
+        .collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("never split")) ||
+        mentions(t.getCause))
+    assert(mentions(e), s"oversized doc must refuse loudly: $e")
+  }
+
+  // ---- timestamp-bounded batch change feeds ------------------------
+
+  test("changesSinceTimestamp / changeFeedByTimestamp: between-commit bounds, refusals") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13ts").toString
+    def df(ids: Long*): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, s"n$i")).toDF("id", "name")
+    def setTime(v: Long, ts: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, graft.sources.TxLog.LogDir,
+          f"$v%020d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    graft.sources.TxLog.commitOverwrite(spark, dir, df(1))   // v0
+    graft.sources.TxLog.commitAppend(spark, dir, df(2))      // v1
+    graft.sources.TxLog.commitAppend(spark, dir, df(3))      // v2
+    setTime(0, 100000L); setTime(1, 200000L); setTime(2, 300000L)
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("id").as[Long].collect().sorted.toSeq
+
+    // between-commit bounds: (150k, 250k] window holds exactly v1
+    assert(ids(graft.sources.TxLog.changesSinceTimestamp(spark, dir,
+      150000L, Some(250000L))) == Seq(2L))
+    // from before v0: the initial load + everything after
+    assert(ids(graft.sources.TxLog.changesSinceTimestamp(spark, dir,
+      50000L)) == Seq(1L, 2L, 3L))
+    // the feed form stamps versions for the same window
+    val feed = graft.sources.TxLog.changeFeedByTimestamp(spark, dir,
+      150000L, Some(300000L))
+    assert(feed.select("_commit_version").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // an empty window between two commits refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TxLog.changesSinceTimestamp(spark, dir,
+        210000L, Some(290000L))
+    }
+    assert(e.getMessage.contains("no"), e.getMessage)
+    // a window entirely before the first commit refuses with the
+    // truncation-aware versionAt message
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.TxLog.changesSinceTimestamp(spark, dir,
+        10000L, Some(20000L))
+    }
+    assert(e2.getMessage.contains("before the first"), e2.getMessage)
+    // a window starting after the last commit refuses like the stream
+    val e3 = intercept[IllegalArgumentException] {
+      graft.sources.TxLog.changeFeedByTimestamp(spark, dir, 999999L)
+    }
+    assert(e3.getMessage.contains("at or after"), e3.getMessage)
+  }
+
   // ---- DSIR id-type guard ------------------------------------------
 
   test("DSIR refuses a non-integral id column instead of returning all-zero weights") {
