@@ -179,6 +179,17 @@ ROWS = [
     (183, "curation_dsir", "rows"),
     (184, "Round12Spec (startingVersion/startingTimestamp) | "
           "sources/TxLogStreamSource.scala", "api"),
+    (185, "Round13Spec (skipChangeCommits/ignoreDeletes) | "
+          "sources/TxLog.scala", "api"),
+    (186, "Round13Spec (merge-on-read CDC apply) | "
+          "sources/TxLog.scala", "api"),
+    (187, "Round13Spec (maxBytesPerTrigger) | "
+          "sources/TxLogStreamSource.scala", "api"),
+    (188, "pack_bestfit", "hash"),
+    (189, "Round13Spec (timestamp-bounded batch feeds) | "
+          "sources/TxLog.scala", "api"),
+    (190, "Round13Spec (log visibility + idempotence hardening) | "
+          "sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
