@@ -223,9 +223,15 @@ class TxLogSource(spark: SparkSession, dir: String,
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
 
+  /** Construction-time snapshot: the stream's schema contract is
+    * pinned HERE (Delta's rule — a query reads under its start
+    * schema; restart adopts evolution). `mapping0` keeps the
+    * query-start logical→physical mapping, which stays valid across
+    * later renames because DDL never touches physical columns. */
+  private val snap0 = TxLog.snapshot(spark, dir)
   private val tableSchema: StructType =
-    DataType.fromJson(TxLog.snapshot(spark, dir).schemaJson)
-      .asInstanceOf[StructType]
+    DataType.fromJson(snap0.schemaJson).asInstanceOf[StructType]
+  private val mapping0: Map[String, String] = snap0.mapping
 
   override val schema: StructType =
     if (cdc) TxLogSource.cdcSchema(tableSchema) else tableSchema
@@ -352,8 +358,23 @@ class TxLogSource(spark: SparkSession, dir: String,
       // composes joins over file relations, so it rides behind one
       // streaming LogicalRDD leaf instead of per-relation marks.
       if (until <= since) PlanBridge.emptyStreamingBatch(spark, schema)
-      else PlanBridge.asStreamingRdd(spark,
-        TxLog.changeFeed(spark, dir, since, Some(until)))
+      else {
+        val feed = TxLog.changeFeed(spark, dir, since, Some(until))
+        // mid-stream DDL changes the feed's column set/names; the
+        // engine would kill the query on an opaque batch-schema
+        // assertion — refuse with Delta's actionable contract instead.
+        // Compare (name, type) pairs only: nullability/metadata vary
+        // legitimately between the declared schema and a feed plan
+        def shape(st: StructType) =
+          st.fields.map(f => (f.name, f.dataType)).toSeq
+        if (shape(feed.schema) != shape(schema))
+          throw new IllegalStateException(
+            s"TxLog CDC stream on $dir: table schema changed " +
+              s"mid-stream (query started with ${schema.simpleString}, " +
+              s"the feed now produces ${feed.schema.simpleString}); " +
+              "restart the query to adopt the new schema")
+        PlanBridge.asStreamingRdd(spark, feed)
+      }
     } else if (until <= since) {
       // startingVersion=latest re-resolves since0 to the CURRENT head
       // at every source construction; a crash between offset-WAL
@@ -363,12 +384,33 @@ class TxLogSource(spark: SparkSession, dir: String,
       // branch has the same guard)
       PlanBridge.emptyStreamingBatch(spark, schema)
     } else {
-      val (added, spanSchema, mapping) =
+      val (added, _, _) =
         TxLog.changedFiles(spark, dir, since, Some(until),
           skipChangeCommits, ignoreDeletes)
-      if (added.isEmpty) PlanBridge.emptyStreamingBatch(spark, spanSchema)
-      else PlanBridge.asStreamingBatch(spark,
-        TxLog.readAdded(spark, dir, added, spanSchema, mapping))
+      if (added.isEmpty) PlanBridge.emptyStreamingBatch(spark, tableSchema)
+      else {
+        // SCHEMA STABILITY (Delta's rule): the batch is read under the
+        // QUERY-START schema and mapping, not the span's — so a
+        // mid-stream RENAME flows (the physical column is unchanged;
+        // rows keep arriving under the names the query started with),
+        // an ADDED column is simply not projected until a restart
+        // adopts it, and a replayed pre-widening span after restart
+        // reads absent columns as nulls. A DROPPED query-start column
+        // is unrecoverable — its physical name lands in `retired` —
+        // and refuses with the restart contract instead of silently
+        // nulling the column or dying on the engine's batch-schema
+        // assertion.
+        val retired = TxLog.snapshot(spark, dir, Some(until)).retired.toSet
+        val dropped = tableSchema.fieldNames.filter(f =>
+          retired.contains(mapping0.getOrElse(f, f)))
+        if (dropped.nonEmpty)
+          throw new IllegalStateException(
+            s"TxLog stream on $dir: column(s) ${dropped.mkString(", ")} " +
+              "the query started with were dropped mid-stream; restart " +
+              "the query to adopt the new schema")
+        PlanBridge.asStreamingBatch(spark,
+          TxLog.readAdded(spark, dir, added, tableSchema, mapping0))
+      }
     }
   }
 

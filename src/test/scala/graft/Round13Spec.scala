@@ -517,6 +517,94 @@ class Round13Spec extends SparkSpec {
     assert(e3.getMessage.contains("at or after"), e3.getMessage)
   }
 
+  // ---- mid-stream DDL: schema pinned at query start ----------------
+
+  test("plain stream survives mid-stream rename and add-column under its start schema; drop refuses; CDC refuses with restart message") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13ddl").toString
+    graft.sources.TxLog.commitOverwrite(spark, dir,
+      Seq((1L, "a")).toDF("id", "name"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ck = tmp("r13ddlck").toString
+    def start() = spark.readStream.format("txlog").load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select(b.columns.map(col).toSeq: _*)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // RENAME mid-stream: physical column unchanged — rows keep
+      // flowing under the query-start name
+      graft.sources.TxLog.renameColumn(spark, dir, "name", "label")
+      graft.sources.TxLog.commitAppend(spark, dir,
+        Seq((2L, "b")).toDF("id", "label"))
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "a"), (2L, "b")),
+        s"rename must not disturb the started stream: $got")
+      // ADD column mid-stream: not projected until restart
+      graft.sources.TxLog.commitAppend(spark, dir,
+        Seq((3L, "c", 9L)).toDF("id", "label", "extra"),
+        mergeSchema = true)
+      q.processAllAvailable()
+      assert(got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+    // restart adopts the evolved schema (new names, new columns)
+    val widened = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = spark.readStream.format("txlog").load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        widened += b.columns.mkString(","); ()
+      }.start()
+    try {
+      graft.sources.TxLog.commitAppend(spark, dir,
+        Seq((4L, "d", 10L)).toDF("id", "label", "extra"))
+      q2.processAllAvailable()
+      assert(widened.forall(_ == "id,label,extra"),
+        s"restart must adopt the evolved schema: $widened")
+    } finally q2.stop()
+
+    // DROP of a query-start column refuses with the restart contract
+    val q3 = spark.readStream.format("txlog").load(dir)
+      .writeStream.format("memory").queryName("r13ddldrop")
+      .option("checkpointLocation", tmp("r13ddlck3").toString)
+      .outputMode("append").start()
+    def mentions(t: Throwable, m: String): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains(m)) ||
+        mentions(t.getCause, m))
+    try {
+      q3.processAllAvailable()
+      graft.sources.TxLog.dropColumn(spark, dir, "extra")
+      graft.sources.TxLog.commitAppend(spark, dir,
+        Seq((5L, "e")).toDF("id", "label"))
+      val e = intercept[Exception] { q3.processAllAvailable() }
+      assert(mentions(e, "dropped mid-stream"), s"wrong refusal: $e")
+    } finally q3.stop()
+
+    // CDC mode: any mid-stream DDL refuses with the restart message
+    val cdcDir = tmp("r13ddlcdc").toString
+    graft.sources.TxLog.commitOverwrite(spark, cdcDir,
+      Seq((1L, "a")).toDF("id", "name"))
+    val q4 = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true").load(cdcDir)
+      .writeStream.format("memory").queryName("r13ddlcdcq")
+      .option("checkpointLocation", tmp("r13ddlck4").toString)
+      .outputMode("append").start()
+    try {
+      q4.processAllAvailable()
+      graft.sources.TxLog.renameColumn(spark, cdcDir, "name", "label")
+      graft.sources.TxLog.commitAppend(spark, cdcDir,
+        Seq((2L, "b")).toDF("id", "label"))
+      val e = intercept[Exception] { q4.processAllAvailable() }
+      assert(mentions(e, "restart the query"), s"wrong refusal: $e")
+    } finally q4.stop()
+  }
+
   // ---- DSIR id-type guard ------------------------------------------
 
   test("DSIR refuses a non-integral id column instead of returning all-zero weights") {
