@@ -166,4 +166,33 @@ object Pack {
         }
       }(org.apache.spark.sql.Encoders.row(out))
   }
+
+  /** The best-fit shards MATERIALIZED (the [[packedShards]] analog for
+    * [[bestFitShards]]): one row per (group, shard) carrying the
+    * shard's fill, its padding against the budget — THE metric a
+    * curation pipeline compares against concat-and-chunk when
+    * choosing a policy — and the docs' `payloadCol` values in
+    * PLACEMENT order (size desc, then `orderCol`; deterministic).
+    * Payload is caller-chosen: token-id arrays for a training
+    * artifact, doc ids for a manifest, text for an audit.
+    *
+    * Scale: [[bestFitShards]]' fold (one group exchange), one
+    * payload join back on (group, order), one (group, shard)-keyed
+    * aggregation whose state is bounded by the shard budget. */
+  def bestFitPacked(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, payloadCol: String, maxTokens: Long): DataFrame = {
+    val assigned = bestFitShards(df, groupCol, orderCol, tokensCol,
+      maxTokens)
+    assigned
+      .join(df.select(col(groupCol), col(orderCol), col(payloadCol)),
+        Seq(groupCol, orderCol))
+      .groupBy(col(groupCol), col("shard_ix"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("fill"),
+        (lit(maxTokens) - sum(col("n_tokens"))).as("padding"),
+        transform(
+          array_sort(collect_list(struct((-col("n_tokens")).as("_negn"),
+            col(orderCol).as("_ord"), col(payloadCol).as("_p")))),
+          s => s.getField("_p")).as("payloads"))
+  }
 }

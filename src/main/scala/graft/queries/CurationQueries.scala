@@ -192,6 +192,24 @@ object CurationQueries {
           .as("n_tokens")),
       "source", "doc_id", "n_tokens", BestFitTokens)
 
+  /** pack_bestfit_shards (round-13) — [[Pack.bestFitPacked]]: the BFD
+    * shards materialized per (source, shard) with fill, PADDING (the
+    * metric that chooses between whole-doc packing and
+    * concat-and-chunk) and the docs' normalized text in placement
+    * order, projected to an md5 so the oracle checks each shard's
+    * exact membership AND order. */
+  def packBestFitShards(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      lower(trim(col("text"))).as("t"),
+      size(split(lower(trim(col("text"))), " ")).cast("long")
+        .as("n_tokens"))
+    Pack.bestFitPacked(d, "source", "doc_id", "n_tokens", "t",
+      BestFitTokens)
+      .select(col("source"), col("shard_ix"), col("n_docs"),
+        col("fill"), col("padding"),
+        md5(array_join(col("payloads"), " ")).as("docs_md5"))
+  }
+
   /** pack_tokens (round-9) — the packed shards THEMSELVES: per-doc
     * `bpe_tokens` id arrays ([[graft.functions.BpeTokens]], the
     * text_bpe_tokens vocabulary) concatenated per source in doc_id
@@ -344,6 +362,7 @@ object CurationQueries {
     "sample_weighted" -> sampleWeighted,
     "pack_sequences" -> packSequences,
     "pack_bestfit" -> packBestFit,
+    "pack_bestfit_shards" -> packBestFitShards,
     "pack_tokens" -> packTokens,
     "q23_cube" -> q23Cube)
 
@@ -655,6 +674,50 @@ object CurationQueries {
       )
       SELECT doc_id, source, n AS n_tokens, shard_ix
       FROM step WHERE rn > 0""",
+    // same BFD fold, aggregated per shard; docs_md5 orders by
+    // PLACEMENT (size desc, doc_id) — checks membership AND order
+    "pack_bestfit_shards" -> s"""
+      WITH RECURSIVE sized AS (
+        SELECT doc_id, source, lower(trim(text)) AS t,
+          CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
+        FROM documents),
+      ord AS (
+        SELECT doc_id, source, n,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n DESC, doc_id) AS BIGINT) AS rn
+        FROM sized),
+      step AS (
+        SELECT source, CAST(0 AS BIGINT) AS rn,
+          CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
+          CAST(NULL AS BIGINT) AS shard_ix,
+          CAST([] AS BIGINT[]) AS fills
+        FROM (SELECT DISTINCT source FROM sized)
+        UNION ALL
+        SELECT o.source, o.rn, o.doc_id, o.n,
+          CASE WHEN b.best IS NULL THEN CAST(len(s.fills) AS BIGINT)
+               ELSE b.best - 1 END,
+          CASE WHEN b.best IS NULL THEN list_append(s.fills, o.n)
+               ELSE list_transform(range(1, len(s.fills) + 1),
+                      i -> CASE WHEN i = b.best THEN s.fills[i] + o.n
+                                ELSE s.fills[i] END)
+          END
+        FROM step s
+        JOIN ord o ON o.source = s.source AND o.rn = s.rn + 1,
+        LATERAL (
+          SELECT list_sort(
+                   list_transform(
+                     list_filter(range(1, len(s.fills) + 1),
+                       i -> s.fills[i] + o.n <= $BestFitTokens),
+                     i -> [-s.fills[i], i]))[1][2] AS best) b
+      )
+      SELECT a.source, a.shard_ix,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(a.n) AS BIGINT) AS fill,
+        CAST($BestFitTokens - SUM(a.n) AS BIGINT) AS padding,
+        md5(string_agg(d.t, ' ' ORDER BY a.n DESC, a.doc_id)) AS docs_md5
+      FROM (SELECT doc_id, source, n, shard_ix FROM step WHERE rn > 0) a
+      JOIN sized d USING (doc_id)
+      GROUP BY 1, 2""",
     // greedy-tokenize replay emitting IDS (1-based vocab position via
     // arg_max over matching entries, 0 for the one-codepoint unknown
     // fallback), globally positioned per source by (doc_id, word,

@@ -464,6 +464,20 @@ class Round13Spec extends SparkSpec {
       (Option(t.getMessage).exists(_.contains("never split")) ||
         mentions(t.getCause))
     assert(mentions(e), s"oversized doc must refuse loudly: $e")
+
+    // bestFitPacked reassembly: every doc's payload appears exactly
+    // once across its group's shards, fill/padding are exact, and
+    // payloads ride in placement order (size desc, then id)
+    val packed = graft.operators.Pack
+      .bestFitPacked(big.withColumn("pay", col("id")),
+        "src", "id", "n", "pay", 64L).collect()
+    val allPays = packed.flatMap(_.getAs[scala.collection.Seq[Long]]("payloads"))
+    assert(allPays.sorted.toSeq == (1L to 400L), "reassembly invariant")
+    packed.foreach { r =>
+      assert(r.getAs[Long]("fill") + r.getAs[Long]("padding") == 64L)
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[scala.collection.Seq[Long]]("payloads").size.toLong)
+    }
   }
 
   // ---- timestamp-bounded batch change feeds ------------------------

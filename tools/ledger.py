@@ -190,6 +190,9 @@ ROWS = [
           "sources/TxLog.scala", "api"),
     (190, "Round13Spec (log visibility + idempotence hardening) | "
           "sources/TxLog.scala", "api"),
+    (191, "pack_bestfit_shards", "hash"),
+    (192, "Round13Spec (stream schema pinned at query start) | "
+          "sources/TxLogStreamSource.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
