@@ -872,7 +872,10 @@ class MedallionPipeline(spark: SparkSession, root: String,
       key: Seq[String] = Seq("id"),
       checkpointDir: Option[String] = None,
       maxFilesPerTrigger: Option[Long] = None,
-      maxRowsPerTrigger: Option[Long] = None)
+      maxRowsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None,
+      skipChangeCommits: Boolean = false,
+      ignoreDeletes: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(useTxLog, "promoteStream requires useTxLog = true: " +
       "exactly-once needs the target log's txn marker")
@@ -880,12 +883,23 @@ class MedallionPipeline(spark: SparkSession, root: String,
     // admission control: a catch-up after downtime (or the initial
     // load of a large source) drains in budget-bounded micro-batches
     // instead of one giant batch — exactly-once is unaffected (the
-    // txn marker recognizes each replayed slice independently)
+    // txn marker recognizes each replayed slice independently).
+    // skipChangeCommits / ignoreDeletes opt an appends-only promotion
+    // into surviving upstream DML (corrections are NOT promoted —
+    // pair with followStream when the target must mirror them)
     val reader0 = spark.readStream.format("txlog")
     val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n))
-    val reader = maxRowsPerTrigger.fold(reader1)(n =>
+    val reader2 = maxRowsPerTrigger.fold(reader1)(n =>
       reader1.option("maxRowsPerTrigger", n))
+    val reader3 = maxBytesPerTrigger.fold(reader2)(n =>
+      reader2.option("maxBytesPerTrigger", n))
+    val reader4 =
+      if (skipChangeCommits) reader3.option("skipChangeCommits", "true")
+      else reader3
+    val reader =
+      if (ignoreDeletes) reader4.option("ignoreDeletes", "true")
+      else reader4
     val stream = reader.load(srcDir)
     val writer = stream.writeStream.outputMode("append")
     val withCp =
@@ -917,6 +931,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
       checkpointDir: Option[String] = None,
       maxFilesPerTrigger: Option[Long] = None,
       maxRowsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None,
       mor: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(useTxLog, "followStream requires useTxLog = true")
@@ -925,8 +940,10 @@ class MedallionPipeline(spark: SparkSession, root: String,
       .option("readChangeFeed", "true")
     val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n))
-    val reader = maxRowsPerTrigger.fold(reader1)(n =>
+    val reader2 = maxRowsPerTrigger.fold(reader1)(n =>
       reader1.option("maxRowsPerTrigger", n))
+    val reader = maxBytesPerTrigger.fold(reader2)(n =>
+      reader2.option("maxBytesPerTrigger", n))
     TxLog.changeFeedApplySink(reader.load(srcDir),
       path(targetZone, dataset), key, jobId,
       checkpointDir.getOrElse(

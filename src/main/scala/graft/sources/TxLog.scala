@@ -1709,7 +1709,15 @@ object TxLog {
       s"TxLog: applyChangesMor key '$k' is not a table column"))
     val src = changes.select((schema.fieldNames.map(col) :+
       col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*)
-    if (src.isEmpty) return snap.version
+    // one directive-sized agg answers empty-batch, insert count (the
+    // image staging is PARTITIONED BY IT below — a 1k-directive
+    // follower batch must write one image file, not one per shuffle
+    // partition, or continuous trickle batches become small-files
+    // debt) and the ambiguity check
+    val shape = src.agg(count(lit(1)).as("n"),
+      sum(when(col(deleteCol), 0L).otherwise(1L)).as("nIns")).head()
+    if (shape.getAs[Long]("n") == 0L) return snap.version
+    val nIns = Option(shape.getAs[Long]("nIns")).getOrElse(0L)
     val dupKeys = src.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0,
@@ -1718,8 +1726,10 @@ object TxLog {
 
     val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val imageParts = math.min(32L, nIns / ImageFileRows + 1).toInt
     val inserts = src.filter(!col(deleteCol))
       .select(schema.fieldNames.map(col).toSeq: _*)
+      .repartition(imageParts)
     enforceConstraints(spark, dir, inserts)
     // matched LIVE rows' physical positions (readSnapshotTagged has
     // already subtracted standing vectors, so a replayed or repeated
@@ -1734,14 +1744,14 @@ object TxLog {
         // nothing matched: a pure-insert batch (or an all-no-op
         // delete batch). Stage inserts only; no vector, no touched
         // files — an insert-only merge commit
-        if (inserts.isEmpty) return snap.version
+        if (nIns == 0L) return snap.version
         val (added, _) = stageData(spark, dir, inserts,
           inheritStats(Nil, statsCols, snap), snap.mapping)
         commitStaged(spark, dir, "merge", added, Nil,
           removeAll = false, snap.schemaJson, txn)
       case Some((dvPath, entries, expect)) =>
         val (added, _) =
-          if (inserts.isEmpty) (Seq.empty[TxFile], 0L)
+          if (nIns == 0L) (Seq.empty[TxFile], 0L)
           else stageData(spark, dir, inserts,
             inheritStats(entries, statsCols, snap), snap.mapping)
         try commitStaged(spark, dir, "update-dv",
@@ -1827,6 +1837,11 @@ object TxLog {
     * anti-join (and schedule a [[compact]] — a vector this large has
     * outlived merge-on-read). */
   private val DvBroadcastRows = 4L * 1000 * 1000
+
+  /** Target rows per staged image file in [[applyChangesMor]] — the
+    * insert relation repartitions to `ceil(inserts / this)` (capped
+    * at 32) so a trickle follower batch writes ONE image file. */
+  private val ImageFileRows = 4L * 1000 * 1000
 
   /** The logical schema with every field renamed to its physical
     * parquet column (identity when the mapping is empty). */

@@ -619,6 +619,44 @@ class Round13Spec extends SparkSpec {
     } finally q4.stop()
   }
 
+  // ---- medallion parity for the new stream options -----------------
+
+  test("promoteStream(skipChangeCommits) survives upstream DML; byte cap slices the backlog") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("r13med").toString
+    val p = new graft.etl.MedallionPipeline(spark, root, useTxLog = true)
+    import graft.etl.LoadType
+    import graft.quality.DataZone
+    def batch(ids: Long*): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, s"n$i")).toDF("id", "name")
+    p.write(DataZone.Bronze, "pts", batch(1, 2), LoadType.Full)
+    p.write(DataZone.Bronze, "pts", batch(3), LoadType.Append)
+    // upstream correction: a CoW delete that would brick a plain
+    // appends-only promotion
+    graft.sources.TxLog.delete(spark, p.path(DataZone.Bronze, "pts"),
+      col("id") === 1)
+    p.write(DataZone.Bronze, "pts", batch(4), LoadType.Append)
+    val perCommit = graft.sources.TxLog
+      .snapshot(spark, p.path(DataZone.Bronze, "pts"))
+      .files.flatMap(_.bytes)
+    val q = p.promoteStream("r13med", "pts", DataZone.Bronze,
+      DataZone.Silver, checkpointDir = Some(tmp("r13medck").toString),
+      maxBytesPerTrigger = Some(perCommit.max * 2),
+      skipChangeCommits = true)
+    try {
+      q.processAllAvailable()
+      // the delete is NOT promoted (documented skip semantics): the
+      // silver copy holds every appended row including id=1
+      assert(p.read(DataZone.Silver, "pts")
+        .select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      // several txn batches under the byte cap
+      assert(p.history(DataZone.Silver, "pts")
+        .filter(col("app_id") === "r13med").count() >= 2)
+    } finally q.stop()
+  }
+
   // ---- DSIR id-type guard ------------------------------------------
 
   test("DSIR refuses a non-integral id column instead of returning all-zero weights") {
