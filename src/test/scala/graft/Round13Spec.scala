@@ -160,6 +160,26 @@ class Round13Spec extends SparkSpec {
       assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
     } finally q.stop()
 
+    // ignoreDeletes on the STREAM: pure deletes skip, but a later
+    // UPDATE still bricks it (the narrower hatch, Delta's contract)
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val qi = spark.readStream.format("txlog")
+      .option("ignoreDeletes", "true").load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("r13cki").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= b.select("id").as[Long].collect(); ()
+      }.start()
+    try {
+      qi.processAllAvailable()
+      assert(got2.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+      graft.sources.TxLog.update(spark, dir, col("id") === 6,
+        Map("name" -> lit("u")))
+      graft.sources.TxLog.commitAppend(spark, dir, df(7))
+      intercept[Exception] { qi.processAllAvailable() }
+      ()
+    } finally qi.stop()
+
     // the flags are refused in change-feed mode
     val qc = spark.readStream.format("txlog")
       .option("readChangeFeed", "true")
