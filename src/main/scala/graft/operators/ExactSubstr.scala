@@ -79,7 +79,11 @@ object ExactSubstr {
         posexplode(transform(
           sequence(lit(0), size(col("_toks")) - k),
           i => {
-            val win = concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))
+            // hash the token SLICE directly — Spark's xxhash64 folds
+            // array elements length-delimited, so no window string is
+            // ever built (the round-12 form concat_ws'd ~50 bytes per
+            // window per hash; ×2 hashes that dominated the scan)
+            val win = slice(col("_toks"), i + 1, lit(k))
             struct(xxhash64(win).as("_h1"),
               xxhash64(lit(0x9E3779B97F4A7C15L), win).as("_h2"))
           })).as(Seq("_pos", "_h")))
