@@ -2666,8 +2666,25 @@ object TxLog {
           (now - st.getModificationTime) >= minAgeMs
       }
     if (!dryRun) staleDv.foreach(st => f.delete(st.getPath, true))
+    // orphaned claim temps: a writer that crashed between staging its
+    // commit/checkpoint content to a dot-tmp sibling and linking it
+    // into place leaves the temp behind (the normal path deletes it).
+    // Invisible to listLog (name filter) but debt on disk — collect
+    // them under the same age guard (age also keeps an IN-FLIGHT
+    // writer's temp safe from a concurrent vacuum)
+    val lp = logPath(dir)
+    val lf = fs(spark, lp)
+    val staleTmp =
+      if (!lf.exists(lp)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else lf.listStatus(lp).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
+          (now - st.getModificationTime) >= minAgeMs
+      }
+    if (!dryRun) staleTmp.foreach(st => lf.delete(st.getPath, false))
     (stale.map(_.getPath.getName) ++
-      staleDv.map(st => s"$DvDir/${st.getPath.getName}")).toSeq.sorted
+      staleDv.map(st => s"$DvDir/${st.getPath.getName}") ++
+      staleTmp.map(st => s"$LogDir/${st.getPath.getName}")).toSeq.sorted
   }
 
   /** Drop commit files strictly below the latest checkpoint ≤ head −

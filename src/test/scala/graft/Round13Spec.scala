@@ -677,6 +677,32 @@ class Round13Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- vacuum collects orphaned claim temps ------------------------
+
+  test("vacuum collects a crashed writer's dot-tmp claim files; age guard protects in-flight ones") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13tmp").toString
+    graft.sources.TxLog.commitOverwrite(spark, dir,
+      Seq((1L, "a")).toDF("id", "name"))
+    // simulate a crash between staging and link
+    val orphan = java.nio.file.Paths.get(dir,
+      graft.sources.TxLog.LogDir, ".00000000000000000001.json.abcd1234.tmp")
+    java.nio.file.Files.write(orphan, "half".getBytes("UTF-8"))
+    // young temp survives an age-guarded vacuum (could be in flight)
+    assert(graft.sources.TxLog.vacuumDryRun(spark, dir,
+      minAgeMs = 60000L).forall(!_.endsWith(".tmp")))
+    // old temp is listed and collected
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val listed = graft.sources.TxLog.vacuumDryRun(spark, dir)
+    assert(listed.exists(_.endsWith(".tmp")), listed.toString)
+    graft.sources.TxLog.vacuum(spark, dir)
+    assert(!java.nio.file.Files.exists(orphan))
+    // the table is untouched
+    assert(graft.sources.TxLog.read(spark, dir).count() == 1L)
+  }
+
   // ---- DSIR id-type guard ------------------------------------------
 
   test("DSIR refuses a non-integral id column instead of returning all-zero weights") {
