@@ -677,6 +677,21 @@ class Round13Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TxFile.bytes survives checkpoint replay (byte admission never silently degrades)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r13ckbytes").toString
+    graft.sources.TxLog.commitOverwrite(spark, dir,
+      Seq((0L, "x")).toDF("id", "name"))
+    (1L to 11L).foreach(i => graft.sources.TxLog.commitAppend(spark, dir,
+      Seq((i, s"n$i")).toDF("id", "name")))
+    // v10 wrote a checkpoint; snapshot resolves THROUGH it
+    val snap = graft.sources.TxLog.snapshot(spark, dir)
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.bytes.exists(_ > 0L)),
+      "bytes must replay through the checkpoint")
+  }
+
   // ---- vacuum collects orphaned claim temps ------------------------
 
   test("vacuum collects a crashed writer's dot-tmp claim files; age guard protects in-flight ones") {
