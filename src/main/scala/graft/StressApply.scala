@@ -37,11 +37,16 @@ object StressApply {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  private def sig(spark: SparkSession, dir: String): Long = {
+  /** Multiset signature: (row count, xor of row hashes, exact decimal
+    * sum of row hashes). The decimal sum breaks xor's even-multiplicity
+    * blindness (two extra copies of a row xor away; they cannot sum
+    * away and count away simultaneously). */
+  private def sig(spark: SparkSession, dir: String): String = {
     val d = TxLog.read(spark, dir)
-    // xor-fold, not sum: ANSI mode overflows a long sum of hashes
     d.select(xxhash64(d.columns.map(col).toSeq: _*).as("h"))
-      .agg(expr("bit_xor(h)")).head().getLong(0)
+      .agg(count(lit(1)), expr("bit_xor(h)"),
+        sum(col("h").cast("decimal(38,0)")))
+      .head().toString
   }
 
   /** Bytes currently on disk under the table's vector dir. */
@@ -120,14 +125,15 @@ object StressApply {
         Seq("id"), "del", statsCols = Seq("id")))
       val wMor = written(spark, mor, vMor)
       val dvDelta = dvBytes(mor) - dv0
-      parity &= sig(spark, cow) == sig(spark, mor)
+      val same = sig(spark, cow) == sig(spark, mor) // once per side
+      parity &= same
       d.unpersist()
       println(f"batch $b: CoW ${tCow}%6.2f s, ${wCow._1}%3d files, " +
         f"${wCow._2 / 1e6}%8.2f MB, ${wCow._3}%8d rows | " +
         f"MoR ${tMor}%6.2f s, ${wMor._1}%3d files, " +
         f"${(wMor._2 + dvDelta) / 1e6}%8.2f MB (${dvDelta / 1e6}%.2f dv), " +
         f"${wMor._3}%8d rows | " +
-        s"parity ${sig(spark, cow) == sig(spark, mor)}")
+        s"parity $same")
       (tCow, wCow._2, tMor, wMor._2 + dvDelta)
     }
     val totCowB = results.map(_._2).sum / 1e6

@@ -150,6 +150,9 @@ object Pack {
             open = scala.collection.immutable.TreeSet.empty[(Long, Long)]
             nShards = 0L
           }
+          if (r.isNullAt(2)) throw new IllegalArgumentException(
+            s"bestFitShards: null in token-count column '$tokensCol' " +
+              s"(order ${r.get(1)}) — fill or filter null sizes first")
           val n = r.getLong(2)
           if (n > maxTokens) throw new IllegalArgumentException(
             s"bestFitShards: a document of $n tokens cannot be placed " +

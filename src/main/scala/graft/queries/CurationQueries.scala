@@ -343,6 +343,45 @@ object CurationQueries {
       "doc_id", "text", k = 50, seed = 7L)
   }
 
+  /** The BFD fold as a DuckDB recursive CTE (shared by BOTH bestfit
+    * oracles — one copy, one placement rule): docs per source in
+    * (size desc, doc_id) order, each placed into the fullest shard
+    * that still fits (tie -> lowest index), else a new shard; state =
+    * the open shards' fill levels. */
+  private val bfdOracleCte: String = s"""      WITH RECURSIVE sized AS (
+        SELECT doc_id, source, lower(trim(text)) AS t,
+          CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
+        FROM documents),
+      ord AS (
+        SELECT doc_id, source, n,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n DESC, doc_id) AS BIGINT) AS rn
+        FROM sized),
+      step AS (
+        SELECT source, CAST(0 AS BIGINT) AS rn,
+          CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
+          CAST(NULL AS BIGINT) AS shard_ix,
+          CAST([] AS BIGINT[]) AS fills
+        FROM (SELECT DISTINCT source FROM sized)
+        UNION ALL
+        SELECT o.source, o.rn, o.doc_id, o.n,
+          CASE WHEN b.best IS NULL THEN CAST(len(s.fills) AS BIGINT)
+               ELSE b.best - 1 END,
+          CASE WHEN b.best IS NULL THEN list_append(s.fills, o.n)
+               ELSE list_transform(range(1, len(s.fills) + 1),
+                      i -> CASE WHEN i = b.best THEN s.fills[i] + o.n
+                                ELSE s.fills[i] END)
+          END
+        FROM step s
+        JOIN ord o ON o.source = s.source AND o.rn = s.rn + 1,
+        LATERAL (
+          SELECT list_sort(
+                   list_transform(
+                     list_filter(range(1, len(s.fills) + 1),
+                       i -> s.fills[i] + o.n <= $BestFitTokens),
+                     i -> [-s.fills[i], i]))[1][2] AS best) b
+      )"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_dsir" -> curationDsir,
     "curation_pipeline" -> curationPipeline,
@@ -639,77 +678,13 @@ object CurationQueries {
     // fullest shard that still fits (tie -> lowest index), else a
     // new shard
     "pack_bestfit" -> s"""
-      WITH RECURSIVE sized AS (
-        SELECT doc_id, source,
-          CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
-        FROM documents),
-      ord AS (
-        SELECT doc_id, source, n,
-          CAST(ROW_NUMBER() OVER (PARTITION BY source
-            ORDER BY n DESC, doc_id) AS BIGINT) AS rn
-        FROM sized),
-      step AS (
-        SELECT source, CAST(0 AS BIGINT) AS rn,
-          CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
-          CAST(NULL AS BIGINT) AS shard_ix,
-          CAST([] AS BIGINT[]) AS fills
-        FROM (SELECT DISTINCT source FROM sized)
-        UNION ALL
-        SELECT o.source, o.rn, o.doc_id, o.n,
-          CASE WHEN b.best IS NULL THEN CAST(len(s.fills) AS BIGINT)
-               ELSE b.best - 1 END,
-          CASE WHEN b.best IS NULL THEN list_append(s.fills, o.n)
-               ELSE list_transform(range(1, len(s.fills) + 1),
-                      i -> CASE WHEN i = b.best THEN s.fills[i] + o.n
-                                ELSE s.fills[i] END)
-          END
-        FROM step s
-        JOIN ord o ON o.source = s.source AND o.rn = s.rn + 1,
-        LATERAL (
-          SELECT list_sort(
-                   list_transform(
-                     list_filter(range(1, len(s.fills) + 1),
-                       i -> s.fills[i] + o.n <= $BestFitTokens),
-                     i -> [-s.fills[i], i]))[1][2] AS best) b
-      )
+$bfdOracleCte
       SELECT doc_id, source, n AS n_tokens, shard_ix
       FROM step WHERE rn > 0""",
     // same BFD fold, aggregated per shard; docs_md5 orders by
     // PLACEMENT (size desc, doc_id) — checks membership AND order
     "pack_bestfit_shards" -> s"""
-      WITH RECURSIVE sized AS (
-        SELECT doc_id, source, lower(trim(text)) AS t,
-          CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
-        FROM documents),
-      ord AS (
-        SELECT doc_id, source, n,
-          CAST(ROW_NUMBER() OVER (PARTITION BY source
-            ORDER BY n DESC, doc_id) AS BIGINT) AS rn
-        FROM sized),
-      step AS (
-        SELECT source, CAST(0 AS BIGINT) AS rn,
-          CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
-          CAST(NULL AS BIGINT) AS shard_ix,
-          CAST([] AS BIGINT[]) AS fills
-        FROM (SELECT DISTINCT source FROM sized)
-        UNION ALL
-        SELECT o.source, o.rn, o.doc_id, o.n,
-          CASE WHEN b.best IS NULL THEN CAST(len(s.fills) AS BIGINT)
-               ELSE b.best - 1 END,
-          CASE WHEN b.best IS NULL THEN list_append(s.fills, o.n)
-               ELSE list_transform(range(1, len(s.fills) + 1),
-                      i -> CASE WHEN i = b.best THEN s.fills[i] + o.n
-                                ELSE s.fills[i] END)
-          END
-        FROM step s
-        JOIN ord o ON o.source = s.source AND o.rn = s.rn + 1,
-        LATERAL (
-          SELECT list_sort(
-                   list_transform(
-                     list_filter(range(1, len(s.fills) + 1),
-                       i -> s.fills[i] + o.n <= $BestFitTokens),
-                     i -> [-s.fills[i], i]))[1][2] AS best) b
-      )
+$bfdOracleCte
       SELECT a.source, a.shard_ix,
         CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(a.n) AS BIGINT) AS fill,

@@ -64,6 +64,10 @@ object TxLog {
 
   /** Write a full-state checkpoint every this-many commits. */
   val CheckpointInterval = 10
+  /** Minimum age before [[vacuum]] may collect an orphaned dot-tmp
+    * claim file from the log dir — protects an in-flight writer's
+    * temp from a default (minAgeMs = 0) vacuum. */
+  val TmpAgeFloorMs: Long = 10L * 60 * 1000
 
   private val MaxAttempts = 20
 
@@ -2111,6 +2115,23 @@ object TxLog {
         col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
     }
 
+  /** The ONE policy predicate behind `skipChangeCommits` /
+    * `ignoreDeletes`: does this commit get skipped WHOLESALE from an
+    * appends-only span? Shared by [[changedFiles]] (what the span
+    * emits) and [[commitAddCost]] (what admission budgets) — the two
+    * MUST agree, or a zero-budget commit could emit rows past the cap
+    * (or a skipped one stall a capped stream a whole trigger).
+    * Insert-only merges (no removes) and the v0 table-creating
+    * overwrite are never skipped — they are the initial load and
+    * plain additions. */
+  private def dmlSkipped(op: String, v: Long, removesNonEmpty: Boolean,
+      skipChangeCommits: Boolean, ignoreDeletes: Boolean): Boolean =
+    (Seq("delete", "delete-dv").contains(op) &&
+      (skipChangeCommits || ignoreDeletes)) ||
+    (skipChangeCommits && Seq("update", "update-dv").contains(op)) ||
+    (skipChangeCommits && op == "overwrite" && v > 0) ||
+    (skipChangeCommits && op == "merge" && removesNonEmpty)
+
   /** The core of [[changesSince]], shared with the streaming source
     * ([[TxLogStreamProvider]]): the files the commits in
     * `(sinceVersion, untilVersion]` ADDED, plus the span-end schema —
@@ -2122,6 +2143,22 @@ object TxLog {
       skipChangeCommits: Boolean = false,
       ignoreDeletes: Boolean = false)
       : (Seq[TxFile], StructType, Map[String, String]) = {
+    val (added, snap) = changedFilesDetail(spark, dir, sinceVersion,
+      untilVersion, skipChangeCommits, ignoreDeletes)
+    (added,
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
+      snap.mapping)
+  }
+
+  /** [[changedFiles]] plus the resolved until-snapshot itself — the
+    * streaming source needs `retired` for its dropped-column guard,
+    * and re-replaying the log for it would double the per-trigger
+    * driver cost. */
+  private[sources] def changedFilesDetail(spark: SparkSession,
+      dir: String, sinceVersion: Long,
+      untilVersion: Option[Long] = None,
+      skipChangeCommits: Boolean = false,
+      ignoreDeletes: Boolean = false): (Seq[TxFile], TxSnapshot) = {
     val (commits, _) = listLog(spark, dir)
     require(commits.nonEmpty, s"TxLog: no transaction log under $dir/$LogDir")
     val head = commits.max
@@ -2161,16 +2198,17 @@ object TxLog {
           (j \ "add").extract[Seq[TxFile]]
         case "constraints" | "rename" | "drop" =>
           Nil // metadata only, no rows
-        case "delete" | "delete-dv" if skipChangeCommits || ignoreDeletes =>
-          // skipped wholesale: a CoW delete's adds are rewrites of
-          // surviving rows the consumer already has; a MoR delete's
-          // adds re-register files under a vector. Emitting either
-          // would duplicate, skipping both loses only the deletion —
-          // exactly what the flag opts into
+        case op if dmlSkipped(op, v,
+            (j \ "remove").extract[Seq[String]].nonEmpty,
+            skipChangeCommits, ignoreDeletes) =>
+          // skipped wholesale (the ONE policy predicate admission
+          // control also budgets by): a CoW delete's adds are
+          // rewrites of surviving rows the consumer already has, a
+          // MoR delete's re-register files under a vector — emitting
+          // either would duplicate, skipping loses only the change,
+          // exactly what the flag opts into. Insert-only merges and
+          // the v0 initial load matched ABOVE and still flow
           Nil
-        case "update" | "update-dv" | "merge" | "overwrite"
-            if skipChangeCommits =>
-          Nil // the consumer accepts missing these commits' changes
         case op => throw new IllegalArgumentException(
           s"TxLog: commit $v is '$op' — the span's delta is not " +
             "expressible as additions; re-read the full snapshot, " +
@@ -2195,10 +2233,7 @@ object TxLog {
             .mkString(", ")}); incremental read from this version is " +
           "no longer possible; re-read the full snapshot")
     }
-    val untilSnap = snapshot(spark, dir, Some(until))
-    val schema =
-      DataType.fromJson(untilSnap.schemaJson).asInstanceOf[StructType]
-    (added, schema, untilSnap.mapping)
+    (added, snapshot(spark, dir, Some(until)))
   }
 
   /** The (files, rows, bytes) a commit's stream-visible additions
@@ -2216,12 +2251,8 @@ object TxLog {
     val j = JsonMethods.parse(readText(f, versionFile(dir, v)))
     val op = (j \ "op").extract[String]
     val skipped = op == "compact" ||
-      (Seq("delete", "delete-dv").contains(op) &&
-        (skipChangeCommits || ignoreDeletes)) ||
-      (skipChangeCommits && Seq("update", "update-dv").contains(op)) ||
-      (skipChangeCommits && op == "overwrite" && v > 0) || // v0 = initial load
-      (skipChangeCommits && op == "merge" &&
-        (j \ "remove").extract[Seq[String]].nonEmpty)
+      dmlSkipped(op, v, (j \ "remove").extract[Seq[String]].nonEmpty,
+        skipChangeCommits, ignoreDeletes)
     if (skipped) (0L, 0L, Some(0L)) // no stream rows — budget-free
     else {
       val adds = (j \ "add").extract[Seq[TxFile]]
@@ -2670,8 +2701,12 @@ object TxLog {
     // commit/checkpoint content to a dot-tmp sibling and linking it
     // into place leaves the temp behind (the normal path deletes it).
     // Invisible to listLog (name filter) but debt on disk — collect
-    // them under the same age guard (age also keeps an IN-FLIGHT
-    // writer's temp safe from a concurrent vacuum)
+    // them under an age guard with a FLOOR independent of the
+    // caller's minAgeMs: a default vacuum(dir) runs with minAgeMs=0,
+    // and deleting a temp a concurrent writer staged milliseconds ago
+    // would fail that writer's createLink/move spuriously. Ten
+    // minutes is far beyond any write-to-link window
+    val tmpAge = math.max(minAgeMs, TmpAgeFloorMs)
     val lp = logPath(dir)
     val lf = fs(spark, lp)
     val staleTmp =
@@ -2679,7 +2714,7 @@ object TxLog {
       else lf.listStatus(lp).filter { st =>
         val n = st.getPath.getName
         st.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
-          (now - st.getModificationTime) >= minAgeMs
+          (now - st.getModificationTime) >= tmpAge
       }
     if (!dryRun) staleTmp.foreach(st => lf.delete(st.getPath, false))
     (stale.map(_.getPath.getName) ++

@@ -157,8 +157,10 @@ class TxLogStreamProvider extends StreamSourceProvider
     // (relative vs absolute, scheme-qualified after a config change)
     // must not mint a fresh idempotence scope, or a replayed
     // uncommitted batch would commit twice
-    val appId = parameters.get("appId")
-      .orElse(parameters.get("checkpointLocation").map { c =>
+    val explicitApp = parameters.get("appId")
+    val rawCp = parameters.get("checkpointLocation")
+    val appId = explicitApp
+      .orElse(rawCp.map { c =>
         val p = new org.apache.hadoop.fs.Path(c)
         val fc = p.getFileSystem(
           sqlContext.sparkSession.sessionState.newHadoopConf())
@@ -171,8 +173,16 @@ class TxLogStreamProvider extends StreamSourceProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // upgrade bridge: streams created before appId canonicalization
+    // recorded markers under the RAW checkpoint string — a replayed
+    // batch must be recognized under EITHER spelling, or the one
+    // crash-replay the marker exists for would double-commit exactly
+    // once across the upgrade
+    val legacy = (if (explicitApp.isEmpty) rawCp.toSeq else Nil)
+      .filterNot(_ == appId)
     new TxLogSink(sqlContext.sparkSession, d, appId, statsCols, outputMode,
-      mergeSchema = flag(parameters, "mergeSchema"))
+      mergeSchema = flag(parameters, "mergeSchema"),
+      legacyAppIds = legacy)
   }
 }
 
@@ -185,9 +195,18 @@ class TxLogStreamProvider extends StreamSourceProvider
   * with nothing staged. */
 class TxLogSink(spark: SparkSession, dir: String, appId: String,
     statsCols: Seq[String], outputMode: OutputMode,
-    mergeSchema: Boolean = false) extends Sink {
+    mergeSchema: Boolean = false,
+    legacyAppIds: Seq[String] = Nil) extends Sink {
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // a batch already marked under a LEGACY scope spelling (raw
+    // checkpoint string, pre-canonicalization) is a replay — skip
+    // before committing under the canonical one
+    if (legacyAppIds.nonEmpty && TxLog.isLogged(spark, dir)) {
+      val txns = TxLog.snapshot(spark, dir).txns
+      if (legacyAppIds.exists(a => txns.get(a).exists(_ >= batchId)))
+        return
+    }
     val batch = PlanBridge.asBatch(data.toDF())
     if (outputMode == OutputMode.Complete())
       TxLog.commitOverwrite(spark, dir, batch, statsCols,
@@ -384,8 +403,8 @@ class TxLogSource(spark: SparkSession, dir: String,
       // branch has the same guard)
       PlanBridge.emptyStreamingBatch(spark, schema)
     } else {
-      val (added, _, _) =
-        TxLog.changedFiles(spark, dir, since, Some(until),
+      val (added, untilSnap) =
+        TxLog.changedFilesDetail(spark, dir, since, Some(until),
           skipChangeCommits, ignoreDeletes)
       if (added.isEmpty) PlanBridge.emptyStreamingBatch(spark, tableSchema)
       else {
@@ -400,7 +419,7 @@ class TxLogSource(spark: SparkSession, dir: String,
         // and refuses with the restart contract instead of silently
         // nulling the column or dying on the engine's batch-schema
         // assertion.
-        val retired = TxLog.snapshot(spark, dir, Some(until)).retired.toSet
+        val retired = untilSnap.retired.toSet
         val dropped = tableSchema.fieldNames.filter(f =>
           retired.contains(mapping0.getOrElse(f, f)))
         if (dropped.nonEmpty)
