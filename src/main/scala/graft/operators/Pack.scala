@@ -186,9 +186,26 @@ object Pack {
       tokensCol: String, payloadCol: String, maxTokens: Long): DataFrame = {
     val assigned = bestFitShards(df, groupCol, orderCol, tokensCol,
       maxTokens)
+    // The payload joins back on (group, order); a duplicated order
+    // value would silently fan the join out (inflating n_docs / fill
+    // / payloads while bestFitShards placed each input row
+    // separately). Refuse loudly instead — mirroring applyChanges'
+    // dupKeys guard — by aggregating the payload side to unique keys
+    // and raising on any key seen twice. The aggregation hashes on
+    // the same (group, order) keys the join needs, so the exchange
+    // is shared, not added.
+    val payload = df
+      .groupBy(col(groupCol), col(orderCol))
+      .agg(count(lit(1)).as("_n"), first(col(payloadCol)).as(payloadCol))
+      .select(col(groupCol), col(orderCol),
+        when(col("_n") > 1, raise_error(format_string(
+          s"bestFitPacked: duplicate ($groupCol, $orderCol) key " +
+            "(%s, %s) — the payload join would silently fan out; " +
+            "de-duplicate the order column first",
+          col(groupCol).cast("string"), col(orderCol).cast("string"))))
+          .otherwise(col(payloadCol)).as(payloadCol))
     assigned
-      .join(df.select(col(groupCol), col(orderCol), col(payloadCol)),
-        Seq(groupCol, orderCol))
+      .join(payload, Seq(groupCol, orderCol))
       .groupBy(col(groupCol), col("shard_ix"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("fill"),

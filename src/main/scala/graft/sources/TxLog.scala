@@ -237,6 +237,19 @@ object TxLog {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException |
+            _: java.nio.file.FileSystemException =>
+          // mount without hard-link support (some NFS/FUSE/exFAT):
+          // fall back to the O_EXCL claim — still an atomic
+          // create-if-absent, accepting the brief empty-then-content
+          // visibility window the link path exists to avoid
+          try {
+            java.nio.file.Files.write(local, content.getBytes(UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
       } finally {
         java.nio.file.Files.deleteIfExists(tmp)
         ()

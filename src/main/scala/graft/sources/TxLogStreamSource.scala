@@ -198,15 +198,24 @@ class TxLogSink(spark: SparkSession, dir: String, appId: String,
     mergeSchema: Boolean = false,
     legacyAppIds: Seq[String] = Nil) extends Sink {
 
-  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
-    // a batch already marked under a LEGACY scope spelling (raw
-    // checkpoint string, pre-canonicalization) is a replay — skip
-    // before committing under the canonical one
-    if (legacyAppIds.nonEmpty && TxLog.isLogged(spark, dir)) {
+  // Highest batchId marked under a LEGACY scope spelling (raw
+  // checkpoint string, pre-canonicalization). A one-time upgrade
+  // concern: legacy markers can only have been written by runs that
+  // predate canonicalization and cannot appear once this sink commits
+  // under the canonical scope — so the log is consulted ONCE, at the
+  // first batch, not per micro-batch (a permanent per-batch snapshot
+  // for brand-new streams that never had legacy markers).
+  private lazy val legacyReplayedThrough: Long =
+    if (legacyAppIds.isEmpty || !TxLog.isLogged(spark, dir)) Long.MinValue
+    else {
       val txns = TxLog.snapshot(spark, dir).txns
-      if (legacyAppIds.exists(a => txns.get(a).exists(_ >= batchId)))
-        return
+      legacyAppIds.flatMap(txns.get).foldLeft(Long.MinValue)(math.max)
     }
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // a batch already marked under a legacy scope spelling is a
+    // replay — skip before committing under the canonical one
+    if (batchId <= legacyReplayedThrough) return
     val batch = PlanBridge.asBatch(data.toDF())
     if (outputMode == OutputMode.Complete())
       TxLog.commitOverwrite(spark, dir, batch, statsCols,
@@ -336,19 +345,32 @@ class TxLogSource(spark: SparkSession, dir: String,
         var files = 0L
         var rows = 0L
         var bytes = 0L
+        // once a commit of UNKNOWN byte size (predating byte
+        // recording) is admitted under a byte budget, the spend so
+        // far is unknowable — stop granting budget-costing commits
+        // outright rather than poisoning the accumulator with a
+        // sentinel (which would co-admit under budgets above it and
+        // stall zero-cost commits under budgets below it)
+        var unknownSpend = false
         var granting = true
         while (granting && v < head) {
           val (cf, cr, cb) = costOf(v + 1)
+          // skipped/compact/empty commits cost zero in every
+          // dimension — admitting them never consumes budget, even
+          // after an unknown-size commit
+          val zeroCost = cf == 0L && cr == 0L && cb.contains(0L)
           // a commit predating byte recording has unknown size: under
           // a byte budget it never "fits" (conservative, like null
           // column bounds) — the >= 1 rule below still admits it
           // alone, so old-log backlogs drain one commit per trigger
-          val fits = maxFiles.forall(files + cf <= _) &&
+          val fits = !unknownSpend &&
+            maxFiles.forall(files + cf <= _) &&
             maxRows.forall(rows + cr <= _) &&
             maxBytes.forall(b => cb.exists(c => bytes + c <= b))
-          if (fits || v == since) { // >= 1 commit per trigger
+          if (fits || zeroCost || v == since) { // >= 1 commit per trigger
             v += 1; files += cf; rows += cr
-            bytes += cb.getOrElse(Long.MaxValue / 4)
+            bytes += cb.getOrElse(0L)
+            if (cb.isEmpty && maxBytes.nonEmpty) unknownSpend = true
           } else granting = false
         }
         v
