@@ -181,9 +181,60 @@ object TxQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** #193 mv_incremental — an incrementally maintained materialized
+    * aggregate ([[graft.sources.MaterializedAgg]]), hash-checked
+    * against a relational replay of the same session:
+    *   1. CREATE: per-returnflag COUNT / SUM(pc) / MIN,MAX(qty) over
+    *      a logged lineitem projection, materialized as its own
+    *      logged table
+    *   2. source DML the view has NOT seen: DELETE qty >= 48 (retracts
+    *      every flag's max — the dirty-key recompute path), UPDATE
+    *      k <= 1000 pc+100 (delete+insert pairs in the feed), APPEND
+    *      a synthetic 'Z' flag slice (key birth, the insert-only
+    *      incremental path)
+    *   3. ONE refresh folds the whole multi-commit span from the
+    *      change feed through copy-on-write applyChanges
+    * The oracle recomputes the aggregate over the mutated relation in
+    * pure SQL, so a hash match proves the incremental fold equals the
+    * full recompute.
+    *
+    * Scale: refresh cost = the span's changed files + the view files
+    * holding touched keys (+ a dirty-keys-pruned source scan only
+    * because MIN/MAX is configured) — never a standing full
+    * reaggregation of the corpus. */
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"),
+      col("l_returnflag").as("rf"))
+    val root = Files.createTempDirectory("graft_mv")
+    val src = s"$root/src"
+    val mv = s"$root/mv"
+    TxLog.commitOverwrite(s, src,
+      t.repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    graft.sources.MaterializedAgg.create(s, src, mv,
+      keys = Seq("rf"), sums = Seq("pc"),
+      mins = Seq("qty"), maxs = Seq("qty"))
+    TxLog.delete(s, src, col("qty") >= 48)
+    TxLog.update(s, src, col("k") <= 1000, Map("pc" -> (col("pc") + 100)))
+    TxLog.commitAppend(s, src, t.filter(col("k") % 101 === 0)
+      .select((col("k") + 3000000000L).as("k"), col("ln"),
+        lit(5).as("qty"), lit(0L).as("pc"), lit("Z").as("rf")))
+    graft.sources.MaterializedAgg.refresh(s, mv)
+    val agg = TxLog.read(s, mv).withColumnRenamed("rf", "l_returnflag")
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txn_dml" -> txnDml,
     "txn_dml_mor" -> txnDmlMor,
+    "mv_incremental" -> mvIncremental,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -232,6 +283,27 @@ object TxQueries {
         CAST(SUM(pc) AS BIGINT) AS sum_pc,
         CAST(SUM(qty) AS BIGINT) AS sum_qty
       FROM u GROUP BY 1""",
+    "mv_incremental" -> """
+      WITH t AS (
+        SELECT l_orderkey AS k, l_linenumber AS ln,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+          l_returnflag AS rf
+        FROM lineitem),
+      d AS (SELECT * FROM t WHERE NOT coalesce(qty >= 48, false)),
+      u AS (SELECT k, ln, qty,
+              CASE WHEN k <= 1000 THEN pc + 100 ELSE pc END AS pc, rf
+            FROM d),
+      a AS (SELECT k + 3000000000 AS k, ln, 5 AS qty,
+              CAST(0 AS BIGINT) AS pc, 'Z' AS rf
+            FROM t WHERE k % 101 = 0),
+      m AS (SELECT * FROM u UNION ALL SELECT * FROM a)
+      SELECT rf AS l_returnflag,
+        COUNT(*) AS n_rows,
+        CAST(COALESCE(SUM(pc), 0) AS BIGINT) AS sum_pc,
+        MIN(qty) AS min_qty,
+        MAX(qty) AS max_qty
+      FROM m GROUP BY 1""",
     "bloom_point_lookup" -> """
       SELECT doc_id, lang, n_chars FROM documents
       WHERE doc_id IN (0, 1, 2)""")

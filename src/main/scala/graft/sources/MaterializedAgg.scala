@@ -1,0 +1,272 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Incremental maintenance of a materialized GROUP BY aggregate over
+  * a logged table — the lakehouse "incremental materialized view":
+  * instead of recomputing `SELECT keys, COUNT(*), SUM(c)… GROUP BY
+  * keys` over 100 TB on every downstream read, the aggregate is kept
+  * as its OWN logged table and folded forward from the source's
+  * row-level change feed, so a refresh costs the DELTA (the span's
+  * changed files), never the corpus. The reference's analytics layer
+  * recomputes such summaries per query (analytics_engine.py's
+  * aggregation paths); this is the standing, restart-safe form a
+  * 100 TB deployment needs.
+  *
+  * Classic incremental view maintenance, split by aggregate class:
+  *  - **Distributive (COUNT, SUM)**: every feed row carries a sign
+  *    (+1 insert, −1 delete); per-key signed sums ARE the delta, and
+  *    the new state is `old + delta`. A key whose count reaches zero
+  *    leaves the view.
+  *  - **Non-distributive under retraction (MIN, MAX)**: inserts merge
+  *    incrementally (`least(old_min, min(inserted))` — exact, also
+  *    under nulls, because least/greatest skip them); a DELETE on a
+  *    key may retract the current extreme, so such "dirty" keys are
+  *    recomputed from the source snapshot at the span's end version,
+  *    pruned to the dirty keys by a semi-join. Without MIN/MAX
+  *    columns the source is NEVER rescanned.
+  *
+  * Contract: `n_rows` = COUNT(*); `sum_<c>` = `COALESCE(SUM(c), 0)`
+  * (null-coalesced so it folds with `old + delta` without tracking
+  * per-column non-null counts); `min_<c>`/`max_<c>` = plain MIN/MAX
+  * (null when the key holds no non-null value). AVG is `sum/n` at
+  * read time. Sum columns should be exact types (integral/decimal) —
+  * a float sum folded incrementally drifts from a recompute by
+  * ordering, the same reason the oracle queries sum cents.
+  *
+  * The view's SOURCE WATERMARK (the last source version folded in)
+  * rides the view's own log as a txn marker under [[WatermarkApp]] —
+  * restart-safe and transactional with the data it stamps, exactly
+  * like the streaming sinks' (appId, batchId) markers. Refresh is
+  * idempotent: replaying a span the marker already covers is a no-op
+  * inside [[TxLog.applyChanges]].
+  *
+  * Writes go through [[TxLog.applyChanges]], so a refresh rewrites
+  * ONLY the view files holding touched keys (stats-pruned,
+  * copy-on-write) — at scale a trickle of source changes costs a
+  * trickle of view I/O.
+  */
+object MaterializedAgg {
+
+  /** View definition file inside the view directory (underscore
+    * prefix: invisible to Spark file listings and spared by
+    * [[TxLog.vacuum]]). */
+  val MetaFile = "_graft_mv.json"
+
+  /** Txn appId under which the view's source watermark is recorded
+    * in the view's own log. */
+  val WatermarkApp = "_graft_mv_src"
+
+  /** A materialized view's definition: the source table directory
+    * and the aggregate shape. */
+  case class MvSpec(source: String, keys: Seq[String], sums: Seq[String],
+      mins: Seq[String], maxs: Seq[String])
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def metaPath(mvDir: String) = new Path(mvDir, MetaFile)
+
+  private def writeMeta(spark: SparkSession, mvDir: String,
+      spec: MvSpec): Unit = {
+    val p = metaPath(mvDir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val j = ("source" -> spec.source) ~ ("keys" -> spec.keys) ~
+      ("sums" -> spec.sums) ~ ("mins" -> spec.mins) ~
+      ("maxs" -> spec.maxs)
+    val out = f.create(p, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(j)).getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** The view's definition, as written by [[create]]. */
+  def readMeta(spark: SparkSession, mvDir: String): MvSpec = {
+    val p = metaPath(mvDir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(f.exists(p),
+      s"MaterializedAgg: no $MetaFile under $mvDir — not a " +
+        "materialized view (create one with MaterializedAgg.create)")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    JsonMethods.parse(txt).extract[MvSpec]
+  }
+
+  /** The full aggregate — used once at [[create]], per dirty key
+    * under retraction, and by tests as the recompute oracle. */
+  def aggregate(df: DataFrame, keys: Seq[String], sums: Seq[String],
+      mins: Seq[String], maxs: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +:
+        (sums.map(c => coalesce(sum(col(c)), lit(0).cast(sumType(df, c)))
+          .as(s"sum_$c")) ++
+          mins.map(c => min(col(c)).as(s"min_$c")) ++
+          maxs.map(c => max(col(c)).as(s"max_$c")))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The type SUM(c) widens to — needed to coalesce with a same-typed
+    * zero (sum: int→long, decimal(p,s)→decimal(p+10,s)). */
+  private def sumType(df: DataFrame, c: String): DataType =
+    df.select(sum(col(c)).as("_s")).schema.head.dataType
+
+  /** Materialize the view: one full aggregate over the source's
+    * CURRENT snapshot, committed (with the watermark marker) as
+    * version 0 of the view's own logged table. Returns the source
+    * version the view reflects. */
+  def create(spark: SparkSession, sourceDir: String, mvDir: String,
+      keys: Seq[String], sums: Seq[String] = Nil,
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "MaterializedAgg: at least one key column")
+    require(sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
+      "MaterializedAgg: at least one aggregate column (sums/mins/maxs)")
+    require(!TxLog.isLogged(spark, mvDir),
+      s"MaterializedAgg: $mvDir already holds a logged table")
+    val srcVersion = TxLog.snapshot(spark, sourceDir).version
+    val src = TxLog.read(spark, sourceDir, Some(srcVersion))
+    val missing = (keys ++ sums ++ mins ++ maxs).distinct
+      .filterNot(src.columns.contains)
+    require(missing.isEmpty,
+      s"MaterializedAgg: source lacks column(s) ${missing.mkString(", ")}")
+    val agg = aggregate(src, keys, sums, mins, maxs)
+    TxLog.commitOverwrite(spark, mvDir, agg, statsCols = keys,
+      txn = Some((WatermarkApp, srcVersion)))
+    writeMeta(spark, mvDir, MvSpec(sourceDir, keys, sums, mins, maxs))
+    srcVersion
+  }
+
+  /** The source version the view currently reflects. */
+  def watermark(spark: SparkSession, mvDir: String): Long =
+    TxLog.snapshot(spark, mvDir).txns.getOrElse(WatermarkApp,
+      throw new IllegalStateException(
+        s"MaterializedAgg: $mvDir carries no $WatermarkApp marker — " +
+          "not a materialized view"))
+
+  /** Fold the source changes since the watermark into the view.
+    * Reads the change feed for (watermark, head], computes per-key
+    * deltas, and applies them copy-on-write through
+    * [[TxLog.applyChanges]] — touched view files only. Returns the
+    * new watermark (= the source head folded in). No-op when the
+    * view is current. */
+  def refresh(spark: SparkSession, mvDir: String): Long = {
+    val spec = readMeta(spark, mvDir)
+    val w = watermark(spark, mvDir)
+    val head = TxLog.snapshot(spark, spec.source).version
+    if (head <= w) return w
+    val feed = TxLog.changeFeed(spark, spec.source, w, Some(head))
+    applyFeed(spark, mvDir, spec, feed, endVersion = head)
+    head
+  }
+
+  /** Streaming form: attach the view to a `readChangeFeed` stream of
+    * its source — each micro-batch folds its feed slice through the
+    * same delta path as [[refresh]]. Start the feed ABOVE the
+    * watermark (`.option("startingVersion", watermark + 1)`) so the
+    * initial load the view already aggregated is not double-counted.
+    * Idempotence: each slice commits under (WatermarkApp, slice's max
+    * `_commit_version`) — an engine-replayed micro-batch re-presents
+    * the same span and skips, and the watermark keeps advancing so a
+    * later batch [[refresh]] stays consistent with the stream. */
+  def mvApplySink(feed: DataFrame, mvDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(feed.columns.contains("_change_type") &&
+      feed.columns.contains("_commit_version"),
+      "MaterializedAgg: mvApplySink needs a change feed " +
+        "(.option(\"readChangeFeed\", true))")
+    feed.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val spec = readMeta(sp, mvDir)
+        val end = batch.agg(max(col("_commit_version"))).head()
+        if (!end.isNullAt(0))
+          applyFeed(sp, mvDir, spec, batch, endVersion = end.getLong(0))
+        ()
+      }.start()
+  }
+
+  /** Fold one change-feed span into the view (shared by [[refresh]]
+    * and [[mvApplySink]]). `endVersion` is the span's last source
+    * version: it stamps the watermark marker and pins the snapshot
+    * dirty keys recompute from. */
+  private def applyFeed(spark: SparkSession, mvDir: String, spec: MvSpec,
+      feed: DataFrame, endVersion: Long): Unit = {
+    val mvSchema = DataType.fromJson(TxLog.snapshot(spark, mvDir)
+      .schemaJson).asInstanceOf[StructType]
+    val mvType = mvSchema.fields.map(f => f.name -> f.dataType).toMap
+    val keys = spec.keys
+    val ins = col("_change_type") === "insert"
+    val needRecompute = spec.mins.nonEmpty || spec.maxs.nonEmpty
+
+    // one pass over the feed: signed count/sum deltas, insert-side
+    // min/max, and the retraction flag
+    val deltaAggs: Seq[Column] =
+      sum(when(ins, 1L).otherwise(-1L)).as("_d_n") +:
+        (spec.sums.map(c => coalesce(
+          sum(when(ins, col(c)).otherwise(-col(c))),
+          lit(0).cast(mvType(s"sum_$c"))).as(s"_d_sum_$c")) ++
+          spec.mins.map(c => min(when(ins, col(c))).as(s"_i_min_$c")) ++
+          spec.maxs.map(c => max(when(ins, col(c))).as(s"_i_max_$c")) :+
+          max(when(ins, 0).otherwise(1)).as("_retract"))
+    val deltas0 = feed.groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    // a net-zero key (e.g. a value swap between two rows of one key)
+    // needs no directive — and no view-file rewrite. With MIN/MAX
+    // configured a retraction is never net-zero-safe (the extreme may
+    // have moved), hence the _retract term.
+    val touched = deltas0.filter(
+      (col("_d_n") =!= 0L) +:
+        (spec.sums.map(c => col(s"_d_sum_$c") =!= lit(0)) ++
+          (if (needRecompute) Seq(col("_retract") === 1) else Nil))
+          reduce (_ || _))
+    val dirty = if (needRecompute) col("_retract") === 1 else lit(false)
+
+    val mv = TxLog.read(spark, mvDir)
+    def mvAligned(d: DataFrame): DataFrame =
+      d.select((keys.map(col) ++ mvSchema.fieldNames.filterNot(keys.contains)
+        .map(c => col(c).cast(mvType(c)).as(c))) :+ col("_mv_del"): _*)
+
+    // CLEAN keys (insert-only when MIN/MAX is configured; every key
+    // otherwise): new state = old + delta, folded in one right join
+    // against the (small) delta relation
+    val clean = mv.join(touched.filter(!dirty), keys, "right")
+      .select((keys.map(col) :+
+        (coalesce(col("n_rows"), lit(0L)) + col("_d_n")).as("n_rows")) ++
+        spec.sums.map(c => (coalesce(col(s"sum_$c"),
+          lit(0).cast(mvType(s"sum_$c"))) + col(s"_d_sum_$c"))
+          .as(s"sum_$c")) ++
+        spec.mins.map(c =>
+          least(col(s"min_$c"), col(s"_i_min_$c")).as(s"min_$c")) ++
+        spec.maxs.map(c =>
+          greatest(col(s"max_$c"), col(s"_i_max_$c")).as(s"max_$c")): _*)
+      .withColumn("_mv_del", col("n_rows") === 0L)
+
+    // DIRTY keys (a delete may have retracted a MIN/MAX extreme):
+    // recompute from the source snapshot at the span's END version,
+    // pruned to the dirty keys; a dirty key with no surviving source
+    // rows leaves the view
+    val directives =
+      if (!needRecompute) mvAligned(clean)
+      else {
+        val dirtyKeys = touched.filter(dirty).select(keys.map(col): _*)
+        val srcAt = TxLog.read(spark, spec.source, Some(endVersion))
+        val recomputed = aggregate(
+          srcAt.join(dirtyKeys, keys, "left_semi"),
+          keys, spec.sums, spec.mins, spec.maxs)
+        val rec = dirtyKeys.join(recomputed, keys, "left")
+          .withColumn("_mv_del", col("n_rows").isNull)
+          .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+        mvAligned(clean).unionByName(mvAligned(rec))
+      }
+    TxLog.applyChanges(spark, mvDir, directives, keys, "_mv_del",
+      statsCols = keys, txn = Some((WatermarkApp, endVersion)))
+    ()
+  }
+}

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.connector.read.streaming.ReadLimit
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
 
 /** Round-14 hardening: byte-budget admission after an unknown-size
   * commit (no sentinel poisoning), zero-cost commits co-admitting
@@ -76,6 +77,172 @@ class Round14Spec extends SparkSpec {
     assert(step(0L) == 2L,
       "zero-cost compact must co-admit with the unknown-size commit")
     assert(step(2L) == 3L)
+  }
+
+  // ---- incremental materialized aggregates -------------------------
+
+  private def mvState(mvDir: String): Set[(String, Long, Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    graft.sources.TxLog.read(spark, mvDir)
+      .select("grp", "n_rows", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+  }
+
+  private def recompute(srcDir: String): Set[(String, Long, Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    graft.sources.MaterializedAgg.aggregate(
+      graft.sources.TxLog.read(spark, srcDir),
+      Seq("grp"), Seq("v"), Seq("v"), Seq("v"))
+      .select("grp", "n_rows", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("materialized agg: create + refresh folds inserts, retractions, key birth and death") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("r14mvsrc").toString
+    val mv = tmp("r14mv").toString + "/t"
+    val TxLog = graft.sources.TxLog
+    val MA = graft.sources.MaterializedAgg
+    def rows(t: (Long, String, Long)*) = t.toSeq.toDF("id", "grp", "v")
+    TxLog.commitOverwrite(spark, src,
+      rows((1L, "a", 10L), (2L, "a", 4L), (3L, "b", 7L)))
+    val w0 = MA.create(spark, src, mv, keys = Seq("grp"),
+      sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+    assert(w0 == 0L)
+    assert(mvState(mv) == recompute(src))
+
+    // insert-only span: new key c born, key a improves its max —
+    // folded incrementally (no retraction in the span)
+    TxLog.commitAppend(spark, src, rows((4L, "c", 1L), (5L, "a", 99L)))
+    MA.refresh(spark, mv)
+    assert(mvState(mv) == recompute(src))
+    assert(MA.watermark(spark, mv) == 1L)
+
+    // retraction of a's max (99) — the dirty-key recompute path
+    TxLog.delete(spark, src, col("id") === 5L)
+    MA.refresh(spark, mv)
+    assert(mvState(mv) == recompute(src))
+
+    // key death: b loses its only row and must leave the view
+    TxLog.delete(spark, src, col("grp") === "b")
+    MA.refresh(spark, mv)
+    assert(mvState(mv) == recompute(src))
+    assert(!mvState(mv).exists(_._1 == "b"))
+
+    // idempotence: a second refresh with nothing new is a no-op
+    val vBefore = TxLog.snapshot(spark, mv).version
+    MA.refresh(spark, mv)
+    assert(TxLog.snapshot(spark, mv).version == vBefore)
+  }
+
+  test("materialized agg: randomized DML model check — view equals recompute after every refresh") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1408)
+    val src = tmp("r14mvmodel").toString
+    val mv = tmp("r14mvmodelv").toString + "/t"
+    val TxLog = graft.sources.TxLog
+    val MA = graft.sources.MaterializedAgg
+    val grps = Vector("g0", "g1", "g2", "g3")
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, String, Long)] = {
+      val out = (0 until n).map(i => (nextId + i,
+        grps(rnd.nextInt(grps.size)), rnd.nextInt(1000).toLong))
+      nextId += n; out
+    }
+    def mkDf(t: Seq[(Long, String, Long)]) = t.toDF("id", "grp", "v")
+    TxLog.commitOverwrite(spark, src, mkDf(fresh(8)))
+    MA.create(spark, src, mv, keys = Seq("grp"),
+      sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+    (1 to 18).foreach { step =>
+      val existing = TxLog.read(spark, src)
+        .select("id").as[Long].collect().toSeq.sorted
+      def pick(): Long = existing(rnd.nextInt(existing.size))
+      rnd.nextInt(7) match {
+        case 0 => TxLog.commitAppend(spark, src, mkDf(fresh(1 + rnd.nextInt(3))))
+        case 1 if existing.nonEmpty =>
+          TxLog.delete(spark, src, col("id") === pick())
+        case 2 if existing.nonEmpty =>
+          TxLog.deleteMor(spark, src, col("id") === pick())
+        case 3 if existing.nonEmpty =>
+          TxLog.update(spark, src, col("id") === pick(),
+            Map("v" -> lit(rnd.nextInt(1000).toLong)))
+        case 4 if existing.nonEmpty =>
+          TxLog.merge(spark, src, mkDf(
+            Seq((pick(), grps(rnd.nextInt(grps.size)),
+              rnd.nextInt(1000).toLong)) ++ fresh(1)), Seq("id"))
+        case 5 => TxLog.compact(spark, src, targetFiles = 2)
+        case _ if existing.nonEmpty =>
+          TxLog.delete(spark, src,
+            col("grp") === grps(rnd.nextInt(grps.size)))
+        case _ =>
+          TxLog.commitAppend(spark, src, mkDf(fresh(1)))
+      }
+      // refresh only on some steps: a refresh must fold MULTI-commit
+      // spans, not just single commits
+      if (step % 3 == 0 || step == 18) {
+        MA.refresh(spark, mv)
+        assert(mvState(mv) == recompute(src),
+          s"view diverged from recompute at step $step")
+      }
+    }
+    MA.refresh(spark, mv)
+    assert(mvState(mv) == recompute(src))
+    assert(MA.watermark(spark, mv) ==
+      TxLog.snapshot(spark, src).version)
+  }
+
+  test("materialized agg: sums-only view never needs the source and handles retraction") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("r14mvsum").toString
+    val mv = tmp("r14mvsumv").toString + "/t"
+    val TxLog = graft.sources.TxLog
+    val MA = graft.sources.MaterializedAgg
+    def rows(t: (Long, String, Long)*) = t.toSeq.toDF("id", "grp", "v")
+    TxLog.commitOverwrite(spark, src, rows((1L, "a", 5L), (2L, "b", 3L)))
+    MA.create(spark, src, mv, keys = Seq("grp"), sums = Seq("v"))
+    TxLog.delete(spark, src, col("id") === 2L)
+    TxLog.commitAppend(spark, src, rows((3L, "a", 7L)))
+    // make the source UNREADABLE at refresh time would be the strong
+    // form; the observable contract: deltas alone fold deletes when
+    // no MIN/MAX is configured
+    MA.refresh(spark, mv)
+    val st = graft.sources.TxLog.read(spark, mv)
+      .select("grp", "n_rows", "sum_v").as[(String, Long, Long)]
+      .collect().toSet
+    assert(st == Set(("a", 2L, 12L)))
+  }
+
+  test("materialized agg: streaming sink folds the live change feed with batch-refresh parity") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("r14mvstream").toString
+    val mv = tmp("r14mvstreamv").toString + "/t"
+    val TxLog = graft.sources.TxLog
+    val MA = graft.sources.MaterializedAgg
+    def rows(t: (Long, String, Long)*) = t.toSeq.toDF("id", "grp", "v")
+    TxLog.commitOverwrite(spark, src,
+      rows((1L, "a", 10L), (2L, "b", 20L)))
+    val w = MA.create(spark, src, mv, keys = Seq("grp"),
+      sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+    // history the stream must fold: inserts, a retraction, a key death
+    TxLog.commitAppend(spark, src, rows((3L, "a", 1L), (4L, "c", 9L)))
+    TxLog.delete(spark, src, col("id") === 1L)   // retracts a's max
+    TxLog.delete(spark, src, col("grp") === "b") // key death
+    val feed = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", w + 1).load(src)
+    val q = MA.mvApplySink(feed, mv, tmp("r14mvck").toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(mvState(mv) == recompute(src))
+    // the stream advanced the watermark: a batch refresh is a no-op
+    val vBefore = TxLog.snapshot(spark, mv).version
+    assert(MA.refresh(spark, mv) == TxLog.snapshot(spark, src).version)
+    assert(TxLog.snapshot(spark, mv).version == vBefore)
   }
 
   // ---- bestFitPacked duplicate-key refusal -------------------------
