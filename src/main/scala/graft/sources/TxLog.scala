@@ -302,9 +302,10 @@ object TxLog {
       txn: Option[(String, Long)],
       ddl: Option[(Map[String, String], Seq[String])] = None,
       minReader: Option[Int] = None,
-      constraints: Option[Map[String, String]] = None): String = {
+      constraints: Option[Map[String, String]] = None,
+      ts: Long = System.currentTimeMillis()): String = {
     val base: JObject =
-      ("version" -> v) ~ ("op" -> op) ~
+      ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
         ("add" -> filesJson(added)) ~ ("remove" -> removed)
     val withSchema = schemaJson.fold(base)(s => base ~ ("schemaJson" -> s))
     val withMr = minReader.fold(withSchema)(m =>
@@ -679,7 +680,7 @@ object TxLog {
           (m, base.map(_.retired).getOrElse(Nil))))
       if (tryWrite(f, versionFile(dir, v),
           renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut,
-            minReader))) {
+            minReader, ts = nextCommitTs(f, dir, v)))) {
         if (v > 0 && v % CheckpointInterval == 0)
           writeCheckpoint(spark, dir, v)
         return v
@@ -2278,12 +2279,35 @@ object TxLog {
 
   // ---- time travel by timestamp ------------------------------------
 
-  /** Every present commit's (version, timestamp), timestamps taken
-    * from the commit files' modification times with Delta's
-    * monotonicity adjustment (`ts(v) = max(mtime(v), ts(v−1) + 1)`) —
-    * a clock that jumped backwards between commits must not make a
-    * later version resolve before an earlier one. Driver-side, one
-    * file status per commit. */
+  /** IN-COMMIT timestamp for the commit being written (Delta 3.x's
+    * inCommitTimestamps): `max(clock, ts(v−1) + 1)` — recorded inside
+    * the commit json so the time-travel axis survives file copies,
+    * backups, and mtime-less object stores, and is strictly
+    * increasing at the WRITE side (two same-millisecond commits get
+    * distinct timestamps). The previous commit's file may predate
+    * timestamp recording (fall back to its mtime) or be truncated
+    * away (v0 of the available history — fall back to the clock). */
+  private def nextCommitTs(f: FileSystem, dir: String, v: Long): Long = {
+    val now = System.currentTimeMillis()
+    if (v == 0) now
+    else try {
+      val pf = versionFile(dir, v - 1)
+      val prev = (JsonMethods.parse(readText(f, pf)) \ "ts")
+        .extractOpt[Long]
+        .getOrElse(f.getFileStatus(pf).getModificationTime)
+      math.max(now, prev + 1)
+    } catch { case _: java.io.IOException => now }
+  }
+
+  /** Every present commit's (version, timestamp): the RECORDED
+    * in-commit timestamp when the commit carries one, the commit
+    * file's modification time for commits that predate timestamp
+    * recording, with Delta's monotonicity adjustment
+    * (`ts(v) = max(t(v), ts(v−1) + 1)`) over the merged axis — a
+    * clock that jumped backwards between commits (or a copied log
+    * whose mtimes scrambled around recorded timestamps) must not make
+    * a later version resolve before an earlier one. Driver-side, one
+    * small json read per commit. */
   private def commitTimestamps(spark: SparkSession, dir: String)
       : Seq[(Long, Long)] = {
     val (commits, _) = listLog(spark, dir)
@@ -2291,7 +2315,9 @@ object TxLog {
     val f = fs(spark, logPath(dir))
     var prev = Long.MinValue
     commits.map { v =>
-      val t = f.getFileStatus(versionFile(dir, v)).getModificationTime
+      val p = versionFile(dir, v)
+      val t = (JsonMethods.parse(readText(f, p)) \ "ts").extractOpt[Long]
+        .getOrElse(f.getFileStatus(p).getModificationTime)
       val adj = if (prev == Long.MinValue) t else math.max(t, prev + 1)
       prev = adj
       (v, adj)

@@ -257,10 +257,18 @@ class Round12Spec extends SparkSpec {
 
   // ---- time travel by timestamp ------------------------------------
 
-  private def setCommitTime(dir: String, v: Long, ts: Long): Unit =
-    Files.setLastModifiedTime(
-      java.nio.file.Paths.get(dir, TxLog.LogDir, f"$v%020d.json"),
+  // pins a commit's position on the time-travel axis: rewrites the
+  // recorded in-commit timestamp (the authoritative field since
+  // round 14) and the file mtime (the pre-recording fallback) together
+  private def setCommitTime(dir: String, v: Long, ts: Long): Unit = {
+    val p = java.nio.file.Paths.get(dir, TxLog.LogDir, f"$v%020d.json")
+    val t = new String(Files.readAllBytes(p), "UTF-8")
+    Files.write(p,
+      t.replaceFirst("\"ts\":\\d+", "\"ts\":" + ts).getBytes("UTF-8"))
+    Files.setLastModifiedTime(p,
       java.nio.file.attribute.FileTime.fromMillis(ts))
+    ()
+  }
 
   test("TIMESTAMP AS OF: between-commits resolution, refusals, monotonic clock repair") {
     val dir = tmp("r12ts").toString

@@ -508,11 +508,16 @@ class Round13Spec extends SparkSpec {
     val dir = tmp("r13ts").toString
     def df(ids: Long*): org.apache.spark.sql.DataFrame =
       ids.map(i => (i, s"n$i")).toDF("id", "name")
-    def setTime(v: Long, ts: Long): Unit =
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(dir, graft.sources.TxLog.LogDir,
-          f"$v%020d.json"),
+    def setTime(v: Long, ts: Long): Unit = {
+      val p = java.nio.file.Paths.get(dir, graft.sources.TxLog.LogDir,
+        f"$v%020d.json")
+      val t = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      java.nio.file.Files.write(p,
+        t.replaceFirst("\"ts\":\\d+", "\"ts\":" + ts).getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(ts))
+      ()
+    }
     graft.sources.TxLog.commitOverwrite(spark, dir, df(1))   // v0
     graft.sources.TxLog.commitAppend(spark, dir, df(2))      // v1
     graft.sources.TxLog.commitAppend(spark, dir, df(3))      // v2

@@ -79,6 +79,74 @@ class Round14Spec extends SparkSpec {
     assert(step(2L) == 3L)
   }
 
+  // ---- in-commit timestamps ----------------------------------------
+
+  private def logJson(dir: String, v: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, graft.sources.TxLog.LogDir,
+      f"$v%020d.json")
+
+  test("in-commit timestamps: recorded, strictly increasing, and immune to mtime mangling") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r14ict").toString
+    val TxLog = graft.sources.TxLog
+    def df(i: Long) = Seq((i, s"n$i")).toDF("id", "name")
+    TxLog.commitOverwrite(spark, dir, df(1))           // v0
+    TxLog.commitAppend(spark, dir, df(2))              // v1
+    TxLog.commitAppend(spark, dir, df(3))              // v2
+    // every commit records its timestamp, strictly increasing even
+    // for commits landing in the same millisecond
+    val recorded = (0L to 2L).map { v =>
+      val t = new String(java.nio.file.Files.readAllBytes(
+        logJson(dir, v)), "UTF-8")
+      "\"ts\":(\\d+)".r.findFirstMatchIn(t).get.group(1).toLong
+    }
+    assert(recorded == recorded.sorted && recorded.distinct.size == 3,
+      s"in-commit timestamps not strictly increasing: $recorded")
+    // a copied/backed-up log loses mtimes: scramble them backwards —
+    // the recorded axis must win (this is WHY the timestamp lives in
+    // the commit, Delta's inCommitTimestamps rationale)
+    (0L to 2L).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(logJson(dir, v),
+        java.nio.file.attribute.FileTime.fromMillis(999999L - v * 1000))
+    }
+    val h = TxLog.history(spark, dir).orderBy("version")
+      .select("timestamp").as[Long].collect().toSeq
+    assert(h == recorded, s"history fell back to mangled mtimes: $h")
+    assert(TxLog.versionAt(spark, dir, recorded(1)) == 1L)
+    assert(TxLog.versionAt(spark, dir, recorded(2) - 1) == 1L)
+    assert(TxLog.versionAt(spark, dir, recorded(2)) == 2L)
+  }
+
+  test("in-commit timestamps: pre-recording commits fall back to mtime on a merged axis") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r14ictold").toString
+    val TxLog = graft.sources.TxLog
+    def df(i: Long) = Seq((i, s"n$i")).toDF("id", "name")
+    TxLog.commitOverwrite(spark, dir, df(1))           // v0 (becomes "old")
+    TxLog.commitAppend(spark, dir, df(2))              // v1 (becomes "old")
+    TxLog.commitAppend(spark, dir, df(3))              // v2 (keeps its ts)
+    // strip the recorded ts from v0/v1 — a log written before
+    // timestamp recording — and pin their mtimes
+    (0L to 1L).foreach { v =>
+      val p = logJson(dir, v)
+      val t = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      java.nio.file.Files.write(p,
+        t.replaceFirst("\"ts\":\\d+,", "").getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(100000L + v * 100000))
+      ()
+    }
+    val h = TxLog.history(spark, dir).orderBy("version")
+      .select("timestamp").as[Long].collect().toSeq
+    assert(h(0) == 100000L && h(1) == 200000L,
+      s"old commits must resolve by mtime: $h")
+    assert(h(2) > h(1), s"merged axis must stay monotonic: $h")
+    assert(TxLog.versionAt(spark, dir, 150000L) == 0L)
+    assert(TxLog.versionAt(spark, dir, 200000L) == 1L)
+  }
+
   // ---- incremental materialized aggregates -------------------------
 
   private def mvState(mvDir: String): Set[(String, Long, Long, Long, Long)] = {
