@@ -198,6 +198,16 @@ object MaterializedAgg {
     * dirty keys recompute from. */
   private def applyFeed(spark: SparkSession, mvDir: String, spec: MvSpec,
       feed: DataFrame, endVersion: Long): Unit = {
+    val directives = directivesFor(spark, mvDir, spec, feed, endVersion)
+    TxLog.applyChanges(spark, mvDir, directives, spec.keys, "_mv_del",
+      statsCols = spec.keys, txn = Some((WatermarkApp, endVersion)))
+    ()
+  }
+
+  /** The per-key directive relation one feed span folds into the view
+    * (exposed separately so its plan can be audited). */
+  private[graft] def directivesFor(spark: SparkSession, mvDir: String,
+      spec: MvSpec, feed: DataFrame, endVersion: Long): DataFrame = {
     val mvSchema = DataType.fromJson(TxLog.snapshot(spark, mvDir)
       .schemaJson).asInstanceOf[StructType]
     val mvType = mvSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -234,8 +244,8 @@ object MaterializedAgg {
         .map(c => col(c).cast(mvType(c)).as(c))) :+ col("_mv_del"): _*)
 
     // CLEAN keys (insert-only when MIN/MAX is configured; every key
-    // otherwise): new state = old + delta, folded in one right join
-    // against the (small) delta relation
+    // otherwise): new state = old + delta, folded in one equi right
+    // join against the (small) delta relation
     val clean = mv.join(touched.filter(!dirty), keys, "right")
       .select((keys.map(col) :+
         (coalesce(col("n_rows"), lit(0L)) + col("_d_n")).as("n_rows")) ++
@@ -252,21 +262,17 @@ object MaterializedAgg {
     // recompute from the source snapshot at the span's END version,
     // pruned to the dirty keys; a dirty key with no surviving source
     // rows leaves the view
-    val directives =
-      if (!needRecompute) mvAligned(clean)
-      else {
-        val dirtyKeys = touched.filter(dirty).select(keys.map(col): _*)
-        val srcAt = TxLog.read(spark, spec.source, Some(endVersion))
-        val recomputed = aggregate(
-          srcAt.join(dirtyKeys, keys, "left_semi"),
-          keys, spec.sums, spec.mins, spec.maxs)
-        val rec = dirtyKeys.join(recomputed, keys, "left")
-          .withColumn("_mv_del", col("n_rows").isNull)
-          .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
-        mvAligned(clean).unionByName(mvAligned(rec))
-      }
-    TxLog.applyChanges(spark, mvDir, directives, keys, "_mv_del",
-      statsCols = keys, txn = Some((WatermarkApp, endVersion)))
-    ()
+    if (!needRecompute) mvAligned(clean)
+    else {
+      val dirtyKeys = touched.filter(dirty).select(keys.map(col): _*)
+      val srcAt = TxLog.read(spark, spec.source, Some(endVersion))
+      val recomputed = aggregate(
+        srcAt.join(dirtyKeys, keys, "left_semi"),
+        keys, spec.sums, spec.mins, spec.maxs)
+      val rec = dirtyKeys.join(recomputed, keys, "left")
+        .withColumn("_mv_del", col("n_rows").isNull)
+        .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      mvAligned(clean).unionByName(mvAligned(rec))
+    }
   }
 }

@@ -263,6 +263,34 @@ class Round14Spec extends SparkSpec {
       TxLog.snapshot(spark, src).version)
   }
 
+  test("materialized agg: directive plan — equi-joins only, map-side-combined deltas, no cartesian") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("r14mvplan").toString
+    val mv = tmp("r14mvplanv").toString + "/t"
+    val TxLog = graft.sources.TxLog
+    val MA = graft.sources.MaterializedAgg
+    def rows(t: (Long, String, Long)*) = t.toSeq.toDF("id", "grp", "v")
+    TxLog.commitOverwrite(spark, src, rows((1L, "a", 10L), (2L, "b", 7L)))
+    MA.create(spark, src, mv, keys = Seq("grp"),
+      sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+    TxLog.delete(spark, src, col("id") === 1L)
+    TxLog.commitAppend(spark, src, rows((3L, "c", 5L)))
+    val spec = MA.readMeta(spark, mv)
+    val feed = TxLog.changeFeed(spark, src, 0L, Some(2L))
+    val qe = MA.directivesFor(spark, mv, spec, feed, 2L).queryExecution
+    val p = qe.executedPlan.toString
+    // the fold is hash-keyed end to end: signed deltas are a keyed
+    // aggregation (map-side combined), old state joins by key, the
+    // dirty recompute semi-joins by key — nothing may plan a
+    // cartesian or nested loop, and no window appears anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("materialized agg: sums-only view never needs the source and handles retraction") {
     val s = spark
     import s.implicits._
