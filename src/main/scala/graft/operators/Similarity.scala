@@ -119,6 +119,34 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
+  /** Diversity-balanced selection of `n` vectors: cluster ROUND-ROBIN
+    * over random-hyperplane LSH buckets. Each vector hashes to one of
+    * 2^bandBits embedding-space regions; within a region vectors rank
+    * deterministically (by id — swap in a quality rank upstream by
+    * re-keying the id); selection takes every region's first vector,
+    * then every region's second, … until `n` — so the picked set
+    * SPANS the embedding space instead of clustering where the corpus
+    * is dense (the failure mode of any frequency-driven selection).
+    * The training-data use: a capped, diverse subset for eval seeds,
+    * annotation, or curriculum heads.
+    *
+    * Shape at 100 TB: one scan computing a codegen'd signature (no
+    * shuffle), ONE keyed window partitioned by bucket (each partition
+    * ≈ corpus/2^bandBits — raise bandBits to bound it), and a global
+    * TakeOrderedAndProject on (round, bucket, id) — never a
+    * corpus-wide sort. Output: (vec_id, bucket, round). */
+  def diversitySample(embs: DataFrame, idCol: String, vecCol: String,
+      n: Int, bandBits: Int, dims: Int, planeOffset: Int): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val bucketed = all.select(col("vec_id"),
+      bandSignature(0, bandBits, dims, planeOffset).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    bucketed
+      .withColumn("round", row_number().over(w).cast("long"))
+      .orderBy(col("round"), col("bucket"), col("vec_id"))
+      .limit(n)
+  }
+
   /** Banded-LSH near-dup pair generation (the 100 TB dedup path):
     * candidates carry ONLY ids through the bucket join + distinct;
     * vectors are fetched back just for the survivors. Output:

@@ -166,7 +166,22 @@ object SimilarityQueries {
           .as("recall"))
   }
 
+  /** curation_diversity config: 64 embedding-space regions, plane
+    * family disjoint from the ann (0), dedup (1000), and graph (3000)
+    * offsets. */
+  val DivBits = 6
+  val DivOffset = 5000
+  val DivN = 200
+
+  /** #195 curation_diversity — [[Similarity.diversitySample]]:
+    * cluster-round-robin selection over LSH buckets, the
+    * diversity-balanced subset picker. */
+  def curationDiversity(s: SparkSession, dir: String): DataFrame =
+    Similarity.diversitySample(embs(s, dir), "vec_id", "embedding",
+      n = DivN, bandBits = DivBits, dims = Dims, planeOffset = DivOffset)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_diversity" -> curationDiversity,
     "ann_recall" -> annRecall,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivf_pq_topk" -> annIvfPqTopk,
@@ -328,7 +343,21 @@ object SimilarityQueries {
         CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
       FROM j GROUP BY 1"""
 
+  private val curationDiversityOracle: String = s"""
+      WITH $vecCtes,
+      b AS (
+        SELECT vec_id, ${sigExpr(0, DivBits, DivOffset)} AS bucket
+        FROM n),
+      r AS (
+        SELECT vec_id, bucket,
+          CAST(row_number() OVER (PARTITION BY bucket
+            ORDER BY vec_id) AS BIGINT) AS round
+        FROM b)
+      SELECT vec_id, bucket, round FROM r
+      ORDER BY round, bucket, vec_id LIMIT $DivN"""
+
   val oracleSql: Map[String, String] = Map(
+    "curation_diversity" -> curationDiversityOracle,
     "ann_recall" -> annRecallOracle,
     "knn_graph" -> knnGraphOracle,
     "knn_graph_lsh" -> knnGraphLshOracle,

@@ -341,6 +341,51 @@ class Round14Spec extends SparkSpec {
     assert(TxLog.snapshot(spark, mv).version == vBefore)
   }
 
+  // ---- diversity selection -----------------------------------------
+
+  test("curation_diversity: round-robin over buckets — full coverage before any repeat, deterministic, TakeOrdered plan") {
+    val s = spark
+    import s.implicits._
+    val q = SparkEntry.queries("curation_diversity")(spark, sf)
+    val sel = q.collect()
+    assert(sel.length == graft.queries.SimilarityQueries.DivN)
+    // every pick is unique
+    assert(sel.map(_.getLong(0)).distinct.length == sel.length)
+    // the round-robin contract: round r+1 starts only after round r
+    // took one from EVERY bucket that still has vectors — so per-round
+    // pick counts never increase with r, and round 1 covers exactly
+    // min(occupied buckets, n) distinct buckets
+    val byRound = sel.groupBy(_.getLong(2)).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+    byRound.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(b <= a,
+        s"later round picked more than an earlier one: $byRound")
+      case _ =>
+    }
+    val occupied = graft.operators.Similarity.diversitySample(
+      graft.Tables(spark, sf, "embeddings"), "vec_id", "embedding",
+      n = Int.MaxValue, bandBits = graft.queries.SimilarityQueries.DivBits,
+      dims = graft.queries.SimilarityQueries.Dims,
+      planeOffset = graft.queries.SimilarityQueries.DivOffset)
+      .select("bucket").distinct().count()
+    val firstRound = sel.filter(_.getLong(2) == 1L)
+    assert(firstRound.map(_.getInt(1)).distinct.length ==
+      math.min(occupied, graft.queries.SimilarityQueries.DivN.toLong).toInt,
+      "round 1 must span every occupied bucket before any bucket repeats")
+    // deterministic across runs
+    val again = q.collect()
+    assert(sel.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // plan: keyed window + TakeOrderedAndProject, no global sort pass,
+    // no cartesian
+    val qe = q.queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, p))
+  }
+
   // ---- bestFitPacked duplicate-key refusal -------------------------
 
   test("bestFitPacked: duplicate (group, order) refuses loudly instead of fanning out") {
