@@ -215,6 +215,29 @@ object MaterializedAgg {
     val ins = col("_change_type") === "insert"
     val needRecompute = spec.mins.nonEmpty || spec.maxs.nonEmpty
 
+    // One driver-side pass over the span's (delta-sized) feed: the
+    // touched-key envelope and the retracted-key envelope. They
+    // stats-prune the two big reads below — a trickle refresh against
+    // a large view (or a MIN/MAX recompute against a 100 TB source)
+    // plans only the files whose recorded key range intersects the
+    // span, the same pruning applyChanges uses for its write side.
+    // Conservative: a key column with no usable bounds (all-null in
+    // the span, or no recorded stats) falls back to the full read.
+    val envAggs = keys.flatMap(k => Seq(
+      min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"),
+      min(when(!ins, col(k))).as(s"_rlo_$k"),
+      max(when(!ins, col(k))).as(s"_rhi_$k")))
+    val env = feed.agg(envAggs.head, envAggs.tail: _*).head()
+    def bounds(lo: String, hi: String): Seq[(String, Any, Any)] =
+      keys.flatMap { k =>
+        (Option(env.getAs[Any](s"${lo}$k")), Option(env.getAs[Any](s"${hi}$k"))) match {
+          case (Some(l), Some(h)) => Some((k, l, h))
+          case _ => None
+        }
+      }
+    val touchedBounds = bounds("_lo_", "_hi_")
+    val retractBounds = bounds("_rlo_", "_rhi_")
+
     // one pass over the feed: signed count/sum deltas, insert-side
     // min/max, and the retraction flag
     val deltaAggs: Seq[Column] =
@@ -238,7 +261,10 @@ object MaterializedAgg {
           reduce (_ || _))
     val dirty = if (needRecompute) col("_retract") === 1 else lit(false)
 
-    val mv = TxLog.read(spark, mvDir)
+    val mv =
+      if (touchedBounds.size == keys.size)
+        TxLog.readPrunedAll(spark, mvDir, touchedBounds)
+      else TxLog.read(spark, mvDir)
     def mvAligned(d: DataFrame): DataFrame =
       d.select((keys.map(col) ++ mvSchema.fieldNames.filterNot(keys.contains)
         .map(c => col(c).cast(mvType(c)).as(c))) :+ col("_mv_del"): _*)
@@ -265,7 +291,14 @@ object MaterializedAgg {
     if (!needRecompute) mvAligned(clean)
     else {
       val dirtyKeys = touched.filter(dirty).select(keys.map(col): _*)
-      val srcAt = TxLog.read(spark, spec.source, Some(endVersion))
+      // dirty keys all carry a retraction, so the retracted-key
+      // envelope bounds them — the recompute scan plans only the
+      // source files that can hold a dirty key
+      val srcAt =
+        if (retractBounds.size == keys.size)
+          TxLog.readPrunedAll(spark, spec.source, retractBounds,
+            Some(endVersion))
+        else TxLog.read(spark, spec.source, Some(endVersion))
       val recomputed = aggregate(
         srcAt.join(dirtyKeys, keys, "left_semi"),
         keys, spec.sums, spec.mins, spec.maxs)

@@ -222,7 +222,10 @@ class Round14Spec extends SparkSpec {
       nextId += n; out
     }
     def mkDf(t: Seq[(Long, String, Long)]) = t.toDF("id", "grp", "v")
-    TxLog.commitOverwrite(spark, src, mkDf(fresh(8)))
+    // key stats on the source: dirty recomputes run through the
+    // stats-pruned read path under the model check
+    TxLog.commitOverwrite(spark, src, mkDf(fresh(8)),
+      statsCols = Seq("grp"))
     MA.create(spark, src, mv, keys = Seq("grp"),
       sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
     (1 to 18).foreach { step =>
