@@ -277,6 +277,11 @@ class MedallionPipeline(spark: SparkSession, root: String,
   def restore(zone: DataZone.Value, dataset: String, version: Long): Long =
     TxLog.restore(spark, requireLogged(zone, dataset, "restore"), version)
 
+  /** [[restore]] by wall-clock time ([[TxLog.restoreAt]]) — undo to
+    * the version live at `ts`. */
+  def restoreAt(zone: DataZone.Value, dataset: String, ts: Long): Long =
+    TxLog.restoreAt(spark, requireLogged(zone, dataset, "restoreAt"), ts)
+
   /** Rows appended after `sinceVersion` (TxLog mode only) — the
     * delta-sized incremental read for downstream re-processing. */
   def changesSince(zone: DataZone.Value, dataset: String,
@@ -951,6 +956,50 @@ class MedallionPipeline(spark: SparkSession, root: String,
       // the follower may not exist yet (first batch creates it) —
       // derive the stats columns from the source's identical schema
       statsColsOf(sourceZone, dataset), mor = mor)
+  }
+
+  /** Attach an incrementally maintained AGGREGATE view of a logged
+    * dataset to its live change feed
+    * ([[graft.sources.MaterializedAgg]]): the view materializes into
+    * `targetZone/mvDataset` on first call (one full aggregate at the
+    * current source version), then every micro-batch folds the CDC
+    * slice as per-key deltas — the continuous, restart-safe form of
+    * "keep the summary current" that [[followStream]] provides for
+    * row-level copies. Admission caps bound each slice like any txlog
+    * stream. On restart the engine's checkpoint resumes the feed and
+    * the view's watermark marker skips replayed slices. */
+  def followAggregate(jobId: String, dataset: String,
+      sourceZone: DataZone.Value, targetZone: DataZone.Value,
+      mvDataset: String, keys: Seq[String],
+      sums: Seq[String] = Nil, mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil,
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxRowsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(useTxLog, "followAggregate requires useTxLog = true")
+    val srcDir = requireLogged(sourceZone, dataset, "followAggregate")
+    val mvDir = path(targetZone, mvDataset)
+    val w =
+      if (!TxLog.isLogged(spark, mvDir))
+        graft.sources.MaterializedAgg.create(spark, srcDir, mvDir,
+          keys, sums, mins, maxs)
+      else graft.sources.MaterializedAgg.watermark(spark, mvDir)
+    val reader0 = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true")
+      // the view already aggregated everything up to its watermark —
+      // start the feed just above it (ignored by an established
+      // checkpoint, which resumes from its own offsets)
+      .option("startingVersion", w + 1)
+    val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    val reader2 = maxRowsPerTrigger.fold(reader1)(n =>
+      reader1.option("maxRowsPerTrigger", n))
+    val reader = maxBytesPerTrigger.fold(reader2)(n =>
+      reader2.option("maxBytesPerTrigger", n))
+    graft.sources.MaterializedAgg.mvApplySink(reader.load(srcDir), mvDir,
+      checkpointDir.getOrElse(s"$mvDir/_graft_ckpt_$jobId"))
   }
 
   /** promote_zone (etl_manager.py:597-629) — FULL load to the next zone

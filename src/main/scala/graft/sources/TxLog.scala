@@ -2654,6 +2654,12 @@ object TxLog {
       ddlState = Some((snap.mapping, snap.retired)))
   }
 
+  /** [[restore]] by TIMESTAMP (Delta's `RESTORE … TIMESTAMP AS OF`):
+    * the table as it stood at `ts`, re-registered as a new commit —
+    * the timestamp dual [[cloneAt]]/[[readAt]] already have. */
+  def restoreAt(spark: SparkSession, dir: String, ts: Long): Long =
+    restore(spark, dir, versionAt(spark, dir, ts))
+
   /** The commit history as a relation: one row per version with the
     * op, file/row deltas, and any txn marker — answered purely from
     * log metadata (no data scan). */

@@ -344,6 +344,62 @@ class Round14Spec extends SparkSpec {
     assert(TxLog.snapshot(spark, mv).version == vBefore)
   }
 
+  // ---- restoreAt + followAggregate ---------------------------------
+
+  test("restoreAt: undo to the version live at a wall-clock time") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r14restore").toString
+    val TxLog = graft.sources.TxLog
+    def df(i: Long) = Seq((i, s"n$i")).toDF("id", "name")
+    TxLog.commitOverwrite(spark, dir, df(1))   // v0
+    TxLog.commitAppend(spark, dir, df(2))      // v1
+    TxLog.commitAppend(spark, dir, df(3))      // v2
+    val ts = TxLog.history(spark, dir).orderBy("version")
+      .select("timestamp").as[Long].collect()
+    val v = TxLog.restoreAt(spark, dir, ts(1)) // the table as of v1
+    assert(v == 3L)
+    assert(TxLog.read(spark, dir).select("id").as[Long].collect()
+      .toSet == Set(1L, 2L))
+  }
+
+  test("followAggregate: medallion view follows the live feed; restart resumes consistently") {
+    val s = spark
+    import s.implicits._
+    import graft.quality.DataZone
+    import graft.etl.LoadType
+    val root = tmp("r14fagg").toString
+    val p = new graft.etl.MedallionPipeline(spark, root, useTxLog = true)
+    def batch(t: (Long, String, Long)*) = t.toSeq.toDF("id", "grp", "v")
+    p.write(DataZone.Bronze, "m", batch((1L, "a", 5L), (2L, "b", 3L)),
+      LoadType.Full)
+    val ck = tmp("r14faggck").toString
+    def run(): Unit = {
+      val q = p.followAggregate("r14agg", "m", DataZone.Bronze,
+        DataZone.Gold, "m_by_grp", keys = Seq("grp"), sums = Seq("v"),
+        checkpointDir = Some(ck))
+      try q.processAllAvailable() finally q.stop()
+    }
+    p.write(DataZone.Bronze, "m", batch((3L, "a", 2L)), LoadType.Append)
+    run()
+    val mvDir = p.path(DataZone.Gold, "m_by_grp")
+    def view: Set[(String, Long, Long)] =
+      graft.sources.TxLog.read(spark, mvDir)
+        .select("grp", "n_rows", "sum_v").as[(String, Long, Long)]
+        .collect().toSet
+    assert(view == Set(("a", 2L, 7L), ("b", 1L, 3L)))
+    // more source DML while the stream is down; a RESTARTED query
+    // (same checkpoint) folds only the missed span
+    p.deleteWhere(DataZone.Bronze, "m", col("id") === 2L) // b dies
+    p.write(DataZone.Bronze, "m", batch((4L, "c", 9L)), LoadType.Append)
+    run()
+    assert(view == Set(("a", 2L, 7L), ("c", 1L, 9L)))
+    // and the batch refresh agrees it is current
+    assert(graft.sources.MaterializedAgg.refresh(spark, mvDir) ==
+      graft.sources.TxLog.snapshot(spark,
+        p.path(DataZone.Bronze, "m")).version)
+  }
+
   // ---- diversity selection -----------------------------------------
 
   test("curation_diversity: round-robin over buckets — full coverage before any repeat, deterministic, TakeOrdered plan") {
