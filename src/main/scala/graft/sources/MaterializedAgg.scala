@@ -198,36 +198,82 @@ object MaterializedAgg {
     * dirty keys recompute from. */
   private def applyFeed(spark: SparkSession, mvDir: String, spec: MvSpec,
       feed: DataFrame, endVersion: Long): Unit = {
-    val directives = directivesFor(spark, mvDir, spec, feed, endVersion)
-    TxLog.applyChanges(spark, mvDir, directives, spec.keys, "_mv_del",
-      statsCols = spec.keys, txn = Some((WatermarkApp, endVersion)))
+    // Both relations are touched-key-sized but their LINEAGE is the
+    // span's row-level diff (exceptAll legs for DML commits) — and
+    // applyChanges drives several actions over the directives
+    // (duplicate guard, touched-file detection, the rewrite itself).
+    // Persist both so the feed diff and the view/source scans run
+    // ONCE per refresh, not once per action (measured 30× on
+    // StressMv's scattered-delete trickle before caching).
+    val touched = touchedDeltas(spec, feed).persist()
+    try {
+      val directives =
+        directivesFor(spark, mvDir, spec, touched, endVersion).persist()
+      try TxLog.applyChanges(spark, mvDir, directives, spec.keys,
+        "_mv_del", statsCols = spec.keys,
+        txn = Some((WatermarkApp, endVersion)))
+      finally { directives.unpersist(); () }
+    } finally { touched.unpersist(); () }
     ()
   }
 
+  /** One pass over the feed span: per-key signed count/sum deltas,
+    * insert-side min/max, and the retraction flag — every key whose
+    * state the span may have changed. A net-zero key (e.g. a value
+    * swap between two rows of one key) produces no row — and no
+    * view-file rewrite; with MIN/MAX configured a retraction is never
+    * net-zero-safe (the extreme may have moved), hence `_retract`
+    * keeps the key. */
+  private[graft] def touchedDeltas(spec: MvSpec, feed: DataFrame)
+      : DataFrame = {
+    val ins = col("_change_type") === "insert"
+    val needRecompute = spec.mins.nonEmpty || spec.maxs.nonEmpty
+    val sumT = feed.select(spec.sums.map(c =>
+      sum(col(c)).as(s"_t_$c")): _*).schema
+      .fields.map(f => f.name.stripPrefix("_t_") -> f.dataType).toMap
+    val deltaAggs: Seq[Column] =
+      sum(when(ins, 1L).otherwise(-1L)).as("_d_n") +:
+        (spec.sums.map(c => coalesce(
+          sum(when(ins, col(c)).otherwise(-col(c))),
+          lit(0).cast(sumT(c))).as(s"_d_sum_$c")) ++
+          spec.mins.map(c => min(when(ins, col(c))).as(s"_i_min_$c")) ++
+          spec.maxs.map(c => max(when(ins, col(c))).as(s"_i_max_$c")) :+
+          max(when(ins, 0).otherwise(1)).as("_retract"))
+    feed.groupBy(spec.keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .filter(
+        (col("_d_n") =!= 0L) +:
+          (spec.sums.map(c => col(s"_d_sum_$c") =!= lit(0)) ++
+            (if (needRecompute) Seq(col("_retract") === 1) else Nil))
+            reduce (_ || _))
+  }
+
   /** The per-key directive relation one feed span folds into the view
-    * (exposed separately so its plan can be audited). */
+    * (exposed separately so its plan can be audited). `touched` is
+    * [[touchedDeltas]]' output — persisted by [[applyFeed]], since
+    * several actions consume it. */
   private[graft] def directivesFor(spark: SparkSession, mvDir: String,
-      spec: MvSpec, feed: DataFrame, endVersion: Long): DataFrame = {
+      spec: MvSpec, touched: DataFrame, endVersion: Long): DataFrame = {
     val mvSchema = DataType.fromJson(TxLog.snapshot(spark, mvDir)
       .schemaJson).asInstanceOf[StructType]
     val mvType = mvSchema.fields.map(f => f.name -> f.dataType).toMap
     val keys = spec.keys
-    val ins = col("_change_type") === "insert"
     val needRecompute = spec.mins.nonEmpty || spec.maxs.nonEmpty
 
-    // One driver-side pass over the span's (delta-sized) feed: the
-    // touched-key envelope and the retracted-key envelope. They
-    // stats-prune the two big reads below — a trickle refresh against
-    // a large view (or a MIN/MAX recompute against a 100 TB source)
-    // plans only the files whose recorded key range intersects the
-    // span, the same pruning applyChanges uses for its write side.
-    // Conservative: a key column with no usable bounds (all-null in
-    // the span, or no recorded stats) falls back to the full read.
+    // One driver-side pass over the (touched-key-sized) delta
+    // relation: the touched-key envelope and the retracted-key
+    // envelope. They stats-prune the two big reads below — a trickle
+    // refresh against a large view (or a MIN/MAX recompute against a
+    // 100 TB source) plans only the files whose recorded key range
+    // intersects the span, the same pruning applyChanges uses for its
+    // write side. Conservative: a key column with no usable bounds
+    // (all-null in the span, or no recorded stats) falls back to the
+    // full read.
     val envAggs = keys.flatMap(k => Seq(
       min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"),
-      min(when(!ins, col(k))).as(s"_rlo_$k"),
-      max(when(!ins, col(k))).as(s"_rhi_$k")))
-    val env = feed.agg(envAggs.head, envAggs.tail: _*).head()
+      min(when(col("_retract") === 1, col(k))).as(s"_rlo_$k"),
+      max(when(col("_retract") === 1, col(k))).as(s"_rhi_$k")))
+    val env = touched.agg(envAggs.head, envAggs.tail: _*).head()
     def bounds(lo: String, hi: String): Seq[(String, Any, Any)] =
       keys.flatMap { k =>
         (Option(env.getAs[Any](s"${lo}$k")), Option(env.getAs[Any](s"${hi}$k"))) match {
@@ -237,28 +283,6 @@ object MaterializedAgg {
       }
     val touchedBounds = bounds("_lo_", "_hi_")
     val retractBounds = bounds("_rlo_", "_rhi_")
-
-    // one pass over the feed: signed count/sum deltas, insert-side
-    // min/max, and the retraction flag
-    val deltaAggs: Seq[Column] =
-      sum(when(ins, 1L).otherwise(-1L)).as("_d_n") +:
-        (spec.sums.map(c => coalesce(
-          sum(when(ins, col(c)).otherwise(-col(c))),
-          lit(0).cast(mvType(s"sum_$c"))).as(s"_d_sum_$c")) ++
-          spec.mins.map(c => min(when(ins, col(c))).as(s"_i_min_$c")) ++
-          spec.maxs.map(c => max(when(ins, col(c))).as(s"_i_max_$c")) :+
-          max(when(ins, 0).otherwise(1)).as("_retract"))
-    val deltas0 = feed.groupBy(keys.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
-    // a net-zero key (e.g. a value swap between two rows of one key)
-    // needs no directive — and no view-file rewrite. With MIN/MAX
-    // configured a retraction is never net-zero-safe (the extreme may
-    // have moved), hence the _retract term.
-    val touched = deltas0.filter(
-      (col("_d_n") =!= 0L) +:
-        (spec.sums.map(c => col(s"_d_sum_$c") =!= lit(0)) ++
-          (if (needRecompute) Seq(col("_retract") === 1) else Nil))
-          reduce (_ || _))
     val dirty = if (needRecompute) col("_retract") === 1 else lit(false)
 
     val mv =

@@ -281,7 +281,8 @@ class Round14Spec extends SparkSpec {
     TxLog.commitAppend(spark, src, rows((3L, "c", 5L)))
     val spec = MA.readMeta(spark, mv)
     val feed = TxLog.changeFeed(spark, src, 0L, Some(2L))
-    val qe = MA.directivesFor(spark, mv, spec, feed, 2L).queryExecution
+    val qe = MA.directivesFor(spark, mv, spec,
+      MA.touchedDeltas(spec, feed), 2L).queryExecution
     val p = qe.executedPlan.toString
     // the fold is hash-keyed end to end: signed deltas are a keyed
     // aggregation (map-side combined), old state joins by key, the
