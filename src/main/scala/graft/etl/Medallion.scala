@@ -973,6 +973,8 @@ class MedallionPipeline(spark: SparkSession, root: String,
       mvDataset: String, keys: Seq[String],
       sums: Seq[String] = Nil, mins: Seq[String] = Nil,
       maxs: Seq[String] = Nil,
+      avgs: Seq[String] = Nil,
+      others: Map[String, String] = Map.empty,
       checkpointDir: Option[String] = None,
       maxFilesPerTrigger: Option[Long] = None,
       maxRowsPerTrigger: Option[Long] = None,
@@ -984,7 +986,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
     val w =
       if (!TxLog.isLogged(spark, mvDir))
         graft.sources.MaterializedAgg.create(spark, srcDir, mvDir,
-          keys, sums, mins, maxs)
+          keys, sums, mins, maxs, avgs, others)
       else graft.sources.MaterializedAgg.watermark(spark, mvDir)
     val reader0 = spark.readStream.format("txlog")
       .option("readChangeFeed", "true")

@@ -231,10 +231,115 @@ object TxQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** #200 mv_general — the materialized view's two round-14 aggregate
+    * classes beside [[mvIncremental]]'s fold/retract split: `avgs`
+    * (true AVG under nulls — `sum_<c>`/`cnt_<c>` both fold as signed
+    * deltas, `avg_<c>` derives once from exact folded state) and
+    * `others` (an ARBITRARY SQL aggregate, here COUNT(DISTINCT k %
+    * 1000) — nothing folds, so every touched key recomputes from the
+    * span-end source snapshot, stats-pruned to the touched-key
+    * envelope). The same DML span as mv_incremental (CoW delete,
+    * stats-pruned update, append of new keys) is folded by ONE
+    * refresh; the oracle recomputes the aggregate over the mutated
+    * relation relationally, so the hash checks the maintained state —
+    * including the non-foldable distinct count — bit for bit. */
+  def mvGeneral(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"),
+      col("l_returnflag").as("rf"))
+    val root = Files.createTempDirectory("graft_mvg")
+    val src = s"$root/src"
+    val mv = s"$root/mv"
+    TxLog.commitOverwrite(s, src,
+      t.repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    graft.sources.MaterializedAgg.create(s, src, mv,
+      keys = Seq("rf"), sums = Seq("pc"), avgs = Seq("qty"),
+      others = Map("distinct_part" -> "count(distinct k % 1000)"))
+    TxLog.delete(s, src, col("qty") >= 48)
+    TxLog.update(s, src, col("k") <= 1000, Map("pc" -> (col("pc") + 100)))
+    TxLog.commitAppend(s, src, t.filter(col("k") % 101 === 0)
+      .select((col("k") + 3000000000L).as("k"), col("ln"),
+        lit(5).as("qty"), lit(0L).as("pc"), lit("Z").as("rf")))
+    graft.sources.MaterializedAgg.refresh(s, mv)
+    val agg = TxLog.read(s, mv).withColumnRenamed("rf", "l_returnflag")
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** #199 txn_stats_agg — Delta's metadata-only aggregates driven end
+    * to end: COUNT(*), a banded count, and per-column MIN/MAX are
+    * answered from the transaction log's own per-file metadata
+    * ([[TxLog.countWhere]] / [[TxLog.minMax]]) against a logged
+    * lineitem projection that has been through copy-on-write AND
+    * merge-on-read DML. The entry hard-fails unless the claimed cost
+    * shape actually held: COUNT(*) scans nothing even with deletion
+    * vectors standing (rows − dvRows is commit-time metadata);
+    * extrema under standing vectors scan ONLY the dv-bearing sliver
+    * (a vector may have deleted the extremal row, so logged bounds
+    * are unsound as answers — the stats-pruned files stay
+    * metadata-only); after [[TxLog.compact]] folds the vectors away,
+    * extrema scan NOTHING and must equal the sliver-assisted answer
+    * bit for bit. The oracle replays the same mutations relationally.
+    *
+    * Scale: on a 100 TB table this is the difference between a
+    * full-corpus aggregate and one KB-sized log read — the
+    * OptimizeMetadataOnlyQuery shape, exact (never approximate)
+    * because per-file stats are exact extrema and dv cardinalities
+    * are exact counts. */
+  def txnStatsAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"))
+    val root = Files.createTempDirectory("graft_statsagg")
+    val tbl = s"$root/t"
+    TxLog.commitOverwrite(s, tbl,
+      t.repartitionByRange(8, col("k")),
+      statsCols = Seq("k", "qty", "pc"))
+    TxLog.delete(s, tbl, col("qty") >= 48) // CoW: rewrites refresh stats
+    TxLog.deleteMor(s, tbl, col("k") <= 500) // dv lands on low-k files only
+    val (nAll, scannedAll) = TxLog.countWhereDetailed(s, tbl, Nil, None)
+    require(scannedAll.isEmpty,
+      "COUNT(*) must be a pure metadata read even under vectors")
+    val nBand = TxLog.countWhere(s, tbl, Seq(("qty", 10, 20)))
+    val total = TxLog.snapshot(s, tbl).files.size
+    val (mm1, scanned1) =
+      TxLog.minMaxDetailed(s, tbl, Seq("k", "qty", "pc"), None)
+    require(scanned1.nonEmpty && scanned1.size < total,
+      s"extrema under vectors should scan only the dv sliver " +
+        s"(scanned ${scanned1.size} of $total)")
+    val r1 = mm1.head()
+    TxLog.compact(s, tbl, targetFiles = 4,
+      statsCols = Seq("k", "qty", "pc"))
+    val (mm2, scanned2) =
+      TxLog.minMaxDetailed(s, tbl, Seq("k", "qty", "pc"), None)
+    require(scanned2.isEmpty,
+      "post-compact extrema must be metadata-only")
+    val out = mm2.select(
+      lit(nAll).as("n_rows"), lit(nBand).as("n_band"),
+      col("min_k"), col("max_k"), col("min_qty"), col("max_qty"),
+      col("min_pc"), col("max_pc"))
+    val rows = out.collect().toSeq
+    require(rows.head.toSeq.drop(2) == r1.toSeq,
+      "vector-exact and compacted extrema diverged")
+    val schema = out.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txn_dml" -> txnDml,
     "txn_dml_mor" -> txnDmlMor,
     "mv_incremental" -> mvIncremental,
+    "mv_general" -> mvGeneral,
+    "txn_stats_agg" -> txnStatsAgg,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -304,6 +409,44 @@ object TxQueries {
         MIN(qty) AS min_qty,
         MAX(qty) AS max_qty
       FROM m GROUP BY 1""",
+    "mv_general" -> """
+      WITH t AS (
+        SELECT l_orderkey AS k, l_linenumber AS ln,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+          l_returnflag AS rf
+        FROM lineitem),
+      d AS (SELECT * FROM t WHERE NOT coalesce(qty >= 48, false)),
+      u AS (SELECT k, ln, qty,
+              CASE WHEN k <= 1000 THEN pc + 100 ELSE pc END AS pc, rf
+            FROM d),
+      a AS (SELECT k + 3000000000 AS k, ln, 5 AS qty,
+              CAST(0 AS BIGINT) AS pc, 'Z' AS rf
+            FROM t WHERE k % 101 = 0),
+      m AS (SELECT * FROM u UNION ALL SELECT * FROM a)
+      SELECT rf AS l_returnflag,
+        COUNT(*) AS n_rows,
+        CAST(SUM(pc) AS BIGINT) AS sum_pc,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        CAST(COUNT(qty) AS BIGINT) AS cnt_qty,
+        CAST(SUM(qty) AS DOUBLE) / COUNT(qty) AS avg_qty,
+        CAST(COUNT(DISTINCT k % 1000) AS BIGINT) AS distinct_part
+      FROM m GROUP BY 1""",
+    "txn_stats_agg" -> """
+      WITH t AS (
+        SELECT l_orderkey AS k,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        FROM lineitem),
+      d1 AS (SELECT * FROM t WHERE NOT coalesce(qty >= 48, false)),
+      d2 AS (SELECT * FROM d1 WHERE NOT coalesce(k <= 500, false))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST((SELECT COUNT(*) FROM d2 WHERE qty BETWEEN 10 AND 20)
+          AS BIGINT) AS n_band,
+        MIN(k) AS min_k, MAX(k) AS max_k,
+        MIN(qty) AS min_qty, MAX(qty) AS max_qty,
+        MIN(pc) AS min_pc, MAX(pc) AS max_pc
+      FROM d2""",
     "bloom_point_lookup" -> """
       SELECT doc_id, lang, n_chars FROM documents
       WHERE doc_id IN (0, 1, 2)""")

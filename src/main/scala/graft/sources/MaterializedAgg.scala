@@ -37,10 +37,20 @@ import org.json4s.jackson.JsonMethods
   * Contract: `n_rows` = COUNT(*); `sum_<c>` = `COALESCE(SUM(c), 0)`
   * (null-coalesced so it folds with `old + delta` without tracking
   * per-column non-null counts); `min_<c>`/`max_<c>` = plain MIN/MAX
-  * (null when the key holds no non-null value). AVG is `sum/n` at
-  * read time. Sum columns should be exact types (integral/decimal) —
-  * a float sum folded incrementally drifts from a recompute by
-  * ordering, the same reason the oracle queries sum cents.
+  * (null when the key holds no non-null value). `avgs` columns
+  * maintain the two distributive states `sum_<c>`/`cnt_<c>`
+  * (non-null count, itself a signed fold) and derive `avg_<c>` =
+  * `sum/cnt` (null when cnt = 0 — true AVG semantics under nulls,
+  * exact because the division happens once over exact folded sums).
+  * `others` maps output names to ARBITRARY SQL aggregate expressions
+  * (COUNT(DISTINCT …), STDDEV, …) — the third IVM class: nothing
+  * folds, so EVERY touched key recomputes from the span-end source
+  * snapshot (stats-pruned to the touched-key envelope); the cost is
+  * per-touched-key, never per-corpus, and net-zero suppression turns
+  * off (a value swap can move COUNT DISTINCT). Sum columns should be
+  * exact types (integral/decimal) — a float sum folded incrementally
+  * drifts from a recompute by ordering, the same reason the oracle
+  * queries sum cents.
   *
   * The view's SOURCE WATERMARK (the last source version folded in)
   * rides the view's own log as a txn marker under [[WatermarkApp]] —
@@ -66,9 +76,15 @@ object MaterializedAgg {
   val WatermarkApp = "_graft_mv_src"
 
   /** A materialized view's definition: the source table directory
-    * and the aggregate shape. */
+    * and the aggregate shape. `avgs` maintains `sum_<c>`/`cnt_<c>`
+    * (both distributive) and derives `avg_<c>`; `others` maps an
+    * output column name to an ARBITRARY SQL aggregate expression
+    * (COUNT(DISTINCT …), STDDEV, collect-style aggregates) —
+    * maintained by touched-key recompute, never folded. Older meta
+    * files lack both fields and parse with the defaults. */
   case class MvSpec(source: String, keys: Seq[String], sums: Seq[String],
-      mins: Seq[String], maxs: Seq[String])
+      mins: Seq[String], maxs: Seq[String],
+      avgs: Seq[String] = Nil, others: Map[String, String] = Map.empty)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -80,7 +96,8 @@ object MaterializedAgg {
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     val j = ("source" -> spec.source) ~ ("keys" -> spec.keys) ~
       ("sums" -> spec.sums) ~ ("mins" -> spec.mins) ~
-      ("maxs" -> spec.maxs)
+      ("maxs" -> spec.maxs) ~ ("avgs" -> spec.avgs) ~
+      ("others" -> spec.others)
     val out = f.create(p, true)
     try out.write(JsonMethods.compact(JsonMethods.render(j)).getBytes(UTF_8))
     finally out.close()
@@ -102,14 +119,26 @@ object MaterializedAgg {
   /** The full aggregate — used once at [[create]], per dirty key
     * under retraction, and by tests as the recompute oracle. */
   def aggregate(df: DataFrame, keys: Seq[String], sums: Seq[String],
-      mins: Seq[String], maxs: Seq[String]): DataFrame = {
+      mins: Seq[String], maxs: Seq[String],
+      avgs: Seq[String] = Nil,
+      others: Map[String, String] = Map.empty): DataFrame = {
+    val sumCols = (sums ++ avgs).distinct
     val aggs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
-        (sums.map(c => coalesce(sum(col(c)), lit(0).cast(sumType(df, c)))
+        (sumCols.map(c => coalesce(sum(col(c)), lit(0).cast(sumType(df, c)))
           .as(s"sum_$c")) ++
+          avgs.map(c => count(col(c)).as(s"cnt_$c")) ++
           mins.map(c => min(col(c)).as(s"min_$c")) ++
-          maxs.map(c => max(col(c)).as(s"max_$c")))
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          maxs.map(c => max(col(c)).as(s"max_$c")) ++
+          others.toSeq.sortBy(_._1).map { case (n, e) => expr(e).as(n) })
+    val base = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // AVG derives from the two distributive states — null when the
+    // key holds no non-null value (the SQL answer), exact because the
+    // division happens once over exact folded sums, never averaged
+    // averages
+    avgs.foldLeft(base)((d, c) => d.withColumn(s"avg_$c",
+      when(col(s"cnt_$c") > 0L,
+        col(s"sum_$c").cast("double") / col(s"cnt_$c"))))
   }
 
   /** The type SUM(c) widens to — needed to coalesce with a same-typed
@@ -123,22 +152,33 @@ object MaterializedAgg {
     * version the view reflects. */
   def create(spark: SparkSession, sourceDir: String, mvDir: String,
       keys: Seq[String], sums: Seq[String] = Nil,
-      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Long = {
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+      avgs: Seq[String] = Nil,
+      others: Map[String, String] = Map.empty): Long = {
     require(keys.nonEmpty, "MaterializedAgg: at least one key column")
-    require(sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
-      "MaterializedAgg: at least one aggregate column (sums/mins/maxs)")
+    require(sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty ||
+      avgs.nonEmpty || others.nonEmpty,
+      "MaterializedAgg: at least one aggregate column " +
+        "(sums/mins/maxs/avgs/others)")
     require(!TxLog.isLogged(spark, mvDir),
       s"MaterializedAgg: $mvDir already holds a logged table")
+    val reservedClash = others.keys.filter(n =>
+      n == "n_rows" || keys.contains(n) ||
+        Seq("sum_", "cnt_", "avg_", "min_", "max_").exists(n.startsWith))
+    require(reservedClash.isEmpty,
+      s"MaterializedAgg: `others` name(s) ${reservedClash.mkString(", ")} " +
+        "collide with generated columns")
     val srcVersion = TxLog.snapshot(spark, sourceDir).version
     val src = TxLog.read(spark, sourceDir, Some(srcVersion))
-    val missing = (keys ++ sums ++ mins ++ maxs).distinct
+    val missing = (keys ++ sums ++ mins ++ maxs ++ avgs).distinct
       .filterNot(src.columns.contains)
     require(missing.isEmpty,
       s"MaterializedAgg: source lacks column(s) ${missing.mkString(", ")}")
-    val agg = aggregate(src, keys, sums, mins, maxs)
+    val agg = aggregate(src, keys, sums, mins, maxs, avgs, others)
     TxLog.commitOverwrite(spark, mvDir, agg, statsCols = keys,
       txn = Some((WatermarkApp, srcVersion)))
-    writeMeta(spark, mvDir, MvSpec(sourceDir, keys, sums, mins, maxs))
+    writeMeta(spark, mvDir,
+      MvSpec(sourceDir, keys, sums, mins, maxs, avgs, others))
     srcVersion
   }
 
@@ -227,25 +267,38 @@ object MaterializedAgg {
   private[graft] def touchedDeltas(spec: MvSpec, feed: DataFrame)
       : DataFrame = {
     val ins = col("_change_type") === "insert"
-    val needRecompute = spec.mins.nonEmpty || spec.maxs.nonEmpty
-    val sumT = feed.select(spec.sums.map(c =>
+    val recomputeAll = spec.others.nonEmpty
+    val needRecompute =
+      spec.mins.nonEmpty || spec.maxs.nonEmpty || recomputeAll
+    val sumCols = (spec.sums ++ spec.avgs).distinct
+    val sumT = feed.select(sumCols.map(c =>
       sum(col(c)).as(s"_t_$c")): _*).schema
       .fields.map(f => f.name.stripPrefix("_t_") -> f.dataType).toMap
     val deltaAggs: Seq[Column] =
       sum(when(ins, 1L).otherwise(-1L)).as("_d_n") +:
-        (spec.sums.map(c => coalesce(
+        (sumCols.map(c => coalesce(
           sum(when(ins, col(c)).otherwise(-col(c))),
           lit(0).cast(sumT(c))).as(s"_d_sum_$c")) ++
+          spec.avgs.map(c => sum(when(col(c).isNotNull,
+            when(ins, 1L).otherwise(-1L)).otherwise(0L))
+            .as(s"_d_cnt_$c")) ++
           spec.mins.map(c => min(when(ins, col(c))).as(s"_i_min_$c")) ++
           spec.maxs.map(c => max(when(ins, col(c))).as(s"_i_max_$c")) :+
           max(when(ins, 0).otherwise(1)).as("_retract"))
-    feed.groupBy(spec.keys.map(col): _*)
+    val grouped = feed.groupBy(spec.keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-      .filter(
-        (col("_d_n") =!= 0L) +:
-          (spec.sums.map(c => col(s"_d_sum_$c") =!= lit(0)) ++
-            (if (needRecompute) Seq(col("_retract") === 1) else Nil))
-            reduce (_ || _))
+    // with an `others` aggregate, ANY change to a key can move an
+    // arbitrary aggregate (a duplicate value's delete leaves COUNT
+    // DISTINCT alone, a last copy's delete doesn't — only a recompute
+    // can tell), so net-zero filtering is off and every touched key
+    // stays
+    if (recomputeAll) grouped
+    else grouped.filter(
+      (col("_d_n") =!= 0L) +:
+        (sumCols.map(c => col(s"_d_sum_$c") =!= lit(0)) ++
+          spec.avgs.map(c => col(s"_d_cnt_$c") =!= 0L) ++
+          (if (needRecompute) Seq(col("_retract") === 1) else Nil))
+          reduce (_ || _))
   }
 
   /** The per-key directive relation one feed span folds into the view
@@ -258,7 +311,9 @@ object MaterializedAgg {
       .schemaJson).asInstanceOf[StructType]
     val mvType = mvSchema.fields.map(f => f.name -> f.dataType).toMap
     val keys = spec.keys
-    val needRecompute = spec.mins.nonEmpty || spec.maxs.nonEmpty
+    val recomputeAll = spec.others.nonEmpty
+    val recomputeRetract = spec.mins.nonEmpty || spec.maxs.nonEmpty
+    val needRecompute = recomputeAll || recomputeRetract
 
     // One driver-side pass over the (touched-key-sized) delta
     // relation: the touched-key envelope and the retracted-key
@@ -283,7 +338,14 @@ object MaterializedAgg {
       }
     val touchedBounds = bounds("_lo_", "_hi_")
     val retractBounds = bounds("_rlo_", "_rhi_")
-    val dirty = if (needRecompute) col("_retract") === 1 else lit(false)
+    // with `others`, every touched key must recompute (arbitrary
+    // aggregates don't fold); the recompute scan is then bounded by
+    // the full touched envelope instead of the retracted one
+    val dirty =
+      if (recomputeAll) lit(true)
+      else if (recomputeRetract) col("_retract") === 1
+      else lit(false)
+    val dirtyBounds = if (recomputeAll) touchedBounds else retractBounds
 
     val mv =
       if (touchedBounds.size == keys.size)
@@ -296,16 +358,22 @@ object MaterializedAgg {
     // CLEAN keys (insert-only when MIN/MAX is configured; every key
     // otherwise): new state = old + delta, folded in one equi right
     // join against the (small) delta relation
-    val clean = mv.join(touched.filter(!dirty), keys, "right")
+    val sumCols = (spec.sums ++ spec.avgs).distinct
+    val clean0 = mv.join(touched.filter(!dirty), keys, "right")
       .select((keys.map(col) :+
         (coalesce(col("n_rows"), lit(0L)) + col("_d_n")).as("n_rows")) ++
-        spec.sums.map(c => (coalesce(col(s"sum_$c"),
+        sumCols.map(c => (coalesce(col(s"sum_$c"),
           lit(0).cast(mvType(s"sum_$c"))) + col(s"_d_sum_$c"))
           .as(s"sum_$c")) ++
+        spec.avgs.map(c => (coalesce(col(s"cnt_$c"), lit(0L)) +
+          col(s"_d_cnt_$c")).as(s"cnt_$c")) ++
         spec.mins.map(c =>
           least(col(s"min_$c"), col(s"_i_min_$c")).as(s"min_$c")) ++
         spec.maxs.map(c =>
           greatest(col(s"max_$c"), col(s"_i_max_$c")).as(s"max_$c")): _*)
+    val clean = spec.avgs.foldLeft(clean0)((d, c) =>
+      d.withColumn(s"avg_$c", when(col(s"cnt_$c") > 0L,
+        col(s"sum_$c").cast("double") / col(s"cnt_$c"))))
       .withColumn("_mv_del", col("n_rows") === 0L)
 
     // DIRTY keys (a delete may have retracted a MIN/MAX extreme):
@@ -315,17 +383,17 @@ object MaterializedAgg {
     if (!needRecompute) mvAligned(clean)
     else {
       val dirtyKeys = touched.filter(dirty).select(keys.map(col): _*)
-      // dirty keys all carry a retraction, so the retracted-key
-      // envelope bounds them — the recompute scan plans only the
-      // source files that can hold a dirty key
+      // the dirty-key envelope (retracted keys, or all touched keys
+      // under `others`) bounds the recompute — the scan plans only
+      // the source files that can hold a dirty key
       val srcAt =
-        if (retractBounds.size == keys.size)
-          TxLog.readPrunedAll(spark, spec.source, retractBounds,
+        if (dirtyBounds.size == keys.size)
+          TxLog.readPrunedAll(spark, spec.source, dirtyBounds,
             Some(endVersion))
         else TxLog.read(spark, spec.source, Some(endVersion))
       val recomputed = aggregate(
         srcAt.join(dirtyKeys, keys, "left_semi"),
-        keys, spec.sums, spec.mins, spec.maxs)
+        keys, spec.sums, spec.mins, spec.maxs, spec.avgs, spec.others)
       val rec = dirtyKeys.join(recomputed, keys, "left")
         .withColumn("_mv_del", col("n_rows").isNull)
         .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))

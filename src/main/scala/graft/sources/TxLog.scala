@@ -2073,6 +2073,86 @@ object TxLog {
     (metaCount + scanned, toScan.map(_.path))
   }
 
+  /** Metadata-first MIN/MAX (the other Delta metadata-only aggregate
+    * beside [[countWhere]], the OptimizeMetadataOnlyQuery shape):
+    * exact per-column extrema of the live rows, reading as little
+    * data as possible. A file with recorded stats and no deletion
+    * vector contributes its logged min/max — per-file stats are exact
+    * extrema computed from the data at write time, so folding them
+    * across files IS the global answer, zero data I/O at any table
+    * size. Only files whose logged extrema cannot be trusted are
+    * scanned, column-pruned, in ONE pass: a deletion vector may have
+    * removed the extremal row (the logged bound becomes an
+    * overstatement — sound for pruning, unsound for an answer), and
+    * missing stats say nothing. All-null columns contribute nothing
+    * (SQL MIN/MAX ignore nulls); a column null in every live row
+    * yields null — the SQL answer. Returns one row with
+    * `min_c`/`max_c` per requested column in the column's own type.
+    * [[compact]] folds vectors away and refreshes stats, restoring
+    * the pure-metadata path after merge-on-read DML. */
+  def minMax(spark: SparkSession, dir: String, cols: Seq[String],
+      asOf: Option[Long] = None): DataFrame =
+    minMaxDetailed(spark, dir, cols, asOf)._1
+
+  /** [[minMax]] plus the names of the files it had to scan — exposed
+    * private[graft] so tests pin the metadata-only claim, not just
+    * the answer (mirrors [[countWhereDetailed]]). */
+  private[graft] def minMaxDetailed(spark: SparkSession, dir: String,
+      cols: Seq[String], asOf: Option[Long])
+      : (DataFrame, Seq[String]) = {
+    require(cols.nonEmpty, "TxLog: minMax needs at least one column")
+    val snap = snapshot(spark, dir, asOf)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val fields = schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(fields.contains(c),
+      s"TxLog: minMax on unknown column '$c'"))
+    val dtypes = cols.map(c => c -> fields(c).catalogString).toMap
+    // stats cover a column when both bounds are recorded, or when the
+    // recorded state is "all null" (min and max both absent) — the
+    // file then contributes nothing, which is exact
+    def covered(f: TxFile, c: String): Boolean =
+      f.stats.get(snap.phys(c)).exists(st =>
+        (st.min.isDefined && st.max.isDefined) ||
+          (st.min.isEmpty && st.max.isEmpty))
+    val (meta, toScan) = snap.files.partition(f =>
+      f.dv.isEmpty && cols.forall(c => covered(f, c)))
+    def better(dt: String, takeMin: Boolean)(a: String, b: String) =
+      if ((StatsManifest.cmpStat(dt, a, b) <= 0) == takeMin) a else b
+    val metaBounds: Map[String, (Option[String], Option[String])] =
+      cols.map { c =>
+        val sts = meta.flatMap(_.stats.get(snap.phys(c)))
+        c -> (sts.flatMap(_.min)
+            .reduceOption(better(dtypes(c), takeMin = true)),
+          sts.flatMap(_.max)
+            .reduceOption(better(dtypes(c), takeMin = false)))
+      }.toMap
+    // one column-pruned pass over the sliver; extrema come back in
+    // the SAME canonical cast-to-string forms the stats use, so the
+    // two sources fold under one comparator
+    val scanned: Map[String, (Option[String], Option[String])] =
+      if (toScan.isEmpty) Map.empty
+      else {
+        val row = readSnapshot(spark, dir, snap.copy(files = toScan))
+          .select(cols.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"_min_$c"),
+            max(col(c)).cast("string").as(s"_max_$c"))): _*)
+          .head()
+        cols.map(c => c -> (Option(row.getAs[String](s"_min_$c")),
+          Option(row.getAs[String](s"_max_$c")))).toMap
+      }
+    val out = cols.flatMap { c =>
+      def pick(takeMin: Boolean): Option[String] =
+        Seq(metaBounds(c), scanned.getOrElse(c, (None, None)))
+          .map(b => if (takeMin) b._1 else b._2)
+          .flatten.reduceOption(better(dtypes(c), takeMin))
+      def asCol(v: Option[String]): org.apache.spark.sql.Column =
+        v.map(s => lit(s).cast(fields(c))).getOrElse(lit(null).cast(fields(c)))
+      Seq(asCol(pick(takeMin = true)).as(s"min_$c"),
+        asCol(pick(takeMin = false)).as(s"max_$c"))
+    }
+    (spark.range(1).select(out: _*), toScan.map(_.path))
+  }
+
   /** Incremental consumption: the rows ADDED by commits in
     * `(sinceVersion, untilVersion]` — the Delta-streaming-source /
     * CDC-read shape that lets downstream work (re-embed, re-dedup,

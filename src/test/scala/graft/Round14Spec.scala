@@ -473,4 +473,187 @@ class Round14Spec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("duplicate (src, ord)"))),
       s"expected the duplicate-key refusal, got: $e")
   }
+
+  // ---- MV aggregate classes: avgs + others -------------------------
+
+  test("materialized agg: avgs maintain sum/cnt under nulls; avg equals recompute") {
+    val s = spark
+    import s.implicits._
+    val T = graft.sources.TxLog
+    val MA = graft.sources.MaterializedAgg
+    val rnd = new scala.util.Random(1414)
+    val src = tmp("r14avg").toString
+    val mv = tmp("r14avgv").toString + "/t"
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, String, Option[Int])] = {
+      val out = (0 until n).map { i =>
+        (nextId + i, s"g${rnd.nextInt(3)}",
+          if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(100)))
+      }
+      nextId += n; out
+    }
+    def mkDf(t: Seq[(Long, String, Option[Int])]) =
+      t.toDF("id", "grp", "v")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "n_rows", "sum_v", "cnt_v", "avg_v")
+        .collect().map(_.toSeq).toSet
+    T.commitOverwrite(spark, src, mkDf(fresh(12)), statsCols = Seq("grp"))
+    MA.create(spark, src, mv, keys = Seq("grp"), avgs = Seq("v"))
+    (1 to 8).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => T.commitAppend(spark, src, mkDf(fresh(1 + rnd.nextInt(3))))
+        case 1 => T.delete(spark, src, col("id") % 5 === step % 5)
+        case 2 => T.deleteMor(spark, src, col("id") % 7 === step % 7)
+        case 3 => T.update(spark, src, col("id") % 3 === step % 3,
+          // some updates null the value out — cnt must retract
+          Map("v" -> when(col("id") % 2 === 0, col("v") + 10)))
+      }
+      MA.refresh(spark, mv)
+      val want = state(MA.aggregate(T.read(spark, src),
+        Seq("grp"), Nil, Nil, Nil, avgs = Seq("v")))
+      assert(state(T.read(spark, mv)) == want,
+        s"avg view diverged at step $step")
+    }
+  }
+
+  test("materialized agg: others (count distinct) recomputes touched keys; view equals recompute") {
+    val s = spark
+    import s.implicits._
+    val T = graft.sources.TxLog
+    val MA = graft.sources.MaterializedAgg
+    val rnd = new scala.util.Random(1415)
+    val src = tmp("r14oth").toString
+    val mv = tmp("r14othv").toString + "/t"
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, String, Long)] = {
+      val out = (0 until n).map(i =>
+        (nextId + i, s"g${rnd.nextInt(3)}", rnd.nextInt(6).toLong))
+      nextId += n; out
+    }
+    def mkDf(t: Seq[(Long, String, Long)]) = t.toDF("id", "grp", "v")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "n_rows", "sum_v", "dist_v")
+        .collect().map(_.toSeq).toSet
+    T.commitOverwrite(spark, src, mkDf(fresh(12)), statsCols = Seq("grp"))
+    MA.create(spark, src, mv, keys = Seq("grp"), sums = Seq("v"),
+      others = Map("dist_v" -> "count(distinct v)"))
+    (1 to 10).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => T.commitAppend(spark, src, mkDf(fresh(1 + rnd.nextInt(3))))
+        case 1 => T.delete(spark, src, col("id") % 5 === step % 5)
+        // deleting ONE copy of a duplicated value must leave
+        // dist_v alone while n_rows drops — only a recompute can
+        // tell, which is why `others` turns net-zero suppression off
+        case 2 => T.deleteMor(spark, src, col("id") === nextId - 1)
+        case 3 => T.update(spark, src, col("id") % 4 === step % 4,
+          Map("v" -> ((col("v") + 1) % 6)))
+        case 4 => T.merge(spark, src, mkDf(fresh(2)), Seq("id"))
+      }
+      if (step % 2 == 0 || step == 10) {
+        MA.refresh(spark, mv)
+        val want = state(MA.aggregate(T.read(spark, src),
+          Seq("grp"), Seq("v"), Nil, Nil,
+          others = Map("dist_v" -> "count(distinct v)")))
+        assert(state(T.read(spark, mv)) == want,
+          s"others view diverged at step $step")
+      }
+    }
+    // a clashing output name refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      MA.create(spark, src, tmp("r14othbad").toString + "/t",
+        keys = Seq("grp"), others = Map("sum_v" -> "count(distinct v)"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  // ---- metadata-first MIN/MAX --------------------------------------
+
+  test("minMax: randomized DML model — extrema equal recompute; scans only what vectors or missing stats demand") {
+    val s = spark
+    import s.implicits._
+    val T = graft.sources.TxLog
+    val dir = tmp("r14mm").toString
+    val rnd = new scala.util.Random(14)
+    val allCols = Seq("id", "v", "w")
+    def rows(n: Int, base: Int) = (0 until n).map { i =>
+      (base + i.toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000)),
+        Option.empty[Int]) // w: all-null column
+    }
+    def df(n: Int, base: Int) =
+      rows(n, base).toDF("id", "v", "w")
+        .repartition(2)
+    T.commitOverwrite(spark, dir, df(200, 0), statsCols = allCols)
+    var nextBase = 1000
+    def check(): Unit = {
+      val (mm, scanned) = T.minMaxDetailed(spark, dir, allCols, None)
+      val got = mm.head().toSeq
+      val want = T.read(spark, dir).select(
+        min(col("id")), max(col("id")), min(col("v")), max(col("v")),
+        min(col("w")), max(col("w"))).head().toSeq
+      assert(got == want, s"metadata extrema $got != recompute $want")
+      // the claim, not just the answer: only files whose logged
+      // bounds are untrustworthy may be scanned
+      val snap = T.snapshot(spark, dir)
+      val phys = allCols.map(snap.phys)
+      val untrusted = snap.files.filter(f =>
+        f.dv.isDefined || phys.exists(p => !f.stats.get(p).exists(st =>
+          (st.min.isDefined && st.max.isDefined) ||
+            (st.min.isEmpty && st.max.isEmpty)))).map(_.path).toSet
+      assert(scanned.toSet == untrusted,
+        s"scanned $scanned != untrusted sliver $untrusted")
+    }
+    check() // clean table: pure metadata
+    assert(T.minMaxDetailed(spark, dir, allCols, None)._2.isEmpty)
+    (1 to 12).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => // append, sometimes WITHOUT stats (pre-stats commit)
+          val cols = if (rnd.nextBoolean()) allCols else Nil
+          T.commitAppend(spark, dir, df(50, nextBase), statsCols = cols)
+          nextBase += 1000
+        case 1 => // copy-on-write delete: rewrites refresh stats
+          T.delete(spark, dir, col("id") % 7 === step % 7,
+            statsCols = allCols)
+        case 2 => // merge-on-read delete: vectors make bounds unsound
+          T.deleteMor(spark, dir, col("v") < 100 + 20 * step)
+        case 3 => // update shifts values; rewritten files get stats
+          T.update(spark, dir, col("id") % 11 === step % 11,
+            Map("v" -> (col("v") + 500)), statsCols = allCols)
+        case 4 => // compact: vectors fold away, stats refresh
+          T.compact(spark, dir, targetFiles = 2, statsCols = allCols)
+      }
+      check()
+    }
+    // after a compact with stats, the pure-metadata path must hold
+    T.compact(spark, dir, targetFiles = 2, statsCols = allCols)
+    assert(T.minMaxDetailed(spark, dir, allCols, None)._2.isEmpty,
+      "post-compact extrema must be metadata-only")
+    val e = intercept[IllegalArgumentException] {
+      T.minMax(spark, dir, Seq("nope"))
+    }
+    assert(e.getMessage.contains("unknown column 'nope'"))
+  }
+
+  test("minMax: all-null columns, time travel, and string extrema") {
+    val s = spark
+    import s.implicits._
+    val T = graft.sources.TxLog
+    val dir = tmp("r14mms").toString
+    val d0 = Seq((1L, "bb", Option.empty[Int]),
+      (2L, "aa", Option.empty[Int]), (3L, "cc", Option.empty[Int]))
+      .toDF("id", "name", "w")
+    T.commitOverwrite(spark, dir, d0, statsCols = Seq("id", "name", "w"))
+    val v0 = T.snapshot(spark, dir).version
+    T.commitAppend(spark, dir,
+      Seq((9L, "zz", Option(5))).toDF("id", "name", "w"),
+      statsCols = Seq("id", "name", "w"))
+    val (mm, scanned) =
+      T.minMaxDetailed(spark, dir, Seq("id", "name", "w"), None)
+    assert(scanned.isEmpty, "stats-covered table must not scan")
+    assert(mm.head().toSeq ==
+      Seq(1L, 9L, "aa", "zz", 5, 5))
+    // as-of the first version: w was all-null → SQL null extrema
+    val r0 = T.minMax(spark, dir, Seq("id", "name", "w"), Some(v0)).head()
+    assert(r0.toSeq == Seq(1L, 3L, "aa", "cc", null, null))
+  }
 }
