@@ -958,6 +958,46 @@ class MedallionPipeline(spark: SparkSession, root: String,
       statsColsOf(sourceZone, dataset), mor = mor)
   }
 
+  /** A DERIVED follower: maintain `transform(source row)` per key as
+    * its own logged dataset, fed by the source's live change feed —
+    * the continuous form of "re-embed / re-score / re-chunk only the
+    * delta". `transform` runs on each micro-batch's net upserts
+    * (delete directives propagate by key), must preserve the key
+    * columns, and may fan one source row out to SEVERAL derived rows
+    * when `group = true` (chunking — an upsert then replaces the
+    * key's whole derived group, so stale chunks vanish with their
+    * source row). A key whose transform output is empty is treated
+    * as deleted downstream. Restart-safe under the checkpoint +
+    * (appId, batchId) markers like [[followStream]]. */
+  def followDerived(jobId: String, dataset: String,
+      sourceZone: DataZone.Value, targetZone: DataZone.Value,
+      derivedDataset: String,
+      transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      key: Seq[String] = Seq("id"),
+      group: Boolean = false,
+      statsCols: Seq[String] = Nil,
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxRowsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(useTxLog, "followDerived requires useTxLog = true")
+    val srcDir = requireLogged(sourceZone, dataset, "followDerived")
+    val tgtDir = path(targetZone, derivedDataset)
+    val reader0 = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true")
+    val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    val reader2 = maxRowsPerTrigger.fold(reader1)(n =>
+      reader1.option("maxRowsPerTrigger", n))
+    val reader = maxBytesPerTrigger.fold(reader2)(n =>
+      reader2.option("maxBytesPerTrigger", n))
+    TxLog.changeFeedApplySink(reader.load(srcDir), tgtDir, key, jobId,
+      checkpointDir.getOrElse(s"$tgtDir/_graft_ckpt_$jobId"),
+      statsCols, transform = Some(transform), group = group)
+  }
+
   /** Attach an incrementally maintained AGGREGATE view of a logged
     * dataset to its live change feed
     * ([[graft.sources.MaterializedAgg]]): the view materializes into

@@ -347,13 +347,38 @@ object MaterializedAgg {
       else lit(false)
     val dirtyBounds = if (recomputeAll) touchedBounds else retractBounds
 
+    def mvAligned(d: DataFrame): DataFrame =
+      d.select((keys.map(col) ++ mvSchema.fieldNames.filterNot(keys.contains)
+        .map(c => col(c).cast(mvType(c)).as(c))) :+ col("_mv_del"): _*)
+
+    // the per-dirty-key recompute from the source snapshot at the
+    // span's END version, pruned to the dirty keys; a dirty key with
+    // no surviving source rows leaves the view
+    def recomputed(dirtyKeys: DataFrame): DataFrame = {
+      val srcAt =
+        if (dirtyBounds.size == keys.size)
+          TxLog.readPrunedAll(spark, spec.source, dirtyBounds,
+            Some(endVersion))
+        else TxLog.read(spark, spec.source, Some(endVersion))
+      val rec = aggregate(
+        srcAt.join(dirtyKeys, keys, "left_semi"),
+        keys, spec.sums, spec.mins, spec.maxs, spec.avgs, spec.others)
+      dirtyKeys.join(rec, keys, "left")
+        .withColumn("_mv_del", col("n_rows").isNull)
+        .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+    }
+
+    // under `others`, EVERY touched key recomputes (arbitrary
+    // aggregates don't fold) — the view's old state is never an
+    // input, so the view is not even read; the fold leg below would
+    // be empty by construction AND lacks the `others` columns
+    if (recomputeAll)
+      return mvAligned(recomputed(touched.select(keys.map(col): _*)))
+
     val mv =
       if (touchedBounds.size == keys.size)
         TxLog.readPrunedAll(spark, mvDir, touchedBounds)
       else TxLog.read(spark, mvDir)
-    def mvAligned(d: DataFrame): DataFrame =
-      d.select((keys.map(col) ++ mvSchema.fieldNames.filterNot(keys.contains)
-        .map(c => col(c).cast(mvType(c)).as(c))) :+ col("_mv_del"): _*)
 
     // CLEAN keys (insert-only when MIN/MAX is configured; every key
     // otherwise): new state = old + delta, folded in one equi right
@@ -377,27 +402,9 @@ object MaterializedAgg {
       .withColumn("_mv_del", col("n_rows") === 0L)
 
     // DIRTY keys (a delete may have retracted a MIN/MAX extreme):
-    // recompute from the source snapshot at the span's END version,
-    // pruned to the dirty keys; a dirty key with no surviving source
-    // rows leaves the view
+    // recompute, pruned to the retracted keys' envelope
     if (!needRecompute) mvAligned(clean)
-    else {
-      val dirtyKeys = touched.filter(dirty).select(keys.map(col): _*)
-      // the dirty-key envelope (retracted keys, or all touched keys
-      // under `others`) bounds the recompute — the scan plans only
-      // the source files that can hold a dirty key
-      val srcAt =
-        if (dirtyBounds.size == keys.size)
-          TxLog.readPrunedAll(spark, spec.source, dirtyBounds,
-            Some(endVersion))
-        else TxLog.read(spark, spec.source, Some(endVersion))
-      val recomputed = aggregate(
-        srcAt.join(dirtyKeys, keys, "left_semi"),
-        keys, spec.sums, spec.mins, spec.maxs, spec.avgs, spec.others)
-      val rec = dirtyKeys.join(recomputed, keys, "left")
-        .withColumn("_mv_del", col("n_rows").isNull)
-        .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
-      mvAligned(clean).unionByName(mvAligned(rec))
-    }
+    else mvAligned(clean).unionByName(
+      mvAligned(recomputed(touched.filter(dirty).select(keys.map(col): _*))))
   }
 }

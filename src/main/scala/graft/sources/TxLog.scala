@@ -1637,7 +1637,31 @@ object TxLog {
   def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
       keyCols: Seq[String], deleteCol: String,
       statsCols: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    applyCowChanges(spark, dir, changes, keyCols, deleteCol, statsCols,
+      txn, group = false)
+
+  /** [[applyChanges]] with GROUP semantics: the target may hold — and
+    * a directive batch may insert — SEVERAL rows per key, and an
+    * upsert replaces the key's whole row GROUP (the survivors
+    * anti-join already removes every target row of a directive key;
+    * this form merely lifts the one-directive-per-key guard). The
+    * shape a derived follower needs when one source row fans out to
+    * N derived rows (chunks of a document, signatures of an
+    * embedding): re-derive the group, apply — stale members vanish
+    * with the group. Still refused: a key carrying BOTH delete and
+    * insert directives (ambiguous — is the group dead or replaced?). */
+  def applyGroupChanges(spark: SparkSession, dir: String,
+      changes: DataFrame, keyCols: Seq[String], deleteCol: String,
+      statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long =
+    applyCowChanges(spark, dir, changes, keyCols, deleteCol, statsCols,
+      txn, group = true)
+
+  private def applyCowChanges(spark: SparkSession, dir: String,
+      changes: DataFrame, keyCols: Seq[String], deleteCol: String,
+      statsCols: Seq[String], txn: Option[(String, Long)],
+      group: Boolean): Long = {
     require(keyCols.nonEmpty, "TxLog: applyChanges needs at least one key column")
     val snap = snapshot(spark, dir)
     for ((app, b) <- txn)
@@ -1659,11 +1683,23 @@ object TxLog {
     // an empty directive batch (e.g. a compaction-only feed span) is
     // a no-op — never a table scan or an empty commit
     if (src.isEmpty) return snap.version
-    val dupKeys = src.groupBy(keyCols.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      "TxLog: applyChanges has several directives for one key " +
-        "(ambiguous, refused) — collapse to the last change per key first")
+    if (group) {
+      // several inserts per key are the point; a key that is BOTH
+      // deleted and inserted in one batch is still ambiguous
+      val mixed = src.groupBy(keyCols.map(col): _*)
+        .agg(countDistinct(col(deleteCol)).as("_graft_forms"))
+        .filter(col("_graft_forms") > 1).limit(1).count()
+      require(mixed == 0,
+        "TxLog: applyGroupChanges has both delete and insert " +
+          "directives for one key (ambiguous, refused) — a replaced " +
+          "group needs only its insert rows")
+    } else {
+      val dupKeys = src.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0,
+        "TxLog: applyChanges has several directives for one key " +
+          "(ambiguous, refused) — collapse to the last change per key first")
+    }
 
     val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
@@ -1802,8 +1838,17 @@ object TxLog {
     * [[compact]] on the follower to fold vectors away). */
   def changeFeedApplySink(feed: DataFrame, dir: String,
       keyCols: Seq[String], appId: String, checkpointDir: String,
-      statsCols: Seq[String] = Nil, mor: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      statsCols: Seq[String] = Nil, mor: Boolean = false,
+      transform: Option[DataFrame => DataFrame] = None,
+      group: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!(mor && group),
+      "TxLog: group-semantics followers are copy-on-write only " +
+        "(a replaced group has no per-row position identity for a " +
+        "deletion vector to retire)")
+    require(transform.isDefined || !group,
+      "TxLog: group = true only makes sense with a transform " +
+        "(a verbatim feed is one row per key)")
     feed.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1814,9 +1859,39 @@ object TxLog {
             when(col("_change_type") === "insert", 1).otherwise(0).desc)
         val last = batch.withColumn("_graft_rn", row_number().over(w))
           .filter(col("_graft_rn") === 1)
-        val src = last
+        val srcRaw = last
           .withColumn("_graft_del", col("_change_type") === "delete")
           .drop("_change_type", "_commit_version", "_graft_rn")
+        // a DERIVED follower maintains f(source row) per key: f runs
+        // on the batch's net upserts only (delete directives carry
+        // only their keys forward, reshaped to f's schema), so the
+        // expensive derivation — an embedding, a chunking, an index
+        // signature — costs the DELTA, never the corpus. A key whose
+        // derivation comes back EMPTY (f dropped the row/group)
+        // becomes a delete: its stale derived rows must not outlive
+        // the source row that produced them.
+        val src = transform match {
+          case None => srcRaw
+          case Some(f) =>
+            val ups = f(srcRaw.filter(!col("_graft_del"))
+              .drop("_graft_del"))
+            keyCols.foreach(k => require(ups.columns.contains(k),
+              s"TxLog: derived follower transform must preserve key " +
+                s"column '$k'"))
+            val upKeys = srcRaw.filter(!col("_graft_del"))
+              .select(keyCols.map(col): _*).distinct()
+            val vanished = upKeys.join(
+              ups.select(keyCols.map(col): _*).distinct(),
+              keyCols, "left_anti")
+            val delKeys = srcRaw.filter(col("_graft_del"))
+              .select(keyCols.map(col): _*).distinct()
+              .unionByName(vanished)
+            val dels = delKeys.select(ups.schema.fields.map(fl =>
+              if (keyCols.contains(fl.name)) col(fl.name)
+              else lit(null).cast(fl.dataType).as(fl.name)).toSeq: _*)
+            ups.withColumn("_graft_del", lit(false))
+              .unionByName(dels.withColumn("_graft_del", lit(true)))
+        }
         if (!isLogged(sp, dir)) {
           // a CREATING batch: on the FIRST batch of a fresh
           // checkpoint an uncapped feed read can span the source's
@@ -1839,11 +1914,15 @@ object TxLog {
         } else if (mor)
           applyChangesMor(sp, dir, src, keyCols, "_graft_del", statsCols,
             txn = Some((appId, batchId)))
+        else if (group)
+          applyGroupChanges(sp, dir, src, keyCols, "_graft_del",
+            statsCols, txn = Some((appId, batchId)))
         else
           applyChanges(sp, dir, src, keyCols, "_graft_del", statsCols,
             txn = Some((appId, batchId)))
         ()
       }.start()
+  }
 
   /** Name of the hidden column carrying `_metadata.file_name` in
     * tagged reads; collision with a real column is refused. */

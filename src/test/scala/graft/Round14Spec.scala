@@ -401,6 +401,134 @@ class Round14Spec extends SparkSpec {
         p.path(DataZone.Bronze, "m")).version)
   }
 
+  // ---- derived followers -------------------------------------------
+
+  test("followDerived: a scored follower tracks DML; empty derivations delete the key") {
+    val s = spark
+    import s.implicits._
+    import graft.quality.DataZone
+    import graft.etl.LoadType
+    val T = graft.sources.TxLog
+    val root = tmp("r14fd").toString
+    val p = new graft.etl.MedallionPipeline(spark, root, useTxLog = true)
+    def batch(t: (Long, String)*) = t.toSeq.toDF("id", "text")
+    // the derivation: a score per doc, docs under 3 chars dropped —
+    // an f that can make a key's derivation vanish
+    val derive: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame = df =>
+      df.filter(length(col("text")) >= 3)
+        .select(col("id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+    p.write(DataZone.Bronze, "d",
+      batch((1L, "alpha"), (2L, "ab"), (3L, "gamma")), LoadType.Full)
+    val ck = tmp("r14fdck").toString
+    def run(): Unit = {
+      val q = p.followDerived("r14fd", "d", DataZone.Bronze,
+        DataZone.Gold, "d_scored", derive, key = Seq("id"),
+        checkpointDir = Some(ck))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val tgt = p.path(DataZone.Gold, "d_scored")
+    def state: Set[(Long, String, Long)] =
+      T.read(spark, tgt).as[(Long, String, Long)].collect().toSet
+    assert(state == Set((1L, "alpha", 5L), (3L, "gamma", 5L)),
+      "sub-threshold doc 2 must not appear in the derived table")
+    // DML while the stream is down; restart folds only the delta:
+    // 1 shrinks under the threshold (derivation vanishes), 3 is
+    // rescored, 2 grows past the threshold (derivation born),
+    // 4 arrives, and a MoR delete kills nothing derived (2 was born
+    // in the same span — last-writer-wins inside the batch)
+    p.updateWhere(DataZone.Bronze, "d", col("id") === 1L,
+      Map("text" -> lit("x")))
+    p.updateWhere(DataZone.Bronze, "d", col("id") === 3L,
+      Map("text" -> lit("gammas")))
+    p.updateWhere(DataZone.Bronze, "d", col("id") === 2L,
+      Map("text" -> lit("abcde")))
+    p.write(DataZone.Bronze, "d", batch((4L, "delta")), LoadType.Append)
+    run()
+    assert(state == Set((2L, "abcde", 5L), (3L, "gammas", 6L),
+      (4L, "delta", 5L)),
+      "restart must rescore, bear, and vanish derived rows per the span")
+  }
+
+  test("followDerived group: a chunk follower replaces whole derived groups") {
+    val s = spark
+    import s.implicits._
+    import graft.quality.DataZone
+    import graft.etl.LoadType
+    val T = graft.sources.TxLog
+    val root = tmp("r14fg").toString
+    val p = new graft.etl.MedallionPipeline(spark, root, useTxLog = true)
+    def batch(t: (Long, String)*) = t.toSeq.toDF("id", "text")
+    // one doc → N fixed-width chunks; empty docs derive nothing
+    val chunk: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame = df =>
+      df.filter(length(col("text")) > 0)
+        .select(col("id"), posexplode(expr(
+          "transform(sequence(0, int(ceil(length(text)/3))-1), " +
+            "i -> substring(text, i*3+1, 3))")))
+        .withColumnRenamed("pos", "ix")
+        .withColumnRenamed("col", "chunk")
+    p.write(DataZone.Bronze, "c",
+      batch((1L, "abcdefg"), (2L, "xyz")), LoadType.Full)
+    val ck = tmp("r14fgck").toString
+    def run(): Unit = {
+      val q = p.followDerived("r14fg", "c", DataZone.Bronze,
+        DataZone.Gold, "c_chunks", chunk, key = Seq("id"),
+        group = true, checkpointDir = Some(ck))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val tgt = p.path(DataZone.Gold, "c_chunks")
+    def state: Set[(Long, Int, String)] =
+      T.read(spark, tgt).as[(Long, Int, String)].collect().toSet
+    assert(state == Set((1L, 0, "abc"), (1L, 1, "def"), (1L, 2, "g"),
+      (2L, 0, "xyz")))
+    // doc 1 SHRINKS (3 chunks → 1): the stale chunks must vanish
+    // with the replaced group, not linger beside the new one
+    p.updateWhere(DataZone.Bronze, "c", col("id") === 1L,
+      Map("text" -> lit("pq")))
+    // doc 2 empties: its whole group dies; doc 3 arrives
+    p.updateWhere(DataZone.Bronze, "c", col("id") === 2L,
+      Map("text" -> lit("")))
+    p.write(DataZone.Bronze, "c", batch((3L, "mnopqr")), LoadType.Append)
+    run()
+    assert(state == Set((1L, 0, "pq"),
+      (3L, 0, "mno"), (3L, 1, "pqr")),
+      "a replaced group must fully supersede its stale chunks")
+  }
+
+  test("applyGroupChanges: multi-row groups replace atomically; mixed directives refuse") {
+    val s = spark
+    import s.implicits._
+    val T = graft.sources.TxLog
+    val dir = tmp("r14grp").toString
+    T.commitOverwrite(spark, dir,
+      Seq((1L, 0, "a0"), (1L, 1, "a1"), (2L, 0, "b0"))
+        .toDF("id", "ix", "v"), statsCols = Seq("id"))
+    // replace group 1 with THREE rows, delete group 2
+    val dirs = Seq((1L, 0, "n0", false), (1L, 1, "n1", false),
+      (1L, 2, "n2", false), (2L, 0, null.asInstanceOf[String], true))
+      .toDF("id", "ix", "v", "_del")
+    T.applyGroupChanges(spark, dir, dirs, Seq("id"), "_del")
+    assert(T.read(spark, dir).as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 0, "n0"), (1L, 1, "n1"), (1L, 2, "n2")))
+    val mixed = Seq((1L, 0, "x", false), (1L, 0, "y", true))
+      .toDF("id", "ix", "v", "_del")
+    val e = intercept[IllegalArgumentException] {
+      T.applyGroupChanges(spark, dir, mixed, Seq("id"), "_del")
+    }
+    assert(e.getMessage.contains("both delete and insert"))
+    // the strict form still refuses several directives per key
+    val dup = Seq((1L, 0, "x", false), (1L, 1, "y", false))
+      .toDF("id", "ix", "v", "_del")
+    val e2 = intercept[IllegalArgumentException] {
+      T.applyChanges(spark, dir, dup, Seq("id"), "_del")
+    }
+    assert(e2.getMessage.contains("several directives"))
+  }
+
   // ---- diversity selection -----------------------------------------
 
   test("curation_diversity: round-robin over buckets — full coverage before any repeat, deterministic, TakeOrdered plan") {
