@@ -1044,6 +1044,45 @@ class MedallionPipeline(spark: SparkSession, root: String,
       checkpointDir.getOrElse(s"$mvDir/_graft_ckpt_$jobId"))
   }
 
+  /** Attach an SCD TYPE 2 history ([[graft.sources.Scd2]]) of a
+    * logged dataset to its live change feed — the `APPLY CHANGES …
+    * STORED AS SCD TYPE 2` form of [[followStream]]: where the plain
+    * follower keeps the source's CURRENT rows (type 1), this keeps
+    * every version a key ever held as a `[valid_from, valid_to)`
+    * segment in source-commit versions, maintained incrementally
+    * from the CDC slices. First call materializes the history at the
+    * source's current version; each micro-batch folds its slice's
+    * netted per-(key, version) directives; a restart resumes from
+    * the checkpoint with the history's own watermark marker skipping
+    * replayed slices. */
+  def followScd2(jobId: String, dataset: String,
+      sourceZone: DataZone.Value, targetZone: DataZone.Value,
+      scdDataset: String, keys: Seq[String],
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxRowsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(useTxLog, "followScd2 requires useTxLog = true")
+    val srcDir = requireLogged(sourceZone, dataset, "followScd2")
+    val scdDir = path(targetZone, scdDataset)
+    val w =
+      if (!TxLog.isLogged(spark, scdDir))
+        graft.sources.Scd2.create(spark, srcDir, scdDir, keys)
+      else graft.sources.Scd2.watermark(spark, scdDir)
+    val reader0 = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", w + 1)
+    val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    val reader2 = maxRowsPerTrigger.fold(reader1)(n =>
+      reader1.option("maxRowsPerTrigger", n))
+    val reader = maxBytesPerTrigger.fold(reader2)(n =>
+      reader2.option("maxBytesPerTrigger", n))
+    graft.sources.Scd2.scd2ApplySink(reader.load(srcDir), scdDir,
+      checkpointDir.getOrElse(s"$scdDir/_graft_ckpt_$jobId"))
+  }
+
   /** promote_zone (etl_manager.py:597-629) — FULL load to the next zone
     * with the target zone's quality gate. */
   def promoteZone(dataset: String, from: DataZone.Value, to: DataZone.Value,

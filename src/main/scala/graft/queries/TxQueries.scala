@@ -272,6 +272,64 @@ object TxQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** #202 txn_scd2_apply — SCD TYPE 2 history maintained from the
+    * change feed ([[graft.sources.Scd2]], the `APPLY CHANGES … STORED
+    * AS SCD TYPE 2` shape): a logged lineitem projection keyed
+    * (k, ln) goes through the same three-commit DML span as
+    * [[mvIncremental]] (CoW delete at v1, stats-pruned update at v2,
+    * key births at v3), and ONE refresh folds the whole span into
+    * validity segments — the deleted rows' segments close at 1, the
+    * updated rows' initial segments close at 2 with their post-image
+    * segments opening there, untouched rows stay current from 0, and
+    * the appended keys open at 3. The result aggregates the history
+    * per (return flag, validity interval, currency) so the oracle —
+    * which derives each row's interval RELATIONALLY from the same
+    * predicates — checks every segment boundary and every payload
+    * sum bit for bit.
+    *
+    * Scale: the refresh reads the span's changed files and the
+    * touched keys' history sliver (stats-pruned on (k, ln,
+    * valid_from)), never the corpus; closing a current segment
+    * rewrites only the files holding it. */
+  def txnScd2Apply(s: SparkSession, dir: String): DataFrame = {
+    // SCD2 tracks one row per key — collapse the synthetic lineitem
+    // (not unique on (k, ln)) to a keyed relation first, the same
+    // min-per-key recipe as txn_dml's merge source
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"),
+      col("l_returnflag").as("rf"))
+      .groupBy("k", "ln")
+      .agg(min(col("qty")).as("qty"), min(col("pc")).as("pc"),
+        min(col("rf")).as("rf"))
+    val root = Files.createTempDirectory("graft_scd2")
+    val src = s"$root/src"
+    val scd = s"$root/scd"
+    TxLog.commitOverwrite(s, src,
+      t.repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    graft.sources.Scd2.create(s, src, scd, keys = Seq("k", "ln"))
+    TxLog.delete(s, src, col("qty") >= 48)
+    TxLog.update(s, src, col("k") <= 1000, Map("pc" -> (col("pc") + 100)))
+    TxLog.commitAppend(s, src, t.filter(col("k") % 101 === 0)
+      .select((col("k") + 3000000000L).as("k"), col("ln"),
+        lit(5).as("qty"), lit(0L).as("pc"), lit("Z").as("rf")))
+    graft.sources.Scd2.refresh(s, scd)
+    val agg = TxLog.read(s, scd)
+      .groupBy(col("rf").as("l_returnflag"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+        col("is_current"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pc")).cast("long").as("sum_pc"),
+        sum(col("qty")).cast("long").as("sum_qty"))
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   /** #199 txn_stats_agg — Delta's metadata-only aggregates driven end
     * to end: COUNT(*), a banded count, and per-column MIN/MAX are
     * answered from the transaction log's own per-file metadata
@@ -340,6 +398,7 @@ object TxQueries {
     "mv_incremental" -> mvIncremental,
     "mv_general" -> mvGeneral,
     "txn_stats_agg" -> txnStatsAgg,
+    "txn_scd2_apply" -> txnScd2Apply,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -432,6 +491,41 @@ object TxQueries {
         CAST(SUM(qty) AS DOUBLE) / COUNT(qty) AS avg_qty,
         CAST(COUNT(DISTINCT k % 1000) AS BIGINT) AS distinct_part
       FROM m GROUP BY 1""",
+    "txn_scd2_apply" -> """
+      WITH t0 AS (
+        SELECT l_orderkey AS k, l_linenumber AS ln,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+          l_returnflag AS rf
+        FROM lineitem),
+      t AS (
+        SELECT k, ln, MIN(qty) AS qty, MIN(pc) AS pc, MIN(rf) AS rf
+        FROM t0 GROUP BY k, ln),
+      d AS (SELECT * FROM t WHERE NOT coalesce(qty >= 48, false)),
+      seg AS (
+        -- initial segments: closed at 1 by the delete, at 2 by the
+        -- update, otherwise still current
+        SELECT rf, qty, pc, CAST(0 AS BIGINT) AS valid_from,
+          CAST(CASE WHEN qty >= 48 THEN 1
+                    WHEN k <= 1000 THEN 2 END AS BIGINT) AS valid_to
+        FROM t
+        UNION ALL
+        -- post-image segments of the v2 update (survivors only)
+        SELECT rf, qty, pc + 100 AS pc, CAST(2 AS BIGINT),
+          CAST(NULL AS BIGINT)
+        FROM d WHERE k <= 1000
+        UNION ALL
+        -- keys born at v3
+        SELECT 'Z' AS rf, 5 AS qty, CAST(0 AS BIGINT) AS pc,
+          CAST(3 AS BIGINT), CAST(NULL AS BIGINT)
+        FROM t WHERE k % 101 = 0)
+      SELECT rf AS l_returnflag, valid_from,
+        coalesce(valid_to, -1) AS valid_to,
+        (valid_to IS NULL) AS is_current,
+        COUNT(*) AS n_rows,
+        CAST(SUM(pc) AS BIGINT) AS sum_pc,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM seg GROUP BY 1, 2, 3, 4""",
     "txn_stats_agg" -> """
       WITH t AS (
         SELECT l_orderkey AS k,

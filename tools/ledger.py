@@ -193,6 +193,21 @@ ROWS = [
     (191, "pack_bestfit_shards", "hash"),
     (192, "Round13Spec (stream schema pinned at query start) | "
           "sources/TxLogStreamSource.scala", "api"),
+    (193, "mv_incremental", "hash"),
+    (194, "Round14Spec (byte-admission / legacy-scope / claim / pack "
+          "hardening) | sources/TxLogStreamSource.scala", "api"),
+    (195, "curation_diversity", "hash"),
+    (196, "Round14Spec (in-commit timestamps) | sources/TxLog.scala",
+          "api"),
+    (197, "Round14Spec (restoreAt + followAggregate) | "
+          "sources/TxLog.scala, etl/Medallion.scala", "api"),
+    (198, "Round14Spec + StressMv (MV refresh cost shape) | "
+          "sources/MaterializedAgg.scala", "api"),
+    (199, "txn_stats_agg", "hash"),
+    (200, "mv_general", "hash"),
+    (201, "Round14Spec (followDerived + applyGroupChanges) | "
+          "etl/Medallion.scala, sources/TxLog.scala", "api"),
+    (202, "txn_scd2_apply", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
