@@ -1004,6 +1004,71 @@ object TxLog {
     0L
   }
 
+  /** DEEP CLONE (Delta's `CREATE TABLE … CLONE src`): like [[clone]]
+    * but SELF-CONTAINED — every referenced data file (and deletion
+    * vector) is COPIED into the target directory by a distributed
+    * copy job (one task per file, the DistCp shape) and registered
+    * dir-relative, so vacuuming, truncating or outright deleting the
+    * source can never break the clone (the shallow form's documented
+    * caveat). Schema, per-file stats, column mapping, retired names
+    * and CHECK constraints carry over unchanged; txn markers do not.
+    * A clone-of-clone chain flattens: absolute references copy like
+    * any other file, so the deep clone of a shallow clone detaches
+    * from BOTH ancestors. Cost: the data copy itself (definitional),
+    * parallelized one-file-per-task across the cluster; the commit
+    * is one metadata write. The copy lands before the log claim, so
+    * a concurrent creation of the target refuses AFTER copying —
+    * the copied files are then unreferenced by the winner's log and
+    * its vacuum reaps them. */
+  def deepClone(spark: SparkSession, sourceDir: String,
+      targetDir: String, asOf: Option[Long] = None): Long = {
+    require(!isLogged(spark, targetDir),
+      s"TxLog: clone target $targetDir is already a logged table")
+    val snap = snapshot(spark, sourceDir, asOf)
+    val abs = new java.io.File(sourceDir).getAbsolutePath
+    val fsrc = fs(spark, new Path(sourceDir))
+    val gone = (snap.files.map(_.path) ++ snap.files.flatMap(_.dv))
+      .filterNot(p => fsrc.exists(resolvePath(sourceDir, p)))
+    require(gone.isEmpty,
+      s"TxLog: cannot clone $sourceDir@${snap.version} — ${gone.size} " +
+        s"of its files were vacuumed (first: ${gone.take(2)
+          .mkString(", ")})")
+    val all = snap.files.map(_.path) ++ snap.files.flatMap(_.dv)
+    val names = all.map(nameOf)
+    require(names.distinct.size == names.size,
+      "TxLog: deep clone source references files with colliding " +
+        "base names (clone-of-clone chain?) — compact it first")
+    val tgtAbs = new java.io.File(targetDir).getAbsolutePath
+    fs(spark, new Path(targetDir)).mkdirs(new Path(tgtAbs))
+    val pairs = all.map(p => (resolveData(abs, p), nameOf(p)))
+    if (pairs.nonEmpty) {
+      val slices = math.max(1, math.min(pairs.size,
+        spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(pairs, slices).foreach {
+        case (srcP, name) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val sp = new Path(srcP)
+          val tp = new Path(s"$tgtAbs/$name")
+          org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf),
+            sp, tp.getFileSystem(conf), tp, false, true, conf)
+          ()
+      }
+    }
+    val entries = snap.files.map(f => f.copy(
+      path = nameOf(f.path), dv = f.dv.map(nameOf)))
+    val lf = fs(spark, logPath(targetDir))
+    if (!tryWrite(lf, versionFile(targetDir, 0L),
+        renderCommit(0L, "clone", entries, Nil, Some(snap.schemaJson),
+          None, ddl = Some((snap.mapping, snap.retired)),
+          minReader =
+            if (entries.exists(_.dv.isDefined)) Some(2) else None,
+          constraints = Some(snap.constraints).filter(_.nonEmpty))))
+      throw new java.util.ConcurrentModificationException(
+        s"TxLog: clone target $targetDir was concurrently created — " +
+          "refusing to clobber it")
+    0L
+  }
+
   /** DESCRIBE DETAIL (the Delta shape): ONE row of table-level
     * operational facts, answered from log metadata plus one root
     * listing for bytes — version, file/row/deleted-row counts, bytes

@@ -762,6 +762,69 @@ class Round14Spec extends SparkSpec {
     assert(e.getMessage.contains("unknown column 'nope'"))
   }
 
+  test("deepClone: self-contained copy — dvs, stats and constraints carry; survives source deletion; DML works") {
+    val s = spark
+    import s.implicits._
+    val TxLog = graft.sources.TxLog
+    val src = tmp("r14deep").toString
+    val dst = tmp("r14deept").toString + "/t"
+    def rows(t: (Long, Long)*) = t.toSeq.toDF("id", "v")
+    TxLog.commitOverwrite(spark, src,
+      rows((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+        .repartitionByRange(2, col("id")),
+      statsCols = Seq("id"))
+    TxLog.addCheckConstraint(spark, src, "v_pos", "v >= 0")
+    TxLog.deleteMor(spark, src, col("id") === 2L) // standing vector
+    TxLog.deepClone(spark, src, dst)
+
+    val snap = TxLog.snapshot(spark, dst)
+    assert(snap.files.forall(f => !f.path.startsWith("/")),
+      "deep clone must register dir-relative paths")
+    assert(snap.files.exists(_.dv.isDefined), "deletion vector carried")
+    assert(snap.files.forall(_.stats.nonEmpty), "per-file stats carried")
+    assert(snap.constraints == Map("v_pos" -> "v >= 0"))
+    assert(TxLog.read(spark, dst).select("id", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (3L, 30L), (4L, 40L)))
+
+    // the source vanishes outright — the clone must not notice
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(src))
+    assert(TxLog.read(spark, dst).count() == 3L)
+    TxLog.update(spark, dst, col("id") === 3L, Map("v" -> lit(31L)))
+    assert(TxLog.read(spark, dst).select("id", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (3L, 31L), (4L, 40L)))
+    // the carried constraint still enforces on the clone
+    val e = intercept[Exception] {
+      TxLog.commitAppend(spark, dst, rows((9L, -5L)))
+    }
+    assert(e.getMessage.contains("v_pos"))
+  }
+
+  test("deepClone of a shallow clone detaches from both ancestors") {
+    val s = spark
+    import s.implicits._
+    val TxLog = graft.sources.TxLog
+    val src = tmp("r14deepsrc").toString
+    val sh = tmp("r14deepsh").toString + "/t"
+    val deep = tmp("r14deepdeep").toString + "/t"
+    def rows(t: (Long, Long)*) = t.toSeq.toDF("id", "v")
+    TxLog.commitOverwrite(spark, src, rows((1L, 1L), (2L, 2L)))
+    TxLog.clone(spark, src, sh) // zero-copy: absolute refs into src
+    TxLog.commitAppend(spark, sh, rows((3L, 3L))) // own file too
+    TxLog.deepClone(spark, sh, deep)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sh).getParentFile)
+    assert(TxLog.read(spark, deep).select("id", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    // and the target-exists refusal matches the shallow form's
+    val e = intercept[Exception] {
+      TxLog.deepClone(spark, deep, deep)
+    }
+    assert(e.getMessage.contains("already a logged table"))
+  }
+
   test("minMax: all-null columns, time travel, and string extrema") {
     val s = spark
     import s.implicits._

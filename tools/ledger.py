@@ -208,6 +208,7 @@ ROWS = [
     (201, "Round14Spec (followDerived + applyGroupChanges) | "
           "etl/Medallion.scala, sources/TxLog.scala", "api"),
     (202, "txn_scd2_apply", "hash"),
+    (203, "Round14Spec (deep clone) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
