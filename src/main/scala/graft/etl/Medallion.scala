@@ -1018,7 +1018,8 @@ class MedallionPipeline(spark: SparkSession, root: String,
       checkpointDir: Option[String] = None,
       maxFilesPerTrigger: Option[Long] = None,
       maxRowsPerTrigger: Option[Long] = None,
-      maxBytesPerTrigger: Option[Long] = None)
+      maxBytesPerTrigger: Option[Long] = None,
+      mor: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(useTxLog, "followAggregate requires useTxLog = true")
     val srcDir = requireLogged(sourceZone, dataset, "followAggregate")
@@ -1041,7 +1042,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
     val reader = maxBytesPerTrigger.fold(reader2)(n =>
       reader2.option("maxBytesPerTrigger", n))
     graft.sources.MaterializedAgg.mvApplySink(reader.load(srcDir), mvDir,
-      checkpointDir.getOrElse(s"$mvDir/_graft_ckpt_$jobId"))
+      checkpointDir.getOrElse(s"$mvDir/_graft_ckpt_$jobId"), mor = mor)
   }
 
   /** Attach an SCD TYPE 2 history ([[graft.sources.Scd2]]) of a
@@ -1061,7 +1062,8 @@ class MedallionPipeline(spark: SparkSession, root: String,
       checkpointDir: Option[String] = None,
       maxFilesPerTrigger: Option[Long] = None,
       maxRowsPerTrigger: Option[Long] = None,
-      maxBytesPerTrigger: Option[Long] = None)
+      maxBytesPerTrigger: Option[Long] = None,
+      mor: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(useTxLog, "followScd2 requires useTxLog = true")
     val srcDir = requireLogged(sourceZone, dataset, "followScd2")
@@ -1080,7 +1082,7 @@ class MedallionPipeline(spark: SparkSession, root: String,
     val reader = maxBytesPerTrigger.fold(reader2)(n =>
       reader2.option("maxBytesPerTrigger", n))
     graft.sources.Scd2.scd2ApplySink(reader.load(srcDir), scdDir,
-      checkpointDir.getOrElse(s"$scdDir/_graft_ckpt_$jobId"))
+      checkpointDir.getOrElse(s"$scdDir/_graft_ckpt_$jobId"), mor = mor)
   }
 
   /** promote_zone (etl_manager.py:597-629) — FULL load to the next zone

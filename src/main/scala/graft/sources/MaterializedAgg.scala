@@ -195,13 +195,14 @@ object MaterializedAgg {
     * [[TxLog.applyChanges]] — touched view files only. Returns the
     * new watermark (= the source head folded in). No-op when the
     * view is current. */
-  def refresh(spark: SparkSession, mvDir: String): Long = {
+  def refresh(spark: SparkSession, mvDir: String,
+      mor: Boolean = false): Long = {
     val spec = readMeta(spark, mvDir)
     val w = watermark(spark, mvDir)
     val head = TxLog.snapshot(spark, spec.source).version
     if (head <= w) return w
     val feed = TxLog.changeFeed(spark, spec.source, w, Some(head))
-    applyFeed(spark, mvDir, spec, feed, endVersion = head)
+    applyFeed(spark, mvDir, spec, feed, endVersion = head, mor = mor)
     head
   }
 
@@ -214,7 +215,8 @@ object MaterializedAgg {
     * `_commit_version`) — an engine-replayed micro-batch re-presents
     * the same span and skips, and the watermark keeps advancing so a
     * later batch [[refresh]] stays consistent with the stream. */
-  def mvApplySink(feed: DataFrame, mvDir: String, checkpointDir: String)
+  def mvApplySink(feed: DataFrame, mvDir: String, checkpointDir: String,
+      mor: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(feed.columns.contains("_change_type") &&
       feed.columns.contains("_commit_version"),
@@ -227,7 +229,8 @@ object MaterializedAgg {
         val spec = readMeta(sp, mvDir)
         val end = batch.agg(max(col("_commit_version"))).head()
         if (!end.isNullAt(0))
-          applyFeed(sp, mvDir, spec, batch, endVersion = end.getLong(0))
+          applyFeed(sp, mvDir, spec, batch, endVersion = end.getLong(0),
+            mor = mor)
         ()
       }.start()
   }
@@ -237,7 +240,7 @@ object MaterializedAgg {
     * version: it stamps the watermark marker and pins the snapshot
     * dirty keys recompute from. */
   private def applyFeed(spark: SparkSession, mvDir: String, spec: MvSpec,
-      feed: DataFrame, endVersion: Long): Unit = {
+      feed: DataFrame, endVersion: Long, mor: Boolean = false): Unit = {
     // Both relations are touched-key-sized but their LINEAGE is the
     // span's row-level diff (exceptAll legs for DML commits) — and
     // applyChanges drives several actions over the directives
@@ -249,10 +252,22 @@ object MaterializedAgg {
     try {
       val directives =
         directivesFor(spark, mvDir, spec, touched, endVersion).persist()
-      try TxLog.applyChanges(spark, mvDir, directives, spec.keys,
-        "_mv_del", statsCols = spec.keys,
-        txn = Some((WatermarkApp, endVersion)))
-      finally { directives.unpersist(); () }
+      try {
+        // mor = true retires replaced/dead view rows through deletion
+        // vectors (TxLog.applyChangesMor) instead of rewriting the
+        // touched view files whole — the write-amplification trade a
+        // scattered-key trickle against a LARGE view wants; compact
+        // folds the vectors away on schedule
+        if (mor)
+          TxLog.applyChangesMor(spark, mvDir, directives, spec.keys,
+            "_mv_del", statsCols = spec.keys,
+            txn = Some((WatermarkApp, endVersion)))
+        else
+          TxLog.applyChanges(spark, mvDir, directives, spec.keys,
+            "_mv_del", statsCols = spec.keys,
+            txn = Some((WatermarkApp, endVersion)))
+        ()
+      } finally { directives.unpersist(); () }
     } finally { touched.unpersist(); () }
     ()
   }

@@ -153,14 +153,16 @@ object Scd2 {
     * Reads the change feed for (watermark, head], nets it to per-
     * (key, version) directives, and lands the new/closed segments
     * copy-on-write. Returns the new watermark. No-op when current. */
-  def refresh(spark: SparkSession, scdDir: String): Long = {
+  def refresh(spark: SparkSession, scdDir: String,
+      mor: Boolean = false): Long = {
     val spec = readMeta(spark, scdDir)
     val w = watermark(spark, scdDir)
     val head = TxLog.snapshot(spark, spec.source).version
     if (head <= w) return w
     val feed = TxLog.changeFeed(spark, spec.source, w, Some(head))
     applyDirectives(spark, scdDir, feedDirectives(spec, feed),
-      "_scd2_del", "_scd2_seq", txn = Some((WatermarkApp, head)))
+      "_scd2_del", "_scd2_seq", txn = Some((WatermarkApp, head)),
+      mor = mor)
     head
   }
 
@@ -170,7 +172,8 @@ object Scd2 {
     * folds its slice through the same directive path as [[refresh]];
     * a replayed slice re-presents the same (marker, max version) and
     * skips inside [[TxLog.applyChanges]]. */
-  def scd2ApplySink(feed: DataFrame, scdDir: String, checkpointDir: String)
+  def scd2ApplySink(feed: DataFrame, scdDir: String,
+      checkpointDir: String, mor: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(feed.columns.contains("_change_type") &&
       feed.columns.contains("_commit_version"),
@@ -185,7 +188,7 @@ object Scd2 {
         if (!end.isNullAt(0))
           applyDirectives(sp, scdDir, feedDirectives(spec, batch),
             "_scd2_del", "_scd2_seq",
-            txn = Some((WatermarkApp, end.getLong(0))))
+            txn = Some((WatermarkApp, end.getLong(0))), mor = mor)
         ()
       }.start()
   }
@@ -230,10 +233,14 @@ object Scd2 {
     * DIRECTIVE relation, one stats-pruned read of the touched keys'
     * history sliver, and one [[TxLog.applyChanges]] commit keyed
     * (keys…, valid_from) that rewrites only files holding a touched
-    * key's current segment. */
+    * key's current segment — or, with `mor = true`, retires the
+    * closed segments through DELETION VECTORS
+    * ([[TxLog.applyChangesMor]]) so a scattered trickle against a
+    * deep history writes vector pairs + new segments, never
+    * touched-file bytes. */
   def applyDirectives(spark: SparkSession, scdDir: String,
       changes: DataFrame, deleteCol: String, seqCol: String,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None, mor: Boolean = false): Long = {
     val spec = readMeta(spark, scdDir)
     val snap = TxLog.snapshot(spark, scdDir)
     // idempotent replay short-circuit before any staging work (the
@@ -320,9 +327,14 @@ object Scd2 {
 
           val batch = closures.unionByName(segments)
             .withColumn("_scd2_batch_del", lit(false))
-          TxLog.applyChanges(spark, scdDir, batch,
-            keys :+ ValidFrom, "_scd2_batch_del",
-            statsCols = keys :+ ValidFrom, txn = txn)
+          if (mor)
+            TxLog.applyChangesMor(spark, scdDir, batch,
+              keys :+ ValidFrom, "_scd2_batch_del",
+              statsCols = keys :+ ValidFrom, txn = txn)
+          else
+            TxLog.applyChanges(spark, scdDir, batch,
+              keys :+ ValidFrom, "_scd2_batch_del",
+              statsCols = keys :+ ValidFrom, txn = txn)
         } finally { hist.unpersist(); () }
       } finally { firsts.unpersist(); () }
     } finally { d.unpersist(); () }
@@ -331,6 +343,16 @@ object Scd2 {
   /** The current row state — the type-1 view of the history. */
   def current(spark: SparkSession, scdDir: String): DataFrame =
     TxLog.read(spark, scdDir).filter(col(IsCurrent))
+
+  /** [[snapshotAt]] by WALL CLOCK: resolves the instant through the
+    * SOURCE's in-commit-timestamp axis ([[TxLog.versionAt]] — the
+    * version live at `ts`) and reads the history as of it. "What did
+    * this table say last March" as one call. */
+  def snapshotAtTime(spark: SparkSession, scdDir: String, ts: Long)
+      : DataFrame = {
+    val spec = readMeta(spark, scdDir)
+    snapshotAt(spark, scdDir, TxLog.versionAt(spark, spec.source, ts))
+  }
 
   /** The row state as of source version `atSeq`: segments whose
     * `[valid_from, valid_to)` interval covers it. Prunes on the

@@ -347,6 +347,34 @@ class Round14Spec extends SparkSpec {
 
   // ---- restoreAt + followAggregate ---------------------------------
 
+  test("materialized agg: mor refresh folds deltas through vectors — zero view-file rewrites, state parity") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("r14mvmor").toString
+    val mv = tmp("r14mvmorv").toString + "/t"
+    val TxLog = graft.sources.TxLog
+    val MA = graft.sources.MaterializedAgg
+    def rows(t: (Long, String, Long)*) = t.toSeq.toDF("id", "grp", "v")
+    TxLog.commitOverwrite(spark, src,
+      rows((0L until 12L).map(i => (i, s"g${i % 6}", i)): _*))
+    MA.create(spark, src, mv, keys = Seq("grp"), sums = Seq("v"))
+    val pre = TxLog.snapshot(spark, mv).files.map(_.path).toSet
+    TxLog.delete(spark, src, col("id") === 3L)
+    TxLog.commitAppend(spark, src, rows((20L, "g1", 100L)))
+    MA.refresh(spark, mv, mor = true)
+    val post = TxLog.snapshot(spark, mv)
+    assert(pre.subsetOf(post.files.map(_.path).toSet),
+      "mor refresh must never rewrite a standing view file")
+    assert(post.files.exists(_.dv.isDefined))
+    val state = TxLog.read(spark, mv)
+      .select("grp", "n_rows", "sum_v").as[(String, Long, Long)]
+      .collect().toSet
+    val expect = TxLog.read(spark, src).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(state == expect)
+  }
+
   test("restoreAt: undo to the version live at a wall-clock time") {
     val s = spark
     import s.implicits._

@@ -170,6 +170,57 @@ class Scd2Spec extends SparkSpec {
     assert(TxLog.snapshot(spark, scd).version == vBefore)
   }
 
+  test("scd2: mor refresh retires closed segments through vectors — zero data-file rewrites; compact parity") {
+    val src = tmp("scd2mor").toString
+    val scd = tmp("scd2morh").toString + "/t"
+    TxLog.commitOverwrite(spark, src,
+      rows((0L until 16L).map(i => (i, i * 10L)): _*)
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    val w0 = Scd2.create(spark, src, scd, keys = Seq("id"))
+    val pre = TxLog.snapshot(spark, scd).files.map(_.path).toSet
+    assert(pre.size > 1, "need a multi-file history for the claim")
+    // scattered closures: keys across several history files
+    TxLog.update(spark, src, col("id").isin(1L, 7L, 13L),
+      Map("v" -> (col("v") + 1L)))
+    TxLog.delete(spark, src, col("id") === 4L)
+    Scd2.refresh(spark, scd, mor = true)
+    val post = TxLog.snapshot(spark, scd)
+    assert(pre.subsetOf(post.files.map(_.path).toSet),
+      "mor refresh must never rewrite a standing history file")
+    assert(post.files.exists(_.dv.isDefined),
+      "closures must ride deletion vectors")
+    assertHistory(src, scd, w0)
+    // folding the vectors away preserves the history bit for bit
+    TxLog.compact(spark, scd, targetFiles = 2,
+      statsCols = Seq("id", "valid_from"))
+    assert(TxLog.snapshot(spark, scd).files.forall(_.dv.isEmpty))
+    assertHistory(src, scd, w0)
+    // and the maintenance loop continues across the compaction
+    TxLog.commitAppend(spark, src, rows((100L, 1000L)))
+    Scd2.refresh(spark, scd, mor = true)
+    assertHistory(src, scd, w0)
+  }
+
+  test("scd2: snapshotAtTime resolves through the source's in-commit-timestamp axis") {
+    val src = tmp("scd2ts").toString
+    val scd = tmp("scd2tsh").toString + "/t"
+    TxLog.commitOverwrite(spark, src, rows((1L, 10L)))
+    val w0 = Scd2.create(spark, src, scd, keys = Seq("id"))
+    Thread.sleep(15)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxLog.update(spark, src, col("id") === 1L, Map("v" -> lit(11L)))
+    Scd2.refresh(spark, scd)
+    // an instant between v0 and v1 sees the PRE-update row
+    assert(payloadSet(Scd2.snapshotAtTime(spark, scd, betweenTs)) ==
+      Set((1L, 10L)))
+    assert(payloadSet(
+      Scd2.snapshotAtTime(spark, scd, System.currentTimeMillis())) ==
+      Set((1L, 11L)))
+    assertHistory(src, scd, w0)
+  }
+
   test("scd2: out-of-order and duplicate directives refuse; create refuses a non-keyed source") {
     val src = tmp("scd2ref").toString
     val scd = tmp("scd2refh").toString + "/t"
