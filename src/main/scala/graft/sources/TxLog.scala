@@ -74,15 +74,17 @@ object TxLog {
   /** The highest log-format feature generation this reader
     * understands (Delta's protocol/minReaderVersion shape): 1 = base
     * log, 2 = deletion vectors + absolute file paths (shallow
-    * clone), 3 = column mapping. A commit that first USES a feature
+    * clone), 3 = column mapping, 4 = identity columns. A commit that
+    * first USES a feature
     * records the required generation; [[snapshot]] refuses a table
     * whose recorded requirement exceeds this reader — because an
     * OLDER reader would not refuse: it would parse the commit, drop
     * the fields it doesn't know, and silently read deleted rows as
-    * live (dv), resolve absolute paths wrongly (clone), or project
-    * stale names (mapping). A loud version error is the only safe
+    * live (dv), resolve absolute paths wrongly (clone), project
+    * stale names (mapping), or append ungenerated/colliding ids
+    * (identity). A loud version error is the only safe
     * failure mode for forward compatibility. */
-  val CurrentReader = 3
+  val CurrentReader = 4
 
   /** Per-column stats a commit may record for a data file: the
     * column's catalog dtype plus min/max as Spark's canonical
@@ -126,6 +128,30 @@ object TxLog {
       dv: Option[String] = None, dvRows: Long = 0L,
       bytes: Option[Long] = None)
 
+  /** An IDENTITY column's definition (Delta's `GENERATED … AS
+    * IDENTITY`): values generate from `start` by `step` (non-zero;
+    * negative counts down); `high` is the generation HIGH WATERMARK —
+    * the farthest-from-start value ever committed (None until the
+    * first generated/observed value). Generated values are unique
+    * and move strictly past the watermark but MAY HAVE GAPS (the
+    * Delta contract): each append assigns per-task blocks off the
+    * monotonic task id — one pass, no shuffle, no driver loop — and
+    * the new watermark is read back from the staged files' own
+    * min/max stats (commit metadata, zero extra scans). `always =
+    * true` refuses caller-supplied values (GENERATED ALWAYS);
+    * `false` is GENERATED BY DEFAULT — explicit values flow and the
+    * watermark absorbs them when they land beyond it. */
+  final case class IdentitySpec(start: Long, step: Long,
+      high: Option[Long] = None, always: Boolean = true) {
+    require(step != 0L, "TxLog: identity step must be non-zero")
+    /** The next value generation starts from. */
+    def nextBase: Long = high.map(_ + step).getOrElse(start)
+    /** Fold an observed committed value into the watermark. */
+    def absorb(v: Long): IdentitySpec =
+      copy(high = Some(high.fold(v)(h =>
+        if (step > 0) math.max(h, v) else math.min(h, v))))
+  }
+
   /** The resolved state of the table at `version`: live files, the
     * schema (Spark StructType JSON), the latest batchId committed
     * per streaming appId, and the active CHECK constraints
@@ -146,7 +172,8 @@ object TxLog {
       constraints: Map[String, String] = Map.empty,
       mapping: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil,
-      minReader: Int = 1) {
+      minReader: Int = 1,
+      identity: Map[String, IdentitySpec] = Map.empty) {
     /** The physical parquet name of a logical column. */
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** Physical names no new column may claim. */
@@ -303,6 +330,7 @@ object TxLog {
       ddl: Option[(Map[String, String], Seq[String])] = None,
       minReader: Option[Int] = None,
       constraints: Option[Map[String, String]] = None,
+      identity: Option[Map[String, IdentitySpec]] = None,
       ts: Long = System.currentTimeMillis()): String = {
     val base: JObject =
       ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
@@ -313,7 +341,9 @@ object TxLog {
     val withDdl = ddl.fold(withMr) { case (m, r) =>
       withMr ~ ("mapping" -> m) ~ ("retired" -> r)
     }
-    val withCons = constraints.fold(withDdl)(cs => withDdl ~ ("constraints" -> cs))
+    val withCons0 = constraints.fold(withDdl)(cs => withDdl ~ ("constraints" -> cs))
+    val withCons = identity.fold(withCons0)(im =>
+      withCons0 ~ ("identity" -> identityJson(im)))
     val withTxn = txn.fold(withCons) { case (app, b) =>
       withCons ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
     }
@@ -329,10 +359,20 @@ object TxLog {
     var mapping = Map.empty[String, String]
     var retired = Seq.empty[String]
     var minReader = 1
+    var identity = Map.empty[String, IdentitySpec]
     def toSnapshot(v: Long): TxSnapshot =
       TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path),
-        txns.toMap, constraints, mapping, retired, minReader)
+        txns.toMap, constraints, mapping, retired, minReader, identity)
   }
+
+  /** JSON form of an identity map (sorted for determinism); `high`
+    * omits when None, like every other optional log field. */
+  private def identityJson(m: Map[String, IdentitySpec]): JObject =
+    JObject(m.toList.sortBy(_._1).map { case (k, s) =>
+      val base: JObject = ("start" -> s.start) ~ ("step" -> s.step) ~
+        ("always" -> s.always)
+      JField(k, s.high.fold(base)(h => base ~ ("high" -> h)))
+    })
 
   private def applyCommit(st: State, j: JValue): Unit = {
     (j \ "schemaJson").extractOpt[String].foreach(st.schemaJson = _)
@@ -358,6 +398,12 @@ object TxLog {
     }
     (j \ "minReader").extractOpt[Int]
       .foreach(m => st.minReader = math.max(st.minReader, m))
+    // identity columns: full-map, presence-matched replay like
+    // constraints/mapping
+    (j \ "identity") match {
+      case JNothing => ()
+      case jv => st.identity = jv.extract[Map[String, IdentitySpec]]
+    }
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
       b <- (j \ "txn" \ "batchId").extractOpt[Long]
@@ -399,6 +445,10 @@ object TxLog {
       }
       (j \ "minReader").extractOpt[Int]
         .foreach(m => st.minReader = math.max(st.minReader, m))
+      (j \ "identity") match {
+        case JNothing => ()
+        case jv => st.identity = jv.extract[Map[String, IdentitySpec]]
+      }
     }
     val needed = (cp.getOrElse(-1L) + 1) to target
     val present = commits.toSet
@@ -435,9 +485,12 @@ object TxLog {
     val withRet =
       if (snap.retired.isEmpty) withMap
       else withMap ~ ("retired" -> snap.retired)
+    val withId =
+      if (snap.identity.isEmpty) withRet
+      else withRet ~ ("identity" -> identityJson(snap.identity))
     val j: JObject =
-      if (snap.minReader <= 1) withRet
-      else withRet ~ ("minReader" -> snap.minReader)
+      if (snap.minReader <= 1) withId
+      else withId ~ ("minReader" -> snap.minReader)
     val p = checkpointFile(dir, v)
     val f = fs(spark, p)
     val content = JsonMethods.compact(JsonMethods.render(j)).getBytes(UTF_8)
@@ -558,7 +611,9 @@ object TxLog {
       ddlState: Option[(Map[String, String], Seq[String])] = None,
       freshPhys: Map[String, String] = Map.empty,
       stagedFields: Option[Set[String]] = None,
-      minReader: Option[Int] = None): Long = {
+      minReader: Option[Int] = None,
+      identityOut: Option[Map[String, IdentitySpec]] = None,
+      expectIdentity: Map[String, Option[Long]] = Map.empty): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
@@ -667,6 +722,27 @@ object TxLog {
               s"on: ${moved.take(3).mkString(", ")}")
         }
       }
+      // identity watermark race: the caller BAKED generated values
+      // into the staged files off the watermark it read — if a
+      // concurrent commit moved it, those values may collide with
+      // the other writer's. Conflict loudly (the caller re-reads,
+      // re-generates and retries); a plain metadata rebase cannot
+      // repair data already written.
+      if (expectIdentity.nonEmpty) {
+        val cur = base.map(_.identity).getOrElse(Map.empty)
+        // a column not yet declared at the head compares as an empty
+        // watermark — a concurrent DECLARATION with generated values
+        // lands as Some(high) and still conflicts
+        val moved = expectIdentity.collect {
+          case (c, h) if cur.get(c).flatMap(_.high) != h => c
+        }
+        if (moved.nonEmpty) {
+          abortCleanup()
+          throw new java.util.ConcurrentModificationException(
+            s"TxLog: identity watermark for ${moved.mkString(", ")} " +
+              "moved by a concurrent commit — regenerate and retry")
+        }
+      }
       val v = base.map(_.version + 1).getOrElse(0L)
       // schema is recorded when it (re)defines the table; appends
       // inherit, except a widening merge which records the new union
@@ -678,9 +754,15 @@ object TxLog {
       val ddlOut: Option[(Map[String, String], Seq[String])] =
         ddlState.orElse(evolvedMapping.map(m =>
           (m, base.map(_.retired).getOrElse(Nil))))
+      // declaring/advancing identity requires generation 4 readers
+      val mrOut =
+        if (identityOut.exists(_.nonEmpty))
+          Some(math.max(4, minReader.getOrElse(1)))
+        else minReader
       if (tryWrite(f, versionFile(dir, v),
           renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut,
-            minReader, ts = nextCommitTs(f, dir, v)))) {
+            mrOut, identity = identityOut,
+            ts = nextCommitTs(f, dir, v)))) {
         if (v > 0 && v % CheckpointInterval == 0)
           writeCheckpoint(spark, dir, v)
         return v
@@ -764,21 +846,39 @@ object TxLog {
     * [[readPruned]] file skipping. */
   def commitOverwrite(spark: SparkSession, dir: String,
       df: DataFrame, statsCols: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      identity: Map[String, IdentitySpec] = Map.empty): Long = {
     // fast path: skip staging entirely for an already-seen batch
     // (Complete-mode streaming sinks replay overwrites too)
-    if (isLogged(spark, dir))
-      for ((app, b) <- txn) {
-        val s0 = snapshot(spark, dir)
-        if (s0.txns.get(app).exists(_ >= b)) return s0.version
-      }
-    enforceConstraints(spark, dir, df)
-    val (added, schemaJson) = stageData(spark, dir, df, statsCols)
+    val snap0 = if (isLogged(spark, dir)) Some(snapshot(spark, dir)) else None
+    for (s0 <- snap0; (app, b) <- txn)
+      if (s0.txns.get(app).exists(_ >= b)) return s0.version
+    // `identity` DECLARES identity columns with the new table
+    // definition (Delta's create-time form); a standing declaration
+    // carries through an overwrite with its watermark intact (an
+    // overwrite replaces ROWS — generated ids never recycle).
+    // Redeclaring a standing identity column is refused: watermark
+    // semantics would be ambiguous — dropIdentity first.
+    val standing = snap0.map(_.identity).getOrElse(Map.empty)
+    val redeclared = identity.keys.filter(standing.contains)
+    require(redeclared.isEmpty,
+      s"TxLog: column(s) ${redeclared.mkString(", ")} already carry " +
+        "an identity declaration — dropIdentity first")
+    val idMap = standing ++ identity
+    val (dfId, expectId) =
+      if (idMap.isEmpty) (df, Map.empty[String, Option[Long]])
+      else applyIdentityCols(df, idMap)
+    enforceConstraints(spark, dir, dfId)
+    val (added, schemaJson) =
+      stageData(spark, dir, dfId, (statsCols ++ idMap.keys).distinct)
     // an overwrite REDEFINES the table: the new files are written
     // under identity physical names, so any column mapping (and its
     // retired-name reservations) resets with the schema
     commitStaged(spark, dir, "overwrite", added, Nil, removeAll = true,
-      schemaJson, txn, ddlState = Some((Map.empty, Nil)))
+      schemaJson, txn, ddlState = Some((Map.empty, Nil)),
+      identityOut = if (idMap.isEmpty) None
+        else Some(identityAfter(idMap, added, c => c)),
+      expectIdentity = expectId)
   }
 
   /** Transactionally append `df`. Schema must match the table's —
@@ -795,7 +895,25 @@ object TxLog {
     // fast path: skip staging entirely for an already-seen batch
     for (s0 <- snap0; (app, b) <- txn)
       if (s0.txns.get(app).exists(_ >= b)) return s0.version
-    enforceConstraints(spark, dir, df)
+    // identity columns: generate what the batch omits, align the
+    // filled frame back to the table's column order (the append
+    // schema check is order-sensitive)
+    val idMap = snap0.map(_.identity).getOrElse(Map.empty)
+    val (dfFilled, expectId) =
+      if (idMap.isEmpty) (df, Map.empty[String, Option[Long]])
+      else applyIdentityCols(df, idMap)
+    val dfId = snap0 match {
+      case Some(s0) if idMap.nonEmpty =>
+        val order = DataType.fromJson(s0.schemaJson)
+          .asInstanceOf[StructType].fieldNames
+          .filter(dfFilled.columns.contains) ++
+          dfFilled.columns.filterNot(
+            DataType.fromJson(s0.schemaJson).asInstanceOf[StructType]
+              .fieldNames.contains)
+        dfFilled.select(order.map(col).toSeq: _*)
+      case _ => dfFilled
+    }
+    enforceConstraints(spark, dir, dfId)
     // stage under the table's column mapping; brand-new columns
     // (mergeSchema) claim their own name unless a dropped/renamed
     // column retired it — then a FRESH physical name, or old files'
@@ -806,16 +924,21 @@ object TxLog {
     val reserved = snap0.map(_.reservedPhys).getOrElse(Set.empty)
     val freshPhys = baseFields match {
       case None => Map.empty[String, String]
-      case Some(bf) => df.schema.fieldNames
+      case Some(bf) => dfId.schema.fieldNames
         .filterNot(bf).filter(reserved.contains)
         .map(n => n -> s"${n}_${UUID.randomUUID().toString.take(8)}")
         .toMap
     }
     val (added, schemaJson) =
-      stageData(spark, dir, df, statsCols, mapping ++ freshPhys)
+      stageData(spark, dir, dfId, (statsCols ++ idMap.keys).distinct,
+        mapping ++ freshPhys)
     commitStaged(spark, dir, "append", added, Nil, removeAll = false,
       schemaJson, txn, mergeSchema,
-      freshPhys = freshPhys, stagedFields = baseFields)
+      freshPhys = freshPhys, stagedFields = baseFields,
+      identityOut = if (idMap.isEmpty) None
+        else Some(identityAfter(idMap, added,
+          c => (mapping ++ freshPhys).getOrElse(c, c))),
+      expectIdentity = expectId)
   }
 
   /** Rewrite the current live files into `targetFiles` files (small-file
@@ -948,6 +1071,154 @@ object TxLog {
       s"TxLog: gave up after $MaxAttempts contended constraint commits")
   }
 
+  // ---- identity columns --------------------------------------------
+
+  /** Declare an EXISTING bigint column as an IDENTITY column
+    * (`ALTER TABLE … GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY`):
+    * from now on, batches that OMIT the column get values generated
+    * from the high watermark, which seeds here from the column's
+    * CURRENT extrema — answered from per-file stats where they
+    * cover ([[minMax]] — a stats-covered table seeds without data
+    * I/O). One KB metadata commit; requires generation-4 readers.
+    * Delta only allows identity at CREATE; declaring on live data is
+    * this form's convenience — [[commitOverwrite]]'s `identity`
+    * parameter is the creation-time dual. */
+  def setIdentity(spark: SparkSession, dir: String, name: String,
+      start: Long = 1L, step: Long = 1L, always: Boolean = true): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"TxLog: identity column '$name' is not a table column")
+    require(schema(name).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"TxLog: identity column '$name' must be BIGINT, is " +
+        schema(name).dataType.simpleString)
+    require(!snap.identity.contains(name),
+      s"TxLog: '$name' is already an identity column — dropIdentity " +
+        "first to redeclare")
+    val mm = minMax(spark, dir, Seq(name)).head()
+    val hi =
+      if (step > 0) Option(mm.getAs[Any](s"max_$name"))
+      else Option(mm.getAs[Any](s"min_$name"))
+    commitIdentity(spark, dir, snap.identity +
+      (name -> IdentitySpec(start, step,
+        hi.map(_.asInstanceOf[Long]), always)))
+  }
+
+  /** Remove a column's identity property (the data column stays). */
+  def dropIdentity(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir)
+    require(snap.identity.contains(name),
+      s"TxLog: '$name' is not an identity column")
+    commitIdentity(spark, dir, snap.identity - name)
+  }
+
+  /** Recompute every identity watermark from the LIVE data (Delta's
+    * `SYNC IDENTITY`) — the repair after GENERATED BY DEFAULT writes
+    * landed explicit values through a path that didn't record stats
+    * for the column. Extrema come from [[minMax]] (metadata-only
+    * where stats cover) and ABSORB into the standing watermark
+    * (never backwards — deleted rows don't free their ids). */
+  def syncIdentity(spark: SparkSession, dir: String): Long = {
+    val snap = snapshot(spark, dir)
+    require(snap.identity.nonEmpty,
+      s"TxLog: no identity columns declared on $dir")
+    val cols = snap.identity.keys.toSeq.sorted
+    val mm = minMax(spark, dir, cols).head()
+    commitIdentity(spark, dir, snap.identity.map { case (c, s) =>
+      val obs =
+        if (s.step > 0) Option(mm.getAs[Any](s"max_$c"))
+        else Option(mm.getAs[Any](s"min_$c"))
+      c -> obs.fold(s)(v => s.absorb(v.asInstanceOf[Long]))
+    })
+  }
+
+  /** Metadata commit carrying the FULL new identity map (replay-
+    * simple, like constraints commits). */
+  private def commitIdentity(spark: SparkSession, dir: String,
+      all: Map[String, IdentitySpec]): Long = {
+    val f = fs(spark, logPath(dir))
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      val base = snapshot(spark, dir)
+      val v = base.version + 1
+      val j: JObject =
+        ("version" -> v) ~ ("op" -> "identity") ~
+          ("ts" -> nextCommitTs(f, dir, v)) ~
+          ("add" -> JArray(Nil)) ~ ("remove" -> JArray(Nil)) ~
+          ("identity" -> identityJson(all)) ~ ("minReader" -> 4)
+      if (tryWrite(f, versionFile(dir, v),
+          JsonMethods.compact(JsonMethods.render(j)))) {
+        if (v > 0 && v % CheckpointInterval == 0)
+          writeCheckpoint(spark, dir, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog: gave up after $MaxAttempts contended identity commits")
+  }
+
+  /** Apply identity semantics to a write batch: GENERATED ALWAYS
+    * columns must be ABSENT (values generate here off the watermark
+    * — per-task blocks of the monotonic task id: one pass, no
+    * shuffle, gaps allowed per the Delta contract); BY DEFAULT
+    * columns flow when present (NULLs refused — identity implies NOT
+    * NULL). Returns the filled frame and the watermark each
+    * generation assumed, which [[commitStaged]] re-checks at claim
+    * time (a concurrent bump means our baked values could collide —
+    * conflict, regenerate). */
+  private def applyIdentityCols(df: DataFrame,
+      idMap: Map[String, IdentitySpec])
+      : (DataFrame, Map[String, Option[Long]]) = {
+    var out = df
+    idMap.toSeq.sortBy(_._1).foreach { case (c, spec) =>
+      if (df.columns.contains(c)) {
+        require(!spec.always,
+          s"TxLog: '$c' is GENERATED ALWAYS AS IDENTITY — writes " +
+            "must not supply it (declare BY DEFAULT to allow " +
+            "explicit values)")
+        val nulls = df.filter(col(c).isNull).limit(1).count()
+        require(nulls == 0L,
+          s"TxLog: identity column '$c' cannot take NULL values")
+      } else {
+        out = out.withColumn(c, lit(spec.nextBase) +
+          lit(spec.step) * monotonically_increasing_id())
+      }
+    }
+    (out, idMap.map { case (c, s) => c -> s.high })
+  }
+
+  /** The identity map AFTER a staged write: each watermark absorbs
+    * the staged files' recorded extrema for its column — commit
+    * metadata, no extra scan (the caller forced the column into
+    * `statsCols`). Absorbing both bounds keeps BY-DEFAULT explicit
+    * values in range regardless of step sign. */
+  private def identityAfter(idMap: Map[String, IdentitySpec],
+      added: Seq[TxFile], phys: String => String)
+      : Map[String, IdentitySpec] =
+    idMap.map { case (c, s) =>
+      val vals = added.flatMap(_.stats.get(phys(c)))
+        .flatMap(st => st.min.toSeq ++ st.max.toSeq).map(_.toLong)
+      c -> vals.foldLeft(s)((acc, v) => acc.absorb(v))
+    }
+
+  /** Refuse keyed-rewrite DML on tables with a GENERATED ALWAYS
+    * identity column: those paths re-stage matched rows from the
+    * CALLER's relation, which must then carry the generated values —
+    * the contract ALWAYS forbids. BY DEFAULT identity flows. */
+  private def refuseAlwaysIdentity(snap: TxSnapshot, op: String): Unit = {
+    val always = snap.identity.collect {
+      case (c, s) if s.always => c
+    }
+    require(always.isEmpty,
+      s"TxLog: $op on a table with GENERATED ALWAYS identity " +
+        s"column(s) ${always.mkString(", ")} — the source relation " +
+        "would have to supply generated values; route inserts " +
+        "through commitAppend, or declare the column BY DEFAULT")
+  }
+
   // ---- shallow clone -----------------------------------------------
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): a new
@@ -997,7 +1268,8 @@ object TxLog {
         renderCommit(0L, "clone", entries, Nil, Some(snap.schemaJson),
           None, ddl = Some((snap.mapping, snap.retired)),
           minReader = Some(math.max(2, snap.minReader)),
-          constraints = Some(snap.constraints).filter(_.nonEmpty))))
+          constraints = Some(snap.constraints).filter(_.nonEmpty),
+          identity = Some(snap.identity).filter(_.nonEmpty))))
       throw new java.util.ConcurrentModificationException(
         s"TxLog: clone target $targetDir was concurrently created — " +
           "refusing to clobber it")
@@ -1060,9 +1332,12 @@ object TxLog {
     if (!tryWrite(lf, versionFile(targetDir, 0L),
         renderCommit(0L, "clone", entries, Nil, Some(snap.schemaJson),
           None, ddl = Some((snap.mapping, snap.retired)),
-          minReader =
-            if (entries.exists(_.dv.isDefined)) Some(2) else None,
-          constraints = Some(snap.constraints).filter(_.nonEmpty))))
+          minReader = Seq(
+            if (entries.exists(_.dv.isDefined)) 2 else 1,
+            if (snap.identity.nonEmpty) 4 else 1)
+            .max match { case 1 => None; case m => Some(m) },
+          constraints = Some(snap.constraints).filter(_.nonEmpty),
+          identity = Some(snap.identity).filter(_.nonEmpty))))
       throw new java.util.ConcurrentModificationException(
         s"TxLog: clone target $targetDir was concurrently created — " +
           "refusing to clobber it")
@@ -1212,6 +1487,9 @@ object TxLog {
     require(bound.isEmpty,
       s"TxLog: CHECK constraint(s) ${bound.keys.mkString(", ")} " +
         s"reference '$oldName' — drop them before renaming")
+    require(!snap.identity.contains(oldName),
+      s"TxLog: '$oldName' is an identity column — dropIdentity " +
+        "before renaming")
     val newSchema = StructType(schema.fields.map(fl =>
       if (fl.name == oldName) fl.copy(name = newName) else fl))
     val newMapping = (snap.mapping - oldName) +
@@ -1239,6 +1517,9 @@ object TxLog {
     require(bound.isEmpty,
       s"TxLog: CHECK constraint(s) ${bound.keys.mkString(", ")} " +
         s"reference '$name' — drop them before dropping the column")
+    require(!snap.identity.contains(name),
+      s"TxLog: '$name' is an identity column — dropIdentity " +
+        "before dropping it")
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     val newMapping = snap.mapping - name
     val newRetired = (snap.retired :+ snap.phys(name)).distinct
@@ -1437,6 +1718,10 @@ object TxLog {
     val unknown = set.keys.filterNot(known)
     require(unknown.isEmpty,
       s"TxLog: update sets unknown column(s): ${unknown.mkString(", ")}")
+    val idSet = set.keys.filter(snap.identity.contains)
+    require(idSet.isEmpty,
+      s"TxLog: UPDATE cannot set identity column(s) " +
+        s"${idSet.mkString(", ")} (Delta's identity contract)")
     val touched = touchedFiles(spark, dir, snap, pred)
     if (touched.isEmpty) return snap.version
     val tSet = touched.toSet
@@ -1559,6 +1844,10 @@ object TxLog {
     val unknown = set.keys.filterNot(known)
     require(unknown.isEmpty,
       s"TxLog: update sets unknown column(s): ${unknown.mkString(", ")}")
+    val idSet = set.keys.filter(snap.identity.contains)
+    require(idSet.isEmpty,
+      s"TxLog: UPDATE cannot set identity column(s) " +
+        s"${idSet.mkString(", ")} (Delta's identity contract)")
     val cands =
       pruneForPredicate(spark, schema, snap.files, pred, snap.mapping)
     if (cands.isEmpty) return snap.version
@@ -1636,6 +1925,7 @@ object TxLog {
       txn: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "TxLog: merge needs at least one key column")
     val snap = snapshot(spark, dir)
+    refuseAlwaysIdentity(snap, "merge")
     // idempotent upsert: a replayed (appId, batchId) short-circuits
     // before any staging work — the streaming-sink contract
     for ((app, b) <- txn)
@@ -1679,10 +1969,17 @@ object TxLog {
     // files were already valid under the standing constraints)
     enforceConstraints(spark, dir, src)
     val (added, _) = stageData(spark, dir, survivors,
-      inheritStats(keepFiles, statsCols, snap), snap.mapping)
+      (inheritStats(keepFiles, statsCols, snap) ++
+        snap.identity.keys).distinct, snap.mapping)
     commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, txn,
-      expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
+      // BY DEFAULT identity (ALWAYS was refused above): the staged
+      // stats absorb any explicit ids the source carried past the
+      // watermark
+      identityOut = if (snap.identity.isEmpty) None
+        else Some(identityAfter(snap.identity, added, snap.phys)),
+      expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
   }
 
   /** CDC APPLY (the Delta-DLT `APPLY CHANGES INTO` shape): one
@@ -1729,6 +2026,7 @@ object TxLog {
       group: Boolean): Long = {
     require(keyCols.nonEmpty, "TxLog: applyChanges needs at least one key column")
     val snap = snapshot(spark, dir)
+    refuseAlwaysIdentity(snap, "applyChanges")
     for ((app, b) <- txn)
       if (snap.txns.get(app).exists(_ >= b)) return snap.version
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -1786,10 +2084,14 @@ object TxLog {
         .unionByName(inserts)
     enforceConstraints(spark, dir, inserts)
     val (added, _) = stageData(spark, dir, survivors,
-      inheritStats(keepFiles, statsCols, snap), snap.mapping)
+      (inheritStats(keepFiles, statsCols, snap) ++
+        snap.identity.keys).distinct, snap.mapping)
     commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, txn,
-      expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
+      identityOut = if (snap.identity.isEmpty) None
+        else Some(identityAfter(snap.identity, added, snap.phys)),
+      expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
   }
 
   /** Merge-on-read CDC APPLY: same directive semantics as
@@ -1812,6 +2114,7 @@ object TxLog {
     require(keyCols.nonEmpty,
       "TxLog: applyChangesMor needs at least one key column")
     val snap = snapshot(spark, dir)
+    refuseAlwaysIdentity(snap, "applyChangesMor")
     for ((app, b) <- txn)
       if (snap.txns.get(app).exists(_ >= b)) return snap.version
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -1865,18 +2168,28 @@ object TxLog {
         // files — an insert-only merge commit
         if (nIns == 0L) return snap.version
         val (added, _) = stageData(spark, dir, inserts,
-          inheritStats(Nil, statsCols, snap), snap.mapping)
+          (inheritStats(Nil, statsCols, snap) ++
+            snap.identity.keys).distinct, snap.mapping)
         commitStaged(spark, dir, "merge", added, Nil,
-          removeAll = false, snap.schemaJson, txn)
+          removeAll = false, snap.schemaJson, txn,
+          identityOut = if (snap.identity.isEmpty) None
+            else Some(identityAfter(snap.identity, added, snap.phys)),
+          expectIdentity =
+            snap.identity.map { case (c, s) => c -> s.high })
       case Some((dvPath, entries, expect)) =>
         val (added, _) =
           if (nIns == 0L) (Seq.empty[TxFile], 0L)
           else stageData(spark, dir, inserts,
-            inheritStats(entries, statsCols, snap), snap.mapping)
+            (inheritStats(entries, statsCols, snap) ++
+              snap.identity.keys).distinct, snap.mapping)
         try commitStaged(spark, dir, "update-dv",
           entries ++ added, entries.map(_.path),
           removeAll = false, snap.schemaJson, txn,
-          ownsAdded = false, expectDv = expect, minReader = Some(2))
+          ownsAdded = false, expectDv = expect, minReader = Some(2),
+          identityOut = if (snap.identity.isEmpty) None
+            else Some(identityAfter(snap.identity, added, snap.phys)),
+          expectIdentity =
+            snap.identity.map { case (c, s) => c -> s.high })
         catch { case e: Throwable =>
           fs(spark, new Path(dir)).delete(new Path(dir, dvPath), true)
           if (added.nonEmpty) deleteStaged(spark, dir, added)
