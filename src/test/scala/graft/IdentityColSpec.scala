@@ -153,9 +153,9 @@ class IdentityColSpec extends SparkSpec {
     // another writer commits first and moves the watermark
     TxLog.commitAppend(spark, dir, payload(4, "b"))
     // our staged write still claims the STALE watermark → conflict
-    val staged = TxLog.stageDataForTest(spark, dir,
+    val staged = TxLog.stageData(spark, dir,
       payload(2, "c").withColumn("id",
-        lit(100L) + monotonically_increasing_id()), Seq("id"))
+        lit(100L) + monotonically_increasing_id()), Seq("id"))._1
     val e = intercept[java.util.ConcurrentModificationException] {
       TxLog.commitStaged(spark, dir, "append", staged, Nil,
         removeAll = false, TxLog.snapshot(spark, dir).schemaJson, None,
