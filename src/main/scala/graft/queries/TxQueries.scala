@@ -392,6 +392,69 @@ object TxQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** #204 txn_identity — IDENTITY columns (Delta's `GENERATED { ALWAYS
+    * | BY DEFAULT } AS IDENTITY`, log generation 4) driven end to end
+    * and hash-checked against a pure-relational replay:
+    *   1. CREATE with `id BIGINT GENERATED BY DEFAULT AS IDENTITY
+    *      (START 1 STEP 1)` and load phase-1 rows OMITTING the column
+    *      → values generate off the watermark
+    *   2. APPEND phase-2 rows omitting the column → generation resumes
+    *      strictly past the committed watermark
+    *   3. APPEND phase-3 rows with EXPLICIT ids (doc_id + 10^7) — the
+    *      BY DEFAULT path — and `SYNC IDENTITY`: the watermark absorbs
+    *      the explicit extrema from the staged files' own stats
+    *   4. APPEND phase-4 rows omitting the column → generation resumes
+    *      past the absorbed explicit maximum
+    * Each batch is written as ONE partition, which pins the generated
+    * values to a contiguous range (`nextBase + step·rowIndex`), so the
+    * oracle can derive every phase's exact MIN/MAX/COUNT/DISTINCT-
+    * COUNT relationally — a hash match proves cross-commit uniqueness,
+    * monotonic watermark movement, explicit-value absorption, and that
+    * generation never recycles after SYNC. The entry additionally
+    * hard-fails unless ids are globally unique and the log's watermark
+    * equals the live maximum.
+    *
+    * Scale: generation is one projection over the batch (no shuffle,
+    * per-task blocks of the monotonic task id at real partition
+    * counts); the watermark rides commit metadata and SYNC answers
+    * from per-file stats — declaring or repairing identity on a
+    * 100 TB table is a KB-sized metadata commit, never a scan. */
+  def txnIdentity(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog.IdentitySpec
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val root = Files.createTempDirectory("graft_ident")
+    val tbl = s"$root/t"
+    def slice(m: Int, r: Int, phase: Int): DataFrame = docs
+      .filter(col("doc_id") % m === r)
+      .withColumn("phase", lit(phase))
+      .coalesce(1) // one partition ⇒ generated ids are a contiguous range
+    TxLog.commitOverwrite(s, tbl, slice(3, 0, 1),
+      identity = Map("id" -> IdentitySpec(1L, 1L, always = false)))
+    TxLog.commitAppend(s, tbl, slice(3, 1, 2))
+    TxLog.commitAppend(s, tbl, slice(3, 2, 3)
+      .withColumn("id", col("doc_id") + 10000000L))
+    TxLog.syncIdentity(s, tbl) // repair is a no-op here: absorb already ran
+    TxLog.commitAppend(s, tbl, slice(5, 0, 4))
+    val t = TxLog.read(s, tbl)
+    val Array(nAll, nIds, maxId) = t.agg(
+      count(lit(1)), countDistinct(col("id")), max(col("id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nAll == nIds, s"identity ids collided: $nIds of $nAll unique")
+    require(TxLog.snapshot(s, tbl).identity("id").high.contains(maxId),
+      "identity watermark diverged from the live maximum")
+    val agg = t.groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("id")).as("n_ids"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txn_dml" -> txnDml,
     "txn_dml_mor" -> txnDmlMor,
@@ -399,6 +462,7 @@ object TxQueries {
     "mv_general" -> mvGeneral,
     "txn_stats_agg" -> txnStatsAgg,
     "txn_scd2_apply" -> txnScd2Apply,
+    "txn_identity" -> txnIdentity,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -541,6 +605,31 @@ object TxQueries {
         MIN(qty) AS min_qty, MAX(qty) AS max_qty,
         MIN(pc) AS min_pc, MAX(pc) AS max_pc
       FROM d2""",
+    "txn_identity" -> """
+      WITH d AS (SELECT doc_id, n_chars FROM documents),
+      s1 AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sc
+             FROM d WHERE doc_id % 3 = 0),
+      s2 AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sc
+             FROM d WHERE doc_id % 3 = 1),
+      s3 AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sc,
+               MIN(doc_id) AS lo, MAX(doc_id) AS hi
+             FROM d WHERE doc_id % 3 = 2),
+      s4 AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sc
+             FROM d WHERE doc_id % 5 = 0)
+      -- generated ids are contiguous single-partition ranges; explicit
+      -- ids are doc_id + 10^7; phase 4 resumes past the absorbed max
+      SELECT CAST(1 AS INT) AS phase, n AS n_rows, n AS n_ids,
+        CAST(1 AS BIGINT) AS min_id, CAST(n AS BIGINT) AS max_id,
+        sc AS sum_chars FROM s1
+      UNION ALL
+      SELECT 2, s2.n, s2.n, CAST(s1.n + 1 AS BIGINT),
+        CAST(s1.n + s2.n AS BIGINT), s2.sc FROM s1, s2
+      UNION ALL
+      SELECT 3, n, n, CAST(10000000 + lo AS BIGINT),
+        CAST(10000000 + hi AS BIGINT), sc FROM s3
+      UNION ALL
+      SELECT 4, s4.n, s4.n, CAST(10000000 + s3.hi + 1 AS BIGINT),
+        CAST(10000000 + s3.hi + s4.n AS BIGINT), s4.sc FROM s3, s4""",
     "bloom_point_lookup" -> """
       SELECT doc_id, lang, n_chars FROM documents
       WHERE doc_id IN (0, 1, 2)""")

@@ -209,6 +209,7 @@ ROWS = [
           "etl/Medallion.scala, sources/TxLog.scala", "api"),
     (202, "txn_scd2_apply", "hash"),
     (203, "Round14Spec (deep clone) | sources/TxLog.scala", "api"),
+    (204, "txn_identity", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
