@@ -239,7 +239,7 @@ object MaterializedAgg {
     * and [[mvApplySink]]). `endVersion` is the span's last source
     * version: it stamps the watermark marker and pins the snapshot
     * dirty keys recompute from. */
-  private def applyFeed(spark: SparkSession, mvDir: String, spec: MvSpec,
+  private[graft] def applyFeed(spark: SparkSession, mvDir: String, spec: MvSpec,
       feed: DataFrame, endVersion: Long, mor: Boolean = false): Unit = {
     // Both relations are touched-key-sized but their LINEAGE is the
     // span's row-level diff (exceptAll legs for DML commits) — and

@@ -264,6 +264,13 @@ object Scd2 {
       col(seqCol).cast("long").as("_scd2_seq"),
       col(deleteCol).cast("boolean").as("_scd2_del")): _*).persist()
     try {
+      // a span that nets to zero directives (compaction-only source
+      // commits, net-zero rewrites) must still advance the watermark
+      // marker — metadata-only — or every later refresh re-reads the
+      // same span; skip the history scan outright
+      if (d.isEmpty)
+        return txn.fold(snap.version)(
+          TxLog.commitTxnAdvance(spark, scdDir, _))
       val dupSeq = d.groupBy((keys :+ "_scd2_seq").map(col): _*)
         .count().filter(col("count") > 1).limit(1).count()
       require(dupSeq == 0,
@@ -357,11 +364,21 @@ object Scd2 {
   /** The row state as of source version `atSeq`: segments whose
     * `[valid_from, valid_to)` interval covers it. Prunes on the
     * logged `valid_from` stats — a deep-history table opens only
-    * files whose recorded range reaches back to `atSeq`. */
+    * files whose recorded range reaches back to `atSeq`. Refuses
+    * `atSeq` beyond the history's watermark: open segments cover any
+    * future version, so an unfolded span would silently answer with
+    * watermark-time rows labeled as source@atSeq — refresh first. */
   def snapshotAt(spark: SparkSession, scdDir: String, atSeq: Long)
-      : DataFrame =
+      : DataFrame = {
+    val w = watermark(spark, scdDir)
+    require(atSeq <= w,
+      s"Scd2: snapshotAt($atSeq) is beyond the history's watermark " +
+        s"$w — the span ($w, $atSeq] has not been folded; refresh " +
+        "first (snapshotAt(v) == source@v only holds up to the " +
+        "watermark)")
     TxLog.readPrunedAll(spark, scdDir,
       Seq((ValidFrom, Long.MinValue, atSeq)))
       .filter(col(ValidFrom) <= atSeq &&
         (col(ValidTo).isNull || col(ValidTo) > atSeq))
+  }
 }

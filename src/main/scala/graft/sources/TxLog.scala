@@ -1160,6 +1160,33 @@ object TxLog {
       s"TxLog: gave up after $MaxAttempts contended identity commits")
   }
 
+  /** Metadata-only commit advancing a txn marker: the "this span was
+    * read and netted to NOTHING" stamp. Without it a follower whose
+    * feed span holds only compaction / no-op commits would never move
+    * its watermark and re-read the same span on every refresh forever
+    * (correct results, unbounded repeated work). No files move; lost
+    * claims re-check the marker and skip if a racer advanced it. */
+  private[graft] def commitTxnAdvance(spark: SparkSession, dir: String,
+      txn: (String, Long)): Long = {
+    val f = fs(spark, logPath(dir))
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      val base = snapshot(spark, dir)
+      if (base.txns.get(txn._1).exists(_ >= txn._2)) return base.version
+      val v = base.version + 1
+      if (tryWrite(f, versionFile(dir, v),
+          renderCommit(v, "txn", Nil, Nil, None, Some(txn),
+            ts = nextCommitTs(f, dir, v)))) {
+        if (v > 0 && v % CheckpointInterval == 0)
+          writeCheckpoint(spark, dir, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog: gave up after $MaxAttempts contended marker commits")
+  }
+
   /** Apply identity semantics to a write batch: GENERATED ALWAYS
     * columns must be ABSENT (values generate here off the watermark
     * — per-task blocks of the monotonic task id: one pass, no
@@ -1297,8 +1324,10 @@ object TxLog {
     require(!isLogged(spark, targetDir),
       s"TxLog: clone target $targetDir is already a logged table")
     val snap = snapshot(spark, sourceDir, asOf)
-    val abs = new java.io.File(sourceDir).getAbsolutePath
     val fsrc = fs(spark, new Path(sourceDir))
+    // qualify through the Hadoop filesystem (never java.io.File):
+    // source and target may live on any configured store
+    val abs = fsrc.makeQualified(new Path(sourceDir)).toString
     val gone = (snap.files.map(_.path) ++ snap.files.flatMap(_.dv))
       .filterNot(p => fsrc.exists(resolvePath(sourceDir, p)))
     require(gone.isEmpty,
@@ -1310,15 +1339,23 @@ object TxLog {
     require(names.distinct.size == names.size,
       "TxLog: deep clone source references files with colliding " +
         "base names (clone-of-clone chain?) — compact it first")
-    val tgtAbs = new java.io.File(targetDir).getAbsolutePath
-    fs(spark, new Path(targetDir)).mkdirs(new Path(tgtAbs))
-    val pairs = all.map(p => (resolveData(abs, p), nameOf(p)))
+    val ftgt = fs(spark, new Path(targetDir))
+    val tgtAbs = ftgt.makeQualified(new Path(targetDir)).toString
+    ftgt.mkdirs(new Path(tgtAbs))
+    val pairs = all.map(p =>
+      (resolvePath(abs, p).toString, nameOf(p)))
     if (pairs.nonEmpty) {
       val slices = math.max(1, math.min(pairs.size,
         spark.sparkContext.defaultParallelism))
+      // the session's filesystem config must travel with the tasks —
+      // a fresh Configuration() would drop credentials / s3a / abfs
+      // settings and break any non-default store
+      val bconf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
       spark.sparkContext.parallelize(pairs, slices).foreach {
         case (srcP, name) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = bconf.value.value
           val sp = new Path(srcP)
           val tp = new Path(s"$tgtAbs/$name")
           org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf),
@@ -1334,6 +1371,7 @@ object TxLog {
           None, ddl = Some((snap.mapping, snap.retired)),
           minReader = Seq(
             if (entries.exists(_.dv.isDefined)) 2 else 1,
+            if (snap.mapping.nonEmpty || snap.retired.nonEmpty) 3 else 1,
             if (snap.identity.nonEmpty) 4 else 1)
             .max match { case 1 => None; case m => Some(m) },
           constraints = Some(snap.constraints).filter(_.nonEmpty),
@@ -2044,8 +2082,11 @@ object TxLog {
     val src = changes.select((schema.fieldNames.map(col) :+
       col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*)
     // an empty directive batch (e.g. a compaction-only feed span) is
-    // a no-op — never a table scan or an empty commit
-    if (src.isEmpty) return snap.version
+    // a no-op for the DATA — but a supplied marker still advances
+    // (metadata-only), or the caller's watermark would never move
+    // past the span and every later refresh would re-read it
+    if (src.isEmpty)
+      return txn.fold(snap.version)(commitTxnAdvance(spark, dir, _))
     if (group) {
       // several inserts per key are the point; a key that is BOTH
       // deleted and inserted in one batch is still ambiguous
@@ -2138,7 +2179,8 @@ object TxLog {
     // debt) and the ambiguity check
     val shape = src.agg(count(lit(1)).as("n"),
       sum(when(col(deleteCol), 0L).otherwise(1L)).as("nIns")).head()
-    if (shape.getAs[Long]("n") == 0L) return snap.version
+    if (shape.getAs[Long]("n") == 0L)
+      return txn.fold(snap.version)(commitTxnAdvance(spark, dir, _))
     val nIns = Option(shape.getAs[Long]("nIns")).getOrElse(0L)
     val dupKeys = src.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
@@ -2165,8 +2207,10 @@ object TxLog {
       case None =>
         // nothing matched: a pure-insert batch (or an all-no-op
         // delete batch). Stage inserts only; no vector, no touched
-        // files — an insert-only merge commit
-        if (nIns == 0L) return snap.version
+        // files — an insert-only merge commit. An all-no-op delete
+        // batch still advances a supplied marker (metadata-only)
+        if (nIns == 0L)
+          return txn.fold(snap.version)(commitTxnAdvance(spark, dir, _))
         val (added, _) = stageData(spark, dir, inserts,
           (inheritStats(Nil, statsCols, snap) ++
             snap.identity.keys).distinct, snap.mapping)
