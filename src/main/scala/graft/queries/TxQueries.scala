@@ -455,6 +455,58 @@ object TxQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** #205 txn_batch_source — the batch "txlog" DataSource driven end
+    * to end: a logged lineitem projection goes through copy-on-write
+    * DELETE, a merge-on-read DELETE (deletion vectors left standing),
+    * and a column RENAME (live column mapping), then is read back
+    * through `spark.read.format("txlog")` with a key-range predicate
+    * and aggregated. The entry hard-fails unless the pushed filter
+    * actually file-pruned (the planned set must be smaller than the
+    * table and must equal [[TxLog.prunedSnapshotFiles]] on the same
+    * interval — the readPrunedAll parity the plan audit pins), so a
+    * hash match proves the DataSource path end to end: V2 resolution,
+    * filter pushdown, vector subtraction, and logical-name projection
+    * under mapping, all identical to the Scala API.
+    *
+    * Scale: the predicate prunes at PLANNING time from commit
+    * metadata — a selective probe on a 10⁶-file table plans the
+    * intersecting sliver without reading a footer; this is the access
+    * path SQL/BI tools get for free once the table is registered
+    * (`CREATE TABLE … USING txlog`). */
+  def txnBatchSource(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"),
+      col("l_returnflag").as("rf"))
+    val root = Files.createTempDirectory("graft_batchsrc")
+    val tbl = s"$root/t"
+    TxLog.commitOverwrite(s, tbl,
+      t.repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    TxLog.delete(s, tbl, col("qty") >= 48)
+    TxLog.deleteMor(s, tbl, col("k") % 13 === 0)
+    TxLog.renameColumn(s, tbl, "rf", "flag")
+    val agg = s.read.format("txlog").load(tbl)
+      .filter(col("k") <= 2000L)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pc")).as("sum_pc"),
+        sum(col("qty").cast("long")).as("sum_qty"))
+    val rows = agg.collect().toSeq
+    val snap = TxLog.snapshot(s, tbl)
+    val planned = graft.sources.TxLogBatch.lastScan.get()
+    require(planned.size < snap.files.size,
+      s"batch-source pushdown failed to prune: planned " +
+        s"${planned.size} of ${snap.files.size} files")
+    require(planned.sorted == TxLog.prunedSnapshotFiles(s, snap,
+      Seq(("k", None, Some(2000L)))).map(_.path).sorted,
+      "batch-source pruning diverged from readPrunedAll")
+    val schema = agg.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txn_dml" -> txnDml,
     "txn_dml_mor" -> txnDmlMor,
@@ -463,6 +515,7 @@ object TxQueries {
     "txn_stats_agg" -> txnStatsAgg,
     "txn_scd2_apply" -> txnScd2Apply,
     "txn_identity" -> txnIdentity,
+    "txn_batch_source" -> txnBatchSource,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -605,6 +658,21 @@ object TxQueries {
         MIN(qty) AS min_qty, MAX(qty) AS max_qty,
         MIN(pc) AS min_pc, MAX(pc) AS max_pc
       FROM d2""",
+    "txn_batch_source" -> """
+      WITH t AS (
+        SELECT l_orderkey AS k,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+          l_returnflag AS rf
+        FROM lineitem),
+      d1 AS (SELECT * FROM t WHERE NOT coalesce(qty >= 48, false)),
+      d2 AS (SELECT * FROM d1 WHERE NOT coalesce(k % 13 = 0, false)),
+      f AS (SELECT * FROM d2 WHERE k <= 2000)
+      SELECT rf AS flag,
+        COUNT(*) AS n_rows,
+        CAST(SUM(pc) AS BIGINT) AS sum_pc,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM f GROUP BY 1""",
     "txn_identity" -> """
       WITH d AS (SELECT doc_id, n_chars FROM documents),
       s1 AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sc

@@ -2429,7 +2429,7 @@ object TxLog {
     cleanDf.unionByName(live)
   }
 
-  private def readSnapshot(spark: SparkSession, dir: String,
+  private[graft] def readSnapshot(spark: SparkSession, dir: String,
       snap: TxSnapshot): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.files.isEmpty)
@@ -2479,19 +2479,40 @@ object TxLog {
       preds: Seq[(String, Any, Any)], asOf: Option[Long] = None)
       : DataFrame = {
     val snap = snapshot(spark, dir, asOf)
-    val kept = preds.foldLeft(snap.files) { case (files, (c0, lo, hi)) =>
+    val kept = prunedSnapshotFiles(spark, snap,
+      preds.map { case (c, lo, hi) => (c, Option(lo), Option(hi)) })
+    readSnapshot(spark, dir, snap.copy(files = kept))
+  }
+
+  /** The pruning core shared by [[readPrunedAll]] and the batch
+    * "txlog" DataSource's filter pushdown: the snapshot's files
+    * restricted to those whose recorded range can intersect every
+    * interval. A missing side is unbounded (`col >= lo` is
+    * `(c, Some(lo), None)`). Driver-side, metadata-only. */
+  private[graft] def prunedSnapshotFiles(spark: SparkSession,
+      snap: TxSnapshot, preds: Seq[(String, Option[Any], Option[Any])])
+      : Seq[TxFile] =
+    preds.foldLeft(snap.files) { case (files, (c0, lo, hi)) =>
       val c = snap.phys(c0) // stats are keyed by physical name
       files.flatMap(_.stats.get(c)).headOption.map(_.dtype) match {
         case None => files // no live file carries stats for this column
         case Some(dt) =>
-          val (loS, hiS) = StatsManifest.canonicalBounds(spark, dt, lo, hi)
-          files.filter(f => f.stats.get(c).forall(st =>
-            StatsManifest.intersects(st.dtype, st.min.orNull,
-              st.max.orNull, loS, hiS)))
+          // canonicalize each present side through the same cast the
+          // stats took; an absent side never excludes
+          def canon(v: Option[Any]): Option[String] = v.map { x =>
+            StatsManifest.canonicalBounds(spark, dt, x, x)._1
+          }
+          val (loS, hiS) = (canon(lo), canon(hi))
+          files.filter(f => f.stats.get(c).forall { st =>
+            (st.min.orNull, st.max.orNull) match {
+              case (null, _) | (_, null) => true // conservative
+              case (mn, mx) =>
+                loS.forall(l => StatsManifest.cmpStat(st.dtype, mx, l) >= 0) &&
+                  hiS.forall(h => StatsManifest.cmpStat(st.dtype, mn, h) <= 0)
+            }
+          })
       }
     }
-    readSnapshot(spark, dir, snap.copy(files = kept))
-  }
 
   /** Metadata-first COUNT (the Delta metadata-only-aggregate shape):
     * the exact number of rows satisfying every `(col, lo, hi)`

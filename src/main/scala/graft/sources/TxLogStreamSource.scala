@@ -68,9 +68,36 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   * micro-batch: log metadata + a scan of only the delta files.
   */
 class TxLogStreamProvider extends StreamSourceProvider
-  with StreamSinkProvider with DataSourceRegister {
+  with StreamSinkProvider with DataSourceRegister
+  with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "txlog"
+
+  // ---- BATCH access (DataSourceV2 TableProvider) --------------------
+  // `spark.read.format("txlog").load(dir)` resolves through here (the
+  // table pins schema + version and prunes files on pushed filters —
+  // [[TxLogBatch]]); `readStream`/`writeStream` fall back to the v1
+  // stream source/sink above because the table declares BATCH_READ
+  // only (Spark's documented mixed-provider behavior).
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StructType = {
+    import scala.jdk.CollectionConverters._
+    TxLogBatch.resolve(SparkSession.active, options.asScala.toMap)._3
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    import scala.jdk.CollectionConverters._
+    val (d, v, tschema) =
+      TxLogBatch.resolve(SparkSession.active, properties.asScala.toMap)
+    new TxLogBatchTable(d, v, tschema)
+  }
 
   private def dir(parameters: Map[String, String]): String =
     parameters.get("path").orElse(parameters.get("load")).getOrElse(

@@ -153,6 +153,117 @@ class Round15Spec extends SparkSpec {
     assert(got == Seq(0L, 1L))
   }
 
+  // ---- batch "txlog" DataSource --------------------------------------
+
+  test("batch txlog source: full read equals the Scala API, incl. vectors and mapping") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15bs").toString
+    TxLog.commitOverwrite(spark, dir,
+      payload(40, "a").repartition(4), statsCols = Seq("k"))
+    TxLog.deleteMor(spark, dir, col("k") % 7 === 0L) // standing vectors
+    TxLog.renameColumn(spark, dir, "name", "label")  // live mapping
+    val viaFormat = spark.read.format("txlog").load(dir)
+    assert(viaFormat.columns.toSeq == Seq("k", "v", "label"))
+    val want = TxLog.read(spark, dir).collect().map(_.toSeq)
+      .sortBy(_.toString).toSeq
+    val got = viaFormat.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == want)
+    // count(*) through the format (empty required schema) works
+    assert(viaFormat.count() == want.size)
+  }
+
+  test("batch txlog source: pushed filters prune files exactly like readPrunedAll") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15bp").toString
+    TxLog.commitOverwrite(spark, dir,
+      payload(4000, "a").repartitionByRange(8, col("k")),
+      statsCols = Seq("k"))
+    val total = TxLog.snapshot(spark, dir).files.size
+    val out = spark.read.format("txlog").load(dir)
+      .filter(col("k") >= 100L && col("k") < 600L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(out == (100L until 600L).toSeq, "row results must be exact")
+    val planned = graft.sources.TxLogBatch.lastScan.get().sorted
+    assert(planned.nonEmpty && planned.size < total,
+      s"pushdown did not prune: planned ${planned.size} of $total")
+    // parity with the Scala pruning surface on the same intervals
+    val snap = TxLog.snapshot(spark, dir)
+    val want = TxLog.prunedSnapshotFiles(spark, snap,
+      Seq(("k", Some(100L), None), ("k", None, Some(600L))))
+      .map(_.path).sorted
+    assert(planned == want,
+      "the batch scan and readPrunedAll must plan the same file set")
+    // and the pruned read agrees with readPrunedAll's rows
+    val viaApi = TxLog.readPrunedAll(spark, dir, Seq(("k", 100L, 600L)))
+      .filter(col("k") >= 100L && col("k") < 600L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(out == viaApi)
+  }
+
+  test("batch txlog source: versionAsOf and timestampAsOf time travel") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15bt").toString
+    TxLog.commitOverwrite(spark, dir, payload(5, "a"))
+    TxLog.commitAppend(spark, dir, payload(3, "b"))
+    val tsAfterV1 = TxLog.history(spark, dir)
+      .filter(col("version") === 1L).select("timestamp")
+      .as[Long].head()
+    TxLog.delete(spark, dir, col("k") >= 3L)
+    assert(spark.read.format("txlog")
+      .option("versionAsOf", "0").load(dir).count() == 5)
+    assert(spark.read.format("txlog")
+      .option("versionAsOf", "1").load(dir).count() == 8)
+    assert(spark.read.format("txlog")
+      .option("timestampAsOf", tsAfterV1.toString).load(dir)
+      .count() == 8)
+    // delete k >= 3 removes k=3,4 of the first batch: 8 - 2 = 6 live
+    assert(spark.read.format("txlog").load(dir).count() == 6)
+    intercept[IllegalArgumentException] {
+      spark.read.format("txlog").option("versionAsOf", "0")
+        .option("timestampAsOf", "1").load(dir)
+    }
+  }
+
+  test("batch txlog source: SQL over a registered table works and prunes") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15bsql").toString
+    TxLog.commitOverwrite(spark, dir,
+      payload(2000, "a").repartitionByRange(8, col("k")),
+      statsCols = Seq("k"))
+    spark.sql("DROP TABLE IF EXISTS r15_logged")
+    spark.sql(
+      s"CREATE TABLE r15_logged USING txlog OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM r15_logged WHERE k < 250")
+        .as[Long].head()
+      assert(n == 250L)
+      val total = TxLog.snapshot(spark, dir).files.size
+      val planned = graft.sources.TxLogBatch.lastScan.get()
+      assert(planned.size < total,
+        s"SQL predicate did not prune: ${planned.size} of $total")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS r15_logged")
+      ()
+    }
+  }
+
+  test("batch txlog source: streaming read/write still resolves the v1 source") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15bstr").toString
+    TxLog.commitOverwrite(spark, dir, payload(4, "a"))
+    // readStream through the same short name must still build (v1
+    // fallback: the batch table declares BATCH_READ only)
+    val stream = spark.readStream.format("txlog").load(dir)
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == Seq("k", "v", "name"))
+  }
+
   // ---- refresh vs concurrent source DML (the race contract) ---------
 
   test("SCD2: a refresh bounded at head-as-read lands exactly (w, head]; the racer folds next") {

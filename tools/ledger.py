@@ -210,6 +210,7 @@ ROWS = [
     (202, "txn_scd2_apply", "hash"),
     (203, "Round14Spec (deep clone) | sources/TxLog.scala", "api"),
     (204, "txn_identity", "hash"),
+    (205, "txn_batch_source", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
