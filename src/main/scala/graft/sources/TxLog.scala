@@ -74,8 +74,8 @@ object TxLog {
   /** The highest log-format feature generation this reader
     * understands (Delta's protocol/minReaderVersion shape): 1 = base
     * log, 2 = deletion vectors + absolute file paths (shallow
-    * clone), 3 = column mapping, 4 = identity columns. A commit that
-    * first USES a feature
+    * clone), 3 = column mapping, 4 = identity + generated columns.
+    * A commit that first USES a feature
     * records the required generation; [[snapshot]] refuses a table
     * whose recorded requirement exceeds this reader — because an
     * OLDER reader would not refuse: it would parse the commit, drop
@@ -173,7 +173,8 @@ object TxLog {
       mapping: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil,
       minReader: Int = 1,
-      identity: Map[String, IdentitySpec] = Map.empty) {
+      identity: Map[String, IdentitySpec] = Map.empty,
+      generated: Map[String, String] = Map.empty) {
     /** The physical parquet name of a logical column. */
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** Physical names no new column may claim. */
@@ -331,6 +332,7 @@ object TxLog {
       minReader: Option[Int] = None,
       constraints: Option[Map[String, String]] = None,
       identity: Option[Map[String, IdentitySpec]] = None,
+      generated: Option[Map[String, String]] = None,
       ts: Long = System.currentTimeMillis()): String = {
     val base: JObject =
       ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
@@ -342,8 +344,10 @@ object TxLog {
       withMr ~ ("mapping" -> m) ~ ("retired" -> r)
     }
     val withCons0 = constraints.fold(withDdl)(cs => withDdl ~ ("constraints" -> cs))
-    val withCons = identity.fold(withCons0)(im =>
+    val withCons1 = identity.fold(withCons0)(im =>
       withCons0 ~ ("identity" -> identityJson(im)))
+    val withCons = generated.fold(withCons1)(g =>
+      withCons1 ~ ("generated" -> g))
     val withTxn = txn.fold(withCons) { case (app, b) =>
       withCons ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
     }
@@ -360,9 +364,11 @@ object TxLog {
     var retired = Seq.empty[String]
     var minReader = 1
     var identity = Map.empty[String, IdentitySpec]
+    var generated = Map.empty[String, String]
     def toSnapshot(v: Long): TxSnapshot =
       TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path),
-        txns.toMap, constraints, mapping, retired, minReader, identity)
+        txns.toMap, constraints, mapping, retired, minReader, identity,
+        generated)
   }
 
   /** JSON form of an identity map (sorted for determinism); `high`
@@ -403,6 +409,11 @@ object TxLog {
     (j \ "identity") match {
       case JNothing => ()
       case jv => st.identity = jv.extract[Map[String, IdentitySpec]]
+    }
+    // generated columns (name -> SQL expr): same replay shape
+    (j \ "generated") match {
+      case JNothing => ()
+      case jv => st.generated = jv.extract[Map[String, String]]
     }
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
@@ -449,6 +460,10 @@ object TxLog {
         case JNothing => ()
         case jv => st.identity = jv.extract[Map[String, IdentitySpec]]
       }
+      (j \ "generated") match {
+        case JNothing => ()
+        case jv => st.generated = jv.extract[Map[String, String]]
+      }
     }
     val needed = (cp.getOrElse(-1L) + 1) to target
     val present = commits.toSet
@@ -488,9 +503,12 @@ object TxLog {
     val withId =
       if (snap.identity.isEmpty) withRet
       else withRet ~ ("identity" -> identityJson(snap.identity))
+    val withGen =
+      if (snap.generated.isEmpty) withId
+      else withId ~ ("generated" -> snap.generated)
     val j: JObject =
-      if (snap.minReader <= 1) withId
-      else withId ~ ("minReader" -> snap.minReader)
+      if (snap.minReader <= 1) withGen
+      else withGen ~ ("minReader" -> snap.minReader)
     val p = checkpointFile(dir, v)
     val f = fs(spark, p)
     val content = JsonMethods.compact(JsonMethods.render(j)).getBytes(UTF_8)
@@ -613,7 +631,8 @@ object TxLog {
       stagedFields: Option[Set[String]] = None,
       minReader: Option[Int] = None,
       identityOut: Option[Map[String, IdentitySpec]] = None,
-      expectIdentity: Map[String, Option[Long]] = Map.empty): Long = {
+      expectIdentity: Map[String, Option[Long]] = Map.empty,
+      generatedOut: Option[Map[String, String]] = None): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
@@ -754,14 +773,16 @@ object TxLog {
       val ddlOut: Option[(Map[String, String], Seq[String])] =
         ddlState.orElse(evolvedMapping.map(m =>
           (m, base.map(_.retired).getOrElse(Nil))))
-      // declaring/advancing identity requires generation 4 readers
+      // declaring/advancing identity or generated columns requires
+      // generation 4 readers
       val mrOut =
-        if (identityOut.exists(_.nonEmpty))
+        if (identityOut.exists(_.nonEmpty) ||
+            generatedOut.exists(_.nonEmpty))
           Some(math.max(4, minReader.getOrElse(1)))
         else minReader
       if (tryWrite(f, versionFile(dir, v),
           renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut,
-            mrOut, identity = identityOut,
+            mrOut, identity = identityOut, generated = generatedOut,
             ts = nextCommitTs(f, dir, v)))) {
         if (v > 0 && v % CheckpointInterval == 0)
           writeCheckpoint(spark, dir, v)
@@ -847,7 +868,8 @@ object TxLog {
   def commitOverwrite(spark: SparkSession, dir: String,
       df: DataFrame, statsCols: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      identity: Map[String, IdentitySpec] = Map.empty): Long = {
+      identity: Map[String, IdentitySpec] = Map.empty,
+      generated: Map[String, String] = Map.empty): Long = {
     // fast path: skip staging entirely for an already-seen batch
     // (Complete-mode streaming sinks replay overwrites too)
     val snap0 = if (isLogged(spark, dir)) Some(snapshot(spark, dir)) else None
@@ -865,9 +887,25 @@ object TxLog {
       s"TxLog: column(s) ${redeclared.mkString(", ")} already carry " +
         "an identity declaration — dropIdentity first")
     val idMap = standing ++ identity
+    // `generated` DECLARES expression-generated columns with the new
+    // table definition; standing declarations carry like identity.
+    // A declared column ABSENT from df is computed here (the
+    // expression defines it); present columns validate.
+    val standingGen = snap0.map(_.generated).getOrElse(Map.empty)
+    val regen = generated.keys.filter(standingGen.contains)
+    require(regen.isEmpty,
+      s"TxLog: column(s) ${regen.mkString(", ")} already carry a " +
+        "generation expression — dropGenerated first")
+    val genMap = standingGen ++ generated
+    generated.foreach { case (c, e) =>
+      validateGeneratedDecl(spark, df.columns.toSet ++ generated.keys,
+        c, e, genMap - c, idMap.keySet)
+    }
+    val dfGen =
+      if (genMap.isEmpty) df else applyGeneratedCols(df, genMap, None)
     val (dfId, expectId) =
-      if (idMap.isEmpty) (df, Map.empty[String, Option[Long]])
-      else applyIdentityCols(df, idMap)
+      if (idMap.isEmpty) (dfGen, Map.empty[String, Option[Long]])
+      else applyIdentityCols(dfGen, idMap)
     enforceConstraints(spark, dir, dfId)
     val (added, schemaJson) =
       stageData(spark, dir, dfId, (statsCols ++ idMap.keys).distinct)
@@ -878,7 +916,8 @@ object TxLog {
       schemaJson, txn, ddlState = Some((Map.empty, Nil)),
       identityOut = if (idMap.isEmpty) None
         else Some(identityAfter(idMap, added, c => c)),
-      expectIdentity = expectId)
+      expectIdentity = expectId,
+      generatedOut = Some(genMap).filter(_.nonEmpty))
   }
 
   /** Transactionally append `df`. Schema must match the table's —
@@ -895,15 +934,21 @@ object TxLog {
     // fast path: skip staging entirely for an already-seen batch
     for (s0 <- snap0; (app, b) <- txn)
       if (s0.txns.get(app).exists(_ >= b)) return s0.version
-    // identity columns: generate what the batch omits, align the
-    // filled frame back to the table's column order (the append
-    // schema check is order-sensitive)
+    // generated + identity columns: compute/validate what the batch
+    // omits/supplies, align the filled frame back to the table's
+    // column order (the append schema check is order-sensitive)
     val idMap = snap0.map(_.identity).getOrElse(Map.empty)
+    val genMap = snap0.map(_.generated).getOrElse(Map.empty)
+    val dfGen =
+      if (genMap.isEmpty) df
+      else applyGeneratedCols(df, genMap,
+        snap0.map(s0 => DataType.fromJson(s0.schemaJson)
+          .asInstanceOf[StructType]))
     val (dfFilled, expectId) =
-      if (idMap.isEmpty) (df, Map.empty[String, Option[Long]])
-      else applyIdentityCols(df, idMap)
+      if (idMap.isEmpty) (dfGen, Map.empty[String, Option[Long]])
+      else applyIdentityCols(dfGen, idMap)
     val dfId = snap0 match {
-      case Some(s0) if idMap.nonEmpty =>
+      case Some(s0) if idMap.nonEmpty || genMap.nonEmpty =>
         val order = DataType.fromJson(s0.schemaJson)
           .asInstanceOf[StructType].fieldNames
           .filter(dfFilled.columns.contains) ++
@@ -1096,6 +1141,9 @@ object TxLog {
     require(!snap.identity.contains(name),
       s"TxLog: '$name' is already an identity column — dropIdentity " +
         "first to redeclare")
+    require(!snap.generated.contains(name),
+      s"TxLog: '$name' is expression-generated — a column cannot be " +
+        "both identity and generated")
     val mm = minMax(spark, dir, Seq(name)).head()
     val hi =
       if (step > 0) Option(mm.getAs[Any](s"max_$name"))
@@ -1186,6 +1234,136 @@ object TxLog {
     throw new java.io.IOException(
       s"TxLog: gave up after $MaxAttempts contended marker commits")
   }
+
+  // ---- generated columns -------------------------------------------
+
+  private def validateGeneratedDecl(spark: SparkSession,
+      fields: Set[String], name: String,
+      e: String, gens: Map[String, String],
+      idents: Set[String]): Unit = {
+    require(fields.contains(name),
+      s"TxLog: generated column '$name' is not a table column")
+    require(!gens.contains(name),
+      s"TxLog: '$name' already carries a generation expression — " +
+        "dropGenerated first to redeclare")
+    require(!idents.contains(name),
+      s"TxLog: '$name' is an identity column — a column cannot be " +
+        "both identity and expression-generated")
+    val refs = exprRefs(spark, e)
+    val unknown = refs.filterNot(fields.contains)
+    require(unknown.isEmpty,
+      s"TxLog: generated column '$name' references unknown " +
+        s"column(s): ${unknown.mkString(", ")}")
+    require(!refs.contains(name),
+      s"TxLog: generated column '$name' cannot reference itself")
+    val layered = refs.filter(c => gens.contains(c) || idents.contains(c))
+    require(layered.isEmpty,
+      s"TxLog: generated column '$name' references generated/identity " +
+        s"column(s) ${layered.mkString(", ")} — generation must derive " +
+        "from plain data columns (the Delta contract)")
+  }
+
+  /** Declare an EXISTING column as GENERATED ALWAYS AS (`exprStr`)
+    * (Delta's generated columns): from now on, batches that OMIT the
+    * column get it computed from the expression; batches that SUPPLY
+    * it are validated row-by-row against it (null-safe equality — the
+    * Delta write contract) and refused on divergence; UPDATE refuses
+    * to SET it directly and recomputes it when a referenced source
+    * column changes. Declaring on live data validates the standing
+    * rows first (one scan, like adding a CHECK constraint); the
+    * declaration itself is a KB metadata commit requiring
+    * generation-4 readers. [[commitOverwrite]]'s `generated`
+    * parameter is the creation-time dual (there the expression
+    * DEFINES the column). */
+  def setGenerated(spark: SparkSession, dir: String, name: String,
+      exprStr: String): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    validateGeneratedDecl(spark, schema.fieldNames.toSet, name,
+      exprStr, snap.generated, snap.identity.keySet)
+    val bad = read(spark, dir)
+      .filter(!(col(name) <=> expr(exprStr))).limit(1).count()
+    require(bad == 0L,
+      s"TxLog: cannot declare '$name' GENERATED AS ($exprStr) — " +
+        "existing rows diverge from the expression")
+    commitGenerated(spark, dir, snap.generated + (name -> exprStr))
+  }
+
+  /** Remove a column's generation expression (the column stays). */
+  def dropGenerated(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir)
+    require(snap.generated.contains(name),
+      s"TxLog: '$name' is not a generated column")
+    commitGenerated(spark, dir, snap.generated - name)
+  }
+
+  /** Metadata commit carrying the FULL new generated map (replay-
+    * simple, like constraints/identity commits). */
+  private def commitGenerated(spark: SparkSession, dir: String,
+      all: Map[String, String]): Long = {
+    val f = fs(spark, logPath(dir))
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      val base = snapshot(spark, dir)
+      val v = base.version + 1
+      val j: JObject =
+        ("version" -> v) ~ ("op" -> "generated") ~
+          ("ts" -> nextCommitTs(f, dir, v)) ~
+          ("add" -> JArray(Nil)) ~ ("remove" -> JArray(Nil)) ~
+          ("generated" -> all) ~ ("minReader" -> 4)
+      if (tryWrite(f, versionFile(dir, v),
+          JsonMethods.compact(JsonMethods.render(j)))) {
+        if (v > 0 && v % CheckpointInterval == 0)
+          writeCheckpoint(spark, dir, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog: gave up after $MaxAttempts contended generated commits")
+  }
+
+  /** Apply generated-column semantics to a write batch: an ABSENT
+    * generated column is COMPUTED here from its expression (cast to
+    * the declared type when the table already defines one — at
+    * creation the expression's own type defines the column); a
+    * PRESENT column is VALIDATED — every row must equal the
+    * expression null-safely, refused otherwise (the Delta write
+    * contract; computing is one projection, validating is one
+    * LIMIT-1 probe per supplied column). */
+  private def applyGeneratedCols(df: DataFrame,
+      gens: Map[String, String],
+      declared: Option[StructType]): DataFrame = {
+    var out = df
+    gens.toSeq.sortBy(_._1).foreach { case (c, e) =>
+      if (df.columns.contains(c)) enforceGeneratedOn(df, c, e)
+      else {
+        val target = declared.flatMap(_.fields.find(_.name == c))
+        out = out.withColumn(c,
+          target.fold(expr(e))(fl => expr(e).cast(fl.dataType)))
+      }
+    }
+    out
+  }
+
+  /** Validate one supplied generated column against its expression. */
+  private def enforceGeneratedOn(df: DataFrame, c: String,
+      e: String): Unit = {
+    val bad = df.filter(!(col(c) <=> expr(e))).limit(1).count()
+    require(bad == 0L,
+      s"TxLog: generated column '$c' = ($e) — supplied values diverge " +
+        "from the expression; omit the column (it generates) or " +
+        "supply matching values")
+  }
+
+  /** Validate every generated column a relation supplies (the keyed-
+    * rewrite paths: merge/applyChanges sources carry the full table
+    * schema, so generated columns are always present there). */
+  private def enforceGenerated(snap: TxSnapshot, df: DataFrame): Unit =
+    snap.generated.toSeq.sortBy(_._1).foreach { case (c, e) =>
+      if (df.columns.contains(c)) enforceGeneratedOn(df, c, e)
+    }
 
   /** Apply identity semantics to a write batch: GENERATED ALWAYS
     * columns must be ABSENT (values generate here off the watermark
@@ -1296,7 +1474,8 @@ object TxLog {
           None, ddl = Some((snap.mapping, snap.retired)),
           minReader = Some(math.max(2, snap.minReader)),
           constraints = Some(snap.constraints).filter(_.nonEmpty),
-          identity = Some(snap.identity).filter(_.nonEmpty))))
+          identity = Some(snap.identity).filter(_.nonEmpty),
+          generated = Some(snap.generated).filter(_.nonEmpty))))
       throw new java.util.ConcurrentModificationException(
         s"TxLog: clone target $targetDir was concurrently created — " +
           "refusing to clobber it")
@@ -1372,10 +1551,12 @@ object TxLog {
           minReader = Seq(
             if (entries.exists(_.dv.isDefined)) 2 else 1,
             if (snap.mapping.nonEmpty || snap.retired.nonEmpty) 3 else 1,
-            if (snap.identity.nonEmpty) 4 else 1)
+            if (snap.identity.nonEmpty ||
+              snap.generated.nonEmpty) 4 else 1)
             .max match { case 1 => None; case m => Some(m) },
           constraints = Some(snap.constraints).filter(_.nonEmpty),
-          identity = Some(snap.identity).filter(_.nonEmpty))))
+          identity = Some(snap.identity).filter(_.nonEmpty),
+          generated = Some(snap.generated).filter(_.nonEmpty))))
       throw new java.util.ConcurrentModificationException(
         s"TxLog: clone target $targetDir was concurrently created — " +
           "refusing to clobber it")
@@ -1528,6 +1709,14 @@ object TxLog {
     require(!snap.identity.contains(oldName),
       s"TxLog: '$oldName' is an identity column — dropIdentity " +
         "before renaming")
+    require(!snap.generated.contains(oldName),
+      s"TxLog: '$oldName' is a generated column — dropGenerated " +
+        "before renaming")
+    val genBound = snap.generated.filter { case (_, e) =>
+      exprRefs(spark, e).contains(oldName) }
+    require(genBound.isEmpty,
+      s"TxLog: generated column(s) ${genBound.keys.mkString(", ")} " +
+        s"reference '$oldName' — dropGenerated before renaming")
     val newSchema = StructType(schema.fields.map(fl =>
       if (fl.name == oldName) fl.copy(name = newName) else fl))
     val newMapping = (snap.mapping - oldName) +
@@ -1558,6 +1747,14 @@ object TxLog {
     require(!snap.identity.contains(name),
       s"TxLog: '$name' is an identity column — dropIdentity " +
         "before dropping it")
+    require(!snap.generated.contains(name),
+      s"TxLog: '$name' is a generated column — dropGenerated " +
+        "before dropping it")
+    val genBound = snap.generated.filter { case (_, e) =>
+      exprRefs(spark, e).contains(name) }
+    require(genBound.isEmpty,
+      s"TxLog: generated column(s) ${genBound.keys.mkString(", ")} " +
+        s"reference '$name' — dropGenerated before dropping the column")
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     val newMapping = snap.mapping - name
     val newRetired = (snap.retired :+ snap.phys(name)).distinct
@@ -1760,19 +1957,35 @@ object TxLog {
     require(idSet.isEmpty,
       s"TxLog: UPDATE cannot set identity column(s) " +
         s"${idSet.mkString(", ")} (Delta's identity contract)")
+    val genSet = set.keys.filter(snap.generated.contains)
+    require(genSet.isEmpty,
+      s"TxLog: UPDATE cannot set generated column(s) " +
+        s"${genSet.mkString(", ")} directly — update their source " +
+        "columns and the expression recomputes")
+    // generated columns whose source columns this UPDATE touches
+    // recompute on the updated rows (the Delta contract)
+    val regen = snap.generated.filter { case (_, e) =>
+      exprRefs(spark, e).exists(set.contains) }
     val touched = touchedFiles(spark, dir, snap, pred)
     if (touched.isEmpty) return snap.version
     val tSet = touched.toSet
     val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
-    val rewritten = readSnapshot(spark, dir, snap.copy(files = keepFiles))
-      .select(schema.fields.map { fl =>
-        set.get(fl.name) match {
-          case Some(expr) =>
-            when(pred.eqNullSafe(true), expr.cast(fl.dataType))
-              .otherwise(col(fl.name)).as(fl.name)
-          case None => col(fl.name)
-        }
-      }.toSeq: _*)
+    val marked = readSnapshot(spark, dir, snap.copy(files = keepFiles))
+      .withColumn("_graft_upd", pred.eqNullSafe(true))
+    val updated = marked.select((schema.fields.map { fl =>
+      set.get(fl.name) match {
+        case Some(e) =>
+          when(col("_graft_upd"), e.cast(fl.dataType))
+            .otherwise(col(fl.name)).as(fl.name)
+        case None => col(fl.name)
+      }
+    } :+ col("_graft_upd")).toSeq: _*)
+    val rewritten = regen.toSeq.sortBy(_._1).foldLeft(updated) {
+      case (d, (c, e)) =>
+        val dt = schema(c).dataType
+        d.withColumn(c, when(col("_graft_upd"),
+          expr(e).cast(dt)).otherwise(col(c)))
+    }.drop("_graft_upd")
     enforceConstraints(spark, dir, rewritten)
     val (added, _) = stageData(spark, dir, rewritten,
       inheritStats(keepFiles, statsCols, snap), snap.mapping)
@@ -1886,18 +2099,31 @@ object TxLog {
     require(idSet.isEmpty,
       s"TxLog: UPDATE cannot set identity column(s) " +
         s"${idSet.mkString(", ")} (Delta's identity contract)")
+    val genSet = set.keys.filter(snap.generated.contains)
+    require(genSet.isEmpty,
+      s"TxLog: UPDATE cannot set generated column(s) " +
+        s"${genSet.mkString(", ")} directly — update their source " +
+        "columns and the expression recomputes")
+    val regen = snap.generated.filter { case (_, e) =>
+      exprRefs(spark, e).exists(set.contains) }
     val cands =
       pruneForPredicate(spark, schema, snap.files, pred, snap.mapping)
     if (cands.isEmpty) return snap.version
     val matchedRows = readSnapshotTagged(spark, dir,
       snap.copy(files = cands)).filter(pred).cache()
     try {
-      val updated = matchedRows.select(schema.fields.map { fl =>
+      val updated0 = matchedRows.select(schema.fields.map { fl =>
         set.get(fl.name) match {
           case Some(e) => e.cast(fl.dataType).as(fl.name)
           case None => col(fl.name)
         }
       }.toSeq: _*)
+      // every image row IS an updated row: recompute touched
+      // expressions unconditionally
+      val updated = regen.toSeq.sortBy(_._1).foldLeft(updated0) {
+        case (d, (c, e)) =>
+          d.withColumn(c, expr(e).cast(schema(c).dataType))
+      }
       enforceConstraints(spark, dir, updated)
       stageDv(spark, dir, snap,
         matchedRows.select(col(TagFile), col(TagIdx))) match {
@@ -1979,6 +2205,7 @@ object TxLog {
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"TxLog: merge key '$k' is not a table column"))
     val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+    enforceGenerated(snap, src)
     val dupKeys = src.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0,
@@ -2118,6 +2345,7 @@ object TxLog {
     val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
     val inserts = src.filter(!col(deleteCol))
       .select(schema.fieldNames.map(col).toSeq: _*)
+    enforceGenerated(snap, inserts)
     val survivors =
       if (keepFiles.isEmpty) inserts
       else readSnapshot(spark, dir, snap.copy(files = keepFiles))
@@ -2195,6 +2423,7 @@ object TxLog {
       .select(schema.fieldNames.map(col).toSeq: _*)
       .repartition(imageParts)
     enforceConstraints(spark, dir, inserts)
+    enforceGenerated(snap, inserts)
     // matched LIVE rows' physical positions (readSnapshotTagged has
     // already subtracted standing vectors, so a replayed or repeated
     // key never double-counts into the new vector)

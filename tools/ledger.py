@@ -211,6 +211,7 @@ ROWS = [
     (203, "Round14Spec (deep clone) | sources/TxLog.scala", "api"),
     (204, "txn_identity", "hash"),
     (205, "txn_batch_source", "hash"),
+    (206, "GeneratedColSpec | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
