@@ -486,8 +486,11 @@ object TxQueries {
     TxLog.delete(s, tbl, col("qty") >= 48)
     TxLog.deleteMor(s, tbl, col("k") % 13 === 0)
     TxLog.renameColumn(s, tbl, "rf", "flag")
+    // SF-relative cutoff (the oracle derives the same value
+    // relationally) so the pruning hard-fail below holds at every SF
+    val cutoff = t.agg(max(col("k"))).head().getLong(0) / 4L
     val agg = s.read.format("txlog").load(tbl)
-      .filter(col("k") <= 2000L)
+      .filter(col("k") <= cutoff)
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("pc")).as("sum_pc"),
@@ -499,8 +502,101 @@ object TxQueries {
       s"batch-source pushdown failed to prune: planned " +
         s"${planned.size} of ${snap.files.size} files")
     require(planned.sorted == TxLog.prunedSnapshotFiles(s, snap,
-      Seq(("k", None, Some(2000L)))).map(_.path).sorted,
+      Seq(("k", None, Some(cutoff)))).map(_.path).sorted,
       "batch-source pruning diverged from readPrunedAll")
+    val schema = agg.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** #207 txn_convert_partitioned — hive-layout registration driven
+    * end to end: the documents projection is written as a
+    * `lang=…/` partitioned dataset (Spark's own partitionBy layout,
+    * task file names repeating across partition dirs), adopted IN
+    * PLACE by [[TxLog.convertInPlace]] (no rewrite — the partition
+    * values prune from per-file stats and recover from the file path
+    * at read), then DML'd (CoW delete of one partition value) and
+    * aggregated per lang. The entry hard-fails unless a partition
+    * predicate actually file-pruned to exactly the partition's own
+    * files. The oracle replays the mutation relationally, so the hash
+    * checks path-recovered values, registration stats, and the
+    * path-identity DML end to end.
+    *
+    * Scale: adoption cost = ONE stats scan + a KB commit regardless
+    * of layout size — the existing corpus never rewrites; partition
+    * predicates prune at planning time from commit metadata. */
+  def txnConvertPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    val root = Files.createTempDirectory("graft_convpart")
+    val tbl = s"$root/t"
+    docs.repartition(2).write.partitionBy("lang").parquet(tbl)
+    TxLog.convertInPlace(s, tbl, statsCols = Seq("doc_id"))
+    val snap = TxLog.snapshot(s, tbl)
+    require(snap.partitionCols == Seq("lang"),
+      "partitioned registration did not record the partition column")
+    val keptEn = TxLog.prunedSnapshotFiles(s, snap,
+      Seq(("lang", Some("en"), Some("en"))))
+    require(keptEn.nonEmpty && keptEn.size < snap.files.size &&
+      keptEn.forall(_.path.startsWith("lang=en/")),
+      s"partition predicate failed to prune (${keptEn.size} of " +
+        s"${snap.files.size})")
+    TxLog.delete(s, tbl, col("lang") === "de")
+    val agg = TxLog.read(s, tbl)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+    val rows = agg.collect().toSeq
+    val schema = agg.schema
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** #206 txn_generated — expression-generated columns driven end to
+    * end (Delta's `GENERATED ALWAYS AS (expr)`): a logged lineitem
+    * projection declares `pc2 = pc * 2 + qty` at creation WITHOUT
+    * supplying the column (the expression computes and defines it),
+    * appends more rows still omitting it, UPDATEs the source column
+    * `qty` under a stats-pruned predicate — the expression RECOMPUTES
+    * on exactly the updated rows — and deletes a slice. The final
+    * per-flag aggregate of the maintained column is hash-checked
+    * against a DuckDB replay that derives pc2 relationally at every
+    * step, so the hash proves compute-on-omit, recompute-on-update,
+    * and carriage through DML bit for bit.
+    *
+    * Scale: generation is one projection in the write (no shuffle,
+    * no validation scan when the column is omitted); the declaration
+    * is a KB metadata commit. */
+  def txnGenerated(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"),
+      col("l_returnflag").as("rf"))
+    val root = Files.createTempDirectory("graft_gen")
+    val tbl = s"$root/t"
+    // the batch omits pc2 entirely: the creation-time declaration
+    // computes it, and its expression type DEFINES the column
+    TxLog.commitOverwrite(s, tbl,
+      t.filter(col("k") % 2 === 0).repartitionByRange(8, col("k")),
+      statsCols = Seq("k"),
+      generated = Map("pc2" -> "pc * 2 + qty"))
+    TxLog.commitAppend(s, tbl,
+      t.filter(col("k") % 2 === 1).repartition(4))
+    TxLog.update(s, tbl, col("k") <= 1000,
+      Map("qty" -> (col("qty") + 7)))
+    TxLog.delete(s, tbl, col("qty") >= 48)
+    val agg = TxLog.read(s, tbl)
+      .groupBy(col("rf").as("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pc2")).as("sum_pc2"),
+        sum(col("qty").cast("long")).as("sum_qty"))
+    val rows = agg.collect().toSeq
     val schema = agg.schema
     import scala.jdk.CollectionConverters._
     org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
@@ -516,6 +612,8 @@ object TxQueries {
     "txn_scd2_apply" -> txnScd2Apply,
     "txn_identity" -> txnIdentity,
     "txn_batch_source" -> txnBatchSource,
+    "txn_convert_partitioned" -> txnConvertPartitioned,
+    "txn_generated" -> txnGenerated,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -658,6 +756,34 @@ object TxQueries {
         MIN(qty) AS min_qty, MAX(qty) AS max_qty,
         MIN(pc) AS min_pc, MAX(pc) AS max_pc
       FROM d2""",
+    "txn_generated" -> """
+      WITH t AS (
+        SELECT l_orderkey AS k,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+          l_returnflag AS rf
+        FROM lineitem),
+      u AS (SELECT k,
+              CASE WHEN k <= 1000 THEN qty + 7 ELSE qty END AS qty,
+              pc, rf
+            FROM t),
+      d AS (SELECT * FROM u WHERE NOT coalesce(qty >= 48, false)),
+      g AS (SELECT *, pc * 2 + qty AS pc2 FROM d)
+      SELECT rf AS l_returnflag,
+        COUNT(*) AS n_rows,
+        CAST(SUM(pc2) AS BIGINT) AS sum_pc2,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM g GROUP BY 1""",
+    "txn_convert_partitioned" -> """
+      WITH d AS (SELECT doc_id, n_chars, lang FROM documents),
+      kept AS (SELECT * FROM d WHERE NOT coalesce(lang = 'de', false))
+      SELECT lang,
+        COUNT(*) AS n_rows,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS min_doc,
+        MAX(doc_id) AS max_doc
+      FROM kept GROUP BY 1""",
     "txn_batch_source" -> """
       WITH t AS (
         SELECT l_orderkey AS k,
@@ -667,7 +793,8 @@ object TxQueries {
         FROM lineitem),
       d1 AS (SELECT * FROM t WHERE NOT coalesce(qty >= 48, false)),
       d2 AS (SELECT * FROM d1 WHERE NOT coalesce(k % 13 = 0, false)),
-      f AS (SELECT * FROM d2 WHERE k <= 2000)
+      f AS (SELECT * FROM d2
+            WHERE k <= (SELECT MAX(k) // 4 FROM t))
       SELECT rf AS flag,
         COUNT(*) AS n_rows,
         CAST(SUM(pc) AS BIGINT) AS sum_pc,

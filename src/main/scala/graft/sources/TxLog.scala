@@ -74,8 +74,11 @@ object TxLog {
   /** The highest log-format feature generation this reader
     * understands (Delta's protocol/minReaderVersion shape): 1 = base
     * log, 2 = deletion vectors + absolute file paths (shallow
-    * clone), 3 = column mapping, 4 = identity + generated columns.
-    * A commit that first USES a feature
+    * clone), 3 = column mapping, 4 = identity + generated columns,
+    * 5 = path-partitioned registration (hive-layout entries whose
+    * partition values live in the file path — an older reader would
+    * read those columns as silent NULLs). A commit that first USES a
+    * feature
     * records the required generation; [[snapshot]] refuses a table
     * whose recorded requirement exceeds this reader — because an
     * OLDER reader would not refuse: it would parse the commit, drop
@@ -84,7 +87,7 @@ object TxLog {
     * stale names (mapping), or append ungenerated/colliding ids
     * (identity). A loud version error is the only safe
     * failure mode for forward compatibility. */
-  val CurrentReader = 4
+  val CurrentReader = 5
 
   /** Per-column stats a commit may record for a data file: the
     * column's catalog dtype plus min/max as Spark's canonical
@@ -174,7 +177,8 @@ object TxLog {
       retired: Seq[String] = Nil,
       minReader: Int = 1,
       identity: Map[String, IdentitySpec] = Map.empty,
-      generated: Map[String, String] = Map.empty) {
+      generated: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Nil) {
     /** The physical parquet name of a logical column. */
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** Physical names no new column may claim. */
@@ -202,6 +206,14 @@ object TxLog {
   /** The bare file name of an entry path (what `_metadata.file_name`
     * and deletion vectors key by — names are UUID-unique). */
   private def nameOf(p: String): String = p.split('/').last
+
+  /** The identity [[readFilesTagged]] emits as TagFile for this
+    * snapshot's files: base name for flat tables, dir-relative path
+    * for path-partitioned registrations (base names may repeat
+    * across partition dirs there). Every TagFile consumer matches
+    * through this, so the two can never drift. */
+  private def fileKey(snap: TxSnapshot, f: TxFile): String =
+    if (snap.partitionCols.isEmpty) nameOf(f.path) else f.path
 
   private def versionFile(dir: String, v: Long) =
     new Path(logPath(dir), f"$v%020d.json")
@@ -333,6 +345,7 @@ object TxLog {
       constraints: Option[Map[String, String]] = None,
       identity: Option[Map[String, IdentitySpec]] = None,
       generated: Option[Map[String, String]] = None,
+      partitionCols: Option[Seq[String]] = None,
       ts: Long = System.currentTimeMillis()): String = {
     val base: JObject =
       ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
@@ -346,8 +359,10 @@ object TxLog {
     val withCons0 = constraints.fold(withDdl)(cs => withDdl ~ ("constraints" -> cs))
     val withCons1 = identity.fold(withCons0)(im =>
       withCons0 ~ ("identity" -> identityJson(im)))
-    val withCons = generated.fold(withCons1)(g =>
+    val withCons2 = generated.fold(withCons1)(g =>
       withCons1 ~ ("generated" -> g))
+    val withCons = partitionCols.fold(withCons2)(pc =>
+      withCons2 ~ ("partitionCols" -> pc))
     val withTxn = txn.fold(withCons) { case (app, b) =>
       withCons ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
     }
@@ -365,10 +380,11 @@ object TxLog {
     var minReader = 1
     var identity = Map.empty[String, IdentitySpec]
     var generated = Map.empty[String, String]
+    var partitionCols = Seq.empty[String]
     def toSnapshot(v: Long): TxSnapshot =
       TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path),
         txns.toMap, constraints, mapping, retired, minReader, identity,
-        generated)
+        generated, partitionCols)
   }
 
   /** JSON form of an identity map (sorted for determinism); `high`
@@ -414,6 +430,11 @@ object TxLog {
     (j \ "generated") match {
       case JNothing => ()
       case jv => st.generated = jv.extract[Map[String, String]]
+    }
+    // path-encoded partition columns (recorded once at registration)
+    (j \ "partitionCols") match {
+      case JNothing => ()
+      case jv => st.partitionCols = jv.extract[Seq[String]]
     }
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
@@ -464,6 +485,10 @@ object TxLog {
         case JNothing => ()
         case jv => st.generated = jv.extract[Map[String, String]]
       }
+      (j \ "partitionCols") match {
+        case JNothing => ()
+        case jv => st.partitionCols = jv.extract[Seq[String]]
+      }
     }
     val needed = (cp.getOrElse(-1L) + 1) to target
     val present = commits.toSet
@@ -503,9 +528,12 @@ object TxLog {
     val withId =
       if (snap.identity.isEmpty) withRet
       else withRet ~ ("identity" -> identityJson(snap.identity))
-    val withGen =
+    val withGen0 =
       if (snap.generated.isEmpty) withId
       else withId ~ ("generated" -> snap.generated)
+    val withGen =
+      if (snap.partitionCols.isEmpty) withGen0
+      else withGen0 ~ ("partitionCols" -> snap.partitionCols)
     val j: JObject =
       if (snap.minReader <= 1) withGen
       else withGen ~ ("minReader" -> snap.minReader)
@@ -814,41 +842,86 @@ object TxLog {
   def convertInPlace(spark: SparkSession, dir: String,
       statsCols: Seq[String] = Nil): Long = {
     if (isLogged(spark, dir)) return snapshot(spark, dir).version
-    val df = spark.read.parquet(dir)
     val root = new Path(dir)
     val f = fs(spark, root)
-    val dataStatus = f.listStatus(root).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    // enumerate the WHOLE tree: a flat dataset registers its
+    // top-level files; a hive-partitioned (key=value) layout
+    // registers every nested file by its dir-relative path, with the
+    // partition values recovered at read time from the path
+    // (generation-5 readers) and recorded as per-file stats so
+    // partition predicates prune from the log
+    val rootAbs = f.makeQualified(root).toString
+    def relOf(p: Path): String = {
+      val abs = f.makeQualified(p).toString
+      require(abs.startsWith(rootAbs + "/"),
+        s"TxLog: $abs escapes the dataset root $rootAbs")
+      abs.drop(rootAbs.length + 1)
     }
-    val lenOf = dataStatus.map(st => st.getPath.getName -> st.getLen).toMap
-    val dataFiles = dataStatus.map(_.getPath.getName).sorted
+    val it = f.listFiles(root, true)
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)] // (relative path, bytes)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = relOf(st.getPath)
+      val segs = rel.split('/')
+      val hidden = segs.exists(sg =>
+        sg.startsWith("_") || sg.startsWith("."))
+      if (st.isFile && !hidden) all += ((rel, st.getLen))
+    }
+    val dataFiles = all.map(_._1).sorted.toSeq
+    val lenOf = all.toMap
     require(dataFiles.nonEmpty, s"TxLog: nothing to convert under $dir")
-    // a partitioned (or mixed) layout nests data under key=value dirs;
-    // registering only the top-level files would make logged reads
-    // silently drop every nested row — refuse instead of half-convert
-    val nested = f.listStatus(root).filter { st =>
-      val n = st.getPath.getName
-      st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
-    }
-    require(nested.isEmpty,
-      s"TxLog: $dir has subdirectories (${nested.take(2)
-        .map(_.getPath.getName).mkString(", ")}…) — partitioned " +
-        "layouts cannot be converted in place; rewrite flat first")
+    // partition column sequence from the directory segments — must be
+    // CONSISTENT across every file (a mixed flat/partitioned or
+    // ragged layout cannot be registered faithfully)
+    def partsOf(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).toSeq.map { sg =>
+        val i = sg.indexOf('=')
+        require(i > 0,
+          s"TxLog: $dir nests data under non-hive directory '$sg' — " +
+            "only key=value layouts register in place; rewrite flat " +
+            "first")
+        sg.take(i)
+      }
+    val pcols = partsOf(dataFiles.head)
+    val ragged = dataFiles.filter(p => partsOf(p) != pcols)
+    require(ragged.isEmpty,
+      s"TxLog: inconsistent partition layout under $dir (" +
+        s"${ragged.take(2).mkString(", ")}…) — every file must sit " +
+        s"under the same ${pcols.mkString("/")} structure")
+    // base names may repeat across partition dirs (Spark's own
+    // partitionBy writes do) — a registered table therefore keys its
+    // files by dir-relative PATH, not base name ([[fileKey]]), and
+    // the stats scan below matches files by their last
+    // pcols.size + 1 path segments (URI-decoded: input_file_name
+    // percent-escapes what the directory listing returns raw)
+    val df = spark.read.parquet(dir)
     val dtypes = df.schema.fields
       .map(fl => fl.name -> fl.dataType.catalogString).toMap
     statsCols.foreach(c => require(dtypes.contains(c),
       s"TxLog: no column '$c' to stat in convert of $dir"))
+    pcols.foreach(c => require(dtypes.contains(c),
+      s"TxLog: partition dir '$c=' is not a column of $dir"))
+    // one scan stats data AND partition columns (a partition value is
+    // constant per file, so its min = max = the path value)
+    val statAll = (statsCols ++ pcols).distinct
+    val depth = pcols.size + 1
+    def relKey(fullPath: String): String = {
+      val path = try new java.net.URI(fullPath).getPath
+      catch { case _: java.net.URISyntaxException => fullPath }
+      path.split('/').takeRight(depth).mkString("/")
+    }
     val byName = df.groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n"), statAggExprs(statsCols): _*)
+      .agg(count(lit(1)).as("n"), statAggExprs(statAll): _*)
       .collect()
       .map { r =>
-        r.getString(0).split('/').last ->
-          (r.getLong(1), statsOfRow(r, statsCols, dtypes))
+        relKey(r.getString(0)) ->
+          (r.getLong(1), statsOfRow(r, statAll, dtypes))
       }.toMap
-    val added = dataFiles.map { n =>
-      val (rows, stats) = byName.getOrElse(n, (0L, Map.empty[String, ColStats]))
-      TxFile(n, rows, stats, bytes = lenOf.get(n))
+    val added = dataFiles.map { p =>
+      val (rows, stats) =
+        byName.getOrElse(p, (0L, Map.empty[String, ColStats]))
+      TxFile(p, rows, stats, bytes = lenOf.get(p))
     }.toSeq
     // claim version 0 directly (NOT via commitStaged: its contention
     // cleanup deletes `added`, which here are the REAL data files). A
@@ -856,7 +929,10 @@ object TxLog {
     // the table now.
     val lf = fs(spark, logPath(dir))
     if (tryWrite(lf, versionFile(dir, 0L),
-        renderCommit(0L, "overwrite", added, Nil, Some(df.schema.json), None)))
+        renderCommit(0L, "overwrite", added, Nil, Some(df.schema.json),
+          None,
+          minReader = Some(5).filter(_ => pcols.nonEmpty),
+          partitionCols = Some(pcols).filter(_.nonEmpty))))
       0L
     else snapshot(spark, dir).version
   }
@@ -1447,6 +1523,12 @@ object TxLog {
     require(!isLogged(spark, targetDir),
       s"TxLog: clone target $targetDir is already a logged table")
     val snap = snapshot(spark, sourceDir, asOf)
+    require(snap.partitionCols.isEmpty ||
+      snap.files.forall(!_.path.contains('/')),
+      s"TxLog: $sourceDir still references path-partitioned files — " +
+        "their values live in paths relative to THAT dir and cannot " +
+        "be re-anchored; compact first (flattens the layout), then " +
+        "clone")
     val abs = new java.io.File(sourceDir).getAbsolutePath
     // like restore: a snapshot whose files were already vacuumed
     // cannot be cloned — refuse NOW, not as a scan-time path error
@@ -1503,6 +1585,13 @@ object TxLog {
     require(!isLogged(spark, targetDir),
       s"TxLog: clone target $targetDir is already a logged table")
     val snap = snapshot(spark, sourceDir, asOf)
+    // the copy flattens to base names, which would strip the
+    // path-encoded partition values of a hive-layout registration
+    require(snap.partitionCols.isEmpty ||
+      snap.files.forall(!_.path.contains('/')),
+      s"TxLog: $sourceDir still references path-partitioned files — " +
+        "the flat copy would lose their path-encoded values; compact " +
+        "first (materializes them as data), then clone")
     val fsrc = fs(spark, new Path(sourceDir))
     // qualify through the Hadoop filesystem (never java.io.File):
     // source and target may live on any configured store
@@ -1924,7 +2013,7 @@ object TxLog {
     val touched = touchedFiles(spark, dir, snap, pred)
     if (touched.isEmpty) return snap.version
     val tSet = touched.toSet
-    val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
+    val keepFiles = snap.files.filter(f => tSet.contains(fileKey(snap, f)))
     val kept = readSnapshot(spark, dir, snap.copy(files = keepFiles))
       .filter(!pred.eqNullSafe(true))
     val (added, _) = stageData(spark, dir, kept,
@@ -1969,7 +2058,7 @@ object TxLog {
     val touched = touchedFiles(spark, dir, snap, pred)
     if (touched.isEmpty) return snap.version
     val tSet = touched.toSet
-    val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
+    val keepFiles = snap.files.filter(f => tSet.contains(fileKey(snap, f)))
     val marked = readSnapshot(spark, dir, snap.copy(files = keepFiles))
       .withColumn("_graft_upd", pred.eqNullSafe(true))
     val updated = marked.select((schema.fields.map { fl =>
@@ -2011,7 +2100,7 @@ object TxLog {
     val counts = matched.groupBy(TagFile).count().collect()
     if (counts.isEmpty) return None
     val newCnt = counts.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val byPath = snap.files.map(f => nameOf(f.path) -> f).toMap
+    val byPath = snap.files.map(f => fileKey(snap, f) -> f).toMap
     val touched = newCnt.keys.toSeq.sorted
     val pairs = matched.select(col(TagFile).as("file"),
       col(TagIdx).as("row_index"))
@@ -2224,7 +2313,7 @@ object TxLog {
         .select(TagFile).distinct().collect()
         .map(_.getString(0)).toSeq.sorted
     val tSet = touched.toSet
-    val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
+    val keepFiles = snap.files.filter(f => tSet.contains(fileKey(snap, f)))
     val survivors =
       if (keepFiles.isEmpty) src
       else readSnapshot(spark, dir, snap.copy(files = keepFiles))
@@ -2342,7 +2431,7 @@ object TxLog {
         .select(TagFile).distinct().collect()
         .map(_.getString(0)).toSeq.sorted
     val tSet = touched.toSet
-    val keepFiles = snap.files.filter(f => tSet.contains(nameOf(f.path)))
+    val keepFiles = snap.files.filter(f => tSet.contains(fileKey(snap, f)))
     val inserts = src.filter(!col(deleteCol))
       .select(schema.fieldNames.map(col).toSeq: _*)
     enforceGenerated(snap, inserts)
@@ -2604,9 +2693,28 @@ object TxLog {
     * the parquet `_metadata` struct — the row's PHYSICAL identity,
     * which is what deletion vectors address. No vector is applied.
     * Scans under PHYSICAL column names, returns LOGICAL ones. */
+  /** The value of a path-encoded (hive-layout) partition column,
+    * recovered from `_metadata.file_path` — one codegen'd expression,
+    * no extra scan. Hive escaping and the null sentinel apply. */
+  private def pathPartValue(physName: String,
+      dt: DataType): org.apache.spark.sql.Column = {
+    val seg = regexp_extract(col("_metadata.file_path"),
+      "/" + java.util.regex.Pattern.quote(physName) + "=([^/]+)/", 1)
+    when(seg === "" || seg === "__HIVE_DEFAULT_PARTITION__",
+      lit(null)).otherwise(url_decode(seg)).cast(dt)
+  }
+
+  /** Read snapshot files under the LOGICAL schema, injecting
+    * path-encoded partition values for hive-layout entries
+    * ([[convertInPlace]] on a partitioned dataset). Nested entries
+    * (path contains a directory) read WITHOUT the partition columns
+    * and recover them from the file path; flat entries — every
+    * post-registration write — carry them as ordinary data. One scan
+    * per leg, a no-op for unpartitioned tables. */
   private def readFilesTagged(spark: SparkSession, dir: String,
       schema: StructType, paths: Seq[String],
-      mapping: Map[String, String] = Map.empty): DataFrame = {
+      mapping: Map[String, String] = Map.empty,
+      partCols: Seq[String] = Nil): DataFrame = {
     require(!schema.fieldNames.contains(TagFile) &&
       !schema.fieldNames.contains(TagIdx),
       s"TxLog: table columns collide with reserved names $TagFile/$TagIdx")
@@ -2614,14 +2722,42 @@ object TxLog {
       StructField(TagFile, StringType, nullable = true),
       StructField(TagIdx, LongType, nullable = true)))
     if (paths.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), tagged)
-    else
-      spark.read.schema(physSchema(schema, mapping))
-        .parquet(paths.map(p => resolveData(dir, p)): _*)
-        .select(schema.fields.map(fl =>
-          col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq ++
-          Seq(col("_metadata.file_name").as(TagFile),
-            col("_metadata.row_index").as(TagIdx)): _*)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), tagged)
+    // file identity: flat tables key by BASE name (unique — staged
+    // writes name by UUID); a path-partitioned registration may
+    // legitimately repeat base names across partition dirs, so those
+    // tables key by DIR-RELATIVE path instead (flat files' relative
+    // path IS their base name, so the two identities coincide there)
+    val tagExpr =
+      if (partCols.isEmpty) col("_metadata.file_name")
+      else {
+        val prefix = fs(spark, new Path(dir))
+          .makeQualified(new Path(dir)).toString + "/"
+        col("_metadata.file_path")
+          .substr(lit(prefix.length + 1), lit(Int.MaxValue))
+      }
+    def leg(ps: Seq[String], inject: Seq[String]): DataFrame = {
+      val physS = physSchema(schema, mapping)
+      val readS = StructType(physS.fields.filterNot(f =>
+        inject.contains(f.name)))
+      val raw = spark.read.schema(readS)
+        .parquet(ps.map(p => resolveData(dir, p)): _*)
+      val withParts = inject.foldLeft(raw)((d, pp) =>
+        d.withColumn(pp, pathPartValue(pp, physS(pp).dataType)))
+      withParts.select(schema.fields.map(fl =>
+        col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq ++
+        Seq(tagExpr.as(TagFile),
+          col("_metadata.row_index").as(TagIdx)): _*)
+    }
+    if (partCols.isEmpty) leg(paths, Nil)
+    else {
+      val (nested, flat) = paths.partition(_.contains('/'))
+      val legs = Seq(
+        if (nested.nonEmpty) Some(leg(nested, partCols)) else None,
+        if (flat.nonEmpty) Some(leg(flat, Nil)) else None).flatten
+      legs.reduce(_.unionByName(_))
+    }
   }
 
   /** The union of the snapshot's referenced deletion vectors as a
@@ -2644,14 +2780,16 @@ object TxLog {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val (dvFiles, clean) = snap.files.partition(_.dv.isDefined)
     val cleanDf =
-      readFilesTagged(spark, dir, schema, clean.map(_.path), snap.mapping)
+      readFilesTagged(spark, dir, schema, clean.map(_.path), snap.mapping,
+        snap.partitionCols)
     if (dvFiles.isEmpty) return cleanDf
     val dvDf0 = dvRelation(spark, dir, dvFiles).get
     val dvDf =
       if (dvFiles.map(_.dvRows).sum <= DvBroadcastRows) broadcast(dvDf0)
       else dvDf0
     val scanned =
-      readFilesTagged(spark, dir, schema, dvFiles.map(_.path), snap.mapping)
+      readFilesTagged(spark, dir, schema, dvFiles.map(_.path), snap.mapping,
+        snap.partitionCols)
     val live = scanned.join(dvDf,
       scanned(TagFile) === dvDf("file") &&
         scanned(TagIdx) === dvDf("row_index"), "left_anti")
@@ -2664,13 +2802,17 @@ object TxLog {
     if (snap.files.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
-    else if (snap.files.forall(_.dv.isEmpty)) {
+    else if (snap.files.forall(_.dv.isEmpty) &&
+        snap.partitionCols.isEmpty) {
       val raw = spark.read.schema(physSchema(schema, snap.mapping))
         .parquet(snap.files.map(a => resolveData(dir, a.path)): _*)
       if (snap.mapping.isEmpty) raw
       else raw.select(schema.fields.map(fl =>
         col(snap.phys(fl.name)).as(fl.name)).toSeq: _*)
-    } else
+    } else if (snap.files.forall(_.dv.isEmpty))
+      readFilesTagged(spark, dir, schema, snap.files.map(_.path),
+        snap.mapping, snap.partitionCols).drop(TagFile, TagIdx)
+    else
       readSnapshotTagged(spark, dir, snap).drop(TagFile, TagIdx)
   }
 
@@ -2936,10 +3078,11 @@ object TxLog {
       untilVersion: Option[Long] = None,
       skipChangeCommits: Boolean = false,
       ignoreDeletes: Boolean = false): DataFrame = {
-    val (added, schema, mapping) =
-      changedFiles(spark, dir, sinceVersion, untilVersion,
-        skipChangeCommits, ignoreDeletes)
-    readAdded(spark, dir, added, schema, mapping)
+    val (added, snap) = changedFilesDetail(spark, dir, sinceVersion,
+      untilVersion, skipChangeCommits, ignoreDeletes)
+    readAdded(spark, dir, added,
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
+      snap.mapping, snap.partitionCols)
   }
 
   /** Materialize a [[changedFiles]] result under LOGICAL names — the
@@ -2949,16 +3092,19 @@ object TxLog {
     * entries) can never fork between them. */
   private[sources] def readAdded(spark: SparkSession, dir: String,
       added: Seq[TxFile], schema: StructType,
-      mapping: Map[String, String]): DataFrame =
+      mapping: Map[String, String],
+      partCols: Seq[String] = Nil): DataFrame =
     if (added.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else {
+    else if (partCols.isEmpty) {
       val raw = spark.read.schema(physSchema(schema, mapping))
         .parquet(added.map(a => resolveData(dir, a.path)): _*)
       if (mapping.isEmpty) raw
       else raw.select(schema.fields.map(fl =>
         col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
-    }
+    } else
+      readFilesTagged(spark, dir, schema, added.map(_.path), mapping,
+        partCols).drop(TagFile, TagIdx)
 
   /** The ONE policy predicate behind `skipChangeCommits` /
     * `ignoreDeletes`: does this commit get skipped WHOLESALE from an
@@ -3296,16 +3442,8 @@ object TxLog {
         s"TxLog: commit $v's file(s) ${gone.take(2).mkString(", ")} " +
           "were vacuumed; change feed from this version is no longer " +
           "possible; re-read the full snapshot")
-      if (paths.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[Row](), schema)
-      else {
-        val raw = spark.read.schema(physSchema(schema, mapping))
-          .parquet(paths.map(p => resolveData(dir, p)): _*)
-        if (mapping.isEmpty) raw
-        else raw.select(schema.fields.map(fl =>
-          col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq: _*)
-      }
+      readFilesTagged(spark, dir, schema, paths, mapping,
+        untilSnap.partitionCols).drop(TagFile, TagIdx)
     }
     def stamp(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe))
@@ -3358,7 +3496,9 @@ object TxLog {
                 "the full snapshot")
             val liveRows = readSnapshotTagged(spark, dir,
               TxSnapshot(v, untilSnap.schemaJson, entries, Map.empty,
-                mapping = mapping)).drop(TagFile, TagIdx)
+                mapping = mapping,
+                partitionCols = untilSnap.partitionCols))
+              .drop(TagFile, TagIdx)
             Seq(stamp(liveRows, "insert", v))
           }
         case "delete" | "update" | "merge" =>
@@ -3392,7 +3532,9 @@ object TxLog {
                   "possible; re-read the full snapshot")
               readSnapshotTagged(spark, dir,
                 TxSnapshot(v - 1, untilSnap.schemaJson, removedEntries,
-                  Map.empty, mapping = mapping)).drop(TagFile, TagIdx)
+                  Map.empty, mapping = mapping,
+                  partitionCols = untilSnap.partitionCols))
+                .drop(TagFile, TagIdx)
             }
           val post = readFiles(adds, v)
           Seq(stamp(pre.exceptAll(post), "delete", v),
@@ -3424,10 +3566,13 @@ object TxLog {
               s"${goneDv.take(2).mkString(", ")} were vacuumed; change " +
               "feed from this version is no longer possible; re-read " +
               "the full snapshot")
-          // vectors key rows by bare file NAME (`_metadata.file_name`)
-          // — a cloned entry's PATH is absolute, so filtering by path
-          // would silently drop its deletes from the feed
-          val touchedNames = touchedPaths.map(nameOf)
+          // vectors key rows by the table's file identity: bare NAME
+          // for flat tables (a cloned entry's PATH is absolute, so
+          // filtering by path would silently drop its deletes),
+          // dir-relative PATH for path-partitioned registrations
+          val touchedNames =
+            if (untilSnap.partitionCols.isEmpty) touchedPaths.map(nameOf)
+            else touchedPaths
           def dvRel(paths: Seq[String]): Option[DataFrame] =
             if (paths.isEmpty) None
             else Some(spark.read
@@ -3437,7 +3582,8 @@ object TxLog {
           val fresh = dvRel(touchedPaths.flatMap(p => prevAt(p).dv)
             .distinct).fold(newRel)(old => newRel.except(old))
           val raw =
-            readFilesTagged(spark, dir, schema, touchedPaths, mapping)
+            readFilesTagged(spark, dir, schema, touchedPaths, mapping,
+              untilSnap.partitionCols)
           val pre = raw.join(broadcast(fresh),
             raw(TagFile) === fresh("file") &&
               raw(TagIdx) === fresh("row_index"), "left_semi")

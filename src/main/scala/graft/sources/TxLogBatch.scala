@@ -67,8 +67,12 @@ private[graft] object TxLogBatch {
   private[graft] def resolve(spark: SparkSession,
       options: Map[String, String]): (String, Long, StructType) = {
     val d = tableDir(options)
-    require(TxLog.isLogged(spark, d),
-      s"txlog batch source: no transaction log under $d")
+    // a missing log resolves to a PLACEHOLDER (version -1, empty
+    // schema): DataFrameWriter probes the provider before its v1
+    // fallback, so table resolution must not refuse a dir a write is
+    // about to CREATE — the scan builder refuses reads instead
+    if (!TxLog.isLogged(spark, d))
+      return (d, -1L, new StructType())
     def opt(name: String): Option[String] =
       options.collectFirst { case (k, v)
         if k.equalsIgnoreCase(name) => v }
@@ -117,8 +121,11 @@ private[graft] class TxLogBatchTable(dir: String, asOf: Long,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
+      : ScanBuilder = {
+    require(asOf >= 0L,
+      s"txlog batch source: no transaction log under $dir")
     new TxLogBatchScanBuilder(dir, asOf, tableSchema)
+  }
 }
 
 private[graft] class TxLogBatchScanBuilder(dir: String, asOf: Long,

@@ -69,9 +69,54 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   */
 class TxLogStreamProvider extends StreamSourceProvider
   with StreamSinkProvider with DataSourceRegister
-  with org.apache.spark.sql.connector.catalog.TableProvider {
+  with org.apache.spark.sql.connector.catalog.TableProvider
+  with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "txlog"
+
+  /** `df.write.format("txlog").mode(…).save(dir)` — the batch WRITE
+    * dual of the TableProvider read: Append → [[TxLog.commitAppend]],
+    * Overwrite → [[TxLog.commitOverwrite]], ErrorIfExists refuses on
+    * a logged table, Ignore no-ops on one. `.option("statsCols",
+    * "a,b")` records per-file min/max for those columns (the
+    * stats-in-log pruning metadata). All table contracts apply
+    * exactly as through the Scala API — identity/generated columns,
+    * CHECK constraints, schema checks — because this IS that API. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val d = dir(parameters)
+    val statsCols = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("statsCols") => v
+    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val logged = TxLog.isLogged(spark, d)
+    mode match {
+      case SaveMode.Append =>
+        TxLog.commitAppend(spark, d, data, statsCols = statsCols)
+      case SaveMode.Overwrite =>
+        TxLog.commitOverwrite(spark, d, data, statsCols = statsCols)
+      case SaveMode.ErrorIfExists if logged =>
+        throw new IllegalArgumentException(
+          s"txlog: $d is already a logged table (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists =>
+        TxLog.commitOverwrite(spark, d, data, statsCols = statsCols)
+      case SaveMode.Ignore if logged => ()
+      case SaveMode.Ignore =>
+        TxLog.commitOverwrite(spark, d, data, statsCols = statsCols)
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: SQLContext = sqlContext0
+      override def schema: StructType = data.schema
+    }
+  }
+
+  private def sqlContext0: SQLContext =
+    SparkSession.active.sqlContext
 
   // ---- BATCH access (DataSourceV2 TableProvider) --------------------
   // `spark.read.format("txlog").load(dir)` resolves through here (the
@@ -477,7 +522,8 @@ class TxLogSource(spark: SparkSession, dir: String,
               "the query started with were dropped mid-stream; restart " +
               "the query to adopt the new schema")
         PlanBridge.asStreamingBatch(spark,
-          TxLog.readAdded(spark, dir, added, tableSchema, mapping0))
+          TxLog.readAdded(spark, dir, added, tableSchema, mapping0,
+            untilSnap.partitionCols))
       }
     }
   }

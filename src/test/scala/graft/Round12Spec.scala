@@ -982,11 +982,16 @@ class Round12Spec extends SparkSpec {
     val vAfterLoad = TxLog.snapshot(spark,
       p.path(DataZone.Silver, "pts")).version
     // source compacts: the feed span is empty — the follower must not
-    // scan itself into a pointless commit
+    // scan or move data; since round 15 the slice's marker still
+    // advances (one metadata-only commit) so watermark axes never lag
+    val filesBefore = TxLog.snapshot(spark,
+      p.path(DataZone.Silver, "pts")).files.map(_.path).sorted
     run { p.compact(DataZone.Bronze, "pts", rowsPerFile = 100L) }
-    assert(TxLog.snapshot(spark,
-      p.path(DataZone.Silver, "pts")).version == vAfterLoad,
-      "an empty feed span must leave the follower log untouched")
+    val after = TxLog.snapshot(spark, p.path(DataZone.Silver, "pts"))
+    assert(after.version <= vAfterLoad + 1,
+      "an empty feed span may advance the marker, nothing more")
+    assert(after.files.map(_.path).sorted == filesBefore,
+      "an empty feed span must move no follower data")
     assert(idSet(p.read(DataZone.Silver, "pts")) == Set(1L, 2L, 3L))
   }
 

@@ -252,6 +252,36 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("batch txlog source: df.write.format saves through the log") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15bw").toString + "/t"
+    payload(6, "a").write.format("txlog")
+      .option("statsCols", "k").save(dir)
+    assert(TxLog.isLogged(spark, dir))
+    assert(TxLog.read(spark, dir).count() == 6)
+    payload(4, "b").write.format("txlog").mode("append")
+      .option("statsCols", "k").save(dir)
+    assert(TxLog.read(spark, dir).count() == 10)
+    assert(TxLog.snapshot(spark, dir).version == 1L)
+    // stats recorded through the option: a k-probe prunes
+    assert(TxLog.snapshot(spark, dir).files
+      .forall(_.stats.contains("k")))
+    payload(3, "c").write.format("txlog").mode("overwrite").save(dir)
+    assert(TxLog.read(spark, dir).count() == 3)
+    intercept[Exception] {
+      payload(1, "d").write.format("txlog")
+        .mode("errorifexists").save(dir)
+    }
+    payload(1, "d").write.format("txlog").mode("ignore").save(dir)
+    assert(TxLog.read(spark, dir).count() == 3)
+    // round-trip: the write lands what the read returns
+    val got = spark.read.format("txlog").load(dir)
+      .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
+    val want = payload(3, "c").collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("batch txlog source: streaming read/write still resolves the v1 source") {
     val s = spark
     import s.implicits._
@@ -262,6 +292,158 @@ class Round15Spec extends SparkSpec {
     val stream = spark.readStream.format("txlog").load(dir)
     assert(stream.isStreaming)
     assert(stream.columns.toSeq == Seq("k", "v", "name"))
+  }
+
+  // ---- partitioned-layout registration -------------------------------
+
+  private def partPayload(n: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, i.toLong * 10,
+      Seq("en", "fr", "de")(i % 3))).toDF("k", "v", "lang")
+  }
+
+  test("hive layout registers in place: reads, prunes like a flat rewrite, takes DML") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15part").toString + "/t"
+    partPayload(300).repartition(2)
+      .write.partitionBy("lang").parquet(dir)
+    val want = spark.read.parquet(dir).collect()
+      .map(_.toSeq.toString).sorted.toSeq
+    TxLog.convertInPlace(spark, dir, statsCols = Seq("k"))
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.partitionCols == Seq("lang"))
+    assert(snap.minReader == 5)
+    assert(snap.files.forall(_.path.contains("lang=")))
+    // full read equals the plain partitioned read
+    val got = TxLog.read(spark, dir)
+      .select("k", "v", "lang") // plain read puts partition cols last
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(got == want.map(_.toString))
+    // partition predicates prune from the log — parity with a flat
+    // rewrite of the same data registered with lang stats
+    val keptEn = TxLog.prunedSnapshotFiles(spark, snap,
+      Seq(("lang", Some("en"), Some("en"))))
+    assert(keptEn.nonEmpty && keptEn.size < snap.files.size,
+      s"partition value did not prune: ${keptEn.size} of ${snap.files.size}")
+    assert(keptEn.forall(_.path.startsWith("lang=en/")))
+    val flat = tmp("r15partflat").toString + "/t"
+    TxLog.commitOverwrite(spark, flat,
+      spark.read.parquet(dir).select("k", "v", "lang"),
+      statsCols = Seq("k", "lang"))
+    val viaPart = TxLog.readPrunedAll(spark, dir,
+      Seq(("lang", "en", "en"))).filter(col("lang") === "en")
+      .select("k").as[Long].collect().sorted.toSeq
+    val viaFlat = TxLog.readPrunedAll(spark, flat,
+      Seq(("lang", "en", "en"))).filter(col("lang") === "en")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(viaPart == viaFlat && viaPart.nonEmpty)
+    // metadata COUNT on the path-encoded column
+    assert(TxLog.countWhere(spark, dir,
+      Seq(("lang", "en", "en"))) == viaPart.size.toLong)
+    // DML: delete by partition value (CoW), append flat, read merges
+    TxLog.delete(spark, dir, col("lang") === "fr")
+    assert(TxLog.read(spark, dir)
+      .filter(col("lang") === "fr").count() == 0)
+    TxLog.commitAppend(spark, dir,
+      Seq((1000L, 1L, "es")).toDF("k", "v", "lang"))
+    assert(TxLog.read(spark, dir)
+      .filter(col("lang") === "es").count() == 1)
+    val total = TxLog.read(spark, dir).count()
+    assert(total == 300 - 100 + 1)
+    // update a data column under a partition predicate
+    TxLog.update(spark, dir, col("lang") === "de",
+      Map("v" -> (col("v") + 1L)))
+    assert(TxLog.read(spark, dir).filter(col("lang") === "de")
+      .filter(col("v") % 10 =!= 1L).count() == 0)
+    // compact flattens; the table keeps answering
+    TxLog.compact(spark, dir, targetFiles = 2,
+      statsCols = Seq("k", "lang"))
+    assert(TxLog.read(spark, dir).count() == total)
+    assert(TxLog.read(spark, dir)
+      .filter(col("lang") === "en").count() == 100)
+  }
+
+  test("hive layout: multi-level partitions, null values, and the batch source") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15part2").toString + "/t"
+    Seq((1L, "en", 1), (2L, "en", 2), (3L, null.asInstanceOf[String], 1),
+      (4L, "a b", 2))
+      .toDF("k", "lang", "day")
+      .write.partitionBy("lang", "day").parquet(dir)
+    TxLog.convertInPlace(spark, dir)
+    assert(TxLog.snapshot(spark, dir).partitionCols == Seq("lang", "day"))
+    val t = TxLog.read(spark, dir)
+    assert(t.filter(col("lang").isNull).select("k").as[Long]
+      .collect().toSeq == Seq(3L), "hive null sentinel must decode")
+    assert(t.filter(col("lang") === "a b").select("k").as[Long]
+      .collect().toSeq == Seq(4L), "url-escaped values must decode")
+    assert(t.filter(col("day") === 2).count() == 2)
+    // the batch DataSource rides the same read path
+    assert(spark.read.format("txlog").load(dir)
+      .filter(col("day") === 1).count() == 2)
+  }
+
+  test("hive layout: incremental consumption recovers path-encoded values") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15partcdc").toString + "/t"
+    partPayload(30).write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(spark, dir, statsCols = Seq("k"))
+    // the initial load (v0) through both batch-pull forms
+    val since = TxLog.changesSince(spark, dir, -1L)
+    assert(since.filter(col("lang").isNull).count() == 0,
+      "changesSince must recover path-encoded partition values")
+    assert(since.filter(col("lang") === "en").count() == 10)
+    val feed = TxLog.changeFeed(spark, dir, -1L)
+    assert(feed.filter(col("lang").isNull).count() == 0)
+    assert(feed.filter(col("_change_type") === "insert").count() == 30)
+    // a DML inside the span diffs with correct values on both sides
+    TxLog.delete(spark, dir, col("lang") === "fr")
+    val feed2 = TxLog.changeFeed(spark, dir, 0L)
+    assert(feed2.filter(col("_change_type") === "delete")
+      .filter(col("lang") =!= "fr").count() == 0)
+    assert(feed2.filter(col("_change_type") === "delete").count() == 10)
+  }
+
+  test("hive layout: ragged layouts refuse; colliding base names register by path identity") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15partbad").toString + "/t"
+    partPayload(30).write.partitionBy("lang").parquet(dir)
+    // a stray flat file makes the layout ragged
+    val src = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      java.nio.file.Paths.get(dir, "stray.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.convertInPlace(spark, dir)
+    }
+    assert(e.getMessage.contains("inconsistent partition layout"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "stray.parquet"))
+    // a base name repeated across partition dirs is Spark's OWN
+    // partitionBy layout shape (every dir reuses the job's task file
+    // names) — files key by relative path, so an identically-named
+    // file in a fresh partition dir registers as distinct data
+    val srcLang = src.getParentFile.getName.drop("lang=".length)
+    val zz = java.nio.file.Paths.get(dir, "lang=zz")
+    java.nio.file.Files.createDirectory(zz)
+    java.nio.file.Files.copy(src.toPath, zz.resolve(src.getName))
+    TxLog.convertInPlace(spark, dir, statsCols = Seq("k"))
+    val srcRows = spark.read.parquet(src.getPath).count()
+    val t = TxLog.read(spark, dir)
+    assert(t.count() == 30 + srcRows)
+    // the copied rows answer under the HOST dir's partition value
+    assert(t.filter(col("lang") === "zz").count() == srcRows)
+    // DML keyed by path identity: deleting the copy's partition
+    // leaves the identically-named original untouched
+    TxLog.delete(spark, dir, col("lang") === "zz")
+    assert(TxLog.read(spark, dir).count() == 30)
+    assert(TxLog.read(spark, dir).filter(col("lang") === srcLang)
+      .count() == 10)
   }
 
   // ---- refresh vs concurrent source DML (the race contract) ---------

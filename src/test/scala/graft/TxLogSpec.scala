@@ -120,16 +120,23 @@ class TxLogSpec extends SparkSpec {
     assert(idSet(TxLog.read(spark, dir)) == Set(1L, 2L, 3L, 4L, 5L))
   }
 
-  test("convertInPlace refuses partitioned/mixed layouts outright") {
+  test("convertInPlace refuses MIXED layouts; pure hive layouts register (Round15Spec)") {
     val dir = tmp("txconvmixed").toString
     df(1, 2).write.mode("overwrite").parquet(dir)
     df(3).write.parquet(s"$dir/part=extra") // nested rows beside flat files
     val e = intercept[IllegalArgumentException] {
       TxLog.convertInPlace(spark, dir)
     }
-    assert(e.getMessage.contains("subdirectories"),
+    assert(e.getMessage.contains("inconsistent partition layout"),
       "mixed layout must refuse conversion, not half-register: " +
         e.getMessage)
+    // non-hive nesting refuses too
+    val dir2 = tmp("txconvnonhive").toString
+    df(1).write.parquet(s"$dir2/sub/x")
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.convertInPlace(spark, dir2)
+    }
+    assert(e2.getMessage.contains("non-hive"))
   }
 
   test("changesSince refuses a span whose delta files were vacuumed") {

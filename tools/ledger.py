@@ -211,7 +211,8 @@ ROWS = [
     (203, "Round14Spec (deep clone) | sources/TxLog.scala", "api"),
     (204, "txn_identity", "hash"),
     (205, "txn_batch_source", "hash"),
-    (206, "GeneratedColSpec | sources/TxLog.scala", "api"),
+    (206, "txn_generated", "hash"),
+    (207, "txn_convert_partitioned", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
