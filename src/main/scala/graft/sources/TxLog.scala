@@ -1085,9 +1085,28 @@ object TxLog {
     * KB-sized regardless of table size. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int,
       statsCols: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     val snap = snapshot(spark, dir)
-    val base = readSnapshot(spark, dir, snap)
+    // `where` is Delta's `OPTIMIZE … WHERE`: compact ONLY the files
+    // whose recorded stats can intersect the predicate (whole files —
+    // file granularity is the unit of maintenance). On a 100 TB
+    // table this turns "optimize yesterday's ingest" from a corpus
+    // rewrite into a partition-sized one.
+    val scope = where match {
+      case None => snap.files
+      case Some(pred) =>
+        val schema =
+          DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+        pruneForPredicate(spark, schema, snap.files, pred, snap.mapping)
+    }
+    // a scoped OPTIMIZE whose predicate matches no files is a no-op —
+    // never an empty commit. (An UNscoped compact always rewrites:
+    // it is an explicit relayout command, and a single-file rewrite
+    // still has work to do — folding vectors, flattening a
+    // registered partition layout, applying zorder.)
+    if (where.isDefined && scope.isEmpty) return snap.version
+    val base = readSnapshot(spark, dir, snap.copy(files = scope))
     val df = zorderBy match {
       case Nil => base.repartition(targetFiles)
       case Seq(c) =>
@@ -1100,15 +1119,20 @@ object TxLog {
       case more => throw new IllegalArgumentException(
         s"zorderBy supports 1 or 2 columns, got ${more.size}")
     }
+    // carry the scoped files' skip-stats through the rewrite (plus
+    // whatever the caller asked for) — an OPTIMIZE that silently
+    // dropped the table's pruning metadata would degrade every later
+    // readPruned
     val (added, schemaJson) =
-      stageData(spark, dir, df, (statsCols ++ zorderBy).distinct,
+      stageData(spark, dir, df,
+        inheritStats(scope, (statsCols ++ zorderBy).distinct, snap),
         snap.mapping)
-    // a compaction reads EVERY live file — pin every vector pointer,
-    // or a concurrent merge-on-read DML (same paths stay live) would
-    // be silently materialized away
-    commitStaged(spark, dir, "compact", added, snap.files.map(_.path),
+    // a compaction reads its whole scope — pin every scoped vector
+    // pointer, or a concurrent merge-on-read DML (same paths stay
+    // live) would be silently materialized away
+    commitStaged(spark, dir, "compact", added, scope.map(_.path),
       removeAll = false, schemaJson, None,
-      expectDv = snap.files.map(f => f.path -> f.dv).toMap)
+      expectDv = scope.map(f => f.path -> f.dv).toMap)
   }
 
   // ---- CHECK constraints -------------------------------------------

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -188,9 +188,20 @@ private[graft] class TxLogBatchRelation(ctx: SQLContext, dir: String,
     val kept = TxLog.prunedSnapshotFiles(spark, snap, preds)
     TxLogBatch.lastScan.set(kept.map(_.path))
     val df = TxLog.readSnapshot(spark, dir, snap.copy(files = kept))
+    // re-apply the pushed intervals INSIDE the inner plan: the V1Scan
+    // boundary hides the engine's post-scan filter from the inner
+    // parquet read, so without this the kept files would scan whole —
+    // with it, parquet row-group/page skipping applies. Safe to
+    // weaken (>=/<= supersets of strict bounds): the engine still
+    // evaluates every original filter row-exactly above.
+    val cond = preds.flatMap { case (c, lo, hi) =>
+      lo.map(v => col(c) >= lit(v)).toSeq ++
+        hi.map(v => col(c) <= lit(v)).toSeq
+    }.reduceOption(_ && _)
+    val filtered = cond.fold(df)(df.filter)
     val projected =
-      if (required.isEmpty) df.select()
-      else df.select(required.fieldNames.map(col).toSeq: _*)
+      if (required.isEmpty) filtered.select()
+      else filtered.select(required.fieldNames.map(col).toSeq: _*)
     projected.rdd
   }
 }

@@ -446,6 +446,58 @@ class Round15Spec extends SparkSpec {
       .count() == 10)
   }
 
+  // ---- predicate-scoped OPTIMIZE -------------------------------------
+
+  test("compact WHERE merges only the predicate's files and keeps their stats") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15optw").toString
+    TxLog.commitOverwrite(spark, dir,
+      payload(4000, "a").repartitionByRange(8, col("k")),
+      statsCols = Seq("k"))
+    val pre = TxLog.snapshot(spark, dir)
+    val lowPre = TxLog.prunedSnapshotFiles(spark, pre,
+      Seq(("k", None, Some(999L)))).map(_.path).toSet
+    assert(lowPre.size >= 2 && lowPre.size < pre.files.size)
+    TxLog.compact(spark, dir, targetFiles = 1,
+      where = Some(col("k") < 1000L))
+    val post = TxLog.snapshot(spark, dir)
+    // files outside the predicate's stats envelope survive BY PATH
+    // (the scope may be one file wider than the strict probe — the
+    // predicate-bounds derivation is conservative at the boundary)
+    val removed = pre.files.map(_.path).toSet --
+      post.files.map(_.path).toSet
+    val boundary = TxLog.prunedSnapshotFiles(spark, pre,
+      Seq(("k", None, Some(1000L)))).map(_.path).toSet
+    assert(removed.nonEmpty && removed.subsetOf(boundary),
+      "compact WHERE rewrote files outside the predicate envelope")
+    assert(removed.size >= 2 && removed.size < pre.files.size)
+    assert(post.files.size == pre.files.size - removed.size + 1)
+    assert(TxLog.read(spark, dir).count() == 4000)
+    // inherited stats: the k-range probe still prunes after OPTIMIZE
+    val lowPost = TxLog.prunedSnapshotFiles(spark, post,
+      Seq(("k", None, Some(999L))))
+    assert(lowPost.size < post.files.size,
+      "the rewrite must inherit the pruning stats")
+    // a matching-nothing predicate is a no-op, not an empty commit
+    val v = post.version
+    TxLog.compact(spark, dir, targetFiles = 1,
+      where = Some(col("k") > 100000000L))
+    assert(TxLog.snapshot(spark, dir).version == v)
+    // scoped vectors fold away; out-of-scope vectors stand
+    TxLog.deleteMor(spark, dir, col("k") % 1000 === 7L)
+    TxLog.compact(spark, dir, targetFiles = 1,
+      where = Some(col("k") < 1000L))
+    val snap2 = TxLog.snapshot(spark, dir)
+    val lowNow = TxLog.prunedSnapshotFiles(spark, snap2,
+      Seq(("k", None, Some(999L))))
+    assert(lowNow.forall(_.dv.isEmpty),
+      "scoped compact must materialize its vectors away")
+    assert(snap2.files.exists(_.dv.isDefined),
+      "out-of-scope vectors must stand")
+    assert(TxLog.read(spark, dir).count() == 4000 - 4)
+  }
+
   // ---- refresh vs concurrent source DML (the race contract) ---------
 
   test("SCD2: a refresh bounded at head-as-read lands exactly (w, head]; the racer folds next") {
