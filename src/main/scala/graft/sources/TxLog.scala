@@ -3732,6 +3732,32 @@ object TxLog {
         !live.contains(n) && (now - st.getModificationTime) >= minAgeMs
     }
     if (!dryRun) stale.foreach(st => f.delete(st.getPath, false))
+    // registered hive layouts (key=value subdirs): their entries are
+    // RELATIVE paths — a CoW rewrite of a nested file retires it from
+    // the log, and reaping must walk the partition dirs to find it
+    // (live matching by relative path, same retention/age policy)
+    val rootAbs = f.makeQualified(root).toString
+    val nestedDirs = f.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+        n.contains('=')
+    }
+    val staleNested = nestedDirs.flatMap { d0 =>
+      val it = f.listFiles(d0.getPath, true)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = f.makeQualified(st.getPath).toString
+          .drop(rootAbs.length + 1)
+        val hidden = rel.split('/').exists(sg =>
+          sg.startsWith("_") || sg.startsWith("."))
+        if (st.isFile && !hidden && !live.contains(rel) &&
+          (now - st.getModificationTime) >= minAgeMs) out += st
+      }
+      out
+    }
+    if (!dryRun) staleNested.foreach(st => f.delete(st.getPath, false))
     // superseded deletion vectors: a vector relation referenced by no
     // retained version (each DML writes a fresh merged one, compaction
     // drops the pointers) — same retention and age guard as data files
@@ -3764,6 +3790,8 @@ object TxLog {
       }
     if (!dryRun) staleTmp.foreach(st => lf.delete(st.getPath, false))
     (stale.map(_.getPath.getName) ++
+      staleNested.map(st => f.makeQualified(st.getPath).toString
+        .drop(rootAbs.length + 1)) ++
       staleDv.map(st => s"$DvDir/${st.getPath.getName}") ++
       staleTmp.map(st => s"$LogDir/${st.getPath.getName}")).toSeq.sorted
   }

@@ -446,6 +446,33 @@ class Round15Spec extends SparkSpec {
       .count() == 10)
   }
 
+  test("hive layout: vacuum reaps retired nested files, never live ones") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15partvac").toString + "/t"
+    partPayload(300).repartition(2)
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(spark, dir, statsCols = Seq("k"))
+    val nested = TxLog.snapshot(spark, dir).files.map(_.path)
+    assert(nested.forall(_.contains('/')))
+    // nothing is stale yet
+    assert(TxLog.vacuumDryRun(spark, dir).isEmpty)
+    // CoW delete retires the fr partition's nested files from the log
+    TxLog.delete(spark, dir, col("lang") === "fr")
+    val retired = nested.filter(_.startsWith("lang=fr/")).toSet
+    val reaped = TxLog.vacuumDryRun(spark, dir).toSet
+    assert(retired.subsetOf(reaped),
+      s"retired nested files must be reapable: $retired vs $reaped")
+    assert(TxLog.vacuum(spark, dir) >= retired.size)
+    retired.foreach(p => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, p)),
+      s"$p should be gone"))
+    // live nested files and the data survive
+    assert(TxLog.read(spark, dir).count() == 200)
+    assert(TxLog.read(spark, dir)
+      .filter(col("lang") === "en").count() == 100)
+  }
+
   // ---- predicate-scoped OPTIMIZE -------------------------------------
 
   test("compact WHERE merges only the predicate's files and keeps their stats") {
