@@ -182,6 +182,11 @@ private[graft] class TxLogBatchRelation(ctx: SQLContext, dir: String,
 
   override def schema: StructType = required
 
+  // the inner plan already produces InternalRow — hand it to the
+  // engine as-is (the V1 contract for needConversion = false) instead
+  // of paying InternalRow→Row→InternalRow on every row of the scan
+  override def needConversion: Boolean = false
+
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val snap = TxLog.snapshot(spark, dir, Some(asOf))
@@ -202,6 +207,6 @@ private[graft] class TxLogBatchRelation(ctx: SQLContext, dir: String,
     val projected =
       if (required.isEmpty) filtered.select()
       else filtered.select(required.fieldNames.map(col).toSeq: _*)
-    projected.rdd
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
