@@ -473,6 +473,126 @@ class Round15Spec extends SparkSpec {
       .filter(col("lang") === "en").count() == 100)
   }
 
+  test("hive layout: randomized DML model check on a registered partitioned table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15partmodel").toString + "/t"
+    // seed: 60 keyed rows over 3 partition values, hive layout
+    val langs = Seq("en", "fr", "de")
+    def langOf(k: Long): String = langs((k % 3).toInt)
+    (0L until 60L).map(k => (k, s"v$k", langOf(k)))
+      .toDF("k", "v", "lang").repartition(2)
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(spark, dir, statsCols = Seq("k"))
+    var model: Map[Long, (String, String)] =
+      (0L until 60L).map(k => k -> (s"v$k", langOf(k))).toMap
+    def tableState: Map[Long, (String, String)] =
+      TxLog.read(spark, dir).select("k", "v", "lang")
+        .as[(Long, String, String)].collect()
+        .map { case (k, v, l) => k -> (v, l) }.toMap
+    val rnd = new scala.util.Random(151515L)
+    var nextKey = 1000L
+    val history = scala.collection.mutable.ArrayBuffer(model)
+    (1 to 18).foreach { _ =>
+      var committed = true
+      rnd.nextInt(7) match {
+        case 0 => // CoW delete of one partition-value slice or range
+          val x = model.keys.toSeq.sorted.apply(
+            rnd.nextInt(model.size))
+          TxLog.delete(spark, dir, col("k") <= x)
+          model = model.filter(_._1 > x)
+          if (model.isEmpty) {
+            history += model
+            TxLog.commitAppend(spark, dir,
+              Seq((nextKey, s"v$nextKey", langOf(nextKey)))
+                .toDF("k", "v", "lang"))
+            model += nextKey -> (s"v$nextKey", langOf(nextKey))
+            nextKey += 1
+          }
+        case 1 => // CoW update on a data column
+          val x = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          TxLog.update(spark, dir, col("k") <= x,
+            Map("v" -> concat(col("v"), lit("!"))))
+          model = model.map { case (k, (v, l)) =>
+            k -> (if (k <= x) (v + "!", l) else (v, l)) }
+        case 2 => // MoR delete (vectors on nested files)
+          val x = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          TxLog.deleteMor(spark, dir, col("k") === x)
+          model -= x
+          if (model.isEmpty) {
+            history += model
+            TxLog.commitAppend(spark, dir,
+              Seq((nextKey, s"v$nextKey", langOf(nextKey)))
+                .toDF("k", "v", "lang"))
+            model += nextKey -> (s"v$nextKey", langOf(nextKey))
+            nextKey += 1
+          }
+        case 3 => // MoR update
+          val x = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          TxLog.updateMor(spark, dir, col("k") === x,
+            Map("v" -> concat(col("v"), lit("?"))))
+          model = model.map { case (k, (v, l)) =>
+            k -> (if (k == x) (v + "?", l) else (v, l)) }
+        case 4 => // merge: replace one + insert one
+          val hit = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          val ins = nextKey; nextKey += 1
+          TxLog.merge(spark, dir,
+            Seq((hit, s"m$hit", langOf(hit)),
+              (ins, s"v$ins", langOf(ins))).toDF("k", "v", "lang"),
+            Seq("k"))
+          model += hit -> (s"m$hit", langOf(hit))
+          model += ins -> (s"v$ins", langOf(ins))
+        case 5 => // flat append
+          val ins = nextKey; nextKey += 1
+          TxLog.commitAppend(spark, dir,
+            Seq((ins, s"v$ins", langOf(ins))).toDF("k", "v", "lang"))
+          model += ins -> (s"v$ins", langOf(ins))
+        case _ => // maintenance: scoped or full compact
+          val vBefore = TxLog.snapshot(spark, dir).version
+          if (rnd.nextBoolean())
+            TxLog.compact(spark, dir, targetFiles = 2,
+              statsCols = Seq("k"))
+          else
+            TxLog.compact(spark, dir, targetFiles = 1,
+              statsCols = Seq("k"),
+              where = Some(col("lang") === langs(rnd.nextInt(3))))
+          // a match-nothing scoped compact commits nothing — record
+          // no history entry for it
+          committed = TxLog.snapshot(spark, dir).version > vBefore
+      }
+      if (committed) history += model
+      assert(tableState == model, s"diverged after op ${history.size}")
+    }
+    // time travel: every recorded version replays to its model state
+    val head = TxLog.snapshot(spark, dir).version
+    assert(head == history.size - 1,
+      s"version/history desync: head $head vs ${history.size - 1}")
+    history.zipWithIndex.foreach { case (want, v) =>
+      val got = TxLog.read(spark, dir, Some(v.toLong))
+        .select("k", "v", "lang").as[(Long, String, String)]
+        .collect().map { case (k, vv, l) => k -> (vv, l) }.toMap
+      assert(got == want, s"version $v diverged from the model")
+    }
+  }
+
+  test("hive layout: the plain stream's initial load recovers path values") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15partstream").toString + "/t"
+    partPayload(30).write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(spark, dir)
+    val q = spark.readStream.format("txlog").load(dir)
+      .writeStream.format("memory").queryName("r15ps")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000L) finally q.stop()
+    val got = spark.table("r15ps")
+    assert(got.count() == 30)
+    assert(got.filter(col("lang").isNull).count() == 0,
+      "the streamed initial load must recover path-encoded values")
+    assert(got.filter(col("lang") === "en").count() == 10)
+  }
+
   // ---- predicate-scoped OPTIMIZE -------------------------------------
 
   test("compact WHERE merges only the predicate's files and keeps their stats") {
