@@ -178,7 +178,8 @@ object TxLog {
       minReader: Int = 1,
       identity: Map[String, IdentitySpec] = Map.empty,
       generated: Map[String, String] = Map.empty,
-      partitionCols: Seq[String] = Nil) {
+      partitionCols: Seq[String] = Nil,
+      defaults: Map[String, String] = Map.empty) {
     /** The physical parquet name of a logical column. */
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** Physical names no new column may claim. */
@@ -346,6 +347,7 @@ object TxLog {
       identity: Option[Map[String, IdentitySpec]] = None,
       generated: Option[Map[String, String]] = None,
       partitionCols: Option[Seq[String]] = None,
+      defaults: Option[Map[String, String]] = None,
       ts: Long = System.currentTimeMillis()): String = {
     val base: JObject =
       ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
@@ -361,8 +363,10 @@ object TxLog {
       withCons0 ~ ("identity" -> identityJson(im)))
     val withCons2 = generated.fold(withCons1)(g =>
       withCons1 ~ ("generated" -> g))
-    val withCons = partitionCols.fold(withCons2)(pc =>
+    val withCons3 = partitionCols.fold(withCons2)(pc =>
       withCons2 ~ ("partitionCols" -> pc))
+    val withCons = defaults.fold(withCons3)(d =>
+      withCons3 ~ ("defaults" -> d))
     val withTxn = txn.fold(withCons) { case (app, b) =>
       withCons ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
     }
@@ -381,10 +385,11 @@ object TxLog {
     var identity = Map.empty[String, IdentitySpec]
     var generated = Map.empty[String, String]
     var partitionCols = Seq.empty[String]
+    var defaults = Map.empty[String, String]
     def toSnapshot(v: Long): TxSnapshot =
       TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path),
         txns.toMap, constraints, mapping, retired, minReader, identity,
-        generated, partitionCols)
+        generated, partitionCols, defaults)
   }
 
   /** JSON form of an identity map (sorted for determinism); `high`
@@ -435,6 +440,11 @@ object TxLog {
     (j \ "partitionCols") match {
       case JNothing => ()
       case jv => st.partitionCols = jv.extract[Seq[String]]
+    }
+    // column DEFAULT expressions: same full-map replay shape
+    (j \ "defaults") match {
+      case JNothing => ()
+      case jv => st.defaults = jv.extract[Map[String, String]]
     }
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
@@ -489,6 +499,10 @@ object TxLog {
         case JNothing => ()
         case jv => st.partitionCols = jv.extract[Seq[String]]
       }
+      (j \ "defaults") match {
+        case JNothing => ()
+        case jv => st.defaults = jv.extract[Map[String, String]]
+      }
     }
     val needed = (cp.getOrElse(-1L) + 1) to target
     val present = commits.toSet
@@ -531,9 +545,12 @@ object TxLog {
     val withGen0 =
       if (snap.generated.isEmpty) withId
       else withId ~ ("generated" -> snap.generated)
-    val withGen =
+    val withGen1 =
       if (snap.partitionCols.isEmpty) withGen0
       else withGen0 ~ ("partitionCols" -> snap.partitionCols)
+    val withGen =
+      if (snap.defaults.isEmpty) withGen1
+      else withGen1 ~ ("defaults" -> snap.defaults)
     val j: JObject =
       if (snap.minReader <= 1) withGen
       else withGen ~ ("minReader" -> snap.minReader)
@@ -660,7 +677,8 @@ object TxLog {
       minReader: Option[Int] = None,
       identityOut: Option[Map[String, IdentitySpec]] = None,
       expectIdentity: Map[String, Option[Long]] = Map.empty,
-      generatedOut: Option[Map[String, String]] = None): Long = {
+      generatedOut: Option[Map[String, String]] = None,
+      defaultsOut: Option[Map[String, String]] = None): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
@@ -811,6 +829,7 @@ object TxLog {
       if (tryWrite(f, versionFile(dir, v),
           renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut,
             mrOut, identity = identityOut, generated = generatedOut,
+            defaults = defaultsOut,
             ts = nextCommitTs(f, dir, v)))) {
         if (v > 0 && v % CheckpointInterval == 0)
           writeCheckpoint(spark, dir, v)
@@ -945,7 +964,8 @@ object TxLog {
       df: DataFrame, statsCols: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       identity: Map[String, IdentitySpec] = Map.empty,
-      generated: Map[String, String] = Map.empty): Long = {
+      generated: Map[String, String] = Map.empty,
+      defaults: Map[String, String] = Map.empty): Long = {
     // fast path: skip staging entirely for an already-seen batch
     // (Complete-mode streaming sinks replay overwrites too)
     val snap0 = if (isLogged(spark, dir)) Some(snapshot(spark, dir)) else None
@@ -977,8 +997,23 @@ object TxLog {
       validateGeneratedDecl(spark, df.columns.toSet ++ generated.keys,
         c, e, genMap - c, idMap.keySet)
     }
+    // `defaults` declares creation-time column DEFAULTs; standing
+    // declarations carry. A declared column absent from df fills here
+    val standingDef = snap0.map(_.defaults).getOrElse(Map.empty)
+    val defMap = standingDef ++ defaults
+    defaults.foreach { case (c, e) =>
+      require(!genMap.contains(c) && !idMap.contains(c),
+        s"TxLog: '$c' cannot carry a DEFAULT and a generation rule")
+      val refs = exprRefs(spark, e)
+      require(refs.isEmpty,
+        s"TxLog: DEFAULT for '$c' references column(s) " +
+          s"${refs.mkString(", ")} — defaults must be literal-foldable")
+    }
+    val dfDef =
+      if (defMap.isEmpty) df else applyDefaultCols(df, defMap, None)
     val dfGen =
-      if (genMap.isEmpty) df else applyGeneratedCols(df, genMap, None)
+      if (genMap.isEmpty) dfDef
+      else applyGeneratedCols(dfDef, genMap, None)
     val (dfId, expectId) =
       if (idMap.isEmpty) (dfGen, Map.empty[String, Option[Long]])
       else applyIdentityCols(dfGen, idMap)
@@ -993,7 +1028,8 @@ object TxLog {
       identityOut = if (idMap.isEmpty) None
         else Some(identityAfter(idMap, added, c => c)),
       expectIdentity = expectId,
-      generatedOut = Some(genMap).filter(_.nonEmpty))
+      generatedOut = Some(genMap).filter(_.nonEmpty),
+      defaultsOut = Some(defMap).filter(_.nonEmpty))
   }
 
   /** Transactionally append `df`. Schema must match the table's —
@@ -1015,16 +1051,21 @@ object TxLog {
     // column order (the append schema check is order-sensitive)
     val idMap = snap0.map(_.identity).getOrElse(Map.empty)
     val genMap = snap0.map(_.generated).getOrElse(Map.empty)
+    val defMap = snap0.map(_.defaults).getOrElse(Map.empty)
+    val declared0 = snap0.map(s0 => DataType.fromJson(s0.schemaJson)
+      .asInstanceOf[StructType])
+    val dfDef =
+      if (defMap.isEmpty) df
+      else applyDefaultCols(df, defMap, declared0)
     val dfGen =
-      if (genMap.isEmpty) df
-      else applyGeneratedCols(df, genMap,
-        snap0.map(s0 => DataType.fromJson(s0.schemaJson)
-          .asInstanceOf[StructType]))
+      if (genMap.isEmpty) dfDef
+      else applyGeneratedCols(dfDef, genMap, declared0)
     val (dfFilled, expectId) =
       if (idMap.isEmpty) (dfGen, Map.empty[String, Option[Long]])
       else applyIdentityCols(dfGen, idMap)
     val dfId = snap0 match {
-      case Some(s0) if idMap.nonEmpty || genMap.nonEmpty =>
+      case Some(s0)
+        if idMap.nonEmpty || genMap.nonEmpty || defMap.nonEmpty =>
         val order = DataType.fromJson(s0.schemaJson)
           .asInstanceOf[StructType].fieldNames
           .filter(dfFilled.columns.contains) ++
@@ -1244,6 +1285,9 @@ object TxLog {
     require(!snap.generated.contains(name),
       s"TxLog: '$name' is expression-generated — a column cannot be " +
         "both identity and generated")
+    require(!snap.defaults.contains(name),
+      s"TxLog: '$name' carries a DEFAULT — a column cannot be both " +
+        "identity and defaulted")
     val mm = minMax(spark, dir, Seq(name)).head()
     val hi =
       if (step > 0) Option(mm.getAs[Any](s"max_$name"))
@@ -1335,6 +1379,85 @@ object TxLog {
       s"TxLog: gave up after $MaxAttempts contended marker commits")
   }
 
+  // ---- column DEFAULT values ----------------------------------------
+
+  /** Declare a column DEFAULT (Delta's `ALTER TABLE … ALTER COLUMN …
+    * SET DEFAULT expr`): a batch that OMITS the column gets it filled
+    * with the (literal-foldable) expression at write; a batch that
+    * SUPPLIES it — including NULLs — flows untouched (SQL DEFAULT
+    * semantics: it applies only when the column is absent). Purely a
+    * WRITER feature: data files always carry the column, so no reader
+    * generation bump. The expression must not reference columns
+    * (Delta's foldability rule) and must cast to the column's type. */
+  def setDefault(spark: SparkSession, dir: String, name: String,
+      exprStr: String): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"TxLog: default column '$name' is not a table column")
+    require(!snap.identity.contains(name),
+      s"TxLog: '$name' is an identity column — its values generate")
+    require(!snap.generated.contains(name),
+      s"TxLog: '$name' is expression-generated — its values compute")
+    val refs = exprRefs(spark, exprStr)
+    require(refs.isEmpty,
+      s"TxLog: DEFAULT for '$name' references column(s) " +
+        s"${refs.mkString(", ")} — defaults must be literal-foldable " +
+        "(use a GENERATED column for derived values)")
+    // the expression must evaluate and cast to the declared type
+    val probe = spark.range(1)
+      .select(expr(exprStr).cast(schema(name).dataType)).head()
+    val _ = probe // any failure above refuses the declaration
+    commitDefaults(spark, dir, snap.defaults + (name -> exprStr))
+  }
+
+  /** Remove a column's DEFAULT (the column stays). */
+  def dropDefault(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir)
+    require(snap.defaults.contains(name),
+      s"TxLog: '$name' carries no DEFAULT")
+    commitDefaults(spark, dir, snap.defaults - name)
+  }
+
+  private def commitDefaults(spark: SparkSession, dir: String,
+      all: Map[String, String]): Long = {
+    val f = fs(spark, logPath(dir))
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      val base = snapshot(spark, dir)
+      val v = base.version + 1
+      val j: JObject =
+        ("version" -> v) ~ ("op" -> "defaults") ~
+          ("ts" -> nextCommitTs(f, dir, v)) ~
+          ("add" -> JArray(Nil)) ~ ("remove" -> JArray(Nil)) ~
+          ("defaults" -> all)
+      if (tryWrite(f, versionFile(dir, v),
+          JsonMethods.compact(JsonMethods.render(j)))) {
+        if (v > 0 && v % CheckpointInterval == 0)
+          writeCheckpoint(spark, dir, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog: gave up after $MaxAttempts contended defaults commits")
+  }
+
+  /** Fill declared DEFAULTs for columns the batch omits (supplied
+    * columns flow untouched — SQL DEFAULT semantics). */
+  private def applyDefaultCols(df: DataFrame,
+      defaults: Map[String, String],
+      declared: Option[StructType]): DataFrame =
+    defaults.toSeq.sortBy(_._1).foldLeft(df) { case (out, (c, e)) =>
+      if (out.columns.contains(c)) out
+      else {
+        val target = declared.flatMap(_.fields.find(_.name == c))
+        out.withColumn(c,
+          target.fold(expr(e))(fl => expr(e).cast(fl.dataType)))
+      }
+    }
+
   // ---- generated columns -------------------------------------------
 
   private def validateGeneratedDecl(spark: SparkSession,
@@ -1381,6 +1504,9 @@ object TxLog {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     validateGeneratedDecl(spark, schema.fieldNames.toSet, name,
       exprStr, snap.generated, snap.identity.keySet)
+    require(!snap.defaults.contains(name),
+      s"TxLog: '$name' carries a DEFAULT — dropDefault first " +
+        "(a column cannot be both defaulted and generated)")
     val bad = read(spark, dir)
       .filter(!(col(name) <=> expr(exprStr))).limit(1).count()
     require(bad == 0L,
@@ -1581,7 +1707,8 @@ object TxLog {
           minReader = Some(math.max(2, snap.minReader)),
           constraints = Some(snap.constraints).filter(_.nonEmpty),
           identity = Some(snap.identity).filter(_.nonEmpty),
-          generated = Some(snap.generated).filter(_.nonEmpty))))
+          generated = Some(snap.generated).filter(_.nonEmpty),
+          defaults = Some(snap.defaults).filter(_.nonEmpty))))
       throw new java.util.ConcurrentModificationException(
         s"TxLog: clone target $targetDir was concurrently created — " +
           "refusing to clobber it")
@@ -1669,7 +1796,8 @@ object TxLog {
             .max match { case 1 => None; case m => Some(m) },
           constraints = Some(snap.constraints).filter(_.nonEmpty),
           identity = Some(snap.identity).filter(_.nonEmpty),
-          generated = Some(snap.generated).filter(_.nonEmpty))))
+          generated = Some(snap.generated).filter(_.nonEmpty),
+          defaults = Some(snap.defaults).filter(_.nonEmpty))))
       throw new java.util.ConcurrentModificationException(
         s"TxLog: clone target $targetDir was concurrently created — " +
           "refusing to clobber it")
@@ -1825,6 +1953,9 @@ object TxLog {
     require(!snap.generated.contains(oldName),
       s"TxLog: '$oldName' is a generated column — dropGenerated " +
         "before renaming")
+    require(!snap.defaults.contains(oldName),
+      s"TxLog: '$oldName' carries a DEFAULT — dropDefault " +
+        "before renaming")
     val genBound = snap.generated.filter { case (_, e) =>
       exprRefs(spark, e).contains(oldName) }
     require(genBound.isEmpty,
@@ -1862,6 +1993,9 @@ object TxLog {
         "before dropping it")
     require(!snap.generated.contains(name),
       s"TxLog: '$name' is a generated column — dropGenerated " +
+        "before dropping it")
+    require(!snap.defaults.contains(name),
+      s"TxLog: '$name' carries a DEFAULT — dropDefault " +
         "before dropping it")
     val genBound = snap.generated.filter { case (_, e) =>
       exprRefs(spark, e).contains(name) }
