@@ -4,10 +4,12 @@ import java.util
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead,
+  SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -62,29 +64,31 @@ private[graft] object TxLogBatch {
       "txlog batch source needs a table directory: .load(<dir>) or " +
         "OPTIONS (path '<dir>')"))
 
-  /** Resolve (pinned version, logical schema) for a table reference:
-    * versionAsOf > timestampAsOf > head. */
+  /** Resolve (dir, pinned version, logical schema, time-travel flag)
+    * for a table reference: versionAsOf > timestampAsOf > head. */
   private[graft] def resolve(spark: SparkSession,
-      options: Map[String, String]): (String, Long, StructType) = {
+      options: Map[String, String])
+      : (String, Long, StructType, Boolean) = {
     val d = tableDir(options)
     // a missing log resolves to a PLACEHOLDER (version -1, empty
     // schema): DataFrameWriter probes the provider before its v1
     // fallback, so table resolution must not refuse a dir a write is
     // about to CREATE — the scan builder refuses reads instead
     if (!TxLog.isLogged(spark, d))
-      return (d, -1L, new StructType())
+      return (d, -1L, new StructType(), false)
     def opt(name: String): Option[String] =
       options.collectFirst { case (k, v)
         if k.equalsIgnoreCase(name) => v }
     require(opt("versionAsOf").isEmpty || opt("timestampAsOf").isEmpty,
       "txlog batch source: versionAsOf and timestampAsOf are " +
         "mutually exclusive")
-    val v = opt("versionAsOf").map(_.toLong)
+    val travel = opt("versionAsOf").map(_.toLong)
       .orElse(opt("timestampAsOf").map(ts =>
         TxLog.versionAt(spark, d, ts.toLong)))
-      .getOrElse(TxLog.snapshot(spark, d).version)
+    val v = travel.getOrElse(TxLog.snapshot(spark, d).version)
     val snap = TxLog.snapshot(spark, d, Some(v))
-    (d, v, DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    (d, v, DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
+      travel.isDefined)
   }
 
   /** Pushed conjuncts → per-column intervals for file pruning. Only
@@ -109,22 +113,64 @@ private[graft] object TxLogBatch {
     intervals(Seq(f)).nonEmpty
 }
 
-/** The resolved batch table: schema + version pinned at resolution. */
+/** The resolved batch table: schema + version pinned at resolution.
+  * `pinned` marks a versionAsOf/timestampAsOf reference — read-only
+  * by definition (writes go to the head, never into history). A
+  * placeholder (asOf < 0, the dir is not logged yet) declares NO
+  * capabilities so DataFrameWriter falls back to the v1 save path,
+  * which creates the table under every SaveMode. */
 private[graft] class TxLogBatchTable(dir: String, asOf: Long,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType, pinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"txlog:$dir@v$asOf"
 
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (asOf < 0L) util.Collections.emptySet()
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     require(asOf >= 0L,
       s"txlog batch source: no transaction log under $dir")
     new TxLogBatchScanBuilder(dir, asOf, tableSchema)
+  }
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` and `df.write` in
+    * Append/Overwrite modes, bridged to [[TxLog.commitAppend]] /
+    * [[TxLog.commitOverwrite]] via [[V1Write]] — the same commit
+    * machinery as the Scala API, so identity/generated/default/CHECK
+    * enforcement applies identically. `statsCols` rides as a write
+    * option. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      s"txlog: cannot write to $dir pinned at version $asOf " +
+        "(versionAsOf/timestampAsOf reads are immutable history) — " +
+        "write to the table without time-travel options")
+    val statsCols = Option(info.options.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, ow: Boolean) => {
+            val spark = data.sparkSession
+            if (overwrite || ow)
+              TxLog.commitOverwrite(spark, dir, data,
+                statsCols = statsCols)
+            else TxLog.commitAppend(spark, dir, data,
+              statsCols = statsCols)
+            ()
+          }
+      }
+    }
   }
 }
 

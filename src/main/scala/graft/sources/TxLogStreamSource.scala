@@ -139,9 +139,9 @@ class TxLogStreamProvider extends StreamSourceProvider
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.Table = {
     import scala.jdk.CollectionConverters._
-    val (d, v, tschema) =
+    val (d, v, tschema, pinned) =
       TxLogBatch.resolve(SparkSession.active, properties.asScala.toMap)
-    new TxLogBatchTable(d, v, tschema)
+    new TxLogBatchTable(d, v, tschema, pinned)
   }
 
   private def dir(parameters: Map[String, String]): String =

@@ -269,17 +269,59 @@ class Round15Spec extends SparkSpec {
       .forall(_.stats.contains("k")))
     payload(3, "c").write.format("txlog").mode("overwrite").save(dir)
     assert(TxLog.read(spark, dir).count() == 3)
+    // creation-only modes refuse on an EXISTING table (the V2 write
+    // path's contract for TableProvider sources)
     intercept[Exception] {
       payload(1, "d").write.format("txlog")
         .mode("errorifexists").save(dir)
     }
-    payload(1, "d").write.format("txlog").mode("ignore").save(dir)
+    intercept[Exception] {
+      payload(1, "d").write.format("txlog").mode("ignore").save(dir)
+    }
     assert(TxLog.read(spark, dir).count() == 3)
+    // ... but CREATE a missing table fine (v1 fallback)
+    val dir2 = tmp("r15bw2").toString + "/t"
+    payload(2, "e").write.format("txlog").mode("ignore").save(dir2)
+    assert(TxLog.read(spark, dir2).count() == 2)
     // round-trip: the write lands what the read returns
     val got = spark.read.format("txlog").load(dir)
       .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
     val want = payload(3, "c").collect().map(_.toSeq).sortBy(_.toString)
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("batch txlog source: SQL INSERT INTO / INSERT OVERWRITE land through the log") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15sqlins").toString + "/t"
+    TxLog.commitOverwrite(spark, dir, payload(3, "a"))
+    spark.sql("DROP TABLE IF EXISTS r15_ins")
+    spark.sql(s"CREATE TABLE r15_ins USING txlog OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO r15_ins VALUES (100, 1, 'sql')")
+      assert(TxLog.read(spark, dir).count() == 4)
+      assert(TxLog.snapshot(spark, dir).version == 1L)
+      assert(spark.sql("SELECT count(*) FROM r15_ins WHERE name = 'sql'")
+        .as[Long].head() == 1L)
+      spark.sql("INSERT OVERWRITE r15_ins VALUES (7, 7, 'only')")
+      assert(TxLog.read(spark, dir).count() == 1)
+      assert(TxLog.read(spark, dir).select("name").as[String]
+        .head() == "only")
+      // table contracts still gate SQL writes: a CHECK refusal
+      TxLog.addCheckConstraint(spark, dir, "pos", "k >= 0")
+      intercept[Exception] {
+        spark.sql("INSERT INTO r15_ins VALUES (-1, 0, 'bad')")
+      }
+      assert(TxLog.read(spark, dir).count() == 1)
+      // time-travel references refuse writes
+      intercept[Exception] {
+        payload(1, "z").write.format("txlog")
+          .option("versionAsOf", "0").mode("append").save(dir)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS r15_ins")
+      ()
+    }
   }
 
   test("batch txlog source: streaming read/write still resolves the v1 source") {
