@@ -2851,15 +2851,25 @@ object TxLog {
     * the parquet `_metadata` struct — the row's PHYSICAL identity,
     * which is what deletion vectors address. No vector is applied.
     * Scans under PHYSICAL column names, returns LOGICAL ones. */
+  /** Percent-decode a fragment of `_metadata.file_path` back to the
+    * RAW on-disk name (what directory listings — and therefore the
+    * log — record). `url_decode` alone would also turn a literal '+'
+    * into a space (form-encoding semantics); URI path encoding leaves
+    * '+' untouched, so pre-escape it and the decode restores it. */
+  private def pathDecode(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
+
   /** The value of a path-encoded (hive-layout) partition column,
     * recovered from `_metadata.file_path` — one codegen'd expression,
-    * no extra scan. Hive escaping and the null sentinel apply. */
+    * no extra scan. Hive escaping and the null sentinel apply; the
+    * path arrives URI-encoded ([[pathDecode]]). */
   private def pathPartValue(physName: String,
       dt: DataType): org.apache.spark.sql.Column = {
     val seg = regexp_extract(col("_metadata.file_path"),
       "/" + java.util.regex.Pattern.quote(physName) + "=([^/]+)/", 1)
     when(seg === "" || seg === "__HIVE_DEFAULT_PARTITION__",
-      lit(null)).otherwise(url_decode(seg)).cast(dt)
+      lit(null)).otherwise(pathDecode(seg)).cast(dt)
   }
 
   /** Read snapshot files under the LOGICAL schema, injecting
@@ -2886,15 +2896,11 @@ object TxLog {
     // writes name by UUID); a path-partitioned registration may
     // legitimately repeat base names across partition dirs, so those
     // tables key by DIR-RELATIVE path instead (flat files' relative
-    // path IS their base name, so the two identities coincide there)
-    val tagExpr =
-      if (partCols.isEmpty) col("_metadata.file_name")
-      else {
-        val prefix = fs(spark, new Path(dir))
-          .makeQualified(new Path(dir)).toString + "/"
-        col("_metadata.file_path")
-          .substr(lit(prefix.length + 1), lit(Int.MaxValue))
-      }
+    // path IS their base name, so the two identities coincide there).
+    // The relative path is the file's LAST depth+1 segments —
+    // anchored from the right, so URI-scheme normalization
+    // differences between the driver's view of `dir` and the
+    // scanner's `_metadata.file_path` can never shift it
     def leg(ps: Seq[String], inject: Seq[String]): DataFrame = {
       val physS = physSchema(schema, mapping)
       val readS = StructType(physS.fields.filterNot(f =>
@@ -2903,6 +2909,10 @@ object TxLog {
         .parquet(ps.map(p => resolveData(dir, p)): _*)
       val withParts = inject.foldLeft(raw)((d, pp) =>
         d.withColumn(pp, pathPartValue(pp, physS(pp).dataType)))
+      val tagExpr =
+        if (inject.isEmpty) col("_metadata.file_name")
+        else pathDecode(regexp_extract(col("_metadata.file_path"),
+          "/((?:[^/]+/){" + inject.size + "}[^/]+)$", 1))
       withParts.select(schema.fields.map(fl =>
         col(mapping.getOrElse(fl.name, fl.name)).as(fl.name)).toSeq ++
         Seq(tagExpr.as(TagFile),

@@ -426,6 +426,17 @@ class Round15Spec extends SparkSpec {
     // the batch DataSource rides the same read path
     assert(spark.read.format("txlog").load(dir)
       .filter(col("day") === 1).count() == 2)
+    // DML must hit url-escaped and null partitions (file identity is
+    // the LOG's raw on-disk relative path — any encoding drift between
+    // _metadata.file_path and the listing would silently no-op here)
+    TxLog.deleteMor(spark, dir, col("lang") === "a b")
+    assert(TxLog.read(spark, dir).count() == 3)
+    assert(TxLog.read(spark, dir).filter(col("lang") === "a b")
+      .count() == 0)
+    TxLog.delete(spark, dir, col("lang").isNull)
+    assert(TxLog.read(spark, dir).count() == 2)
+    assert(TxLog.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
   }
 
   test("hive layout: incremental consumption recovers path-encoded values") {
