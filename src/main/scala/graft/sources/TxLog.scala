@@ -2184,6 +2184,57 @@ object TxLog {
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
   }
 
+  /** Atomic partial overwrite (Delta's `replaceWhere`): ONE commit
+    * that deletes every row matching `pred` and inserts `df` in its
+    * place — the idempotent re-load of a partition/date slice
+    * ("rewrite yesterday") without ever exposing a state where the
+    * slice is missing or doubled. Every incoming row must satisfy
+    * `pred` (Delta's constraint — rows outside the slice would make
+    * the operation non-idempotent and silently co-mingle), validated
+    * BEFORE anything stages. Cost: the files actually holding
+    * matching rows rewrite (stats-pruned + exact-scan, like DELETE)
+    * plus the new batch stages; untouched files survive by path.
+    * Also reachable through the DataSource:
+    * `df.write.format("txlog").mode("overwrite")
+    * .option("replaceWhere", "<sql>")`. */
+  def replaceWhere(spark: SparkSession, dir: String, df: DataFrame,
+      pred: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Nil): Long = {
+    val snap = snapshot(spark, dir)
+    refuseAlwaysIdentity(snap, "replaceWhere")
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val srcTypes = df.schema.fields.map(fl => fl.name -> fl.dataType).toMap
+    val missing = schema.fields.filterNot(fl =>
+      srcTypes.get(fl.name).contains(fl.dataType))
+    require(missing.isEmpty,
+      s"TxLog: replaceWhere batch must carry the table schema; " +
+        s"missing or mistyped: ${missing.map(_.name).mkString(", ")}")
+    val src = df.select(schema.fieldNames.map(col).toSeq: _*)
+    val outside = src.filter(!pred.eqNullSafe(true)).limit(1).count()
+    require(outside == 0L,
+      "TxLog: replaceWhere batch contains row(s) NOT matching the " +
+        "predicate — the replaced slice must contain its replacement")
+    enforceConstraints(spark, dir, src)
+    enforceGenerated(snap, src)
+    val touched = touchedFiles(spark, dir, snap, pred)
+    val tSet = touched.toSet
+    val keepFiles = snap.files.filter(f => tSet.contains(fileKey(snap, f)))
+    val survivors =
+      if (keepFiles.isEmpty) src
+      else readSnapshot(spark, dir, snap.copy(files = keepFiles))
+        .filter(!pred.eqNullSafe(true))
+        .unionByName(src)
+    val (added, _) = stageData(spark, dir, survivors,
+      (inheritStats(keepFiles, statsCols, snap) ++
+        snap.identity.keys).distinct, snap.mapping)
+    commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
+      removeAll = false, snap.schemaJson, None,
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
+      identityOut = if (snap.identity.isEmpty) None
+        else Some(identityAfter(snap.identity, added, snap.phys)),
+      expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
+  }
+
   /** Row-level UPDATE (Delta's `UPDATE t SET … WHERE …`): rows where
     * `pred` is TRUE get each `set` expression (cast back to the
     * column's declared type — an UPDATE never mutates the schema);

@@ -154,6 +154,7 @@ private[graft] class TxLogBatchTable(dir: String, asOf: Long,
     val statsCols = Option(info.options.get("statsCols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val replaceWhere = Option(info.options.get("replaceWhere"))
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -162,12 +163,26 @@ private[graft] class TxLogBatchTable(dir: String, asOf: Long,
             : org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, ow: Boolean) => {
             val spark = data.sparkSession
-            if (overwrite || ow)
-              TxLog.commitOverwrite(spark, dir, data,
+            if (overwrite || ow) replaceWhere match {
+              case Some(cond) =>
+                // Delta's partial overwrite: replace ONLY the
+                // predicate's slice, atomically, batch validated
+                // against the predicate
+                TxLog.replaceWhere(spark, dir, data,
+                  org.apache.spark.sql.functions.expr(cond),
+                  statsCols = statsCols)
+                ()
+              case None =>
+                TxLog.commitOverwrite(spark, dir, data,
+                  statsCols = statsCols)
+                ()
+            } else {
+              require(replaceWhere.isEmpty,
+                "txlog: replaceWhere requires mode(\"overwrite\")")
+              TxLog.commitAppend(spark, dir, data,
                 statsCols = statsCols)
-            else TxLog.commitAppend(spark, dir, data,
-              statsCols = statsCols)
-            ()
+              ()
+            }
           }
       }
     }

@@ -646,6 +646,62 @@ class Round15Spec extends SparkSpec {
     assert(got.filter(col("lang") === "en").count() == 10)
   }
 
+  // ---- replaceWhere (atomic partial overwrite) ------------------------
+
+  test("replaceWhere replaces exactly the predicate's slice in one commit") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r15rw").toString
+    TxLog.commitOverwrite(spark, dir,
+      payload(4000, "a").repartitionByRange(8, col("k")),
+      statsCols = Seq("k"))
+    val pre = TxLog.snapshot(spark, dir)
+    // the replacement slice: 100 fresh rows inside k < 500
+    val batch = (0 until 100).map(i =>
+      (i.toLong * 5, -1L, s"new$i")).toDF("k", "v", "name")
+    TxLog.replaceWhere(spark, dir, batch, col("k") < 500L,
+      statsCols = Seq("k"))
+    val post = TxLog.snapshot(spark, dir)
+    assert(post.version == pre.version + 1, "ONE commit, atomic")
+    assert(TxLog.read(spark, dir).count() == 4000 - 500 + 100)
+    assert(TxLog.read(spark, dir).filter(col("k") < 500L)
+      .filter(col("v") =!= -1L).count() == 0,
+      "the old slice must be gone")
+    assert(TxLog.read(spark, dir).filter(col("v") === -1L)
+      .count() == 100)
+    // untouched files survive by path
+    val removed = pre.files.map(_.path).toSet -- post.files.map(_.path)
+    val boundary = TxLog.prunedSnapshotFiles(spark, pre,
+      Seq(("k", None, Some(500L)))).map(_.path).toSet
+    assert(removed.subsetOf(boundary),
+      "replaceWhere rewrote files outside the predicate envelope")
+    // a batch row OUTSIDE the predicate refuses, nothing lands
+    val vNow = TxLog.snapshot(spark, dir).version
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replaceWhere(spark, dir,
+        Seq((9999L, 0L, "x")).toDF("k", "v", "name"),
+        col("k") < 500L)
+    }
+    assert(e.getMessage.contains("NOT matching"))
+    assert(TxLog.snapshot(spark, dir).version == vNow)
+    // the DataSource dual: mode(overwrite) + replaceWhere option
+    Seq((7L, -2L, "ds")).toDF("k", "v", "name")
+      .write.format("txlog").mode("overwrite")
+      .option("replaceWhere", "k < 10").save(dir)
+    val t = TxLog.read(spark, dir)
+    assert(t.filter(col("k") < 10L).count() == 1)
+    assert(t.filter(col("v") === -2L).count() == 1)
+    assert(t.filter(col("k") >= 10L).count() ==
+      4000 - 500 + 100 - TxLog.read(spark, dir, Some(vNow))
+        .filter(col("k") < 10L).count())
+    // replaceWhere under append refuses
+    intercept[Exception] {
+      Seq((8L, 0L, "x")).toDF("k", "v", "name")
+        .write.format("txlog").mode("append")
+        .option("replaceWhere", "k < 10").save(dir)
+    }
+  }
+
   // ---- predicate-scoped OPTIMIZE -------------------------------------
 
   test("compact WHERE merges only the predicate's files and keeps their stats") {

@@ -215,6 +215,7 @@ ROWS = [
     (207, "txn_convert_partitioned", "hash"),
     (208, "Round15Spec (scoped OPTIMIZE) | sources/TxLog.scala", "api"),
     (209, "DefaultColSpec | sources/TxLog.scala", "api"),
+    (210, "Round15Spec (replaceWhere) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
