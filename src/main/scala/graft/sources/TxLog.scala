@@ -1817,10 +1817,24 @@ object TxLog {
     val liveBytes = snap.files.map(a =>
       try f.getFileStatus(resolvePath(dir, a.path)).getLen
       catch { case _: java.io.FileNotFoundException => 0L }).sum
-    val onDisk = f.listStatus(new Path(dir)).filter { st =>
+    // top-level data files plus (for registered hive layouts) the
+    // nested key=value tree — same scope vacuum reaps over
+    val top = f.listStatus(new Path(dir)).filter { st =>
       val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getLen).sum
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val onDisk = top.filter(_.isFile).map(_.getLen).sum +
+      top.filter(st => st.isDirectory && st.getPath.getName.contains('='))
+        .map { d0 =>
+          val it = f.listFiles(d0.getPath, true)
+          var b = 0L
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith(".")) b += st.getLen
+          }
+          b
+        }.sum
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("num_files", LongType, nullable = false),

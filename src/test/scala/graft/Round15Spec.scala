@@ -524,6 +524,12 @@ class Round15Spec extends SparkSpec {
     assert(TxLog.read(spark, dir).count() == 200)
     assert(TxLog.read(spark, dir)
       .filter(col("lang") === "en").count() == 100)
+    // describeDetail sees the nested bytes: after the vacuum, what is
+    // on disk equals what the snapshot references
+    val det = TxLog.describeDetail(spark, dir).head()
+    assert(det.getAs[Long]("bytes_in_dir") ==
+      det.getAs[Long]("live_bytes"),
+      "a vacuumed partitioned table must carry no unaccounted bytes")
   }
 
   test("hive layout: randomized DML model check on a registered partitioned table") {
