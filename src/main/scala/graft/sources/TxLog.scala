@@ -4,8 +4,9 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.json4s._
 import org.json4s.JsonDSL._
@@ -678,7 +679,8 @@ object TxLog {
       identityOut: Option[Map[String, IdentitySpec]] = None,
       expectIdentity: Map[String, Option[Long]] = Map.empty,
       generatedOut: Option[Map[String, String]] = None,
-      defaultsOut: Option[Map[String, String]] = None): Long = {
+      defaultsOut: Option[Map[String, String]] = None,
+      constraintsOut: Option[Map[String, String]] = None): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
@@ -828,7 +830,8 @@ object TxLog {
         else minReader
       if (tryWrite(f, versionFile(dir, v),
           renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut,
-            mrOut, identity = identityOut, generated = generatedOut,
+            mrOut, constraints = constraintsOut,
+            identity = identityOut, generated = generatedOut,
             defaults = defaultsOut,
             ts = nextCommitTs(f, dir, v)))) {
         if (v > 0 && v % CheckpointInterval == 0)
@@ -2261,6 +2264,11 @@ object TxLog {
       statsCols: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, dir)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // the rewrite threads its row marker as a column — a table column
+    // by that name would be silently clobbered and then dropped (same
+    // reserved-name contract as TagFile/TagIdx)
+    require(!schema.fieldNames.contains("_graft_upd"),
+      "TxLog: table columns collide with reserved name _graft_upd")
     val known = schema.fieldNames.toSet
     val unknown = set.keys.filterNot(known)
     require(unknown.isEmpty,
@@ -2579,6 +2587,352 @@ object TxLog {
       txn: Option[(String, Long)] = None): Long =
     applyCowChanges(spark, dir, changes, keyCols, deleteCol, statsCols,
       txn, group = false)
+
+  // ---- general MERGE (arbitrary ON, clause lists) ------------------
+
+  /** One WHEN clause of [[mergeInto]]. Conditions and values are
+    * Columns over the two sides of the merge, referenced through the
+    * fixed aliases `t` (target) and `s` (source) — `col("t.k") ===
+    * col("s.k")`; bare names resolve when unambiguous. */
+  sealed trait MergeClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET — `set` maps target
+    * column names to value expressions (cast to the column's declared
+    * type). */
+  final case class MergeMatchedUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MergeMatchedDelete(cond: Option[Column] = None)
+      extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT — `values` must cover
+    * every target column that is neither GENERATED (recomputed) nor
+    * DEFAULTed (filled); identity columns take the values given
+    * (BY DEFAULT only — ALWAYS tables refuse keyed-rewrite DML). */
+  final case class MergeInsert(values: Map[String, Column],
+      cond: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET — the
+    * condition and values may reference TARGET columns only. */
+  final case class MergeNotMatchedBySourceUpdate(
+      set: Map[String, Column], cond: Option[Column] = None)
+      extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class MergeNotMatchedBySourceDelete(
+      cond: Option[Column] = None) extends MergeClause
+
+  private val MergeAct = "__graft_act"
+  private val MergeNv = "__graft_nv_"
+
+  /** Equality conjuncts `t.c = <source-only expr>` of a merge ON
+    * condition — the stats-prunable shape. Bare names count only when
+    * they name exactly one side. */
+  private def mergeEqPairs(cond: Column, schema: StructType,
+      srcCols: Set[String]): Seq[(String, Column)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      EqualTo => CEq, Expression}
+    val tcols = schema.fieldNames.map(c => c.toLowerCase -> c).toMap
+    val scolsL = srcCols.map(_.toLowerCase)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def asTargetCol(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => a.nameParts.toList match {
+        case q :: c :: Nil if q.equalsIgnoreCase("t") =>
+          tcols.get(c.toLowerCase)
+        case c :: Nil if !scolsL.contains(c.toLowerCase) =>
+          tcols.get(c.toLowerCase)
+        case _ => None
+      }
+      case _ => None
+    }
+    def sourceOnly(e: Expression): Boolean = {
+      val attrs = e.collect { case a: UnresolvedAttribute => a }
+      attrs.nonEmpty && attrs.forall(_.nameParts.toList match {
+        case q :: _ :: Nil => q.equalsIgnoreCase("s")
+        case c :: Nil => scolsL.contains(c.toLowerCase) &&
+          !tcols.contains(c.toLowerCase)
+        case _ => false
+      })
+    }
+    conjuncts(PlanBridge.expression(cond)).flatMap {
+      case CEq(l, r) =>
+        asTargetCol(l).filter(_ => sourceOnly(r))
+          .map(c => (c, PlanBridge.column(r))).orElse(
+            asTargetCol(r).filter(_ => sourceOnly(l))
+              .map(c => (c, PlanBridge.column(l)))).toSeq
+      case _ => Nil
+    }
+  }
+
+  /** General row-level MERGE (Delta's full `MERGE INTO` statement —
+    * the SQL rule lowers to this, and it is the Scala API for merges
+    * the keyed [[merge]] cannot express): an arbitrary ON condition
+    * joins `source` against the table; WHEN MATCHED clauses update or
+    * delete the matching target rows, WHEN NOT MATCHED clauses insert
+    * unmatched SOURCE rows, WHEN NOT MATCHED BY SOURCE clauses update
+    * or delete unmatched TARGET rows. Clauses of a family apply
+    * first-match-wins in declaration order; a row firing no clause
+    * survives unchanged. A target row matching MORE than one source
+    * row refuses when any MATCHED clause exists (the Delta
+    * cardinality contract — attributing the update would be
+    * ambiguous). All in ONE commit: copy-on-write of exactly the
+    * files holding rows that change; untouched files survive by path.
+    *
+    * Scale: candidate files prune by the source's envelope on every
+    * `t.c = <source expr>` equality conjunct of ON (one tiny agg over
+    * the source, driver-side interval check from commit metadata) —
+    * an ON with no such conjunct scans every file (unavoidable: any
+    * row could match). The source relation is joined, never
+    * collected; NOT MATCHED BY SOURCE forces a full-candidate scan by
+    * definition. Reference analog: the ETL manager's UPSERT load type
+    * (etl_manager.py:240-259) generalized to the full SQL statement
+    * shape. */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      cond: Column, clauses: Seq[MergeClause],
+      statsCols: Seq[String] = Nil): Long = {
+    require(clauses.nonEmpty, "TxLog: mergeInto needs at least one WHEN clause")
+    val snap = snapshot(spark, dir)
+    refuseAlwaysIdentity(snap, "merge")
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val fieldType = schema.fields.map(fl => fl.name -> fl.dataType).toMap
+    require(!source.columns.contains(MergeAct) &&
+      !source.columns.exists(_.startsWith(MergeNv)),
+      s"TxLog: source columns collide with reserved names $MergeAct/$MergeNv*")
+
+    val matched = clauses.collect {
+      case c: MergeMatchedUpdate => c: MergeClause
+      case c: MergeMatchedDelete => c: MergeClause
+    }
+    val inserts = clauses.collect { case c: MergeInsert => c }
+    val nmbs = clauses.collect {
+      case c: MergeNotMatchedBySourceUpdate => c: MergeClause
+      case c: MergeNotMatchedBySourceDelete => c: MergeClause
+    }
+
+    // assignment validation: known columns, never generated/identity
+    def checkSet(set: Map[String, Column], what: String): Unit = {
+      val unknown = set.keys.filterNot(fieldType.contains)
+      require(unknown.isEmpty,
+        s"TxLog: merge $what sets unknown column(s): ${unknown.mkString(", ")}")
+      val gen = set.keys.filter(snap.generated.contains)
+      require(gen.isEmpty,
+        s"TxLog: merge $what cannot set generated column(s) " +
+          s"${gen.mkString(", ")} — they recompute from their sources")
+      val ident = set.keys.filter(snap.identity.contains)
+      require(what == "INSERT" || ident.isEmpty,
+        s"TxLog: merge $what cannot set identity column(s) " +
+          s"${ident.mkString(", ")} (Delta's identity contract)")
+    }
+    matched.foreach {
+      case MergeMatchedUpdate(set, _) => checkSet(set, "UPDATE")
+      case _ => ()
+    }
+    nmbs.foreach {
+      case MergeNotMatchedBySourceUpdate(set, _) => checkSet(set, "UPDATE")
+      case _ => ()
+    }
+    inserts.foreach { ins =>
+      checkSet(ins.values, "INSERT")
+      val missing = schema.fieldNames.filterNot(c =>
+        ins.values.contains(c) || snap.generated.contains(c) ||
+          snap.defaults.contains(c))
+      require(missing.isEmpty,
+        s"TxLog: merge INSERT must provide column(s) " +
+          s"${missing.mkString(", ")} (or declare a DEFAULT; " +
+          "identity values must be explicit in MERGE)")
+    }
+
+    // candidate files: the source envelope on every `t.c = s-expr`
+    // equality conjunct prunes from commit metadata — unless NOT
+    // MATCHED BY SOURCE is present, which reads every row by meaning
+    val eqPairs = mergeEqPairs(cond, schema, source.columns.toSet)
+    val cands: Seq[TxFile] =
+      if (nmbs.nonEmpty || eqPairs.isEmpty) snap.files
+      else {
+        val aggs = eqPairs.zipWithIndex.flatMap { case ((_, e), i) =>
+          Seq(min(e).as(s"_lo$i"), max(e).as(s"_hi$i")) }
+        val row = source.alias("s").agg(aggs.head, aggs.tail: _*).head()
+        val preds = eqPairs.zipWithIndex.flatMap { case ((c, _), i) =>
+          val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+          if (lo == null || hi == null) Nil
+          else Seq((c, Option[Any](lo), Option[Any](hi)))
+        }
+        prunedSnapshotFiles(spark, snap, preds)
+      }
+
+    def orConds(cs: Seq[Option[Column]]): Column =
+      cs.map(_.getOrElse(lit(true))).reduceOption(_ || _)
+        .getOrElse(lit(false))
+    // first-match-wins action index: fold right so earlier clauses win
+    def firstFire(cs: Seq[Option[Column]]): Column =
+      cs.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), rest) =>
+        when(c.getOrElse(lit(true)), lit(i)).otherwise(rest)
+      }
+
+    val srcMarked = source.alias("s")
+    val tgtCands = readSnapshotTagged(spark, dir,
+      snap.copy(files = cands)).alias("t")
+
+    val matchedConds = matched.map {
+      case MergeMatchedUpdate(_, c) => c
+      case MergeMatchedDelete(c) => c
+      case _ => None
+    }
+    val anyMatchedFires = orConds(matchedConds)
+
+    // ---- pass 1: touched files + cardinality, aggregate-sized ------
+    val (touchedMatch, multiMatch): (Seq[String], Long) =
+      if (matched.isEmpty || cands.isEmpty) (Nil, 0L)
+      else {
+        val stats = tgtCands.join(srcMarked, cond, "inner")
+          .groupBy(col(TagFile), col(TagIdx))
+          .agg(count(lit(1)).as("__m"),
+            max(when(anyMatchedFires, 1).otherwise(0)).as("__f"))
+        val multi = stats.filter(col("__m") > 1 && col("__f") === 1)
+          .limit(1).count()
+        val files =
+          if (multi > 0) Nil
+          else stats.filter(col("__f") === 1).select(TagFile)
+            .distinct().collect().map(_.getString(0)).toSeq
+        (files, multi)
+      }
+    require(multiMatch == 0L,
+      "TxLog: merge source has multiple rows matching one target row " +
+        "where a MATCHED clause applies — ambiguous, refused " +
+        "(the Delta cardinality contract)")
+
+    val nmbsConds = nmbs.map {
+      case MergeNotMatchedBySourceUpdate(_, c) => c
+      case MergeNotMatchedBySourceDelete(c) => c
+      case _ => None
+    }
+    val touchedNmbs: Seq[String] =
+      if (nmbs.isEmpty || cands.isEmpty) Nil
+      else tgtCands.join(srcMarked, cond, "left_anti")
+        .filter(orConds(nmbsConds))
+        .select(TagFile).distinct().collect().map(_.getString(0)).toSeq
+
+    val touched = (touchedMatch ++ touchedNmbs).distinct.sorted
+    val tSet = touched.toSet
+    val keepFiles = snap.files.filter(f => tSet.contains(fileKey(snap, f)))
+
+    // ---- pass 2: firing pairs -> per-row new values ----------------
+    // cardinality holds, so firing pairs are UNIQUE per target row --
+    // the left join below can never multiply survivors
+    val matchedAct = firstFire(matchedConds)
+    val tgtKeep = readSnapshotTagged(spark, dir,
+      snap.copy(files = keepFiles)).alias("t")
+    val pairCols = Seq(col(TagFile), col(TagIdx),
+      matchedAct.as(MergeAct)) ++ schema.fields.map { fl =>
+      matched.zipWithIndex.foldLeft(col("t." + fl.name)) {
+        case (acc, (MergeMatchedUpdate(set, _), i))
+            if set.contains(fl.name) =>
+          when(matchedAct === i, set(fl.name).cast(fl.dataType))
+            .otherwise(acc)
+        case (acc, _) => acc
+      }.as(MergeNv + fl.name)
+    }
+    val pairs =
+      if (matched.isEmpty || keepFiles.isEmpty) None
+      else Some(tgtKeep.join(srcMarked, cond, "inner")
+        .filter(anyMatchedFires)
+        .select(pairCols: _*))
+
+    val deleteActs = matched.zipWithIndex.collect {
+      case (MergeMatchedDelete(_), i) => i }.toSet
+    val nmbsDeleteActs = nmbs.zipWithIndex.collect {
+      case (MergeNotMatchedBySourceDelete(_), i) => i }.toSet
+    val nmbsAct = firstFire(nmbsConds)
+
+    def notIn(c: Column, acts: Set[Int]): Column =
+      if (acts.isEmpty) lit(true)
+      else !c.isInCollection(acts.toSeq)
+
+    val survivors: Option[DataFrame] =
+      if (keepFiles.isEmpty) None
+      else {
+        val base = pairs match {
+          case Some(p) =>
+            tgtKeep.join(p, Seq(TagFile, TagIdx), "left_outer")
+          case None => tgtKeep.withColumn(MergeAct,
+            lit(null).cast("int"))
+        }
+        // matched rows take their precomputed values; unmatched rows
+        // run the NOT-MATCHED-BY-SOURCE chain (target columns only)
+        val withNmbs = base.withColumn("__graft_nact",
+          when(col(MergeAct).isNotNull, lit(-1)).otherwise(nmbsAct))
+        val kept = withNmbs.filter(
+          (col(MergeAct).isNull || notIn(col(MergeAct), deleteActs)) &&
+            notIn(col("__graft_nact"), nmbsDeleteActs))
+        val projected = kept.select(schema.fields.map { fl =>
+          val nmbsVal = nmbs.zipWithIndex.foldLeft(col("t." + fl.name)) {
+            case (acc, (MergeNotMatchedBySourceUpdate(set, _), i))
+                if set.contains(fl.name) =>
+              when(col("__graft_nact") === i,
+                set(fl.name).cast(fl.dataType)).otherwise(acc)
+            case (acc, _) => acc
+          }
+          (pairs match {
+            case Some(_) =>
+              when(col(MergeAct).isNotNull, col(MergeNv + fl.name))
+                .otherwise(nmbsVal)
+            case None => nmbsVal
+          }).as(fl.name)
+        } :+ (col(MergeAct).isNotNull ||
+          col("__graft_nact") >= 0).as("__graft_updated"): _*)
+        // generated columns recompute on every row an UPDATE touched
+        val regen = snap.generated.toSeq.sortBy(_._1)
+          .foldLeft(projected) { case (d, (c, g)) =>
+            d.withColumn(c, when(col("__graft_updated"),
+              expr(g).cast(fieldType(c))).otherwise(col(c)))
+          }
+        Some(regen.drop("__graft_updated"))
+      }
+
+    // ---- inserts: source rows matching NO target row ---------------
+    val insertRows: Option[DataFrame] =
+      if (inserts.isEmpty) None
+      else {
+        val insertConds = inserts.map(_.cond)
+        val unmatchedSrc = srcMarked.join(tgtCands, cond, "left_anti")
+          .withColumn(MergeAct, firstFire(insertConds))
+          .filter(col(MergeAct) >= 0)
+        val projected = unmatchedSrc.select(schema.fields.map { fl =>
+          inserts.zipWithIndex.foldLeft(
+            snap.defaults.get(fl.name).map(d => expr(d))
+              .getOrElse(lit(null)).cast(fl.dataType)) {
+            case (acc, (ins, i)) if ins.values.contains(fl.name) =>
+              when(col(MergeAct) === i,
+                ins.values(fl.name).cast(fl.dataType)).otherwise(acc)
+            case (acc, _) => acc
+          }.as(fl.name)
+        }: _*)
+        val withGen = snap.generated.toSeq.sortBy(_._1)
+          .foldLeft(projected) { case (d, (c, g)) =>
+            d.withColumn(c, expr(g).cast(fieldType(c)))
+          }
+        Some(withGen)
+      }
+
+    val stagedDf = (survivors, insertRows) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    stagedDf match {
+      case None => snap.version
+      case Some(df) =>
+        enforceConstraints(spark, dir, df)
+        val (added, _) = stageData(spark, dir, df,
+          (inheritStats(keepFiles, statsCols, snap) ++
+            snap.identity.keys).distinct, snap.mapping)
+        commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
+          removeAll = false, snap.schemaJson, None,
+          expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
+          identityOut = if (snap.identity.isEmpty) None
+            else Some(identityAfter(snap.identity, added, snap.phys)),
+          expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
+    }
+  }
 
   /** [[applyChanges]] with GROUP semantics: the target may hold — and
     * a directive batch may insert — SEVERAL rows per key, and an
@@ -2927,14 +3281,24 @@ object TxLog {
 
   /** The value of a path-encoded (hive-layout) partition column,
     * recovered from `_metadata.file_path` — one codegen'd expression,
-    * no extra scan. Hive escaping and the null sentinel apply; the
-    * path arrives URI-encoded ([[pathDecode]]). */
+    * no extra scan. TWO decode layers stack on the raw segment: the
+    * scanner URI-encodes the on-disk name ([[pathDecode]] undoes
+    * that), and the on-disk name itself is HIVE-escaped (partitionBy
+    * percent-escapes ':', '/', '%', '=', '#', control chars … in the
+    * dir name — `ExternalCatalogUtils.escapePathName` semantics), so
+    * a second percent-decode recovers the true value. Hive does not
+    * escape '+', so the same plus-preserving decode applies (a bare
+    * `url_decode` would corrupt it to a space). Without the second
+    * layer a value like `00:00:00` read back as `00%3A00%3A00` —
+    * pruning right (stats recorded the true value at registration)
+    * but every returned row wrong/NULL. The null sentinel applies
+    * before any decode. */
   private def pathPartValue(physName: String,
       dt: DataType): org.apache.spark.sql.Column = {
     val seg = regexp_extract(col("_metadata.file_path"),
       "/" + java.util.regex.Pattern.quote(physName) + "=([^/]+)/", 1)
     when(seg === "" || seg === "__HIVE_DEFAULT_PARTITION__",
-      lit(null)).otherwise(pathDecode(seg)).cast(dt)
+      lit(null)).otherwise(pathDecode(pathDecode(seg))).cast(dt)
   }
 
   /** Read snapshot files under the LOGICAL schema, injecting
@@ -3094,9 +3458,9 @@ object TxLog {
     * interval. A missing side is unbounded (`col >= lo` is
     * `(c, Some(lo), None)`). Driver-side, metadata-only. */
   private[graft] def prunedSnapshotFiles(spark: SparkSession,
-      snap: TxSnapshot, preds: Seq[(String, Option[Any], Option[Any])])
-      : Seq[TxFile] =
-    preds.foldLeft(snap.files) { case (files, (c0, lo, hi)) =>
+      snap: TxSnapshot, preds: Seq[(String, Option[Any], Option[Any])],
+      nullPreds: Seq[(String, Boolean)] = Nil): Seq[TxFile] = {
+    val ranged = preds.foldLeft(snap.files) { case (files, (c0, lo, hi)) =>
       val c = snap.phys(c0) // stats are keyed by physical name
       files.flatMap(_.stats.get(c)).headOption.map(_.dtype) match {
         case None => files // no live file carries stats for this column
@@ -3117,6 +3481,23 @@ object TxLog {
           })
       }
     }
+    // null-membership pruning from recorded per-file null counts:
+    // `IS NULL` drops files recording ZERO nulls; `IS NOT NULL` drops
+    // all-null files. Both stay sound under deletion vectors: a
+    // vector removes rows, which can neither add a null to a
+    // zero-null file nor add a value to an all-null one.
+    nullPreds.foldLeft(ranged) { case (files, (c0, wantNull)) =>
+      val c = snap.phys(c0)
+      files.filter(f => f.stats.get(c).forall { st =>
+        if (wantNull) !st.nulls.contains(0L)
+        else {
+          val allNull = st.nulls.contains(f.rows) ||
+            (st.min.isEmpty && st.max.isEmpty && st.nulls.exists(_ > 0))
+          !allNull
+        }
+      })
+    }
+  }
 
   /** Metadata-first COUNT (the Delta metadata-only-aggregate shape):
     * the exact number of rows satisfying every `(col, lo, hi)`
@@ -3859,9 +4240,33 @@ object TxLog {
     require(goneDv.isEmpty,
       s"TxLog: cannot restore to $version — its deletion vector(s) " +
         s"${goneDv.take(2).mkString(", ")} were vacuumed")
+    // metadata replay is full-state last-write-wins, so the restore
+    // commit must CARRY the target snapshot's identity / generated /
+    // defaults / constraints explicitly (possibly-empty maps RESET) —
+    // otherwise restoring past an addColumn+setGenerated would leave
+    // a generation expression for a column absent from the restored
+    // schema, and every later append would compute the phantom column
+    // and fail the schema check. One exception stays monotonic: an
+    // identity column present in BOTH states keeps the HIGHER
+    // watermark (ids issued after the target version must never be
+    // re-minted — restore removes their rows, not their issuance).
+    val head = snapshot(spark, dir)
+    val identityBack = snap.identity.map { case (c, s) =>
+      val headHigh = head.identity.get(c).flatMap(_.high)
+      c -> s.copy(high = (s.high.toSeq ++ headHigh.toSeq)
+        .reduceOption((a: Long, b: Long) => math.max(a, b)))
+    }
     commitStaged(spark, dir, "overwrite", snap.files, Nil,
       removeAll = true, snap.schemaJson, None, ownsAdded = false,
-      ddlState = Some((snap.mapping, snap.retired)))
+      ddlState = Some((snap.mapping, snap.retired)),
+      identityOut = Some(identityBack),
+      // a concurrent append advancing a watermark between the head
+      // read above and the claim must conflict (the carried high
+      // would silently regress below the racer's issued ids)
+      expectIdentity = head.identity.map { case (c, s) => c -> s.high },
+      generatedOut = Some(snap.generated),
+      defaultsOut = Some(snap.defaults),
+      constraintsOut = Some(snap.constraints))
   }
 
   /** [[restore]] by TIMESTAMP (Delta's `RESTORE … TIMESTAMP AS OF`):

@@ -95,17 +95,33 @@ class TxLogStreamProvider extends StreamSourceProvider
     }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val logged = TxLog.isLogged(spark, d)
+    // DataFrameWriter's contract for ErrorIfExists/Ignore keys on
+    // "data already exists at the path", not on "is a logged table":
+    // an existing PLAIN dataset must refuse / no-op too — silently
+    // converting-and-overwriting someone's parquet dir under the
+    // default SaveMode would destroy it
+    def hasData: Boolean = logged || {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      f.exists(p) && f.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
     mode match {
       case SaveMode.Append =>
         TxLog.commitAppend(spark, d, data, statsCols = statsCols)
       case SaveMode.Overwrite =>
         TxLog.commitOverwrite(spark, d, data, statsCols = statsCols)
-      case SaveMode.ErrorIfExists if logged =>
+      case SaveMode.ErrorIfExists if hasData =>
         throw new IllegalArgumentException(
-          s"txlog: $d is already a logged table (SaveMode.ErrorIfExists)")
+          s"txlog: data already exists at $d (SaveMode.ErrorIfExists)" +
+            (if (logged) " — it is a logged table" else
+              " — a plain dataset; convertInPlace adopts it without " +
+                "rewriting"))
       case SaveMode.ErrorIfExists =>
         TxLog.commitOverwrite(spark, d, data, statsCols = statsCols)
-      case SaveMode.Ignore if logged => ()
+      case SaveMode.Ignore if hasData => ()
       case SaveMode.Ignore =>
         TxLog.commitOverwrite(spark, d, data, statsCols = statsCols)
     }

@@ -21,6 +21,28 @@ object PlanBridge {
   private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** A DataFrame over an already-ANALYZED logical plan — the SQL DML
+    * rule hands the statement's resolved source subtree straight back
+    * to the engine (re-parsing its SQL text would re-resolve against
+    * a possibly-changed catalog). */
+  def fromPlan(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ofRows(spark, plan)
+
+  /** Wrap a Catalyst expression as a user-facing Column (the
+    * `private[sql]` direction the SQL DML rule needs: a statement's
+    * resolved condition / assignment expressions become arguments to
+    * the TxLog Scala API). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The reverse direction: a Column's underlying Catalyst
+    * expression (merge-candidate pruning inspects the ON condition's
+    * equality conjuncts without re-parsing SQL text). */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Re-wrap a file-relation DataFrame as a streaming batch — the
     * FileStreamSource.getBatch shape. The file relation may sit under
     * narrow plan nodes (e.g. the column-mapping physical→logical

@@ -1,0 +1,291 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxLog
+
+/** Round-16 hardening: hive-unescape of path-recovered partition
+  * values, the DataFrameWriter ErrorIfExists/Ignore contract over
+  * pre-existing PLAIN data, the `_graft_upd` reserved-name guard,
+  * and restore carrying the target snapshot's column metadata
+  * (generated / defaults / identity / constraints) explicitly.
+  */
+class Round16Spec extends SparkSpec {
+
+  private def tmp(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  private def payload(n: Int, tag: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, i.toLong * 2, s"$tag$i"))
+      .toDF("k", "v", "name")
+  }
+
+  // ---- hive-escaped partition values round-trip ---------------------
+
+  test("convertInPlace recovers hive-escaped partition values (':' and '/')") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16hive").toString + "/t"
+    // ':' and '/' are both hive-escaped to %XX in the dir name;
+    // a space is NOT (the round-15 test's blind spot)
+    val df = Seq(
+      (1L, "00:00:00"), (2L, "00:00:00"),
+      (3L, "a/b"), (4L, "plain"), (5L, "has space"))
+      .toDF("k", "part")
+    df.write.partitionBy("part").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    val back = TxLog.read(s, dir)
+    // values must read back DECODED — registration stats recorded the
+    // true values, so an escaped read-back would prune right but
+    // return zero rows (or NULLs) silently
+    assert(back.select("part").distinct().as[String].collect().toSet ==
+      Set("00:00:00", "a/b", "plain", "has space"))
+    assert(back.filter(col("part") === "00:00:00")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    assert(back.filter(col("part") === "a/b")
+      .select("k").as[Long].collect().toSet == Set(3L))
+    // and the escaped-value partitions actually PRUNE from the log
+    val snap = TxLog.snapshot(s, dir)
+    val kept = TxLog.prunedSnapshotFiles(s, snap,
+      Seq(("part", Some("00:00:00"), Some("00:00:00"))))
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"partition predicate kept ${kept.size} of ${snap.files.size}")
+  }
+
+  // ---- ErrorIfExists / Ignore over plain pre-existing data ----------
+
+  test("ErrorIfExists refuses and Ignore no-ops on an existing PLAIN dataset") {
+    val s = spark
+    val dir = tmp("r16eie").toString + "/t"
+    payload(4, "keep").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      payload(2, "clobber").write.format("txlog").save(dir)
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(!TxLog.isLogged(s, dir),
+      "a refused ErrorIfExists must not have converted the dir")
+    payload(2, "clobber").write.format("txlog")
+      .mode("ignore").save(dir)
+    assert(!TxLog.isLogged(s, dir), "Ignore must be a true no-op")
+    assert(s.read.parquet(dir).count() == 4,
+      "the plain dataset must survive untouched")
+    // an EMPTY dir still creates under ErrorIfExists
+    val fresh = tmp("r16eie2").toString + "/t"
+    payload(3, "new").write.format("txlog").save(fresh)
+    assert(TxLog.read(s, fresh).count() == 3)
+  }
+
+  // ---- reserved-name guard ------------------------------------------
+
+  test("UPDATE refuses a table column named _graft_upd instead of clobbering it") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16upd").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, true), (2L, false)).toDF("k", "_graft_upd"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.update(s, dir, col("k") === 1L, Map("k" -> lit(9L)))
+    }
+    assert(e.getMessage.contains("_graft_upd"))
+  }
+
+  // ---- restore resets column metadata to the target version ---------
+
+  test("restore past a generated-column declaration drops the phantom expression") {
+    val s = spark
+    val dir = tmp("r16rg").toString + "/t"
+    TxLog.commitOverwrite(s, dir, payload(4, "a"))
+    val v0 = TxLog.snapshot(s, dir).version
+    // widen the schema AND declare the new column generated — the
+    // state the ADVICE poison needs: a generation expression for a
+    // column the restored schema will not have
+    TxLog.commitOverwrite(s, dir,
+      payload(4, "a").withColumn("v2", col("v") * 2),
+      generated = Map("v2" -> "v * 2"))
+    assert(TxLog.snapshot(s, dir).generated.contains("v2"))
+    TxLog.restore(s, dir, v0)
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.generated.isEmpty,
+      "restore must reset generated columns to the target version's")
+    // the poison the sticky state caused: every later append computed
+    // the phantom column and failed the schema check
+    TxLog.commitAppend(s, dir, payload(2, "b"))
+    assert(TxLog.read(s, dir).count() == 6)
+  }
+
+  test("restore resets defaults and constraints to the target version's") {
+    val s = spark
+    val dir = tmp("r16rd").toString + "/t"
+    TxLog.commitOverwrite(s, dir, payload(4, "a"))
+    val v0 = TxLog.snapshot(s, dir).version
+    TxLog.setDefault(s, dir, "v", "42")
+    TxLog.addCheckConstraint(s, dir, "pos", "k >= 0")
+    TxLog.restore(s, dir, v0)
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.defaults.isEmpty && snap.constraints.isEmpty,
+      "restore must carry the target version's (empty) metadata maps")
+    // and the other direction: restoring back FORWARD re-carries them
+    TxLog.setDefault(s, dir, "v", "42")
+    val vWith = TxLog.snapshot(s, dir).version
+    TxLog.restore(s, dir, v0)
+    TxLog.restore(s, dir, vWith)
+    assert(TxLog.snapshot(s, dir).defaults == Map("v" -> "42"))
+  }
+
+  // ---- batch-source pruning: In / Or / IsNull ----------------------
+
+  test("batch source prunes files on IN, OR and IS NULL predicates") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16prune").toString + "/t"
+    // 8 range-partitioned files over k = 0..799, nulls only in the
+    // low file's `opt` column
+    val df = (0 until 800).map { i =>
+      (i.toLong, if (i < 100) None else Some(i.toLong), s"n$i")
+    }.toDF("k", "opt", "name")
+    TxLog.commitOverwrite(s, dir,
+      df.repartitionByRange(8, col("k")), statsCols = Seq("k", "opt"))
+    val total = TxLog.snapshot(s, dir).files.size
+    assert(total == 8)
+    def planned(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect(); graft.sources.TxLogBatch.lastScan.get().size
+    }
+    val t = s.read.format("txlog").load(dir)
+    // IN-list: hull [5, 205] spans ~2-3 of 8 files
+    val inRows = t.filter(col("k").isin(5L, 7L, 205L))
+    assert(inRows.count() == 3)
+    val inPlanned = planned(t.filter(col("k").isin(5L, 7L, 205L)))
+    assert(inPlanned < total,
+      s"IN failed to prune: planned $inPlanned of $total")
+    // OR of two ranges on one column: hull of the legs
+    val orPlanned = planned(t.filter(
+      (col("k") >= 10L && col("k") < 20L) ||
+        (col("k") >= 110L && col("k") < 120L)))
+    assert(orPlanned < total,
+      s"OR failed to prune: planned $orPlanned of $total")
+    assert(t.filter((col("k") >= 10L && col("k") < 20L) ||
+      (col("k") >= 110L && col("k") < 120L)).count() == 20)
+    // IS NULL: only the low file records nulls on `opt`
+    val nullPlanned = planned(t.filter(col("opt").isNull))
+    assert(nullPlanned < total,
+      s"IS NULL failed to prune: planned $nullPlanned of $total")
+    assert(t.filter(col("opt").isNull).count() == 100)
+    // row-exactness survives every pruning shape (results above) and
+    // a mixed conjunct still prunes on both channels
+    val mixed = t.filter(col("opt").isNull && col("k").isin(5L, 700L))
+    assert(mixed.count() == 1)
+  }
+
+  // ---- general MERGE ------------------------------------------------
+
+  test("mergeInto: conditional update, delete, and insert in one commit") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16mi").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+        .toDF("k", "v", "name"), statsCols = Seq("k"))
+    val src = Seq((1L, 100L), (2L, -1L), (5L, 500L), (6L, -1L))
+      .toDF("mk", "mv")
+    val v = TxLog.mergeInto(s, dir, src,
+      col("t.k") === col("s.mk"), Seq(
+        TxLog.MergeMatchedDelete(Some(col("s.mv") < 0)),
+        TxLog.MergeMatchedUpdate(Map("v" -> col("s.mv"))),
+        TxLog.MergeInsert(
+          Map("k" -> col("s.mk"), "v" -> col("s.mv"),
+            "name" -> lit("ins")),
+          Some(col("s.mv") > 0))))
+    assert(v == 1L, "one commit")
+    val out = TxLog.read(s, dir).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq
+    // k=1 updated to 100; k=2 deleted (mv<0, delete clause first);
+    // k=3,4 untouched; k=5 inserted; k=6 unmatched but mv<0 -> no insert
+    assert(out == Seq((1L, 100L, "a"), (3L, 30L, "c"), (4L, 40L, "d"),
+      (5L, 500L, "ins")))
+  }
+
+  test("mergeInto: NOT MATCHED BY SOURCE delete syncs the target") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16ms").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"))
+    val src = Seq((1L, 11L), (4L, 44L)).toDF("k", "v")
+    TxLog.mergeInto(s, dir, src,
+      col("t.k") === col("s.k"), Seq(
+        TxLog.MergeMatchedUpdate(Map("v" -> col("s.v"))),
+        TxLog.MergeInsert(Map("k" -> col("s.k"), "v" -> col("s.v"))),
+        TxLog.MergeNotMatchedBySourceDelete()))
+    val out = TxLog.read(s, dir).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 11L), (4L, 44L)),
+      s"full-sync merge diverged: $out")
+  }
+
+  test("mergeInto: multiple matches with a firing MATCHED clause refuse") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16mc").toString + "/t"
+    TxLog.commitOverwrite(s, dir, Seq((1L, 10L)).toDF("k", "v"))
+    val src = Seq((1L, 1L), (1L, 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeInto(s, dir, src,
+        col("t.k") === col("s.k"),
+        Seq(TxLog.MergeMatchedUpdate(Map("v" -> col("s.v")))))
+    }
+    assert(e.getMessage.contains("cardinality"))
+    // but a NON-firing multi-match passes through (nothing ambiguous)
+    val v = TxLog.mergeInto(s, dir, src,
+      col("t.k") === col("s.k"),
+      Seq(TxLog.MergeMatchedUpdate(Map("v" -> col("s.v")),
+        Some(lit(false)))))
+    assert(v == 0L, "no-op merge must not commit")
+    assert(TxLog.read(s, dir).count() == 1)
+  }
+
+  test("mergeInto: recomputes generated columns and fills defaults on insert") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16mg").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, 10L, 20L, 99L)).toDF("k", "v", "v2", "tag"),
+      generated = Map("v2" -> "v * 2"))
+    TxLog.setDefault(s, dir, "tag", "7")
+    val src = Seq((1L, 50L), (2L, 60L)).toDF("k", "v")
+    TxLog.mergeInto(s, dir, src,
+      col("t.k") === col("s.k"), Seq(
+        TxLog.MergeMatchedUpdate(Map("v" -> col("s.v"))),
+        TxLog.MergeInsert(Map("k" -> col("s.k"), "v" -> col("s.v")))))
+    val out = TxLog.read(s, dir).orderBy("k")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // updated row: v2 recomputed from the new v; inserted row: v2
+    // generated, tag defaulted
+    assert(out == Seq((1L, 50L, 100L, 99L), (2L, 60L, 120L, 7L)),
+      s"generated/default handling diverged: $out")
+  }
+
+  test("restore keeps the identity watermark monotonic") {
+    val s = spark
+    val dir = tmp("r16ri").toString + "/t"
+    TxLog.commitOverwrite(s, dir, payload(3, "a"),
+      identity = Map("id" -> TxLog.IdentitySpec(1L, 1L)))
+    val v0 = TxLog.snapshot(s, dir)
+    val high0 = v0.identity("id").high.get
+    TxLog.commitAppend(s, dir, payload(5, "b"))
+    val high1 = TxLog.snapshot(s, dir).identity("id").high.get
+    assert(high1 > high0)
+    TxLog.restore(s, dir, v0.version)
+    val snap = TxLog.snapshot(s, dir)
+    // rows are back to v0's, but ids issued after v0 are never
+    // re-minted: the carried watermark is the HIGHER one
+    assert(TxLog.read(s, dir).count() == 3)
+    assert(snap.identity("id").high.contains(high1),
+      s"watermark regressed to ${snap.identity("id").high} " +
+        s"(expected $high1)")
+  }
+}
