@@ -91,9 +91,63 @@ private[graft] object TxLogBatch {
       travel.isDefined)
   }
 
+  /** Natural ordering over the literal types Spark pushes in v1
+    * filters — used to take the [min, max] HULL of an `In` list or
+    * of an `Or`'s legs. Conservative: an unknown/mixed type yields
+    * no ordering and therefore no pruning (never a wrong exclusion).
+    * Comparing NUMBERS through BigDecimal (not strings) matters: the
+    * stats layer canonicalizes per-dtype, but the hull is taken over
+    * the raw literals BEFORE canonicalization. */
+  private def cmpLit(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      Some(x.compareTo(y))
+    case (x: Number, y: Number) =>
+      Some(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) =>
+      Some(x.compareTo(y))
+    case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
+    case (x: java.time.Instant, y: java.time.Instant) =>
+      Some(x.compareTo(y))
+    case (x: java.time.LocalDate, y: java.time.LocalDate) =>
+      Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private def minMax(vs: Seq[Any]): Option[(Any, Any)] =
+    vs.foldLeft(Option(vs.head -> vs.head)) {
+      case (None, _) => None
+      case (Some((lo, hi)), v) =>
+        (cmpLit(v, lo), cmpLit(v, hi)) match {
+          case (Some(cl), Some(ch)) =>
+            Some((if (cl < 0) v else lo, if (ch > 0) v else hi))
+          case _ => None // unordered/mixed literals: give up the hull
+        }
+    }
+
+  /** The smallest string no `p`-prefixed string can reach: `p` with
+    * its last char bumped (dropping trailing U+FFFF chars first).
+    * None when every char is U+FFFF — then the prefix has no upper
+    * bound and only the lower bound prunes. */
+  private def prefixSuccessor(p: String): Option[String] = {
+    val trimmed = p.reverse.dropWhile(_ == Char.MaxValue).reverse
+    if (trimmed.isEmpty) None
+    else Some(trimmed.init + (trimmed.last + 1).toChar)
+  }
+
   /** Pushed conjuncts → per-column intervals for file pruning. Only
     * shapes the min/max stats can decide; everything else is left to
-    * the post-scan filter (which re-applies ALL filters anyway). */
+    * the post-scan filter (which re-applies ALL filters anyway), so
+    * every mapping here may be a conservative SUPERSET of the
+    * predicate:
+    *  - `In(a, vs)` → the [min, max] hull of its values;
+    *  - `Or(l, r)` → for each column BOTH legs constrain, the hull
+    *    of the two legs' intervals (a column one leg leaves free
+    *    cannot prune — the other leg admits any value);
+    *  - `StringStartsWith(a, p)` → `[p, successor(p))` as `<= hull`
+    *    (file granularity keeps the closed bound sound). */
   private[graft] def intervals(filters: Seq[Filter])
       : Seq[(String, Option[Any], Option[Any])] =
     filters.flatMap {
@@ -103,14 +157,75 @@ private[graft] object TxLogBatch {
       case GreaterThanOrEqual(a, v) if v != null => Seq((a, Some(v), None))
       case LessThan(a, v) if v != null => Seq((a, None, Some(v)))
       case LessThanOrEqual(a, v) if v != null => Seq((a, None, Some(v)))
+      case In(a, vs) =>
+        val nn = vs.toSeq.filter(_ != null)
+        if (nn.isEmpty) Nil
+        else minMax(nn).map { case (lo, hi) =>
+          (a, Some(lo), Some(hi))
+        }.toSeq
+      case StringStartsWith(a, p) if p != null && p.nonEmpty =>
+        Seq((a, Some(p), prefixSuccessor(p)))
       case And(l, r) => intervals(Seq(l)) ++ intervals(Seq(r))
+      case Or(l, r) =>
+        // each leg's conjuncts first MERGE per column (a leg like
+        // `k >= 10 AND k < 20` is the single interval [10, 20]):
+        // conjunction tightens — lo = max of the leg's lower bounds,
+        // hi = min of its upper bounds; then the Or takes the HULL
+        // across the two merged legs for every column BOTH constrain
+        // (a column one leg leaves free cannot prune)
+        def tighter(a: Any, b: Any, takeMax: Boolean): Option[Any] =
+          cmpLit(a, b).map(c =>
+            if ((c > 0) == takeMax) a else b)
+        def mergeLeg(ts: Seq[(String, Option[Any], Option[Any])])
+            : Map[String, (Option[Any], Option[Any])] =
+          ts.groupBy(_._1).flatMap { case (c, rows) =>
+            val los = rows.flatMap(_._2)
+            val his = rows.flatMap(_._3)
+            val lo = los.foldLeft(Option.empty[Any]) {
+              case (None, v) => Some(v)
+              case (Some(a), v) => tighter(a, v, takeMax = true)
+            }
+            val hi = his.foldLeft(Option.empty[Any]) {
+              case (None, v) => Some(v)
+              case (Some(a), v) => tighter(a, v, takeMax = false)
+            }
+            // an unorderable pair degrades that side to unbounded
+            // inside the leg — conservative; the column survives iff
+            // any side remains
+            if (los.nonEmpty && lo.isEmpty && his.nonEmpty && hi.isEmpty)
+              Nil
+            else Seq(c -> (lo, hi))
+          }
+        val (ml, mr) = (mergeLeg(intervals(Seq(l))),
+          mergeLeg(intervals(Seq(r))))
+        (ml.keySet intersect mr.keySet).toSeq.sorted.flatMap { c =>
+          val ((lo1, hi1), (lo2, hi2)) = (ml(c), mr(c))
+          val lo = for (a <- lo1; b <- lo2; m <- tighter(a, b,
+            takeMax = false)) yield m
+          val hi = for (a <- hi1; b <- hi2; m <- tighter(a, b,
+            takeMax = true)) yield m
+          if (lo.isEmpty && hi.isEmpty) Nil else Seq((c, lo, hi))
+        }
       case _ => Nil
     }
 
-  /** A filter contributes to pruning iff it (or, for And, any leg)
-    * yields an interval. */
+  /** Null-membership conjuncts the per-file NULL COUNTS can decide:
+    * `(col, wantNull)` — IsNull prunes files recording zero nulls,
+    * IsNotNull prunes files recording nulls == rows (all-null).
+    * And recurses; Or/Not are left to the residual filter. */
+  private[graft] def nullPreds(filters: Seq[Filter])
+      : Seq[(String, Boolean)] =
+    filters.flatMap {
+      case IsNull(a) => Seq((a, true))
+      case IsNotNull(a) => Seq((a, false))
+      case And(l, r) => nullPreds(Seq(l)) ++ nullPreds(Seq(r))
+      case _ => Nil
+    }
+
+  /** A filter contributes to pruning iff it yields an interval or a
+    * null-membership conjunct. */
   private[graft] def prunable(f: Filter): Boolean =
-    intervals(Seq(f)).nonEmpty
+    intervals(Seq(f)).nonEmpty || nullPreds(Seq(f)).nonEmpty
 }
 
 /** The resolved batch table: schema + version pinned at resolution.
@@ -212,12 +327,14 @@ private[graft] class TxLogBatchScanBuilder(dir: String, asOf: Long,
 
   override def build(): Scan =
     new TxLogBatchScan(dir, asOf, required,
-      TxLogBatch.intervals(pushed.toSeq), pushed)
+      TxLogBatch.intervals(pushed.toSeq),
+      TxLogBatch.nullPreds(pushed.toSeq), pushed)
 }
 
 private[graft] class TxLogBatchScan(dir: String, asOf: Long,
     required: StructType,
     preds: Seq[(String, Option[Any], Option[Any])],
+    nullPreds: Seq[(String, Boolean)],
     pushed: Array[Filter]) extends V1Scan {
 
   override def readSchema(): StructType = required
@@ -227,7 +344,8 @@ private[graft] class TxLogBatchScan(dir: String, asOf: Long,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new TxLogBatchRelation(context, dir, asOf, required, preds)
+    new TxLogBatchRelation(context, dir, asOf, required, preds,
+      nullPreds)
       .asInstanceOf[T]
 }
 
@@ -236,7 +354,8 @@ private[graft] class TxLogBatchScan(dir: String, asOf: Long,
   * project the required columns. */
 private[graft] class TxLogBatchRelation(ctx: SQLContext, dir: String,
     asOf: Long, required: StructType,
-    preds: Seq[(String, Option[Any], Option[Any])])
+    preds: Seq[(String, Option[Any], Option[Any])],
+    nullPreds: Seq[(String, Boolean)])
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -251,7 +370,7 @@ private[graft] class TxLogBatchRelation(ctx: SQLContext, dir: String,
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val snap = TxLog.snapshot(spark, dir, Some(asOf))
-    val kept = TxLog.prunedSnapshotFiles(spark, snap, preds)
+    val kept = TxLog.prunedSnapshotFiles(spark, snap, preds, nullPreds)
     TxLogBatch.lastScan.set(kept.map(_.path))
     val df = TxLog.readSnapshot(spark, dir, snap.copy(files = kept))
     // re-apply the pushed intervals INSIDE the inner plan: the V1Scan
@@ -259,11 +378,14 @@ private[graft] class TxLogBatchRelation(ctx: SQLContext, dir: String,
     // parquet read, so without this the kept files would scan whole —
     // with it, parquet row-group/page skipping applies. Safe to
     // weaken (>=/<= supersets of strict bounds): the engine still
-    // evaluates every original filter row-exactly above.
-    val cond = preds.flatMap { case (c, lo, hi) =>
+    // evaluates every original filter row-exactly above. Null
+    // membership is exact per row, so those re-apply verbatim.
+    val cond = (preds.flatMap { case (c, lo, hi) =>
       lo.map(v => col(c) >= lit(v)).toSeq ++
         hi.map(v => col(c) <= lit(v)).toSeq
-    }.reduceOption(_ && _)
+    } ++ nullPreds.map { case (c, wantNull) =>
+      if (wantNull) col(c).isNull else col(c).isNotNull
+    }).reduceOption(_ && _)
     val filtered = cond.fold(df)(df.filter)
     val projected =
       if (required.isEmpty) filtered.select()
