@@ -211,12 +211,18 @@ case class Hamming64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Function registration — both the `SparkSessionExtensions` path (for
-  * `spark.sql.extensions=graft.functions.GraftExtensions`) and a direct
-  * register for already-built sessions. */
+/** Session-extension registration (for
+  * `spark.sql.extensions=graft.functions.GraftExtensions`): the
+  * function injections (plus a direct register below for
+  * already-built sessions) and the SQL row-level-DML rule that makes
+  * `DELETE FROM` / `UPDATE` / `MERGE INTO` work on registered txlog
+  * tables ([[graft.sources.GraftTxLogSqlRule]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectPostHocResolutionRule(session =>
+      new graft.sources.GraftTxLogSqlRule(session))
+  }
 }
 
 object GraftFunctions {

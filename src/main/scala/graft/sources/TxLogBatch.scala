@@ -234,11 +234,30 @@ private[graft] object TxLogBatch {
   * placeholder (asOf < 0, the dir is not logged yet) declares NO
   * capabilities so DataFrameWriter falls back to the v1 save path,
   * which creates the table under every SaveMode. */
-private[graft] class TxLogBatchTable(dir: String, asOf: Long,
-    tableSchema: StructType, pinned: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+private[graft] class TxLogBatchTable(val dir: String, val asOf: Long,
+    tableSchema: StructType, val pinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"txlog:$dir@v$asOf"
+
+  /** SQL `DELETE FROM t WHERE …` in ANY session (no extensions
+    * needed): Spark hands the translatable conjuncts here and the
+    * delete rides the same copy-on-write commit as
+    * [[TxLog.delete]]. Sessions with [[graft.functions
+    * .GraftExtensions]] installed intercept earlier with the raw
+    * condition (arbitrary expressions); this path is the fallback
+    * contract for plain sessions. An empty filter array is Spark's
+    * TRUNCATE. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!pinned,
+      s"txlog: cannot DELETE from $dir pinned at version $asOf " +
+        "(time-travel reads are immutable history)")
+    val cond = filters.map(TxLogSql.filterColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TxLog.delete(SparkSession.active, dir, cond)
+    ()
+  }
 
   override def schema(): StructType = tableSchema
 

@@ -181,6 +181,96 @@ class Round16Spec extends SparkSpec {
     assert(mixed.count() == 1)
   }
 
+  // ---- SQL row-level DML --------------------------------------------
+
+  test("SQL DELETE, UPDATE and MERGE INTO drive the same commit machinery") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16sql").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+        .toDF("k", "v", "name"), statsCols = Seq("k"))
+    s.sql("DROP TABLE IF EXISTS r16_sql")
+    s.sql(s"CREATE TABLE r16_sql USING txlog OPTIONS (path '$dir')")
+    try {
+      // DELETE with a predicate v1 filters cannot express (modulo) —
+      // only the extension rule can lower this
+      s.sql("DELETE FROM r16_sql WHERE k % 2 = 1")
+      assert(TxLog.read(s, dir).select("k").as[Long].collect().toSet ==
+        Set(2L, 4L))
+      assert(TxLog.snapshot(s, dir).version == 1L,
+        "SQL DELETE must be ONE log commit")
+      // UPDATE with expression over the row
+      s.sql("UPDATE r16_sql SET v = v + 1, name = concat(name, '!') " +
+        "WHERE k = 2")
+      assert(TxLog.read(s, dir).filter(col("k") === 2L)
+        .select("v", "name").as[(Long, String)].head() == (21L, "b!"))
+      // MERGE: update + insert through the SQL statement
+      Seq((2L, 200L, "up"), (9L, 900L, "new")).toDF("k", "v", "name")
+        .createOrReplaceTempView("r16_src")
+      s.sql("""MERGE INTO r16_sql t USING r16_src s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET v = s.v
+               WHEN NOT MATCHED THEN INSERT *""")
+      val out = TxLog.read(s, dir).orderBy("k")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(out == Seq((2L, 200L, "b!"), (4L, 40L, "d"),
+        (9L, 900L, "new")), s"SQL merge diverged: $out")
+      assert(TxLog.snapshot(s, dir).version == 3L,
+        "DELETE+UPDATE+MERGE = exactly three commits")
+      // the SQL path hits the same CDC layer: the merge commit's ops
+      val hist = TxLog.history(s, dir).orderBy("version")
+        .select("op").as[String].collect().toSeq
+      assert(hist == Seq("overwrite", "delete", "update", "merge"),
+        s"ops diverged: $hist")
+      // and SQL reads see it all (same snapshot core)
+      assert(s.sql("SELECT sum(v) FROM r16_sql").as[Long].head() ==
+        200L + 40L + 900L)
+    } finally s.sql("DROP TABLE IF EXISTS r16_sql")
+  }
+
+  test("SQL MERGE with MATCHED DELETE and NOT MATCHED BY SOURCE") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16sqm").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"))
+    s.sql("DROP TABLE IF EXISTS r16_sqlm")
+    s.sql(s"CREATE TABLE r16_sqlm USING txlog OPTIONS (path '$dir')")
+    try {
+      Seq((1L, -1L), (2L, 22L), (8L, 80L)).toDF("k", "v")
+        .createOrReplaceTempView("r16_msrc")
+      s.sql("""MERGE INTO r16_sqlm t USING r16_msrc s ON t.k = s.k
+               WHEN MATCHED AND s.v < 0 THEN DELETE
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, v)
+                 VALUES (s.k, s.v)
+               WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      val out = TxLog.read(s, dir).orderBy("k")
+        .as[(Long, Long)].collect().toSeq
+      // k=1 deleted (v<0); k=2 updated; k=3 not-matched-by-source
+      // deleted; k=8 inserted
+      assert(out == Seq((2L, 22L), (8L, 80L)),
+        s"full-clause SQL merge diverged: $out")
+    } finally s.sql("DROP TABLE IF EXISTS r16_sqlm")
+  }
+
+  test("plain-session DELETE still works through SupportsDelete") {
+    // the v1-filter fallback path: translatable predicate, no modulo
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16sd").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "name"))
+    val cond = graft.sources.TxLogSql.filterColumn(
+      org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThan("k", 1L),
+        org.apache.spark.sql.sources.In("name", Array("y", "z"))))
+    // the bridge itself: conjunction translates and deletes exactly
+    TxLog.delete(s, dir, cond)
+    assert(TxLog.read(s, dir).select("k").as[Long].collect().toSeq ==
+      Seq(1L))
+  }
+
   // ---- general MERGE ------------------------------------------------
 
   test("mergeInto: conditional update, delete, and insert in one commit") {

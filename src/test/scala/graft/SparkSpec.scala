@@ -11,6 +11,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config(Tables.NanosConf, "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
