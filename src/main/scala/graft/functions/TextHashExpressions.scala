@@ -222,6 +222,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.injections.foreach(ext.injectFunction)
     ext.injectPostHocResolutionRule(session =>
       new graft.sources.GraftTxLogSqlRule(session))
+    // path-addressed DDL/utility statements (OPTIMIZE / VACUUM /
+    // DESCRIBE HISTORY|DETAIL / RESTORE / ALTER TXLOG …) — a
+    // delegating parser, so Spark's own SQL is untouched
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
   }
 }
 

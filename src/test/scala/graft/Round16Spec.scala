@@ -254,6 +254,81 @@ class Round16Spec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS r16_sqlm")
   }
 
+  // ---- SQL DDL / utility statements ---------------------------------
+
+  test("SQL OPTIMIZE, DESCRIBE HISTORY/DETAIL, VACUUM and RESTORE") {
+    val s = spark
+    import s.implicits._
+    val dir0 = tmp("r16ddl").toString + "/t"
+    val dirQ = dir0.replace("'", "''")
+    TxLog.commitOverwrite(s, dir0,
+      (0 until 100).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+        .repartition(6), statsCols = Seq("k"))
+    TxLog.commitAppend(s, dir0,
+      (100 until 120).map(i => (i.toLong, s"n$i")).toDF("k", "name"))
+    // OPTIMIZE to one file
+    val opt = s.sql(s"OPTIMIZE '$dirQ' TARGET 1 FILES").collect()
+    assert(opt.head.getLong(1) == 1L)
+    assert(TxLog.snapshot(s, dir0).files.size == 1)
+    assert(TxLog.read(s, dir0).count() == 120)
+    // history through SQL
+    val hist = s.sql(s"DESCRIBE HISTORY '$dirQ'")
+      .orderBy("version").select("op").as[String].collect().toSeq
+    assert(hist == Seq("overwrite", "append", "compact"))
+    // detail through SQL
+    val det = s.sql(s"DESCRIBE DETAIL '$dirQ'").collect().head
+    assert(det.getAs[Long]("num_files") == 1L &&
+      det.getAs[Long]("num_rows") == 120L)
+    // restore through SQL (to the pre-append state)
+    s.sql(s"RESTORE '$dirQ' TO VERSION AS OF 0")
+    assert(TxLog.read(s, dir0).count() == 100)
+    // vacuum dry run lists the compacted + restored-over files;
+    // real vacuum with retain 0 then deletes them
+    val dry = s.sql(s"VACUUM '$dirQ' DRY RUN").collect()
+    assert(dry.nonEmpty && dry.forall(!_.getBoolean(1)))
+    val vac = s.sql(s"VACUUM '$dirQ'").collect()
+    assert(vac.map(_.getString(0)).toSet ==
+      dry.map(_.getString(0)).toSet)
+    assert(TxLog.read(s, dir0).count() == 100,
+      "vacuum must keep the live restored state readable")
+  }
+
+  test("SQL ALTER TXLOG: constraints, defaults, generated, identity") {
+    val s = spark
+    import s.implicits._
+    val dir0 = tmp("r16ddl2").toString + "/t"
+    val dirQ = dir0.replace("'", "''")
+    TxLog.commitOverwrite(s, dir0,
+      Seq((1L, 10L, 20L), (2L, 20L, 40L)).toDF("k", "v", "v2"))
+    s.sql(s"ALTER TXLOG '$dirQ' ADD CONSTRAINT pos CHECK (v > 0)")
+    assert(TxLog.snapshot(s, dir0).constraints.contains("pos"))
+    intercept[IllegalArgumentException] {
+      TxLog.commitAppend(s, dir0,
+        Seq((3L, -5L, -10L)).toDF("k", "v", "v2"))
+    }
+    s.sql(s"ALTER TXLOG '$dirQ' ALTER COLUMN v2 SET GENERATED AS (v * 2)")
+    assert(TxLog.snapshot(s, dir0).generated("v2") == "v * 2")
+    s.sql(s"ALTER TXLOG '$dirQ' ALTER COLUMN v SET DEFAULT (42)")
+    assert(TxLog.snapshot(s, dir0).defaults("v") == "42")
+    s.sql(s"ALTER TXLOG '$dirQ' DROP CONSTRAINT pos")
+    s.sql(s"ALTER TXLOG '$dirQ' ALTER COLUMN v DROP DEFAULT")
+    s.sql(s"ALTER TXLOG '$dirQ' ALTER COLUMN v2 DROP GENERATED")
+    val snap = TxLog.snapshot(s, dir0)
+    assert(snap.constraints.isEmpty && snap.defaults.isEmpty &&
+      snap.generated.isEmpty)
+    // identity on a fresh bigint column table
+    val dir1 = tmp("r16ddl3").toString + "/t"
+    val dir1Q = dir1.replace("'", "''")
+    TxLog.commitOverwrite(s, dir1,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    s.sql(s"ALTER TXLOG '$dir1Q' ALTER COLUMN id SET IDENTITY " +
+      "START 100 STEP 10 BY DEFAULT")
+    val id = TxLog.snapshot(s, dir1).identity("id")
+    assert(id.start == 100L && id.step == 10L && !id.always)
+    // and ordinary SQL still parses through the delegate
+    assert(s.sql("SELECT 1 + 1").as[Int].head() == 2)
+  }
+
   test("plain-session DELETE still works through SupportsDelete") {
     // the v1-filter fallback path: translatable predicate, no modulo
     val s = spark
