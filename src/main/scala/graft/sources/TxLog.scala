@@ -680,12 +680,21 @@ object TxLog {
       expectIdentity: Map[String, Option[Long]] = Map.empty,
       generatedOut: Option[Map[String, String]] = None,
       defaultsOut: Option[Map[String, String]] = None,
-      constraintsOut: Option[Map[String, String]] = None): Long = {
+      constraintsOut: Option[Map[String, String]] = None,
+      conflictIfAdded: Option[Seq[TxFile] => Seq[String]] = None): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
     def abortCleanup(): Unit =
       if (ownsAdded) deleteStaged(spark, dir, added)
+    // test-only interleave point: lets a suite commit CONCURRENT work
+    // deterministically between a DML's read phase and its claim
+    // (cleared before it runs, so the hook's own commits never
+    // recurse). Production cost: one thread-local read.
+    locally {
+      val h = testBeforeClaim.get()
+      if (h.isDefined) { testBeforeClaim.set(None); h.get.apply() }
+    }
     val f = fs(spark, logPath(dir))
     var attempt = 0
     while (true) {
@@ -696,6 +705,23 @@ object TxLog {
           abortCleanup() // replayed batch: no-op
           return bs.version
         }
+      // write-serializable read-predicate guard (Delta's
+      // ConcurrentAppendException): a predicate-driven rewrite read
+      // the table at some version — files ADDED since whose stats
+      // intersect that predicate mean the serial order
+      // (append -> this op) would have changed this op's outcome;
+      // committing anyway silently un-deletes / co-mingles the racer's
+      // rows. Checked against the fresh head on every rebase attempt.
+      for (fn <- conflictIfAdded; bs <- base) {
+        val hit = fn(bs.files)
+        if (hit.nonEmpty) {
+          abortCleanup()
+          throw new java.util.ConcurrentModificationException(
+            "TxLog: file(s) intersecting this operation's read " +
+              "predicate were added by a concurrent commit: " +
+              hit.take(3).mkString(", ") + " — re-read and retry")
+        }
+      }
       // an append must fit the table schema; with mergeSchema it may
       // WIDEN it (new columns append; shared names must keep their
       // type — Delta's mergeSchema contract), recomputed against the
@@ -2138,6 +2164,23 @@ object TxLog {
       }
     }
 
+  /** Conflict-guard closure for [[commitStaged]]'s `conflictIfAdded`:
+    * given the head's files at claim time, the dir-relative paths of
+    * files this operation's read missed (not in its snapshot) whose
+    * recorded stats can intersect `pred` — files without stats stay
+    * conservatively conflicting. Driver-side, metadata-only. */
+  private def addedMatchGuard(spark: SparkSession, snap: TxSnapshot,
+      schema: StructType, pred: org.apache.spark.sql.Column)
+      : Seq[TxFile] => Seq[String] = {
+    val seen = snap.files.map(_.path).toSet
+    files => {
+      val fresh = files.filterNot(f => seen.contains(f.path))
+      if (fresh.isEmpty) Nil
+      else pruneForPredicate(spark, schema, fresh, pred, snap.mapping)
+        .map(_.path)
+    }
+  }
+
   /** The candidate files that actually contain rows matching `pred`:
     * stats-prune first, then one scan of just the candidates keeping
     * `input_file_name` — exact, file-count-sized on the driver. */
@@ -2185,6 +2228,7 @@ object TxLog {
       pred: org.apache.spark.sql.Column,
       statsCols: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val touched = touchedFiles(spark, dir, snap, pred)
     if (touched.isEmpty) return snap.version
     val tSet = touched.toSet
@@ -2198,7 +2242,8 @@ object TxLog {
     // liveness alone would let this rewrite silently undo it
     commitStaged(spark, dir, "delete", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, None,
-      expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
+      conflictIfAdded = Some(addedMatchGuard(spark, snap, schema, pred)))
   }
 
   /** Atomic partial overwrite (Delta's `replaceWhere`): ONE commit
@@ -2249,7 +2294,8 @@ object TxLog {
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
       identityOut = if (snap.identity.isEmpty) None
         else Some(identityAfter(snap.identity, added, snap.phys)),
-      expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
+      expectIdentity = snap.identity.map { case (c, s) => c -> s.high },
+      conflictIfAdded = Some(addedMatchGuard(spark, snap, schema, pred)))
   }
 
   /** Row-level UPDATE (Delta's `UPDATE t SET … WHERE …`): rows where
@@ -2311,7 +2357,8 @@ object TxLog {
       inheritStats(keepFiles, statsCols, snap), snap.mapping)
     commitStaged(spark, dir, "update", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, None,
-      expectDv = keepFiles.map(f => f.path -> f.dv).toMap)
+      expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
+      conflictIfAdded = Some(addedMatchGuard(spark, snap, schema, pred)))
   }
 
   // ---- merge-on-read DML (deletion vectors) ------------------------
@@ -2390,7 +2437,9 @@ object TxLog {
       case Some((dvPath, entries, expect)) =>
         try commitStaged(spark, dir, "delete-dv", entries,
           entries.map(_.path), removeAll = false, snap.schemaJson, None,
-          ownsAdded = false, expectDv = expect, minReader = Some(2))
+          ownsAdded = false, expectDv = expect, minReader = Some(2),
+          conflictIfAdded =
+            Some(addedMatchGuard(spark, snap, schema, pred)))
         catch { case e: Throwable =>
           fs(spark, new Path(dir)).delete(new Path(dir, dvPath), true)
           throw e
@@ -2455,7 +2504,9 @@ object TxLog {
           try commitStaged(spark, dir, "update-dv",
             touchedEntries ++ added, touchedEntries.map(_.path),
             removeAll = false, snap.schemaJson, None,
-            ownsAdded = false, expectDv = expect, minReader = Some(2))
+            ownsAdded = false, expectDv = expect, minReader = Some(2),
+            conflictIfAdded =
+              Some(addedMatchGuard(spark, snap, schema, pred)))
           catch { case e: Throwable =>
             fs(spark, new Path(dir)).delete(new Path(dir, dvPath), true)
             deleteStaged(spark, dir, added)
@@ -2470,11 +2521,20 @@ object TxLog {
     * the (directive-sized) source, no table scan. Shared by [[merge]]
     * / [[applyChanges]] / [[applyChangesMor]]. */
   private def pruneByKeyEnvelope(spark: SparkSession, snap: TxSnapshot,
-      src: DataFrame, keyCols: Seq[String]): Seq[TxFile] = {
-    val keyBounds = src.select(keyCols.flatMap(k =>
+      src: DataFrame, keyCols: Seq[String]): Seq[TxFile] =
+    pruneByKeyBounds(spark, snap, snap.files, keyCols,
+      keyBoundsOf(src, keyCols))
+
+  private[graft] def keyBoundsOf(src: DataFrame,
+      keyCols: Seq[String]): Row =
+    src.select(keyCols.flatMap(k =>
       Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
       .head()
-    keyCols.foldLeft(snap.files) { case (kept, k) =>
+
+  private def pruneByKeyBounds(spark: SparkSession, snap: TxSnapshot,
+      files: Seq[TxFile], keyCols: Seq[String], keyBounds: Row)
+      : Seq[TxFile] = {
+    keyCols.foldLeft(files) { case (kept, k) =>
       val pk = snap.phys(k) // stats are keyed by physical name
       val lo = keyBounds.getAs[Any](s"_lo_$k")
       val hi = keyBounds.getAs[Any](s"_hi_$k")
@@ -2533,8 +2593,17 @@ object TxLog {
         "would match multiple source rows (ambiguous, refused)")
 
     // stats-prune candidates by the source's key envelope (one tiny
-    // agg over the source), then exact-match via a semi-join
-    val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
+    // agg over the source), then exact-match via a semi-join; the
+    // same envelope guards the commit against concurrently-appended
+    // files whose keys it could have matched
+    val keyBounds = keyBoundsOf(src, keyCols)
+    val cands = pruneByKeyBounds(spark, snap, snap.files, keyCols,
+      keyBounds)
+    val seenPaths = snap.files.map(_.path).toSet
+    val mergeGuard: Seq[TxFile] => Seq[String] = files =>
+      pruneByKeyBounds(spark, snap,
+        files.filterNot(f => seenPaths.contains(f.path)), keyCols,
+        keyBounds).map(_.path)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val touched: Seq[String] =
       if (cands.isEmpty) Nil
@@ -2564,7 +2633,8 @@ object TxLog {
       // watermark
       identityOut = if (snap.identity.isEmpty) None
         else Some(identityAfter(snap.identity, added, snap.phys)),
-      expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
+      expectIdentity = snap.identity.map { case (c, s) => c -> s.high },
+      conflictIfAdded = Some(mergeGuard))
   }
 
   /** CDC APPLY (the Delta-DLT `APPLY CHANGES INTO` shape): one
@@ -2617,6 +2687,12 @@ object TxLog {
   /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
   final case class MergeNotMatchedBySourceDelete(
       cond: Option[Column] = None) extends MergeClause
+
+  /** TEST-ONLY deterministic interleave hook — see commitStaged. */
+  private[graft] val testBeforeClaim =
+    new ThreadLocal[Option[() => Unit]] {
+      override def initialValue(): Option[() => Unit] = None
+    }
 
   private val MergeAct = "__graft_act"
   private val MergeNv = "__graft_nv_"
@@ -2746,8 +2822,14 @@ object TxLog {
     // equality conjunct prunes from commit metadata — unless NOT
     // MATCHED BY SOURCE is present, which reads every row by meaning
     val eqPairs = mergeEqPairs(cond, schema, source.columns.toSet)
-    val cands: Seq[TxFile] =
-      if (nmbs.nonEmpty || eqPairs.isEmpty) snap.files
+    val seenPaths = snap.files.map(_.path).toSet
+    val (cands, addedGuard): (Seq[TxFile], Seq[TxFile] => Seq[String]) =
+      if (nmbs.nonEmpty || eqPairs.isEmpty)
+        // the merge READS every row (no prunable envelope, or NOT
+        // MATCHED BY SOURCE) — any concurrently-added file conflicts
+        (snap.files,
+          files => files.filterNot(f => seenPaths.contains(f.path))
+            .map(_.path))
       else {
         val aggs = eqPairs.zipWithIndex.flatMap { case ((_, e), i) =>
           Seq(min(e).as(s"_lo$i"), max(e).as(s"_hi$i")) }
@@ -2757,7 +2839,10 @@ object TxLog {
           if (lo == null || hi == null) Nil
           else Seq((c, Option[Any](lo), Option[Any](hi)))
         }
-        prunedSnapshotFiles(spark, snap, preds)
+        (prunedSnapshotFiles(spark, snap, preds),
+          files => prunedSnapshotFiles(spark, snap.copy(files =
+            files.filterNot(f => seenPaths.contains(f.path))), preds)
+            .map(_.path))
       }
 
     def orConds(cs: Seq[Option[Column]]): Column =
@@ -2930,7 +3015,8 @@ object TxLog {
           expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
           identityOut = if (snap.identity.isEmpty) None
             else Some(identityAfter(snap.identity, added, snap.phys)),
-          expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
+          expectIdentity = snap.identity.map { case (c, s) => c -> s.high },
+          conflictIfAdded = Some(addedGuard))
     }
   }
 

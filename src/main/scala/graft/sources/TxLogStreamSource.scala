@@ -108,6 +108,40 @@ class TxLogStreamProvider extends StreamSourceProvider
         !n.startsWith("_") && !n.startsWith(".")
       }
     }
+    // `.partitionBy(...)` arrives JSON-encoded under the v1 writer's
+    // reserved option key. HONORED on table creation — the batch
+    // writes Spark's own key=value layout and registers it in place
+    // (the same machinery CONVERT uses: path-recovered values,
+    // partition stats, generation-5 readers) — and REFUSED on an
+    // existing logged table, mirroring the streaming sink: the
+    // physical layout is fixed at registration; later batches prune
+    // by per-file stats, not directories. Round-15 shipped the read
+    // side of partitioned layouts; before this, the create path
+    // silently DROPPED the clause and produced a flat table.
+    val partCols: Seq[String] = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("__partition_columns") => v
+    }.map { js =>
+      org.json4s.jackson.JsonMethods.parse(js)
+        .children.map(_.values.toString)
+    }.getOrElse(Nil)
+    if (partCols.nonEmpty) {
+      require(!logged,
+        s"txlog: partitionBy cannot apply to the existing logged " +
+          s"table at $d — the layout is fixed at registration; the " +
+          "log prunes by per-file column stats instead (statsCols)")
+      require(!hasData,
+        s"txlog: partitionBy table creation needs an empty target, " +
+          s"but $d already holds data (convertInPlace adopts an " +
+          "existing layout without rewriting)")
+      // Append tolerates a pre-existing EMPTY directory
+      data.write.mode(SaveMode.Append)
+        .partitionBy(partCols: _*).parquet(d)
+      TxLog.convertInPlace(spark, d, statsCols = statsCols)
+      return new org.apache.spark.sql.sources.BaseRelation {
+        override def sqlContext: SQLContext = sqlContext0
+        override def schema: StructType = data.schema
+      }
+    }
     mode match {
       case SaveMode.Append =>
         TxLog.commitAppend(spark, d, data, statsCols = statsCols)

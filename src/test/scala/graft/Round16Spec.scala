@@ -254,6 +254,151 @@ class Round16Spec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS r16_sqlm")
   }
 
+  // ---- concurrent-writer contracts -----------------------------------
+
+  private def interleave(body: => Unit): Unit =
+    TxLog.testBeforeClaim.set(Some(() => body))
+
+  test("replaceWhere conflicts with a concurrently appended matching slice") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16rw1").toString + "/t"
+    def rows(tag: String, ks: Range) =
+      ks.map(i => (i.toLong, tag)).toDF("k", "tag")
+    TxLog.commitOverwrite(s, dir, rows("base", 0 until 100),
+      statsCols = Seq("k"))
+    // racer appends rows INSIDE the replaced envelope between the
+    // replaceWhere's read and its claim → serial order (append →
+    // replace) would have replaced them too; committing would double
+    // the slice. Must refuse.
+    interleave { TxLog.commitAppend(s, dir, rows("racer", 10 until 20),
+      statsCols = Seq("k")) }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxLog.replaceWhere(s, dir, rows("repl", 0 until 50),
+        col("k") < 50, statsCols = Seq("k"))
+    }
+    assert(e.getMessage.contains("added by a concurrent commit"))
+    // no lost state: base + racer rows all present, nothing replaced
+    assert(TxLog.read(s, dir).count() == 110)
+    // retry now SEES the racer's rows and succeeds, replacing both
+    TxLog.replaceWhere(s, dir, rows("repl", 0 until 50),
+      col("k") < 50, statsCols = Seq("k"))
+    val out = TxLog.read(s, dir).groupBy("tag").count()
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("repl" -> 50L, "base" -> 50L), s"diverged: $out")
+  }
+
+  test("replaceWhere ignores a concurrently appended DISJOINT slice") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16rw2").toString + "/t"
+    def rows(tag: String, ks: Range) =
+      ks.map(i => (i.toLong, tag)).toDF("k", "tag")
+    TxLog.commitOverwrite(s, dir, rows("base", 0 until 100),
+      statsCols = Seq("k"))
+    // racer outside the envelope: stats prove disjointness → no
+    // false conflict, the replace rebases and commits
+    interleave { TxLog.commitAppend(s, dir,
+      rows("racer", 500 until 520), statsCols = Seq("k")) }
+    TxLog.replaceWhere(s, dir, rows("repl", 0 until 50),
+      col("k") < 50, statsCols = Seq("k"))
+    val out = TxLog.read(s, dir).groupBy("tag").count()
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("repl" -> 50L, "base" -> 50L, "racer" -> 20L))
+  }
+
+  test("DELETE and MERGE conflict with concurrently appended matching rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16dg").toString + "/t"
+    def rows(ks: Range) = ks.map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    TxLog.commitOverwrite(s, dir, rows(0 until 100),
+      statsCols = Seq("k"))
+    interleave { TxLog.commitAppend(s, dir, rows(10 until 12),
+      statsCols = Seq("k")) }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.delete(s, dir, col("k") < 50)
+    }
+    // keyed merge: racer inside the key envelope
+    interleave { TxLog.commitAppend(s, dir, rows(200 until 202),
+      statsCols = Seq("k")) }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.merge(s, dir, rows(199 until 203), Seq("k"))
+    }
+    // and a disjoint racer does NOT conflict the delete
+    interleave { TxLog.commitAppend(s, dir, rows(900 until 902),
+      statsCols = Seq("k")) }
+    TxLog.delete(s, dir, col("k") < 50)
+    assert(TxLog.read(s, dir).filter(col("k") < 50).count() == 0)
+  }
+
+  test("replaceWhere vs scoped OPTIMIZE on overlapping envelopes: loser refuses, no lost slice") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16rc").toString + "/t"
+    def rows(tag: String, ks: Range) =
+      ks.map(i => (i.toLong, tag)).toDF("k", "tag")
+    TxLog.commitOverwrite(s, dir,
+      rows("base", 0 until 100).repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    // compact(where) lands between replaceWhere's read and claim: the
+    // replace's removes are no longer live → refuse, nothing doubled
+    interleave { TxLog.compact(s, dir, 1,
+      where = Some(col("k") < 50), statsCols = Seq("k")) }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.replaceWhere(s, dir, rows("repl", 0 until 50),
+        col("k") < 50, statsCols = Seq("k"))
+    }
+    assert(TxLog.read(s, dir).count() == 100, "no lost slice")
+    assert(TxLog.read(s, dir).filter(col("tag") === "repl").count() == 0,
+      "no doubled slice")
+    // reverse order: replaceWhere lands between compact's read and
+    // claim → the compact refuses (its scope was rewritten)
+    interleave { TxLog.replaceWhere(s, dir, rows("repl", 0 until 50),
+      col("k") < 50, statsCols = Seq("k")) }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.compact(s, dir, 1, where = Some(col("k") < 50),
+        statsCols = Seq("k"))
+    }
+    val out = TxLog.read(s, dir).groupBy("tag").count()
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("repl" -> 50L, "base" -> 50L),
+      s"state after loser refusal diverged: $out")
+  }
+
+  // ---- partitionBy on the batch create path --------------------------
+
+  test("partitionBy on create writes a hive layout and registers it; logged tables refuse") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16pb").toString + "/t"
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+      .toDF("k", "lang")
+    df.write.format("txlog").partitionBy("lang")
+      .option("statsCols", "k").save(dir)
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.partitionCols == Seq("lang"),
+      "partitionBy create must register the partition column")
+    assert(snap.files.forall(_.path.contains("lang=")),
+      "files must sit in the key=value layout")
+    // values read back and partition predicates prune from the log
+    assert(TxLog.read(s, dir).filter(col("lang") === "en")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    val kept = TxLog.prunedSnapshotFiles(s, snap,
+      Seq(("lang", Some("de"), Some("de"))))
+    assert(kept.nonEmpty && kept.size < snap.files.size)
+    // appends keep working (flat leg) and a partitionBy write to the
+    // now-LOGGED table refuses loudly instead of silently flattening
+    TxLog.commitAppend(s, dir, Seq((5L, "en")).toDF("k", "lang"))
+    assert(TxLog.read(s, dir).count() == 5)
+    val e = intercept[Exception] {
+      Seq((9L, "xx")).toDF("k", "lang").write.format("txlog")
+        .partitionBy("lang").mode("append").save(dir)
+    }
+    assert(e.getMessage.toLowerCase.contains("partition"),
+      s"expected a partition refusal, got: ${e.getMessage}")
+  }
+
   // ---- SQL DDL / utility statements ---------------------------------
 
   test("SQL OPTIMIZE, DESCRIBE HISTORY/DETAIL, VACUUM and RESTORE") {
