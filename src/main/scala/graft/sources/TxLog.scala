@@ -899,22 +899,74 @@ object TxLog {
     // (generation-5 readers) and recorded as per-file stats so
     // partition predicates prune from the log
     val rootAbs = f.makeQualified(root).toString
-    def relOf(p: Path): String = {
-      val abs = f.makeQualified(p).toString
+    def relOfAbs(abs: String): String = {
       require(abs.startsWith(rootAbs + "/"),
         s"TxLog: $abs escapes the dataset root $rootAbs")
       abs.drop(rootAbs.length + 1)
     }
-    val it = f.listFiles(root, true)
+    def relOf(p: Path): String = relOfAbs(f.makeQualified(p).toString)
+    // the LISTING is the only step whose cost scales with layout
+    // shape rather than data size: one driver-side recursive iterator
+    // over a 10⁶-file hive tree on object storage is hours. Past a
+    // top-level-directory threshold the walk DISTRIBUTES — one task
+    // per partition directory (the Delta CONVERT design); below it
+    // the single driver iterator is cheaper than a job launch.
     val all = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long)] // (relative path, bytes)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = relOf(st.getPath)
-      val segs = rel.split('/')
-      val hidden = segs.exists(sg =>
-        sg.startsWith("_") || sg.startsWith("."))
-      if (st.isFile && !hidden) all += ((rel, st.getLen))
+    val top = f.listStatus(root)
+    val subdirs = top.filter(_.isDirectory).map(_.getPath)
+      .filterNot { p =>
+        p.getName.startsWith("_") || p.getName.startsWith(".") }
+    if (subdirs.length <= ConvertListDirsThreshold) {
+      val it = f.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = relOf(st.getPath)
+        val segs = rel.split('/')
+        val hidden = segs.exists(sg =>
+          sg.startsWith("_") || sg.startsWith("."))
+        if (st.isFile && !hidden) all += ((rel, st.getLen))
+      }
+    } else {
+      // root-level files still list on the driver (one page)
+      top.filter(_.isFile).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          all += ((relOf(st.getPath), st.getLen))
+      }
+      val hconf = spark.sessionState.newHadoopConf()
+      val confMap = {
+        val it = hconf.iterator()
+        val b = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String)]
+        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+        b.toSeq
+      }
+      val dirStrs = subdirs.map(d => f.makeQualified(d).toString).toSeq
+      val listed = spark.sparkContext
+        .parallelize(dirStrs, math.min(dirStrs.length, 256))
+        .flatMap { d =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confMap.foreach { case (k, v) => conf.set(k, v) }
+          val p = new Path(d)
+          val fsx = p.getFileSystem(conf)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long)] // (absolute path, bytes)
+          val it = fsx.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile)
+              out += ((fsx.makeQualified(st.getPath).toString,
+                st.getLen))
+          }
+          out
+        }.collect()
+      listed.foreach { case (abs, len) =>
+        val rel = relOfAbs(abs)
+        val hidden = rel.split('/').exists(sg =>
+          sg.startsWith("_") || sg.startsWith("."))
+        if (!hidden) all += ((rel, len))
+      }
     }
     val dataFiles = all.map(_._1).sorted.toSeq
     val lenOf = all.toMap
@@ -2687,6 +2739,11 @@ object TxLog {
   /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
   final case class MergeNotMatchedBySourceDelete(
       cond: Option[Column] = None) extends MergeClause
+
+  /** Top-level directory count above which [[convertInPlace]] lists
+    * the tree in a distributed job instead of one driver iterator.
+    * Mutable for stress parity tests only. */
+  private[graft] var ConvertListDirsThreshold = 64
 
   /** TEST-ONLY deterministic interleave hook — see commitStaged. */
   private[graft] val testBeforeClaim =
