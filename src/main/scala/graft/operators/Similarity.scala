@@ -278,6 +278,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[ivfTopK]] with DATA-SEEDED centroids instead of a KMeans fit:
+    * the corpus vectors with `vec_id < cells` ARE the centroids (cell
+    * id = centroid's vec_id). Same inverted-list plan — assignment by
+    * argmin L2 against the broadcast centroid table, probed cells,
+    * exact cosine over candidates — but every step is a deterministic
+    * relational expression, so the WHOLE index path is SQL-replayable
+    * (the driver gate hash-checks it against DuckDB, closing the
+    * oracle gap KMeans nondeterminism forces on [[ivfTopK]]). Recall
+    * characteristics are data-dependent (first-k vectors are an
+    * arbitrary sample, not optimized centers); the KMeans form stays
+    * the quality path, this is the verification path.
+    *
+    * Scale: identical to [[ivfTopK]] — corpus × cells assignment
+    * against a broadcast centroid table, candidates shuffled per
+    * probed cell only. */
+  def ivfTopKSeeded(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, cells: Int, nProbes: Int): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val centersDf = all.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("e").as("ce"), col("nn").as("cnn"))
+    // assignment: argmin over ||v - c||2 = nn - 2 v.c + cnn
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val assigned = all.crossJoin(broadcast(centersDf))
+      .withColumn("d2",
+        col("nn") - lit(2.0) * expr("vec_dot(e, ce)") + col("cnn"))
+      .withColumn("_ar", row_number().over(wa))
+      .filter(col("_ar") === 1)
+      .select(col("vec_id"), col("e"), col("nn"), col("cell"))
+    val qside = assigned.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nn").as("qnn"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val probes = qside.crossJoin(broadcast(centersDf))
+      .withColumn("d2",
+        col("qnn") - lit(2.0) * expr("vec_dot(qe, ce)") + col("cnn"))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nProbes)
+      .select(col("query_id"), col("cell"), col("qe"), col("qnn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        expr("vec_dot(qe, e) / (sqrt(qnn) * sqrt(nn))").as("cosine"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Prebuilt product-quantization structures: the per-subspace
     * codebooks (subspaces×codebook centroid rows — broadcast-sized by
     * construction) and the corpus code relation (one (vec_id, m, code)

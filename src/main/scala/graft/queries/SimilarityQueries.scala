@@ -49,6 +49,17 @@ object SimilarityQueries {
       isQuery = col("vec_id") < NumQueries, k = K,
       cells = IvfCells, nProbes = IvfProbes)
 
+  /** #35c ann_ivf_seeded — [[Similarity.ivfTopKSeeded]]: the IVF
+    * plan with DATA-SEEDED centroids (vec_id < cells), fully
+    * deterministic and SQL-replayable — the driver gate hash-checks
+    * the inverted-list path end to end (assignment, probing, exact
+    * rerank), the oracle upgrade ann_ivf_topk's KMeans
+    * nondeterminism forbids. */
+  def annIvfSeeded(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKSeeded(embs(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < NumQueries, k = K,
+      cells = IvfCells, nProbes = IvfProbes)
+
   /** dedup_embedding_lsh (rows-only) — [[Similarity.dedupEmbeddingLsh]]
     * at cos ≥ 0.4. */
   def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
@@ -191,6 +202,7 @@ object SimilarityQueries {
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_ivf_seeded" -> annIvfSeeded,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   /** DuckDB literal for hyperplane `p`: the ±1 weights are deterministic
@@ -363,6 +375,47 @@ object SimilarityQueries {
     "knn_graph_lsh" -> knnGraphLshOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embedding_lsh" -> dedupLshOracle,
+    "ann_ivf_seeded" -> s"""
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, e,
+          list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nn
+        FROM v),
+      c AS (
+        SELECT CAST(vec_id AS INT) AS cell, e AS ce, nn AS cnn
+        FROM n WHERE vec_id < $IvfCells),
+      assigned AS (
+        SELECT vec_id, e, nn, cell FROM (
+          SELECT a.vec_id, a.e, a.nn, c.cell,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              a.nn - 2 * list_reduce(list_transform(range(1, ${Dims + 1}), i -> a.e[i] * c.ce[i]), (x, y) -> x + y) + c.cnn ASC,
+              c.cell ASC) AS ar
+          FROM n a CROSS JOIN c) WHERE ar = 1),
+      q AS (
+        SELECT vec_id AS query_id, e AS qe, nn AS qnn
+        FROM assigned WHERE vec_id < $NumQueries),
+      probes AS (
+        SELECT query_id, cell, qe, qnn FROM (
+          SELECT q.query_id, c.cell, q.qe, q.qnn,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              q.qnn - 2 * list_reduce(list_transform(range(1, ${Dims + 1}), i -> q.qe[i] * c.ce[i]), (x, y) -> x + y) + c.cnn ASC,
+              c.cell ASC) AS pr
+          FROM q CROSS JOIN c) WHERE pr <= $IvfProbes),
+      scored AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id,
+          list_reduce(list_transform(range(1, ${Dims + 1}), i -> p.qe[i] * a.e[i]), (x, y) -> x + y)
+            / (sqrt(p.qnn) * sqrt(a.nn)) AS cosine
+        FROM probes p JOIN assigned a
+          ON p.cell = a.cell AND a.vec_id <> p.query_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, cosine, rank FROM ranked
+      WHERE rank <= $K""",
     "ann_bruteforce_topk" -> s"""
       WITH v AS (
         SELECT vec_id,

@@ -254,6 +254,27 @@ class Round16Spec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS r16_sqlm")
   }
 
+  // ---- seeded IVF ----------------------------------------------------
+
+  test("seeded IVF with one cell degenerates to exact brute-force top-k") {
+    val s = spark
+    val embs = Tables(s, sf, "embeddings")
+    val exact = graft.operators.Similarity.bruteforceTopK(
+      embs, "vec_id", "embedding", col("vec_id") < 5, k = 3)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    val ivf = graft.operators.Similarity.ivfTopKSeeded(
+      embs, "vec_id", "embedding", col("vec_id") < 5, k = 3,
+      cells = 1, nProbes = 1)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    assert(ivf == exact, "one-cell IVF must equal the exact answer")
+    // and with real cells it still returns k ranked rows per query
+    val multi = graft.operators.Similarity.ivfTopKSeeded(
+      embs, "vec_id", "embedding", col("vec_id") < 5, k = 3,
+      cells = 8, nProbes = 2)
+    assert(multi.groupBy("query_id").count()
+      .filter(col("count") =!= 3).count() == 0)
+  }
+
   // ---- concurrent-writer contracts -----------------------------------
 
   private def interleave(body: => Unit): Unit =
