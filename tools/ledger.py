@@ -216,6 +216,18 @@ ROWS = [
     (208, "Round15Spec (scoped OPTIMIZE) | sources/TxLog.scala", "api"),
     (209, "DefaultColSpec | sources/TxLog.scala", "api"),
     (210, "Round15Spec (replaceWhere) | sources/TxLog.scala", "api"),
+    (211, "txn_sql_dml", "hash"),
+    (212, "txn_sql_ddl", "hash"),
+    (213, "Round16Spec (mergeInto) | sources/TxLog.scala", "api"),
+    (214, "Round16Spec (conflict guard torture) | sources/TxLog.scala",
+     "api"),
+    (215, "Round16Spec (In/Or/IsNull pruning) | sources/TxLogBatch.scala",
+     "api"),
+    (216, "Round16Spec (partitionBy create) | sources/TxLogStreamSource.scala",
+     "api"),
+    (217, "StressConvert parity (PLANS.md round 16)", "plans"),
+    (218, "ann_ivf_seeded", "hash"),
+    (219, "Round16Spec (advisory fixes) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
