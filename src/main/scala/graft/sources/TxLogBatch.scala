@@ -235,7 +235,8 @@ private[graft] object TxLogBatch {
   * capabilities so DataFrameWriter falls back to the v1 save path,
   * which creates the table under every SaveMode. */
 private[graft] class TxLogBatchTable(val dir: String, val asOf: Long,
-    tableSchema: StructType, val pinned: Boolean)
+    tableSchema: StructType, val pinned: Boolean,
+    writableCreate: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -262,10 +263,19 @@ private[graft] class TxLogBatchTable(val dir: String, val asOf: Long,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    if (asOf < 0L) util.Collections.emptySet()
-    else util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    if (asOf >= 0L)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    else if (writableCreate)
+      // the CATALOG path's creation placeholder (CTAS / INSERT into a
+      // declared-but-unwritten table): the exec writes through the V1
+      // bridge, which creates the log. The PROVIDER path's placeholder
+      // stays capability-less so DataFrameWriter falls back to the v1
+      // save (every SaveMode + partitionBy honored there).
+      util.EnumSet.of(TableCapability.BATCH_WRITE,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else util.Collections.emptySet()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {

@@ -175,7 +175,14 @@ class TxLogStreamProvider extends StreamSourceProvider
   // stream source/sink above because the table declares BATCH_READ
   // only (Spark's documented mixed-provider behavior).
 
-  override def supportsExternalMetadata(): Boolean = false
+  // external metadata accepted so `CREATE TABLE … USING txlog AS
+  // SELECT …` passes catalog validation (the v1 CTAS command hands
+  // the query's schema here, then writes through createRelation).
+  // The LOG stays the source of truth: a logged dir ignores whatever
+  // schema the catalog stored (it may be stale across renames /
+  // widening); only an unlogged dir (creation in flight) adopts the
+  // provided shape for its placeholder.
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
@@ -189,9 +196,14 @@ class TxLogStreamProvider extends StreamSourceProvider
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.Table = {
     import scala.jdk.CollectionConverters._
+    // NB: DataFrameWriter probes this with its partitionBy transforms
+    // BEFORE deciding v1 fallback — partitioning is handled (honored
+    // or refused) downstream: createRelation for the save path, the
+    // catalog's createTable for SQL DDL
     val (d, v, tschema, pinned) =
       TxLogBatch.resolve(SparkSession.active, properties.asScala.toMap)
-    new TxLogBatchTable(d, v, tschema, pinned)
+    val effective = if (v < 0 && schema.nonEmpty) schema else tschema
+    new TxLogBatchTable(d, v, effective, pinned)
   }
 
   private def dir(parameters: Map[String, String]): String =

@@ -43,6 +43,22 @@ object PlanBridge {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** The storage `path` of a session-catalog table whose provider is
+    * `txlog`, unwrapped from the `private[sql]` V1Table the default
+    * session catalog returns — the time-travel catalog's dispatch
+    * test (non-txlog tables fall through to Spark's own refusal). */
+  def v1TxlogPath(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[String] = t match {
+    case v1: org.apache.spark.sql.connector.catalog.V1Table
+        if v1.v1Table.provider.exists(_.equalsIgnoreCase("txlog")) =>
+      // the catalog normalizes the `path` option into the table
+      // LOCATION; an explicit storage property wins when present
+      v1.v1Table.storage.properties.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("path") => v
+      }.orElse(v1.v1Table.storage.locationUri.map(_.toString))
+    case _ => None
+  }
+
   /** Re-wrap a file-relation DataFrame as a streaming batch — the
     * FileStreamSource.getBatch shape. The file relation may sit under
     * narrow plan nodes (e.g. the column-mapping physical→logical

@@ -495,6 +495,44 @@ class Round16Spec extends SparkSpec {
     assert(s.sql("SELECT 1 + 1").as[Int].head() == 2)
   }
 
+  test("SQL CTAS, DELETE without WHERE, and time travel on registered tables") {
+    val s = spark
+    import s.implicits._
+    // CTAS: catalog validation + v1 write path both pass
+    val dir = tmp("r16ctas").toString + "/t"
+    s.sql("DROP TABLE IF EXISTS r16_ctas")
+    s.sql(s"CREATE TABLE r16_ctas USING txlog OPTIONS (path '$dir') " +
+      "AS SELECT id AS k, concat('n', id) AS name FROM range(10)")
+    try {
+      assert(TxLog.isLogged(s, dir), "CTAS must create a LOGGED table")
+      assert(s.sql("SELECT count(*) FROM r16_ctas").as[Long].head() == 10L)
+      // DELETE without WHERE = truncate-through-the-log
+      s.sql("DELETE FROM r16_ctas")
+      assert(TxLog.read(s, dir).count() == 0)
+      assert(TxLog.snapshot(s, dir).version == 1L)
+      // VERSION AS OF reads pre-delete history through the catalog
+      assert(s.sql("SELECT count(*) FROM r16_ctas VERSION AS OF 0")
+        .as[Long].head() == 10L)
+      // TIMESTAMP AS OF resolves through the in-commit axis: pin an
+      // instant between the two commits
+      val ts = TxLog.history(s, dir).orderBy("version")
+        .select("timestamp").as[Long].collect()
+      val mid = java.time.Instant.ofEpochMilli((ts(0) + ts(1)) / 2)
+        .toString.stripSuffix("Z").replace("T", " ")
+      assert(s.sql(
+        s"SELECT count(*) FROM r16_ctas TIMESTAMP AS OF '$mid'")
+        .as[Long].head() == 10L)
+      // time-travel references refuse DML (Spark's own parser already
+      // rejects the form; any loud refusal with no state change is
+      // the contract)
+      intercept[Exception] {
+        s.sql("DELETE FROM r16_ctas VERSION AS OF 0")
+      }
+      assert(TxLog.snapshot(s, dir).version == 1L,
+        "a refused time-travel DML must not have committed")
+    } finally s.sql("DROP TABLE IF EXISTS r16_ctas")
+  }
+
   test("plain-session DELETE still works through SupportsDelete") {
     // the v1-filter fallback path: translatable predicate, no modulo
     val s = spark

@@ -12,6 +12,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.spark_catalog", "graft.sources.GraftCatalog")
       .config(Tables.NanosConf, "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

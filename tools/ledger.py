@@ -228,6 +228,8 @@ ROWS = [
     (217, "StressConvert parity (PLANS.md round 16)", "plans"),
     (218, "ann_ivf_seeded", "hash"),
     (219, "Round16Spec (advisory fixes) | sources/TxLog.scala", "api"),
+    (220, "Round16Spec (CTAS + time travel) | sources/GraftCatalog.scala",
+     "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
