@@ -150,6 +150,65 @@ object TxQueries {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  /** #221 txn_sql_timetravel — the session-catalog access path driven
+    * end to end through SQL alone: `CREATE TABLE … USING txlog AS
+    * SELECT` (CTAS seeds version 0 through the catalog's writable
+    * creation placeholder), one SQL DELETE (version 1), then the SAME
+    * registered name is aggregated at `VERSION AS OF 0` and at head
+    * in one result — the hash proves catalog resolution, CTAS
+    * creation, and time-travel pinning all answer exactly what the
+    * relational replay says each version held. Hard-fails unless the
+    * log records exactly [overwrite, delete] and the v0 read returns
+    * the pre-delete row count.
+    *
+    * Scale: time travel is a METADATA pin — reading v0 plans v0's
+    * file list from the log; no copy, no restore, no extra I/O
+    * beyond the snapshot resolution. */
+  def txnSqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_quantity").cast("int").as("qty"),
+      col("l_returnflag").as("rf"))
+    val root = Files.createTempDirectory("graft_sqltt")
+    val tbl = s"$root/t"
+    val name = "graft_txn_sql_tt"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    t.createOrReplaceTempView("graft_txn_sql_tt_src")
+    try {
+      s.sql(s"CREATE TABLE $name USING txlog OPTIONS (path '$tbl') " +
+        "AS SELECT * FROM graft_txn_sql_tt_src")
+      require(TxLog.isLogged(s, tbl), "CTAS must create a logged table")
+      val n0 = t.count()
+      s.sql(s"DELETE FROM $name WHERE qty >= 48")
+      val ops = TxLog.history(s, tbl).orderBy(col("version"))
+        .select(col("op")).collect().map(_.getString(0)).toSeq
+      // CTAS's post-create write lands through the V1 append bridge
+      // (version 0 is the creation either way)
+      require(ops == Seq("append", "delete") ||
+        ops == Seq("overwrite", "delete"),
+        s"CTAS+DELETE did not ride the commit machinery: $ops")
+      require(s.sql(s"SELECT count(*) FROM $name VERSION AS OF 0")
+        .head().getLong(0) == n0,
+        "VERSION AS OF 0 must see the pre-delete table")
+      val agg = s.sql(
+        s"""SELECT 'v0' AS phase, rf, count(*) AS n_rows,
+              CAST(sum(qty) AS BIGINT) AS sum_qty
+            FROM $name VERSION AS OF 0 GROUP BY rf
+            UNION ALL
+            SELECT 'head' AS phase, rf, count(*) AS n_rows,
+              CAST(sum(qty) AS BIGINT) AS sum_qty
+            FROM $name GROUP BY rf""")
+      val rows = agg.collect().toSeq
+      val schema = agg.schema
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.catalog.dropTempView("graft_txn_sql_tt_src")
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   /** #155 txn_dml — a three-statement DML session on a logged lineitem
     * projection, hash-checked against a pure-SQL replay:
     *   1. DELETE WHERE qty >= 48            (row-level delete)
@@ -749,6 +808,7 @@ object TxQueries {
     "txn_generated" -> txnGenerated,
     "txn_sql_dml" -> txnSqlDml,
     "txn_sql_ddl" -> txnSqlDdl,
+    "txn_sql_timetravel" -> txnSqlTimeTravel,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -791,6 +851,18 @@ object TxQueries {
       SELECT lang, COUNT(*) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY 1""",
+    "txn_sql_timetravel" -> """
+      WITH t AS (
+        SELECT l_orderkey AS k, CAST(l_quantity AS INT) AS qty,
+          l_returnflag AS rf
+        FROM lineitem)
+      SELECT 'v0' AS phase, rf, COUNT(*) AS n_rows,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM t GROUP BY rf
+      UNION ALL
+      SELECT 'head' AS phase, rf, COUNT(*) AS n_rows,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty
+      FROM t WHERE NOT coalesce(qty >= 48, false) GROUP BY rf""",
     "txn_dml" -> """
       WITH t AS (
         SELECT l_orderkey AS k, l_linenumber AS ln,

@@ -533,6 +533,30 @@ class Round16Spec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS r16_ctas")
   }
 
+  test("INSERT INTO a declared-but-unwritten table creates the log") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16decl").toString + "/t"
+    s.sql("DROP TABLE IF EXISTS r16_decl")
+    s.sql(s"CREATE TABLE r16_decl (k BIGINT, name STRING) " +
+      s"USING txlog OPTIONS (path '$dir')")
+    try {
+      assert(!TxLog.isLogged(s, dir), "declaration alone writes nothing")
+      s.sql("INSERT INTO r16_decl VALUES (1, 'a'), (2, 'b')")
+      assert(TxLog.isLogged(s, dir),
+        "the first INSERT must create the log")
+      assert(s.sql("SELECT sum(k) FROM r16_decl").as[Long].head() == 3L)
+      // SQL PARTITIONED BY refuses at the catalog (silent flat
+      // tables stay impossible on every create path)
+      val e = intercept[Exception] {
+        s.sql("CREATE TABLE r16_declp (k BIGINT, lang STRING) " +
+          s"USING txlog OPTIONS (path '${dir}p') PARTITIONED BY (lang)")
+      }
+      assert(e.getMessage.toLowerCase.contains("partitioned by"),
+        s"unexpected: ${e.getMessage.take(150)}")
+    } finally s.sql("DROP TABLE IF EXISTS r16_decl")
+  }
+
   test("plain-session DELETE still works through SupportsDelete") {
     // the v1-filter fallback path: translatable predicate, no modulo
     val s = spark

@@ -230,6 +230,7 @@ ROWS = [
     (219, "Round16Spec (advisory fixes) | sources/TxLog.scala", "api"),
     (220, "Round16Spec (CTAS + time travel) | sources/GraftCatalog.scala",
      "api"),
+    (221, "txn_sql_timetravel", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
