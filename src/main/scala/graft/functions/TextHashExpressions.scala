@@ -220,6 +220,12 @@ case class Hamming64(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    // SQL access to the row-level change feed (Delta's table_changes):
+    // SELECT * FROM txlog_changes('t', 1, 3)
+    ext.injectTableFunction((FunctionIdentifier("txlog_changes"),
+      new ExpressionInfo("graft.sources.TxLogSql", "txlog_changes"),
+      (args: Seq[Expression]) =>
+        graft.sources.TxLogSql.changesPlan(args)))
     ext.injectPostHocResolutionRule(session =>
       new graft.sources.GraftTxLogSqlRule(session))
     // path-addressed DDL/utility statements (OPTIMIZE / VACUUM /

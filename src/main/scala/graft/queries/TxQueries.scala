@@ -209,6 +209,59 @@ object TxQueries {
     }
   }
 
+  /** #222 txn_sql_changes — the SQL access path to the row-level
+    * change feed driven end to end: a UNIQUE-keyed lineitem aggregate
+    * is logged, taken through a CoW DELETE (v1) and a stats-pruned
+    * UPDATE (v2), and the feed over commits 1..2 is read back pure-SQL
+    * through the `txlog_changes` table function (Delta's
+    * `table_changes` analog) and aggregated per (change type, flag).
+    * The oracle replays the feed RELATIONALLY — the delete commit
+    * contributes exactly the deleted rows, the update contributes its
+    * pre-image deletes and post-image inserts — so the hash proves
+    * the feed's multiset-diff semantics row for row (unique rows make
+    * the diff equal the logical row set exactly). Hard-fails unless
+    * the feed spans exactly commits {1, 2}.
+    *
+    * Scale: the feed costs log metadata + scans of only the span's
+    * touched files; the TVF is a planning-time lowering, adding no
+    * data-path work over the Scala API. */
+  def txnSqlChanges(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"),
+      col("l_quantity").cast("int").as("qty"),
+      Core.cents(col("l_extendedprice")).as("pc"),
+      col("l_returnflag").as("rf"))
+    val tk = t.groupBy(col("k"), col("ln"))
+      .agg(min(col("qty")).as("qty"), min(col("pc")).as("pc"),
+        min(col("rf")).as("rf"))
+    val root = Files.createTempDirectory("graft_sqlcdc")
+    val tbl = s"$root/t"
+    TxLog.commitOverwrite(s, tbl,
+      tk.repartitionByRange(8, col("k")), statsCols = Seq("k"))
+    TxLog.delete(s, tbl, col("qty") >= 48)
+    TxLog.update(s, tbl, col("k") <= 1000,
+      Map("pc" -> (col("pc") + 100)))
+    try {
+      val vs = s.sql(s"SELECT DISTINCT _commit_version FROM " +
+        s"txlog_changes('$tbl', 1, 2)").collect()
+        .map(_.getLong(0)).toSet
+      require(vs == Set(1L, 2L),
+        s"feed must span exactly commits 1..2, got $vs")
+      val agg = s.sql(
+        s"""SELECT _change_type AS change, rf,
+              count(*) AS n_rows,
+              CAST(sum(qty) AS BIGINT) AS sum_qty,
+              CAST(sum(pc) AS BIGINT) AS sum_pc
+            FROM txlog_changes('$tbl', 1, 2) GROUP BY 1, 2""")
+      val rows = agg.collect().toSeq
+      val schema = agg.schema
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   /** #155 txn_dml — a three-statement DML session on a logged lineitem
     * projection, hash-checked against a pure-SQL replay:
     *   1. DELETE WHERE qty >= 48            (row-level delete)
@@ -809,6 +862,7 @@ object TxQueries {
     "txn_sql_dml" -> txnSqlDml,
     "txn_sql_ddl" -> txnSqlDdl,
     "txn_sql_timetravel" -> txnSqlTimeTravel,
+    "txn_sql_changes" -> txnSqlChanges,
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
@@ -851,6 +905,34 @@ object TxQueries {
       SELECT lang, COUNT(*) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY 1""",
+    "txn_sql_changes" -> """
+      WITH t0 AS (
+        SELECT l_orderkey AS k, l_linenumber AS ln,
+          CAST(l_quantity AS INT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+          l_returnflag AS rf
+        FROM lineitem),
+      tk AS (
+        SELECT k, ln, MIN(qty) AS qty, MIN(pc) AS pc, MIN(rf) AS rf
+        FROM t0 GROUP BY k, ln),
+      del AS (
+        SELECT 'delete' AS change, rf, qty, pc FROM tk
+        WHERE coalesce(qty >= 48, false)),
+      surv AS (
+        SELECT * FROM tk WHERE NOT coalesce(qty >= 48, false)),
+      upd_pre AS (
+        SELECT 'delete' AS change, rf, qty, pc FROM surv
+        WHERE k <= 1000),
+      upd_post AS (
+        SELECT 'insert' AS change, rf, qty, pc + 100 AS pc FROM surv
+        WHERE k <= 1000),
+      feed AS (
+        SELECT * FROM del UNION ALL SELECT * FROM upd_pre
+        UNION ALL SELECT * FROM upd_post)
+      SELECT change, rf, COUNT(*) AS n_rows,
+        CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        CAST(SUM(pc) AS BIGINT) AS sum_pc
+      FROM feed GROUP BY 1, 2""",
     "txn_sql_timetravel" -> """
       WITH t AS (
         SELECT l_orderkey AS k, CAST(l_quantity AS INT) AS qty,

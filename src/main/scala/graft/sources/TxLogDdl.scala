@@ -10,11 +10,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType,
   StringType, StructType}
 
 /** SQL DDL / utility surface for txlog tables — the admin commands
-  * Delta exposes in SQL, PATH-addressed (a logged table's identity is
-  * its directory; no catalog round-trip):
+  * Delta exposes in SQL. Every statement takes a table REFERENCE:
+  * a quoted directory path (`'…/t'` — a logged table's identity is
+  * its directory) or a bare registered-table name (resolved through
+  * the session catalog at run time, [[TxLogSql.resolveDir]] — the
+  * Delta usability shape):
   *
   * {{{
-  *   OPTIMIZE 'dir' [WHERE <pred>] [TARGET <n> FILES] [ZORDER BY (a[, b])]
+  *   OPTIMIZE 'dir'|t [WHERE <pred>] [TARGET <n> FILES] [ZORDER BY (a[, b])]
   *   VACUUM 'dir' [RETAIN <n> VERSIONS] [DRY RUN]
   *   DESCRIBE HISTORY 'dir'
   *   DESCRIBE DETAIL 'dir'
@@ -70,42 +73,42 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def parseGraft(sql: String): Option[LogicalPlan] = {
     val s = sql.stripSuffix(";").trim
     optimizeRe.findFirstMatchIn(s).map { m =>
-      GraftOptimizeCommand(m.group("dir"),
+      GraftOptimizeCommand(ref(m),
         Option(m.group("pred")),
         Option(m.group("target")).map(_.toInt),
         Option(m.group("z1")).toSeq ++ Option(m.group("z2")).toSeq)
     }.orElse(vacuumRe.findFirstMatchIn(s).map { m =>
-      GraftVacuumCommand(m.group("dir"),
+      GraftVacuumCommand(ref(m),
         Option(m.group("retain")).map(_.toInt).getOrElse(0),
         dryRun = m.group("dry") != null)
     }).orElse(historyRe.findFirstMatchIn(s).map { m =>
-      GraftHistoryCommand(m.group("dir"))
+      GraftHistoryCommand(ref(m))
     }).orElse(detailRe.findFirstMatchIn(s).map { m =>
-      GraftDetailCommand(m.group("dir"))
+      GraftDetailCommand(ref(m))
     }).orElse(restoreRe.findFirstMatchIn(s).map { m =>
-      GraftRestoreCommand(m.group("dir"),
+      GraftRestoreCommand(ref(m),
         byTimestamp = m.group("kind").equalsIgnoreCase("TIMESTAMP"),
         m.group("v").toLong)
     }).orElse(addConsRe.findFirstMatchIn(s).map { m =>
-      GraftAlterCommand(m.group("dir"), "addConstraint",
+      GraftAlterCommand(ref(m), "addConstraint",
         m.group("name"), m.group("expr"))
     }).orElse(dropConsRe.findFirstMatchIn(s).map { m =>
-      GraftAlterCommand(m.group("dir"), "dropConstraint",
+      GraftAlterCommand(ref(m), "dropConstraint",
         m.group("name"), "")
     }).orElse(setDefaultRe.findFirstMatchIn(s).map { m =>
-      GraftAlterCommand(m.group("dir"), "setDefault",
+      GraftAlterCommand(ref(m), "setDefault",
         m.group("col"), m.group("expr"))
     }).orElse(dropDefaultRe.findFirstMatchIn(s).map { m =>
-      GraftAlterCommand(m.group("dir"), "dropDefault",
+      GraftAlterCommand(ref(m), "dropDefault",
         m.group("col"), "")
     }).orElse(setGenRe.findFirstMatchIn(s).map { m =>
-      GraftAlterCommand(m.group("dir"), "setGenerated",
+      GraftAlterCommand(ref(m), "setGenerated",
         m.group("col"), m.group("expr"))
     }).orElse(dropGenRe.findFirstMatchIn(s).map { m =>
-      GraftAlterCommand(m.group("dir"), "dropGenerated",
+      GraftAlterCommand(ref(m), "dropGenerated",
         m.group("col"), "")
     }).orElse(setIdentityRe.findFirstMatchIn(s).map { m =>
-      GraftSetIdentityCommand(m.group("dir"), m.group("col"),
+      GraftSetIdentityCommand(ref(m), m.group("col"),
         Option(m.group("start")).map(_.toLong).getOrElse(1L),
         Option(m.group("step")).map(_.toLong).getOrElse(1L),
         always = m.group("bydef") == null)
@@ -114,8 +117,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 private[graft] object GraftSqlParser {
-  // 'path' with '' escaping for embedded quotes
-  private def dir = """'(?<dir>(?:[^']|'')+)'"""
+  // a table REFERENCE: 'path' (with '' escaping) or a bare
+  // registered-table identifier — resolved to a dir at run time
+  // ([[TxLogSql.resolveDir]]), the Delta usability shape
+  private def dir =
+    """(?:'(?<dir>(?:[^']|'')+)'|(?<tname>[A-Za-z_][A-Za-z0-9_.]*))"""
   private val ws = """\s+"""
 
   val optimizeRe: scala.util.matching.Regex =
@@ -160,6 +166,12 @@ private[graft] object GraftSqlParser {
 
   def unq(dir: String): String = dir.replace("''", "'")
 
+  /** The matched reference: the quoted path (unescaped) or the bare
+    * identifier, whichever alternative fired. */
+  def ref(m: scala.util.matching.Regex.Match): String =
+    Option(m.group("dir")).map(unq)
+      .getOrElse(m.group("tname"))
+
   def attr(name: String, dt: DataType): Attribute =
     AttributeReference(name, dt, nullable = true)()
 }
@@ -171,7 +183,7 @@ private[graft] case class GraftOptimizeCommand(dirRaw: String,
   override val output: Seq[Attribute] =
     Seq(attr("version", LongType), attr("target_files", LongType))
   override def run(session: SparkSession): Seq[Row] = {
-    val dir = unq(dirRaw)
+    val dir = TxLogSql.resolveDir(session, dirRaw)
     val n = target.getOrElse {
       // Delta's default shape: ~128 MiB per rewritten file
       val snap = TxLog.snapshot(session, dir)
@@ -191,7 +203,7 @@ private[graft] case class GraftVacuumCommand(dirRaw: String,
   override val output: Seq[Attribute] =
     Seq(attr("path", StringType), attr("deleted", BooleanType))
   override def run(session: SparkSession): Seq[Row] = {
-    val dir = unq(dirRaw)
+    val dir = TxLogSql.resolveDir(session, dirRaw)
     if (dryRun)
       TxLog.vacuumDryRun(session, dir, retain).map(Row(_, false))
     else {
@@ -213,7 +225,8 @@ private[graft] case class GraftHistoryCommand(dirRaw: String)
     attr("rows_added", LongType), attr("app_id", StringType),
     attr("batch_id", LongType))
   override def run(session: SparkSession): Seq[Row] =
-    TxLog.history(session, unq(dirRaw)).collect().toSeq
+    TxLog.history(session,
+      TxLogSql.resolveDir(session, dirRaw)).collect().toSeq
 }
 
 private[graft] case class GraftDetailCommand(dirRaw: String)
@@ -226,7 +239,8 @@ private[graft] case class GraftDetailCommand(dirRaw: String)
     attr("num_dv_files", LongType), attr("num_constraints", LongType),
     attr("column_mapping", BooleanType), attr("min_reader", LongType))
   override def run(session: SparkSession): Seq[Row] =
-    TxLog.describeDetail(session, unq(dirRaw)).collect().toSeq
+    TxLog.describeDetail(session,
+      TxLogSql.resolveDir(session, dirRaw)).collect().toSeq
 }
 
 private[graft] case class GraftRestoreCommand(dirRaw: String,
@@ -234,7 +248,7 @@ private[graft] case class GraftRestoreCommand(dirRaw: String,
   import GraftSqlParser._
   override val output: Seq[Attribute] = Seq(attr("version", LongType))
   override def run(session: SparkSession): Seq[Row] = {
-    val dir = unq(dirRaw)
+    val dir = TxLogSql.resolveDir(session, dirRaw)
     val out =
       if (byTimestamp) TxLog.restoreAt(session, dir, v)
       else TxLog.restore(session, dir, v)
@@ -247,7 +261,7 @@ private[graft] case class GraftAlterCommand(dirRaw: String, op: String,
   import GraftSqlParser._
   override val output: Seq[Attribute] = Seq(attr("version", LongType))
   override def run(session: SparkSession): Seq[Row] = {
-    val dir = unq(dirRaw)
+    val dir = TxLogSql.resolveDir(session, dirRaw)
     val v = op match {
       case "addConstraint" =>
         TxLog.addCheckConstraint(session, dir, name, exprStr)
@@ -269,6 +283,7 @@ private[graft] case class GraftSetIdentityCommand(dirRaw: String,
   import GraftSqlParser._
   override val output: Seq[Attribute] = Seq(attr("version", LongType))
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(TxLog.setIdentity(session, unq(dirRaw), col, start, step,
+    Seq(Row(TxLog.setIdentity(session,
+      TxLogSql.resolveDir(session, dirRaw), col, start, step,
       always)))
 }

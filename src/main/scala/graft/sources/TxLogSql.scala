@@ -40,6 +40,54 @@ import org.apache.spark.sql.sources._
   */
 private[graft] object TxLogSql {
 
+  /** A table REFERENCE — directory path or registered name — to its
+    * directory: anything containing '/' (or already logged) is a
+    * path; otherwise the session catalog resolves the name and the
+    * table's provider must be txlog (its location is the dir). Used
+    * by the name-addressed DDL forms (`DESCRIBE HISTORY t`) and the
+    * `txlog_changes` table function — the Delta usability shape,
+    * where admin surfaces take either spelling. */
+  def resolveDir(spark: SparkSession, ref: String): String =
+    if (ref.contains('/') || TxLog.isLogged(spark, ref)) ref
+    else {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(ref)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      require(meta.provider.exists(_.equalsIgnoreCase("txlog")),
+        s"txlog: table $ref is not a txlog table " +
+          s"(provider ${meta.provider.getOrElse("none")})")
+      meta.storage.properties.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("path") => v
+      }.orElse(meta.storage.locationUri.map(_.toString)).getOrElse(
+        throw new IllegalArgumentException(
+          s"txlog: table $ref has no location"))
+    }
+
+  /** The `txlog_changes(table, from[, to])` TABLE FUNCTION — Delta's
+    * `table_changes` analog, the SQL access path to the row-level
+    * change feed: one row per changed row across commits
+    * `from..to` (inclusive; `to` defaults to head), stamped
+    * `_change_type` (insert/delete — an update is its delete+insert
+    * pair) and `_commit_version`. `table` is a registered name or a
+    * directory path. Cost: log metadata + scans of only the span's
+    * touched files ([[TxLog.changeFeed]]). */
+  def changesPlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      "txlog_changes(table, fromVersion[, toVersion])")
+    require(args.forall(_.foldable),
+      "txlog_changes arguments must be literals")
+    val spark = SparkSession.active
+    val dir = resolveDir(spark, String.valueOf(args.head.eval()))
+    def lng(e: Expression): Long =
+      e.eval().asInstanceOf[Number].longValue()
+    val from = lng(args(1))
+    val until = if (args.size == 3) Some(lng(args(2))) else None
+    // Delta's table_changes(from, to) includes commit `from`; the
+    // feed's span is (since, until], so since = from − 1
+    TxLog.changeFeed(spark, dir, from - 1, until)
+      .queryExecution.logical
+  }
+
   /** v1 pushed-filter → Column, total over Spark's Filter algebra —
     * the `SupportsDelete.deleteWhere` bridge. */
   def filterColumn(f: org.apache.spark.sql.sources.Filter): Column =

@@ -557,6 +557,54 @@ class Round16Spec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS r16_decl")
   }
 
+  test("txlog_changes table function and name-addressed DDL") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16cdc").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      statsCols = Seq("k"))
+    TxLog.delete(s, dir, col("k") === 2L)               // v1
+    TxLog.update(s, dir, col("k") === 1L,
+      Map("v" -> lit(11L)))                              // v2
+    s.sql("DROP TABLE IF EXISTS r16_cdc")
+    s.sql(s"CREATE TABLE r16_cdc USING txlog OPTIONS (path '$dir')")
+    try {
+      // by PATH: commits 1..2 — delete(k=2) + update's delete+insert
+      val byPath = s.sql(
+        s"SELECT _change_type, count(*) AS n FROM " +
+          s"txlog_changes('$dir', 1, 2) GROUP BY 1")
+        .as[(String, Long)].collect().toMap
+      assert(byPath == Map("delete" -> 2L, "insert" -> 1L),
+        s"feed diverged: $byPath")
+      // by registered NAME, open-ended
+      val byName = s.sql(
+        "SELECT count(*) FROM txlog_changes('r16_cdc', 2)")
+        .as[Long].head()
+      assert(byName == 2L, s"update span must be 2 rows, got $byName")
+      // and the feed composes like any relation
+      assert(s.sql(
+        "SELECT sum(v) FROM txlog_changes('r16_cdc', 2, 2) " +
+          "WHERE _change_type = 'insert'").as[Long].head() == 11L)
+      // name-addressed DDL forms
+      val hist = s.sql("DESCRIBE HISTORY r16_cdc").count()
+      assert(hist == 3L)
+      assert(s.sql("DESCRIBE DETAIL r16_cdc").head()
+        .getAs[Long]("num_rows") == 2L)
+      s.sql("OPTIMIZE r16_cdc TARGET 1 FILES")
+      assert(TxLog.snapshot(s, dir).files.size == 1)
+      s.sql("ALTER TXLOG r16_cdc ADD CONSTRAINT vpos CHECK (v > 0)")
+      assert(TxLog.snapshot(s, dir).constraints.contains("vpos"))
+      // a non-txlog name refuses with the provider named
+      val e = intercept[Exception] {
+        s.sql("DESCRIBE HISTORY definitely_missing_table")
+      }
+      assert(e.getMessage.toLowerCase.matches(
+        "(?s).*(not found|cannot be found|not a txlog).*"),
+        s"unexpected: ${e.getMessage.take(150)}")
+    } finally s.sql("DROP TABLE IF EXISTS r16_cdc")
+  }
+
   test("plain-session DELETE still works through SupportsDelete") {
     // the v1-filter fallback path: translatable predicate, no modulo
     val s = spark

@@ -231,6 +231,7 @@ ROWS = [
     (220, "Round16Spec (CTAS + time travel) | sources/GraftCatalog.scala",
      "api"),
     (221, "txn_sql_timetravel", "hash"),
+    (222, "txn_sql_changes", "hash"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
