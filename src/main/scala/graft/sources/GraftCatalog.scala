@@ -67,6 +67,53 @@ class GraftCatalog extends DelegatingCatalogExtension {
     super.createTable(ident, columns, partitions, properties)
   }
 
+  /** Standard SQL schema DDL on txlog tables — `ALTER TABLE t ADD
+    * COLUMN c TYPE` / `RENAME COLUMN a TO b` / `DROP COLUMN c` lower
+    * to the metadata-only log commits ([[TxLog.addColumn]] /
+    * [[TxLog.renameColumn]] / [[TxLog.dropColumn]] — column-mapping
+    * renames/drops, KB-sized at any table size). The catalog's own
+    * stored schema is NOT touched: the log is the source of truth
+    * and [[loadTable]] always resolves from it. Unsupported change
+    * shapes (nested fields, positions, type changes, NOT NULL,
+    * comments) refuse loudly. Non-txlog tables delegate. */
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*)
+      : Table =
+    txlogDir(ident) match {
+      case None => super.alterTable(ident, changes: _*)
+      case Some(dir) =>
+        import org.apache.spark.sql.connector.catalog.TableChange
+        val spark = SparkSession.active
+        changes.foreach {
+          case a: TableChange.AddColumn =>
+            require(a.fieldNames.length == 1 && a.position() == null,
+              "txlog: ADD COLUMN supports top-level columns without " +
+                "position clauses")
+            require(a.isNullable,
+              "txlog: an added column must be nullable — existing " +
+                "files read it as NULL")
+            require(a.defaultValue() == null,
+              "txlog: declare defaults separately (ALTER TXLOG … " +
+                "SET DEFAULT) — ADD COLUMN is a metadata-only widen")
+            TxLog.addColumn(spark, dir, a.fieldNames.head,
+              a.dataType().sql)
+          case r: TableChange.RenameColumn =>
+            require(r.fieldNames.length == 1,
+              "txlog: RENAME COLUMN supports top-level columns")
+            TxLog.renameColumn(spark, dir, r.fieldNames.head,
+              r.newName)
+          case d: TableChange.DeleteColumn =>
+            require(d.fieldNames.length == 1,
+              "txlog: DROP COLUMN supports top-level columns")
+            TxLog.dropColumn(spark, dir, d.fieldNames.head)
+          case other => throw new IllegalArgumentException(
+            s"txlog: unsupported ALTER TABLE change $other — " +
+              "constraints/defaults/identity/generated ride ALTER " +
+              "TXLOG statements")
+        }
+        loadTable(ident)
+    }
+
   override def loadTable(ident: Identifier, version: String): Table =
     txlogDir(ident) match {
       case Some(dir) =>

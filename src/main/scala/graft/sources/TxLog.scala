@@ -1998,7 +1998,8 @@ object TxLog {
     * and retired list. Rebases like any commit; no files move. */
   private def commitSchemaChange(spark: SparkSession, dir: String,
       op: String, schemaJson: String, mapping: Map[String, String],
-      retired: Seq[String], expectVersion: Long): Long = {
+      retired: Seq[String], expectVersion: Long,
+      minReader: Int = 3): Long = {
     val f = fs(spark, logPath(dir))
     val v = expectVersion + 1
     val j: JObject =
@@ -2006,7 +2007,7 @@ object TxLog {
         ("add" -> JArray(Nil)) ~ ("remove" -> JArray(Nil)) ~
         ("schemaJson" -> schemaJson) ~
         ("mapping" -> mapping) ~ ("retired" -> retired) ~
-        ("minReader" -> 3)
+        ("minReader" -> minReader)
     if (!tryWrite(f, versionFile(dir, v),
         JsonMethods.compact(JsonMethods.render(j))))
       // schema DDL races are rare and the state it was computed from
@@ -2016,6 +2017,39 @@ object TxLog {
     if (v > 0 && v % CheckpointInterval == 0)
       writeCheckpoint(spark, dir, v)
     v
+  }
+
+  /** ADD COLUMN without touching a single data file (Delta's
+    * `ALTER TABLE … ADD COLUMN`): the logical schema widens in ONE
+    * KB-sized metadata commit — files written before the change
+    * simply lack the physical column and read as NULL (Spark's
+    * missing-column semantics), so at 100 TB this costs the same as
+    * at 100 KB. The new column is always NULLABLE (only a value-free
+    * widen is metadata-only). If the chosen name's physical form is
+    * RESERVED (a dropped/renamed predecessor — its old data must
+    * never resurrect), the column gets a fresh physical name through
+    * the standing column-mapping machinery; otherwise the commit
+    * stays readable by generation-1 readers. Also reachable through
+    * SQL `ALTER TABLE t ADD COLUMN c TYPE` ([[GraftCatalog]]). */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      dtypeDdl: String): Long = {
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name),
+      s"TxLog: column '$name' already exists in $dir")
+    require(name != TagFile && name != TagIdx && name != "_graft_upd",
+      s"TxLog: '$name' is a reserved internal name")
+    val dt = DataType.fromDDL(dtypeDdl)
+    val fresh =
+      if (snap.reservedPhys.contains(name))
+        Map(name -> s"${name}_${UUID.randomUUID().toString.take(8)}")
+      else Map.empty[String, String]
+    val newSchema = StructType(schema.fields :+
+      StructField(name, dt, nullable = true))
+    val newMapping = snap.mapping ++ fresh
+    commitSchemaChange(spark, dir, "add-column", newSchema.json,
+      newMapping, snap.retired, snap.version,
+      minReader = if (newMapping.nonEmpty) 3 else 1)
   }
 
   /** RENAME COLUMN without touching a single data file (Delta's

@@ -605,6 +605,50 @@ class Round16Spec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS r16_cdc")
   }
 
+  test("SQL ALTER TABLE ADD/RENAME/DROP COLUMN on a registered table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16alter").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "name"))
+    s.sql("DROP TABLE IF EXISTS r16_alter")
+    s.sql(s"CREATE TABLE r16_alter USING txlog OPTIONS (path '$dir')")
+    try {
+      // metadata-only widen: old files read the new column as NULL
+      s.sql("ALTER TABLE r16_alter ADD COLUMN extra BIGINT")
+      val snap1 = TxLog.snapshot(s, dir)
+      assert(snap1.files == TxLog.snapshot(s, dir, Some(0L)).files,
+        "ADD COLUMN must not touch data files")
+      assert(s.sql("SELECT count(*) FROM r16_alter WHERE extra IS NULL")
+        .as[Long].head() == 2L)
+      assert(snap1.minReader == 1,
+        "a mapping-free widen stays generation-1 readable")
+      // rename through the column mapping, read back by new name
+      s.sql("ALTER TABLE r16_alter RENAME COLUMN name TO label")
+      assert(s.sql("SELECT label FROM r16_alter ORDER BY k")
+        .as[String].collect().toSeq == Seq("a", "b"))
+      // drop, then re-add the same name: fresh physical, old data
+      // must NOT resurrect
+      s.sql("ALTER TABLE r16_alter DROP COLUMN v")
+      s.sql("ALTER TABLE r16_alter ADD COLUMN v BIGINT")
+      assert(s.sql("SELECT count(*) FROM r16_alter WHERE v IS NULL")
+        .as[Long].head() == 2L,
+        "re-added column must not resurrect dropped data")
+      // appends carry the widened schema (k, label, extra, v now)
+      s.sql("INSERT INTO r16_alter (k, label, extra, v) " +
+        "VALUES (3, 'c', 33, 333)")
+      assert(s.sql("SELECT extra, v FROM r16_alter WHERE k = 3")
+        .as[(Long, Long)].head() == ((33L, 333L)))
+      // unsupported shapes refuse loudly
+      val e = intercept[Exception] {
+        s.sql("ALTER TABLE r16_alter ALTER COLUMN k TYPE STRING")
+      }
+      assert(e.getMessage.toLowerCase.contains("txlog") ||
+        e.getMessage.toLowerCase.contains("not supported"),
+        s"unexpected: ${e.getMessage.take(150)}")
+    } finally s.sql("DROP TABLE IF EXISTS r16_alter")
+  }
+
   test("plain-session DELETE still works through SupportsDelete") {
     // the v1-filter fallback path: translatable predicate, no modulo
     val s = spark

@@ -232,6 +232,8 @@ ROWS = [
      "api"),
     (221, "txn_sql_timetravel", "hash"),
     (222, "txn_sql_changes", "hash"),
+    (223, "Round16Spec (ALTER TABLE columns) | sources/GraftCatalog.scala",
+     "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
