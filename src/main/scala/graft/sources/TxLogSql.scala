@@ -156,6 +156,30 @@ class GraftTxLogSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
+      // `spark.readStream.table("t")`: the catalog hands back the
+      // batch table (no MicroBatchStream), which the capability check
+      // would refuse — swap the node for the v1 streaming leaf
+      // DataStreamReader itself builds for format("txlog"), aliased
+      // so the statement's resolved references keep their ids. The
+      // stream then rides the SAME v1 Source: admission control,
+      // startingVersion and readChangeFeed options included.
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[TxLogBatchTable] =>
+        import scala.jdk.CollectionConverters._
+        val t = s.table.asInstanceOf[TxLogBatchTable]
+        require(!t.pinned,
+          "txlog: streaming reads cannot pin a time-travel version " +
+            "— use startingVersion to bound the span instead")
+        val v1 = PlanBridge.v1StreamingRelation(spark, "txlog",
+          s.extraOptions.asScala.toMap + ("path" -> t.dir))
+        Project(s.output.map { a =>
+          val src = v1.output.find(_.name == a.name).getOrElse(
+            throw new IllegalStateException(
+              s"txlog: stream schema lost column ${a.name}"))
+          org.apache.spark.sql.catalyst.expressions.Alias(
+            src, a.name)(exprId = a.exprId)
+        }, v1)
+
       case d @ DeleteFromTable(target, cond) =>
         relationOf(target) match {
           case Some(r) if cond.resolved && !hasSubquery(Seq(cond)) =>

@@ -43,6 +43,19 @@ object PlanBridge {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** A v1 streaming-relation leaf over the named source — the
+    * `v1Relation` fallback [[org.apache.spark.sql.catalyst.streaming
+    * .StreamingRelationV2]] consults when its table offers no
+    * MicroBatchStream: `spark.readStream.table("t")` on a txlog table
+    * then rides the SAME v1 Source as `readStream.format("txlog")`. */
+  def v1StreamingRelation(spark: SparkSession, provider: String,
+      options: Map[String, String]): LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark.asInstanceOf[ClassicSession], className = provider,
+      options = options)
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
+  }
+
   /** The storage `path` of a session-catalog table whose provider is
     * `txlog`, unwrapped from the `private[sql]` V1Table the default
     * session catalog returns — the time-travel catalog's dispatch

@@ -649,6 +649,33 @@ class Round16Spec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS r16_alter")
   }
 
+  test("spark.readStream.table streams a registered txlog table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r16stn").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    s.sql("DROP TABLE IF EXISTS r16_stream")
+    s.sql(s"CREATE TABLE r16_stream USING txlog OPTIONS (path '$dir')")
+    try {
+      val q = s.readStream.table("r16_stream")
+      assert(q.isStreaming)
+      val out = q.writeStream.format("memory").queryName("r16_mem")
+        .option("checkpointLocation", dir + "_cp").start()
+      try {
+        out.processAllAvailable()
+        assert(s.sql("SELECT count(*) FROM r16_mem")
+          .as[Long].head() == 2L)
+        // appends flow as micro-batches — the SAME v1 source as
+        // readStream.format("txlog")
+        TxLog.commitAppend(s, dir, Seq((3L, "c")).toDF("k", "name"))
+        out.processAllAvailable()
+        assert(s.sql("SELECT count(*) FROM r16_mem")
+          .as[Long].head() == 3L)
+      } finally out.stop()
+    } finally s.sql("DROP TABLE IF EXISTS r16_stream")
+  }
+
   test("plain-session DELETE still works through SupportsDelete") {
     // the v1-filter fallback path: translatable predicate, no modulo
     val s = spark

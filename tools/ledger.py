@@ -234,6 +234,8 @@ ROWS = [
     (222, "txn_sql_changes", "hash"),
     (223, "Round16Spec (ALTER TABLE columns) | sources/GraftCatalog.scala",
      "api"),
+    (224, "Round16Spec (readStream.table) | sources/TxLogSql.scala",
+     "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
