@@ -35,6 +35,22 @@ object ZOrder {
     }.reduceLeft(_ + _)
   }
 
+  /** Round-robin Morton interleave of N non-negative integer columns:
+    * column j's bit i lands at position `i*N + (N-1-j)`, so the
+    * 2-column form coincides with [[zValue]]. `bits * N` must fit a
+    * long (≤ 63); at 16 bits that covers 3 dimensions, the compact
+    * caller scales bits down for wider keys. */
+  def zValueN(cs: Seq[Column], bits: Int = 16): Column = {
+    require(cs.nonEmpty, "zValueN needs at least one column")
+    require(bits >= 1 && bits * cs.size <= 63,
+      s"bits * columns must fit a long, got $bits * ${cs.size}")
+    val n = cs.size
+    val ls = cs.map(_.cast("long"))
+    (for { i <- 0 until bits; (c, j) <- ls.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+    ).reduceLeft(_ + _)
+  }
+
   /** The same interleave as DuckDB SQL over expressions `a`, `b`. */
   def zValueSql(a: String, b: String, bits: Int = 16): String =
     (0 until bits).map { i =>
@@ -47,6 +63,14 @@ object ZOrder {
   def layoutByZ(df: DataFrame, a: Column, b: Column, numPartitions: Int,
       bits: Int = 16): DataFrame = {
     val withZ = df.withColumn("zv", zValue(a, b, bits))
+    withZ.repartitionByRange(numPartitions, col("zv"))
+      .sortWithinPartitions(col("zv"))
+  }
+
+  /** [[layoutByZ]] over N columns via [[zValueN]]. */
+  def layoutByZN(df: DataFrame, cs: Seq[Column], numPartitions: Int,
+      bits: Int = 16): DataFrame = {
+    val withZ = df.withColumn("zv", zValueN(cs, bits))
     withZ.repartitionByRange(numPartitions, col("zv"))
       .sortWithinPartitions(col("zv"))
   }

@@ -169,7 +169,23 @@ object StatsManifest {
   private[sources] def cmpStat(dtype: String, a: String, b: String): Int = {
     val numeric = Set("tinyint", "smallint", "int", "bigint", "float",
       "double").contains(dtype) || dtype.startsWith("decimal")
-    if (numeric) BigDecimal(a).compare(BigDecimal(b))
+    if (numeric) {
+      // float/double stats (and probe bounds) may be non-finite —
+      // "NaN"/"Infinity"/"-Infinity" in canonical cast-to-string form.
+      // Order them the way Spark's own min/max ordering does
+      // (-Inf < finite < Inf < NaN), so interval pruning over files
+      // CONTAINING non-finite values stays exact instead of crashing
+      // in BigDecimal.
+      def rank(s: String): Int = s match {
+        case "NaN" => 2
+        case "Infinity" => 1
+        case "-Infinity" => -1
+        case _ => 0
+      }
+      val (ra, rb) = (rank(a), rank(b))
+      if (ra != 0 || rb != 0) Integer.compare(ra, rb)
+      else BigDecimal(a).compare(BigDecimal(b))
+    }
     else a.compareTo(b) // string/date/timestamp cast-to-string forms
   }
 

@@ -1234,12 +1234,13 @@ object TxLog {
       case Seq(c) =>
         base.repartitionByRange(targetFiles, col(c))
           .sortWithinPartitions(col(c))
-      case Seq(a, b) =>
+      case more =>
+        // N-column Morton layout; narrower bit budgets for wider keys
+        // so the interleave still fits a long
         graft.operators.ZOrder
-          .layoutByZ(base, col(a), col(b), targetFiles)
+          .layoutByZN(base, more.map(col), targetFiles,
+            bits = math.min(16, 63 / more.size))
           .drop("zv")
-      case more => throw new IllegalArgumentException(
-        s"zorderBy supports 1 or 2 columns, got ${more.size}")
     }
     // carry the scoped files' skip-stats through the rewrite (plus
     // whatever the caller asked for) — an OPTIMIZE that silently
@@ -2856,10 +2857,10 @@ object TxLog {
     * shape. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
       cond: Column, clauses: Seq[MergeClause],
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, op: String = "merge"): Long = {
     require(clauses.nonEmpty, "TxLog: mergeInto needs at least one WHEN clause")
     val snap = snapshot(spark, dir)
-    refuseAlwaysIdentity(snap, "merge")
+    refuseAlwaysIdentity(snap, op)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val fieldType = schema.fields.map(fl => fl.name -> fl.dataType).toMap
     require(!source.columns.contains(MergeAct) &&
@@ -3008,11 +3009,25 @@ object TxLog {
         case (acc, _) => acc
       }.as(MergeNv + fl.name)
     }
+    // When NOT MATCHED BY SOURCE clauses exist, the NMBS chain must be
+    // gated on true matched-ness, not on a firing MATCHED pair: a
+    // target row that matches the source but fires no MATCHED clause
+    // must still be exempt from NMBS. Include non-firing pairs with
+    // act = -1 (a no-op carrying the original values); the cardinality
+    // gate above guarantees a target row with a firing pair has
+    // exactly one pair, and multi-match rows are ALL non-firing with
+    // identical projected values, so the per-row dedupe is value-safe.
+    val needMatchFlag = nmbs.nonEmpty
     val pairs =
-      if (matched.isEmpty || keepFiles.isEmpty) None
-      else Some(tgtKeep.join(srcMarked, cond, "inner")
-        .filter(anyMatchedFires)
-        .select(pairCols: _*))
+      if ((matched.isEmpty && !needMatchFlag) || keepFiles.isEmpty) None
+      else {
+        val joined = tgtKeep.join(srcMarked, cond, "inner")
+        val scoped =
+          if (needMatchFlag) joined else joined.filter(anyMatchedFires)
+        val sel = scoped.select(pairCols: _*)
+        Some(if (needMatchFlag) sel.dropDuplicates(TagFile, TagIdx)
+             else sel)
+      }
 
     val deleteActs = matched.zipWithIndex.collect {
       case (MergeMatchedDelete(_), i) => i }.toSet
@@ -3054,7 +3069,7 @@ object TxLog {
                 .otherwise(nmbsVal)
             case None => nmbsVal
           }).as(fl.name)
-        } :+ (col(MergeAct).isNotNull ||
+        } :+ (coalesce(col(MergeAct), lit(-1)) >= 0 ||
           col("__graft_nact") >= 0).as("__graft_updated"): _*)
         // generated columns recompute on every row an UPDATE touched
         val regen = snap.generated.toSeq.sortBy(_._1)
@@ -3101,7 +3116,7 @@ object TxLog {
         val (added, _) = stageData(spark, dir, df,
           (inheritStats(keepFiles, statsCols, snap) ++
             snap.identity.keys).distinct, snap.mapping)
-        commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
+        commitStaged(spark, dir, op, added, keepFiles.map(_.path),
           removeAll = false, snap.schemaJson, None,
           expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
           identityOut = if (snap.identity.isEmpty) None
@@ -4495,6 +4510,13 @@ object TxLog {
       minAgeMs: Long = 0L): Int =
     vacuumList(spark, dir, retainVersions, minAgeMs,
       dryRun = false).size
+
+  /** [[vacuum]], returning the dir-relative paths it actually
+    * deleted — ONE reachability walk, so SQL `VACUUM` never races a
+    * separate dry-run pre-pass against concurrent commits. */
+  def vacuumAndList(spark: SparkSession, dir: String,
+      retainVersions: Int = 0, minAgeMs: Long = 0L): Seq[String] =
+    vacuumList(spark, dir, retainVersions, minAgeMs, dryRun = false)
 
   /** `vacuum` DRY RUN (Delta's `VACUUM … DRY RUN`): the dir-relative
     * paths the same retention/age policy WOULD delete, touching

@@ -102,8 +102,15 @@ private[graft] object TxLogBatch {
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
       Some(x.compareTo(y))
     case (x: Number, y: Number) =>
-      Some(new java.math.BigDecimal(x.toString)
-        .compareTo(new java.math.BigDecimal(y.toString)))
+      // NaN/Infinity have no BigDecimal form — degrade to no pruning
+      // (None) rather than crash the scan on a pushed non-finite
+      // literal (e.g. In(d, [..., NaN]) or Or(d>1.0, d>Infinity)).
+      (scala.util.Try(new java.math.BigDecimal(x.toString)).toOption,
+        scala.util.Try(new java.math.BigDecimal(y.toString)).toOption)
+        match {
+          case (Some(bx), Some(by)) => Some(bx.compareTo(by))
+          case _ => None
+        }
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) =>
       Some(x.compareTo(y))

@@ -1,10 +1,14 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute,
-  AttributeReference, ExprId, Expression, PlanExpression}
+  AttributeReference, Exists, ExprId, Expression, InSubquery, ListQuery,
+  OuterReference, PlanExpression,
+  Alias => CAlias, And => CAnd, EqualTo => CEqualTo, Not => CNot}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+  Project => LProject}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -31,12 +35,26 @@ import org.apache.spark.sql.sources._
   * are already RESOLVED against the relation outputs; they re-anchor
   * by NAME (target → alias `t`, source → alias `s` — the contract
   * [[TxLog.mergeInto]] documents) so the command can evaluate them
-  * against the table's own read path. Conditions containing
-  * subqueries are left to Spark's native path (which refuses with its
-  * own message) — a path-addressed table has no catalog identity for
-  * subquery rewrites to anchor on. Plain sessions without the
-  * extension still get `DELETE FROM` through [[TxLogBatchTable]]'s
-  * `SupportsDelete`.
+  * against the table's own read path.
+  *
+  * DELETE/UPDATE conditions MAY contain subqueries (Delta supports
+  * them; `DELETE FROM t WHERE k IN (SELECT …)` is the everyday
+  * quarantine-list shape). Supported as top-level AND conjuncts:
+  * `[NOT] IN (SELECT …)` uncorrelated, and `[NOT] EXISTS (SELECT …)`
+  * uncorrelated or with equality-only correlation. They lower to the
+  * SAME row-level machinery: the subquery plan is carried into the
+  * command and joined at run time through [[TxLog.mergeInto]] —
+  * positives as a MATCHED clause against the DISTINCT subquery rows
+  * (cardinality holds by construction, and the source value envelope
+  * still file-prunes via the merge's equality conjuncts), negatives
+  * as a NOT-MATCHED-BY-SOURCE clause (NOT IN is null-aware: a NULL in
+  * the list makes the statement a no-op, a NULL probe row is exempt).
+  * Anything else — correlated IN, non-equality correlation, scalar
+  * subqueries, subqueries in SET or MERGE — refuses with the graft
+  * grammar error rather than falling through to Spark's native path,
+  * which cannot rewrite a path-addressed v2 table. Plain sessions
+  * without the extension still get `DELETE FROM` through
+  * [[TxLogBatchTable]]'s `SupportsDelete`.
   */
 private[graft] object TxLogSql {
 
@@ -154,6 +172,103 @@ class GraftTxLogSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       s"txlog: SQL DML can only assign top-level columns, got $other")
   }
 
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => splitAnd(l) ++ splitAnd(r)
+    case x => Seq(x)
+  }
+
+  private def hasOuter(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[OuterReference])
+  private def planHasOuter(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(hasOuter))
+
+  /** Lower a DELETE/UPDATE condition CONTAINING subqueries. Each
+    * top-level AND conjunct is either subquery-free (re-anchored into
+    * the base condition), `[NOT] IN (SELECT …)` uncorrelated, or
+    * `[NOT] EXISTS (SELECT …)` uncorrelated / equality-correlated.
+    * The subquery plans travel into [[GraftSubqueryDmlCommand]],
+    * which joins them at run time through [[TxLog.mergeInto]] — see
+    * the class doc for the MATCHED / NOT-MATCHED-BY-SOURCE mapping.
+    * Everything is re-anchored BARE: the built merge source exposes
+    * only `__graft_sq_*` columns, so bare target names can never be
+    * ambiguous inside the join. */
+  private def lowerSubqueryDml(dir: String, cond: Expression,
+      tIds: Map[ExprId, String],
+      set: Option[Map[String, Column]]): LogicalPlan = {
+    def bare(e: Expression): Column =
+      reanchor(e, tIds, Map.empty, qualify = false)
+    def refuse(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"txlog: unsupported subquery shape in DML condition — $what. " +
+          "Supported as top-level AND conjuncts: [NOT] IN (SELECT …) " +
+          "uncorrelated, [NOT] EXISTS (SELECT …) uncorrelated or " +
+          "with equality-only correlation")
+    val base = Seq.newBuilder[Column]
+    val preds = Seq.newBuilder[GraftSqPred]
+    def inPred(values: Seq[Expression], lq: ListQuery,
+        neg: Boolean): Unit = {
+      if (lq.outerAttrs.nonEmpty || planHasOuter(lq.plan))
+        refuse("correlated IN subquery")
+      if (hasSubquery(values)) refuse("nested subquery in IN values")
+      preds += GraftSqPred(values.map(bare), lq.plan,
+        negated = neg, nullAwareNotIn = neg)
+    }
+    def existsPred(ex: Exists, neg: Boolean): Unit =
+      if (ex.outerAttrs.isEmpty && !planHasOuter(ex.plan))
+        preds += GraftSqPred(Nil, ex.plan, negated = neg,
+          nullAwareNotIn = false)
+      else {
+        // equality-correlated EXISTS: Project*(Filter(conjs, child))
+        // where every outer reference sits in a conjunct
+        // `OuterReference(t.a) = <inner expr>` — the semi-join shape
+        def strip(p: LogicalPlan): LogicalPlan = p match {
+          case LProject(pl, ch) if !pl.exists(hasOuter) => strip(ch)
+          case other => other
+        }
+        strip(ex.plan) match {
+          case LFilter(fc, child) if !planHasOuter(child) =>
+            val (outerCs, innerCs) = splitAnd(fc).partition(hasOuter)
+            val pairs = outerCs.map {
+              case CEqualTo(OuterReference(a: AttributeReference), in)
+                  if tIds.contains(a.exprId) && !hasOuter(in) &&
+                    !hasSubquery(Seq(in)) => (a, in)
+              case CEqualTo(in, OuterReference(a: AttributeReference))
+                  if tIds.contains(a.exprId) && !hasOuter(in) &&
+                    !hasSubquery(Seq(in)) => (a, in)
+              case other =>
+                refuse(s"non-equality correlation in EXISTS: $other")
+            }
+            if (pairs.isEmpty) refuse("EXISTS correlation lost")
+            val kept = innerCs.reduceOption(CAnd.apply)
+              .map(LFilter(_, child)).getOrElse(child)
+            val proj = LProject(pairs.zipWithIndex.map {
+              case ((_, in), j) => CAlias(in, s"__graft_sq$j")()
+            }, kept)
+            preds += GraftSqPred(pairs.map(p => bare(p._1)), proj,
+              negated = neg, nullAwareNotIn = false)
+          case _ => refuse("EXISTS correlation outside a top-level " +
+            "WHERE filter")
+        }
+      }
+    splitAnd(cond).foreach {
+      case c if !hasSubquery(Seq(c)) => base += bare(c)
+      case InSubquery(values, lq) => inPred(values, lq, neg = false)
+      case CNot(InSubquery(values, lq)) => inPred(values, lq, neg = true)
+      case ex: Exists => existsPred(ex, neg = false)
+      case CNot(ex: Exists) => existsPred(ex, neg = true)
+      case other => refuse(s"conjunct $other")
+    }
+    val ps = preds.result()
+    val njoin = ps.count(p => p.negated && p.tExprs.nonEmpty)
+    require(njoin <= 1 && (njoin == 0 ||
+      !ps.exists(p => !p.negated && p.tExprs.nonEmpty)),
+      "txlog: DML supports at most one joined NEGATED subquery " +
+        "conjunct (NOT IN / correlated NOT EXISTS), not mixed with " +
+        "joined positive subquery conjuncts")
+    GraftSubqueryDmlCommand(dir,
+      base.result().reduceOption(_ && _).getOrElse(lit(true)), ps, set)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       // `spark.readStream.table("t")`: the catalog hands back the
@@ -182,29 +297,35 @@ class GraftTxLogSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
       case d @ DeleteFromTable(target, cond) =>
         relationOf(target) match {
-          case Some(r) if cond.resolved && !hasSubquery(Seq(cond)) =>
+          case Some(r) if cond.resolved =>
             val t = r.table.asInstanceOf[TxLogBatchTable]
             refusePinned(t)
             val tIds = r.output.map(a => a.exprId -> a.name).toMap
-            GraftDeleteCommand(t.dir,
-              reanchor(cond, tIds, Map.empty, qualify = false))
+            if (!hasSubquery(Seq(cond)))
+              GraftDeleteCommand(t.dir,
+                reanchor(cond, tIds, Map.empty, qualify = false))
+            else lowerSubqueryDml(t.dir, cond, tIds, None)
           case _ => d
         }
 
       case u @ UpdateTable(target, assignments, condOpt) =>
         relationOf(target) match {
           case Some(r) if assignments.forall(_.resolved) &&
-              condOpt.forall(_.resolved) &&
-              !hasSubquery(assignments ++ condOpt.toSeq) =>
+              condOpt.forall(_.resolved) =>
             val t = r.table.asInstanceOf[TxLogBatchTable]
             refusePinned(t)
+            require(!hasSubquery(assignments),
+              "txlog: subqueries in UPDATE SET assignments are not " +
+                "supported — compute the value into a view and MERGE")
             val tIds = r.output.map(a => a.exprId -> a.name).toMap
             val set = assignments.map(a => keyName(a.key) ->
               reanchor(a.value, tIds, Map.empty, qualify = false)).toMap
-            val cond = condOpt
-              .map(c => reanchor(c, tIds, Map.empty, qualify = false))
-              .getOrElse(lit(true))
-            GraftUpdateCommand(t.dir, cond, set)
+            if (!hasSubquery(condOpt.toSeq)) {
+              val cond = condOpt
+                .map(c => reanchor(c, tIds, Map.empty, qualify = false))
+                .getOrElse(lit(true))
+              GraftUpdateCommand(t.dir, cond, set)
+            } else lowerSubqueryDml(t.dir, condOpt.get, tIds, Some(set))
           case _ => u
         }
 
@@ -213,10 +334,15 @@ class GraftTxLogSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some(r) if m.sourceTable.resolved &&
               m.mergeCondition.resolved &&
               (m.matchedActions ++ m.notMatchedActions ++
-                m.notMatchedBySourceActions).forall(actionResolved) &&
-              !hasSubquery(Seq(m.mergeCondition)) =>
+                m.notMatchedBySourceActions).forall(actionResolved) =>
             val t = r.table.asInstanceOf[TxLogBatchTable]
             refusePinned(t)
+            require(!hasSubquery(Seq(m.mergeCondition)) &&
+              !hasSubquery(m.matchedActions ++ m.notMatchedActions ++
+                m.notMatchedBySourceActions),
+              "txlog: subqueries in MERGE conditions or assignments " +
+                "are not supported — materialize the subquery into " +
+                "the USING source instead")
             require(!m.withSchemaEvolution,
               "txlog: MERGE WITH SCHEMA EVOLUTION is not supported — " +
                 "widen the table first (mergeSchema append)")
@@ -296,6 +422,87 @@ private[graft] case class GraftMergeCommand(dir: String,
   override def run(session: SparkSession): Seq[Row] = {
     TxLog.mergeInto(session, dir,
       PlanBridge.fromPlan(session, sourcePlan), cond, clauses)
+    Seq.empty
+  }
+}
+
+/** One subquery conjunct of a lowered DELETE/UPDATE condition.
+  * `tExprs` are the target-side probe expressions (bare-anchored);
+  * `plan` outputs exactly `tExprs.size` columns (positionally the
+  * join partners) — empty `tExprs` marks an uncorrelated EXISTS,
+  * which gates the whole statement on run-time (non-)emptiness. */
+private[graft] case class GraftSqPred(tExprs: Seq[Column],
+    plan: LogicalPlan, negated: Boolean, nullAwareNotIn: Boolean)
+
+/** DELETE (`set` = None) / UPDATE (`set` = Some) whose condition
+  * carries subquery conjuncts. Lowered through [[TxLog.mergeInto]]:
+  * positives become a MATCHED clause against the DISTINCT subquery
+  * rows (the distinct makes Delta's cardinality contract hold by
+  * construction, and the equality conjuncts keep the merge's
+  * stats-based file pruning); the one allowed joined negative
+  * becomes a NOT-MATCHED-BY-SOURCE clause — rows present in the
+  * subquery are matched and therefore exempt, which relies on
+  * mergeInto gating NMBS on true matched-ness. NOT IN is null-aware:
+  * a NULL anywhere in the list makes the statement a no-op, and a
+  * NULL probe row is exempt (`IS NOT NULL` folded into the clause). */
+private[graft] case class GraftSubqueryDmlCommand(dir: String,
+    baseCond: Column, preds: Seq[GraftSqPred],
+    set: Option[Map[String, Column]]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = preds.map(_.plan)
+  override def run(session: SparkSession): Seq[Row] = {
+    def sub(p: GraftSqPred): DataFrame =
+      PlanBridge.fromPlan(session, p.plan)
+    // uncorrelated [NOT] EXISTS conjuncts gate the whole statement:
+    // a FALSE conjunct means no row can satisfy the condition
+    for (p <- preds if p.tExprs.isEmpty)
+      if (p.negated != sub(p).isEmpty) return Seq.empty
+    val joined = preds.filter(_.tExprs.nonEmpty)
+    val (njoin, pjoin) = joined.partition(_.negated)
+    if (joined.isEmpty) {
+      set match {
+        case Some(s) => TxLog.update(session, dir, baseCond, s)
+        case None => TxLog.delete(session, dir, baseCond)
+      }
+      return Seq.empty
+    }
+    val opName = if (set.isDefined) "update" else "delete"
+    def eq(p: GraftSqPred, names: Seq[String]): Column =
+      p.tExprs.zip(names).map { case (te, n) => te === col(n) }
+        .reduce(_ && _)
+    if (njoin.isEmpty) {
+      val (src, on) = pjoin.zipWithIndex
+        .foldLeft(Option.empty[DataFrame] -> lit(true)) {
+          case ((acc, cnd), (p, i)) =>
+            val names = p.tExprs.indices.map(j => s"__graft_sq_${i}_$j")
+            val d = sub(p).toDF(names: _*).distinct()
+            (Some(acc.map(_.crossJoin(d)).getOrElse(d)),
+              cnd && eq(p, names))
+        }
+      val clause: TxLog.MergeClause = set match {
+        case Some(s) => TxLog.MergeMatchedUpdate(s, Some(baseCond))
+        case None => TxLog.MergeMatchedDelete(Some(baseCond))
+      }
+      TxLog.mergeInto(session, dir, src.get, on, Seq(clause),
+        op = opName)
+    } else {
+      val p = njoin.head
+      val names = p.tExprs.indices.map(j => s"__graft_sq_0_$j")
+      val d = sub(p).toDF(names: _*).distinct()
+      if (p.nullAwareNotIn &&
+          d.filter(names.map(col(_).isNull).reduce(_ || _))
+            .head(1).nonEmpty)
+        return Seq.empty // NOT IN over a NULL-bearing list: never TRUE
+      val nn = if (p.nullAwareNotIn)
+        p.tExprs.map(_.isNotNull).reduce(_ && _) else lit(true)
+      val clause: TxLog.MergeClause = set match {
+        case Some(s) =>
+          TxLog.MergeNotMatchedBySourceUpdate(s, Some(baseCond && nn))
+        case None =>
+          TxLog.MergeNotMatchedBySourceDelete(Some(baseCond && nn))
+      }
+      TxLog.mergeInto(session, dir, d, eq(p, names), Seq(clause),
+        op = opName)
+    }
     Seq.empty
   }
 }

@@ -125,6 +125,14 @@ class TxLogStreamProvider extends StreamSourceProvider
         .children.map(_.values.toString)
     }.getOrElse(Nil)
     if (partCols.nonEmpty) {
+      // SaveMode.Ignore keeps its contract even on the partitionBy
+      // create path: existing data (logged or plain) → silent no-op,
+      // never a refusal.
+      if (mode == SaveMode.Ignore && hasData)
+        return new org.apache.spark.sql.sources.BaseRelation {
+          override def sqlContext: SQLContext = sqlContext0
+          override def schema: StructType = data.schema
+        }
       require(!logged,
         s"txlog: partitionBy cannot apply to the existing logged " +
           s"table at $d — the layout is fixed at registration; the " +

@@ -1,0 +1,368 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxLog
+
+/** Round-17 hardening and the subquery-DML surface:
+  *  - mergeInto gates NOT MATCHED BY SOURCE on TRUE matched-ness (a
+  *    matched row whose MATCHED clause does not fire is exempt);
+  *  - SQL DELETE/UPDATE accept [NOT] IN / [NOT] EXISTS subquery
+  *    conjuncts, lowered onto the same merge machinery;
+  *  - stats pruning degrades (not crashes) on non-finite literals;
+  *  - SaveMode.Ignore holds on the partitionBy create path;
+  *  - SQL VACUUM reports from its own single deletion walk.
+  */
+class Round17Spec extends SparkSpec {
+
+  private def tmp(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  private def kvn(rows: Seq[(Long, Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "v", "name")
+  }
+
+  // ---- NMBS gates on matched-ness, not on a firing pair -------------
+
+  test("merge: matched row whose conditional MATCHED clause does not fire is exempt from NMBS DELETE") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17nmbs").toString + "/t"
+    // one file holding both rows: k=1 matches the source (but the
+    // MATCHED condition s.v > 100 is false), k=2 is unmatched
+    TxLog.commitOverwrite(s, dir,
+      kvn(Seq((1L, 10L, "a"), (2L, 20L, "b"))).coalesce(1))
+    val src = Seq((1L, 50L)).toDF("k", "v")
+    TxLog.mergeInto(s, dir, src,
+      col("t.k") === col("s.k"),
+      Seq(
+        TxLog.MergeMatchedUpdate(Map("v" -> col("s.v")),
+          Some(col("s.v") > 100L)),
+        TxLog.MergeNotMatchedBySourceDelete()))
+    val back = TxLog.read(s, dir).select("k", "v")
+      .as[(Long, Long)].collect().toSet
+    // k=1 is MATCHED (clause false -> no-op, NOT deleted by NMBS);
+    // k=2 is not matched by source -> deleted
+    assert(back == Set((1L, 10L)),
+      s"matched-but-non-firing row must survive NMBS, got $back")
+  }
+
+  test("merge: NMBS-only merge keeps matched rows and applies only to unmatched") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17nmbs2").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      kvn(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+        .coalesce(1))
+    // several source rows match k=1 — legal without MATCHED clauses
+    // (Delta's cardinality contract only guards firing clauses)
+    val src = Seq((1L, 0L), (1L, 1L)).toDF("k", "x")
+    TxLog.mergeInto(s, dir, src,
+      col("t.k") === col("s.k"),
+      Seq(TxLog.MergeNotMatchedBySourceUpdate(
+        Map("v" -> (col("v") + 1000L)))))
+    val back = TxLog.read(s, dir).select("k", "v")
+      .as[(Long, Long)].collect().toSet
+    assert(back == Set((1L, 10L), (2L, 1020L), (3L, 1030L)),
+      s"NMBS-only merge must exempt the matched k=1, got $back")
+  }
+
+  // ---- subquery conditions in SQL DML --------------------------------
+
+  private def sqlTable(name: String, dir: String,
+      rows: Seq[(Long, Long, String)]): Unit = {
+    TxLog.commitOverwrite(spark, dir, kvn(rows), statsCols = Seq("k", "v"))
+    spark.sql(s"CREATE TABLE $name USING txlog OPTIONS (path '$dir')")
+  }
+
+  test("SQL DELETE with IN-subquery matches the relational replay") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17inq").toString + "/t"
+    val rows = (0L until 40L).map(i => (i, i * 3, s"n$i"))
+    sqlTable("r17_in", dir, rows)
+    Seq(3L, 7L, 11L, 99L).toDF("qk").createOrReplaceTempView("r17_quar")
+    s.sql("DELETE FROM r17_in WHERE v > 10 AND " +
+      "k IN (SELECT qk FROM r17_quar)")
+    val expect = rows.filterNot { case (k, v, _) =>
+      v > 10 && Seq(3L, 7L, 11L, 99L).contains(k) }.toSet
+    val back = TxLog.read(s, dir)
+      .as[(Long, Long, String)].collect().toSet
+    assert(back == expect)
+    // one commit, labeled as the statement the user ran
+    assert(TxLog.history(s, dir).orderBy(desc("version"))
+      .select("op").first().getString(0) == "delete")
+  }
+
+  test("SQL UPDATE with equality-correlated EXISTS matches the replay") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17exq").toString + "/t"
+    val rows = (0L until 30L).map(i => (i, i, s"n$i"))
+    sqlTable("r17_ex", dir, rows)
+    Seq((2L, "x"), (4L, "y"), (2L, "z"), (77L, "w"))
+      .toDF("rk", "tag").createOrReplaceTempView("r17_ref")
+    s.sql("UPDATE r17_ex SET v = v + 1000 WHERE " +
+      "EXISTS (SELECT 1 FROM r17_ref WHERE r17_ref.rk = r17_ex.k " +
+      "AND r17_ref.tag <> 'z')")
+    val hit = Set(2L, 4L)
+    val expect = rows.map { case (k, v, n) =>
+      (k, if (hit(k)) v + 1000 else v, n) }.toSet
+    val back = TxLog.read(s, dir)
+      .as[(Long, Long, String)].collect().toSet
+    assert(back == expect)
+    assert(TxLog.history(s, dir).orderBy(desc("version"))
+      .select("op").first().getString(0) == "update")
+  }
+
+  test("SQL DELETE with NOT IN is null-aware") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17nin").toString + "/t"
+    val rows = Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c"))
+    sqlTable("r17_nin", dir, rows)
+    // a NULL in the list: NOT IN is never TRUE -> statement no-ops
+    Seq(Some(1L), None).toDF("qk").createOrReplaceTempView("r17_null")
+    s.sql("DELETE FROM r17_nin WHERE k NOT IN (SELECT qk FROM r17_null)")
+    assert(TxLog.read(s, dir).count() == 3,
+      "NOT IN over a NULL-bearing list must delete nothing")
+    // without the NULL: rows outside the list go
+    Seq(1L, 3L).toDF("qk").createOrReplaceTempView("r17_keep")
+    s.sql("DELETE FROM r17_nin WHERE k NOT IN (SELECT qk FROM r17_keep)")
+    assert(TxLog.read(s, dir).select("k")
+      .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("SQL DELETE with correlated NOT EXISTS keeps only referenced rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17nex").toString + "/t"
+    sqlTable("r17_nex", dir,
+      Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c"), (4L, 4L, "d")))
+    Seq(2L, 4L).toDF("rk").createOrReplaceTempView("r17_refs")
+    s.sql("DELETE FROM r17_nex WHERE NOT EXISTS " +
+      "(SELECT 1 FROM r17_refs WHERE r17_refs.rk = r17_nex.k)")
+    assert(TxLog.read(s, dir).select("k")
+      .as[Long].collect().toSet == Set(2L, 4L))
+  }
+
+  test("SQL DML: uncorrelated EXISTS gates the statement") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17gate").toString + "/t"
+    sqlTable("r17_gate", dir, Seq((1L, 1L, "a"), (2L, 2L, "b")))
+    spark.range(0).select(col("id").as("z"))
+      .createOrReplaceTempView("r17_empty")
+    s.sql("DELETE FROM r17_gate WHERE k = 1 AND " +
+      "EXISTS (SELECT 1 FROM r17_empty)")
+    assert(TxLog.read(s, dir).count() == 2,
+      "EXISTS over an empty relation must no-op")
+    spark.range(1).select(col("id").as("z"))
+      .createOrReplaceTempView("r17_one")
+    s.sql("DELETE FROM r17_gate WHERE k = 1 AND " +
+      "EXISTS (SELECT 1 FROM r17_one)")
+    assert(TxLog.read(s, dir).select("k")
+      .as[Long].collect().toSet == Set(2L))
+  }
+
+  test("SQL DML refuses the subquery shapes it does not support, with the graft error") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17ref").toString + "/t"
+    sqlTable("r17_refu", dir, Seq((1L, 1L, "a")))
+    Seq((1L, 5L)).toDF("rk", "rv").createOrReplaceTempView("r17_rr")
+    // correlated IN
+    val e1 = intercept[Exception] {
+      s.sql("DELETE FROM r17_refu WHERE k IN " +
+        "(SELECT rk FROM r17_rr WHERE rv = r17_refu.v)")
+    }
+    assert(e1.getMessage.contains("unsupported subquery shape") ||
+      e1.getMessage.contains("correlated"), e1.getMessage)
+    // non-equality correlation in EXISTS
+    val e2 = intercept[Exception] {
+      s.sql("DELETE FROM r17_refu WHERE EXISTS " +
+        "(SELECT 1 FROM r17_rr WHERE r17_rr.rk > r17_refu.k)")
+    }
+    assert(e2.getMessage.contains("unsupported subquery shape") ||
+      e2.getMessage.contains("non-equality"), e2.getMessage)
+    // scalar subquery in SET
+    val e3 = intercept[Exception] {
+      s.sql("UPDATE r17_refu SET v = (SELECT max(rv) FROM r17_rr)")
+    }
+    assert(e3.getMessage.contains("subqueries in UPDATE SET"),
+      e3.getMessage)
+    // subquery in MERGE ON
+    val e4 = intercept[Exception] {
+      s.sql("MERGE INTO r17_refu USING r17_rr ON r17_refu.k = r17_rr.rk " +
+        "AND r17_refu.k IN (SELECT rk FROM r17_rr) " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e4.getMessage.contains("subqueries in MERGE"), e4.getMessage)
+    // the table is untouched by all four refusals
+    assert(TxLog.read(s, dir).count() == 1)
+  }
+
+  // ---- non-finite literals degrade to no pruning ---------------------
+
+  test("pushed IN/OR filters carrying NaN/Infinity do not crash the pruned scan") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17nan").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "d"),
+      statsCols = Seq("d"))
+    val df = s.read.format("txlog").load(dir)
+    assert(df.filter(col("d").isin(1.0, Double.NaN))
+      .select("k").as[Long].collect().toSet == Set(1L))
+    assert(df.filter(col("d") > 2.0 || col("d") > Double.PositiveInfinity)
+      .select("k").as[Long].collect().toSet == Set(3L))
+    assert(df.filter(col("d").isin(Double.NaN)).count() == 0)
+  }
+
+  // ---- SaveMode.Ignore on the partitionBy create path ----------------
+
+  test("Ignore-mode partitionBy write no-ops on an existing plain dataset instead of refusing") {
+    val s = spark
+    import s.implicits._
+    // an existing PLAIN dataset reaches the v1 create path (the
+    // placeholder table declares no capabilities); a LOGGED table
+    // never gets here — Spark's own v2 save path refuses createModes
+    // against a BATCH_WRITE table before the source is consulted
+    val plain = tmp("r17ign").toString + "/t"
+    val first = Seq((1L, "us"), (2L, "eu")).toDF("k", "region")
+    first.write.parquet(plain)
+    Seq((9L, "apac")).toDF("k", "region").write
+      .mode("ignore").partitionBy("region").format("txlog").save(plain)
+    assert(!TxLog.isLogged(s, plain) &&
+      s.read.parquet(plain).count() == 2,
+      "Ignore + partitionBy must be a true no-op on existing data")
+    // the default mode keeps its loud refusal on the same shape
+    val e = intercept[IllegalArgumentException] {
+      Seq((9L, "apac")).toDF("k", "region").write
+        .partitionBy("region").format("txlog").save(plain)
+    }
+    assert(e.getMessage.contains("empty target"), e.getMessage)
+    assert(s.read.parquet(plain).count() == 2)
+  }
+
+  // ---- grammar hardening ----------------------------------------------
+
+  test("OPTIMIZE ZORDER BY accepts N columns") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17zo").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      (0L until 64L).map(i => (i, i % 7, i % 11, s"n$i"))
+        .toDF("k", "a", "b", "name").repartition(4),
+      statsCols = Seq("k", "a", "b"))
+    s.sql(s"OPTIMIZE '$dir' TARGET 1 FILES ZORDER BY (k, a, b)")
+    assert(TxLog.snapshot(s, dir).files.size == 1)
+    assert(TxLog.read(s, dir).count() == 64)
+  }
+
+  test("near-miss statements on graft-owned first tokens raise the graft grammar error") {
+    val s = spark
+    val cases = Seq(
+      "VACUUM 't' RETAIN 3 VERSION" -> "expected: VACUUM",
+      "OPTIMIZE 't' ZORDER (k)" -> "expected: OPTIMIZE",
+      "RESTORE 't' VERSION OF 3" -> "expected: RESTORE",
+      "CONVERT TO TXLOG" -> "expected: CONVERT",
+      "ALTER TXLOG 't' SET NONSENSE" -> "expected: ALTER TXLOG")
+    cases.foreach { case (sql, want) =>
+      val e = intercept[Exception] { s.sql(sql) }
+      assert(e.getMessage.contains(want),
+        s"'$sql' raised: ${e.getMessage}")
+    }
+  }
+
+  test("DESCRIBE on a user table literally named history/detail delegates to Spark") {
+    val s = spark
+    val base = tmp("r17desc").toString
+    s.sql(s"CREATE TABLE history (k BIGINT, v STRING) USING parquet " +
+      s"LOCATION '$base/history'")
+    try {
+      // Spark's column-describe syntax — the txlog DESCRIBE HISTORY
+      // grammar must not shadow it (the bare ref 'k' resolves to no
+      // txlog table, so the statement delegates)
+      val out = s.sql("DESCRIBE history k").collect()
+      assert(out.map(_.getString(0)).contains("col_name"))
+      // the txlog form still works by path and by registered name
+      val dir = tmp("r17desc2").toString + "/t"
+      TxLog.commitOverwrite(s, dir, kvn(Seq((1L, 1L, "a"))))
+      assert(s.sql(s"DESCRIBE HISTORY '$dir'").collect().nonEmpty)
+    } finally s.sql("DROP TABLE IF EXISTS history")
+  }
+
+  // ---- SQL CONVERT and CLONE ------------------------------------------
+
+  test("CONVERT TO TXLOG adopts a plain parquet dataset in place") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17conv").toString + "/t"
+    kvn(Seq((1L, 1L, "a"), (2L, 2L, "b"))).write.parquet(dir)
+    val v = s.sql(s"CONVERT TO TXLOG '$dir' STATS (k, v)")
+      .collect().head.getLong(0)
+    assert(v == 0L && TxLog.isLogged(s, dir))
+    assert(TxLog.read(s, dir).count() == 2)
+    // stats were recorded: a k-predicate prunes from the log
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.files.forall(_.stats.nonEmpty))
+  }
+
+  test("SQL CLONE: shallow with time travel registers a catalog name; deep copies bytes") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("r17cls").toString + "/t"
+    TxLog.commitOverwrite(s, src, kvn(Seq((1L, 1L, "a"), (2L, 2L, "b"))))
+    TxLog.commitAppend(s, src, kvn(Seq((3L, 3L, "c"))))
+    // shallow clone of v0, registered under a name
+    val tgt = tmp("r17cls").toString + "/clone0"
+    s.sql(s"CREATE TABLE r17_clone SHALLOW CLONE '$src' " +
+      s"VERSION AS OF 0 LOCATION '$tgt'")
+    assert(s.table("r17_clone").count() == 2,
+      "the v0 clone must see only the first commit's rows")
+    // the clone evolves independently of the source
+    s.sql("DELETE FROM r17_clone WHERE k = 1")
+    assert(s.table("r17_clone").count() == 1)
+    assert(TxLog.read(s, src).count() == 3, "source untouched")
+    // deep clone by quoted path: self-contained files in the target
+    val tgt2 = tmp("r17cld").toString + "/t"
+    s.sql(s"CREATE TABLE '$tgt2' DEEP CLONE '$src'")
+    assert(TxLog.read(s, tgt2).count() == 3)
+    val copied = new java.io.File(tgt2).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_"))
+    assert(copied.nonEmpty, "deep clone must copy data files")
+    // a bare-name target without LOCATION refuses with the contract
+    val e = intercept[Exception] {
+      s.sql(s"CREATE TABLE r17_clone2 CLONE '$src'")
+    }
+    assert(e.getMessage.contains("LOCATION"), e.getMessage)
+  }
+
+  // ---- SQL VACUUM reports from its own walk ---------------------------
+
+  test("SQL VACUUM returns exactly the files its own walk deleted") {
+    val s = spark
+    val dir = tmp("r17vac").toString + "/t"
+    TxLog.commitOverwrite(s, dir, kvn(Seq((1L, 1L, "a"), (2L, 2L, "b"))))
+    TxLog.commitOverwrite(s, dir, kvn(Seq((3L, 3L, "c"))))
+    val reported = s.sql(s"VACUUM '$dir'").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    assert(reported.nonEmpty && reported.forall(_._2),
+      "non-dry VACUUM rows must be flagged deleted")
+    val f = new java.io.File(dir)
+    val onDisk = f.listFiles().filter(x => x.isFile &&
+      !x.getName.startsWith("_") && !x.getName.startsWith("."))
+      .map(_.getName).toSet
+    assert(reported.map(_._1).forall(p => !onDisk.contains(p)),
+      "every reported path must actually be gone")
+    // a second VACUUM finds nothing
+    assert(s.sql(s"VACUUM '$dir'").collect().isEmpty)
+    assert(TxLog.read(s, dir).count() == 1)
+  }
+}

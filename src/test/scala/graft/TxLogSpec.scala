@@ -890,9 +890,11 @@ class TxLogSpec extends SparkSpec {
     assert(xOnly.inputFiles.length <= 2)
     assert(xOnly.filter(col("x").between(0, 12)).count() == 13L * 100)
 
-    intercept[IllegalArgumentException] {
-      TxLog.compact(spark, dir, 8, zorderBy = Seq("x", "y", "payload"))
-    }
+    // N-column form (round-17): a 3-key Morton layout is accepted and
+    // preserves the data
+    TxLog.compact(spark, dir, 8, zorderBy = Seq("x", "y", "payload"))
+    assert(TxLog.read(spark, dir).count() == 10000L)
+    assert(probe(TxLog.readPrunedAll(spark, dir, preds)) == probe(before))
   }
 
   test("delete rewrites only the files that hold matching rows") {
