@@ -40,13 +40,15 @@ class GraftCatalog extends DelegatingCatalogExtension {
       case Some(dir) if TxLog.isLogged(SparkSession.active, dir) =>
         val (d, v, schema, pinned) =
           TxLogBatch.resolve(SparkSession.active, Map("path" -> dir))
-        new TxLogBatchTable(d, v, schema, pinned)
+        new TxLogBatchTable(d, v, schema, pinned,
+          v1Catalog = PlanBridge.v1CatalogTable(base))
       case Some(dir) if !base.schema().isEmpty =>
         // declared (CTAS / CREATE with schema) but not yet written:
         // a WRITABLE creation placeholder lets the exec's first write
         // create the log; reads refuse until it exists
         new TxLogBatchTable(dir, -1L, base.schema(), pinned = false,
-          writableCreate = true)
+          writableCreate = true,
+          v1Catalog = PlanBridge.v1CatalogTable(base))
       case _ => base
     }
   }

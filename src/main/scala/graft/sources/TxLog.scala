@@ -1172,8 +1172,17 @@ object TxLog {
         .map(n => n -> s"${n}_${UUID.randomUUID().toString.take(8)}")
         .toMap
     }
+    // stats continuity: every append ALSO records min/max for the
+    // columns the table already tracks, even when this writer passed
+    // no statsCols — otherwise one stats-less append (a) degrades
+    // file pruning forever and (b) turns the write-serializable
+    // conflict guard maximally conservative, refusing EVERY concurrent
+    // predicate DML against the fresh file (spurious-refusal livelock
+    // on a busy table)
+    val statsAll = snap0.map(s0 => inheritStats(s0.files, statsCols, s0))
+      .getOrElse(statsCols)
     val (added, schemaJson) =
-      stageData(spark, dir, dfId, (statsCols ++ idMap.keys).distinct,
+      stageData(spark, dir, dfId, (statsAll ++ idMap.keys).distinct,
         mapping ++ freshPhys)
     commitStaged(spark, dir, "append", added, Nil, removeAll = false,
       schemaJson, txn, mergeSchema,

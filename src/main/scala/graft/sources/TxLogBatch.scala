@@ -243,11 +243,45 @@ private[graft] object TxLogBatch {
   * which creates the table under every SaveMode. */
 private[graft] class TxLogBatchTable(val dir: String, val asOf: Long,
     tableSchema: StructType, val pinned: Boolean,
-    writableCreate: Boolean = false)
+    writableCreate: Boolean = false,
+    v1Catalog: Option[
+      org.apache.spark.sql.catalyst.catalog.CatalogTable] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.graft.V1FallbackBridge {
 
   override def name(): String = s"txlog:$dir@v$asOf"
+
+  /** `writeStream.format("txlog").toTable("t")` support (the
+    * DeltaTableV2 shape): the table declares no STREAMING_WRITE
+    * capability, so DataStreamWriter consults this v1 fallback and
+    * routes the query through the registered [[TxLogStreamSource]]
+    * sink — the SAME exactly-once commit path as
+    * `writeStream.format("txlog").start(dir)` (txn markers, admission
+    * control, checkpoint contract all identical). A catalog-loaded
+    * table hands back its REAL registered identity (carrying the
+    * identifier any later resolution keys on), a path-loaded one a
+    * synthesized external-table shell. */
+  override def v1Table
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat,
+      CatalogTable, CatalogTableType}
+    v1Catalog.map(ct => ct.copy(provider = Some("txlog"),
+      storage = ct.storage.copy(
+        properties = ct.storage.properties + ("path" -> dir))))
+      .getOrElse {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        CatalogTable(
+          identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+            p.getName),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty.copy(
+            locationUri = Some(p.toUri),
+            properties = Map("path" -> dir)),
+          schema = tableSchema,
+          provider = Some("txlog"))
+      }
+  }
 
   /** SQL `DELETE FROM t WHERE …` in ANY session (no extensions
     * needed): Spark hands the translatable conjuncts here and the

@@ -132,6 +132,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           .exists(_.equalsIgnoreCase("TIMESTAMP")),
         travel = Option(m.group("v")).map(_.toLong),
         loc = Option(m.group("loc")).map(unq))
+    }).orElse(replaceWhereRe.findFirstMatchIn(s).map { m =>
+      GraftReplaceWhereCommand(ref(m), m.group("pred"),
+        delegate.parseQuery(m.group("query")))
     })
     // first-token ownership: a statement that BEGINS with a keyword
     // Spark's grammar has no meaning for (OPTIMIZE / VACUUM / RESTORE
@@ -213,6 +216,14 @@ private[graft] object GraftSqlParser {
   val convertRe: scala.util.matching.Regex =
     ("""(?is)\ACONVERT\s+TO\s+TXLOG""" + ws + dir +
       """(?:\s+STATS\s*\(\s*(?<stats>[\w\s,]+?)\s*\))?\z""").r
+  // Delta's atomic partial overwrite: INSERT INTO t REPLACE WHERE
+  // <pred> <query>. The predicate is the plain-expression slice (no
+  // subqueries — a lazy match up to the query's leading keyword);
+  // the query is handed to Spark's own parser.
+  val replaceWhereRe: scala.util.matching.Regex =
+    ("""(?is)\AINSERT\s+INTO""" + ws + dir + ws +
+      """REPLACE\s+WHERE\s+(?<pred>.+?)\s+""" +
+      """(?<query>(?:SELECT|WITH|VALUES|TABLE|FROM)\b.+)\z""").r
   // target and source each take either spelling; named groups must be
   // unique, so the clone regex spells them out instead of reusing `dir`
   val cloneRe: scala.util.matching.Regex =
@@ -420,5 +431,36 @@ private[graft] case class GraftCloneCommand(tgtName: Option[String],
         s"'${target.replace("'", "''")}')")
     }
     Seq(Row(target, ver))
+  }
+}
+
+/** `INSERT INTO t REPLACE WHERE <pred> <query>` — Delta's atomic
+  * partial overwrite as a statement: in ONE commit, rows matching
+  * the predicate are replaced by the query's rows (each of which
+  * must itself match the predicate — [[TxLog.replaceWhere]]'s
+  * idempotence contract), and everything outside the slice survives
+  * by path. Columns align POSITIONALLY and cast to the table types,
+  * the INSERT convention. */
+private[graft] case class GraftReplaceWhereCommand(dirRaw: String,
+    predSql: String,
+    query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override val output: Seq[Attribute] = Seq(attr("version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = TxLogSql.resolveDir(session, dirRaw)
+    val df = org.apache.spark.sql.graft.PlanBridge.fromPlan(session, query)
+    val snap = TxLog.snapshot(session, dir)
+    val schema = DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    require(df.columns.length == schema.fields.length,
+      s"txlog: REPLACE WHERE query produces ${df.columns.length} " +
+        s"column(s), table has ${schema.fields.length}")
+    val aligned = df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    Seq(Row(TxLog.replaceWhere(session, dir, aligned, expr(predSql))))
   }
 }

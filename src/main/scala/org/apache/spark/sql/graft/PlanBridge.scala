@@ -8,6 +8,14 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** `private[sql]` re-export of [[org.apache.spark.sql.connector
+  * .catalog.V2TableWithV1Fallback]]: a v2 Table mixing this in makes
+  * `writeStream.toTable("t")` fall back to the table provider's v1
+  * streaming sink (the DeltaTableV2 pattern — the trait is public in
+  * bytecode but `private[sql]` to Scala). */
+trait V1FallbackBridge
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 /** The minimal `private[sql]` bridge a DataSource-v1 streaming source
   * needs (the same package-placement pattern Spark's own bundled
   * connectors use, e.g. the Kafka source living under
@@ -71,6 +79,19 @@ object PlanBridge {
       }.orElse(v1.v1Table.storage.locationUri.map(_.toString))
     case _ => None
   }
+
+  /** The underlying CatalogTable of a default-session-catalog
+    * `V1Table` (both `private[sql]`) — the real catalog identity the
+    * txlog v2 table hands back through its `v1Table` fallback, so
+    * `writeStream.toTable("t")` resolves the REGISTERED name, not a
+    * synthesized one. */
+  def v1CatalogTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    t match {
+      case v1: org.apache.spark.sql.connector.catalog.V1Table =>
+        Some(v1.v1Table)
+      case _ => None
+    }
 
   /** Re-wrap a file-relation DataFrame as a streaming batch — the
     * FileStreamSource.getBatch shape. The file relation may sit under

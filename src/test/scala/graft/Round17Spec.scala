@@ -344,6 +344,100 @@ class Round17Spec extends SparkSpec {
     assert(e.getMessage.contains("LOCATION"), e.getMessage)
   }
 
+  // ---- SQL REPLACE WHERE and writeStream.toTable ----------------------
+
+  test("INSERT INTO t REPLACE WHERE replaces exactly the slice, atomically") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17rw").toString + "/t"
+    val rows = (0L until 20L).map(i => (i, i, s"old$i"))
+    TxLog.commitOverwrite(s, dir, kvn(rows)
+      .repartitionByRange(4, col("k")), statsCols = Seq("k"))
+    s.sql(s"CREATE TABLE r17_rw USING txlog OPTIONS (path '$dir')")
+    // replace the k >= 15 slice with three fresh rows, one commit
+    s.sql("INSERT INTO r17_rw REPLACE WHERE k >= 15 " +
+      "SELECT id + 15, id, 'new' || id FROM range(3)")
+    val back = TxLog.read(s, dir).as[(Long, Long, String)]
+      .collect().toSet
+    val expect = rows.filter(_._1 < 15).toSet ++
+      (0L until 3L).map(i => (i + 15, i, s"new$i")).toSet
+    assert(back == expect)
+    // exactly one commit for the whole swap
+    assert(TxLog.history(s, dir).count() == 2)
+    // rows OUTSIDE the predicate refuse before anything stages
+    val e = intercept[Exception] {
+      s.sql("INSERT INTO r17_rw REPLACE WHERE k >= 15 " +
+        "SELECT id, id, 'x' FROM range(3)")
+    }
+    assert(e.getMessage.contains("NOT matching"), e.getMessage)
+    assert(TxLog.read(s, dir).count() == 18, "refusal must not commit")
+  }
+
+  test("writeStream.toTable routes micro-batches into a registered txlog table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17wst").toString + "/t"
+    TxLog.commitOverwrite(s, dir, Seq((1L, "a")).toDF("k", "name"))
+    s.sql("DROP TABLE IF EXISTS r17_sink")
+    s.sql(s"CREATE TABLE r17_sink USING txlog OPTIONS (path '$dir')")
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("k", "name").writeStream
+        .format("txlog")
+        .option("checkpointLocation", dir + "_cp")
+        .toTable("r17_sink")
+      try {
+        mem.addData((2L, "b"), (3L, "c"))
+        q.processAllAvailable()
+        assert(TxLog.read(s, dir).count() == 3,
+          "micro-batch must append through the txlog sink")
+        mem.addData((4L, "d"))
+        q.processAllAvailable()
+        assert(s.table("r17_sink").count() == 4)
+        // the stream committed through the LOG (txn-marked appends),
+        // not by dumping parquet around it
+        val ops = TxLog.history(s, dir).select("op")
+          .as[String].collect().toSeq
+        assert(ops.count(_ == "append") >= 2, s"ops: $ops")
+      } finally q.stop()
+    } finally s.sql("DROP TABLE IF EXISTS r17_sink")
+  }
+
+  // ---- conflict guard under stats-less appends ------------------------
+
+  private def interleave(body: => Unit): Unit =
+    TxLog.testBeforeClaim.set(Some(() => body))
+
+  test("a stats-less concurrent append no longer spuriously refuses DISJOINT predicate DML") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17guard").toString + "/t"
+    def rows(tag: String, ks: Range) =
+      ks.map(i => (i.toLong, tag)).toDF("k", "tag")
+    TxLog.commitOverwrite(s, dir, rows("base", 0 until 100),
+      statsCols = Seq("k"))
+    // the racer passes NO statsCols — the table tracks k, so the
+    // append must record k min/max anyway (stats continuity); before
+    // round 17 the fresh file had no stats and EVERY concurrent
+    // predicate DML refused
+    interleave { TxLog.commitAppend(s, dir, rows("racer", 500 until 520)) }
+    TxLog.delete(s, dir, col("k") < 50) // disjoint → must commit
+    assert(TxLog.read(s, dir).count() == 70,
+      "the disjoint delete must commit past the stats-less racer")
+    // genuine overlap still refuses — never a lost slice
+    interleave { TxLog.commitAppend(s, dir, rows("racer2", 60 until 62)) }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxLog.delete(s, dir, col("k") < 70)
+    }
+    assert(e.getMessage.contains("added by a concurrent commit"))
+    // the retry sees the racer's rows and deletes both slices
+    TxLog.delete(s, dir, col("k") < 70)
+    assert(TxLog.read(s, dir).filter(col("k") < 70).count() == 0)
+    assert(TxLog.read(s, dir).count() == 50, "500..519 + 70..99 remain")
+  }
+
   // ---- SQL VACUUM reports from its own walk ---------------------------
 
   test("SQL VACUUM returns exactly the files its own walk deleted") {
