@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,11 +79,12 @@ object Graph {
     * max |Δrank|) for scale diagnostics; the probe runs whenever
     * tol > 0 or an observer is set. Output: (node, pagerank).
     *
-    * Numerics are double and iteration order is fixed, so results are
-    * deterministic per (graph, iters, d, tol) but not SQL-replayable
-    * in one query — this operator is ScalaTest-verified (cycle
-    * fixpoint, mass conservation, dangling redistribution, early
-    * stop) rather than oracle-hashed. */
+    * Numerics are double and the per-round contribution sums use
+    * Spark's native `sum` (partition-order-dependent float addition),
+    * so results are reproducible only to float tolerance — this form
+    * is ScalaTest-verified (cycle fixpoint, mass conservation,
+    * dangling redistribution, early stop); [[pagerankDet]] is the
+    * bit-deterministic, oracle-hashable twin. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, damping: Double = 0.85, tol: Double = 0.0,
       onRound: Option[(Int, Double) => Unit] = None): DataFrame = {
@@ -135,6 +136,80 @@ object Graph {
         converged = tol > 0 && delta < tol
       }
       ranks = updated.drop("_prev")
+      i += 1
+    }
+    Dedup.release(e)
+    ranks.select(col("node"), col("rank").as("pagerank"))
+  }
+
+  /** [[pagerank]] with BIT-DETERMINISTIC aggregation: every float
+    * reduction is a fixed-order left fold instead of a native `sum`,
+    * so the result is identical bit-for-bit on any partitioning, any
+    * cluster size, and in any engine that replays the same fold order
+    * — the driver gate hash-checks it against a DuckDB replay
+    * (iterations unrolled as a CTE chain), closing the oracle gap
+    * float-sum ordering forces on [[pagerank]].
+    *
+    * Determinism recipe, mirrored expression-for-expression by the
+    * oracle SQL ([[graft.queries.TrainingQueries]]):
+    *   - in-neighbor contributions per node fold over the
+    *     `array_sort`-ed (src, rank/out_degree) list — in-degree-sized
+    *     arrays, bounded in the kNN graphs this serves (≈ candidates
+    *     per node), each summed left-to-right from 0.0;
+    *   - dangling mass folds TWO-level so no single array is
+    *     graph-sized: per node-id bucket (pmod, `danglingBuckets`)
+    *     then across the bucket sums in bucket order.
+    * Same shuffle shape as [[pagerank]] (one edge join + node-sized
+    * aggregate per round, checkpoint-and-release state); the sorted
+    * folds trade the native sum's map-side combine for per-group
+    * arrays, which is the price of replayability — use [[pagerank]]
+    * when tolerance-level reproducibility is enough. */
+  def pagerankDet(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85,
+      danglingBuckets: Int = 64): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    require(danglingBuckets > 0, "danglingBuckets must be positive")
+    def foldSum(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val n = nodes.count().toDouble
+    var ranks = nodes
+      .join(outDeg, Seq("node"), "left")
+      .select(col("node"), lit(1.0 / n).as("rank"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(foldSum(transform(array_sort(collect_list(struct(col("src"),
+          (col("rank") / col("out_degree")).as("c")))),
+          s => s.getField("c"))).as("contrib"))
+      val dangling = ranks.filter(col("out_degree") === 0L)
+        .groupBy(pmod(col("node"), lit(danglingBuckets.toLong)).as("b"))
+        .agg(foldSum(transform(array_sort(collect_list(struct(col("node"),
+          col("rank").as("r")))), s => s.getField("r"))).as("bs"))
+        .agg(foldSum(transform(array_sort(collect_list(struct(col("b"),
+          col("bs").as("s")))), s => s.getField("s"))).as("_dangling"))
+      val updated = ranks
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("_dangling") / n))
+            .as("rank"),
+          col("out_degree"))
+        .localCheckpoint(true)
+      Dedup.release(ranks)
+      ranks = updated
       i += 1
     }
     Dedup.release(e)

@@ -9,9 +9,10 @@ import graft.operators.{Chunk, Dedup, Embeddings, Graph, Mixture}
 /** Round-4 additions (SURVEY.md §2d, second wave) — the remaining
   * training-pipeline surface: document chunking, embedding-store
   * transforms (normalize / int8 quantize), token-mixture curation,
-  * and similarity-graph analytics over the kNN graph. Each binding is
-  * DuckDB-oracle-checked except graph_pagerank (float iteration —
-  * ScalaTest-verified instead).
+  * and similarity-graph analytics over the kNN graph. Every binding
+  * is DuckDB-oracle-checked — including graph_pagerank since round
+  * 17, via [[Graph.pagerankDet]]'s bit-deterministic folds and an
+  * iteration-unrolled CTE-chain oracle.
   */
 object TrainingQueries {
 
@@ -26,6 +27,7 @@ object TrainingQueries {
     Seq("src1" -> 50L, "src2" -> 30L, "src3" -> 20L)
 
   val PagerankIters = 10
+  val PagerankBuckets = 64
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -76,11 +78,14 @@ object TrainingQueries {
   def graphComponents(s: SparkSession, dir: String): DataFrame =
     Dedup.components(knnEdges(s, dir), "query_id", "cand_id")
 
-  /** graph_pagerank — [[Graph.pagerank]] centrality (rows-only:
-    * float iteration; verified by GraphSpec fixpoint tests). */
+  /** graph_pagerank — [[Graph.pagerankDet]] centrality: the
+    * bit-deterministic fold form, hash-checked against a DuckDB
+    * replay that unrolls the [[PagerankIters]] rounds as a CTE chain
+    * (rows-only until round 17; the float-sum [[Graph.pagerank]]
+    * stays suite-pinned as the map-side-combining scale form). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
-    Graph.pagerank(knnEdges(s, dir), "query_id", "cand_id",
-      iters = PagerankIters)
+    Graph.pagerankDet(knnEdges(s, dir), "query_id", "cand_id",
+      iters = PagerankIters, danglingBuckets = PagerankBuckets)
 
   /** #165 vocab_train_bpe — distributed BPE merge learning
     * ([[graft.operators.Vocab.trainBpe]], Sennrich et al. 2016) on the
@@ -146,7 +151,65 @@ object TrainingQueries {
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings)"""
 
+  /** graph_pagerank oracle: [[Graph.pagerankDet]]'s fold recipe with
+    * the [[PagerankIters]] rounds UNROLLED as a CTE chain (contribs →
+    * bucketed dangling → rank per round). Every float reduction
+    * replays the engine's exact order: `list_prepend(0.0, …)` +
+    * `list_reduce` ≡ Spark's `aggregate(arr, 0.0, (acc, x) -> acc+x)`
+    * (left fold seeded at 0.0), `list_sort` over the same struct
+    * shapes ≡ `array_sort(collect_list(struct(…)))`, and the bucket
+    * key mirrors `pmod`. Bit-identical by construction, so the driver
+    * hash-gates the whole 10-round iteration. */
+  private def pagerankOracle: String = {
+    def fold(list: String) =
+      s"list_reduce(list_prepend(0.0, $list), (x, y) -> x + y)"
+    val b = PagerankBuckets
+    val rounds = (1 to PagerankIters).map { i =>
+      val p = s"r${i - 1}"
+      s"""
+      c$i AS MATERIALIZED (
+        SELECT e.dst AS node,
+          ${fold("list_transform(list_sort(list({'s': e.src, " +
+            "'c': r.rank / r.out_degree})), v -> v.c)")} AS contrib
+        FROM edges e JOIN $p r ON e.src = r.node
+        GROUP BY e.dst),
+      db$i AS MATERIALIZED (
+        SELECT ((node % $b) + $b) % $b AS bk,
+          ${fold("list_transform(list_sort(list({'n': node, " +
+            "'r': rank})), v -> v.r)")} AS bs
+        FROM $p WHERE out_degree = 0 GROUP BY 1),
+      d$i AS MATERIALIZED (
+        SELECT COALESCE(${fold("list_transform(list_sort(list(" +
+          "{'b': bk, 's': bs})), v -> v.s)")}, 0.0) AS dang
+        FROM db$i),
+      r$i AS MATERIALIZED (
+        SELECT p.node,
+          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+            + CAST(0.85 AS DOUBLE)
+              * (COALESCE(c.contrib, 0.0) + d.dang / nn.n) AS rank,
+          p.out_degree
+        FROM $p p
+        LEFT JOIN c$i c ON p.node = c.node
+        CROSS JOIN d$i d CROSS JOIN nn)"""
+    }.mkString(",")
+    s"""
+      WITH g AS MATERIALIZED (${SimilarityQueries.oracleSql("knn_graph_lsh")}),
+      edges AS MATERIALIZED (SELECT query_id AS src, cand_id AS dst FROM g),
+      nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+      od AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_degree
+             FROM edges GROUP BY 1),
+      nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (
+        SELECT nd.node, 1.0 / nn.n AS rank,
+          COALESCE(od.out_degree, CAST(0 AS BIGINT)) AS out_degree
+        FROM nodes nd LEFT JOIN od USING (node) CROSS JOIN nn),
+      $rounds
+      SELECT node, rank AS pagerank FROM r$PagerankIters"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle,
     "mixture_temperature" -> s"""
       WITH mass AS (
         SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS avail
@@ -210,7 +273,7 @@ object TrainingQueries {
       FROM documents d JOIN rates r ON d.source = r.grp
       WHERE $docBucket % ${Mixture.Scale} < r.keep_thr""",
     "graph_degrees" -> s"""
-      WITH g AS (${SimilarityQueries.oracleSql("knn_graph_lsh")}),
+      WITH g AS MATERIALIZED (${SimilarityQueries.oracleSql("knn_graph_lsh")}),
       o AS (SELECT query_id AS node, CAST(COUNT(*) AS BIGINT) AS out_degree
             FROM g GROUP BY 1),
       i AS (SELECT cand_id AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -225,7 +288,7 @@ object TrainingQueries {
         SELECT query_id AS src, cand_id AS dst FROM g
         UNION
         SELECT cand_id, query_id FROM g),
-      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
       reach AS (
         SELECT node, node AS r FROM nodes
         UNION

@@ -459,4 +459,29 @@ class Round17Spec extends SparkSpec {
     assert(s.sql(s"VACUUM '$dir'").collect().isEmpty)
     assert(TxLog.read(s, dir).count() == 1)
   }
+
+  // ---- deterministic pagerank (the oracle-hashable twin) ------------
+
+  test("pagerankDet agrees with pagerank to float tolerance and conserves mass") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Graph
+    // mixed shape: a cycle, a chain into a dangling sink, a self-loop
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L, 4L -> 5L,
+      6L -> 6L, 7L -> 5L).toDF("src", "dst")
+    val det = Graph.pagerankDet(e, "src", "dst", iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = Graph.pagerank(e, "src", "dst", iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(det.keySet == ref.keySet)
+    det.foreach { case (n, v) =>
+      assert(math.abs(v - ref(n)) < 1e-12, s"node $n: $v vs ${ref(n)}")
+    }
+    assert(math.abs(det.values.sum - 1.0) < 1e-9, "rank mass conserved")
+    // bit-determinism: a re-run over a different partitioning is
+    // IDENTICAL, not merely close
+    val det2 = Graph.pagerankDet(e.repartition(7), "src", "dst",
+      iters = 12).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(det2 == det, "pagerankDet must be bit-deterministic")
+  }
 }
