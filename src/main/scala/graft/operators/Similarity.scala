@@ -330,6 +330,89 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Flat-PQ ADC top-k with DATA-SEEDED codebooks instead of KMeans
+    * fits — [[ivfTopKSeeded]]'s verification-path idea applied to
+    * product quantization: for subspace m, the codewords are the
+    * sub-slices of the corpus vectors with `vec_id < codebook`
+    * (code = codeword's vec_id). Every step — codebook build, argmin
+    * encode, per-(query, subspace, code) distance table, ADC sum,
+    * exact rerank — is a deterministic relational expression, so the
+    * WHOLE serving plan (the same codes→ADC→rerank shape as
+    * [[buildPqIndex]]+[[pqQuery]]) is SQL-replayable and the driver
+    * gate hash-checks it against DuckDB. Two determinism deltas vs
+    * [[pqQuery]]: codebooks come from data, and the ADC sum over the
+    * `subspaces` partials is a PIVOTED fixed-order add (one single-row
+    * `sum(when(m = i))` per subspace, then left-assoc column adds)
+    * instead of a float `sum` whose partition order is unspecified.
+    * Quantization quality is data-dependent (first-k subvectors are an
+    * arbitrary sample, not optimized centers) — the KMeans form stays
+    * the quality path, this is the verification path.
+    *
+    * Scale: corpus × (subspaces·codebook) broadcast-joined encode (the
+    * codebook table is bounded by construction), codes-only ADC scan,
+    * rerank touches raw vectors for rerank×queries rows only. */
+  def pqTopKSeeded(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, subspaces: Int, codebook: Int,
+      rerank: Int = 0): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val dims = all.select(size(col("e"))).head().getInt(0)
+    require(dims % subspaces == 0,
+      s"embedding dim $dims must divide into $subspaces subspaces")
+    val subDim = dims / subspaces
+    val cb = all.filter(col("vec_id") < codebook)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("m"),
+        col("e"))
+      .select(col("m"), col("code"),
+        expr(s"slice(e, m * $subDim + 1, $subDim)").as("ce"))
+    val subD2 = expr("aggregate(zip_with(sub, ce, (x, y) -> x - y), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code").asc)
+    val codes = all.crossJoin(broadcast(cb))
+      .withColumn("sub", expr(s"slice(e, m * $subDim + 1, $subDim)"))
+      .withColumn("d2", subD2)
+      .withColumn("_er", row_number().over(wEnc))
+      .filter(col("_er") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    val qtab = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("e"))
+      .crossJoin(broadcast(cb))
+      .withColumn("sub", expr(s"slice(e, m * $subDim + 1, $subDim)"))
+      .withColumn("d2", subD2)
+      .select(col("query_id"), col("m"), col("code"), col("d2"))
+    val partials = (0 until subspaces).map(m =>
+      sum(when(col("m") === m, col("d2"))).as(s"_d$m"))
+    val approxD2 = (1 until subspaces).foldLeft(col("_d0")) {
+      (acc, m) => acc + col(s"_d$m")
+    }
+    val approx = codes.join(broadcast(qtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("query_id"), col("cand_id"), approxD2.as("approx_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("cand_id").asc)
+    val top = approx
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0) top.filter(col("rank") <= k)
+    else {
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("cand_id").asc)
+      top.drop("rank", "approx_d2")
+        .join(all.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          col("nn").as("cnn")), "cand_id")
+        .join(all.filter(isQuery).select(col("vec_id").as("query_id"),
+          col("e").as("qe"), col("nn").as("qnn")), "query_id")
+        .select(col("query_id"), col("cand_id"),
+          (col("qnn") - lit(2.0) * expr("vec_dot(qe, ce)") + col("cnn"))
+            .as("d2"))
+        .withColumn("rank", row_number().over(wx).cast("long"))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** Prebuilt product-quantization structures: the per-subspace
     * codebooks (subspaces×codebook centroid rows — broadcast-sized by
     * construction) and the corpus code relation (one (vec_id, m, code)

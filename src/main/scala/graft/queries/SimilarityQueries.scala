@@ -60,6 +60,19 @@ object SimilarityQueries {
       isQuery = col("vec_id") < NumQueries, k = K,
       cells = IvfCells, nProbes = IvfProbes)
 
+  /** #35d ann_pq_seeded — [[Similarity.pqTopKSeeded]]: the flat-PQ
+    * codes→ADC→rerank plan with DATA-SEEDED codebooks (subvectors of
+    * vec_id < codebook) and a pivoted fixed-order ADC sum, fully
+    * deterministic and SQL-replayable — the driver gate hash-checks
+    * the product-quantization serving shape end to end (codebook
+    * build, argmin encode, distance tables, ADC ranking, exact
+    * rerank), the oracle upgrade ann_pq_topk's KMeans codebooks
+    * forbid. Same config as ann_pq_topk. */
+  def annPqSeeded(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopKSeeded(embs(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < NumQueries, k = K,
+      subspaces = PqSubspaces, codebook = PqCodebook, rerank = PqRerank)
+
   /** dedup_embedding_lsh (rows-only) — [[Similarity.dedupEmbeddingLsh]]
     * at cos ≥ 0.4. */
   def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
@@ -103,7 +116,8 @@ object SimilarityQueries {
   private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Similarity.PqIndex]()
 
-  /** ann_pq_topk (rows-only; recall vs exact L2 in ScalaTest) —
+  /** ann_pq_topk (rows-only; recall vs exact L2 in ScalaTest; the
+    * serving plan itself is hash-gated via ann_pq_seeded) —
     * [[Similarity.buildPqIndex]] (cached per corpus) +
     * [[Similarity.pqQuery]]: the memory-compression ANN path (vectors
     * become `subspaces` codes; the query scan reads codes, never raw
@@ -203,6 +217,7 @@ object SimilarityQueries {
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_seeded" -> annIvfSeeded,
+    "ann_pq_seeded" -> annPqSeeded,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   /** DuckDB literal for hyperplane `p`: the ±1 weights are deterministic
@@ -368,7 +383,75 @@ object SimilarityQueries {
       SELECT vec_id, bucket, round FROM r
       ORDER BY round, bucket, vec_id LIMIT $DivN"""
 
+  /** ann_pq_seeded oracle: [[Similarity.pqTopKSeeded]] replayed
+    * expression-for-expression — seeded codebooks (list_slice of the
+    * first-[[PqCodebook]] vectors), argmin encode via the same
+    * (d2 asc, code asc) row_number, per-(query, m, code) distance
+    * table, pivoted single-value SUMs added left-assoc (the ADC sum),
+    * exact-d2 rerank. All float folds are `list_prepend(0.0, …)` +
+    * `list_reduce` left folds matching Spark's `aggregate`; 0.0/2.0
+    * literals stay exact across DuckDB's decimal parsing. */
+  private val annPqSeededOracle: String = {
+    val sd = Dims / PqSubspaces
+    def d2(vec: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, ${sd + 1}),
+            i -> ($vec[cb.m * $sd + i] - cb.ce[i])
+               * ($vec[cb.m * $sd + i] - cb.ce[i]))),
+          (x, y) -> x + y)"""
+    val pivots = (0 until PqSubspaces).map(m =>
+      s"SUM(CASE WHEN q.m = $m THEN q.d2 END) AS _d$m").mkString(",\n          ")
+    val adcSum = (0 until PqSubspaces).map(m => s"_d$m").mkString(" + ")
+    s"""
+      WITH v AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS MATERIALIZED (
+        SELECT vec_id, e,
+          list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nn
+        FROM v),
+      ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+      cb AS MATERIALIZED (
+        SELECT ms.m, CAST(vec_id AS INT) AS code,
+          list_slice(e, ms.m * $sd + 1, ms.m * $sd + $sd) AS ce
+        FROM n CROSS JOIN ms WHERE vec_id < $PqCodebook),
+      enc AS MATERIALIZED (
+        SELECT vec_id, m, code FROM (
+          SELECT a.vec_id, cb.m, cb.code,
+            row_number() OVER (PARTITION BY a.vec_id, cb.m
+              ORDER BY ${d2("a.e")} ASC, cb.code ASC) AS er
+          FROM n a CROSS JOIN cb) WHERE er = 1),
+      qt AS MATERIALIZED (
+        SELECT a.vec_id AS query_id, cb.m, cb.code, ${d2("a.e")} AS d2
+        FROM n a CROSS JOIN cb WHERE a.vec_id < $NumQueries),
+      ap AS MATERIALIZED (
+        SELECT q.query_id, enc.vec_id AS cand_id,
+          $pivots
+        FROM enc JOIN qt q ON enc.m = q.m AND enc.code = q.code
+        WHERE enc.vec_id <> q.query_id
+        GROUP BY 1, 2),
+      top AS MATERIALIZED (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY ($adcSum) ASC, cand_id ASC) AS rank
+        FROM ap),
+      re AS (
+        SELECT s.query_id, s.cand_id,
+          q.nn - 2.0 * list_reduce(list_transform(range(1, ${Dims + 1}),
+              i -> q.e[i] * c.e[i]), (x, y) -> x + y) + c.nn AS d2
+        FROM top s
+        JOIN n q ON q.vec_id = s.query_id
+        JOIN n c ON c.vec_id = s.cand_id
+        WHERE s.rank <= $PqRerank)
+      SELECT query_id, cand_id, d2,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY d2 ASC, cand_id ASC) AS BIGINT) AS rank
+      FROM re QUALIFY rank <= $K"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ann_pq_seeded" -> annPqSeededOracle,
     "curation_diversity" -> curationDiversityOracle,
     "ann_recall" -> annRecallOracle,
     "knn_graph" -> knnGraphOracle,

@@ -484,4 +484,40 @@ class Round17Spec extends SparkSpec {
       iters = 12).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(det2 == det, "pagerankDet must be bit-deterministic")
   }
+
+  // ---- seeded PQ (the oracle-hashable flat-PQ plan) ------------------
+
+  test("seeded PQ with rerank >= corpus degenerates to exact L2 top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    val embs = Tables(s, sf, "embeddings")
+    val v = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val exact = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .crossJoin(v.select(col("vec_id").as("cand_id"), col("e").as("ce")))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("d2", expr("aggregate(zip_with(qe, ce, " +
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), " +
+        "(acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("cand_id").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    // a coarse 4-word codebook cannot rank exactly — but with the
+    // rerank window covering the whole corpus, the exact-L2 refinement
+    // must recover the true top-k regardless of quantization error
+    val pq = graft.operators.Similarity.pqTopKSeeded(
+      embs, "vec_id", "embedding", col("vec_id") < 5, k = 3,
+      subspaces = 8, codebook = 4, rerank = 1000000)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    assert(pq == exact, "full-rerank seeded PQ must equal exact L2 top-k")
+    // and at the entry config it still returns k ranked rows per query
+    val entry = graft.operators.Similarity.pqTopKSeeded(
+      embs, "vec_id", "embedding", col("vec_id") < 5, k = 3,
+      subspaces = 8, codebook = 8, rerank = 9)
+    assert(entry.groupBy("query_id").count()
+      .filter(col("count") =!= 3).count() == 0)
+  }
 }
