@@ -381,12 +381,26 @@ object Similarity {
       .withColumn("sub", expr(s"slice(e, m * $subDim + 1, $subDim)"))
       .withColumn("d2", subD2)
       .select(col("query_id"), col("m"), col("code"), col("d2"))
+    adcRankRerank(codes.join(broadcast(qtab), Seq("m", "code")),
+      all, isQuery, k, subspaces, rerank)
+  }
+
+  /** Shared deterministic ADC tail for the seeded PQ twins: `scored`
+    * is the (query_id, vec_id, m, d2) relation after the codes ⋈
+    * distance-table join (one row per (query, candidate, subspace)).
+    * The per-pair ADC sum is PIVOTED — `subspaces` single-value
+    * `sum(when(m = i))` aggregates added left-assoc — so the float
+    * addition order is fixed regardless of partitioning; rank ties
+    * break on cand_id; `rerank` > 0 refines with exact (row-local,
+    * fold-ordered) distances on raw vectors. */
+  private def adcRankRerank(scored: DataFrame, all: DataFrame,
+      isQuery: Column, k: Int, subspaces: Int, rerank: Int): DataFrame = {
     val partials = (0 until subspaces).map(m =>
       sum(when(col("m") === m, col("d2"))).as(s"_d$m"))
     val approxD2 = (1 until subspaces).foldLeft(col("_d0")) {
       (acc, m) => acc + col(s"_d$m")
     }
-    val approx = codes.join(broadcast(qtab), Seq("m", "code"))
+    val approx = scored
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(partials.head, partials.tail: _*)
@@ -411,6 +425,82 @@ object Similarity {
         .withColumn("rank", row_number().over(wx).cast("long"))
         .filter(col("rank") <= k)
     }
+  }
+
+  /** IVFADC top-k with DATA-SEEDED structures — [[pqTopKSeeded]]'s
+    * verification path composed with [[ivfTopKSeeded]]'s: coarse
+    * cells are the vectors with `vec_id < cells`, and the RESIDUAL
+    * codebooks are the residuals of the next `codebook` vectors
+    * (`cells ≤ vec_id < cells + codebook`, code = vec_id − cells —
+    * offset past the cell seeds, whose own residuals are exactly
+    * zero and would collapse every codeword onto the origin). Each
+    * query probes its `nProbes` nearest cells, ADC-scores ONLY the
+    * probed cells' code rows on (cell, m, code), and reranks exactly
+    * — the full FAISS-shaped IVF+PQ serving plan as deterministic
+    * relational expressions, hash-checked against a DuckDB replay.
+    * KMeans [[buildIvfPqIndex]]+[[ivfPqQuery]] stay the quality path.
+    *
+    * Scale: identical to [[ivfPqQuery]] — broadcast cell/codebook
+    * tables, candidates shuffled per probed cell only, rerank touches
+    * rerank×queries raw vectors. */
+  def ivfPqTopKSeeded(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, cells: Int, subspaces: Int,
+      codebook: Int, nProbes: Int, rerank: Int = 0): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val dims = all.select(size(col("e"))).head().getInt(0)
+    require(dims % subspaces == 0,
+      s"embedding dim $dims must divide into $subspaces subspaces")
+    val subDim = dims / subspaces
+    val centersDf = all.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("e").as("ce"), col("nn").as("cnn"))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val assigned = all.crossJoin(broadcast(centersDf))
+      .withColumn("d2",
+        col("nn") - lit(2.0) * expr("vec_dot(e, ce)") + col("cnn"))
+      .withColumn("_ar", row_number().over(wa))
+      .filter(col("_ar") === 1)
+      .select(col("vec_id"), col("e"), col("nn"), col("cell"))
+    val res = assigned.join(broadcast(centersDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
+    val cb = res
+      .filter(col("vec_id") >= cells && col("vec_id") < cells + codebook)
+      .select((col("vec_id") - cells).cast("int").as("code"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("m"),
+        col("r"))
+      .select(col("m"), col("code"),
+        expr(s"slice(r, m * $subDim + 1, $subDim)").as("ce"))
+    val subD2 = expr("aggregate(zip_with(sub, ce, (x, y) -> x - y), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code").asc)
+    val codes = res.crossJoin(broadcast(cb))
+      .withColumn("sub", expr(s"slice(r, m * $subDim + 1, $subDim)"))
+      .withColumn("d2", subD2)
+      .withColumn("_er", row_number().over(wEnc))
+      .filter(col("_er") === 1)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val probes = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nn").as("qnn"))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("d2",
+        col("qnn") - lit(2.0) * expr("vec_dot(qe, ce)") + col("cnn"))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nProbes)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("qres"))
+    val qtab = probes.crossJoin(broadcast(cb))
+      .withColumn("sub", expr(s"slice(qres, m * $subDim + 1, $subDim)"))
+      .withColumn("d2", subD2)
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        col("d2"))
+    adcRankRerank(codes.join(broadcast(qtab), Seq("cell", "m", "code")),
+      all, isQuery, k, subspaces, rerank)
   }
 
   /** Prebuilt product-quantization structures: the per-subspace

@@ -159,6 +159,21 @@ object SimilarityQueries {
       rerank = PqRerank)
   }
 
+  /** #35e ann_ivfpq_seeded — [[Similarity.ivfPqTopKSeeded]]: the full
+    * IVFADC composition (coarse cells → residuals → residual
+    * codebooks → probed-cells-only ADC → exact rerank) with every
+    * structure data-seeded (cells from vec_id < cells, residual
+    * codewords from the next `codebook` vectors) — fully
+    * deterministic, so the driver gate hash-checks the FAISS-shaped
+    * IVF+PQ serving plan end to end, the oracle upgrade
+    * ann_ivf_pq_topk's KMeans fits forbid. Same config as
+    * ann_ivf_pq_topk. */
+  def annIvfPqSeeded(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopKSeeded(embs(s, dir), "vec_id", "embedding",
+      isQuery = col("vec_id") < NumQueries, k = K, cells = IvfPqCells,
+      subspaces = PqSubspaces, codebook = PqCodebook,
+      nProbes = IvfPqProbes, rerank = PqRerank)
+
   /** SemDeDup parameters: the IVF cell count doubles as the cluster
     * granularity; τ = 0.4 matches the embedding-dedup family. */
   val SemCells = IvfCells
@@ -218,6 +233,7 @@ object SimilarityQueries {
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_seeded" -> annIvfSeeded,
     "ann_pq_seeded" -> annPqSeeded,
+    "ann_ivfpq_seeded" -> annIvfPqSeeded,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   /** DuckDB literal for hyperplane `p`: the ±1 weights are deterministic
@@ -450,8 +466,104 @@ object SimilarityQueries {
       FROM re QUALIFY rank <= $K"""
   }
 
+  /** ann_ivfpq_seeded oracle: [[Similarity.ivfPqTopKSeeded]] replayed
+    * expression-for-expression — seeded cell assignment (same
+    * nn − 2·dot + cnn argmin as the ann_ivf_seeded oracle), residuals
+    * as indexed element differences, offset-seeded residual codebooks,
+    * argmin encode, probed-cells-only (cell, m, code) ADC join with
+    * the pivoted fixed-order sum, exact rerank. */
+  private val annIvfPqSeededOracle: String = {
+    val sd = Dims / PqSubspaces
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, ${Dims + 1}),
+          i -> $a[i] * $b[i]), (x, y) -> x + y)"""
+    def subD2(vec: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, ${sd + 1}),
+            i -> ($vec[cb.m * $sd + i] - cb.ce[i])
+               * ($vec[cb.m * $sd + i] - cb.ce[i]))),
+          (x, y) -> x + y)"""
+    val pivots = (0 until PqSubspaces).map(m =>
+      s"SUM(CASE WHEN q.m = $m THEN q.d2 END) AS _d$m").mkString(",\n          ")
+    val adcSum = (0 until PqSubspaces).map(m => s"_d$m").mkString(" + ")
+    s"""
+      WITH v AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS MATERIALIZED (
+        SELECT vec_id, e,
+          list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nn
+        FROM v),
+      c AS MATERIALIZED (
+        SELECT CAST(vec_id AS INT) AS cell, e AS ce, nn AS cnn
+        FROM n WHERE vec_id < $IvfPqCells),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, e, nn, cell FROM (
+          SELECT a.vec_id, a.e, a.nn, c.cell,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              a.nn - 2.0 * ${dot("a.e", "c.ce")} + c.cnn ASC,
+              c.cell ASC) AS ar
+          FROM n a CROSS JOIN c) WHERE ar = 1),
+      res AS MATERIALIZED (
+        SELECT a.vec_id, a.cell,
+          list_transform(range(1, ${Dims + 1}),
+            i -> a.e[i] - c.ce[i]) AS r
+        FROM assigned a JOIN c ON a.cell = c.cell),
+      ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+      cb AS MATERIALIZED (
+        SELECT ms.m, CAST(vec_id - $IvfPqCells AS INT) AS code,
+          list_slice(r, ms.m * $sd + 1, ms.m * $sd + $sd) AS ce
+        FROM res CROSS JOIN ms
+        WHERE vec_id >= $IvfPqCells
+          AND vec_id < ${IvfPqCells + PqCodebook}),
+      enc AS MATERIALIZED (
+        SELECT vec_id, cell, m, code FROM (
+          SELECT t.vec_id, t.cell, cb.m, cb.code,
+            row_number() OVER (PARTITION BY t.vec_id, cb.m
+              ORDER BY ${subD2("t.r")} ASC, cb.code ASC) AS er
+          FROM res t CROSS JOIN cb) WHERE er = 1),
+      probes AS MATERIALIZED (
+        SELECT query_id, cell, qres FROM (
+          SELECT a.vec_id AS query_id, c.cell,
+            list_transform(range(1, ${Dims + 1}),
+              i -> a.e[i] - c.ce[i]) AS qres,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              a.nn - 2.0 * ${dot("a.e", "c.ce")} + c.cnn ASC,
+              c.cell ASC) AS pr
+          FROM n a CROSS JOIN c WHERE a.vec_id < $NumQueries)
+        WHERE pr <= $IvfPqProbes),
+      qt AS MATERIALIZED (
+        SELECT p.query_id, p.cell, cb.m, cb.code, ${subD2("p.qres")} AS d2
+        FROM probes p CROSS JOIN cb),
+      ap AS MATERIALIZED (
+        SELECT q.query_id, enc.vec_id AS cand_id,
+          $pivots
+        FROM enc JOIN qt q ON enc.cell = q.cell AND enc.m = q.m
+          AND enc.code = q.code
+        WHERE enc.vec_id <> q.query_id
+        GROUP BY 1, 2),
+      top AS MATERIALIZED (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY ($adcSum) ASC, cand_id ASC) AS rank
+        FROM ap),
+      re AS (
+        SELECT s.query_id, s.cand_id,
+          q.nn - 2.0 * ${dot("q.e", "c.e")} + c.nn AS d2
+        FROM top s
+        JOIN n q ON q.vec_id = s.query_id
+        JOIN n c ON c.vec_id = s.cand_id
+        WHERE s.rank <= $PqRerank)
+      SELECT query_id, cand_id, d2,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY d2 ASC, cand_id ASC) AS BIGINT) AS rank
+      FROM re QUALIFY rank <= $K"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ann_pq_seeded" -> annPqSeededOracle,
+    "ann_ivfpq_seeded" -> annIvfPqSeededOracle,
     "curation_diversity" -> curationDiversityOracle,
     "ann_recall" -> annRecallOracle,
     "knn_graph" -> knnGraphOracle,

@@ -519,5 +519,21 @@ class Round17Spec extends SparkSpec {
       subspaces = 8, codebook = 8, rerank = 9)
     assert(entry.groupBy("query_id").count()
       .filter(col("count") =!= 3).count() == 0)
+    // IVFADC composition: probing EVERY cell with a full-corpus rerank
+    // window must also recover exact L2 top-k (quantization only ever
+    // shapes the candidate order, never the reranked slice)
+    val ivfpq = graft.operators.Similarity.ivfPqTopKSeeded(
+      embs, "vec_id", "embedding", col("vec_id") < 5, k = 3,
+      cells = 4, subspaces = 8, codebook = 4, nProbes = 4,
+      rerank = 1000000)
+      .select("query_id", "cand_id", "rank").collect().toSet
+    assert(ivfpq == exact,
+      "all-probes full-rerank seeded IVF-PQ must equal exact L2 top-k")
+    // at a probing config it returns k ranked rows per query
+    val probed = graft.operators.Similarity.ivfPqTopKSeeded(
+      embs, "vec_id", "embedding", col("vec_id") < 5, k = 3,
+      cells = 8, subspaces = 8, codebook = 8, nProbes = 6, rerank = 9)
+    assert(probed.groupBy("query_id").count()
+      .filter(col("count") =!= 3).count() == 0)
   }
 }
