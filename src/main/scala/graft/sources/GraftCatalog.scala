@@ -2,9 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{Column,
-  DelegatingCatalogExtension, Identifier, Table}
+  DelegatingCatalogExtension, Identifier, Table, TableCatalogCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Session-catalog extension adding SQL TIME TRAVEL to registered
   * txlog tables — `SELECT … FROM t VERSION AS OF 3` /
@@ -34,13 +35,50 @@ class GraftCatalog extends DelegatingCatalogExtension {
     * v1 relation path, which cannot host a bare TableProvider). An
     * UNLOGGED dir (creation in flight) and every other provider
     * delegate untouched. */
+  /** Advertise column-spec columns as Spark DEFAULTs so `INSERT INTO
+    * t (subset…)` analyzes: Spark's TableOutputResolver fills an
+    * omitted column ONLY from `CURRENT_DEFAULT` schema metadata
+    * (else it errors "cannot find data"). A declared DEFAULT column
+    * carries its real expression (Spark fills the value itself, SQL
+    * semantics intact); identity/generated columns carry NULL — the
+    * writer recognizes the engine-filled all-NULL column and
+    * generates/computes ([[TxLog]]'s applyIdentityCols /
+    * applyGeneratedCols). Decoration is advertise-only: the LOG's
+    * schema stays clean, and tables with no specs pass through
+    * untouched. */
+  private def withDefaultMeta(spark: SparkSession, dir: String,
+      schema: StructType): StructType = {
+    val snap = TxLog.snapshot(spark, dir)
+    if (snap.defaults.isEmpty && snap.identity.isEmpty &&
+      snap.generated.isEmpty) schema
+    else StructType(schema.map { f =>
+      val d =
+        if (snap.defaults.contains(f.name)) Some(snap.defaults(f.name))
+        else if (snap.identity.contains(f.name) ||
+          snap.generated.contains(f.name)) Some("NULL")
+        else None
+      d.fold(f) { e =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", e)
+          .putString("EXISTS_DEFAULT", e)
+        // identity/generated columns advertise nullable so the NULL
+        // fill survives analysis — the writer replaces it with
+        // generated/computed values before any byte is staged
+        f.copy(metadata = mb.build(),
+          nullable = f.nullable || e == "NULL")
+      }
+    })
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val base = super.loadTable(ident)
     PlanBridge.v1TxlogPath(base) match {
       case Some(dir) if TxLog.isLogged(SparkSession.active, dir) =>
         val (d, v, schema, pinned) =
           TxLogBatch.resolve(SparkSession.active, Map("path" -> dir))
-        new TxLogBatchTable(d, v, schema, pinned,
+        new TxLogBatchTable(d, v,
+          withDefaultMeta(SparkSession.active, d, schema), pinned,
           v1Catalog = PlanBridge.v1CatalogTable(base))
       case Some(dir) if !base.schema().isEmpty =>
         // declared (CTAS / CREATE with schema) but not yet written:
@@ -53,6 +91,22 @@ class GraftCatalog extends DelegatingCatalogExtension {
     }
   }
 
+  /** Accepting inline column specs in CREATE TABLE requires declaring
+    * the capabilities — Spark's analyzer refuses `GENERATED ALWAYS AS
+    * (…)` / `… AS IDENTITY` / `DEFAULT …` column clauses otherwise.
+    * The claim is session-wide, so [[createTable]] refuses
+    * generated/identity declarations for NON-txlog providers loudly
+    * (nothing would enforce them there); plain DEFAULTs keep Spark's
+    * own session-catalog handling. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] = {
+    val s = new java.util.HashSet[TableCatalogCapability](
+      super.capabilities())
+    s.add(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    s.add(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+    s.add(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+    s
+  }
+
   /** SQL `CREATE TABLE … USING txlog PARTITIONED BY (…)` would store
     * partition columns the write path never consults — refuse loudly
     * instead of minting a silently-flat table (the same contract the
@@ -61,12 +115,65 @@ class GraftCatalog extends DelegatingCatalogExtension {
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty ||
-      !"txlog".equalsIgnoreCase(properties.get("provider")),
+    val isTxlog = "txlog".equalsIgnoreCase(properties.get("provider"))
+    require(partitions.isEmpty || !isTxlog,
       "txlog: PARTITIONED BY is not supported in CREATE TABLE — " +
         "create through df.write.partitionBy(...).format(\"txlog\") " +
         "(registered hive layout) or rely on statsCols pruning")
-    super.createTable(ident, columns, partitions, properties)
+    val idCols = columns.filter(_.identityColumnSpec() != null)
+    val genCols = columns.filter(_.generationExpression() != null)
+    val defCols = columns.filter(_.defaultValue() != null)
+    if (!isTxlog) {
+      // the capability claim is ours, so the enforcement gap is ours
+      // to close: no other provider in this session applies these
+      require(idCols.isEmpty && genCols.isEmpty,
+        "IDENTITY/GENERATED column declarations are supported for " +
+          "USING txlog tables only")
+      return super.createTable(ident, columns, partitions, properties)
+    }
+    if (idCols.isEmpty && genCols.isEmpty && defCols.isEmpty)
+      return super.createTable(ident, columns, partitions, properties)
+    idCols.foreach(c => require(c.dataType() == LongType,
+      s"txlog: identity column '${c.name}' must be BIGINT, is " +
+        c.dataType().simpleString))
+    val created = super.createTable(ident, columns, partitions, properties)
+    // inline specs need a live log to carry them: initialize version 0
+    // now (empty table, declared order) with the same creation-time
+    // maps the Scala API takes — the post-create commits ALTER TXLOG
+    // would otherwise issue one by one, in one commit
+    // resolve the location through a fresh catalog load (the create's
+    // return value needn't be a V1Table with populated storage)
+    val dir = txlogDir(ident).getOrElse(
+      throw new IllegalArgumentException(
+        "txlog: CREATE TABLE with inline column specs needs a " +
+          "resolvable table location"))
+    val spark = SparkSession.active
+    val writerDefined = (idCols ++ genCols).map(_.name).toSet
+    val physSchema = StructType(columns.toSeq
+      .filterNot(c => writerDefined.contains(c.name))
+      .map(c => StructField(c.name, c.dataType, c.nullable)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
+    genCols.foreach { c =>
+      val t = empty.select(org.apache.spark.sql.functions
+        .expr(c.generationExpression())).schema.head.dataType
+      require(t == c.dataType(),
+        s"txlog: generated column '${c.name}' declares " +
+          s"${c.dataType().simpleString} but the expression yields " +
+          s"${t.simpleString} — cast inside the expression")
+    }
+    TxLog.commitOverwrite(spark, dir, empty,
+      identity = idCols.map { c =>
+        val s0 = c.identityColumnSpec()
+        c.name -> TxLog.IdentitySpec(s0.getStart, s0.getStep,
+          always = !s0.isAllowExplicitInsert)
+      }.toMap,
+      generated = genCols.map(c =>
+        c.name -> c.generationExpression()).toMap,
+      defaults = defCols.map(c =>
+        c.name -> c.defaultValue().getSql).toMap,
+      columnOrder = Some(columns.map(_.name).toSeq))
+    created
   }
 
   /** Standard SQL schema DDL on txlog tables — `ALTER TABLE t ADD

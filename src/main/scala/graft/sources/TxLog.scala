@@ -1046,7 +1046,8 @@ object TxLog {
       txn: Option[(String, Long)] = None,
       identity: Map[String, IdentitySpec] = Map.empty,
       generated: Map[String, String] = Map.empty,
-      defaults: Map[String, String] = Map.empty): Long = {
+      defaults: Map[String, String] = Map.empty,
+      columnOrder: Option[Seq[String]] = None): Long = {
     // fast path: skip staging entirely for an already-seen batch
     // (Complete-mode streaming sinks replay overwrites too)
     val snap0 = if (isLogged(spark, dir)) Some(snapshot(spark, dir)) else None
@@ -1095,9 +1096,18 @@ object TxLog {
     val dfGen =
       if (genMap.isEmpty) dfDef
       else applyGeneratedCols(dfDef, genMap, None)
-    val (dfId, expectId) =
+    val (dfId0, expectId) =
       if (idMap.isEmpty) (dfGen, Map.empty[String, Option[Long]])
       else applyIdentityCols(dfGen, idMap)
+    // `columnOrder` pins the committed schema's column order (the
+    // catalog's inline-spec create: writer-defined identity/generated
+    // columns land wherever the user DECLARED them, not appended)
+    val dfId = columnOrder.fold(dfId0) { order =>
+      require(order.sorted == dfId0.columns.toSeq.sorted,
+        s"TxLog: columnOrder ${order.mkString(",")} must name exactly " +
+          s"the written columns ${dfId0.columns.mkString(",")}")
+      dfId0.select(order.map(col): _*)
+    }
     enforceConstraints(spark, dir, dfId)
     val (added, schemaJson) =
       stageData(spark, dir, dfId, (statsCols ++ idMap.keys).distinct)
@@ -1654,12 +1664,20 @@ object TxLog {
       declared: Option[StructType]): DataFrame = {
     var out = df
     gens.toSeq.sortBy(_._1).foreach { case (c, e) =>
-      if (df.columns.contains(c)) enforceGeneratedOn(df, c, e)
-      else {
+      def compute(base: DataFrame): DataFrame = {
         val target = declared.flatMap(_.fields.find(_.name == c))
-        out = out.withColumn(c,
+        base.withColumn(c,
           target.fold(expr(e))(fl => expr(e).cast(fl.dataType)))
       }
+      if (df.columns.contains(c)) {
+        // SQL INSERT with a column list fills an omitted generated
+        // column with NULLs — if NOTHING real was supplied, compute
+        // instead of failing the divergence check (a genuinely
+        // supplied column still validates value-for-value)
+        val supplied = df.filter(col(c).isNotNull).limit(1).count() > 0L
+        if (!supplied) out = compute(out.drop(c))
+        else enforceGeneratedOn(df, c, e)
+      } else out = compute(out)
     }
     out
   }
@@ -1696,17 +1714,30 @@ object TxLog {
       : (DataFrame, Map[String, Option[Long]]) = {
     var out = df
     idMap.toSeq.sortBy(_._1).foreach { case (c, spec) =>
+      def gen = lit(spec.nextBase) +
+        lit(spec.step) * monotonically_increasing_id()
       if (df.columns.contains(c)) {
-        require(!spec.always,
-          s"TxLog: '$c' is GENERATED ALWAYS AS IDENTITY — writes " +
-            "must not supply it (declare BY DEFAULT to allow " +
-            "explicit values)")
-        val nulls = df.filter(col(c).isNull).limit(1).count()
-        require(nulls == 0L,
-          s"TxLog: identity column '$c' cannot take NULL values")
+        // SQL INSERT with a column list arrives with the omitted
+        // identity column PRESENT but engine-filled with NULLs —
+        // indistinguishable from omission at this layer. For ALWAYS
+        // (where supplying is forbidden anyway) an all-NULL column is
+        // unambiguous: treat as omitted and generate. Any real value
+        // keeps the standing contracts (ALWAYS refuses; BY DEFAULT
+        // absorbs values but refuses NULLs).
+        val supplied = df.filter(col(c).isNotNull).limit(1).count() > 0L
+        if (spec.always && !supplied) {
+          out = out.drop(c).withColumn(c, gen)
+        } else {
+          require(!spec.always,
+            s"TxLog: '$c' is GENERATED ALWAYS AS IDENTITY — writes " +
+              "must not supply it (declare BY DEFAULT to allow " +
+              "explicit values)")
+          val nulls = df.filter(col(c).isNull).limit(1).count()
+          require(nulls == 0L,
+            s"TxLog: identity column '$c' cannot take NULL values")
+        }
       } else {
-        out = out.withColumn(c, lit(spec.nextBase) +
-          lit(spec.step) * monotonically_increasing_id())
+        out = out.withColumn(c, gen)
       }
     }
     (out, idMap.map { case (c, s) => c -> s.high })
