@@ -293,13 +293,18 @@ object Similarity {
     * Scale: identical to [[ivfTopK]] — corpus × cells assignment
     * against a broadcast centroid table, candidates shuffled per
     * probed cell only. */
-  def ivfTopKSeeded(embs: DataFrame, idCol: String, vecCol: String,
-      isQuery: Column, k: Int, cells: Int, nProbes: Int): DataFrame = {
-    val all = vecs(embs, idCol, vecCol)
+  /** The shared DATA-SEEDED coarse quantizer of the verification-path
+    * twins: centroids are the corpus vectors with `vec_id < cells`
+    * (cell id = vec_id), assignment the argmin over the broadcast
+    * centroid table with ||v−c||² = nn − 2·v·c + cnn and (d2, cell)
+    * tie-break — every step a deterministic relational expression the
+    * oracles replay verbatim. Returns (centroid table,
+    * (vec_id, e, nn, cell) assignment). */
+  private def seededCells(all: DataFrame, cells: Int)
+      : (DataFrame, DataFrame) = {
     val centersDf = all.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"),
         col("e").as("ce"), col("nn").as("cnn"))
-    // assignment: argmin over ||v - c||2 = nn - 2 v.c + cnn
     val wa = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cell").asc)
     val assigned = all.crossJoin(broadcast(centersDf))
@@ -308,6 +313,13 @@ object Similarity {
       .withColumn("_ar", row_number().over(wa))
       .filter(col("_ar") === 1)
       .select(col("vec_id"), col("e"), col("nn"), col("cell"))
+    (centersDf, assigned)
+  }
+
+  def ivfTopKSeeded(embs: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int, cells: Int, nProbes: Int): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val (centersDf, assigned) = seededCells(all, cells)
     val qside = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nn").as("qnn"))
@@ -451,17 +463,7 @@ object Similarity {
     require(dims % subspaces == 0,
       s"embedding dim $dims must divide into $subspaces subspaces")
     val subDim = dims / subspaces
-    val centersDf = all.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cell"),
-        col("e").as("ce"), col("nn").as("cnn"))
-    val wa = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cell").asc)
-    val assigned = all.crossJoin(broadcast(centersDf))
-      .withColumn("d2",
-        col("nn") - lit(2.0) * expr("vec_dot(e, ce)") + col("cnn"))
-      .withColumn("_ar", row_number().over(wa))
-      .filter(col("_ar") === 1)
-      .select(col("vec_id"), col("e"), col("nn"), col("cell"))
+    val (centersDf, assigned) = seededCells(all, cells)
     val res = assigned.join(broadcast(centersDf), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
@@ -874,6 +876,37 @@ object Similarity {
     val comp = Dedup.components(pairs, "id_a", "id_b")
     // losers = every non-representative node; tiny, checkpointed so the
     // component iteration's blocks can be released eagerly
+    val losers = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as("vec_id"))
+      .withColumn("_drop", lit(1))
+      .localCheckpoint(true)
+    Dedup.release(comp)
+    assigned.select(col("vec_id"), col("cell"))
+      .join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("_drop").isNull, 1).otherwise(0).as("keep"))
+  }
+
+  /** [[semDedup]] with the DATA-SEEDED coarse quantizer
+    * ([[seededCells]]) instead of a KMeans fit: identical decision
+    * plan — cluster-scoped cosine-≥-τ pairs, connected components,
+    * min-id representative — but every step is a deterministic
+    * relational expression, so the driver gate hash-checks the whole
+    * SemDeDup pipeline against a DuckDB replay (assignment as in
+    * ann_ivf_seeded, components as the recursive min-reach CTE the
+    * graph_components oracle established). Clustering quality is
+    * data-dependent; the KMeans form stays the quality path. */
+  def semDedupSeeded(embs: DataFrame, idCol: String, vecCol: String,
+      tau: Double, cells: Int): DataFrame = {
+    val all = vecs(embs, idCol, vecCol)
+    val (_, assigned) = seededCells(all, cells)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine("a", "b") >= tau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val comp = Dedup.components(pairs, "id_a", "id_b")
     val losers = comp.filter(col("node") =!= col("component"))
       .select(col("node").as("vec_id"))
       .withColumn("_drop", lit(1))

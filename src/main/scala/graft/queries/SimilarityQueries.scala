@@ -186,6 +186,15 @@ object SimilarityQueries {
     Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
       tau = SemTau, cells = SemCells)
 
+  /** semdedup_seeded — [[Similarity.semDedupSeeded]]: the SemDeDup
+    * decision plan (cluster-scoped pairs → components → min-id
+    * representative) with the data-seeded quantizer, hash-checked
+    * against a DuckDB replay (seeded assignment + recursive min-reach
+    * components). Same config as semdedup. */
+  def semDedupSeeded(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupSeeded(embs(s, dir), "vec_id", "embedding",
+      tau = SemTau, cells = SemCells)
+
   /** ann_recall (round-8) — the retrieval EVALUATION surface: per-query
     * recall@K of the LSH scale path against the exact brute-force
     * baseline, as a standing query (the number an ANN rollout watches,
@@ -226,6 +235,7 @@ object SimilarityQueries {
     "ann_pq_topk" -> annPqTopk,
     "ann_ivf_pq_topk" -> annIvfPqTopk,
     "semdedup" -> semDedup,
+    "semdedup_seeded" -> semDedupSeeded,
     "knn_graph" -> knnGraph,
     "knn_graph_lsh" -> knnGraphLsh,
     "ann_bruteforce_topk" -> annBruteforceTopk,
@@ -561,9 +571,60 @@ object SimilarityQueries {
       FROM re QUALIFY rank <= $K"""
   }
 
+  /** semdedup_seeded oracle: seeded assignment (ann_ivf_seeded's
+    * argmin), cluster-scoped cosine-≥-τ pairs, components via the
+    * recursive min-reach CTE ([[TrainingQueries]]' graph_components
+    * shape), keep = not-a-loser. */
+  private val semDedupSeededOracle: String = {
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, ${Dims + 1}),
+          i -> $a[i] * $b[i]), (x, y) -> x + y)"""
+    s"""
+      WITH RECURSIVE v AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      n AS MATERIALIZED (
+        SELECT vec_id, e,
+          list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nn
+        FROM v),
+      c AS MATERIALIZED (
+        SELECT CAST(vec_id AS INT) AS cell, e AS ce, nn AS cnn
+        FROM n WHERE vec_id < $SemCells),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, e, nn, cell FROM (
+          SELECT a.vec_id, a.e, a.nn, c.cell,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              a.nn - 2.0 * ${dot("a.e", "c.ce")} + c.cnn ASC,
+              c.cell ASC) AS ar
+          FROM n a CROSS JOIN c) WHERE ar = 1),
+      prs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${dot("a.e", "b.e")} / (sqrt(a.nn) * sqrt(b.nn))
+          >= $SemTau),
+      edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION SELECT id_b, id_a FROM prs),
+      nds AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS r FROM nds
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e
+          ON reach.r = e.src),
+      comp AS MATERIALIZED (
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+      losers AS (SELECT node FROM comp WHERE node <> component)
+      SELECT a.vec_id, a.cell,
+        CASE WHEN l.node IS NULL THEN 1 ELSE 0 END AS keep
+      FROM assigned a LEFT JOIN losers l ON a.vec_id = l.node"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ann_pq_seeded" -> annPqSeededOracle,
     "ann_ivfpq_seeded" -> annIvfPqSeededOracle,
+    "semdedup_seeded" -> semDedupSeededOracle,
     "curation_diversity" -> curationDiversityOracle,
     "ann_recall" -> annRecallOracle,
     "knn_graph" -> knnGraphOracle,

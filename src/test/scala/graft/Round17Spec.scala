@@ -537,6 +537,26 @@ class Round17Spec extends SparkSpec {
       .filter(col("count") =!= 3).count() == 0)
   }
 
+  test("seeded SemDeDup with one cell equals the exact all-pairs decision") {
+    val s = spark
+    val embs = Tables(s, sf, "embeddings")
+    val tau = 0.4
+    val sd = graft.operators.Similarity.semDedupSeeded(
+      embs, "vec_id", "embedding", tau = tau, cells = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // exact decision: components over ALL cosine->=tau pairs, min-id
+    // representative kept
+    val pairs = graft.operators.Similarity.embeddingPairs(
+      embs, "vec_id", "embedding", tau = tau)
+      .select(col("id_a"), col("id_b"))
+    val losers = graft.operators.Dedup.components(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select("node").collect().map(_.getLong(0)).toSet
+    assert(sd.nonEmpty && sd.forall { case (id, keep) =>
+      keep == (if (losers.contains(id)) 0 else 1)
+    }, "one-cell seeded SemDeDup must equal the exact all-pairs decision")
+  }
+
   // ---- inline column specs in CREATE TABLE ---------------------------
 
   test("inline IDENTITY/GENERATED/DEFAULT in CREATE TABLE: SQL-only lifecycle") {
