@@ -848,7 +848,67 @@ object TxQueries {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** #225 txn_sql_copyinto — Delta's COPY INTO driven end to end:
+    * the documents table is exported as three parquet batch dirs, an
+    * EMPTY logged table ingests them purely through SQL — first two
+    * batches, a RERUN of the same statement (must load nothing), the
+    * third batch lands on first sight (must load ONLY it). The entry
+    * hard-fails on the per-run (files_loaded, files_skipped) shape
+    * and on the log recording exactly overwrite→append→append (the
+    * no-op rerun must not commit); the final per-lang aggregate
+    * hash-matches the plain relational answer over `documents` — a
+    * double-loaded file would double the counts, so the hash IS the
+    * idempotency gate.
+    *
+    * Scale: the listing is one driver glob, each run scans only the
+    * FRESH files, and the per-file markers are KB-sized commit
+    * metadata — retry-safe ingest with no streaming checkpoint. */
+  def txnSqlCopyInto(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    val root = Files.createTempDirectory("graft_copyinto")
+    val src = s"$root/src"
+    val tbl = s"$root/t"
+    try {
+      docs.filter(col("doc_id") % 3 === 0).coalesce(2)
+        .write.parquet(s"$src/b0")
+      docs.filter(col("doc_id") % 3 === 1).coalesce(2)
+        .write.parquet(s"$src/b1")
+      TxLog.commitOverwrite(s, tbl,
+        docs.limit(0), statsCols = Seq("doc_id"))
+      def copy(): (Long, Long) = {
+        val r = s.sql(s"COPY INTO '$tbl' FROM '$src' " +
+          "FILEFORMAT = PARQUET PATTERN = 'b*/part*'").head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (l1, s1) = copy()
+      require(l1 > 0 && s1 == 0, s"first COPY INTO run: $l1/$s1")
+      val (l2, s2) = copy()
+      require(l2 == 0 && s2 == l1, s"COPY INTO rerun not a no-op: $l2/$s2")
+      docs.filter(col("doc_id") % 3 === 2).coalesce(2)
+        .write.parquet(s"$src/b2")
+      val (l3, s3) = copy()
+      require(l3 > 0 && l3 <= 2 && s3 == l1,
+        s"COPY INTO new-batch pickup: $l3/$s3")
+      val ops = TxLog.history(s, tbl).orderBy(col("version"))
+        .select(col("op")).collect().map(_.getString(0)).toSeq
+      require(ops == Seq("overwrite", "append", "append"),
+        s"the no-op rerun must not commit: $ops")
+      val agg = TxLog.read(s, tbl).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      val schema = agg.schema
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txn_sql_copyinto" -> txnSqlCopyInto,
     "txn_dml" -> txnDml,
     "txn_dml_mor" -> txnDmlMor,
     "mv_incremental" -> mvIncremental,
@@ -866,6 +926,10 @@ object TxQueries {
     "bloom_point_lookup" -> bloomPointLookup)
 
   val oracleSql: Map[String, String] = Map(
+    "txn_sql_copyinto" -> """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang""",
     "txn_sql_dml" -> """
       WITH t AS (
         SELECT l_orderkey AS k, l_linenumber AS ln,

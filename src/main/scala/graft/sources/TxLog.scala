@@ -349,6 +349,7 @@ object TxLog {
       generated: Option[Map[String, String]] = None,
       partitionCols: Option[Seq[String]] = None,
       defaults: Option[Map[String, String]] = None,
+      txnsMulti: Seq[(String, Long)] = Nil,
       ts: Long = System.currentTimeMillis()): String = {
     val base: JObject =
       ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
@@ -371,7 +372,14 @@ object TxLog {
     val withTxn = txn.fold(withCons) { case (app, b) =>
       withCons ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
     }
-    JsonMethods.compact(JsonMethods.render(withTxn))
+    // COPY INTO's per-source-file idempotency markers: one commit may
+    // record MANY (appId, batchId) pairs (sorted for determinism)
+    val withMulti =
+      if (txnsMulti.isEmpty) withTxn
+      else withTxn ~ ("txnMulti" -> txnsMulti.sortBy(_._1).map {
+        case (app, b) => ("appId" -> app) ~ ("batchId" -> b)
+      })
+    JsonMethods.compact(JsonMethods.render(withMulti))
   }
 
   /** Mutable replay state (driver-side; file-count sized). */
@@ -451,6 +459,15 @@ object TxLog {
       app <- (j \ "txn" \ "appId").extractOpt[String]
       b <- (j \ "txn" \ "batchId").extractOpt[Long]
     } st.txns(app) = math.max(b, st.txns.getOrElse(app, Long.MinValue))
+    (j \ "txnMulti") match {
+      case JNothing => ()
+      case jv => jv.extract[Seq[JObject]].foreach { o =>
+        for {
+          app <- (o \ "appId").extractOpt[String]
+          b <- (o \ "batchId").extractOpt[Long]
+        } st.txns(app) = math.max(b, st.txns.getOrElse(app, Long.MinValue))
+      }
+    }
   }
 
   /** Resolve the table state at `asOf` (default: head): latest
@@ -681,7 +698,8 @@ object TxLog {
       generatedOut: Option[Map[String, String]] = None,
       defaultsOut: Option[Map[String, String]] = None,
       constraintsOut: Option[Map[String, String]] = None,
-      conflictIfAdded: Option[Seq[TxFile] => Seq[String]] = None): Long = {
+      conflictIfAdded: Option[Seq[TxFile] => Seq[String]] = None,
+      txnsMulti: Seq[(String, Long)] = Nil): Long = {
     // `ownsAdded = false`: the added files are PRE-EXISTING table data
     // ([[restore]] re-registers an old snapshot's files) — abort paths
     // must never delete them
@@ -705,6 +723,23 @@ object TxLog {
           abortCleanup() // replayed batch: no-op
           return bs.version
         }
+      // COPY INTO marker conflict: a CONCURRENT commit already
+      // recorded one of this batch's source files — committing would
+      // duplicate its rows. Refuse loudly; a rerun re-filters against
+      // the fresh markers and picks up only the remainder. (Checked
+      // against the fresh head on every rebase attempt.)
+      for (bs <- base if txnsMulti.nonEmpty) {
+        val dup = txnsMulti.collect {
+          case (app, b) if bs.txns.get(app).exists(_ >= b) => app
+        }
+        if (dup.nonEmpty) {
+          abortCleanup()
+          throw new java.util.ConcurrentModificationException(
+            "TxLog: source file(s) already copied by a concurrent " +
+              s"commit: ${dup.take(3).mkString(", ")} — rerun COPY " +
+              "INTO to ingest the remainder")
+        }
+      }
       // write-serializable read-predicate guard (Delta's
       // ConcurrentAppendException): a predicate-driven rewrite read
       // the table at some version — files ADDED since whose stats
@@ -858,7 +893,7 @@ object TxLog {
           renderCommit(v, op, added, removeNow, schemaOut, txn, ddlOut,
             mrOut, constraints = constraintsOut,
             identity = identityOut, generated = generatedOut,
-            defaults = defaultsOut,
+            defaults = defaultsOut, txnsMulti = txnsMulti,
             ts = nextCommitTs(f, dir, v)))) {
         if (v > 0 && v % CheckpointInterval == 0)
           writeCheckpoint(spark, dir, v)
@@ -1132,7 +1167,8 @@ object TxLog {
   def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
       txn: Option[(String, Long)] = None,
       statsCols: Seq[String] = Nil,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      txnsMulti: Seq[(String, Long)] = Nil): Long = {
     val snap0 = if (isLogged(spark, dir)) Some(snapshot(spark, dir)) else None
     // fast path: skip staging entirely for an already-seen batch
     for (s0 <- snap0; (app, b) <- txn)
@@ -1200,7 +1236,90 @@ object TxLog {
       identityOut = if (idMap.isEmpty) None
         else Some(identityAfter(idMap, added,
           c => (mapping ++ freshPhys).getOrElse(c, c))),
-      expectIdentity = expectId)
+      expectIdentity = expectId,
+      txnsMulti = txnsMulti)
+  }
+
+  /** [[copyInto]]'s outcome: how many source files loaded / were
+    * already ingested, the row count landed, and the commit version
+    * (unchanged head when nothing was fresh). */
+  final case class CopyIntoResult(filesLoaded: Long, filesSkipped: Long,
+      rowsInserted: Long, version: Long)
+
+  /** COPY INTO (Delta's idempotent batch file ingest): append the
+    * source files matching `src`/`pattern` to a logged table,
+    * recording each ingested file as a (`copyinto:<path>` → mtime)
+    * marker in the SAME commit — so a RERUN of the statement skips
+    * everything already loaded and picks up only new files.
+    * Retry-safe ingest without a streaming checkpoint: the marker
+    * set and the rows are one atomic commit, so a crashed run never
+    * half-counts a file. A source file REWRITTEN since its ingest
+    * (mtime advanced) loads again; `force` reloads every match
+    * (Delta's force copy option — duplicates by design). Concurrent
+    * COPY INTO over intersecting file sets cannot double-load: the
+    * commit refuses when a fresh marker already exists at the head
+    * (rerun ingests the remainder).
+    *
+    * CSV/JSON parse under the table's declared column types
+    * (writer-defined identity/generated columns excluded — they
+    * generate at append); parquet reads natively and casts by name.
+    * Source columns outside the table schema refuse loudly.
+    *
+    * Scale: the listing is one driver glob (metadata-sized), the read
+    * is a plain distributed scan of ONLY the fresh files, and the
+    * marker state is KB per file in the log — the same shape as the
+    * streaming sink's txn markers. */
+  def copyInto(spark: SparkSession, dir: String, src: String,
+      format: String = "parquet", pattern: Option[String] = None,
+      options: Map[String, String] = Map.empty,
+      force: Boolean = false): CopyIntoResult = {
+    require(isLogged(spark, dir),
+      s"TxLog: COPY INTO target $dir is not a logged txlog table")
+    val snap = snapshot(spark, dir)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val glob = new org.apache.hadoop.fs.Path(src, pattern.getOrElse("*"))
+    val fsys = glob.getFileSystem(spark.sessionState.newHadoopConf())
+    val listed = Option(fsys.globStatus(glob)).getOrElse(Array.empty)
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(st => (st.getPath.toString, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val fresh =
+      if (force) listed
+      else listed.filterNot { case (p, mt) =>
+        snap.txns.get(s"copyinto:$p").exists(_ >= mt)
+      }
+    if (fresh.isEmpty)
+      return CopyIntoResult(0L, listed.length.toLong, 0L, snap.version)
+    val readSchema = StructType(schema.fields.filterNot(f =>
+      snap.identity.contains(f.name) || snap.generated.contains(f.name)))
+    val reader = spark.read.format(format).options(options)
+    val df0 =
+      if (format.equalsIgnoreCase("parquet")) reader.load(fresh.map(_._1): _*)
+      else reader.schema(readSchema).load(fresh.map(_._1): _*)
+    val extra = df0.columns.filterNot(schema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"TxLog: COPY INTO source column(s) ${extra.mkString(", ")} are " +
+        s"not columns of $dir")
+    val casted = df0.select(schema.fields.toSeq
+      .filter(f => df0.columns.contains(f.name))
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // markers only for files not already recorded at this mtime: a
+    // FORCE reload of an already-marked file re-appends its rows but
+    // must not re-commit the marker (the dup check would read it as a
+    // concurrent copy); genuinely new/updated files mark as usual
+    val markers = fresh.collect {
+      case (p, mt) if !snap.txns.get(s"copyinto:$p").exists(_ >= mt) =>
+        (s"copyinto:$p", mt)
+    }
+    val v = commitAppend(spark, dir, casted, txnsMulti = markers)
+    val prev = snapshot(spark, dir, Some(v - 1)).files.map(_.path).toSet
+    val rows = snapshot(spark, dir, Some(v)).files
+      .filterNot(f => prev.contains(f.path)).map(_.rows).sum
+    CopyIntoResult(fresh.length.toLong,
+      (listed.length - fresh.length).toLong, rows, v)
   }
 
   /** Rewrite the current live files into `targetFiles` files (small-file

@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType,
   *   RESTORE 'dir' [TO] VERSION AS OF <v>
   *   RESTORE 'dir' [TO] TIMESTAMP AS OF <epoch-ms>
   *   CONVERT TO TXLOG 'dir' [STATS (c1, …, cN)]
+  *   COPY INTO 'dir'|t FROM '<src>' FILEFORMAT = PARQUET|CSV|JSON [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', …)] [FORCE]
   *   CREATE TABLE t|'dir' [SHALLOW|DEEP] CLONE s [VERSION|TIMESTAMP AS OF <n>] [LOCATION 'dir']
   *   ALTER TXLOG 'dir' ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TXLOG 'dir' DROP CONSTRAINT <name>
@@ -135,6 +136,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }).orElse(replaceWhereRe.findFirstMatchIn(s).map { m =>
       GraftReplaceWhereCommand(ref(m), m.group("pred"),
         delegate.parseQuery(m.group("query")))
+    }).orElse(copyIntoRe.findFirstMatchIn(s).map { m =>
+      GraftCopyIntoCommand(ref(m), unq(m.group("src")),
+        m.group("fmt").toLowerCase,
+        Option(m.group("pat")).map(unq),
+        Option(m.group("fopts")).map(parseKvOptions).getOrElse(Map.empty),
+        force = m.group("force") != null)
     })
     // first-token ownership: a statement that BEGINS with a keyword
     // Spark's grammar has no meaning for (OPTIMIZE / VACUUM / RESTORE
@@ -234,12 +241,29 @@ private[graft] object GraftSqlParser {
       """(?:\s+(?<tkind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?<v>\d+))?""" +
       """(?:\s+LOCATION\s+'(?<loc>(?:[^']|'')+)')?\z""").r
 
+  // Delta's COPY INTO: idempotent batch file ingest ([[TxLog.copyInto]])
+  val copyIntoRe: scala.util.matching.Regex =
+    ("""(?is)\ACOPY\s+INTO""" + ws + dir + ws +
+      """FROM\s+'(?<src>(?:[^']|'')+)'""" + ws +
+      """FILEFORMAT\s*=\s*(?<fmt>PARQUET|CSV|JSON)""" +
+      """(?:\s+PATTERN\s*=\s*'(?<pat>(?:[^']|'')+)')?""" +
+      """(?:\s+FORMAT_OPTIONS\s*\((?<fopts>[^)]*)\))?""" +
+      """(?<force>\s+FORCE)?\z""").r
+
+  private val kvOptRe =
+    """'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'""".r
+
+  /** FORMAT_OPTIONS body: `'k' = 'v'[, …]` (quotes with '' escaping). */
+  def parseKvOptions(body: String): Map[String, String] =
+    kvOptRe.findAllMatchIn(body)
+      .map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
+
   /** First tokens Spark's grammar has NO statement for — a match here
     * with a failed full parse is a graft grammar error, never a
     * delegation (DESCRIBE and CREATE stay delegating: Spark owns
     * those keywords). */
   val ownedToken: scala.util.matching.Regex =
-    """(?is)\A(OPTIMIZE|VACUUM|RESTORE|CONVERT|ALTER\s+TXLOG)\b""".r
+    """(?is)\A(OPTIMIZE|VACUUM|RESTORE|CONVERT|COPY|ALTER\s+TXLOG)\b""".r
 
   def grammarFor(tok: String): String =
     tok.trim.split("\\s+").head.toUpperCase match {
@@ -251,6 +275,9 @@ private[graft] object GraftSqlParser {
         "VERSION|TIMESTAMP AS OF <n>"
       case "CONVERT" => "expected: CONVERT TO TXLOG 'dir'|t " +
         "[STATS (c1, …, cN)]"
+      case "COPY" => "expected: COPY INTO 'dir'|t FROM '<src>' " +
+        "FILEFORMAT = PARQUET|CSV|JSON [PATTERN = '<glob>'] " +
+        "[FORMAT_OPTIONS ('k' = 'v', …)] [FORCE]"
       case _ => "expected: ALTER TXLOG 'dir'|t ADD CONSTRAINT <name> " +
         "CHECK (<expr>) | DROP CONSTRAINT <name> | ALTER COLUMN <c> " +
         "SET DEFAULT (<expr>) | DROP DEFAULT | SET GENERATED AS " +
@@ -396,6 +423,26 @@ private[graft] case class GraftConvertCommand(dirRaw: String,
     val dir = if (quotedPath) dirRaw
       else TxLogSql.resolveDir(session, dirRaw)
     Seq(Row(TxLog.convertInPlace(session, dir, statsCols = statsCols)))
+  }
+}
+
+/** `COPY INTO t FROM '<src>' FILEFORMAT = … [PATTERN = …]
+  * [FORMAT_OPTIONS (…)] [FORCE]` — Delta's idempotent batch ingest
+  * ([[TxLog.copyInto]]): one atomic commit carries the fresh files'
+  * rows AND their per-file markers, so reruns skip what's loaded. */
+private[graft] case class GraftCopyIntoCommand(dirRaw: String,
+    src: String, format: String, pattern: Option[String],
+    options: Map[String, String], force: Boolean)
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] =
+    Seq(attr("files_loaded", LongType), attr("files_skipped", LongType),
+      attr("rows_inserted", LongType), attr("version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = TxLogSql.resolveDir(session, dirRaw)
+    val r = TxLog.copyInto(session, dir, src, format, pattern,
+      options, force)
+    Seq(Row(r.filesLoaded, r.filesSkipped, r.rowsInserted, r.version))
   }
 }
 
