@@ -93,14 +93,21 @@ object TrainingQueries {
     * merge iterations over that domain-bounded relation (pair counts
     * map-side combined; the argmax is a pair-vocabulary-sized global
     * top-1 with a deterministic tie-break; the merge applies as a
-    * catalyst higher-order fold — no UDF). Rows-only by design: the
-    * training loop's per-iteration argmax recursion is not
-    * SQL-expressible; TrainingSpec pins the learned sequence
+    * catalyst higher-order fold — no UDF). Hash-checked since round
+    * 17: the training loop is ALL-INTEGER (pair counts, string
+    * argmax), so the whole 16-iteration recursion unrolls into a
+    * DuckDB CTE chain ([[bpeOracle]]) where the merge application —
+    * Spark's left-to-right non-overlapping fold — is replayed
+    * positionally (match runs → run-parity selection → ordered list
+    * rebuild). TrainingSpec additionally pins the learned sequence
     * merge-for-merge against a single-node reference trainer, and the
     * learned vocabulary round-trips into the codegen'd `bpe_count`
     * tokenizer (train → tokenize → fertility fully in-engine). */
   def vocabTrainBpe(s: SparkSession, dir: String): DataFrame =
     graft.operators.Vocab.trainBpe(docs(s, dir), "text", numMerges = 16)
+
+  val BpeMerges = 16
+  val BpeMinPairFreq = 2L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_train_bpe" -> vocabTrainBpe,
@@ -208,8 +215,78 @@ object TrainingQueries {
       SELECT node, rank AS pagerank FROM r$PagerankIters"""
   }
 
+  /** vocab_train_bpe oracle: [[graft.operators.Vocab.trainBpe]]'s
+    * 16 merge iterations UNROLLED as a CTE chain. All-integer, so no
+    * float-order concerns; the parts that need care are exact
+    * equivalences with the engine:
+    *   - the argmax tie-break is (freq DESC, a ASC, b ASC) with
+    *     binary string order on both engines;
+    *   - the merge application (Spark's left-to-right non-overlapping
+    *     `aggregate` fold) replays POSITIONALLY: match positions →
+    *     maximal consecutive runs (the only overlap case is a = b) →
+    *     run-parity selection (rn % 2 = 1 ≡ the fold's
+    *     last(acc)-check) → ordered `list(...)` rebuild dropping
+    *     consumed positions;
+    *   - early stop (no pair ≥ minPairFreq) falls out structurally:
+    *     an empty m_i LEFT-JOINs as a no-op rewrite and every later
+    *     m_j stays empty (frequencies cannot rise on unchanged
+    *     words), matching the trainer's permanent stop. */
+  private def bpeOracle: String = {
+    def iteration(i: Int): String = {
+      val p = s"w${i - 1}"
+      s"""
+      p$i AS MATERIALIZED (
+        SELECT t.syms[i] AS a, t.syms[i+1] AS b,
+          CAST(SUM(t.cnt) AS BIGINT) AS freq
+        FROM $p t, LATERAL (SELECT unnest(range(1, len(t.syms))) AS i)
+        GROUP BY 1, 2),
+      m$i AS MATERIALIZED (
+        SELECT a, b, freq FROM p$i WHERE freq >= $BpeMinPairFreq
+        ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
+      e$i AS MATERIALIZED (
+        SELECT t.wid, t.cnt, u.i, t.syms[u.i] AS s,
+          CASE WHEN u.i < len(t.syms) AND t.syms[u.i] = m.a
+            AND t.syms[u.i+1] = m.b THEN 1 ELSE 0 END AS mt
+        FROM $p t LEFT JOIN m$i m ON TRUE,
+          LATERAL (SELECT unnest(range(1, len(t.syms)+1)) AS i) u),
+      sel$i AS MATERIALIZED (
+        SELECT wid, i FROM (
+          SELECT wid, i,
+            row_number() OVER (PARTITION BY wid, grp ORDER BY i) AS rn
+          FROM (SELECT wid, i,
+                  i - row_number() OVER (PARTITION BY wid ORDER BY i) AS grp
+                FROM e$i WHERE mt = 1))
+        WHERE rn % 2 = 1),
+      w$i AS MATERIALIZED (
+        SELECT e.wid, MIN(e.cnt) AS cnt,
+          list(CASE WHEN s1.i IS NOT NULL THEN (SELECT a || b FROM m$i)
+               ELSE e.s END ORDER BY e.i)
+            FILTER (WHERE s0.i IS NULL) AS syms
+        FROM e$i e
+        LEFT JOIN sel$i s1 ON e.wid = s1.wid AND e.i = s1.i
+        LEFT JOIN sel$i s0 ON e.wid = s0.wid AND e.i = s0.i + 1
+        GROUP BY e.wid)"""
+    }
+    val unions = (1 to BpeMerges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, a AS "left", b AS "right",
+          a || b AS token, freq FROM m$i""").mkString("\nUNION ALL ")
+    s"""
+      WITH words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)),
+            '\\s+')) AS w
+          FROM documents) WHERE len(w) > 0 GROUP BY w),
+      w0 AS MATERIALIZED (
+        SELECT w AS wid, cnt,
+          list_transform(range(1, len(w)+1), i -> w[i:i]) AS syms
+        FROM words),""" +
+      (1 to BpeMerges).map(iteration).mkString(",") +
+      s"\nSELECT * FROM ($unions)"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
+    "vocab_train_bpe" -> bpeOracle,
     "mixture_temperature" -> s"""
       WITH mass AS (
         SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS avail
