@@ -311,6 +311,32 @@ object Core {
       expr("kmv_intersect(sk_a, sk_b, 256)").as("intersect_est"))
   }
 
+  /** q22b_kmv_md5 — [[q22KmvOverlap]]'s sketch path with the ENGINE-
+    * PORTABLE hash instead of xxhash64: the same `kmv_sketch` /
+    * `kmv_estimate` / `kmv_jaccard` / `kmv_intersect` aggregate and
+    * scalars, fed [[graft.operators.Sampling.hashBucket]]'s 60-bit
+    * md5 values, which DuckDB reproduces bit-for-bit — so the driver
+    * gate hash-checks the WHOLE KMV machinery (k-min maintenance,
+    * (k−1)/fraction estimation, k-min-union Jaccard, intersection)
+    * end to end. Every float step is IEEE-exact (+,−,×,÷ on
+    * exactly-converted longs), the [[graft.operators.Dsir]]-style
+    * libm exception does not arise. xxhash64 stays the production
+    * hash (one codegen'd instruction vs md5's digest). */
+  def q22KmvMd5(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val a = Tables(s, dir, "orders")
+      .select(graft.operators.Sampling.hashBucket(col("o_custkey")).as("h"))
+      .agg(expr("kmv_sketch(h, 256)").as("sk_a"))
+    val b = Tables.events(s, dir)
+      .select(graft.operators.Sampling.hashBucket(col("user_id")).as("h"))
+      .agg(expr("kmv_sketch(h, 256)").as("sk_b"))
+    a.crossJoin(b).select(
+      expr("kmv_estimate(sk_a, 256)").as("est_order_customers"),
+      expr("kmv_estimate(sk_b, 256)").as("est_event_users"),
+      expr("kmv_jaccard(sk_a, sk_b, 256)").as("jaccard_est"),
+      expr("kmv_intersect(sk_a, sk_b, 256)").as("intersect_est"))
+  }
+
   /** q20 — the SQL-string surface: tables registered as temp views, the
     * query is ANSI SQL through `spark.sql` (same text shape as the
     * oracle). Correlated EXISTS decorrelates to a semi-join; Catalyst
@@ -338,6 +364,7 @@ object Core {
     "q18_percentile_disc" -> q18PercentileDisc,
     "q19_approx_distinct" -> q19ApproxDistinct,
     "q22_kmv_overlap" -> q22KmvOverlap,
+    "q22b_kmv_md5" -> q22KmvMd5,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_join_agg" -> q03JoinAgg,
@@ -353,7 +380,54 @@ object Core {
     "q13_above_avg" -> q13AboveAvg,
     "q14_conditional_agg" -> q14ConditionalAgg)
 
+  /** q22b_kmv_md5 oracle: the KMV machinery replayed value-for-value —
+    * the k-min sketch is a DISTINCT + ORDER BY + LIMIT k, the
+    * estimator mirrors Kmv.estimate's exact expression tree
+    * ((k−1) / (((uns(h) − MIN_LONG) + 1) / 2^64), uns = XOR with the
+    * sign bit, every conversion IEEE round-to-nearest on both
+    * engines), Jaccard the k-min-union membership ratio, intersection
+    * jaccard × union-estimate. power(2.0, 64) is exactly 2^64 in any
+    * libm (a power of two), matching Scala's math.pow. */
+  private val q22KmvMd5Oracle: String = {
+    val k = 256
+    def hb(c: String) =
+      s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val minL = "(-9223372036854775807 - 1)"
+    def frac(h: String) =
+      s"""((CAST(xor($h, $minL) AS DOUBLE) -
+           CAST($minL AS DOUBLE) + 1.0) / power(2.0, 64))"""
+    def est(n: String, mx: String) =
+      s"""CASE WHEN $n < $k THEN CAST($n AS DOUBLE)
+          ELSE ${(k - 1).toDouble} / ${frac(mx)} END"""
+    s"""
+      WITH ska AS MATERIALIZED (
+        SELECT h FROM (SELECT DISTINCT ${hb("o_custkey")} AS h
+                       FROM orders) ORDER BY h LIMIT $k),
+      skb AS MATERIALIZED (
+        SELECT h FROM (SELECT DISTINCT ${hb("user_id")} AS h
+                       FROM events) ORDER BY h LIMIT $k),
+      u AS MATERIALIZED (
+        SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        ORDER BY h LIMIT $k),
+      sa AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM ska),
+      sb AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM skb),
+      su AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM u),
+      ji AS (
+        SELECT CAST(SUM(CASE WHEN u.h IN (SELECT h FROM ska)
+            AND u.h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS DOUBLE)
+            AS hits,
+          COUNT(*) AS ul
+        FROM u)
+      SELECT
+        ${est("sa.n", "sa.mx")} AS est_order_customers,
+        ${est("sb.n", "sb.mx")} AS est_event_users,
+        ji.hits / ji.ul AS jaccard_est,
+        (ji.hits / ji.ul) * ${est("su.n", "su.mx")} AS intersect_est
+      FROM sa, sb, su, ji"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q22b_kmv_md5" -> q22KmvMd5Oracle,
     "q20_sql_surface" -> """
       SELECT n.n_name AS nation,
         COUNT(*) AS n_customers,
