@@ -82,7 +82,7 @@ ROWS = [
     (85, "doc_chunks", "hash"), (86, "emb_normalize", "hash"),
     (87, "emb_quantize", "hash"), (88, "mixture_rates", "hash"),
     (89, "mixture_sample", "hash"), (90, "graph_degrees", "hash"),
-    (91, "graph_components", "hash"), (92, "graph_pagerank", "rows"),
+    (91, "graph_components", "hash"), (92, "graph_pagerank", "hash"),
     (93, "pii_redact", "hash"), (94, "dedup_keep_best", "hash"),
     (95, "q29_gapfill", "hash"), (96, "search_tfidf", "hash"),
     (97, "lm_score", "hash"), (98, "dq_drift", "hash"),
@@ -149,7 +149,7 @@ ROWS = [
     (163, "txn_dml_mor", "hash"),
     (164, "TxLogSpec (deletion vectors ×5 + model check) | "
           "sources/TxLog.scala", "api"),
-    (165, "vocab_train_bpe", "rows"),
+    (165, "vocab_train_bpe", "hash"),
     (166, "curation_pipeline", "hash"),
     (167, "TxLogSpec (column mapping ×3) | sources/TxLog.scala", "api"),
     (168, "Round11Spec (lifecycle + CDC follower) + TxLog.maintain | "
@@ -236,6 +236,16 @@ ROWS = [
      "api"),
     (224, "Round16Spec (readStream.table) | sources/TxLogSql.scala",
      "api"),
+    # round 17
+    (225, "txn_sql_copyinto", "hash"),
+    (226, "ann_pq_seeded", "hash"),
+    (227, "ann_ivfpq_seeded", "hash"),
+    (228, "semdedup_seeded", "hash"),
+    (229, "q22b_kmv_md5", "hash"),
+    (230, "Round17Spec (inline column specs) | sources/GraftCatalog.scala",
+     "api"),
+    (231, "Round17Spec (subquery DML, REPLACE WHERE, toTable, TRUNCATE) "
+     "| sources/TxLogSql.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
