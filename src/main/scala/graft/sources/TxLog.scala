@@ -1838,13 +1838,15 @@ object TxLog {
       if (df.columns.contains(c)) {
         // SQL INSERT with a column list arrives with the omitted
         // identity column PRESENT but engine-filled with NULLs —
-        // indistinguishable from omission at this layer. For ALWAYS
-        // (where supplying is forbidden anyway) an all-NULL column is
-        // unambiguous: treat as omitted and generate. Any real value
-        // keeps the standing contracts (ALWAYS refuses; BY DEFAULT
-        // absorbs values but refuses NULLs).
+        // indistinguishable from omission at this layer. An ALL-NULL
+        // column therefore reads as omission and generates (both
+        // ALWAYS and BY DEFAULT — Delta's omission semantics). Any
+        // real value keeps the standing contracts: ALWAYS refuses,
+        // BY DEFAULT absorbs values but refuses a MIXED batch's
+        // NULLs (identity is conceptually NOT NULL; a half-supplied
+        // batch is a caller bug, not an engine fill).
         val supplied = df.filter(col(c).isNotNull).limit(1).count() > 0L
-        if (spec.always && !supplied) {
+        if (!supplied) {
           out = out.drop(c).withColumn(c, gen)
         } else {
           require(!spec.always,
@@ -1853,7 +1855,8 @@ object TxLog {
               "explicit values)")
           val nulls = df.filter(col(c).isNull).limit(1).count()
           require(nulls == 0L,
-            s"TxLog: identity column '$c' cannot take NULL values")
+            s"TxLog: identity column '$c' cannot take NULL values " +
+              "in a batch that also supplies values")
         }
       } else {
         out = out.withColumn(c, gen)

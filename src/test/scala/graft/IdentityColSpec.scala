@@ -84,7 +84,7 @@ class IdentityColSpec extends SparkSpec {
     assert(ids(dir).distinct.size == 5)
   }
 
-  test("identity BY DEFAULT: explicit values flow and the watermark absorbs them; NULLs refuse; merge flows") {
+  test("identity BY DEFAULT: explicit values flow and the watermark absorbs them; mixed NULLs refuse, all-NULL generates; merge flows") {
     val s = spark
     import s.implicits._
     val dir = tmp("iddefault").toString
@@ -101,11 +101,21 @@ class IdentityColSpec extends SparkSpec {
     TxLog.commitAppend(spark, dir, payload(3, "b"))
     assert(ids(dir).max > 2000L)
     assert(ids(dir).distinct.size == ids(dir).size)
+    // a MIXED batch (values + NULLs) refuses — identity is
+    // conceptually NOT NULL; an ALL-NULL column reads as omission
+    // (the SQL-INSERT engine-fill shape) and generates instead
     val e = intercept[IllegalArgumentException] {
       TxLog.commitAppend(spark, dir,
-        Seq(("z", 0L, Option.empty[Long])).toDF("name", "v", "id"))
+        Seq(("z", 0L, Option(9000L)), ("z2", 0L, Option.empty[Long]))
+          .toDF("name", "v", "id"))
     }
     assert(e.getMessage.contains("NULL"))
+    val before = ids(dir).size
+    TxLog.commitAppend(spark, dir,
+      Seq(("w", 0L, Option.empty[Long])).toDF("name", "v", "id"))
+    val after = ids(dir)
+    assert(after.size == before + 1 && after.distinct.size == after.size,
+      "an all-NULL identity column generates as if omitted")
     // merge with explicit ids (BY DEFAULT) works and absorbs
     val row = TxLog.read(spark, dir).limit(1)
       .withColumn("v", lit(-1L)).withColumn("id", lit(5000L))

@@ -713,6 +713,28 @@ class Round17Spec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS r17_inline")
   }
 
+  test("inline BY DEFAULT identity: explicit values flow, omission generates") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17bydef").toString + "/t"
+    s.sql("DROP TABLE IF EXISTS r17_bydef")
+    s.sql(s"""CREATE TABLE r17_bydef (
+      id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+      name STRING
+    ) USING txlog LOCATION '${dir.replace("'", "''")}'""")
+    try {
+      val spec = TxLog.snapshot(s, dir).identity("id")
+      assert(!spec.always && spec.start == 1L && spec.step == 1L)
+      s.sql("INSERT INTO r17_bydef (id, name) VALUES (100, 'x')")
+      s.sql("INSERT INTO r17_bydef (name) VALUES ('y')")
+      val out = s.sql("SELECT id, name FROM r17_bydef ORDER BY name")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out(0) == ((100L, "x")), "explicit value must flow")
+      assert(out(1)._1 > 100L,
+        s"generated id must move past the absorbed watermark: ${out(1)}")
+    } finally s.sql("DROP TABLE IF EXISTS r17_bydef")
+  }
+
   test("inline IDENTITY/GENERATED refuse on non-txlog providers") {
     val s = spark
     s.sql("DROP TABLE IF EXISTS r17_plainid")
