@@ -407,6 +407,11 @@ object Similarity {
     * fold-ordered) distances on raw vectors. */
   private def adcRankRerank(scored: DataFrame, all: DataFrame,
       isQuery: Column, k: Int, subspaces: Int, rerank: Int): DataFrame = {
+    // the refinement window must cover the answer: 0 < rerank < k
+    // would rerank fewer candidates than the caller asked for (and
+    // diverge from the oracles, which filter at exactly `rerank`)
+    require(rerank <= 0 || rerank >= k,
+      s"rerank window $rerank must be 0 (off) or >= k = $k")
     val partials = (0 until subspaces).map(m =>
       sum(when(col("m") === m, col("d2"))).as(s"_d$m"))
     val approxD2 = (1 until subspaces).foldLeft(col("_d0")) {

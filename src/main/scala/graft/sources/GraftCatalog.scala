@@ -46,9 +46,8 @@ class GraftCatalog extends DelegatingCatalogExtension {
     * applyGeneratedCols). Decoration is advertise-only: the LOG's
     * schema stays clean, and tables with no specs pass through
     * untouched. */
-  private def withDefaultMeta(spark: SparkSession, dir: String,
+  private def withDefaultMeta(snap: TxLog.TxSnapshot,
       schema: StructType): StructType = {
-    val snap = TxLog.snapshot(spark, dir)
     if (snap.defaults.isEmpty && snap.identity.isEmpty &&
       snap.generated.isEmpty) schema
     else StructType(schema.map { f =>
@@ -75,10 +74,10 @@ class GraftCatalog extends DelegatingCatalogExtension {
     val base = super.loadTable(ident)
     PlanBridge.v1TxlogPath(base) match {
       case Some(dir) if TxLog.isLogged(SparkSession.active, dir) =>
-        val (d, v, schema, pinned) =
-          TxLogBatch.resolve(SparkSession.active, Map("path" -> dir))
+        val (d, v, schema, pinned, snap) = TxLogBatch.resolveWithSnap(
+          SparkSession.active, Map("path" -> dir))
         new TxLogBatchTable(d, v,
-          withDefaultMeta(SparkSession.active, d, schema), pinned,
+          snap.fold(schema)(withDefaultMeta(_, schema)), pinned,
           v1Catalog = PlanBridge.v1CatalogTable(base))
       case Some(dir) if !base.schema().isEmpty =>
         // declared (CTAS / CREATE with schema) but not yet written:
@@ -136,17 +135,9 @@ class GraftCatalog extends DelegatingCatalogExtension {
     idCols.foreach(c => require(c.dataType() == LongType,
       s"txlog: identity column '${c.name}' must be BIGINT, is " +
         c.dataType().simpleString))
-    val created = super.createTable(ident, columns, partitions, properties)
-    // inline specs need a live log to carry them: initialize version 0
-    // now (empty table, declared order) with the same creation-time
-    // maps the Scala API takes — the post-create commits ALTER TXLOG
-    // would otherwise issue one by one, in one commit
-    // resolve the location through a fresh catalog load (the create's
-    // return value needn't be a V1Table with populated storage)
-    val dir = txlogDir(ident).getOrElse(
-      throw new IllegalArgumentException(
-        "txlog: CREATE TABLE with inline column specs needs a " +
-          "resolvable table location"))
+    // validate BEFORE registering — a failure past super.createTable
+    // would leave an orphan catalog entry whose later plain write
+    // mints the table WITHOUT its declared specs
     val spark = SparkSession.active
     val writerDefined = (idCols ++ genCols).map(_.name).toSet
     val physSchema = StructType(columns.toSeq
@@ -162,17 +153,34 @@ class GraftCatalog extends DelegatingCatalogExtension {
           s"${c.dataType().simpleString} but the expression yields " +
           s"${t.simpleString} — cast inside the expression")
     }
-    TxLog.commitOverwrite(spark, dir, empty,
-      identity = idCols.map { c =>
-        val s0 = c.identityColumnSpec()
-        c.name -> TxLog.IdentitySpec(s0.getStart, s0.getStep,
-          always = !s0.isAllowExplicitInsert)
-      }.toMap,
-      generated = genCols.map(c =>
-        c.name -> c.generationExpression()).toMap,
-      defaults = defCols.map(c =>
-        c.name -> c.defaultValue().getSql).toMap,
-      columnOrder = Some(columns.map(_.name).toSeq))
+    val created = super.createTable(ident, columns, partitions, properties)
+    // inline specs need a live log to carry them: initialize version 0
+    // now (empty table, declared order) with the same creation-time
+    // maps the Scala API takes — and either commit it or unregister
+    // the entry this statement just made
+    try {
+      // resolve the location through a fresh catalog load (the
+      // create's return value needn't be a V1Table with storage)
+      val dir = txlogDir(ident).getOrElse(
+        throw new IllegalArgumentException(
+          "txlog: CREATE TABLE with inline column specs needs a " +
+            "resolvable table location"))
+      TxLog.commitOverwrite(spark, dir, empty,
+        identity = idCols.map { c =>
+          val s0 = c.identityColumnSpec()
+          c.name -> TxLog.IdentitySpec(s0.getStart, s0.getStep,
+            always = !s0.isAllowExplicitInsert)
+        }.toMap,
+        generated = genCols.map(c =>
+          c.name -> c.generationExpression()).toMap,
+        defaults = defCols.map(c =>
+          c.name -> c.defaultValue().getSql).toMap,
+        columnOrder = Some(columns.map(_.name).toSeq))
+    } catch {
+      case e: Throwable =>
+        try super.dropTable(ident) catch { case _: Throwable => () }
+        throw e
+    }
     created
   }
 

@@ -1128,12 +1128,16 @@ object TxLog {
     }
     val dfDef =
       if (defMap.isEmpty) df else applyDefaultCols(df, defMap, None)
+    // one probe job covers every writer-defined column the batch
+    // carries (defaults only ADD columns, so counts taken here hold
+    // for the generated step's output too)
+    val probe = supplyProbe(dfDef, genMap, idMap)
     val dfGen =
       if (genMap.isEmpty) dfDef
-      else applyGeneratedCols(dfDef, genMap, None)
+      else applyGeneratedCols(dfDef, genMap, None, probe)
     val (dfId0, expectId) =
       if (idMap.isEmpty) (dfGen, Map.empty[String, Option[Long]])
-      else applyIdentityCols(dfGen, idMap)
+      else applyIdentityCols(dfGen, idMap, probe)
     // `columnOrder` pins the committed schema's column order (the
     // catalog's inline-spec create: writer-defined identity/generated
     // columns land wherever the user DECLARED them, not appended)
@@ -1184,12 +1188,13 @@ object TxLog {
     val dfDef =
       if (defMap.isEmpty) df
       else applyDefaultCols(df, defMap, declared0)
+    val probe = supplyProbe(dfDef, genMap, idMap)
     val dfGen =
       if (genMap.isEmpty) dfDef
-      else applyGeneratedCols(dfDef, genMap, declared0)
+      else applyGeneratedCols(dfDef, genMap, declared0, probe)
     val (dfFilled, expectId) =
       if (idMap.isEmpty) (dfGen, Map.empty[String, Option[Long]])
-      else applyIdentityCols(dfGen, idMap)
+      else applyIdentityCols(dfGen, idMap, probe)
     val dfId = snap0 match {
       case Some(s0)
         if idMap.nonEmpty || genMap.nonEmpty || defMap.nonEmpty =>
@@ -1225,7 +1230,8 @@ object TxLog {
     // conflict guard maximally conservative, refusing EVERY concurrent
     // predicate DML against the fresh file (spurious-refusal livelock
     // on a busy table)
-    val statsAll = snap0.map(s0 => inheritStats(s0.files, statsCols, s0))
+    val statsAll = snap0.map(s0 =>
+      inheritStatsFor(dfId, s0.files, statsCols, s0))
       .getOrElse(statsCols)
     val (added, schemaJson) =
       stageData(spark, dir, dfId, (statsAll ++ idMap.keys).distinct,
@@ -1295,7 +1301,19 @@ object TxLog {
       return CopyIntoResult(0L, listed.length.toLong, 0L, snap.version)
     val readSchema = StructType(schema.fields.filterNot(f =>
       snap.identity.contains(f.name) || snap.generated.contains(f.name)))
-    val reader = spark.read.format(format).options(options)
+    // CSV with an explicit schema maps POSITIONALLY — a source file
+    // carrying extra columns (e.g. the table's writer-defined
+    // identity column) would silently shift every value one slot.
+    // With a header, enforceSchema=false makes Spark VALIDATE the
+    // header names against the schema instead (loud mismatch);
+    // headerless CSV is positional by definition and stays so.
+    val opts =
+      if (format.equalsIgnoreCase("csv") &&
+          options.get("header").exists(_.equalsIgnoreCase("true")) &&
+          !options.contains("enforceSchema"))
+        options + ("enforceSchema" -> "false")
+      else options
+    val reader = spark.read.format(format).options(opts)
     val df0 =
       if (format.equalsIgnoreCase("parquet")) reader.load(fresh.map(_._1): _*)
       else reader.schema(readSchema).load(fresh.map(_._1): _*)
@@ -1778,9 +1796,35 @@ object TxLog {
     * expression null-safely, refused otherwise (the Delta write
     * contract; computing is one projection, validating is one
     * LIMIT-1 probe per supplied column). */
+  /** ONE job answering, for every writer-defined column the batch
+    * carries, "did the caller supply anything?" and "are there
+    * NULLs?" — (non-null count, total count) per column. The
+    * apply*Cols helpers previously probed with per-column
+    * filter-counts, executing an expensive source plan once or twice
+    * per spec'd column before staging. */
+  private def supplyCounts(df: DataFrame,
+      cols: Seq[String]): Map[String, (Long, Long)] =
+    if (cols.isEmpty) Map.empty
+    else {
+      val aggs = cols.map(c => count(col(c)))
+      val row = df.agg(count(lit(1)), aggs: _*).head()
+      val tot = row.getLong(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> ((row.getLong(i + 1), tot))
+      }.toMap
+    }
+
+  /** The supply probe for one commit: every generated or identity
+    * column the batch carries. */
+  private def supplyProbe(df: DataFrame, genMap: Map[String, String],
+      idMap: Map[String, IdentitySpec]): Map[String, (Long, Long)] =
+    supplyCounts(df, (genMap.keys ++ idMap.keys)
+      .filter(df.columns.contains).toSeq.distinct)
+
   private def applyGeneratedCols(df: DataFrame,
       gens: Map[String, String],
-      declared: Option[StructType]): DataFrame = {
+      declared: Option[StructType],
+      counts: Map[String, (Long, Long)]): DataFrame = {
     var out = df
     gens.toSeq.sortBy(_._1).foreach { case (c, e) =>
       def compute(base: DataFrame): DataFrame = {
@@ -1793,8 +1837,7 @@ object TxLog {
         // column with NULLs — if NOTHING real was supplied, compute
         // instead of failing the divergence check (a genuinely
         // supplied column still validates value-for-value)
-        val supplied = df.filter(col(c).isNotNull).limit(1).count() > 0L
-        if (!supplied) out = compute(out.drop(c))
+        if (counts(c)._1 == 0L) out = compute(out.drop(c))
         else enforceGeneratedOn(df, c, e)
       } else out = compute(out)
     }
@@ -1829,7 +1872,8 @@ object TxLog {
     * time (a concurrent bump means our baked values could collide —
     * conflict, regenerate). */
   private def applyIdentityCols(df: DataFrame,
-      idMap: Map[String, IdentitySpec])
+      idMap: Map[String, IdentitySpec],
+      counts: Map[String, (Long, Long)])
       : (DataFrame, Map[String, Option[Long]]) = {
     var out = df
     idMap.toSeq.sortBy(_._1).foreach { case (c, spec) =>
@@ -1845,16 +1889,15 @@ object TxLog {
         // BY DEFAULT absorbs values but refuses a MIXED batch's
         // NULLs (identity is conceptually NOT NULL; a half-supplied
         // batch is a caller bug, not an engine fill).
-        val supplied = df.filter(col(c).isNotNull).limit(1).count() > 0L
-        if (!supplied) {
+        val (nonNull, tot) = counts(c)
+        if (nonNull == 0L) {
           out = out.drop(c).withColumn(c, gen)
         } else {
           require(!spec.always,
             s"TxLog: '$c' is GENERATED ALWAYS AS IDENTITY — writes " +
               "must not supply it (declare BY DEFAULT to allow " +
               "explicit values)")
-          val nulls = df.filter(col(c).isNull).limit(1).count()
-          require(nulls == 0L,
+          require(nonNull == tot,
             s"TxLog: identity column '$c' cannot take NULL values " +
               "in a batch that also supplies values")
         }
@@ -2468,6 +2511,18 @@ object TxLog {
     (statsCols ++ fromFiles).distinct
   }
 
+  /** [[inheritStats]] restricted to columns the BATCH carries — a
+    * narrower mergeSchema append must not fail stageData's
+    * column-exists check over a tracked column it legitimately omits
+    * (the table reads it as NULL; its stats resume on batches that
+    * carry it). Caller-passed statsCols stay unfiltered: naming a
+    * column the batch lacks is a caller bug and should stay loud. */
+  private def inheritStatsFor(df: DataFrame, files: Seq[TxFile],
+      statsCols: Seq[String], snap: TxSnapshot): Seq[String] = {
+    val present = df.columns.toSet
+    (statsCols ++ inheritStats(files, Nil, snap).filter(present)).distinct
+  }
+
   /** Row-level DELETE (Delta's `DELETE FROM t WHERE …`): remove the
     * rows where `pred` is TRUE (null- and false-rows survive, SQL
     * semantics) by rewriting only the files that hold matching rows.
@@ -3022,7 +3077,14 @@ object TxLog {
       statsCols: Seq[String] = Nil, op: String = "merge"): Long = {
     require(clauses.nonEmpty, "TxLog: mergeInto needs at least one WHEN clause")
     val snap = snapshot(spark, dir)
-    refuseAlwaysIdentity(snap, op)
+    // ALWAYS identity only forbids what would SUPPLY generated values:
+    // an INSERT clause (new rows need ids the caller cannot mint).
+    // UPDATE clauses cannot assign identity (checkSet refuses) and
+    // re-staged matched/NMBS rows keep the TARGET's own ids, so
+    // update/delete-only merges — including the subquery-DML
+    // lowerings — are safe on ALWAYS tables.
+    if (clauses.exists(_.isInstanceOf[MergeInsert]))
+      refuseAlwaysIdentity(snap, op)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val fieldType = schema.fields.map(fl => fl.name -> fl.dataType).toMap
     require(!source.columns.contains(MergeAct) &&

@@ -69,13 +69,23 @@ private[graft] object TxLogBatch {
   private[graft] def resolve(spark: SparkSession,
       options: Map[String, String])
       : (String, Long, StructType, Boolean) = {
+    val (d, v, schema, pinned, _) = resolveWithSnap(spark, options)
+    (d, v, schema, pinned)
+  }
+
+  /** [[resolve]] plus the resolved snapshot itself, so callers that
+    * also need log state beyond the schema (the catalog's
+    * default-metadata decoration) avoid a further full log replay. */
+  private[graft] def resolveWithSnap(spark: SparkSession,
+      options: Map[String, String])
+      : (String, Long, StructType, Boolean, Option[TxLog.TxSnapshot]) = {
     val d = tableDir(options)
     // a missing log resolves to a PLACEHOLDER (version -1, empty
     // schema): DataFrameWriter probes the provider before its v1
     // fallback, so table resolution must not refuse a dir a write is
     // about to CREATE — the scan builder refuses reads instead
     if (!TxLog.isLogged(spark, d))
-      return (d, -1L, new StructType(), false)
+      return (d, -1L, new StructType(), false, None)
     def opt(name: String): Option[String] =
       options.collectFirst { case (k, v)
         if k.equalsIgnoreCase(name) => v }
@@ -88,7 +98,7 @@ private[graft] object TxLogBatch {
     val v = travel.getOrElse(TxLog.snapshot(spark, d).version)
     val snap = TxLog.snapshot(spark, d, Some(v))
     (d, v, DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
-      travel.isDefined)
+      travel.isDefined, Some(snap))
   }
 
   /** Natural ordering over the literal types Spark pushes in v1

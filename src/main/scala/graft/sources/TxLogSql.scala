@@ -443,8 +443,11 @@ private[graft] case class GraftSqPred(tExprs: Seq[Column],
   * becomes a NOT-MATCHED-BY-SOURCE clause — rows present in the
   * subquery are matched and therefore exempt, which relies on
   * mergeInto gating NMBS on true matched-ness. NOT IN is null-aware:
-  * a NULL anywhere in the list makes the statement a no-op, and a
-  * NULL probe row is exempt (`IS NOT NULL` folded into the clause). */
+  * a NULL anywhere in the list makes the statement a no-op, a NULL
+  * probe row is exempt against a non-empty list (`IS NOT NULL`
+  * folded into the clause), and an EMPTY list makes the conjunct
+  * universally TRUE — NULL probes included — so it lowers to the
+  * plain predicate form. */
 private[graft] case class GraftSubqueryDmlCommand(dir: String,
     baseCond: Column, preds: Seq[GraftSqPred],
     set: Option[Map[String, Column]]) extends LeafRunnableCommand {
@@ -487,21 +490,37 @@ private[graft] case class GraftSubqueryDmlCommand(dir: String,
     } else {
       val p = njoin.head
       val names = p.tExprs.indices.map(j => s"__graft_sq_0_$j")
-      val d = sub(p).toDF(names: _*).distinct()
-      if (p.nullAwareNotIn &&
-          d.filter(names.map(col(_).isNull).reduce(_ || _))
-            .head(1).nonEmpty)
-        return Seq.empty // NOT IN over a NULL-bearing list: never TRUE
-      val nn = if (p.nullAwareNotIn)
-        p.tExprs.map(_.isNotNull).reduce(_ && _) else lit(true)
-      val clause: TxLog.MergeClause = set match {
-        case Some(s) =>
-          TxLog.MergeNotMatchedBySourceUpdate(s, Some(baseCond && nn))
-        case None =>
-          TxLog.MergeNotMatchedBySourceDelete(Some(baseCond && nn))
-      }
-      TxLog.mergeInto(session, dir, d, eq(p, names), Seq(clause),
-        op = opName)
+      // checkpoint once: the list is consumed by the null/empty
+      // probes AND as the merge source — without it the full
+      // subquery plan (scan + distinct shuffle) runs per consumer
+      val d = sub(p).toDF(names: _*).distinct().localCheckpoint(true)
+      try {
+        if (p.nullAwareNotIn &&
+            d.filter(names.map(col(_).isNull).reduce(_ || _))
+              .head(1).nonEmpty)
+          return Seq.empty // NOT IN over a NULL-bearing list: never TRUE
+        if (d.isEmpty) {
+          // NOT IN / NOT EXISTS over an EMPTY result is TRUE for
+          // EVERY probe row — including NULL probes, which the nn
+          // exemption below would wrongly spare. Lower to the plain
+          // predicate form.
+          set match {
+            case Some(s) => TxLog.update(session, dir, baseCond, s)
+            case None => TxLog.delete(session, dir, baseCond)
+          }
+        } else {
+          val nn = if (p.nullAwareNotIn)
+            p.tExprs.map(_.isNotNull).reduce(_ && _) else lit(true)
+          val clause: TxLog.MergeClause = set match {
+            case Some(s) =>
+              TxLog.MergeNotMatchedBySourceUpdate(s, Some(baseCond && nn))
+            case None =>
+              TxLog.MergeNotMatchedBySourceDelete(Some(baseCond && nn))
+          }
+          TxLog.mergeInto(session, dir, d, eq(p, names), Seq(clause),
+            op = opName)
+        }
+      } finally graft.operators.Dedup.release(d)
     }
     Seq.empty
   }

@@ -460,6 +460,96 @@ class Round17Spec extends SparkSpec {
     assert(TxLog.read(s, dir).count() == 1)
   }
 
+  // ---- review fixes ---------------------------------------------------
+
+  test("narrower mergeSchema append still works on a stats-tracked table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17narrow").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((1L, "a", 10L)).toDF("id", "name", "score"),
+      statsCols = Seq("score"))
+    // the batch legitimately omits the tracked column; stats
+    // inheritance must not demand it
+    TxLog.commitAppend(s, dir, Seq((2L, "b")).toDF("id", "name"),
+      mergeSchema = true)
+    val out = TxLog.read(s, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(out.toSeq == Seq((1L, false), (2L, true)))
+    // and a later full-width batch resumes recording score stats
+    TxLog.commitAppend(s, dir, Seq((3L, "c", 30L)).toDF("id", "name", "score"))
+    assert(TxLog.snapshot(s, dir).files
+      .exists(_.stats.keys.exists(_ == "score")))
+  }
+
+  test("subquery DELETE works on a GENERATED ALWAYS identity table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17sqid").toString + "/t"
+    TxLog.commitOverwrite(s, dir, Seq(("a", 1L), ("b", 2L), ("c", 3L))
+      .toDF("name", "v"),
+      identity = Map("id" -> TxLog.IdentitySpec(1L, 1L)))
+    s.sql("DROP TABLE IF EXISTS r17_sqid")
+    s.sql(s"CREATE TABLE r17_sqid USING txlog OPTIONS (path " +
+      s"'${dir.replace("'", "''")}')")
+    try {
+      Seq(1L, 3L).toDF("v").createOrReplaceTempView("r17_sqid_kill")
+      // delete/update-only merges never supply identity values —
+      // they must not trip the ALWAYS keyed-rewrite refusal
+      s.sql("DELETE FROM r17_sqid WHERE v IN (SELECT v FROM r17_sqid_kill)")
+      val out = TxLog.read(s, dir).select("name", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(out == Set(("b", 2L)), s"survivors: $out")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS r17_sqid")
+      s.catalog.dropTempView("r17_sqid_kill")
+    }
+  }
+
+  test("NOT IN over an EMPTY subquery result deletes NULL probe rows too") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r17notin").toString + "/t"
+    TxLog.commitOverwrite(s, dir,
+      Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("k", "name"))
+    s.sql("DROP TABLE IF EXISTS r17_notin")
+    s.sql(s"CREATE TABLE r17_notin USING txlog OPTIONS (path " +
+      s"'${dir.replace("'", "''")}')")
+    try {
+      Seq.empty[Long].toDF("k").createOrReplaceTempView("r17_notin_src")
+      // x NOT IN (empty) is TRUE for every row, NULL x included
+      s.sql("DELETE FROM r17_notin WHERE k NOT IN " +
+        "(SELECT k FROM r17_notin_src)")
+      assert(TxLog.read(s, dir).count() == 0,
+        "NOT IN over an empty list must delete every row")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS r17_notin")
+      s.catalog.dropTempView("r17_notin_src")
+    }
+  }
+
+  test("COPY INTO CSV with a header refuses files whose columns mismatch") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmp("r17csvbad")
+    // the file carries an id column the reader excludes (identity):
+    // positional parsing would silently shift name into id's slot
+    Files.write(srcDir.resolve("a.csv"),
+      "id,name\n5,alice\n".getBytes("UTF-8"))
+    val dir = tmp("r17csvbadt").toString + "/t"
+    TxLog.commitOverwrite(s, dir, Seq(("seed", 0L)).toDF("name", "v"),
+      identity = Map("id" -> TxLog.IdentitySpec(1L, 1L)))
+    val e = intercept[Exception] {
+      TxLog.copyInto(s, dir, srcDir.toString, format = "csv",
+        pattern = Some("*.csv"), options = Map("header" -> "true"))
+    }
+    assert(e.getMessage.toLowerCase.contains("header") ||
+      e.getMessage.toLowerCase.contains("schema") ||
+      e.getMessage.toLowerCase.contains("csv"),
+      s"mismatched CSV header must refuse loudly: ${e.getMessage}")
+    assert(TxLog.read(s, dir).count() == 1, "nothing may land")
+  }
+
   // ---- deterministic pagerank (the oracle-hashable twin) ------------
 
   test("pagerankDet agrees with pagerank to float tolerance and conserves mass") {
