@@ -95,9 +95,14 @@ private[graft] object TxLogBatch {
     val travel = opt("versionAsOf").map(_.toLong)
       .orElse(opt("timestampAsOf").map(ts =>
         TxLog.versionAt(spark, d, ts.toLong)))
-    val v = travel.getOrElse(TxLog.snapshot(spark, d).version)
-    val snap = TxLog.snapshot(spark, d, Some(v))
-    (d, v, DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
+    // plain resolution replays the log ONCE (head == snapshot at
+    // head); only a pinned version needs the targeted replay
+    val snap = travel match {
+      case None => TxLog.snapshot(spark, d)
+      case Some(v) => TxLog.snapshot(spark, d, Some(v))
+    }
+    (d, snap.version,
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
       travel.isDefined, Some(snap))
   }
 
