@@ -228,6 +228,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.TxLogSql.changesPlan(args)))
     ext.injectPostHocResolutionRule(session =>
       new graft.sources.GraftTxLogSqlRule(session))
+    // AFTER the DML rule: logged-table READS re-resolve onto the
+    // TxFileIndex plan (exact planner statistics, static broadcast,
+    // dynamic partition pruning) — DML targets stay v2 for the rule
+    // above
+    ext.injectPostHocResolutionRule(session =>
+      new graft.sources.GraftTxLogReadRule(session))
     // path-addressed DDL/utility statements (OPTIMIZE / VACUUM /
     // DESCRIBE HISTORY|DETAIL / RESTORE / ALTER TXLOG …) — a
     // delegating parser, so Spark's own SQL is untouched

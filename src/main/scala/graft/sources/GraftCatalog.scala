@@ -57,10 +57,16 @@ class GraftCatalog extends DelegatingCatalogExtension {
           snap.generated.contains(f.name)) Some("NULL")
         else None
       d.fold(f) { e =>
+        // CURRENT_DEFAULT only — it is what INSERT analysis consults
+        // for an omitted column. EXISTS_DEFAULT is deliberately NOT
+        // set: it tells readers what to backfill into rows written
+        // BEFORE the column had data, and this engine's contract is
+        // NULL there (ALTER … SET DEFAULT must not rewrite history);
+        // advertising the CURRENT expression would backfill old rows
+        // with the new default in any consumer honoring it.
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
           .putString("CURRENT_DEFAULT", e)
-          .putString("EXISTS_DEFAULT", e)
         // identity/generated columns advertise nullable so the NULL
         // fill survives analysis — the writer replaces it with
         // generated/computed values before any byte is staged

@@ -142,7 +142,16 @@ object TxLog {
     * monotonic task id — one pass, no shuffle, no driver loop — and
     * the new watermark is read back from the staged files' own
     * min/max stats (commit metadata, zero extra scans). `always =
-    * true` refuses caller-supplied values (GENERATED ALWAYS);
+    * true` refuses caller-supplied values (GENERATED ALWAYS).
+    * DOCUMENTED DIVERGENCE from Delta: an ALL-NULL identity column
+    * reads as OMISSION and generates, even for GENERATED ALWAYS —
+    * SQL `INSERT (cols…)` arrives with omitted columns engine-filled
+    * as NULL, indistinguishable from an explicit NULL column at the
+    * commit layer (both the SQL bridge and the Scala API hand the
+    * writer a plain DataFrame), so the engine resolves the ambiguity
+    * toward the everyday INSERT shape; Delta refuses explicit NULLs.
+    * Any batch carrying a REAL value keeps the strict contracts
+    * (ALWAYS refuses; BY DEFAULT refuses mixed NULLs);
     * `false` is GENERATED BY DEFAULT — explicit values flow and the
     * watermark absorbs them when they land beyond it. */
   final case class IdentitySpec(start: Long, step: Long,
@@ -180,7 +189,8 @@ object TxLog {
       identity: Map[String, IdentitySpec] = Map.empty,
       generated: Map[String, String] = Map.empty,
       partitionCols: Seq[String] = Nil,
-      defaults: Map[String, String] = Map.empty) {
+      defaults: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty) {
     /** The physical parquet name of a logical column. */
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** Physical names no new column may claim. */
@@ -197,7 +207,7 @@ object TxLog {
   /** Resolve a file-entry path against the dataset dir. Entries are
     * normally dir-relative; a SHALLOW CLONE registers the source's
     * files by ABSOLUTE path (zero copy), which resolve as themselves. */
-  private def resolveData(dir: String, p: String): String =
+  private[graft] def resolveData(dir: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p"
 
   private def resolvePath(dir: String, p: String): Path = {
@@ -349,6 +359,7 @@ object TxLog {
       generated: Option[Map[String, String]] = None,
       partitionCols: Option[Seq[String]] = None,
       defaults: Option[Map[String, String]] = None,
+      properties: Option[Map[String, String]] = None,
       txnsMulti: Seq[(String, Long)] = Nil,
       ts: Long = System.currentTimeMillis()): String = {
     val base: JObject =
@@ -367,8 +378,10 @@ object TxLog {
       withCons1 ~ ("generated" -> g))
     val withCons3 = partitionCols.fold(withCons2)(pc =>
       withCons2 ~ ("partitionCols" -> pc))
-    val withCons = defaults.fold(withCons3)(d =>
+    val withCons4 = defaults.fold(withCons3)(d =>
       withCons3 ~ ("defaults" -> d))
+    val withCons = properties.fold(withCons4)(p =>
+      withCons4 ~ ("properties" -> p))
     val withTxn = txn.fold(withCons) { case (app, b) =>
       withCons ~ ("txn" -> (("appId" -> app) ~ ("batchId" -> b)))
     }
@@ -395,10 +408,11 @@ object TxLog {
     var generated = Map.empty[String, String]
     var partitionCols = Seq.empty[String]
     var defaults = Map.empty[String, String]
+    var properties = Map.empty[String, String]
     def toSnapshot(v: Long): TxSnapshot =
       TxSnapshot(v, schemaJson, files.values.toSeq.sortBy(_.path),
         txns.toMap, constraints, mapping, retired, minReader, identity,
-        generated, partitionCols, defaults)
+        generated, partitionCols, defaults, properties)
   }
 
   /** JSON form of an identity map (sorted for determinism); `high`
@@ -454,6 +468,11 @@ object TxLog {
     (j \ "defaults") match {
       case JNothing => ()
       case jv => st.defaults = jv.extract[Map[String, String]]
+    }
+    // table properties (Delta's TBLPROPERTIES): full-map replay
+    (j \ "properties") match {
+      case JNothing => ()
+      case jv => st.properties = jv.extract[Map[String, String]]
     }
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
@@ -521,6 +540,10 @@ object TxLog {
         case JNothing => ()
         case jv => st.defaults = jv.extract[Map[String, String]]
       }
+      (j \ "properties") match {
+        case JNothing => ()
+        case jv => st.properties = jv.extract[Map[String, String]]
+      }
     }
     val needed = (cp.getOrElse(-1L) + 1) to target
     val present = commits.toSet
@@ -569,9 +592,12 @@ object TxLog {
     val withGen =
       if (snap.defaults.isEmpty) withGen1
       else withGen1 ~ ("defaults" -> snap.defaults)
+    val withProps =
+      if (snap.properties.isEmpty) withGen
+      else withGen ~ ("properties" -> snap.properties)
     val j: JObject =
-      if (snap.minReader <= 1) withGen
-      else withGen ~ ("minReader" -> snap.minReader)
+      if (snap.minReader <= 1) withProps
+      else withProps ~ ("minReader" -> snap.minReader)
     val p = checkpointFile(dir, v)
     val f = fs(spark, p)
     val content = JsonMethods.compact(JsonMethods.render(j)).getBytes(UTF_8)
@@ -729,8 +755,21 @@ object TxLog {
       // the fresh markers and picks up only the remainder. (Checked
       // against the fresh head on every rebase attempt.)
       for (bs <- base if txnsMulti.nonEmpty) {
+        // `copyintosz:` markers carry byte LENGTHS (an equality
+        // fingerprint, not a monotonic batch id) — they never gate by
+        // `>=`. A `copyinto:` marker whose mtime did not advance is
+        // still a LEGITIMATE re-ingest when both sides' size markers
+        // prove the bytes changed (same-tick rewrite); only an
+        // identical (mtime, length) pair is a true concurrent copy.
+        val mine = txnsMulti.toMap
+        def sz(app: String): String =
+          "copyintosz:" + app.stripPrefix("copyinto:")
         val dup = txnsMulti.collect {
-          case (app, b) if bs.txns.get(app).exists(_ >= b) => app
+          case (app, b) if !app.startsWith("copyintosz:") &&
+              bs.txns.get(app).exists(_ >= b) &&
+              !(app.startsWith("copyinto:") &&
+                (for { m <- mine.get(sz(app)); h <- bs.txns.get(sz(app)) }
+                  yield m != h).getOrElse(false)) => app
         }
         if (dup.nonEmpty) {
           abortCleanup()
@@ -1254,22 +1293,30 @@ object TxLog {
 
   /** COPY INTO (Delta's idempotent batch file ingest): append the
     * source files matching `src`/`pattern` to a logged table,
-    * recording each ingested file as a (`copyinto:<path>` → mtime)
-    * marker in the SAME commit — so a RERUN of the statement skips
-    * everything already loaded and picks up only new files.
-    * Retry-safe ingest without a streaming checkpoint: the marker
-    * set and the rows are one atomic commit, so a crashed run never
-    * half-counts a file. A source file REWRITTEN since its ingest
-    * (mtime advanced) loads again; `force` reloads every match
+    * recording each ingested file as (`copyinto:<path>` → mtime,
+    * `copyintosz:<path>` → length) markers in the SAME commit — so a
+    * RERUN of the statement skips everything already loaded and
+    * picks up only new files. Retry-safe ingest without a streaming
+    * checkpoint: the marker set and the rows are one atomic commit,
+    * so a crashed run never half-counts a file. A source file
+    * REWRITTEN since its ingest loads again — detected by mtime
+    * advance OR byte-length change, so a rewrite inside the same
+    * filesystem timestamp tick (coarse-mtime stores) still
+    * re-ingests when its size moved; `force` reloads every match
     * (Delta's force copy option — duplicates by design). Concurrent
     * COPY INTO over intersecting file sets cannot double-load: the
     * commit refuses when a fresh marker already exists at the head
-    * (rerun ingests the remainder).
+    * (rerun ingests the remainder). Markers from before the length
+    * field compare by mtime alone (never a spurious reload).
     *
     * CSV/JSON parse under the table's declared column types
     * (writer-defined identity/generated columns excluded — they
     * generate at append); parquet reads natively and casts by name.
-    * Source columns outside the table schema refuse loudly.
+    * Source columns outside the table schema refuse loudly; table
+    * columns ABSENT from the source fill with their declared DEFAULT
+    * when one exists, else typed NULL (the Delta COPY INTO shape) —
+    * a missing NON-nullable column without a default refuses with a
+    * COPY INTO error naming it, not the append-schema error.
     *
     * Scale: the listing is one driver glob (metadata-sized), the read
     * is a plain distributed scan of ONLY the fresh files, and the
@@ -1290,13 +1337,15 @@ object TxLog {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       })
-      .map(st => (st.getPath.toString, st.getModificationTime))
+      .map(st => (st.getPath.toString, st.getModificationTime,
+        st.getLen))
       .sortBy(_._1).toSeq
+    def upToDate(p: String, mt: Long, len: Long): Boolean =
+      snap.txns.get(s"copyinto:$p").exists(_ >= mt) &&
+        snap.txns.get(s"copyintosz:$p").forall(_ == len)
     val fresh =
       if (force) listed
-      else listed.filterNot { case (p, mt) =>
-        snap.txns.get(s"copyinto:$p").exists(_ >= mt)
-      }
+      else listed.filterNot { case (p, mt, len) => upToDate(p, mt, len) }
     if (fresh.isEmpty)
       return CopyIntoResult(0L, listed.length.toLong, 0L, snap.version)
     val readSchema = StructType(schema.fields.filterNot(f =>
@@ -1321,17 +1370,39 @@ object TxLog {
     require(extra.isEmpty,
       s"TxLog: COPY INTO source column(s) ${extra.mkString(", ")} are " +
         s"not columns of $dir")
+    // absent table columns fill with their declared DEFAULT (else
+    // typed NULL); identity/generated stay excluded — they generate
+    // at append. A missing NON-nullable column without a default
+    // refuses HERE, by name — the generic append-schema error advises
+    // mergeSchema, which the COPY INTO SQL surface cannot express.
+    val missingHard = schema.fields.filterNot(f =>
+      df0.columns.contains(f.name) || snap.identity.contains(f.name) ||
+        snap.generated.contains(f.name) || f.nullable ||
+        snap.defaults.contains(f.name))
+    require(missingHard.isEmpty,
+      s"TxLog: COPY INTO source is missing non-nullable column(s) " +
+        s"${missingHard.map(_.name).mkString(", ")} of $dir " +
+        "(no declared default to fill them)")
     val casted = df0.select(schema.fields.toSeq
-      .filter(f => df0.columns.contains(f.name))
-      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    // markers only for files not already recorded at this mtime: a
-    // FORCE reload of an already-marked file re-appends its rows but
-    // must not re-commit the marker (the dup check would read it as a
-    // concurrent copy); genuinely new/updated files mark as usual
+      .filter(f => df0.columns.contains(f.name) ||
+        (!snap.identity.contains(f.name) &&
+          !snap.generated.contains(f.name)))
+      .map { f =>
+        if (df0.columns.contains(f.name))
+          col(f.name).cast(f.dataType).as(f.name)
+        else snap.defaults.get(f.name)
+          .map(d => expr(d).cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }: _*)
+    // markers only for files not already recorded at this
+    // (mtime, length): a FORCE reload of an already-marked unchanged
+    // file re-appends its rows but must not re-commit the marker
+    // (the dup check would read it as a concurrent copy); genuinely
+    // new/updated files mark as usual
     val markers = fresh.collect {
-      case (p, mt) if !snap.txns.get(s"copyinto:$p").exists(_ >= mt) =>
-        (s"copyinto:$p", mt)
-    }
+      case (p, mt, len) if !upToDate(p, mt, len) =>
+        Seq((s"copyinto:$p", mt), (s"copyintosz:$p", len))
+    }.flatten
     val v = commitAppend(spark, dir, casted, txnsMulti = markers)
     val prev = snapshot(spark, dir, Some(v - 1)).files.map(_.path).toSet
     val rows = snapshot(spark, dir, Some(v)).files
@@ -1656,6 +1727,60 @@ object TxLog {
     require(snap.defaults.contains(name),
       s"TxLog: '$name' carries no DEFAULT")
     commitDefaults(spark, dir, snap.defaults - name)
+  }
+
+  /** Set (upsert) table PROPERTIES — Delta's `ALTER TABLE … SET
+    * TBLPROPERTIES`: free-form (key → value) metadata carried in the
+    * log (NOT the session catalog), so `SHOW TBLPROPERTIES` answers
+    * from the snapshot and time travel shows historical values. One
+    * KB-sized commit; full-map replay like constraints/defaults.
+    * Keys must be non-empty; values are arbitrary strings. */
+  def setTblProperties(spark: SparkSession, dir: String,
+      props: Map[String, String]): Long = {
+    require(props.nonEmpty, "TxLog: SET TBLPROPERTIES needs at least " +
+      "one key = value pair")
+    require(props.keys.forall(_.trim.nonEmpty),
+      "TxLog: TBLPROPERTIES keys must be non-empty")
+    val snap = snapshot(spark, dir)
+    commitProperties(spark, dir, snap.properties ++ props)
+  }
+
+  /** Remove table properties by key (Delta's `UNSET TBLPROPERTIES`).
+    * Unknown keys refuse loudly — a typo'd unset that silently
+    * no-ops leaves the caller believing the property is gone. */
+  def unsetTblProperties(spark: SparkSession, dir: String,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "TxLog: UNSET TBLPROPERTIES needs keys")
+    val snap = snapshot(spark, dir)
+    val missing = keys.filterNot(snap.properties.contains)
+    require(missing.isEmpty,
+      s"TxLog: table $dir has no propert${
+        if (missing.size == 1) "y" else "ies"} ${missing.mkString(", ")}")
+    commitProperties(spark, dir, snap.properties -- keys)
+  }
+
+  private def commitProperties(spark: SparkSession, dir: String,
+      all: Map[String, String]): Long = {
+    val f = fs(spark, logPath(dir))
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      val base = snapshot(spark, dir)
+      val v = base.version + 1
+      val j: JObject =
+        ("version" -> v) ~ ("op" -> "properties") ~
+          ("ts" -> nextCommitTs(f, dir, v)) ~
+          ("add" -> JArray(Nil)) ~ ("remove" -> JArray(Nil)) ~
+          ("properties" -> all)
+      if (tryWrite(f, versionFile(dir, v),
+          JsonMethods.compact(JsonMethods.render(j)))) {
+        if (v > 0 && v % CheckpointInterval == 0)
+          writeCheckpoint(spark, dir, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog: gave up after $MaxAttempts contended commit attempts")
   }
 
   private def commitDefaults(spark: SparkSession, dir: String,
@@ -1995,7 +2120,8 @@ object TxLog {
           constraints = Some(snap.constraints).filter(_.nonEmpty),
           identity = Some(snap.identity).filter(_.nonEmpty),
           generated = Some(snap.generated).filter(_.nonEmpty),
-          defaults = Some(snap.defaults).filter(_.nonEmpty))))
+          defaults = Some(snap.defaults).filter(_.nonEmpty),
+          properties = Some(snap.properties).filter(_.nonEmpty))))
       throw new java.util.ConcurrentModificationException(
         s"TxLog: clone target $targetDir was concurrently created — " +
           "refusing to clobber it")
@@ -2084,7 +2210,8 @@ object TxLog {
           constraints = Some(snap.constraints).filter(_.nonEmpty),
           identity = Some(snap.identity).filter(_.nonEmpty),
           generated = Some(snap.generated).filter(_.nonEmpty),
-          defaults = Some(snap.defaults).filter(_.nonEmpty))))
+          defaults = Some(snap.defaults).filter(_.nonEmpty),
+          properties = Some(snap.properties).filter(_.nonEmpty))))
       throw new java.util.ConcurrentModificationException(
         s"TxLog: clone target $targetDir was concurrently created — " +
           "refusing to clobber it")
@@ -3675,7 +3802,7 @@ object TxLog {
 
   /** The logical schema with every field renamed to its physical
     * parquet column (identity when the mapping is empty). */
-  private def physSchema(schema: StructType,
+  private[graft] def physSchema(schema: StructType,
       mapping: Map[String, String]): StructType =
     if (mapping.isEmpty) schema
     else StructType(schema.fields.map(fl =>
@@ -3812,6 +3939,20 @@ object TxLog {
   private[graft] def readSnapshot(spark: SparkSession, dir: String,
       snap: TxSnapshot): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // planner-visible presentation first: an eligible snapshot (no
+    // deletion vectors, recorded bytes, recoverable partition values)
+    // reads through [[TxFileIndex]] — exact sizeInBytes for static
+    // broadcast planning, stats-in-log file skipping applied to
+    // pushed filters at scan time, native (dynamic) partition
+    // pruning, vectorized parquet under whole-stage codegen. The
+    // branches below remain the fallback plan (vectors need the
+    // anti-join subtraction; legacy entries may lack bytes).
+    val viaIndex =
+      if (snap.files.isEmpty) None
+      else TxFileRelation.planFor(spark, dir, snap)
+    if (viaIndex.isDefined)
+      return org.apache.spark.sql.graft.PlanBridge.fromPlan(
+        spark, viaIndex.get)
     if (snap.files.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)

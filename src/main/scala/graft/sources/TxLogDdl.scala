@@ -142,6 +142,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(m.group("pat")).map(unq),
         Option(m.group("fopts")).map(parseKvOptions).getOrElse(Map.empty),
         force = m.group("force") != null)
+    }).orElse(setPropsRe.findFirstMatchIn(s).map { m =>
+      GraftPropertiesCommand(ref(m),
+        parseKvOptions(m.group("props")), Nil)
+    }).orElse(unsetPropsRe.findFirstMatchIn(s).map { m =>
+      GraftPropertiesCommand(ref(m), Map.empty,
+        parseKeyList(m.group("keys")))
+    }).orElse(showPropsRe.findFirstMatchIn(s).flatMap { m =>
+      // SHOW stays delegating for non-txlog tables (Spark owns the
+      // keyword); a quoted path claims unconditionally
+      claimDescribe(m).map(r => GraftShowPropertiesCommand(r,
+        Option(m.group("key")).map(unq)))
+    }).orElse(descExtRe.findFirstMatchIn(s).flatMap { m =>
+      claimDescribe(m).map(GraftDescribeExtendedCommand)
     })
     // first-token ownership: a statement that BEGINS with a keyword
     // Spark's grammar has no meaning for (OPTIMIZE / VACUUM / RESTORE
@@ -241,6 +254,21 @@ private[graft] object GraftSqlParser {
       """(?:\s+(?<tkind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?<v>\d+))?""" +
       """(?:\s+LOCATION\s+'(?<loc>(?:[^']|'')+)')?\z""").r
 
+  // log-carried table properties: SET/UNSET ride ALTER TXLOG; SHOW
+  // answers from the snapshot ([[TxLog.setTblProperties]])
+  val setPropsRe: scala.util.matching.Regex =
+    ("""(?is)\AALTER""" + ws + "TXLOG" + ws + dir + ws +
+      """SET\s+TBLPROPERTIES\s*\((?<props>[^)]*)\)\z""").r
+  val unsetPropsRe: scala.util.matching.Regex =
+    ("""(?is)\AALTER""" + ws + "TXLOG" + ws + dir + ws +
+      """UNSET\s+TBLPROPERTIES\s*\((?<keys>[^)]*)\)\z""").r
+  val showPropsRe: scala.util.matching.Regex =
+    ("""(?is)\ASHOW\s+TBLPROPERTIES""" + ws + dir +
+      """(?:\s*\(\s*'(?<key>(?:[^']|'')+)'\s*\))?\z""").r
+  val descExtRe: scala.util.matching.Regex =
+    ("""(?is)\ADESCRIBE(?:\s+TABLE)?\s+EXTENDED""" + ws + dir +
+      """\z""").r
+
   // Delta's COPY INTO: idempotent batch file ingest ([[TxLog.copyInto]])
   val copyIntoRe: scala.util.matching.Regex =
     ("""(?is)\ACOPY\s+INTO""" + ws + dir + ws +
@@ -257,6 +285,12 @@ private[graft] object GraftSqlParser {
   def parseKvOptions(body: String): Map[String, String] =
     kvOptRe.findAllMatchIn(body)
       .map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
+
+  private val keyListRe = """'((?:[^']|'')+)'""".r
+
+  /** UNSET TBLPROPERTIES body: `'k'[, …]` (quotes with '' escaping). */
+  def parseKeyList(body: String): Seq[String] =
+    keyListRe.findAllMatchIn(body).map(m => unq(m.group(1))).toSeq
 
   /** First tokens Spark's grammar has NO statement for — a match here
     * with a failed full parse is a graft grammar error, never a
@@ -282,7 +316,8 @@ private[graft] object GraftSqlParser {
         "CHECK (<expr>) | DROP CONSTRAINT <name> | ALTER COLUMN <c> " +
         "SET DEFAULT (<expr>) | DROP DEFAULT | SET GENERATED AS " +
         "(<expr>) | DROP GENERATED | SET IDENTITY [START <s>] " +
-        "[STEP <p>] [BY DEFAULT]"
+        "[STEP <p>] [BY DEFAULT] | SET TBLPROPERTIES ('k' = 'v', …) " +
+        "| UNSET TBLPROPERTIES ('k', …)"
     }
 
   def unq(dir: String): String = dir.replace("''", "'")
@@ -509,5 +544,102 @@ private[graft] case class GraftReplaceWhereCommand(dirRaw: String,
       .select(schema.fields.map(f =>
         col(f.name).cast(f.dataType)).toIndexedSeq: _*)
     Seq(Row(TxLog.replaceWhere(session, dir, aligned, expr(predSql))))
+  }
+}
+
+/** `ALTER TXLOG t SET TBLPROPERTIES ('k' = 'v', …)` / `UNSET
+  * TBLPROPERTIES ('k', …)` — Delta's table-properties DDL, carried
+  * in the LOG (one KB commit, full-map replay), never the session
+  * catalog's stored copy. */
+private[graft] case class GraftPropertiesCommand(dirRaw: String,
+    set: Map[String, String], unset: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(attr("version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = TxLogSql.resolveDir(session, dirRaw)
+    val v = if (unset.nonEmpty) TxLog.unsetTblProperties(session, dir,
+      unset)
+    else TxLog.setTblProperties(session, dir, set)
+    Seq(Row(v))
+  }
+}
+
+/** `SHOW TBLPROPERTIES t ['key']` answering from the SNAPSHOT — the
+  * log is the source of truth for a logged table's properties; the
+  * session catalog's stored copy (what Spark's own command prints)
+  * goes stale the moment another writer commits. A requested key
+  * that is absent errors loudly, Spark's own contract. */
+private[graft] case class GraftShowPropertiesCommand(dirRaw: String,
+    key: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] =
+    Seq(attr("key", StringType), attr("value", StringType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = TxLogSql.resolveDir(session, dirRaw)
+    val props = TxLog.snapshot(session, dir).properties
+    key match {
+      case Some(k) =>
+        require(props.contains(k),
+          s"txlog: table $dirRaw has no property '$k'")
+        Seq(Row(k, props(k)))
+      case None =>
+        props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `DESCRIBE EXTENDED t` for logged tables, answering from the
+  * SNAPSHOT: schema (with partition/identity/generated/default
+  * annotations), then the `# Detailed Table Information` section —
+  * location, format, log version, file/row/byte counts, properties,
+  * constraints, column mapping and reader generation. Spark's own
+  * DESCRIBE consults the catalog's stored copy, which knows nothing
+  * of commits made since registration (or by other sessions). */
+private[graft] case class GraftDescribeExtendedCommand(dirRaw: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] =
+    Seq(attr("col_name", StringType), attr("data_type", StringType),
+      attr("comment", StringType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = TxLogSql.resolveDir(session, dirRaw)
+    val snap = TxLog.snapshot(session, dir)
+    val schema = DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    def note(n: String): String = {
+      val tags = Seq(
+        if (snap.partitionCols.contains(n)) Some("partition") else None,
+        snap.identity.get(n).map(s =>
+          if (s.always) "identity (always)" else "identity (by default)"),
+        snap.generated.get(n).map(e => s"generated as ($e)"),
+        snap.defaults.get(n).map(e => s"default $e"),
+        snap.mapping.get(n).map(p => s"physical '$p'")).flatten
+      if (tags.isEmpty) null else tags.mkString(", ")
+    }
+    val cols = schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.catalogString, note(f.name)))
+    val files = snap.files
+    val detail = Seq(
+      Row("", "", null),
+      Row("# Detailed Table Information", "", null),
+      Row("Location", dir, null),
+      Row("Provider", "txlog", null),
+      Row("Log Version", snap.version.toString, null),
+      Row("Num Files", files.size.toString, null),
+      Row("Num Rows", files.map(f => f.rows - f.dvRows).sum.toString,
+        null),
+      Row("Size In Bytes", files.flatMap(_.bytes).sum.toString, null),
+      Row("Partition Columns",
+        if (snap.partitionCols.isEmpty) "(none)"
+        else snap.partitionCols.mkString(", "), null),
+      Row("Min Reader Generation", snap.minReader.toString, null),
+      Row("Column Mapping",
+        if (snap.mapping.isEmpty) "none" else "name", null)) ++
+      snap.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+        Row(s"Property $k", v, null) } ++
+      snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        Row(s"Constraint $n", s"CHECK ($e)", null) }
+    cols ++ detail
   }
 }

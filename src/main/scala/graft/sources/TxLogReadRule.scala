@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+  LogicalPlan, MergeIntoTable, Project, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Post-hoc resolution rule: logged-table READS resolve to the
+  * [[TxFileIndex]] plan instead of the DSv2 V1-fallback scan.
+  *
+  * Why a rule: the "txlog" DSv2 table's scan is a `V1Scan`, and
+  * Spark's `V1ScanWrapper` does not forward
+  * `SupportsReportStatistics` — a v2-resolved logged table therefore
+  * presents `defaultSizeInBytes` to the join planner no matter what
+  * the scan knows, so a small logged dimension never plans a static
+  * broadcast and a partitioned one never gets dynamic partition
+  * pruning (AQE converts at runtime, after the probe side's shuffle
+  * write is paid). Swapping the relation for
+  * `LogicalRelation(HadoopFsRelation(TxFileIndex))` at resolution
+  * puts the log's exact byte counts and partition values in front of
+  * the planner — same rows, the plan you'd want at 100×.
+  *
+  * Scope: READ positions only. Row-level DML statements keep their
+  * v2 target (the [[GraftTxLogSqlRule]] DML lowering and Spark's
+  * `SupportsDelete` path both match on the v2 relation), and
+  * v2 write commands hold their target out-of-children so a
+  * transform never touches it. Subquery plans are rewritten too —
+  * an `IN (SELECT …)` over a logged dim becomes a join against the
+  * indexed read. Ineligible snapshots (deletion vectors, missing
+  * bytes) and disabled sessions fall through untouched. */
+class GraftTxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // DML targets are CHILDREN of their statement nodes; the DML
+    // lowering rule (registered before this one) must keep seeing
+    // the raw v2 relation there, and its own command nodes carry
+    // already-lowered plans out of reach of this transform.
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    case m: MergeIntoTable => m
+    case _ if !TxFileRelation.enabled(spark) => plan
+    case _ =>
+      plan.transformUpWithSubqueries {
+        case r: DataSourceV2Relation => rewrite(r).getOrElse(r)
+      }
+  }
+
+  private def rewrite(r: DataSourceV2Relation): Option[LogicalPlan] =
+    r.table match {
+      case t: TxLogBatchTable if t.asOf >= 0L =>
+        val snap = TxLog.snapshot(spark, t.dir, Some(t.asOf))
+        TxFileRelation.planFor(spark, t.dir, snap).map { inner =>
+          val byName = inner.output.map(a => a.name -> a).toMap
+          // preserve the analyzed relation's attribute identities:
+          // everything above references the v2 output's ExprIds
+          Project(r.output.map { o =>
+            Alias(byName(o.name), o.name)(exprId = o.exprId,
+              qualifier = o.qualifier,
+              explicitMetadata = Some(o.metadata))
+          }, inner)
+        }
+      case _ => None
+    }
+}

@@ -128,4 +128,13 @@ object PlanBridge {
     ofRows(df.sparkSession,
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(
         df.queryExecution.toRdd, df.asInstanceOf[ClassicDataset[_]],
-        isStreaming = false))}
+        isStreaming = false))
+
+  /** Catalyst predicate → v1 `sources.Filter` (the `protected[sql]`
+    * translator the file-index read path reuses so its data-filter
+    * file skipping speaks the SAME filter algebra as the V1 scan's
+    * pushdown — one pruning semantics, two entry points). */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions
+      .Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)}
