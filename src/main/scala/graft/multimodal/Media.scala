@@ -305,11 +305,65 @@ object MediaQueries {
       MediaPipeline.extractFeatures(MediaPipeline.syntheticMedia(s, dir)),
       tau = 0.95)
 
+  /** media_near_dup_seeded (round-18) — the HASH-GATED twin of
+    * media_near_dup: the same real pipeline (syntheticMedia →
+    * [[MediaPipeline.extractFeatures]] → [[MediaPipeline
+    * .nearDupPairs]]), on a doc subset with the exact all-pairs leg
+    * (`lsh = false`, the verification baseline). The synthetic
+    * payloads are text bytes, so decode routes to the deterministic
+    * FNV stub — features are `((h >> 8i) & 0xff − 128)/128` exact
+    * dyadic rationals and the cosine is the engine-portable
+    * double-dot the dedup_embedding oracle already replays; the
+    * DuckDB oracle replays FNV-1a in HUGEINT mod-2⁶⁴ (the
+    * text_fingerprint recipe) and the decision end to end. The
+    * rows-only media_near_dup keeps the LSH scale path. */
+  def mediaNearDupSeeded(s: SparkSession, dir: String): DataFrame =
+    MediaPipeline.nearDupPairs(
+      MediaPipeline.extractFeatures(
+        MediaPipeline.syntheticMedia(s, dir)
+          .filter(col("media_id") % 5 === 0)),
+      tau = 0.8, lsh = false)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_near_dup" -> mediaNearDup,
+    "media_near_dup_seeded" -> mediaNearDupSeeded,
     "mm_metadata" -> mmMetadata)
 
   val oracleSql: Map[String, String] = Map(
+    // media_near_dup_seeded: FNV-1a over the payload bytes in HUGEINT
+    // mod-2^64 (the text_fingerprint recipe; ASCII corpus so ord ==
+    // byte), stub features as exact dyadic rationals, the same
+    // left-fold double dot/cosine the dedup_embedding oracle uses.
+    "media_near_dup_seeded" -> """
+      WITH sel AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      fh AS MATERIALIZED (
+        SELECT doc_id,
+          list_reduce(list_prepend(14695981039346656037::HUGEINT,
+            list_transform(range(1, length(text) + 1),
+              j -> CAST(ord(substr(text, j, 1)) AS HUGEINT))),
+            (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS h
+        FROM sel),
+      fn AS MATERIALIZED (
+        SELECT doc_id, h, e,
+          list_reduce(list_transform(range(1, 9), i -> e[i] * e[i]),
+            (x, y) -> x + y) AS nn
+        FROM (
+          SELECT doc_id, h,
+            list_transform(range(0, 8), i ->
+              (CAST((h // (2::HUGEINT ^ (i * 8))::HUGEINT) % 256
+                AS DOUBLE) - CAST(128 AS DOUBLE)) / CAST(128 AS DOUBLE))
+              AS e
+          FROM fh))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        list_reduce(list_transform(range(1, 9), i -> a.e[i] * b.e[i]),
+          (x, y) -> x + y) / (sqrt(a.nn) * sqrt(b.nn)) AS cosine,
+        CASE WHEN a.h = b.h THEN 'exact' ELSE 'near' END AS kind
+      FROM fn a JOIN fn b ON a.doc_id < b.doc_id
+      WHERE list_reduce(list_transform(range(1, 9), i -> a.e[i] * b.e[i]),
+          (x, y) -> x + y) / (sqrt(a.nn) * sqrt(b.nn))
+        >= CAST('0.8' AS DOUBLE)""",
     "mm_metadata" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -135,6 +135,107 @@ object Dsir {
         coalesce(col("weight"), lit(0.0)).as("weight"))
   }
 
+  /** The hash-gated twin's scoring core: a TRANSCENDENTAL-FREE
+    * fixed-point log. `ln` is the one piece of DSIR a cross-engine
+    * oracle cannot replay (libm ulp differences), so the seeded twin
+    * computes `floor(lnApprox(num/den) · 2³⁰)` as a BIGINT from
+    * arithmetic that IS engine-portable:
+    *
+    *  1. exact integer range reduction — `k₀ = bitlen(num) −
+    *     bitlen(den)` (via `length(bin(x))`, both engines exact),
+    *     shift the integer with the SMALLER bit length so the
+    *     mantissa ratio `m = numS/denS ∈ [1, 2)` is one double
+    *     division of two exactly-representable integers;
+    *  2. `ln(m)` by the atanh series `2z(1 + z²(1/3 + z²(1/5 + … +
+    *     z²/15)))`, `z = (m−1)/(m+1) ∈ [0, 1/3]` — only +,−,×,÷ on
+    *     doubles, IEEE-exact in any engine evaluating the same tree
+    *     (truncation error < 5·10⁻⁹, below the 2⁻³⁰ fixed-point
+    *     resolution);
+    *  3. `ln(x) = k·ln2 + ln(m)` with ln2 as a shared double literal.
+    *
+    * The BIGINT weight sum downstream is then exact and
+    * ORDER-INDEPENDENT — no float-sum partition sensitivity, no libm.
+    * Overflow headroom: |score| ≤ ~2²⁰·2³⁰ and per-doc Σ cnt·score
+    * stays far under 2⁶³ for any corpus whose token count fits 2⁵³
+    * (the same bound the exact-double smoothing already needs). */
+  private[graft] def fixedLog(df: DataFrame, num: String,
+      den: String, out: String): DataFrame = {
+    val third = lit(1.0) / lit(3.0)
+    val fifth = lit(1.0) / lit(5.0)
+    val seventh = lit(1.0) / lit(7.0)
+    val ninth = lit(1.0) / lit(9.0)
+    val eleventh = lit(1.0) / lit(11.0)
+    val thirteenth = lit(1.0) / lit(13.0)
+    val fifteenth = lit(1.0) / lit(15.0)
+    df.withColumn("_k0",
+      (length(bin(col(num))) - length(bin(col(den)))).cast("int"))
+      .withColumn("_ns", expr(
+        s"CASE WHEN _k0 >= 0 THEN $num ELSE shiftleft($num, -_k0) END"))
+      .withColumn("_ds", expr(
+        s"CASE WHEN _k0 >= 0 THEN shiftleft($den, _k0) ELSE $den END"))
+      .withColumn("_m0", col("_ns").cast("double") / col("_ds").cast("double"))
+      .withColumn("_k",
+        when(col("_m0") < 1.0, col("_k0") - 1).otherwise(col("_k0"))
+          .cast("double"))
+      .withColumn("_m",
+        when(col("_m0") < 1.0, col("_m0") * lit(2.0)).otherwise(col("_m0")))
+      .withColumn("_zz", (col("_m") - lit(1.0)) / (col("_m") + lit(1.0)))
+      .withColumn("_z2", col("_zz") * col("_zz"))
+      .withColumn(out, floor(
+        (col("_k") * lit(0.6931471805599453) +
+          lit(2.0) * col("_zz") * (lit(1.0) + col("_z2") * (third +
+            col("_z2") * (fifth + col("_z2") * (seventh +
+              col("_z2") * (ninth + col("_z2") * (eleventh +
+                col("_z2") * (thirteenth +
+                  col("_z2") * fifteenth)))))))) *
+          lit(1073741824.0)).cast("long"))
+      .drop("_k0", "_ns", "_ds", "_m0", "_k", "_m", "_zz", "_z2")
+  }
+
+  /** Hash-gated DSIR twin: the SAME pipeline as [[resample]] —
+    * hashed n-gram features, Laplace-smoothed distributions over the
+    * union bucket universe, broadcast weighting join, top-k by
+    * importance — with the literal `ln` replaced by [[fixedLog]]'s
+    * fixed-point BIGINT score, so every value the entry emits is
+    * exact integer arithmetic a DuckDB oracle replays bit-for-bit
+    * (the seeded-ANN-twin doctrine: same plan shape, deterministic
+    * scoring). Bucket score = fixedLog of the exact smoothed-ratio
+    * rational `((n_t+1)(totR+u)) / ((n_r+1)(totT+u))`; per-doc
+    * weight = Σ cnt·score (BIGINT, order-free); selection = plain
+    * top-k (no Gumbel — `−ln(−ln u)` is transcendental again).
+    * Output: (rank, doc_id, weight). */
+  def resampleSeeded(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    guard(raw); guard(target)
+    val fRaw = featureCounts(raw, idCol, textCol).localCheckpoint(true)
+    val fTgt = featureCounts(target, idCol, textCol).localCheckpoint(true)
+    val nRaw = fRaw.groupBy(col("_b")).agg(sum(col("_cnt")).as("_nr"))
+    val nTgt = fTgt.groupBy(col("_b")).agg(sum(col("_cnt")).as("_nt"))
+    val universe = nRaw.join(nTgt, Seq("_b"), "full_outer")
+      .select(col("_b"), coalesce(col("_nr"), lit(0L)).as("_nr"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"))
+    val t = universe.agg(sum(col("_nr")), sum(col("_nt")),
+      count(lit(1))).head()
+    val (totR, totT, u) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val scored = fixedLog(
+      universe.select(col("_b"),
+        ((col("_nt") + 1L) * lit(totR + u)).as("_num"),
+        ((col("_nr") + 1L) * lit(totT + u)).as("_den")),
+      "_num", "_den", "_w").select(col("_b"), col("_w"))
+    val w = fRaw.join(broadcast(scored), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_cnt") * col("_w")).as("weight"))
+    val top = raw.select(col(idCol).cast("long").as("doc_id"))
+      .join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("weight"), lit(0L)).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("weight").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("weight"))
+  }
+
   /** Deterministic seeded Gumbel noise per doc: uniform from 60 md5
     * bits of (seed, doc_id), then `−ln(−ln(u))`. */
   private def gumbel(idCol: Column, seed: Long): Column = {

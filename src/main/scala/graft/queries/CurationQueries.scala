@@ -382,8 +382,25 @@ object CurationQueries {
                      i -> [-s.fills[i], i]))[1][2] AS best) b
       )"""
 
+  /** dsir_seeded — [[graft.operators.Dsir.resampleSeeded]] (round-18):
+    * the hash-gated DSIR twin. Same corpus split, features, smoothing
+    * and top-k plan as curation_dsir; scoring is the fixed-point
+    * BIGINT log (no `ln`, no Gumbel), so the DuckDB oracle replays the
+    * ENTIRE selection — md5 bucketing, Laplace smoothing, integer
+    * range reduction, atanh series, exact weight sums — bit-for-bit.
+    * curation_dsir stays the production form (true ln + Gumbel
+    * resampling); this twin pins its pipeline. */
+  def dsirSeeded(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables(s, dir, "documents")
+    graft.operators.Dsir.resampleSeeded(
+      d.filter(!col("source").isin("src0", "src1")),
+      d.filter(col("source").isin("src0", "src1")),
+      "doc_id", "text", k = 50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_dsir" -> curationDsir,
+    "dsir_seeded" -> dsirSeeded,
     "curation_pipeline" -> curationPipeline,
     "curation_source_report" -> curationSourceReport,
     "curation_source_quota" -> curationSourceQuota,
@@ -531,6 +548,106 @@ object CurationQueries {
       FROM flagged"""
 
   val oracleSql: Map[String, String] = Map(
+    // dsir_seeded: full DSIR replay — features (unigram+bigram md5
+    // buckets), Laplace smoothing over the union universe, the
+    // fixed-point log (exact integer range reduction via bin()
+    // bit lengths + atanh series, every literal CAST AS DOUBLE so
+    // DuckDB's decimal parser can't diverge), BIGINT weight sums,
+    // top-50. Arithmetic mirrors Dsir.fixedLog tree-for-tree.
+    "dsir_seeded" -> """
+      WITH raw_prep AS MATERIALIZED (
+        SELECT doc_id,
+          list_filter(string_split(
+            lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+            x -> x <> '') AS w
+        FROM documents WHERE source NOT IN ('src0', 'src1')),
+      tgt_prep AS MATERIALIZED (
+        SELECT doc_id,
+          list_filter(string_split(
+            lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+            x -> x <> '') AS w
+        FROM documents WHERE source IN ('src0', 'src1')),
+      raw_feat AS (
+        SELECT doc_id, substr(md5(f), 1, 4) AS b FROM (
+          SELECT doc_id, unnest(w) AS f FROM raw_prep
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i + 1])) AS f FROM raw_prep) t0),
+      tgt_feat AS (
+        SELECT doc_id, substr(md5(f), 1, 4) AS b FROM (
+          SELECT doc_id, unnest(w) AS f FROM tgt_prep
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i + 1])) AS f FROM tgt_prep) t1),
+      raw_cnt AS MATERIALIZED (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM raw_feat GROUP BY doc_id, b),
+      nrr AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nr
+        FROM raw_cnt GROUP BY b),
+      ntt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nt
+        FROM (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tgt_feat GROUP BY doc_id, b) GROUP BY b),
+      uni AS MATERIALIZED (
+        SELECT COALESCE(nrr.b, ntt.b) AS b,
+          COALESCE(nr, 0) AS nr, COALESCE(nt, 0) AS nt
+        FROM nrr FULL OUTER JOIN ntt ON nrr.b = ntt.b),
+      tot AS MATERIALIZED (
+        SELECT CAST(SUM(nr) AS BIGINT) AS totr,
+          CAST(SUM(nt) AS BIGINT) AS tott,
+          CAST(COUNT(*) AS BIGINT) AS u FROM uni),
+      st1 AS (
+        SELECT b, (nt + 1) * (totr + u) AS num,
+          (nr + 1) * (tott + u) AS den FROM uni, tot),
+      st2 AS (
+        SELECT b, num, den,
+          CAST(length(bin(num)) - length(bin(den)) AS INTEGER) AS k0
+        FROM st1),
+      st3 AS (
+        SELECT b, k0,
+          CASE WHEN k0 >= 0 THEN num ELSE num << (-k0) END AS ns,
+          CASE WHEN k0 >= 0 THEN den << k0 ELSE den END AS ds
+        FROM st2),
+      st4 AS (
+        SELECT b, k0, CAST(ns AS DOUBLE) / CAST(ds AS DOUBLE) AS m0
+        FROM st3),
+      st5 AS (
+        SELECT b,
+          CAST(CASE WHEN m0 < CAST(1 AS DOUBLE) THEN k0 - 1 ELSE k0
+            END AS DOUBLE) AS k,
+          CASE WHEN m0 < CAST(1 AS DOUBLE) THEN m0 * CAST(2 AS DOUBLE)
+            ELSE m0 END AS m
+        FROM st4),
+      st6 AS (
+        SELECT b, k,
+          (m - CAST(1 AS DOUBLE)) / (m + CAST(1 AS DOUBLE)) AS zz
+        FROM st5),
+      st7 AS (SELECT b, k, zz, zz * zz AS z2 FROM st6),
+      sc AS MATERIALIZED (
+        SELECT b, CAST(floor((k * CAST('0.6931471805599453' AS DOUBLE)
+          + CAST(2 AS DOUBLE) * zz * (CAST(1 AS DOUBLE) + z2 *
+            (CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE) + z2 *
+            (CAST(1 AS DOUBLE)/CAST(5 AS DOUBLE) + z2 *
+            (CAST(1 AS DOUBLE)/CAST(7 AS DOUBLE) + z2 *
+            (CAST(1 AS DOUBLE)/CAST(9 AS DOUBLE) + z2 *
+            (CAST(1 AS DOUBLE)/CAST(11 AS DOUBLE) + z2 *
+            (CAST(1 AS DOUBLE)/CAST(13 AS DOUBLE) + z2 *
+            (CAST(1 AS DOUBLE)/CAST(15 AS DOUBLE)))))))))) *
+          CAST(1073741824 AS DOUBLE)) AS BIGINT) AS w
+        FROM st7),
+      wsum AS (
+        SELECT doc_id, CAST(SUM(c * w) AS BIGINT) AS weight
+        FROM raw_cnt JOIN sc USING (b) GROUP BY doc_id),
+      wf AS MATERIALIZED (
+        SELECT a.doc_id, COALESCE(ws.weight, 0) AS weight
+        FROM (SELECT doc_id FROM documents
+              WHERE source NOT IN ('src0', 'src1')) a
+        LEFT JOIN wsum ws USING (doc_id)),
+      top AS (SELECT doc_id, weight FROM wf
+        ORDER BY weight DESC, doc_id LIMIT 50)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id)
+          AS BIGINT) AS rank,
+        doc_id, weight
+      FROM top""",
     "curation_source_report" -> s"""
       WITH perdoc AS (
         SELECT d.doc_id, d.source,

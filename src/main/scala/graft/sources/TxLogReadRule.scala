@@ -51,7 +51,20 @@ class GraftTxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     r.table match {
       case t: TxLogBatchTable if t.asOf >= 0L =>
         val snap = TxLog.snapshot(spark, t.dir, Some(t.asOf))
-        TxFileRelation.planFor(spark, t.dir, snap).map { inner =>
+        TxFileRelation.planFor(spark, t.dir, snap).map { inner0 =>
+          // a catalog-resolved table keeps its catalog identity on
+          // the relation: `spark.catalog.refreshTable` does
+          // `lr.catalogTable.get` on every LogicalRelation in the
+          // resolved plan (None.get otherwise). Stats are STRIPPED —
+          // a stale ANALYZE'd copy must never override the log's
+          // exact bytes in LogicalRelation.computeStats.
+          val inner =
+            if (r.identifier.isEmpty) inner0
+            else inner0.transform {
+              case lr: org.apache.spark.sql.execution.datasources
+                .LogicalRelation =>
+                lr.copy(catalogTable = Some(t.v1Table.copy(stats = None)))
+            }
           val byName = inner.output.map(a => a.name -> a).toMap
           // preserve the analyzed relation's attribute identities:
           // everything above references the v2 output's ExprIds

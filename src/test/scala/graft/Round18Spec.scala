@@ -289,6 +289,60 @@ class Round18Spec extends SparkSpec {
     assert(byName("Log Version") == "2")
   }
 
+  // ---- hash-gated twins: dsir_seeded / media_near_dup_seeded -------
+
+  test("fixedLog matches ln to fixed-point resolution across the ratio range") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq((2L, 1L), (1L, 2L), (1L, 1L), (3L, 7L),
+      (99999L, 7L), (7L, 99999L), (1048577L, 3L), (123456789L, 987654321L),
+      (1L, 4503599627370496L), (4503599627370496L, 3L))
+    val df = graft.operators.Dsir.fixedLog(
+      cases.toDF("_num", "_den"), "_num", "_den", "_w")
+    val got = df.select("_num", "_den", "_w").collect()
+    got.foreach { r =>
+      val (num, den, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val approx = w.toDouble / (1L << 30)
+      val truth = math.log(num.toDouble / den.toDouble)
+      assert(math.abs(approx - truth) < 1e-8 + 1.0 / (1L << 30),
+        s"fixedLog($num/$den) = $approx, ln = $truth")
+    }
+  }
+
+  test("dsir_seeded tracks the true-ln DSIR weights and plan shape") {
+    val s = spark
+    val d = graft.Tables(s, sf, "documents")
+    val raw = d.filter(!col("source").isin("src0", "src1"))
+    val tgt = d.filter(col("source").isin("src0", "src1"))
+    val seeded = graft.operators.Dsir.resampleSeeded(
+      raw, tgt, "doc_id", "text", k = 1000000)
+    val truth = graft.operators.Dsir.importanceWeights(
+      raw, tgt, "doc_id", "text")
+    val joined = seeded.join(truth.withColumnRenamed("weight", "tw"),
+      "doc_id")
+      .select(col("doc_id"), (col("weight").cast("double") /
+        lit(1073741824.0) - col("tw")).as("err"), col("tw"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val tol = 1e-6 * (1.0 + math.abs(r.getDouble(2)))
+      assert(math.abs(r.getDouble(1)) < tol,
+        s"doc ${r.getLong(0)}: seeded diverges by ${r.getDouble(1)}")
+    }
+    // plan shape: ratio table broadcasts, selection is a bounded sort
+    val p = graft.operators.Dsir.resampleSeeded(raw, tgt, "doc_id",
+      "text", k = 50).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("media_near_dup_seeded finds pairs and splits exact vs near") {
+    val pairs = graft.multimodal.MediaQueries
+      .mediaNearDupSeeded(spark, sf).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.8))
+    assert(pairs.forall(r => Set("exact", "near")(r.getString(3))))
+  }
+
   // ---- cross-process commit race -----------------------------------
 
   test("two OS processes race the same log: no lost commit, no lost slice") {

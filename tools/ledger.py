@@ -246,6 +246,16 @@ ROWS = [
      "api"),
     (231, "Round17Spec (subquery DML, REPLACE WHERE, toTable, TRUNCATE) "
      "| sources/TxLogSql.scala", "api"),
+    (232, "Round18Spec (TxFileIndex: stats/broadcast/DPP/pruning parity) "
+     "| sources/TxFileIndex.scala", "api"),
+    (233, "dsir_seeded", "hash"),
+    (234, "media_near_dup_seeded", "hash"),
+    (235, "Round18Spec (TBLPROPERTIES/DESCRIBE EXTENDED from the log) "
+     "| sources/TxLogDdl.scala", "api"),
+    (236, "StressMultiWriter + Round18Spec (cross-process race) "
+     "| StressMultiWriter.scala", "api"),
+    (237, "Round18Spec (COPY INTO length marker + NULL pad; "
+     "EXISTS_DEFAULT drop) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
