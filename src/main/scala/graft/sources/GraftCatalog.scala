@@ -84,7 +84,8 @@ class GraftCatalog extends DelegatingCatalogExtension {
           SparkSession.active, Map("path" -> dir))
         new TxLogBatchTable(d, v,
           snap.fold(schema)(withDefaultMeta(_, schema)), pinned,
-          v1Catalog = PlanBridge.v1CatalogTable(base))
+          v1Catalog = PlanBridge.v1CatalogTable(base),
+          resolvedSnap = snap)
       case Some(dir) if !base.schema().isEmpty =>
         // declared (CTAS / CREATE with schema) but not yet written:
         // a WRITABLE creation placeholder lets the exec's first write
@@ -240,9 +241,11 @@ class GraftCatalog extends DelegatingCatalogExtension {
   override def loadTable(ident: Identifier, version: String): Table =
     txlogDir(ident) match {
       case Some(dir) =>
-        val (d, v, schema, _) = TxLogBatch.resolve(SparkSession.active,
+        val (d, v, schema, _, snap) = TxLogBatch.resolveWithSnap(
+          SparkSession.active,
           Map("path" -> dir, "versionAsOf" -> version))
-        new TxLogBatchTable(d, v, schema, pinned = true)
+        new TxLogBatchTable(d, v, schema, pinned = true,
+          resolvedSnap = snap)
       case None => super.loadTable(ident, version)
     }
 
@@ -250,10 +253,12 @@ class GraftCatalog extends DelegatingCatalogExtension {
     txlogDir(ident) match {
       case Some(dir) =>
         // the engine hands MICROseconds; the log's axis is millis
-        val (d, v, schema, _) = TxLogBatch.resolve(SparkSession.active,
+        val (d, v, schema, _, snap) = TxLogBatch.resolveWithSnap(
+          SparkSession.active,
           Map("path" -> dir,
             "timestampAsOf" -> (timestamp / 1000L).toString))
-        new TxLogBatchTable(d, v, schema, pinned = true)
+        new TxLogBatchTable(d, v, schema, pinned = true,
+          resolvedSnap = snap)
       case None => super.loadTable(ident, timestamp)
     }
 }

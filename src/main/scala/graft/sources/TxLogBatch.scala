@@ -260,7 +260,10 @@ private[graft] class TxLogBatchTable(val dir: String, val asOf: Long,
     tableSchema: StructType, val pinned: Boolean,
     writableCreate: Boolean = false,
     v1Catalog: Option[
-      org.apache.spark.sql.catalyst.catalog.CatalogTable] = None)
+      org.apache.spark.sql.catalyst.catalog.CatalogTable] = None,
+    // the snapshot RESOLUTION already replayed (when the builder had
+    // it) — the read-rule reuses it instead of a second log replay
+    val resolvedSnap: Option[TxLog.TxSnapshot] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.graft.V1FallbackBridge {

@@ -50,7 +50,10 @@ class GraftTxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(r: DataSourceV2Relation): Option[LogicalPlan] =
     r.table match {
       case t: TxLogBatchTable if t.asOf >= 0L =>
-        val snap = TxLog.snapshot(spark, t.dir, Some(t.asOf))
+        // reuse the snapshot resolution already replayed — one log
+        // read per table reference, not two
+        val snap = t.resolvedSnap.filter(_.version == t.asOf)
+          .getOrElse(TxLog.snapshot(spark, t.dir, Some(t.asOf)))
         TxFileRelation.planFor(spark, t.dir, snap).map { inner0 =>
           // a catalog-resolved table keeps its catalog identity on
           // the relation: `spark.catalog.refreshTable` does

@@ -208,10 +208,10 @@ class TxLogStreamProvider extends StreamSourceProvider
     // BEFORE deciding v1 fallback — partitioning is handled (honored
     // or refused) downstream: createRelation for the save path, the
     // catalog's createTable for SQL DDL
-    val (d, v, tschema, pinned) =
-      TxLogBatch.resolve(SparkSession.active, properties.asScala.toMap)
+    val (d, v, tschema, pinned, snap) = TxLogBatch.resolveWithSnap(
+      SparkSession.active, properties.asScala.toMap)
     val effective = if (v < 0 && schema.nonEmpty) schema else tschema
-    new TxLogBatchTable(d, v, effective, pinned)
+    new TxLogBatchTable(d, v, effective, pinned, resolvedSnap = snap)
   }
 
   private def dir(parameters: Map[String, String]): String =
