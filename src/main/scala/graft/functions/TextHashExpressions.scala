@@ -234,6 +234,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // above
     ext.injectPostHocResolutionRule(session =>
       new graft.sources.GraftTxLogReadRule(session))
+    // a Filter over an indexed logged read swaps in the RESTRICTED
+    // file index so join planning sees post-prune sizes (the
+    // PrepareDeltaScan shape)
+    ext.injectOptimizerRule(session =>
+      new graft.sources.GraftTxLogStatsRule(session))
     // path-addressed DDL/utility statements (OPTIMIZE / VACUUM /
     // DESCRIBE HISTORY|DETAIL / RESTORE / ALTER TXLOG …) — a
     // delegating parser, so Spark's own SQL is untouched

@@ -95,8 +95,8 @@ private[graft] final class TxFileIndex(
     * scan ([[TxLogBatch.intervals]]), map names back to logical (the
     * pruner re-applies the mapping), and prune per partition group.
     * Untranslatable filters simply don't prune (conservative). */
-  override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+  private def prune(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[(InternalRow, Seq[TxFile])] = {
     val kept =
       if (partitionFilters.isEmpty || partitionSchema.isEmpty) partitions
       else {
@@ -122,16 +122,45 @@ private[graft] final class TxFileIndex(
       .map { case (c, lo, hi) => (physToLogical(c), lo, hi) }
     val nulls = TxLogBatch.nullPreds(v1)
       .map { case (c, w) => (physToLogical(c), w) }
-    val pruned =
-      if (preds.isEmpty && nulls.isEmpty) kept
-      else kept.map { case (values, files) =>
-        (values, TxLog.prunedSnapshotFiles(spark,
-          snap.copy(files = files), preds, nulls))
-      }.filter(_._2.nonEmpty)
+    if (preds.isEmpty && nulls.isEmpty) kept
+    else kept.map { case (values, files) =>
+      (values, TxLog.prunedSnapshotFiles(spark,
+        snap.copy(files = files), preds, nulls))
+    }.filter(_._2.nonEmpty)
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned = prune(partitionFilters, dataFilters)
     TxLogBatch.lastScan.set(pruned.flatMap(_._2.map(_.path)))
     pruned.map { case (values, files) =>
       PartitionDirectory(values, files.map(status).toArray)
     }
+  }
+
+  /** PLAN-TIME restriction (the PrepareDeltaScan shape): the same
+    * pruning [[listFiles]] applies at execution, hoisted into a new
+    * index so the LOGICAL stats the join planner reads reflect the
+    * filter — a narrow slice of a big logged table can then plan a
+    * static broadcast. Conjuncts split by reference: partition-only
+    * ones prune partitions, data-only ones prune by log stats; mixed
+    * or untranslatable conjuncts prune nothing (conservative, the
+    * engine re-applies every filter row-exactly). Returns None when
+    * nothing shrank — the caller keeps the original plan, which also
+    * makes the optimizer-rule fixpoint trivially stable. */
+  def restrict(conjuncts: Seq[Expression]): Option[TxFileIndex] = {
+    val deterministic = conjuncts.filter(_.deterministic)
+    val pNames = partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    val (pf, rest) = deterministic.partition(c =>
+      c.references.nonEmpty &&
+        c.references.forall(a => pNames.contains(a.name.toLowerCase)))
+    val kept = prune(pf, rest)
+    val keptFiles = kept.flatMap(_._2)
+    if (keptFiles.map(_.path).toSet == snap.files.map(_.path).toSet)
+      None
+    else Some(new TxFileIndex(spark, dir,
+      snap.copy(files = keptFiles.sortBy(_.path)), kept,
+      partitionSchema))
   }
 
   override def inputFiles: Array[String] =

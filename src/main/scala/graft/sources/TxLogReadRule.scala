@@ -1,10 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.expressions.{Alias, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-  LogicalPlan, MergeIntoTable, Project, UpdateTable}
+  Filter => LFilter, LogicalPlan, MergeIntoTable, Project, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Post-hoc resolution rule: logged-table READS resolve to the
@@ -79,4 +81,42 @@ class GraftTxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+}
+
+/** Optimizer rule (the PrepareDeltaScan shape): a `Filter` directly
+  * over a [[TxFileIndex]]-backed relation swaps in the RESTRICTED
+  * index, so the LOGICAL statistics the join planner reads reflect
+  * the filter's file pruning — `big_logged_table WHERE day = X` then
+  * joins as the megabytes it scans, not the terabytes it belongs to,
+  * and plans a static broadcast where the unrestricted size would
+  * force a sort-merge. Execution already pruned identically inside
+  * `listFiles`; this rule only HOISTS that knowledge to plan time.
+  * The filter itself stays in place (pruning is file-granular — the
+  * engine still evaluates every predicate row-exactly), and
+  * `restrict` returns None when nothing shrinks, which keeps the
+  * optimizer fixpoint trivially stable. */
+class GraftTxLogStatsRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ LFilter(cond, lr: LogicalRelation) =>
+      lr.relation match {
+        case hfs: HadoopFsRelation =>
+          hfs.location match {
+            case idx: TxFileIndex =>
+              idx.restrict(splitConjunctivePredicates(cond)) match {
+                case Some(restricted) =>
+                  val rel = HadoopFsRelation(restricted,
+                    hfs.partitionSchema, hfs.dataSchema, hfs.bucketSpec,
+                    hfs.fileFormat, hfs.options)(
+                    spark.asInstanceOf[
+                      org.apache.spark.sql.classic.SparkSession])
+                  f.copy(child = lr.copy(relation = rel))
+                case None => f
+              }
+            case _ => f
+          }
+        case _ => f
+      }
+  }
 }

@@ -129,6 +129,34 @@ class Round18Spec extends SparkSpec {
     assert(planned.forall(_.contains("lang=fr")), planned.toString)
   }
 
+  test("filtered slice of a BIG logged table broadcasts statically") {
+    val dir = tmp("r18slice").toString + "/t"
+    // a "big" table (64 range files) whose narrow slice is broadcast-
+    // sized; with whole-table stats the join would sort-merge
+    TxLog.commitOverwrite(spark, dir,
+      payload(200000).repartitionByRange(64, col("k")),
+      statsCols = Seq("k"))
+    withConf("spark.sql.adaptive.enabled" -> "false",
+      // make even this test table "big": the threshold sits between
+      // the slice (1 of 64 files) and the whole table
+      "spark.sql.autoBroadcastJoinThreshold" -> "200000") {
+      val slice = TxLog.read(spark, dir).filter(col("k") < 3000L)
+      val fact = payload(50000).select(col("k"),
+        col("v").as("fv"))
+      val whole = TxLog.read(spark, dir).join(fact, "k")
+      assert(whole.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"),
+        "test premise: the UNfiltered table must NOT broadcast")
+      val j = slice.join(fact, "k").agg(sum("fv"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"restricted index did not drive a static broadcast:\n$p")
+      // restriction is plan-only: results identical to the full read
+      assert(j.collect().head.getLong(0) ==
+        (0 until 3000).map(_.toLong * 2).sum)
+    }
+  }
+
   // ---- file-index path: parity with the V1 plan -------------------
 
   test("file-index read equals the V1 fallback read (flat + mapped)") {
