@@ -629,7 +629,8 @@ object TxLog {
     * files are invisible until a commit references them. */
   private[graft] def stageData(spark: SparkSession, dir: String,
       df: DataFrame, statsCols: Seq[String] = Nil,
-      mapping: Map[String, String] = Map.empty): (Seq[TxFile], String) = {
+      mapping: Map[String, String] = Map.empty,
+      partCols: Seq[String] = Nil): (Seq[TxFile], String) = {
     // validate BEFORE the expensive distributed write: a statsCols
     // typo must not cost a full staged copy of the batch (LOGICAL
     // names — the caller's view)
@@ -650,9 +651,17 @@ object TxLog {
       .map(fl => fl.name -> fl.dataType.catalogString).toMap
     val stageDir = new Path(dir, s"_graft_stage_${UUID.randomUUID()}")
     val f = fs(spark, stageDir)
+    // partition-PURE staging only when the batch carries every
+    // partition column (a schema-mismatched batch refuses downstream
+    // as usual — never here, where the error would name staging)
+    val physParts =
+      if (partCols.forall(df.columns.contains))
+        partCols.map(c => mapping.getOrElse(c, c))
+      else Nil
     try {
       val (added, _) =
-        stageBody(spark, dir, physDf, physStats, stageDir, f, dtypes)
+        stageBody(spark, dir, physDf, physStats, stageDir, f, dtypes,
+          physParts)
       (added, logicalJson)
     } catch { case e: Throwable =>
       // a failed stage (write error, stats scan error, rename race)
@@ -664,7 +673,11 @@ object TxLog {
 
   private def stageBody(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], stageDir: Path, f: FileSystem,
-      dtypes: Map[String, String]): (Seq[TxFile], String) = {
+      dtypes: Map[String, String],
+      partCols: Seq[String] = Nil): (Seq[TxFile], String) = {
+    if (partCols.nonEmpty)
+      return stageBodyPartitioned(spark, dir, df, statsCols, stageDir,
+        f, dtypes, partCols)
     df.write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
     val parts = f.listStatus(stageDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
@@ -689,6 +702,91 @@ object TxLog {
         byName.getOrElse(st.getPath.getName, (0L, Map.empty[String, ColStats]))
       TxFile(name, rows, stats, bytes = Some(st.getLen))
     }.toSeq
+    f.delete(stageDir, true)
+    (added, df.schema.json)
+  }
+
+  /** Partition-PURE staging for PARTITIONED tables (round-18): the
+    * batch writes `partitionBy(partCols)` into the stage dir — every
+    * staged file holds exactly ONE partition-value tuple — and the
+    * files register under their dir-relative `key=value/…` paths,
+    * the same nested form [[convertInPlace]] adopts (readers,
+    * deletion vectors and the change feed already key those by
+    * relative path). Why: a flat append mixing partition values
+    * records min ≠ max on the partition columns, which silently
+    * demotes the WHOLE table off the [[TxFileIndex]] partitioned
+    * presentation — losing static+dynamic partition pruning for
+    * every read after the first mixed append. With purity, the
+    * per-file stats keep min = max = the value and the planner
+    * presentation survives appends.
+    *
+    * Shape: one `repartition(partCols)` shuffle puts each value in
+    * one task, so a V-value batch stages ~V files (per-value sizing
+    * is OPTIMIZE's job, as with any small-file pattern). Base names
+    * may repeat across partition dirs within one stage (same task
+    * number, different dir), so the stats scan matches files by
+    * their last `depth + 1` URI-decoded path segments — exactly
+    * [[convertInPlace]]'s relKey. */
+  private def stageBodyPartitioned(spark: SparkSession, dir: String,
+      df: DataFrame, statsCols: Seq[String], stageDir: Path,
+      f: FileSystem, dtypes: Map[String, String],
+      partCols: Seq[String]): (Seq[TxFile], String) = {
+    df.repartition(partCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(stageDir.toString)
+    val stageAbs = f.makeQualified(stageDir).toString
+    val parts = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.hadoop.fs.FileStatus]
+      val it = f.listFiles(stageDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.startsWith("part-"))
+          out += st
+      }
+      out.sortBy(st => f.makeQualified(st.getPath).toString).toSeq
+    }
+    def relOf(p: Path): String = {
+      val abs = f.makeQualified(p).toString
+      require(abs.startsWith(stageAbs + "/"),
+        s"TxLog: staged file $abs escapes the stage dir")
+      abs.drop(stageAbs.length + 1)
+    }
+    val depth = partCols.size + 1
+    def relKey(fullPath: String): String = {
+      val path = try new java.net.URI(fullPath).getPath
+      catch { case _: java.net.URISyntaxException => fullPath }
+      path.split('/').takeRight(depth).mkString("/")
+    }
+    // the scan carries the caller's DECLARED types for the
+    // path-encoded partition columns (inference could narrow them —
+    // '01' parsing as 1 would corrupt the recorded stat strings)
+    val byKey: Map[String, (Long, Map[String, ColStats])] =
+      if (parts.isEmpty) Map.empty
+      else spark.read.schema(df.schema).parquet(stageDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"), statAggExprs(statsCols): _*)
+        .collect()
+        .map { r =>
+          relKey(r.getString(0)) ->
+            (r.getLong(1), statsOfRow(r, statsCols, dtypes))
+        }.toMap
+    val uuid = UUID.randomUUID().toString.take(8)
+    val added = parts.zipWithIndex.map { case (st, i) =>
+      val rel = relOf(st.getPath)
+      val partDir = rel.split('/').dropRight(1).mkString("/")
+      val name = f"$uuid-p$i%05d.parquet"
+      val relOut = if (partDir.isEmpty) name else s"$partDir/$name"
+      val target = new Path(dir, relOut)
+      f.mkdirs(target.getParent)
+      if (!f.rename(st.getPath, target))
+        throw new IllegalStateException(
+          s"TxLog: staging move failed for ${st.getPath}")
+      val (rows, stats) =
+        byKey.getOrElse(relKey(st.getPath.toString),
+          (0L, Map.empty[String, ColStats]))
+      TxFile(relOut, rows, stats, bytes = Some(st.getLen))
+    }
     f.delete(stageDir, true)
     (added, df.schema.json)
   }
@@ -1188,7 +1286,10 @@ object TxLog {
     }
     enforceConstraints(spark, dir, dfId)
     val (added, schemaJson) =
-      stageData(spark, dir, dfId, (statsCols ++ idMap.keys).distinct)
+      stageData(spark, dir, dfId, (statsCols ++ idMap.keys).distinct,
+        // partitionCols survive an overwrite (only registration sets
+        // them), so the replacement data stays partition-pure too
+        partCols = snap0.map(_.partitionCols).getOrElse(Nil))
     // an overwrite REDEFINES the table: the new files are written
     // under identity physical names, so any column mapping (and its
     // retired-name reservations) resets with the schema
@@ -1274,7 +1375,10 @@ object TxLog {
       .getOrElse(statsCols)
     val (added, schemaJson) =
       stageData(spark, dir, dfId, (statsAll ++ idMap.keys).distinct,
-        mapping ++ freshPhys)
+        mapping ++ freshPhys,
+        // partition-PURE staging keeps the planner's partitioned
+        // presentation (static+dynamic pruning) alive across appends
+        partCols = snap0.map(_.partitionCols).getOrElse(Nil))
     commitStaged(spark, dir, "append", added, Nil, removeAll = false,
       schemaJson, txn, mergeSchema,
       freshPhys = freshPhys, stagedFields = baseFields,

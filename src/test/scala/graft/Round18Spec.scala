@@ -157,6 +157,42 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("appends to a partitioned table stay partition-pure (planner presentation survives)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r18purapp").toString + "/t"
+    (0 until 300).map(i => (i.toLong, i.toLong * 10,
+      Seq("en", "fr", "de")(i % 3))).toDF("k", "v", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    // a MIXED-partition append — the case that used to stage one flat
+    // multi-valued file and demote the table off the partitioned
+    // presentation forever
+    TxLog.commitAppend(s, dir,
+      (300 until 360).map(i => (i.toLong, i.toLong * 10,
+        Seq("en", "fr", "xx")(i % 3))).toDF("k", "v", "lang"))
+    val snap = TxLog.snapshot(s, dir)
+    val appended = snap.files.filterNot(_.path.contains("part-"))
+    assert(appended.nonEmpty &&
+      appended.forall(_.path.contains("=")),
+      s"appended files are not partition-dir nested: " +
+        appended.map(_.path).mkString(", "))
+    // rows read back whole, values recovered on both legs
+    val t = s.read.format("txlog").load(dir)
+    assert(t.count() == 360)
+    assert(t.filter(col("lang") === "xx").count() == 20)
+    // partition filter still file-prunes — incl. the appended files
+    val q = t.filter(col("lang") === "fr")
+    assert(q.count() == 120)
+    val planned = TxLogBatch.lastScan.get()
+    assert(planned.size < snap.files.size &&
+      planned.forall(_.contains("lang=fr")),
+      s"post-append partition pruning lost: $planned")
+    // and the presentation is still the indexed one (stats visible)
+    assert(t.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(Long.MaxValue) / 2, "fell back to the V1 scan")
+  }
+
   // ---- file-index path: parity with the V1 plan -------------------
 
   test("file-index read equals the V1 fallback read (flat + mapped)") {

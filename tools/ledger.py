@@ -256,6 +256,8 @@ ROWS = [
      "| StressMultiWriter.scala", "api"),
     (237, "Round18Spec (COPY INTO length marker + NULL pad; "
      "EXISTS_DEFAULT drop) | sources/TxLog.scala", "api"),
+    (238, "Round18Spec (partition-pure appends + plan-time stats "
+     "restriction) | sources/TxLog.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
