@@ -97,10 +97,18 @@ private[graft] final class TxFileIndex(
     * Untranslatable filters simply don't prune (conservative). */
   private def prune(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[(InternalRow, Seq[TxFile])] = {
+    // only conjuncts an interpreted predicate can actually evaluate
+    // over a partition-values row: subquery expressions (IN (SELECT
+    // …)) and other non-deterministic/unevaluable shapes prune
+    // nothing here (conservative — the engine applies them row-
+    // exactly; DPP delivers the subquery-driven file skipping)
+    val evaluable = partitionFilters.filter(e => e.deterministic &&
+      e.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .PlanExpression[_]]).isEmpty)
     val kept =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) partitions
+      if (evaluable.isEmpty || partitionSchema.isEmpty) partitions
       else {
-        val bound = partitionFilters.reduce(CAnd(_, _)).transform {
+        val bound = evaluable.reduce(CAnd(_, _)).transform {
           case a: AttributeReference =>
             val i = partitionSchema.fieldNames.indexWhere(
               _.equalsIgnoreCase(a.name))
@@ -109,9 +117,11 @@ private[graft] final class TxFileIndex(
             BoundReference(i, partitionSchema.fields(i).dataType,
               nullable = true)
         }
-        val pred = Predicate.createInterpreted(bound)
-        pred.initialize(0)
-        partitions.filter(p => pred.eval(p._1))
+        scala.util.Try {
+          val pred = Predicate.createInterpreted(bound)
+          pred.initialize(0)
+          partitions.filter(p => pred.eval(p._1))
+        }.getOrElse(partitions) // unevaluable → keep all (sound)
       }
     val physToLogical =
       snap.mapping.map(_.swap).withDefault(identity[String])

@@ -103,7 +103,13 @@ class GraftTxLogStatsRule(spark: SparkSession) extends Rule[LogicalPlan]
       lr.relation match {
         case hfs: HadoopFsRelation =>
           hfs.location match {
-            case idx: TxFileIndex =>
+            // gate on size: a relation already under the broadcast
+            // threshold broadcasts as-is — restriction cannot flip
+            // any planning decision, so don't pay the driver pruning
+            // pass (writer-internal plans optimize MANY small reads)
+            case idx: TxFileIndex
+                if conf.autoBroadcastJoinThreshold < 0 ||
+                  idx.sizeInBytes > conf.autoBroadcastJoinThreshold =>
               idx.restrict(splitConjunctivePredicates(cond)) match {
                 case Some(restricted) =>
                   val rel = HadoopFsRelation(restricted,

@@ -193,6 +193,26 @@ class Round18Spec extends SparkSpec {
       BigInt(Long.MaxValue) / 2, "fell back to the V1 scan")
   }
 
+  test("subquery predicate on a partition column neither crashes nor misprunes") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r18subq").toString + "/t"
+    (0 until 90).map(i => (i.toLong, i.toLong * 10,
+      Seq("en", "fr", "de")(i % 3))).toDF("k", "v", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    s.sql(s"CREATE TABLE r18_subq USING txlog OPTIONS (path '$dir')")
+    try {
+      Seq("en", "xx").toDF("l").createOrReplaceTempView("r18_keep")
+      // IN (SELECT …) lands as a subquery expression whose references
+      // are the partition column — must stay a conservative no-prune
+      // at plan time, never an interpreter crash
+      val n = s.sql("SELECT count(*) FROM r18_subq WHERE lang IN " +
+        "(SELECT l FROM r18_keep)").collect().head.getLong(0)
+      assert(n == 30)
+    } finally s.sql("DROP TABLE r18_subq")
+  }
+
   // ---- file-index path: parity with the V1 plan -------------------
 
   test("file-index read equals the V1 fallback read (flat + mapped)") {
