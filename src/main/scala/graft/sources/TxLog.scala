@@ -2771,7 +2771,8 @@ object TxLog {
     val kept = readSnapshot(spark, dir, snap.copy(files = keepFiles))
       .filter(!pred.eqNullSafe(true))
     val (added, _) = stageData(spark, dir, kept,
-      inheritStats(keepFiles, statsCols, snap), snap.mapping)
+      inheritStats(keepFiles, statsCols, snap), snap.mapping,
+      partCols = snap.partitionCols)
     // pin the touched files' vector pointers: a concurrent
     // merge-on-read DML keeps the path LIVE while changing its rows —
     // liveness alone would let this rewrite silently undo it
@@ -2823,7 +2824,8 @@ object TxLog {
         .unionByName(src)
     val (added, _) = stageData(spark, dir, survivors,
       (inheritStats(keepFiles, statsCols, snap) ++
-        snap.identity.keys).distinct, snap.mapping)
+        snap.identity.keys).distinct, snap.mapping,
+      partCols = snap.partitionCols)
     commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, None,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
@@ -2889,7 +2891,8 @@ object TxLog {
     }.drop("_graft_upd")
     enforceConstraints(spark, dir, rewritten)
     val (added, _) = stageData(spark, dir, rewritten,
-      inheritStats(keepFiles, statsCols, snap), snap.mapping)
+      inheritStats(keepFiles, statsCols, snap), snap.mapping,
+      partCols = snap.partitionCols)
     commitStaged(spark, dir, "update", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, None,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
@@ -3035,7 +3038,8 @@ object TxLog {
         case Some((dvPath, entries, expect)) =>
           val touchedEntries = entries
           val (added, _) = stageData(spark, dir, updated,
-            inheritStats(touchedEntries, statsCols, snap), snap.mapping)
+            inheritStats(touchedEntries, statsCols, snap), snap.mapping,
+            partCols = snap.partitionCols)
           try commitStaged(spark, dir, "update-dv",
             touchedEntries ++ added, touchedEntries.map(_.path),
             removeAll = false, snap.schemaJson, None,
@@ -3159,7 +3163,8 @@ object TxLog {
     enforceConstraints(spark, dir, src)
     val (added, _) = stageData(spark, dir, survivors,
       (inheritStats(keepFiles, statsCols, snap) ++
-        snap.identity.keys).distinct, snap.mapping)
+        snap.identity.keys).distinct, snap.mapping,
+      partCols = snap.partitionCols)
     commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, txn,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
@@ -3570,7 +3575,8 @@ object TxLog {
         enforceConstraints(spark, dir, df)
         val (added, _) = stageData(spark, dir, df,
           (inheritStats(keepFiles, statsCols, snap) ++
-            snap.identity.keys).distinct, snap.mapping)
+            snap.identity.keys).distinct, snap.mapping,
+          partCols = snap.partitionCols)
         commitStaged(spark, dir, op, added, keepFiles.map(_.path),
           removeAll = false, snap.schemaJson, None,
           expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
@@ -3667,7 +3673,8 @@ object TxLog {
     enforceConstraints(spark, dir, inserts)
     val (added, _) = stageData(spark, dir, survivors,
       (inheritStats(keepFiles, statsCols, snap) ++
-        snap.identity.keys).distinct, snap.mapping)
+        snap.identity.keys).distinct, snap.mapping,
+      partCols = snap.partitionCols)
     commitStaged(spark, dir, "merge", added, keepFiles.map(_.path),
       removeAll = false, snap.schemaJson, txn,
       expectDv = keepFiles.map(f => f.path -> f.dv).toMap,
@@ -3755,7 +3762,8 @@ object TxLog {
           return txn.fold(snap.version)(commitTxnAdvance(spark, dir, _))
         val (added, _) = stageData(spark, dir, inserts,
           (inheritStats(Nil, statsCols, snap) ++
-            snap.identity.keys).distinct, snap.mapping)
+            snap.identity.keys).distinct, snap.mapping,
+          partCols = snap.partitionCols)
         commitStaged(spark, dir, "merge", added, Nil,
           removeAll = false, snap.schemaJson, txn,
           identityOut = if (snap.identity.isEmpty) None
@@ -3767,7 +3775,8 @@ object TxLog {
           if (nIns == 0L) (Seq.empty[TxFile], 0L)
           else stageData(spark, dir, inserts,
             (inheritStats(entries, statsCols, snap) ++
-              snap.identity.keys).distinct, snap.mapping)
+              snap.identity.keys).distinct, snap.mapping,
+            partCols = snap.partitionCols)
         try commitStaged(spark, dir, "update-dv",
           entries ++ added, entries.map(_.path),
           removeAll = false, snap.schemaJson, txn,

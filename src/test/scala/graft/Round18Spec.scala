@@ -191,6 +191,20 @@ class Round18Spec extends SparkSpec {
     // and the presentation is still the indexed one (stats visible)
     assert(t.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(Long.MaxValue) / 2, "fell back to the V1 scan")
+    // a copy-on-write DML rewrite stays partition-pure too: the
+    // survivors of touched files restage nested, so the presentation
+    // survives the table's whole DML life
+    TxLog.delete(s, dir, col("k") % 10 === 0)
+    val t2 = s.read.format("txlog").load(dir)
+    assert(t2.count() == 360 - 36)
+    val snap2 = TxLog.snapshot(s, dir)
+    assert(snap2.files.forall(f =>
+      f.path.contains("=") || f.path.contains("part-")),
+      s"DML restaged flat: ${snap2.files.map(_.path).filterNot(p =>
+        p.contains("=") || p.contains("part-")).take(3)}")
+    assert(t2.filter(col("lang") === "fr").count() == 108)
+    assert(TxLogBatch.lastScan.get().forall(_.contains("lang=fr")),
+      "post-DML partition pruning lost")
   }
 
   test("subquery predicate on a partition column neither crashes nor misprunes") {
