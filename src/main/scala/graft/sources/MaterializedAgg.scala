@@ -16,10 +16,11 @@ import org.json4s.jackson.JsonMethods
   * keys` over 100 TB on every downstream read, the aggregate is kept
   * as its OWN logged table and folded forward from the source's
   * row-level change feed, so a refresh costs the DELTA (the span's
-  * changed files), never the corpus. The reference's analytics layer
-  * recomputes such summaries per query (analytics_engine.py's
-  * aggregation paths); this is the standing, restart-safe form a
-  * 100 TB deployment needs.
+  * changed files), never the corpus. The reference recomputes such
+  * summaries per call — its quality/ETL reports re-aggregate the
+  * whole driver-local dataset every time (data_quality.py:152-305's
+  * per-check loops, etl_manager.py's transform passes); this is the
+  * standing, restart-safe form a 100 TB deployment needs.
   *
   * Classic incremental view maintenance, split by aggregate class:
   *  - **Distributive (COUNT, SUM)**: every feed row carries a sign

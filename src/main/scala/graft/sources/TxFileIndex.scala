@@ -108,16 +108,21 @@ private[graft] final class TxFileIndex(
     val kept =
       if (evaluable.isEmpty || partitionSchema.isEmpty) partitions
       else {
-        val bound = evaluable.reduce(CAnd(_, _)).transform {
-          case a: AttributeReference =>
-            val i = partitionSchema.fieldNames.indexWhere(
-              _.equalsIgnoreCase(a.name))
-            require(i >= 0,
-              s"txlog file index: unknown partition column ${a.name}")
-            BoundReference(i, partitionSchema.fields(i).dataType,
-              nullable = true)
-        }
+        // the WHOLE bind+eval sits inside the Try: an unexpected
+        // attribute in a partition filter (the require below) must
+        // degrade to "no pruning" like any other unevaluable shape,
+        // not fail the query — pruning here is an optimization, the
+        // engine re-applies every filter row-exactly
         scala.util.Try {
+          val bound = evaluable.reduce(CAnd(_, _)).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fieldNames.indexWhere(
+                _.equalsIgnoreCase(a.name))
+              require(i >= 0,
+                s"txlog file index: unknown partition column ${a.name}")
+              BoundReference(i, partitionSchema.fields(i).dataType,
+                nullable = true)
+          }
           val pred = Predicate.createInterpreted(bound)
           pred.initialize(0)
           partitions.filter(p => pred.eval(p._1))
@@ -180,6 +185,13 @@ private[graft] final class TxFileIndex(
 
   override def sizeInBytes: Long = snap.files.flatMap(_.bytes).sum
 
+  /** The (possibly restricted) snapshot's CBO statistics, keyed by
+    * the physical names this relation serves — what the read rule
+    * attaches and [[GraftTxLogStatsRule]] refreshes on restriction. */
+  private[graft] def catalogStats
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics] =
+    TxLogStats.catalogStats(snap, physNames = true)
+
   /** Identity for plan/cache equality: same table dir, same log
     * version, same (possibly restricted) live-file set. */
   private val identityKey: (String, Long, Seq[String]) =
@@ -225,9 +237,19 @@ private[graft] object TxFileIndex {
     // post-registration flat appends qualify only when the writer
     // kept partition values file-pure.
     val tz = spark.sessionState.conf.sessionLocalTimeZone
+    // MAPPING-AWARE resolution: partitionCols holds registration-time
+    // names. After RENAME COLUMN the logical schema carries the new
+    // name while the registration entry IS the (never-renamed)
+    // physical parquet name — so resolve each entry first as a
+    // current logical column, else as the physical name some logical
+    // column maps to. Either way the served name stays PHYSICAL
+    // (= the nested `key=value/` dirs and the per-file stat keys,
+    // which rename never touches). Unresolvable → V1 fallback.
     val pFields = snap.partitionCols.map { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(return None)
-      (snap.phys(c), f)
+      val f = schema.fields.find(_.name == c)
+        .orElse(schema.fields.find(fl => snap.phys(fl.name) == c))
+        .getOrElse(return None)
+      (snap.phys(f.name), f)
     }
     val pSchema = StructType(pFields.map { case (pc, f) =>
       f.copy(name = pc) })

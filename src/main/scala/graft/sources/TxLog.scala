@@ -474,17 +474,30 @@ object TxLog {
       case JNothing => ()
       case jv => st.properties = jv.extract[Map[String, String]]
     }
+    // `copyintosz:` markers are byte-LENGTH fingerprints, NOT
+    // monotonic batch ids — a source file can SHRINK, and max-replay
+    // would pin the old larger length forever: upToDate's equality
+    // check then never matches again and every COPY INTO rerun
+    // re-ingests the file (duplicate rows), while the rebase
+    // dup-guard's size comparison reads the stale max too. Replay
+    // them last-write-wins (commits apply in version order, so the
+    // latest commit's recorded length wins — exactly the fingerprint
+    // semantics). Everything else keeps the monotonic-max replay
+    // (streaming batch ids; `copyinto:` mtimes gate by `>=`).
+    def recordTxn(app: String, b: Long): Unit =
+      if (app.startsWith("copyintosz:")) st.txns(app) = b
+      else st.txns(app) = math.max(b, st.txns.getOrElse(app, Long.MinValue))
     for {
       app <- (j \ "txn" \ "appId").extractOpt[String]
       b <- (j \ "txn" \ "batchId").extractOpt[Long]
-    } st.txns(app) = math.max(b, st.txns.getOrElse(app, Long.MinValue))
+    } recordTxn(app, b)
     (j \ "txnMulti") match {
       case JNothing => ()
       case jv => jv.extract[Seq[JObject]].foreach { o =>
         for {
           app <- (o \ "appId").extractOpt[String]
           b <- (o \ "batchId").extractOpt[Long]
-        } st.txns(app) = math.max(b, st.txns.getOrElse(app, Long.MinValue))
+        } recordTxn(app, b)
       }
     }
   }
@@ -630,7 +643,9 @@ object TxLog {
   private[graft] def stageData(spark: SparkSession, dir: String,
       df: DataFrame, statsCols: Seq[String] = Nil,
       mapping: Map[String, String] = Map.empty,
-      partCols: Seq[String] = Nil): (Seq[TxFile], String) = {
+      partCols: Seq[String] = Nil,
+      sortWithinPhys: Seq[Column] = Nil,
+      maxRecordsPerFile: Option[Long] = None): (Seq[TxFile], String) = {
     // validate BEFORE the expensive distributed write: a statsCols
     // typo must not cost a full staged copy of the batch (LOGICAL
     // names — the caller's view)
@@ -653,15 +668,23 @@ object TxLog {
     val f = fs(spark, stageDir)
     // partition-PURE staging only when the batch carries every
     // partition column (a schema-mismatched batch refuses downstream
-    // as usual — never here, where the error would name staging)
+    // as usual — never here, where the error would name staging).
+    // Resolution is MAPPING-AWARE: `partCols` holds registration-time
+    // names, and after RENAME COLUMN the batch carries the NEW
+    // logical name while the registration entry IS the (unchanged)
+    // physical name — resolve each entry first as a logical column
+    // of the batch, else as the physical name some batch column maps
+    // to. Unresolvable entries degrade to flat staging (correct,
+    // just un-pruned until OPTIMIZE), never an error here.
+    val physOfBatch = df.columns.map(l => mapping.getOrElse(l, l)).toSet
+    val physParts0 = partCols.map(c =>
+      if (df.columns.contains(c)) mapping.getOrElse(c, c) else c)
     val physParts =
-      if (partCols.forall(df.columns.contains))
-        partCols.map(c => mapping.getOrElse(c, c))
-      else Nil
+      if (physParts0.forall(physOfBatch.contains)) physParts0 else Nil
     try {
       val (added, _) =
         stageBody(spark, dir, physDf, physStats, stageDir, f, dtypes,
-          physParts)
+          physParts, sortWithinPhys, maxRecordsPerFile)
       (added, logicalJson)
     } catch { case e: Throwable =>
       // a failed stage (write error, stats scan error, rename race)
@@ -674,10 +697,12 @@ object TxLog {
   private def stageBody(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], stageDir: Path, f: FileSystem,
       dtypes: Map[String, String],
-      partCols: Seq[String] = Nil): (Seq[TxFile], String) = {
+      partCols: Seq[String] = Nil,
+      sortWithinPhys: Seq[Column] = Nil,
+      maxRecordsPerFile: Option[Long] = None): (Seq[TxFile], String) = {
     if (partCols.nonEmpty)
       return stageBodyPartitioned(spark, dir, df, statsCols, stageDir,
-        f, dtypes, partCols)
+        f, dtypes, partCols, sortWithinPhys, maxRecordsPerFile)
     df.write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
     val parts = f.listStatus(stageDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
@@ -695,11 +720,25 @@ object TxLog {
     val uuid = UUID.randomUUID().toString.take(8)
     val added = parts.zipWithIndex.map { case (st, i) =>
       val name = f"$uuid-p$i%05d.parquet"
+      // a staged file ABSENT from the stats aggregation is only
+      // legitimate when it genuinely holds zero rows (static writes
+      // DO emit empty part files for empty tasks — no rows, no
+      // group). Corroborate before accepting rows = 0: registering a
+      // live file with zeroed stats would silently mis-prune its
+      // rows on every later filtered read. Cost: one single-file
+      // footer read, miss path only.
+      val (rows, stats) =
+        byName.get(st.getPath.getName).getOrElse {
+          val n = spark.read.parquet(st.getPath.toString).count()
+          if (n != 0L) throw new IllegalStateException(
+            s"TxLog: staged file ${st.getPath} holds $n rows but " +
+              "matched no stats row — file-name keying drifted; " +
+              "refusing to register it with empty stats")
+          (0L, Map.empty[String, ColStats])
+        }
       if (!f.rename(st.getPath, new Path(dir, name)))
         throw new IllegalStateException(
           s"TxLog: staging move failed for ${st.getPath}")
-      val (rows, stats) =
-        byName.getOrElse(st.getPath.getName, (0L, Map.empty[String, ColStats]))
       TxFile(name, rows, stats, bytes = Some(st.getLen))
     }.toSeq
     f.delete(stageDir, true)
@@ -730,10 +769,25 @@ object TxLog {
   private def stageBodyPartitioned(spark: SparkSession, dir: String,
       df: DataFrame, statsCols: Seq[String], stageDir: Path,
       f: FileSystem, dtypes: Map[String, String],
-      partCols: Seq[String]): (Seq[TxFile], String) = {
-    df.repartition(partCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(partCols: _*).parquet(stageDir.toString)
+      partCols: Seq[String],
+      sortWithinPhys: Seq[Column] = Nil,
+      maxRecordsPerFile: Option[Long] = None): (Seq[TxFile], String) = {
+    // `sortWithinPhys` (physical-name expressions) clusters rows
+    // inside each partition's task before the write — the purify-
+    // compaction leg of OPTIMIZE … ZORDER BY: per-file min/max
+    // envelopes tighten on the clustering key WITHIN each partition
+    // value. `maxRecordsPerFile` bounds file size so one giant
+    // partition value splits into several (still partition-pure)
+    // files instead of a single monolith.
+    val shuffled = df.repartition(partCols.map(col): _*)
+    val laid =
+      if (sortWithinPhys.isEmpty) shuffled
+      else shuffled.sortWithinPartitions(
+        partCols.map(col) ++ sortWithinPhys: _*)
+    val writer0 = laid.write.mode(SaveMode.Overwrite)
+    val writer = maxRecordsPerFile.fold(writer0)(n =>
+      writer0.option("maxRecordsPerFile", n.toString))
+    writer.partitionBy(partCols: _*).parquet(stageDir.toString)
     val stageAbs = f.makeQualified(stageDir).toString
     val parts = {
       val out = scala.collection.mutable.ArrayBuffer.empty[
@@ -752,6 +806,14 @@ object TxLog {
         s"TxLog: staged file $abs escapes the stage dir")
       abs.drop(stageAbs.length + 1)
     }
+    // keying contract: `input_file_name()` returns the URI-ENCODED
+    // path (a literal '%' in a partition dir arrives as "%25"), so
+    // the stats side decodes EXACTLY ONCE; the FileStatus side
+    // ([[relOf]]) is already the raw on-disk relative path and must
+    // never be decoded — running it through the decoder too would
+    // double-decode any value whose escaped form survives decoding
+    // (e.g. "100%" → dir "lang=100%25" → "lang=100%"), silently
+    // mismatching the two sides.
     val depth = partCols.size + 1
     def relKey(fullPath: String): String = {
       val path = try new java.net.URI(fullPath).getPath
@@ -777,14 +839,30 @@ object TxLog {
       val partDir = rel.split('/').dropRight(1).mkString("/")
       val name = f"$uuid-p$i%05d.parquet"
       val relOut = if (partDir.isEmpty) name else s"$partDir/$name"
+      // every staged file MUST appear in the aggregation here: the
+      // partitionBy write only materializes files that received rows,
+      // so a byKey miss means the relKey derivation drifted from
+      // input_file_name's URI form (e.g. a partition value whose
+      // encoded path decodes differently) — and silently recording
+      // rows = 0 would make TxFileIndex.build map the file to an
+      // all-NULL partition value: `WHERE p = v` then silently prunes
+      // live rows away. Corroborate a genuine empty before accepting.
+      val (rows, stats) =
+        byKey.get(rel.split('/').takeRight(depth).mkString("/"))
+          .getOrElse {
+            val n = spark.read.schema(df.schema)
+              .parquet(st.getPath.toString).count()
+            if (n != 0L) throw new IllegalStateException(
+              s"TxLog: staged file ${st.getPath} holds $n rows but " +
+                "matched no stats row (relKey drift) — refusing to " +
+                "register it with empty stats")
+            (0L, Map.empty[String, ColStats])
+          }
       val target = new Path(dir, relOut)
       f.mkdirs(target.getParent)
       if (!f.rename(st.getPath, target))
         throw new IllegalStateException(
           s"TxLog: staging move failed for ${st.getPath}")
-      val (rows, stats) =
-        byKey.getOrElse(relKey(st.getPath.toString),
-          (0L, Map.empty[String, ColStats]))
       TxFile(relOut, rows, stats, bytes = Some(st.getLen))
     }
     f.delete(stageDir, true)
@@ -1191,8 +1269,20 @@ object TxLog {
           (r.getLong(1), statsOfRow(r, statAll, dtypes))
       }.toMap
     val added = dataFiles.map { p =>
+      // same contract as staging: a file absent from the stats scan
+      // must be a GENUINE empty (0-row parquet), corroborated by a
+      // direct count — silently registering rows = 0 would map a live
+      // file to an all-NULL partition value and mis-prune its rows
       val (rows, stats) =
-        byName.getOrElse(p, (0L, Map.empty[String, ColStats]))
+        byName.get(p).getOrElse {
+          val n = spark.read.schema(df.schema)
+            .parquet(s"$dir/$p").count()
+          if (n != 0L) throw new IllegalStateException(
+            s"TxLog: convert of $dir: file $p holds $n rows but " +
+              "matched no stats row (relKey drift) — refusing to " +
+              "register it with empty stats")
+          (0L, Map.empty[String, ColStats])
+        }
       TxFile(p, rows, stats, bytes = lenOf.get(p))
     }.toSeq
     // claim version 0 directly (NOT via commitStaged: its contention
@@ -1539,7 +1629,8 @@ object TxLog {
   def compact(spark: SparkSession, dir: String, targetFiles: Int,
       statsCols: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil,
-      where: Option[org.apache.spark.sql.Column] = None): Long = {
+      where: Option[org.apache.spark.sql.Column] = None,
+      purify: Boolean = false): Long = {
     val snap = snapshot(spark, dir)
     // `where` is Delta's `OPTIMIZE … WHERE`: compact ONLY the files
     // whose recorded stats can intersect the predicate (whole files —
@@ -1560,19 +1651,56 @@ object TxLog {
     // registered partition layout, applying zorder.)
     if (where.isDefined && scope.isEmpty) return snap.version
     val base = readSnapshot(spark, dir, snap.copy(files = scope))
-    val df = zorderBy match {
-      case Nil => base.repartition(targetFiles)
-      case Seq(c) =>
-        base.repartitionByRange(targetFiles, col(c))
-          .sortWithinPartitions(col(c))
-      case more =>
-        // N-column Morton layout; narrower bit budgets for wider keys
-        // so the interleave still fits a long
-        graft.operators.ZOrder
-          .layoutByZN(base, more.map(col), targetFiles,
-            bits = math.min(16, 63 / more.size))
-          .drop("zv")
-    }
+    // PURIFY mode (`OPTIMIZE` that keeps the planner presentation):
+    // on a partitioned table, the flat rewrite below merges files
+    // ACROSS partition values — min ≠ max on the partition columns,
+    // so routine maintenance used to silently demote the table off
+    // the [[TxFileIndex]] partitioned presentation, costing every
+    // later read its static AND dynamic partition pruning. Purify
+    // compacts WITHIN partition values instead: the rewrite stages
+    // through the same partition-pure form as appends
+    // ([[stageBodyPartitioned]]), `targetFiles` becomes a
+    // max-records-per-file bound (total live rows / targetFiles) so
+    // one giant partition splits into several pure files, and
+    // `zorderBy` clusters rows inside each partition (single column:
+    // plain sort; multi: Morton interleave) — per-file stat
+    // envelopes tighten on the key without ever mixing partition
+    // values. The FLAT form stays the default: it is the
+    // clone-enabling contract (one file set, no layout) and the
+    // right shape for unpartitioned tables, where purify degrades to
+    // it harmlessly.
+    val doPurify = purify && snap.partitionCols.nonEmpty
+    val df =
+      if (doPurify) base
+      else zorderBy match {
+        case Nil => base.repartition(targetFiles)
+        case Seq(c) =>
+          base.repartitionByRange(targetFiles, col(c))
+            .sortWithinPartitions(col(c))
+        case more =>
+          // N-column Morton layout; narrower bit budgets for wider keys
+          // so the interleave still fits a long
+          graft.operators.ZOrder
+            .layoutByZN(base, more.map(col), targetFiles,
+              bits = math.min(16, 63 / more.size))
+            .drop("zv")
+      }
+    val sortPhys =
+      if (!doPurify) Nil
+      else zorderBy match {
+        case Nil => Nil
+        case Seq(c) => Seq(col(snap.phys(c)))
+        case more => Seq(graft.operators.ZOrder.zValueN(
+          more.map(c => col(snap.phys(c))),
+          bits = math.min(16, 63 / more.size)))
+      }
+    val maxRec =
+      if (!doPurify) None
+      else {
+        val live = scope.map(f => math.max(0L, f.rows - f.dvRows)).sum
+        Some(math.max(1L,
+          math.ceil(live.toDouble / math.max(1, targetFiles)).toLong))
+      }
     // carry the scoped files' skip-stats through the rewrite (plus
     // whatever the caller asked for) — an OPTIMIZE that silently
     // dropped the table's pruning metadata would degrade every later
@@ -1580,7 +1708,9 @@ object TxLog {
     val (added, schemaJson) =
       stageData(spark, dir, df,
         inheritStats(scope, (statsCols ++ zorderBy).distinct, snap),
-        snap.mapping)
+        snap.mapping,
+        partCols = if (doPurify) snap.partitionCols else Nil,
+        sortWithinPhys = sortPhys, maxRecordsPerFile = maxRec)
     // a compaction reads its whole scope — pin every scoped vector
     // pointer, or a concurrent merge-on-read DML (same paths stay
     // live) would be silently materialized away

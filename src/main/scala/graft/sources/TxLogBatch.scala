@@ -437,6 +437,74 @@ private[graft] class TxLogBatchScan(dir: String, asOf: Long,
       .asInstanceOf[T]
 }
 
+/** The stats-bearing V1 presentation of a snapshot the
+  * [[TxFileIndex]] REFUSES (standing deletion vectors — the
+  * merge-on-read steady state; missing byte sizes). Why it exists:
+  * the DSv2 fallback wraps [[TxLogBatchScan]] in Spark's
+  * `V1ScanWrapper` at the LOGICAL level, and the wrapper forwards no
+  * statistics — so a DV-bearing logged dim used to present
+  * `defaultSizeInBytes` and a 100 TB fact joined against it planned a
+  * sort-merge, paying the probe side's full shuffle write before AQE
+  * could convert. [[GraftTxLogReadRule]] swaps the v2 relation for a
+  * `LogicalRelation` over THIS relation instead: `sizeInBytes` is the
+  * live files' recorded bytes scaled by each file's live-row share
+  * ((rows − dvRows)/rows — the vector hides rows the read will
+  * subtract), so static broadcast planning works through the whole
+  * merge-on-read lifecycle, not just after OPTIMIZE folds the
+  * vectors away.
+  *
+  * [[PrunedFilteredScan]] (not bare TableScan) keeps the other two
+  * scan-time legs: pushed filters run the SAME stats-in-log file
+  * pruning as every read path, and column pruning narrows the
+  * projection. Any recorded byte size missing → degrade to the
+  * engine default (a too-small guess could wrongly broadcast a huge
+  * table); the data path is unconditionally correct either way. */
+private[graft] class TxLogDvRelation(ctx: SQLContext, dir: String,
+    asOf: Long, snap: TxLog.TxSnapshot, tableSchema: StructType)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = tableSchema
+
+  override def needConversion: Boolean = false
+
+  override def sizeInBytes: Long =
+    if (snap.files.exists(_.bytes.isEmpty)) super.sizeInBytes
+    else snap.files.map { f =>
+      val b = f.bytes.get
+      if (f.dvRows > 0L && f.rows > 0L)
+        math.max(1L, (b.toDouble * math.max(0L, f.rows - f.dvRows) /
+          f.rows).toLong)
+      else b
+    }.sum
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val pushed = filters.filter(TxLogBatch.prunable).toSeq
+    val preds = TxLogBatch.intervals(pushed)
+    val nullPreds = TxLogBatch.nullPreds(pushed)
+    val kept = TxLog.prunedSnapshotFiles(spark, snap, preds, nullPreds)
+    TxLogBatch.lastScan.set(kept.map(_.path))
+    val df = TxLog.readSnapshot(spark, dir, snap.copy(files = kept))
+    // re-apply the pushed intervals inside the inner plan (same
+    // rationale as TxLogBatchRelation: the relation boundary hides
+    // the engine's post-scan filter from the inner parquet read)
+    val cond = (preds.flatMap { case (c, lo, hi) =>
+      lo.map(v => col(c) >= lit(v)).toSeq ++
+        hi.map(v => col(c) <= lit(v)).toSeq
+    } ++ nullPreds.map { case (c, wantNull) =>
+      if (wantNull) col(c).isNull else col(c).isNotNull
+    }).reduceOption(_ && _)
+    val filtered = cond.fold(df)(df.filter)
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.map(col).toSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
 /** Execution leg: prune files from the pinned snapshot, read through
   * the one true read path (vectors subtract, mapping projects),
   * project the required columns. */

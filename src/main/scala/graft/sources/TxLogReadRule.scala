@@ -56,20 +56,41 @@ class GraftTxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // read per table reference, not two
         val snap = t.resolvedSnap.filter(_.version == t.asOf)
           .getOrElse(TxLog.snapshot(spark, t.dir, Some(t.asOf)))
-        TxFileRelation.planFor(spark, t.dir, snap).map { inner0 =>
-          // a catalog-resolved table keeps its catalog identity on
-          // the relation: `spark.catalog.refreshTable` does
-          // `lr.catalogTable.get` on every LogicalRelation in the
-          // resolved plan (None.get otherwise). Stats are STRIPPED —
-          // a stale ANALYZE'd copy must never override the log's
-          // exact bytes in LogicalRelation.computeStats.
-          val inner =
-            if (r.identifier.isEmpty) inner0
-            else inner0.transform {
-              case lr: org.apache.spark.sql.execution.datasources
-                .LogicalRelation =>
-                lr.copy(catalogTable = Some(t.v1Table.copy(stats = None)))
-            }
+        val viaIndex = TxFileRelation.planFor(spark, t.dir, snap)
+        // snapshots the index REFUSES (standing deletion vectors /
+        // missing byte sizes) get the stats-bearing V1 relation
+        // instead of the stat-less V1ScanWrapper: the merge-on-read
+        // steady state keeps static broadcast planning and
+        // stats-in-log file pruning (see [[TxLogDvRelation]])
+        val inner0 = viaIndex.orElse {
+          if (snap.files.isEmpty) None
+          else {
+            val schema = org.apache.spark.sql.types.DataType
+              .fromJson(snap.schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            Some(LogicalRelation(new TxLogDvRelation(
+              spark.sqlContext, t.dir, t.asOf, snap, schema)))
+          }
+        }
+        inner0.map { plan0 =>
+          // attach the table identity + LOG-DERIVED statistics to the
+          // relation. The identity keeps `spark.catalog.refreshTable`
+          // working (it does `lr.catalogTable.get` on catalog-resolved
+          // plans); the stats REPLACE any stale ANALYZE'd catalog copy
+          // with exact commit-metadata values (rowCount + per-column
+          // hulls), which is what `spark.sql.cbo.enabled` join
+          // reordering reads — see [[TxLogStats]]. The TxFileIndex
+          // relation serves PHYSICAL names, the DV relation logical.
+          val inner = plan0.transform {
+            case lr: LogicalRelation =>
+              val st = lr.relation match {
+                case _: TxLogDvRelation =>
+                  TxLogStats.catalogStats(snap, physNames = false)
+                case _ =>
+                  TxLogStats.catalogStats(snap, physNames = true)
+              }
+              lr.copy(catalogTable = Some(t.v1Table.copy(stats = st)))
+          }
           val byName = inner.output.map(a => a.name -> a).toMap
           // preserve the analyzed relation's attribute identities:
           // everything above references the v2 output's ExprIds
@@ -117,7 +138,12 @@ class GraftTxLogStatsRule(spark: SparkSession) extends Rule[LogicalPlan]
                     hfs.fileFormat, hfs.options)(
                     spark.asInstanceOf[
                       org.apache.spark.sql.classic.SparkSession])
-                  f.copy(child = lr.copy(relation = rel))
+                  // the attached catalog stats must TRACK the
+                  // restriction — a stale unrestricted rowCount would
+                  // override the shrunken relation in computeStats
+                  f.copy(child = lr.copy(relation = rel,
+                    catalogTable = lr.catalogTable.map(
+                      _.copy(stats = restricted.catalogStats))))
                 case None => f
               }
             case _ => f

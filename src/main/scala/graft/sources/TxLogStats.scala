@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
+  CatalogStatistics}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType,
+  DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+
+import graft.sources.TxLog.{ColStats, TxSnapshot}
+
+/** Cost-based-optimizer statistics from COMMIT METADATA — zero scans,
+  * zero ANALYZE.
+  *
+  * [[TxFileIndex]] already puts exact `sizeInBytes` in front of the
+  * join planner, which fixes broadcast DECISIONS; join ORDERING under
+  * `spark.sql.cbo.enabled` additionally wants `rowCount` and
+  * per-column statistics, which Spark normally only has after an
+  * `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` pass — a full
+  * scan that goes stale on the next commit. The log already holds
+  * everything needed, exact and always current: per-file row counts,
+  * per-column min/max and null counts. This object folds them into a
+  * [[CatalogStatistics]] that [[GraftTxLogReadRule]] attaches to the
+  * read plan's `LogicalRelation`, so a multi-join SQL query over
+  * logged tables reorders from REAL cardinalities at any table size.
+  *
+  * Per-column detail (estimate-grade by design, like every CBO stat):
+  *  - min/max: aggregated interval hull over the per-file stats —
+  *    emitted for plain NUMERIC types only (their canonical stat
+  *    strings parse back under `CatalogColumnStat.fromExternalString`
+  *    for every stats version; date/timestamp/string forms differ by
+  *    version, and a wrong parse would fail the whole query for an
+  *    optimization — not worth it);
+  *  - nullCount: exact sum when every live file records the column;
+  *  - distinctCount (INTEGRAL columns): `min(rowCount, max − min + 1)`
+  *    — the range bound. An upper-bound NDV is the honest metadata-
+  *    only estimate and exactly what join-cardinality estimation
+  *    divides by; dense keys (ids, dates-as-ints, enums) make it
+  *    tight, sparse keys degrade toward rowCount = the uniform
+  *    assumption CBO uses anyway.
+  *
+  * Deletion vectors: counts subtract the per-file `dvRows` (rows a
+  * vector hides never reach the plan); bounds stay as written —
+  * intervals can only widen under deletion, which keeps estimates
+  * conservative. */
+private[graft] object TxLogStats {
+
+  private def longOf(s: String): Option[Long] =
+    try Some(s.toLong) catch { case _: NumberFormatException => None }
+
+  /** One column's catalog stat from the per-file hulls. `rows` is the
+    * table's LIVE row count (the distinct-count cap). */
+  private def colStat(dt: DataType, rows: Long,
+      perFile: Seq[ColStats]): Option[CatalogColumnStat] = {
+    if (perFile.isEmpty) return None
+    val dtype = perFile.head.dtype
+    val nulls: Option[BigInt] =
+      if (perFile.exists(_.nulls.isEmpty)) None
+      else Some(BigInt(perFile.flatMap(_.nulls).sum))
+    val numeric = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val (mn, mx) =
+      if (!numeric || perFile.exists(f => f.min.isEmpty || f.max.isEmpty))
+        (None, None)
+      else (perFile.flatMap(_.min)
+          .reduceOption((a, b) =>
+            if (StatsManifest.cmpStat(dtype, a, b) <= 0) a else b),
+        perFile.flatMap(_.max)
+          .reduceOption((a, b) =>
+            if (StatsManifest.cmpStat(dtype, a, b) >= 0) a else b))
+    val integral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val ndv: Option[BigInt] =
+      if (!integral) None
+      else for {
+        lo <- mn.flatMap(longOf); hi <- mx.flatMap(longOf)
+        nonNull = rows - nulls.map(_.toLong).getOrElse(0L)
+      } yield BigInt(math.max(1L, math.min(nonNull, hi - lo + 1L)))
+    if (nulls.isEmpty && mn.isEmpty && ndv.isEmpty) None
+    else Some(CatalogColumnStat(distinctCount = ndv, min = mn, max = mx,
+      nullCount = nulls))
+  }
+
+  /** The snapshot's catalog statistics. `physNames = true` keys the
+    * column stats by PHYSICAL parquet name (what the [[TxFileIndex]]
+    * relation's output carries); `false` keys by logical name (the
+    * [[TxLogDvRelation]] presentation). Returns None when any live
+    * file misses its byte size — a too-small sizeInBytes could
+    * wrongly broadcast a huge table, so absence reports nothing. */
+  def catalogStats(snap: TxSnapshot,
+      physNames: Boolean): Option[CatalogStatistics] = {
+    if (snap.files.isEmpty || snap.files.exists(_.bytes.isEmpty))
+      return None
+    val bytes = snap.files.map { f =>
+      val b = f.bytes.get
+      if (f.dvRows > 0L && f.rows > 0L)
+        math.max(1L, (b.toDouble * math.max(0L, f.rows - f.dvRows) /
+          f.rows).toLong)
+      else b
+    }.sum
+    val rows = snap.files.map(f => math.max(0L, f.rows - f.dvRows)).sum
+    val schema =
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val cols = schema.fields.flatMap { fl =>
+      val phys = snap.phys(fl.name)
+      // a column only gets stats when EVERY live file records it —
+      // a partial hull is not a hull
+      val perFile = snap.files.map(_.stats.get(phys))
+      if (perFile.exists(_.isEmpty)) None
+      else colStat(fl.dataType, rows, perFile.map(_.get)).map { cs =>
+        (if (physNames) phys else fl.name) -> cs
+      }
+    }.toMap
+    Some(CatalogStatistics(sizeInBytes = BigInt(math.max(1L, bytes)),
+      rowCount = Some(BigInt(rows)), colStats = cols))
+  }
+}

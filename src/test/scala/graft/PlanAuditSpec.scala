@@ -464,4 +464,65 @@ class PlanAuditSpec extends SparkSpec {
     // 3 scans: clean files, dv-bearing file, the vector relation
     assert(count(p, "FileScan parquet") == 3, p)
   }
+
+  test("3-way logged join reorders under CBO from log-derived stats") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("cbo").toString
+    // star: fact 50k rows; d1 is 200× bigger than d2 and its key is
+    // 200× less selective — joining d2 FIRST is the cheap order
+    graft.sources.TxLog.commitOverwrite(s, s"$root/fact",
+      s.range(50000).select((col("id") % 2000).as("k1"),
+        (col("id") % 5000).as("k2"), col("id").as("m")),
+      statsCols = Seq("k1", "k2"))
+    graft.sources.TxLog.commitOverwrite(s, s"$root/d1",
+      s.range(2000).select(col("id").as("k1"),
+        concat(lit("a"), col("id")).as("d1v")),
+      statsCols = Seq("k1"))
+    graft.sources.TxLog.commitOverwrite(s, s"$root/d2",
+      s.range(10).select(col("id").as("k2"),
+        concat(lit("b"), col("id")).as("d2v")),
+      statsCols = Seq("k2"))
+    def innermostJoinKeys(): Set[String] = {
+      val q = s.read.format("txlog").load(s"$root/fact")
+        .join(s.read.format("txlog").load(s"$root/d1"), "k1")
+        .join(s.read.format("txlog").load(s"$root/d2"), "k2")
+        .agg(sum("m"))
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: Join => j }
+      // the leaf join (no Join below it) is the one executed first;
+      // its CONDITION names the dim key it joins on (the dims' value
+      // columns are pruned away, so output names can't distinguish)
+      val leaf = joins.filter(j =>
+        j.children.forall(_.collect { case x: Join => x }.isEmpty))
+      assert(leaf.size == 1, joins.mkString("\n"))
+      leaf.head.condition.toSeq
+        .flatMap(_.references.map(_.name)).toSet
+    }
+    def withConf[T](pairs: (String, String)*)(body: => T): T = {
+      val old = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+      pairs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    // without CBO: the declared order stands — d1 (on k1) joins first
+    val declared = withConf("spark.sql.cbo.enabled" -> "false") {
+      innermostJoinKeys()
+    }
+    assert(declared == Set("k1"),
+      s"test premise: declared order should join d1 first: $declared")
+    // with CBO + joinReorder: the log's rowCount + ndv-bound column
+    // stats (no ANALYZE ever ran) flip the order — tiny selective d2
+    // (on k2) joins first
+    val reordered = withConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      innermostJoinKeys()
+    }
+    assert(reordered == Set("k2"),
+      s"CBO did not reorder the logged 3-way join: $reordered")
+  }
 }
