@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType,
   * Delta usability shape):
   *
   * {{{
-  *   OPTIMIZE 'dir'|t [WHERE <pred>] [TARGET <n> FILES] [ZORDER BY (c1, …, cN)]
+  *   OPTIMIZE 'dir'|t [WHERE <pred>] [TARGET <n> FILES] [ZORDER BY (c1, …, cN)] [FLATTEN]
   *   VACUUM 'dir' [RETAIN <n> VERSIONS] [DRY RUN]
   *   DESCRIBE HISTORY 'dir'
   *   DESCRIBE DETAIL 'dir'
@@ -80,7 +80,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(m.group("pred")),
         Option(m.group("target")).map(_.toInt),
         Option(m.group("zcols")).toSeq.flatMap(_.split(",").toSeq
-          .map(_.trim).filter(_.nonEmpty)))
+          .map(_.trim).filter(_.nonEmpty)),
+        flatten = m.group("flatten") != null)
     }.orElse(vacuumRe.findFirstMatchIn(s).map { m =>
       GraftVacuumCommand(ref(m),
         Option(m.group("retain")).map(_.toInt).getOrElse(0),
@@ -198,7 +199,8 @@ private[graft] object GraftSqlParser {
     ("""(?is)\AOPTIMIZE""" + ws + dir +
       """(?:\s+WHERE\s+(?<pred>.+?))??""" +
       """(?:\s+TARGET\s+(?<target>\d+)\s+FILES)?""" +
-      """(?:\s+ZORDER\s+BY\s+\(\s*(?<zcols>[\w\s,]+?)\s*\))?\z""").r
+      """(?:\s+ZORDER\s+BY\s+\(\s*(?<zcols>[\w\s,]+?)\s*\))?""" +
+      """(?<flatten>\s+FLATTEN)?\z""").r
   val vacuumRe: scala.util.matching.Regex =
     ("""(?is)\AVACUUM""" + ws + dir +
       """(?:\s+RETAIN\s+(?<retain>\d+)\s+VERSIONS)?""" +
@@ -302,7 +304,7 @@ private[graft] object GraftSqlParser {
   def grammarFor(tok: String): String =
     tok.trim.split("\\s+").head.toUpperCase match {
       case "OPTIMIZE" => "expected: OPTIMIZE 'dir'|t [WHERE <pred>] " +
-        "[TARGET <n> FILES] [ZORDER BY (c1, …, cN)]"
+        "[TARGET <n> FILES] [ZORDER BY (c1, …, cN)] [FLATTEN]"
       case "VACUUM" => "expected: VACUUM 'dir'|t " +
         "[RETAIN <n> VERSIONS] [DRY RUN]"
       case "RESTORE" => "expected: RESTORE 'dir'|t [TO] " +
@@ -333,7 +335,8 @@ private[graft] object GraftSqlParser {
 }
 
 private[graft] case class GraftOptimizeCommand(dirRaw: String,
-    pred: Option[String], target: Option[Int], zorder: Seq[String])
+    pred: Option[String], target: Option[Int], zorder: Seq[String],
+    flatten: Boolean = false)
     extends LeafRunnableCommand {
   import GraftSqlParser._
   override val output: Seq[Attribute] =
@@ -346,9 +349,15 @@ private[graft] case class GraftOptimizeCommand(dirRaw: String,
       val bytes = snap.files.flatMap(_.bytes).sum
       math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
     }
+    // SQL maintenance must never DEMOTE the table: on a partitioned
+    // table, OPTIMIZE compacts within partition values (purify — the
+    // planner's partitioned presentation survives); `FLATTEN` asks
+    // for the flat single-layout rewrite explicitly (the
+    // clone-enabling form). Unpartitioned tables are unaffected.
     val v = TxLog.compact(session, dir, n,
       zorderBy = zorder,
-      where = pred.map(org.apache.spark.sql.functions.expr))
+      where = pred.map(org.apache.spark.sql.functions.expr),
+      purify = !flatten)
     Seq(Row(v, n.toLong))
   }
 }

@@ -179,6 +179,33 @@ class Round19Spec extends SparkSpec {
         s"planned ${planned.size} of $enFiles en-files")
   }
 
+  test("SQL OPTIMIZE purifies a partitioned table by default; FLATTEN opts out") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r19sqlopt").toString + "/t"
+    (0 until 300).map(i => (i.toLong, Seq("en", "fr", "de")(i % 3)))
+      .toDF("k", "lang").write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    TxLog.commitAppend(s, dir,
+      (300 until 330).map(i => (i.toLong, Seq("en", "fr", "de")(i % 3)))
+        .toDF("k", "lang"))
+    s.sql(s"OPTIMIZE '$dir' TARGET 3 FILES")
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.files.forall(_.path.contains("lang=")),
+      s"SQL OPTIMIZE flattened a partitioned table: " +
+        s"${snap.files.map(_.path).take(3)}")
+    val t = s.read.format("txlog").load(dir)
+    assert(t.filter(col("lang") === "fr").count() == 110)
+    assert(TxLogBatch.lastScan.get().forall(_.contains("lang=fr")),
+      "partition pruning lost after SQL OPTIMIZE")
+    // explicit FLATTEN keeps the clone-enabling flat rewrite
+    s.sql(s"OPTIMIZE '$dir' TARGET 1 FILES FLATTEN")
+    val flat = TxLog.snapshot(s, dir)
+    assert(flat.files.forall(!_.path.contains("=")),
+      "FLATTEN should merge across partition values")
+    assert(s.read.format("txlog").load(dir).count() == 330)
+  }
+
   // ---- mapping-aware partition columns -----------------------------
 
   test("renaming a partition column keeps the partitioned presentation") {

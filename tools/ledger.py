@@ -258,6 +258,20 @@ ROWS = [
      "EXISTS_DEFAULT drop) | sources/TxLog.scala", "api"),
     (238, "Round18Spec (partition-pure appends + plan-time stats "
      "restriction) | sources/TxLog.scala", "api"),
+    # round 19
+    (239, "Round19Spec (DV-bearing reads: static broadcast + exact "
+     "rows) | sources/TxLogBatch.scala (TxLogDvRelation)", "api"),
+    (240, "Round19Spec (purify compaction; SQL OPTIMIZE default + "
+     "FLATTEN) | sources/TxLog.scala (compact purify)", "api"),
+    (241, "Round19Spec (mapping-aware partition columns: rename keeps "
+     "the presentation) | sources/TxFileIndex.scala", "api"),
+    (242, "PlanAuditSpec (CBO 3-way join reorder from log stats) "
+     "| sources/TxLogStats.scala", "api"),
+    (243, "Round19Spec (COPY INTO shrink fingerprint; staging stats "
+     "corroboration + '%'-value keying; bind-in-Try) "
+     "| sources/TxLog.scala", "api"),
+    (244, "bench_ab paired-ratio protocol -> PLANS.md round 19 "
+     "| tools/bench_ab.py", "plans"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
