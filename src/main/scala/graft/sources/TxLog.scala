@@ -2546,7 +2546,14 @@ object TxLog {
          else Nil) ++
           (if (dvHeavy) Seq(f"dv ${dvRows.toDouble / rows}%.2f > " +
             f"$maxDvFraction%.2f") else Nil)
-      val v = compact(spark, dir, targetFiles, statsCols, zorderBy)
+      // AUTOMATED maintenance must never demote the table: purify
+      // keeps a partitioned table on its planner presentation (and
+      // still folds vectors away — the rewrite reads through the
+      // vector-subtracting path); on unpartitioned tables purify
+      // degrades to the flat rewrite. The explicit flat form stays
+      // available through compact() directly.
+      val v = compact(spark, dir, targetFiles, statsCols, zorderBy,
+        purify = true)
       Maintenance(compacted = true, why.mkString("; "), v)
     }
   }

@@ -206,6 +206,29 @@ class Round19Spec extends SparkSpec {
     assert(s.read.format("txlog").load(dir).count() == 330)
   }
 
+  test("maintain purifies: DV-heavy partitioned table folds vectors, keeps presentation") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r19maint").toString + "/t"
+    (0 until 300).map(i => (i.toLong, Seq("en", "fr", "de")(i % 3)))
+      .toDF("k", "lang").write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    TxLog.deleteMor(s, dir, col("k") % 2 === 0) // 50% dv rows
+    val m = TxLog.maintain(s, dir, maxFiles = 64,
+      maxDvFraction = 0.10, targetFiles = 3, statsCols = Seq("k"))
+    assert(m.compacted, m.reason)
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.files.forall(_.dv.isEmpty), "vectors not folded away")
+    assert(snap.files.forall(_.path.contains("lang=")),
+      s"maintenance flattened a partitioned table: " +
+        s"${snap.files.map(_.path).take(3)}")
+    val t = s.read.format("txlog").load(dir)
+    assert(t.count() == 150)
+    assert(t.filter(col("lang") === "fr").count() == 50)
+    assert(TxLogBatch.lastScan.get().forall(_.contains("lang=fr")),
+      "partition pruning lost after maintenance")
+  }
+
   // ---- mapping-aware partition columns -----------------------------
 
   test("renaming a partition column keeps the partitioned presentation") {
