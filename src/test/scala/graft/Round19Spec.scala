@@ -269,6 +269,17 @@ class Round19Spec extends SparkSpec {
     assert(t2.filter(col("language") === "fr").count() == 110)
     assert(TxLogBatch.lastScan.get().forall(_.contains("lang=fr")),
       "post-rename append lost partition pruning")
+    // and PURIFY composes with the rename: the registration entry is
+    // the physical name, the batch carries the new logical one
+    TxLog.compact(s, dir, targetFiles = 3, statsCols = Seq("k"),
+      purify = true)
+    val snap3 = TxLog.snapshot(s, dir)
+    assert(snap3.files.forall(_.path.contains("lang=")),
+      s"purify after rename flattened: ${snap3.files.map(_.path).take(3)}")
+    assert(s.read.format("txlog").load(dir)
+      .filter(col("language") === "fr").count() == 110)
+    assert(TxLogBatch.lastScan.get().forall(_.contains("lang=fr")),
+      "purify after rename lost partition pruning")
   }
 
   // ---- COPY INTO: shrunk source fingerprint ------------------------
