@@ -56,41 +56,64 @@ class GraftTxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // read per table reference, not two
         val snap = t.resolvedSnap.filter(_.version == t.asOf)
           .getOrElse(TxLog.snapshot(spark, t.dir, Some(t.asOf)))
-        val viaIndex = TxFileRelation.planFor(spark, t.dir, snap)
-        // snapshots the index REFUSES (standing deletion vectors /
-        // missing byte sizes) get the stats-bearing V1 relation
-        // instead of the stat-less V1ScanWrapper: the merge-on-read
-        // steady state keeps static broadcast planning and
-        // stats-in-log file pruning (see [[TxLogDvRelation]])
-        val inner0 = viaIndex.orElse {
-          if (snap.files.isEmpty) None
-          else {
-            val schema = org.apache.spark.sql.types.DataType
-              .fromJson(snap.schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-            Some(LogicalRelation(new TxLogDvRelation(
-              spark.sqlContext, t.dir, t.asOf, snap, schema)))
+        // attach the table identity + LOG-DERIVED statistics to every
+        // relation. The identity keeps `spark.catalog.refreshTable`
+        // working (it does `lr.catalogTable.get` on catalog-resolved
+        // plans); the stats REPLACE any stale ANALYZE'd catalog copy
+        // with exact commit-metadata values (rowCount + per-column
+        // hulls), which is what `spark.sql.cbo.enabled` join
+        // reordering reads — see [[TxLogStats]]. The TxFileIndex
+        // relation serves PHYSICAL names, the DV relation logical.
+        def indexPlan(sub: TxLog.TxSnapshot): Option[LogicalPlan] =
+          TxFileRelation.planFor(spark, t.dir, sub).map(_.transform {
+            case lr: LogicalRelation =>
+              lr.copy(catalogTable = Some(t.v1Table.copy(
+                stats = TxLogStats.catalogStats(sub, physNames = true))))
+          })
+        def dvPlan(sub: TxLog.TxSnapshot): LogicalPlan = {
+          val schema = org.apache.spark.sql.types.DataType
+            .fromJson(sub.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          LogicalRelation(new TxLogDvRelation(
+            spark.sqlContext, t.dir, t.asOf, sub, schema)).transform {
+            case lr: LogicalRelation =>
+              lr.copy(catalogTable = Some(t.v1Table.copy(
+                stats = TxLogStats.catalogStats(sub, physNames = false))))
           }
         }
-        inner0.map { plan0 =>
-          // attach the table identity + LOG-DERIVED statistics to the
-          // relation. The identity keeps `spark.catalog.refreshTable`
-          // working (it does `lr.catalogTable.get` on catalog-resolved
-          // plans); the stats REPLACE any stale ANALYZE'd catalog copy
-          // with exact commit-metadata values (rowCount + per-column
-          // hulls), which is what `spark.sql.cbo.enabled` join
-          // reordering reads — see [[TxLogStats]]. The TxFileIndex
-          // relation serves PHYSICAL names, the DV relation logical.
-          val inner = plan0.transform {
-            case lr: LogicalRelation =>
-              val st = lr.relation match {
-                case _: TxLogDvRelation =>
-                  TxLogStats.catalogStats(snap, physNames = false)
-                case _ =>
-                  TxLogStats.catalogStats(snap, physNames = true)
+        // snapshots the index REFUSES get the stats-bearing V1
+        // relation instead of the stat-less V1ScanWrapper — and when
+        // the refusal is DELETION VECTORS specifically, the refusal
+        // is kept to the dv-bearing SLICE: clean files stay on the
+        // TxFileIndex presentation (vectorized scan, static+dynamic
+        // partition pruning, plan-time restriction) and only the
+        // vectored files ride the row-scan leg, unioned. A
+        // merge-on-read DELETE touching one partition of a 100 TB
+        // fact therefore costs the indexed presentation of THAT
+        // slice, not the whole table's (see [[TxLogDvRelation]]).
+        val inner0: Option[LogicalPlan] = indexPlan(snap).orElse {
+          if (snap.files.isEmpty) None
+          else {
+            val (dvFiles, cleanFiles) =
+              snap.files.partition(_.dv.isDefined)
+            val split =
+              if (dvFiles.isEmpty || cleanFiles.isEmpty) None
+              else indexPlan(snap.copy(files = cleanFiles)).map { cp =>
+                // Union binds by POSITION: project the dv leg into
+                // the index leg's exact output order (both serve the
+                // declared logical schema, but declared order is the
+                // contract, not a coincidence to rely on)
+                val dp0 = dvPlan(snap.copy(files = dvFiles))
+                val byName = dp0.output.map(a => a.name -> a).toMap
+                val dp = Project(
+                  cp.output.map(o => byName(o.name)), dp0)
+                org.apache.spark.sql.catalyst.plans.logical
+                  .Union(Seq(cp, dp))
               }
-              lr.copy(catalogTable = Some(t.v1Table.copy(stats = st)))
+            split.orElse(Some(dvPlan(snap)))
           }
+        }
+        inner0.map { inner =>
           val byName = inner.output.map(a => a.name -> a).toMap
           // preserve the analyzed relation's attribute identities:
           // everything above references the v2 output's ExprIds
