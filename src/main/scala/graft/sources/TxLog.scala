@@ -779,7 +779,33 @@ object TxLog {
     // value. `maxRecordsPerFile` bounds file size so one giant
     // partition value splits into several (still partition-pure)
     // files instead of a single monolith.
-    val shuffled = df.repartition(partCols.map(col): _*)
+    //
+    // WRITE PARALLELISM: repartition(partCols) puts each value in ONE
+    // task — correct and minimal-file-count, but a skewed ingest
+    // batch (one 500 GB partition value) then writes on one core.
+    // `spark.graft.write.tasksPerValue = n` (default 1, the standing
+    // behavior) adds a deterministic n-way salt to the shuffle key,
+    // spreading each value over up to n tasks: n× the write
+    // throughput for ~n× the files per value per batch (still
+    // partition-PURE — the salt never crosses values; per-value
+    // sizing remains OPTIMIZE's job, and purify folds the extra
+    // files away).
+    val tasksPerValue = spark.conf
+      .get("spark.graft.write.tasksPerValue", "1").toInt
+    require(tasksPerValue >= 1,
+      "TxLog: spark.graft.write.tasksPerValue must be >= 1")
+    // the salted form pins the shuffle partition count: an
+    // AQE-coalesced tiny shuffle would merge the salt slices back
+    // into one task, silently defeating the requested parallelism —
+    // the caller asked for write spread, so the advisory-size
+    // coalesce must not apply
+    val shuffled =
+      if (tasksPerValue == 1) df.repartition(partCols.map(col): _*)
+      else df.repartition(
+        spark.sessionState.conf.numShufflePartitions,
+        partCols.map(col) :+
+          pmod(hash(df.columns.map(col).toSeq: _*),
+            lit(tasksPerValue)): _*)
     val laid =
       if (sortWithinPhys.isEmpty) shuffled
       else shuffled.sortWithinPartitions(

@@ -130,6 +130,21 @@ class Round19Spec extends SparkSpec {
     }
     assert(t.orderBy("k").collect().map(_.toString).toSeq == v1,
       "split union read diverged from the V1 read")
+    // the clean leg keeps native DPP: a selective file-backed dim
+    // filter runtime-prunes the indexed slice's partitions
+    val dimDir = tmp("r19splitdim").toString + "/dim"
+    TxLog.commitOverwrite(s, dimDir,
+      Seq(("en", 1), ("de", 2), ("xx", 3)).toDF("lang", "keep"),
+      statsCols = Seq("keep"))
+    val dpp = s.read.format("txlog").load(dir)
+      .join(s.read.format("txlog").load(dimDir)
+        .filter(col("keep") === 1), "lang")
+      .agg(sum("v"))
+    assert(dpp.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"),
+      "split union lost DPP on the clean leg")
+    assert(dpp.collect().head.getLong(0) ==
+      (0 until 300).filter(_ % 3 == 0).map(_.toLong * 10).sum)
   }
 
   // ---- purify compaction -------------------------------------------
@@ -276,6 +291,34 @@ class Round19Spec extends SparkSpec {
     assert(t.filter(col("lang") === "fr").count() == 50)
     assert(TxLogBatch.lastScan.get().forall(_.contains("lang=fr")),
       "partition pruning lost after maintenance")
+  }
+
+  test("tasksPerValue salts the partitioned stage: parallel writes stay pure") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r19salt").toString + "/t"
+    (0 until 10).map(i => (i.toLong, "en")).toDF("k", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    val before = TxLog.snapshot(s, dir).files.size
+    withConf("spark.graft.write.tasksPerValue" -> "4") {
+      // a SINGLE-value batch: default staging would write one task /
+      // one file; the salt spreads it over up to 4 tasks
+      TxLog.commitAppend(s, dir,
+        (10 until 4010).map(i => (i.toLong, "en")).toDF("k", "lang"))
+    }
+    val snap = TxLog.snapshot(s, dir)
+    val fresh = snap.files.drop(before)
+    assert(snap.files.size - before >= 2,
+      s"salt did not parallelize the stage: ${snap.files.size - before} file(s)")
+    assert(snap.files.forall(_.path.contains("lang=en")),
+      "salted staging broke partition purity")
+    // presentation intact: value recoverable from every file's stats
+    val t = s.read.format("txlog").load(dir)
+    assert(t.count() == 4010)
+    assert(t.filter(col("lang") === "en").count() == 4010)
+    assert(t.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(Long.MaxValue) / 2, "salted append dropped the table to V1")
   }
 
   // ---- mapping-aware partition columns -----------------------------
