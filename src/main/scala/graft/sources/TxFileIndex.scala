@@ -238,16 +238,18 @@ private[graft] object TxFileIndex {
     // kept partition values file-pure.
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     // MAPPING-AWARE resolution: partitionCols holds registration-time
-    // names. After RENAME COLUMN the logical schema carries the new
-    // name while the registration entry IS the (never-renamed)
-    // physical parquet name — so resolve each entry first as a
-    // current logical column, else as the physical name some logical
-    // column maps to. Either way the served name stays PHYSICAL
-    // (= the nested `key=value/` dirs and the per-file stat keys,
-    // which rename never touches). Unresolvable → V1 fallback.
+    // PHYSICAL names (never renamed). Resolve each entry
+    // PHYSICAL-FIRST — the logical column whose parquet name IS the
+    // entry — and only then as a current logical name. Order matters:
+    // with no renames the two agree, but a rename sequence that
+    // reuses a former partition column's name (partition col b→c,
+    // then a→b) would bind the logical-first lookup to the WRONG
+    // column (the renamed a, not the registered b). Either way the
+    // served name stays PHYSICAL (= the nested `key=value/` dirs and
+    // the per-file stat keys). Unresolvable → V1 fallback.
     val pFields = snap.partitionCols.map { c =>
-      val f = schema.fields.find(_.name == c)
-        .orElse(schema.fields.find(fl => snap.phys(fl.name) == c))
+      val f = schema.fields.find(fl => snap.phys(fl.name) == c)
+        .orElse(schema.fields.find(_.name == c))
         .getOrElse(return None)
       (snap.phys(f.name), f)
     }
@@ -270,7 +272,7 @@ private[graft] object TxFileIndex {
     val grouped = snap.files.zip(tuples.map(_.get))
       .groupBy(_._2)
       .toSeq
-      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
       .map { case (vals, fs) =>
         (InternalRow.fromSeq(vals), fs.map(_._1)) }
     Some(new TxFileIndex(spark, dir, snap, grouped, pSchema))

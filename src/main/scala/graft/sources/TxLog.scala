@@ -669,16 +669,21 @@ object TxLog {
     // partition-PURE staging only when the batch carries every
     // partition column (a schema-mismatched batch refuses downstream
     // as usual — never here, where the error would name staging).
-    // Resolution is MAPPING-AWARE: `partCols` holds registration-time
-    // names, and after RENAME COLUMN the batch carries the NEW
-    // logical name while the registration entry IS the (unchanged)
-    // physical name — resolve each entry first as a logical column
-    // of the batch, else as the physical name some batch column maps
-    // to. Unresolvable entries degrade to flat staging (correct,
-    // just un-pruned until OPTIMIZE), never an error here.
+    // Resolution is MAPPING-AWARE and PHYSICAL-FIRST: `partCols`
+    // holds registration-time PHYSICAL names (never renamed). An
+    // entry that IS some batch column's physical name resolves to
+    // itself; only otherwise is it tried as a current logical name.
+    // Physical-first matters under rename chains that reuse a former
+    // partition column's name (b→c then a→b): logical-first would
+    // stage by the renamed a instead of the registered b, silently
+    // impurifying the layout. Unresolvable entries degrade to flat
+    // staging (correct, just un-pruned until OPTIMIZE), never an
+    // error here.
     val physOfBatch = df.columns.map(l => mapping.getOrElse(l, l)).toSet
     val physParts0 = partCols.map(c =>
-      if (df.columns.contains(c)) mapping.getOrElse(c, c) else c)
+      if (physOfBatch.contains(c)) c
+      else if (df.columns.contains(c)) mapping.getOrElse(c, c)
+      else c)
     val physParts =
       if (physParts0.forall(physOfBatch.contains)) physParts0 else Nil
     try {
@@ -798,14 +803,37 @@ object TxLog {
     // AQE-coalesced tiny shuffle would merge the salt slices back
     // into one task, silently defeating the requested parallelism —
     // the caller asked for write spread, so the advisory-size
-    // coalesce must not apply
+    // coalesce must not apply.
+    //
+    // The salt hashes only HASHABLE columns: Spark's hash() rejects
+    // MapType (anywhere in the type tree), so a map-bearing table
+    // must not fail at analysis just because write spread was asked
+    // for. No hashable non-partition column at all → fall back to
+    // spark_partition_id() (deterministic given the incoming
+    // partitioning; still partition-PURE — the salt never crosses
+    // values). Caveat (documented): fully DUPLICATE rows hash to one
+    // salt bucket by construction — content-identical skew keeps its
+    // single writer; only value-skew with distinct rows fans out.
+    lazy val saltCols = {
+      def hashable(dt: DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hashable(a.elementType)
+        case _ => true
+      }
+      df.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
+    }
     val shuffled =
       if (tasksPerValue == 1) df.repartition(partCols.map(col): _*)
-      else df.repartition(
-        spark.sessionState.conf.numShufflePartitions,
-        partCols.map(col) :+
-          pmod(hash(df.columns.map(col).toSeq: _*),
-            lit(tasksPerValue)): _*)
+      else {
+        val salt =
+          if (saltCols.isEmpty) spark_partition_id()
+          else hash(saltCols.map(col).toSeq: _*)
+        df.repartition(
+          spark.sessionState.conf.numShufflePartitions,
+          partCols.map(col) :+ pmod(salt, lit(tasksPerValue)): _*)
+      }
     val laid =
       if (sortWithinPhys.isEmpty) shuffled
       else shuffled.sortWithinPartitions(

@@ -470,14 +470,10 @@ private[graft] class TxLogDvRelation(ctx: SQLContext, dir: String,
   override def needConversion: Boolean = false
 
   override def sizeInBytes: Long =
-    if (snap.files.exists(_.bytes.isEmpty)) super.sizeInBytes
-    else snap.files.map { f =>
-      val b = f.bytes.get
-      if (f.dvRows > 0L && f.rows > 0L)
-        math.max(1L, (b.toDouble * math.max(0L, f.rows - f.dvRows) /
-          f.rows).toLong)
-      else b
-    }.sum
+    // the one shared DV-scaled formula (TxLogStats.liveBytes) — this
+    // and catalogStats must agree or the planner would see two
+    // different sizes for the same snapshot
+    TxLogStats.liveBytes(snap).getOrElse(super.sizeInBytes)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {

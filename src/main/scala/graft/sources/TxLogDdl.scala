@@ -76,12 +76,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def parseGraft(sql: String): Option[LogicalPlan] = {
     val s = sql.stripSuffix(";").trim
     val parsed = optimizeRe.findFirstMatchIn(s).map { m =>
+      // FLATTEN is NOT a reserved word: in `OPTIMIZE t WHERE x =
+      // flatten` the lazy predicate backtracks to pred='x =' plus the
+      // keyword, breaking a previously valid statement. Disambiguate
+      // by PARSING: when the clipped predicate is not a valid
+      // expression but predicate+trailing-token is, the token was an
+      // identifier — reattach it (original text, original case) and
+      // drop the flag. `WHERE x = 1 FLATTEN` keeps the keyword (the
+      // clipped form parses); `WHERE x = flatten FLATTEN` keeps both.
+      val pred0 = Option(m.group("pred"))
+      val flat0 = m.group("flatten") != null
+      def parses(e: String): Boolean =
+        scala.util.Try(delegate.parseExpression(e)).isSuccess
+      val (pred, flat) = pred0 match {
+        case Some(p) if flat0 && !parses(p) &&
+            parses(p + m.group("flatten")) =>
+          (Some(p + m.group("flatten")), false)
+        case _ => (pred0, flat0)
+      }
       GraftOptimizeCommand(ref(m),
-        Option(m.group("pred")),
+        pred,
         Option(m.group("target")).map(_.toInt),
         Option(m.group("zcols")).toSeq.flatMap(_.split(",").toSeq
           .map(_.trim).filter(_.nonEmpty)),
-        flatten = m.group("flatten") != null)
+        flatten = flat)
     }.orElse(vacuumRe.findFirstMatchIn(s).map { m =>
       GraftVacuumCommand(ref(m),
         Option(m.group("retain")).map(_.toInt).getOrElse(0),

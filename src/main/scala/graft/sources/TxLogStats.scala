@@ -93,15 +93,8 @@ private[graft] object TxLogStats {
     * wrongly broadcast a huge table, so absence reports nothing. */
   def catalogStats(snap: TxSnapshot,
       physNames: Boolean): Option[CatalogStatistics] = {
-    if (snap.files.isEmpty || snap.files.exists(_.bytes.isEmpty))
-      return None
-    val bytes = snap.files.map { f =>
-      val b = f.bytes.get
-      if (f.dvRows > 0L && f.rows > 0L)
-        math.max(1L, (b.toDouble * math.max(0L, f.rows - f.dvRows) /
-          f.rows).toLong)
-      else b
-    }.sum
+    if (snap.files.isEmpty) return None
+    val bytes = liveBytes(snap).getOrElse(return None)
     val rows = snap.files.map(f => math.max(0L, f.rows - f.dvRows)).sum
     val schema =
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -117,5 +110,25 @@ private[graft] object TxLogStats {
     }.toMap
     Some(CatalogStatistics(sizeInBytes = BigInt(math.max(1L, bytes)),
       rowCount = Some(BigInt(rows)), colStats = cols))
+  }
+
+  /** The ONE DV-scaled live-byte formula — shared by [[catalogStats]]
+    * and `TxLogDvRelation.sizeInBytes` so the two presentations can
+    * never silently diverge on a future tweak. Each file's recorded
+    * bytes are scaled by its live-row share ((rows − dvRows)/rows —
+    * rows a vector hides never reach the plan), clamped to ≥1 per
+    * file. None when ANY live file misses its recorded byte size: a
+    * partial sum is a too-small guess that could wrongly broadcast a
+    * huge table, so absence reports nothing and the caller degrades
+    * to its conservative default. */
+  def liveBytes(snap: TxSnapshot): Option[Long] = {
+    if (snap.files.exists(_.bytes.isEmpty)) None
+    else Some(snap.files.map { f =>
+      val b = f.bytes.get
+      if (f.dvRows > 0L && f.rows > 0L)
+        math.max(1L, (b.toDouble * math.max(0L, f.rows - f.dvRows) /
+          f.rows).toLong)
+      else b
+    }.sum)
   }
 }
