@@ -4,11 +4,13 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias,
-  AttributeReference, BoundReference, Cast, Expression, Literal,
-  Predicate, And => CAnd}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  AttributeReference, BoundReference, Cast, Expression, GetStructField,
+  Literal, Not, Predicate, And => CAnd}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
+  Filter => LFilter}
 import org.apache.spark.sql.execution.datasources.{DataSourceStrategy,
-  FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+  FileFormat, FileIndex, HadoopFsRelation, LogicalRelation,
+  PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -183,7 +185,11 @@ private[graft] final class TxFileIndex(
 
   override def refresh(): Unit = () // a snapshot is immutable
 
-  override def sizeInBytes: Long = snap.files.flatMap(_.bytes).sum
+  override def sizeInBytes: Long =
+    // dv-scaled (the shared formula): files may carry standing
+    // deletion vectors on this presentation now — the planner must
+    // see LIVE bytes, or a half-deleted dim would refuse to broadcast
+    TxLogStats.liveBytes(snap).getOrElse(snap.files.flatMap(_.bytes).sum)
 
   /** The (possibly restricted) snapshot's CBO statistics, keyed by
     * the physical names this relation serves — what the read rule
@@ -219,12 +225,17 @@ private[graft] object TxFileIndex {
   }
 
   /** The file-index presentation of a snapshot, or None when the
-    * snapshot needs the V1 plan (deletion vectors, missing byte
-    * sizes, or partition values not exactly recoverable). */
+    * snapshot needs the V1 plan (missing byte sizes, partition values
+    * not exactly recoverable — or deletion vectors unless the caller
+    * passes `allowDv = true`, which ONLY [[TxFileRelation.planFor]]
+    * may do because it is the one that applies the vectors as a scan
+    * filter; any other caller reading through a bare dv-bearing index
+    * would silently resurrect deleted rows). */
   def build(spark: SparkSession, dir: String,
-      snap: TxSnapshot): Option[TxFileIndex] = {
+      snap: TxSnapshot, allowDv: Boolean = false): Option[TxFileIndex] = {
     if (snap.files.isEmpty) return None
-    if (snap.files.exists(f => f.dv.isDefined || f.bytes.isEmpty))
+    if (snap.files.exists(f =>
+        (f.dv.isDefined && !allowDv) || f.bytes.isEmpty))
       return None
     val schema =
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -295,7 +306,16 @@ private[graft] object TxFileRelation {
   def planFor(spark: SparkSession, dir: String,
       snap: TxSnapshot): Option[LogicalPlan] = {
     if (!enabled(spark)) return None
-    TxFileIndex.build(spark, dir, snap).map { idx =>
+    // DV-bearing snapshots stay on the index when the session allows
+    // it and the vectors fit the broadcast bound (decided from commit
+    // metadata — dvRows sums — before any vector is read); otherwise
+    // the caller falls back to the split-union / V1 read
+    val dvFiles = snap.files.filter(_.dv.isDefined)
+    if (dvFiles.nonEmpty && (!DvIndex.enabled(spark) ||
+        dvFiles.map(_.dvRows).sum > DvIndex.maxRows(spark)))
+      return None
+    TxFileIndex.build(spark, dir, snap,
+      allowDv = dvFiles.nonEmpty).flatMap { idx =>
       val schema =
         DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
       val phys = TxLog.physSchema(schema, snap.mapping)
@@ -313,13 +333,46 @@ private[graft] object TxFileRelation {
         Map.empty[String, String])(
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
       val lr = LogicalRelation(rel)
-      val byPhys = lr.output.map(a => a.name -> a).toMap
-      val proj: Seq[org.apache.spark.sql.catalyst.expressions
-        .NamedExpression] = schema.fields.toSeq.map { fl =>
-        val a = byPhys(snap.phys(fl.name))
-        if (a.name == fl.name) a else Alias(a, fl.name)()
+      // deletion vectors apply as a SCAN-LEVEL row filter over the
+      // parquet metadata columns — the one vectorized FileScan keeps
+      // every file (static + dynamic partition pruning included), and
+      // the filter fuses into its whole-stage-codegen span. See
+      // [[DvIndex]]. A (pathological) physical column named
+      // `_metadata` shadows the metadata struct → no filter hook →
+      // refuse the presentation rather than resurrect deleted rows.
+      val scanned: Option[LogicalPlan] =
+        if (dvFiles.isEmpty) Some(lr)
+        else {
+          val lrMeta = lr.withMetadataColumns()
+            .asInstanceOf[LogicalRelation]
+          lrMeta.output.find(_.name == FileFormat.METADATA_NAME)
+            .collect {
+              case m if m.dataType.isInstanceOf[StructType] &&
+                  m.dataType.asInstanceOf[StructType].fieldNames
+                    .contains("file_path") &&
+                  m.dataType.asInstanceOf[StructType].fieldNames
+                    .contains("row_index") =>
+                val st = m.dataType.asInstanceOf[StructType]
+                def fld(n: String) =
+                  GetStructField(m, st.fieldIndex(n), Some(n))
+                LFilter(Not(DvDeleted(fld("file_path"),
+                  fld("row_index"),
+                  DvIndex.broadcastFor(spark, dir, snap, dvFiles))),
+                  lrMeta)
+            }
+        }
+      scanned.map { src =>
+        val byPhys = lr.output.map(a => a.name -> a).toMap
+        val proj: Seq[org.apache.spark.sql.catalyst.expressions
+          .NamedExpression] = schema.fields.toSeq.map { fl =>
+          val a = byPhys(snap.phys(fl.name))
+          if (a.name == fl.name) a else Alias(a, fl.name)()
+        }
+        // the dv form always projects — `_metadata` must not leak
+        // into the table's user-facing schema
+        if (dvFiles.isEmpty && proj == lr.output) lr
+        else Project(proj, src)
       }
-      if (proj == lr.output) lr else Project(proj, lr)
     }
   }
 }

@@ -101,7 +101,8 @@ object TxLog {
     * exist). `None` on commits written before it was recorded —
     * consumers must treat that as unknown, not zero. */
   final case class ColStats(dtype: String, min: Option[String],
-      max: Option[String], nulls: Option[Long] = None)
+      max: Option[String], nulls: Option[Long] = None,
+      kmv: Option[String] = None)
 
   /** One live data file in a snapshot: `path` relative to the dataset
     * dir, plus its row count and optional per-column min/max — all
@@ -224,7 +225,7 @@ object TxLog {
     * for path-partitioned registrations (base names may repeat
     * across partition dirs there). Every TagFile consumer matches
     * through this, so the two can never drift. */
-  private def fileKey(snap: TxSnapshot, f: TxFile): String =
+  private[graft] def fileKey(snap: TxSnapshot, f: TxFile): String =
     if (snap.partitionCols.isEmpty) nameOf(f.path) else f.path
 
   private def versionFile(dir: String, v: Long) =
@@ -316,23 +317,88 @@ object TxLog {
     }
   }
 
+  /** Sketch size for the per-file KMV distinct-count stats recorded
+    * alongside min/max: k = 64 → ±1/√(k−1) ≈ 13% NDV error, 512 B of
+    * longs per column per file in the log. The k travels INSIDE each
+    * encoded sketch, so a future size change merges correctly against
+    * history (merging always trims to the smallest k present). */
+  private[graft] val KmvStatsK = 64
+
+  /** kmv stat payload: base64(4-byte big-endian k, then the sketch's
+    * longs in unsigned order). */
+  private[graft] def kmvEncode(k: Int, hs: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * hs.length)
+    bb.putInt(k)
+    hs.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[graft] def kmvDecode(s: String): (Int, Array[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(
+      java.util.Base64.getDecoder.decode(s))
+    val k = bb.getInt
+    val n = bb.remaining() / 8
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = bb.getLong; i += 1 }
+    (k, hs)
+  }
+
+  /** Whether a column's values feed the KMV sketch: atomic types only
+    * (xxhash64 refuses maps; nested hulls are meaningless anyway). */
+  private def kmvEligible(dtype: String): Boolean =
+    !dtype.startsWith("array<") && !dtype.startsWith("map<") &&
+      !dtype.startsWith("struct<")
+
   /** One stats-collection projection per column: min/max in the
-    * canonical cast-to-string form plus the null count — shared by
-    * [[stageData]] and [[convertInPlace]] so the recorded stats can
-    * never diverge between the two write paths. */
-  private def statAggExprs(statsCols: Seq[String])
+    * canonical cast-to-string form, the null count, and (atomic
+    * columns) a KMV distinct-count sketch over `xxhash64(col)` —
+    * shared by [[stageData]] and [[convertInPlace]] so the recorded
+    * stats can never diverge between the two write paths. The sketch
+    * is what gives CBO a real NDV for ANY column type (strings —
+    * document ids, categories — included; the old range bound only
+    * ever covered dense integral keys); [[TxLogStats]] merges the
+    * per-file sketches at snapshot load, so restriction re-estimates
+    * from exactly the surviving files. */
+  private def statAggExprs(statsCols: Seq[String],
+      dtypes: Map[String, String] = Map.empty)
       : Seq[org.apache.spark.sql.Column] =
-    statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"_min_$c"),
-      max(col(c)).cast("string").as(s"_max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c")))
+    statsCols.flatMap { c =>
+      val base = Seq(
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"))
+      if (!dtypes.get(c).forall(kmvEligible)) base
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{If, IsNull,
+          Literal, XxHash64}
+        val e = PlanBridge.expression(col(c))
+        // null inputs must not count as a distinct value: the agg
+        // skips null children, xxhash64 itself never returns null
+        val hashed = If(IsNull(e), Literal(null, LongType),
+          new XxHash64(Seq(e)))
+        base :+ PlanBridge.column(
+          graft.functions.KmvSketchAgg(hashed,
+            Literal(KmvStatsK)).toAggregateExpression())
+          .as(s"_kmv_$c")
+      }
+    }
 
   private def statsOfRow(r: Row, statsCols: Seq[String],
       dtypes: Map[String, String]): Map[String, ColStats] =
-    statsCols.map(c => c -> ColStats(dtypes(c),
-      Option(r.getAs[String](s"_min_$c")),
-      Option(r.getAs[String](s"_max_$c")),
-      Some(r.getAs[Long](s"_nulls_$c")))).toMap
+    statsCols.map { c =>
+      val kmv =
+        if (!kmvEligible(dtypes(c))) None
+        else scala.util.Try(
+          r.getAs[scala.collection.Seq[Long]](s"_kmv_$c"))
+          .toOption.filter(_ != null)
+          .map(hs => kmvEncode(KmvStatsK, hs.toArray))
+      c -> ColStats(dtypes(c),
+        Option(r.getAs[String](s"_min_$c")),
+        Option(r.getAs[String](s"_max_$c")),
+        Some(r.getAs[Long](s"_nulls_$c")),
+        kmv = kmv)
+    }.toMap
 
   private def filesJson(files: Seq[TxFile]): JValue =
     files.map { a =>
@@ -342,7 +408,8 @@ object TxLog {
         else base ~ ("stats" -> JObject(a.stats.toList.sortBy(_._1).map {
           case (c, st) => JField(c,
             ("dtype" -> st.dtype) ~ ("min" -> st.min) ~
-              ("max" -> st.max) ~ ("nulls" -> st.nulls))
+              ("max" -> st.max) ~ ("nulls" -> st.nulls) ~
+              ("kmv" -> st.kmv))
         }))
       val withDv = a.dv.fold(withStats)(d =>
         withStats ~ ("dv" -> d) ~ ("dvRows" -> a.dvRows))
@@ -645,7 +712,8 @@ object TxLog {
       mapping: Map[String, String] = Map.empty,
       partCols: Seq[String] = Nil,
       sortWithinPhys: Seq[Column] = Nil,
-      maxRecordsPerFile: Option[Long] = None): (Seq[TxFile], String) = {
+      maxRecordsPerFile: Option[Long] = None,
+      valueTasks: Map[String, Int] = Map.empty): (Seq[TxFile], String) = {
     // validate BEFORE the expensive distributed write: a statsCols
     // typo must not cost a full staged copy of the batch (LOGICAL
     // names — the caller's view)
@@ -689,7 +757,7 @@ object TxLog {
     try {
       val (added, _) =
         stageBody(spark, dir, physDf, physStats, stageDir, f, dtypes,
-          physParts, sortWithinPhys, maxRecordsPerFile)
+          physParts, sortWithinPhys, maxRecordsPerFile, valueTasks)
       (added, logicalJson)
     } catch { case e: Throwable =>
       // a failed stage (write error, stats scan error, rename race)
@@ -704,10 +772,12 @@ object TxLog {
       dtypes: Map[String, String],
       partCols: Seq[String] = Nil,
       sortWithinPhys: Seq[Column] = Nil,
-      maxRecordsPerFile: Option[Long] = None): (Seq[TxFile], String) = {
+      maxRecordsPerFile: Option[Long] = None,
+      valueTasks: Map[String, Int] = Map.empty): (Seq[TxFile], String) = {
     if (partCols.nonEmpty)
       return stageBodyPartitioned(spark, dir, df, statsCols, stageDir,
-        f, dtypes, partCols, sortWithinPhys, maxRecordsPerFile)
+        f, dtypes, partCols, sortWithinPhys, maxRecordsPerFile,
+        valueTasks)
     df.write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
     val parts = f.listStatus(stageDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
@@ -716,7 +786,7 @@ object TxLog {
       if (parts.isEmpty) Map.empty
       else spark.read.parquet(stageDir.toString)
         .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("n"), statAggExprs(statsCols): _*)
+        .agg(count(lit(1)).as("n"), statAggExprs(statsCols, dtypes): _*)
         .collect()
         .map { r =>
           r.getString(0).split('/').last ->
@@ -771,12 +841,21 @@ object TxLog {
     * number, different dir), so the stats scan matches files by
     * their last `depth + 1` URI-decoded path segments — exactly
     * [[convertInPlace]]'s relKey. */
+  /** The U+0001-joined canonical (cast-to-string) form of a row's
+    * partition values — the key [[stageBodyPartitioned]]'s per-value
+    * fan-out maps look up. Mirrors the per-file stat strings, so a
+    * map built from commit metadata binds the same rows. */
+  private def valueKeyExpr(partCols: Seq[String]): Column =
+    concat_ws("\u0001", partCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
+
   private def stageBodyPartitioned(spark: SparkSession, dir: String,
       df: DataFrame, statsCols: Seq[String], stageDir: Path,
       f: FileSystem, dtypes: Map[String, String],
       partCols: Seq[String],
       sortWithinPhys: Seq[Column] = Nil,
-      maxRecordsPerFile: Option[Long] = None): (Seq[TxFile], String) = {
+      maxRecordsPerFile: Option[Long] = None,
+      valueTasks: Map[String, Int] = Map.empty): (Seq[TxFile], String) = {
     // `sortWithinPhys` (physical-name expressions) clusters rows
     // inside each partition's task before the write — the purify-
     // compaction leg of OPTIMIZE … ZORDER BY: per-file min/max
@@ -788,18 +867,32 @@ object TxLog {
     // WRITE PARALLELISM: repartition(partCols) puts each value in ONE
     // task — correct and minimal-file-count, but a skewed ingest
     // batch (one 500 GB partition value) then writes on one core.
-    // `spark.graft.write.tasksPerValue = n` (default 1, the standing
-    // behavior) adds a deterministic n-way salt to the shuffle key,
-    // spreading each value over up to n tasks: n× the write
-    // throughput for ~n× the files per value per batch (still
-    // partition-PURE — the salt never crosses values; per-value
-    // sizing remains OPTIMIZE's job, and purify folds the extra
-    // files away).
+    // Three fan-out forms, most explicit wins:
+    //  1. `valueTasks` (caller-supplied, per-value task counts keyed
+    //     by [[valueKeyExpr]] strings — purify derives it from the
+    //     scoped files' RECORDED BYTES, zero extra passes);
+    //  2. `spark.graft.write.tasksPerValue = n` — a constant n-way
+    //     salt per value (the session knob);
+    //  3. `spark.graft.write.autoSalt` (default on): ONE narrow
+    //     count per partition value over the batch, then each value
+    //     gets ceil(its rows / the mean value's rows) tasks — a 90/10
+    //     skewed batch fans its hot value out and leaves cold values
+    //     single-file, with nothing configured. Costs one extra pass
+    //     over the batch, so it only runs when the batch's PLAN-TIME
+    //     size estimate clears `spark.graft.write.autoSaltMinBytes`
+    //     (default 256 MiB — plan statistics are free; a batch below
+    //     it writes fast enough on one core per value that the
+    //     histogram pass would cost more than the skew).
+    // All forms stay partition-PURE — the salt never crosses values;
+    // per-value sizing remains OPTIMIZE's job for ingest, and purify
+    // folds extra files away.
     val tasksPerValue = spark.conf
       .get("spark.graft.write.tasksPerValue", "1").toInt
     require(tasksPerValue >= 1,
       "TxLog: spark.graft.write.tasksPerValue must be >= 1")
-    // the salted form pins the shuffle partition count: an
+    val autoSalt = spark.conf
+      .get("spark.graft.write.autoSalt", "true").toBoolean
+    // the salted forms pin the shuffle partition count: an
     // AQE-coalesced tiny shuffle would merge the salt slices back
     // into one task, silently defeating the requested parallelism —
     // the caller asked for write spread, so the advisory-size
@@ -824,15 +917,103 @@ object TxLog {
       }
       df.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
     }
+    lazy val saltBase: Column =
+      if (saltCols.isEmpty) spark_partition_id()
+      else hash(saltCols.map(col).toSeq: _*)
+    val maxFan = spark.sessionState.conf.numShufflePartitions
+    // auto-salt histogram: rows per partition value, one narrow agg
+    // (map-side combined) — each value's fan-out is its share of the
+    // mean, so only genuinely hot values split
+    def histTasks(): Map[String, Int] =
+      scala.util.Try {
+        val counts = df.groupBy(valueKeyExpr(partCols).as("__vk"))
+          .agg(count(lit(1)).as("__n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        if (counts.isEmpty || counts.length > 10000) Map.empty[String, Int]
+        else {
+          val mean = math.max(1.0,
+            counts.map(_._2).sum.toDouble / counts.length)
+          counts.collect { case (k, n) if n > mean * 1.5 =>
+            k -> math.min(maxFan,
+              math.ceil(n.toDouble / mean).toInt)
+          }.toMap
+        }
+      }.getOrElse(Map.empty)
+    // PER-VALUE fan-out (valueTasks / auto-salt): every mapped value
+    // gets its own DENSE task-id range (offset + salt-in-[0,n)), and
+    // the shuffle partition count is CHOSEN so Spark's own
+    // HashPartitioning (pmod(murmur3(pid), P) — replicated on the
+    // driver for int keys) is INJECTIVE over those ids: two task ids
+    // landing in one reducer would merge their output into a single
+    // double-size file, silently breaking the byte-sizing contract
+    // purify derives the map from. Unmapped values ride a separate id
+    // range hashed by value (collisions there only merge SMALL
+    // values — harmless, even helpful). The search is a driver loop
+    // over candidate P; on the rare failure it degrades to plain
+    // hashing (a stray 2× file, never wrong data).
+    def murmurPid(v: Int, p: Int): Int = {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+      val m = h % p
+      if (m < 0) m + p else m
+    }
+    def choosePartitions(hot: Range, cold: Range): Int = {
+      def ok(p: Int): Boolean = {
+        val buckets = hot.map(murmurPid(_, p))
+        buckets.distinct.size == buckets.size && {
+          val hs = buckets.toSet
+          cold.forall(v => !hs.contains(murmurPid(v, p)))
+        }
+      }
+      val limit = math.max(maxFan, 16 * (hot.size + cold.size) + 64)
+      var p = math.max(hot.size + 1, maxFan)
+      while (p < limit && !ok(p)) p += 1
+      if (ok(p)) p else maxFan
+    }
+    def mapPid(tasks: Map[String, Int]): (Column, Int) = {
+      val keys = tasks.keys.toSeq.sorted
+      val offsets = keys.scanLeft(0)((acc, k) => acc + tasks(k)).init
+      val offMap = keys.zip(offsets).toMap
+      val total = tasks.values.sum
+      val p = choosePartitions(0 until total,
+        total until total + maxFan)
+      val key = valueKeyExpr(partCols)
+      val off = element_at(typedLit(offMap), key)
+      val n = element_at(typedLit(tasks), key)
+      val pid = when(off.isNotNull, off + pmod(saltBase, n))
+        .otherwise(lit(total) +
+          pmod(hash(partCols.map(col).toSeq: _*), lit(maxFan)))
+      (pid.cast("int"), p)
+    }
+    lazy val bigEnough = {
+      val minBytes = spark.conf
+        .get("spark.graft.write.autoSaltMinBytes", "268435456").toLong
+      scala.util.Try(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+        .toOption.exists(_ >= BigInt(minBytes))
+    }
+    def pidShuffle(tasks: Map[String, Int]): DataFrame = {
+      // dense-pid form: the pid ALONE is the shuffle key (it already
+      // embeds the partition value), P chosen injective over the
+      // mapped ids
+      val (pid, p) = mapPid(tasks)
+      df.repartition(p, pid)
+    }
     val shuffled =
-      if (tasksPerValue == 1) df.repartition(partCols.map(col): _*)
+      if (valueTasks.exists(_._2 > 1)) pidShuffle(valueTasks)
+      else if (tasksPerValue > 1)
+        // constant tasksPerValue: throughput knob, not a sizing
+        // contract — value+salt hashing is fine
+        df.repartition(maxFan, partCols.map(col) :+
+          pmod(saltBase, lit(tasksPerValue)): _*)
       else {
-        val salt =
-          if (saltCols.isEmpty) spark_partition_id()
-          else hash(saltCols.map(col).toSeq: _*)
-        df.repartition(
-          spark.sessionState.conf.numShufflePartitions,
-          partCols.map(col) :+ pmod(salt, lit(tasksPerValue)): _*)
+        val h =
+          // never auto-salt a SORTED stage: scattering the sorted
+          // run across tasks would trade file-count for the stat
+          // envelopes the sort exists to tighten
+          if (autoSalt && valueTasks.isEmpty &&
+            sortWithinPhys.isEmpty && bigEnough) histTasks()
+          else Map.empty[String, Int]
+        if (h.exists(_._2 > 1)) pidShuffle(h)
+        else df.repartition(partCols.map(col): _*)
       }
     val laid =
       if (sortWithinPhys.isEmpty) shuffled
@@ -881,7 +1062,7 @@ object TxLog {
       if (parts.isEmpty) Map.empty
       else spark.read.schema(df.schema).parquet(stageDir.toString)
         .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("n"), statAggExprs(statsCols): _*)
+        .agg(count(lit(1)).as("n"), statAggExprs(statsCols, dtypes): _*)
         .collect()
         .map { r =>
           relKey(r.getString(0)) ->
@@ -1316,7 +1497,7 @@ object TxLog {
       path.split('/').takeRight(depth).mkString("/")
     }
     val byName = df.groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n"), statAggExprs(statAll): _*)
+      .agg(count(lit(1)).as("n"), statAggExprs(statAll, dtypes): _*)
       .collect()
       .map { r =>
         relKey(r.getString(0)) ->
@@ -1748,12 +1929,73 @@ object TxLog {
           more.map(c => col(snap.phys(c))),
           bits = math.min(16, 63 / more.size)))
       }
-    val maxRec =
-      if (!doPurify) None
+    // PURIFY file sizing — BYTES, not rows (the Delta binpack shape):
+    // the implied byte target is scope live bytes / targetFiles, and
+    // each partition value gets round(its live bytes / target) write
+    // tasks via the staged per-value fan-out — a partition of
+    // 10×-wider rows splits into 10× more files of the SAME byte
+    // size, where the old global rows bound made its files 10×
+    // bigger. Per-file live bytes are dv-scaled commit metadata
+    // (zero extra passes). Falls back to the rows bound when any
+    // scoped file lacks recorded bytes or a recoverable value
+    // (legacy entries; repairing a previously-flattened layout).
+    def liveB(f2: TxFile): Option[Long] = f2.bytes.map { b =>
+      if (f2.dvRows > 0L && f2.rows > 0L)
+        math.max(1L, (b.toDouble *
+          math.max(0L, f2.rows - f2.dvRows) / f2.rows).toLong)
+      else b
+    }
+    // the same canonical key [[valueKeyExpr]] computes per row
+    def valueKeyOf(f2: TxFile): Option[String] = {
+      val parts = snap.partitionCols.map { pc =>
+        f2.stats.get(pc) match {
+          case _ if f2.rows == 0L => Some("\u0000null")
+          case Some(st) if st.nulls.contains(f2.rows) =>
+            Some("\u0000null")
+          case Some(st) if st.min.isDefined && st.min == st.max &&
+              st.nulls.contains(0L) => st.min
+          case _ => None
+        }
+      }
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.map(_.get).mkString("\u0001"))
+    }
+    // ZORDER purify keeps the single-sorted-task + rows-bound form:
+    // the per-value hash salt would scatter the sorted run across
+    // tasks — every file's min/max envelope then spans the whole
+    // key range and the clustering buys nothing. One task per value
+    // with maxRecordsPerFile cuts the SORTED stream into consecutive
+    // chunks: tight envelopes, the whole point of ZORDER BY.
+    // (Byte-sizing a zordered purify would need per-value range
+    // bucketing on the key — a quantile pass; rows stay the honest
+    // proxy there.)
+    val (valueTasks, maxRec) =
+      if (!doPurify || sortPhys.nonEmpty) (Map.empty[String, Int],
+        if (!doPurify) None
+        else {
+          val live = scope.map(f => math.max(0L, f.rows - f.dvRows)).sum
+          Some(math.max(1L, math.ceil(
+            live.toDouble / math.max(1, targetFiles)).toLong))
+        })
       else {
-        val live = scope.map(f => math.max(0L, f.rows - f.dvRows)).sum
-        Some(math.max(1L,
-          math.ceil(live.toDouble / math.max(1, targetFiles)).toLong))
+        val keyed = scope.map(f2 => (valueKeyOf(f2), liveB(f2)))
+        if (scope.nonEmpty &&
+            keyed.forall(t => t._1.isDefined && t._2.isDefined)) {
+          val total = keyed.flatMap(_._2).sum
+          val target = math.max(1L, total / math.max(1, targetFiles))
+          // n_v ≤ round(total/target) = targetFiles by construction —
+          // the dense-pid shuffle sizes its OWN partition count, so
+          // no numShufflePartitions cap applies here
+          val m = keyed.groupBy(_._1.get).map { case (k, fs) =>
+            val b = fs.flatMap(_._2).sum
+            k -> math.max(1, math.round(b.toDouble / target).toInt)
+          }
+          (m, None)
+        } else {
+          val live = scope.map(f => math.max(0L, f.rows - f.dvRows)).sum
+          (Map.empty[String, Int], Some(math.max(1L,
+            math.ceil(live.toDouble / math.max(1, targetFiles)).toLong)))
+        }
       }
     // carry the scoped files' skip-stats through the rewrite (plus
     // whatever the caller asked for) — an OPTIMIZE that silently
@@ -1764,7 +2006,8 @@ object TxLog {
         inheritStats(scope, (statsCols ++ zorderBy).distinct, snap),
         snap.mapping,
         partCols = if (doPurify) snap.partitionCols else Nil,
-        sortWithinPhys = sortPhys, maxRecordsPerFile = maxRec)
+        sortWithinPhys = sortPhys, maxRecordsPerFile = maxRec,
+        valueTasks = valueTasks)
     // a compaction reads its whole scope — pin every scoped vector
     // pointer, or a concurrent merge-on-read DML (same paths stay
     // live) would be silently materialized away

@@ -2,9 +2,12 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
   CatalogStatistics}
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType,
-  DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType,
+  DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType,
+  ShortType, StructType, TimestampType}
 
+import graft.functions.Kmv
 import graft.sources.TxLog.{ColStats, TxSnapshot}
 
 /** Cost-based-optimizer statistics from COMMIT METADATA — zero scans,
@@ -47,7 +50,26 @@ private[graft] object TxLogStats {
     try Some(s.toLong) catch { case _: NumberFormatException => None }
 
   /** One column's catalog stat from the per-file hulls. `rows` is the
-    * table's LIVE row count (the distinct-count cap). */
+    * table's LIVE row count (the distinct-count cap).
+    *
+    * distinctCount — two estimators, best wins:
+    *  - the per-file KMV sketches merged (union, trim to the smallest
+    *    recorded k, k-th-minimum estimate): a REAL NDV for any atomic
+    *    type — strings (doc ids, categories) and dates included, and
+    *    a sparse integral key no longer inflates to its range;
+    *  - the integral range bound `max − min + 1` as an upper CAP on
+    *    the sketch (the sketch is an estimate, the range is a proof).
+    *
+    * min/max — numeric hulls as before, plus DATE / TIMESTAMP /
+    * BOOLEAN: their canonical cast-to-string stat forms parse under
+    * the catalog's `fromExternalString` for the CURRENT stats
+    * version, and the candidate is VALIDATED through the engine's own
+    * parser ([[PlanBridge.colStatParses]]) before being emitted — a
+    * refused form degrades to no-hull, never a failed query.
+    * (Timestamp strings were written in the writer's session zone;
+    * a different reader zone shifts the hull by hours — estimate-
+    * grade, like every CBO stat.) Strings stay hull-less: Spark's own
+    * column stats define no string min/max encoding. */
   private def colStat(dt: DataType, rows: Long,
       perFile: Seq[ColStats]): Option[CatalogColumnStat] = {
     if (perFile.isEmpty) return None
@@ -61,8 +83,12 @@ private[graft] object TxLogStats {
       case _: DecimalType => true
       case _ => false
     }
+    val ordered = numeric || (dt match {
+      case DateType | TimestampType | BooleanType => true
+      case _ => false
+    })
     val (mn, mx) =
-      if (!numeric || perFile.exists(f => f.min.isEmpty || f.max.isEmpty))
+      if (!ordered || perFile.exists(f => f.min.isEmpty || f.max.isEmpty))
         (None, None)
       else (perFile.flatMap(_.min)
           .reduceOption((a, b) =>
@@ -74,15 +100,42 @@ private[graft] object TxLogStats {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    val ndv: Option[BigInt] =
+    val nonNull = math.max(0L, rows - nulls.map(_.toLong).getOrElse(0L))
+    val rangeBound: Option[Long] =
       if (!integral) None
       else for {
         lo <- mn.flatMap(longOf); hi <- mx.flatMap(longOf)
-        nonNull = rows - nulls.map(_.toLong).getOrElse(0L)
-      } yield BigInt(math.max(1L, math.min(nonNull, hi - lo + 1L)))
+      } yield math.max(1L, hi - lo + 1L)
+    val sketch: Option[Long] =
+      if (perFile.exists(_.kmv.isEmpty)) None
+      else scala.util.Try {
+        val decoded = perFile.flatMap(_.kmv).map(TxLog.kmvDecode)
+        val kEff = decoded.map(_._1).min
+        val merged = decoded.flatMap(_._2).distinct
+          .sortBy(Kmv.uns).take(kEff).toArray
+        math.max(1L, math.round(Kmv.estimate(merged, kEff)))
+      }.toOption
+    val ndv: Option[BigInt] = (sketch, rangeBound) match {
+      case (Some(s), rb) =>
+        Some(BigInt(math.min(nonNull, rb.fold(s)(math.min(_, s)))
+          .max(1L)))
+      case (None, Some(rb)) =>
+        Some(BigInt(math.max(1L, math.min(nonNull, rb))))
+      case _ => None
+    }
     if (nulls.isEmpty && mn.isEmpty && ndv.isEmpty) None
-    else Some(CatalogColumnStat(distinctCount = ndv, min = mn, max = mx,
-      nullCount = nulls))
+    else {
+      val cs = CatalogColumnStat(distinctCount = ndv, min = mn,
+        max = mx, nullCount = nulls)
+      if (PlanBridge.colStatParses(dt, cs)) Some(cs)
+      else {
+        // the hull strings refused to parse — keep the counts, drop
+        // the bounds (counts alone always round-trip)
+        val counted = cs.copy(min = None, max = None)
+        if (PlanBridge.colStatParses(dt, counted)) Some(counted)
+        else None
+      }
+    }
   }
 
   /** The snapshot's catalog statistics. `physNames = true` keys the

@@ -130,6 +130,18 @@ object PlanBridge {
         df.queryExecution.toRdd, df.asInstanceOf[ClassicDataset[_]],
         isStreaming = false))
 
+  /** Whether a [[org.apache.spark.sql.catalyst.catalog
+    * .CatalogColumnStat]] round-trips into plan statistics for this
+    * type — i.e. its min/max external strings parse under
+    * `fromExternalString` (`private[sql]`, hence bridged). The stats
+    * builder validates each candidate HERE so a form Spark's parser
+    * refuses degrades to "no stat" at build time instead of failing
+    * the whole query inside the optimizer. */
+  def colStatParses(dt: org.apache.spark.sql.types.DataType,
+      cs: org.apache.spark.sql.catalyst.catalog.CatalogColumnStat)
+      : Boolean =
+    scala.util.Try(cs.toPlanStat("c", dt)).isSuccess
+
   /** Catalyst predicate → v1 `sources.Filter` (the `protected[sql]`
     * translator the file-index read path reuses so its data-filter
     * file skipping speaks the SAME filter algebra as the V1 scan's

@@ -452,17 +452,29 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(count(clean, "Join") == 0, clean)
     assert(count(clean, "FileScan parquet") == 1, clean)
-    // after a MoR delete: the vector subtracts via ONE broadcast
-    // anti-join, and only the dv-bearing sliver pays it — the clean
-    // files' branch scans join-free beside it
+    // after a MoR delete (round 20): the vector subtracts as a
+    // codegen'd scan filter over broadcast row-index arrays — STILL
+    // one FileScan, zero joins, zero shuffles (see Round20Spec)
     graft.sources.TxLog.deleteMor(spark, dir, col("id") === 5)
     val p = graft.sources.TxLog.read(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(count(p, "LeftAnti") == 1, p)
-    assert(count(p, "BroadcastExchange") == 1, p)
-    assert(count(p, "Exchange hashpartitioning") == 0, p)
-    // 3 scans: clean files, dv-bearing file, the vector relation
-    assert(count(p, "FileScan parquet") == 3, p)
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "Exchange") == 0, p)
+    assert(count(p, "FileScan parquet") == 1, p)
+    assert(p.contains("dvdeleted"), p)
+    // the split-union FALLBACK (sessions without the dv-index leg):
+    // the vector subtracts via ONE broadcast anti-join and only the
+    // dv-bearing sliver pays it — clean files scan join-free beside
+    spark.conf.set("spark.graft.dvIndexRead", "false")
+    try {
+      val pf = graft.sources.TxLog.read(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(count(pf, "LeftAnti") == 1, pf)
+      assert(count(pf, "BroadcastExchange") == 1, pf)
+      assert(count(pf, "Exchange hashpartitioning") == 0, pf)
+      // 3 scans: clean files, dv-bearing file, the vector relation
+      assert(count(pf, "FileScan parquet") == 3, pf)
+    } finally spark.conf.unset("spark.graft.dvIndexRead")
   }
 
   test("3-way logged join reorders under CBO from log-derived stats") {
@@ -524,5 +536,95 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(reordered == Set("k2"),
       s"CBO did not reorder the logged 3-way join: $reordered")
+  }
+
+  test("3-way logged join on STRING keys reorders under CBO from KMV sketches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("cbostr").toString
+    // same star shape as the integral case, but every join key is a
+    // STRING — the range-bound NDV covers nothing here; only the
+    // per-file KMV sketches recorded at write time give CBO a real
+    // distinct count to reorder from
+    graft.sources.TxLog.commitOverwrite(s, s"$root/fact",
+      s.range(50000).select(
+        concat(lit("a"), col("id") % 2000).as("k1"),
+        concat(lit("b"), col("id") % 5000).as("k2"),
+        col("id").as("m")),
+      statsCols = Seq("k1", "k2"))
+    graft.sources.TxLog.commitOverwrite(s, s"$root/d1",
+      s.range(2000).select(concat(lit("a"), col("id")).as("k1"),
+        col("id").as("d1v")),
+      statsCols = Seq("k1"))
+    graft.sources.TxLog.commitOverwrite(s, s"$root/d2",
+      s.range(10).select(concat(lit("b"), col("id")).as("k2"),
+        col("id").as("d2v")),
+      statsCols = Seq("k2"))
+    def innermostJoinKeys(): Set[String] = {
+      val q = s.read.format("txlog").load(s"$root/fact")
+        .join(s.read.format("txlog").load(s"$root/d1"), "k1")
+        .join(s.read.format("txlog").load(s"$root/d2"), "k2")
+        .agg(sum("m"))
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: Join => j }
+      val leaf = joins.filter(j =>
+        j.children.forall(_.collect { case x: Join => x }.isEmpty))
+      assert(leaf.size == 1, joins.mkString("\n"))
+      leaf.head.condition.toSeq
+        .flatMap(_.references.map(_.name)).toSet
+    }
+    def withConf[T](pairs: (String, String)*)(body: => T): T = {
+      val old = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+      pairs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    val declared = withConf("spark.sql.cbo.enabled" -> "false") {
+      innermostJoinKeys()
+    }
+    assert(declared == Set("k1"),
+      s"test premise: declared order should join d1 first: $declared")
+    val reordered = withConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      innermostJoinKeys()
+    }
+    assert(reordered == Set("k2"),
+      s"CBO did not reorder the string-keyed 3-way join: $reordered")
+  }
+
+  test("KMV sketch NDV beats the range bound on skewed keys; strings and dates get stats") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("kmvndv")
+      .toString + "/t"
+    // 50k rows, 10 distinct values spread over a RANGE of 9·10⁶: the
+    // old range-bound NDV said min(rows, range) = 50000 — 5000× the
+    // truth; the sketch reads ~10
+    graft.sources.TxLog.commitOverwrite(s, dir,
+      s.range(50000).select(
+        ((col("id") % 10) * 1000000L).as("k"),
+        concat(lit("s"), col("id") % 10).as("name"),
+        (lit(java.sql.Date.valueOf("2026-01-01")).cast("date"))
+          .as("day"),
+        col("id").as("m")),
+      statsCols = Seq("k", "name", "day"))
+    val stats = graft.sources.TxLogStats.catalogStats(
+      graft.sources.TxLog.snapshot(s, dir), physNames = false).get
+    val kNdv = stats.colStats("k").distinctCount.get
+    assert(kNdv <= BigInt(20) && kNdv >= BigInt(5),
+      s"sketch NDV should read ~10 on the sparse skewed key, got $kNdv")
+    // strings: NDV exists at all now (the range bound never covered
+    // them); dates: a real min/max hull that parses in the catalog
+    val nameNdv = stats.colStats("name").distinctCount.get
+    assert(nameNdv <= BigInt(20) && nameNdv >= BigInt(5),
+      s"string NDV from the sketch should read ~10, got $nameNdv")
+    val day = stats.colStats("day")
+    assert(day.min.isDefined && day.max.isDefined,
+      s"date hull missing: $day")
+    assert(day.min.get.contains("2026-01-01"), day.min.get)
   }
 }

@@ -87,6 +87,11 @@ class Round19Spec extends SparkSpec {
   }
 
   test("DV on one partition: clean files keep the indexed presentation (split union)") {
+    // since round 20 the DEFAULT dv read stays on the index (one
+    // FileScan, Round20Spec); this pins the retained FALLBACK —
+    // sessions without the dv-index leg (or past its broadcast
+    // bound) still get the split-union shape, not a full V1 demotion
+    withConf("spark.graft.dvIndexRead" -> "false") {
     val s = spark
     import s.implicits._
     val dir = tmp("r19split").toString + "/t"
@@ -145,6 +150,7 @@ class Round19Spec extends SparkSpec {
       "split union lost DPP on the clean leg")
     assert(dpp.collect().head.getLong(0) ==
       (0 until 300).filter(_ % 3 == 0).map(_.toLong * 10).sum)
+    }
   }
 
   // ---- purify compaction -------------------------------------------
@@ -203,15 +209,21 @@ class Round19Spec extends SparkSpec {
       .toDF("k", "v", "lang")
       .write.partitionBy("lang").parquet(dir)
     TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
-    // targetFiles = 8 → max ~1200 rows per file → 'en' must split
+    // targetFiles = 8 → byte target ≈ 1/8 of the live bytes (round
+    // 20: purify sizes by BYTES via per-value fan-out, no longer a
+    // global rows bound) → 'en' (≈94% of the bytes) must split into
+    // several same-sized pure files, never a monolith
     TxLog.compact(s, dir, targetFiles = 8, statsCols = Seq("k"),
       purify = true)
     val snap = TxLog.snapshot(s, dir)
     val enFiles = snap.files.filter(_.path.contains("lang=en"))
     assert(enFiles.size >= 2,
       s"giant partition stayed monolithic: ${enFiles.map(_.path)}")
-    assert(enFiles.forall(_.rows <= 1300),
-      s"maxRecordsPerFile not honored: ${enFiles.map(_.rows)}")
+    // uniform rows ⇒ bytes ∝ rows: every en-file within 2× of the
+    // implied per-file share (9000 / enFiles.size)
+    val share = 9000.0 / enFiles.size
+    assert(enFiles.forall(f => f.rows <= share * 2),
+      s"byte sizing not honored: ${enFiles.map(_.rows)}")
     assert(s.read.format("txlog").load(dir).count() == 9600)
   }
 

@@ -108,6 +108,226 @@ class Round20Spec extends SparkSpec {
       .select(col("attrs")("a")).collect().head.getInt(0) == 1500)
   }
 
+  // ---- DV-aware scanning on the index leg --------------------------
+
+  test("dv-bearing partitioned table plans ONE vectorized FileScan (no union, no row-scan leg)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r20dvidx").toString + "/t"
+    (0 until 300).map(i => (i.toLong, i.toLong * 10,
+      Seq("en", "fr", "de")(i % 3))).toDF("k", "v", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    TxLog.deleteMor(s, dir, col("lang") === "fr" && col("k") % 2 === 0L)
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.files.exists(_.dv.isDefined) &&
+      snap.files.exists(_.dv.isEmpty), "test premise: mixed dv/clean")
+    val t = s.read.format("txlog").load(dir)
+    // ONE leg: the whole table on the vectorized FileScan, the
+    // vector applied as a scan filter — no TxLogDvRelation, no Union
+    val p = t.queryExecution.executedPlan.toString
+    assert(p.contains("FileScan parquet"), s"lost the FileScan:\n$p")
+    assert(!p.contains("TxLogDvRelation") && !p.contains("Union"),
+      s"dv read still splits:\n$p")
+    // the `*(n)` prefixes are WholeStageCodegen spans — the dv filter
+    // must sit INSIDE one, fused with the scan's ColumnarToRow
+    assert(p.contains("*(1) Filter NOT dvdeleted"),
+      s"dv filter broke codegen:\n$p")
+    // MoR-correct results through the single scan
+    assert(t.count() == 250)
+    assert(t.filter(col("lang") === "en").count() == 100)
+    assert(t.filter(col("lang") === "fr").count() == 50)
+    // static partition pruning fires on ALL files, dv-bearing
+    // included (lastScan reflects the fr probe just above)
+    val plannedFr = TxLogBatch.lastScan.get()
+    assert(plannedFr.nonEmpty && plannedFr.forall(_.contains("lang=fr")),
+      s"partition pruning lost on the dv presentation: $plannedFr")
+    // bit-identical to BOTH fallbacks
+    val viaIndex = t.orderBy("k").collect().map(_.toString).toSeq
+    val viaSplit = withConf("spark.graft.dvIndexRead" -> "false") {
+      s.read.format("txlog").load(dir).orderBy("k")
+        .collect().map(_.toString).toSeq
+    }
+    val viaV1 = withConf("spark.graft.fileIndexRead" -> "false") {
+      s.read.format("txlog").load(dir).orderBy("k")
+        .collect().map(_.toString).toSeq
+    }
+    assert(viaIndex == viaSplit, "dv-index read diverged from split-union")
+    assert(viaIndex == viaV1, "dv-index read diverged from the V1 read")
+    // a dv-bearing dim still broadcasts STATICALLY (exact live bytes)
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val fact = (0 until 5000).map(i => (i.toLong, i.toLong))
+        .toDF("k", "fv")
+      val j = t.select("k").join(fact, "k").agg(sum("fv"))
+      val jp = j.queryExecution.executedPlan.toString
+      assert(jp.contains("BroadcastHashJoin") &&
+        !jp.contains("SortMergeJoin"),
+        s"dv-bearing dim did not broadcast statically:\n$jp")
+      assert(j.collect().head.getLong(0) ==
+        (0 until 300).filter(i => !(i % 3 == 1 && i % 2 == 0))
+          .map(_.toLong).sum)
+    }
+    // DPP fires on the dv-bearing table itself (the split-union only
+    // had it on the clean leg)
+    val dimDir = tmp("r20dvdim").toString + "/dim"
+    TxLog.commitOverwrite(s, dimDir,
+      Seq(("fr", 1), ("de", 2), ("xx", 3)).toDF("lang", "keep"),
+      statsCols = Seq("keep"))
+    val dpp = s.read.format("txlog").load(dir)
+      .join(s.read.format("txlog").load(dimDir)
+        .filter(col("keep") === 1), "lang")
+      .agg(sum("v"))
+    assert(dpp.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"),
+      "DPP lost on the dv-bearing presentation")
+    // fr partition with even k deleted: sum of odd multiples of 3k+1
+    assert(dpp.collect().head.getLong(0) ==
+      (0 until 300).filter(i => i % 3 == 1 && i % 2 == 1)
+        .map(_.toLong * 10).sum)
+  }
+
+  test("dv-index read survives vector accumulation and respects its bound") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r20dvacc").toString + "/t"
+    (0 until 300).map(i => (i.toLong, Seq("en", "fr", "de")(i % 3)))
+      .toDF("k", "lang").write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    // two MoR deletes → multiple vector relations referenced at once
+    TxLog.deleteMor(s, dir, col("lang") === "fr" && col("k") < 30L)
+    TxLog.deleteMor(s, dir, col("lang") === "en" && col("k") < 30L)
+    val t = s.read.format("txlog").load(dir)
+    val p = t.queryExecution.executedPlan.toString
+    assert(!p.contains("TxLogDvRelation"),
+      s"accumulated vectors fell off the index leg:\n$p")
+    val expected = 300 - (0 until 30).count(_ % 3 == 1) -
+      (0 until 30).count(_ % 3 == 0)
+    assert(t.count() == expected)
+    // past the broadcast bound the split-union fallback takes over —
+    // same results, two legs
+    withConf("spark.graft.dv.indexMaxRows" -> "1") {
+      val tb = s.read.format("txlog").load(dir)
+      assert(tb.queryExecution.executedPlan.toString
+        .contains("TxLogDvRelation"),
+        "over-bound dv read must fall back to the split-union")
+      assert(tb.count() == expected)
+    }
+  }
+
+  test("dv-index read keys files correctly under hive-escaped partition values") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r20dvesc").toString + "/t"
+    // ':' and '%' hive-escape in the dir name; the scan's
+    // _metadata.file_path additionally URI-encodes — the vector map
+    // must key by exactly what the scan reports
+    (0 until 100).map(i => (i.toLong,
+      if (i % 2 == 0) "00:00" else "50%")).toDF("k", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    TxLog.deleteMor(s, dir, col("k") < 20L)
+    assert(TxLog.snapshot(s, dir).files.exists(_.dv.isDefined))
+    val t = s.read.format("txlog").load(dir)
+    assert(!t.queryExecution.executedPlan.toString
+      .contains("TxLogDvRelation"),
+      "escaped-partition dv read fell off the index leg")
+    assert(t.count() == 80)
+    assert(t.filter(col("lang") === "00:00").count() == 40)
+    assert(t.filter(col("lang") === "50%").count() == 40)
+    // parity with the V1 read
+    val v1 = withConf("spark.graft.fileIndexRead" -> "false") {
+      s.read.format("txlog").load(dir).orderBy("k")
+        .collect().map(_.toString).toSeq
+    }
+    assert(t.orderBy("k").collect().map(_.toString).toSeq == v1,
+      "escaped-partition dv-index read diverged from the V1 read")
+  }
+
+  // ---- byte-based purify sizing --------------------------------------
+
+  test("purify sizes files by BYTES: 10x-wider rows split into 10x more files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r20bytes").toString + "/t"
+    // same row COUNT per partition, ~20x the row WIDTH in 'wide' —
+    // INCOMPRESSIBLE pads (seeded random hex), or snappy would erase
+    // the very byte skew under test. The old global rows-per-file
+    // bound would cut both partitions into equal-row files — wide's
+    // files ~20x the bytes of narrow's.
+    def pad(i: Int, n: Int): String = {
+      val r = new scala.util.Random(i)
+      Seq.fill(n)(r.nextPrintableChar()).mkString
+    }
+    // both partitions span MULTIPLE byte targets (a partition smaller
+    // than one target is a single sub-target file by purity — nothing
+    // to size)
+    val wide = (0 until 4000).map(i => (i.toLong, pad(i, 400), "wide"))
+    val narrow = (0 until 40000).map(i =>
+      (i.toLong, pad(i + 99999, 20), "narrow"))
+    (wide ++ narrow).toDF("k", "pad", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    TxLog.compact(s, dir, targetFiles = 8, statsCols = Seq("k"),
+      purify = true)
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.files.forall(_.path.contains("lang=")),
+      "purify flattened")
+    val (wf, nf) = snap.files.partition(_.path.contains("lang=wide"))
+    // implied byte target = total live bytes / targetFiles; every
+    // file (both partitions) must land within ±50% of it
+    val total = snap.files.flatMap(_.bytes).sum
+    val target = total / 8.0
+    assert(wf.size > nf.size,
+      s"wide partition should split into more files: " +
+        s"wide=${wf.size} narrow=${nf.size}")
+    val all = snap.files.flatMap(_.bytes)
+    assert(all.forall(b => b >= target * 0.5 && b <= target * 1.5),
+      s"file bytes off the implied target $target: " +
+        s"${all.map(b => (b / target * 100).toInt + "%").mkString(", ")}")
+    // and the data survived, partition pruning intact
+    val t = s.read.format("txlog").load(dir)
+    assert(t.count() == 44000)
+    assert(t.filter(col("lang") === "wide").count() == 4000)
+    assert(TxLogBatch.lastScan.get().forall(_.contains("lang=wide")))
+  }
+
+  // ---- skew-aware auto-salt ------------------------------------------
+
+  test("auto-salt fans out the hot value of a skewed ingest, cold values stay single-file") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r20autosalt").toString + "/t"
+    (0 until 10).map(i => (i.toLong, "cold")).toDF("k", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    val before = TxLog.snapshot(s, dir).files.size
+    // 90/10 skew, NO tasksPerValue configured; drop the size guard so
+    // the small test batch qualifies for the histogram pass
+    withConf("spark.graft.write.autoSaltMinBytes" -> "1") {
+      TxLog.commitAppend(s, dir,
+        ((0 until 3600).map(i => (i.toLong, "hot")) ++
+          (0 until 400).map(i => (i.toLong, "mild")))
+          .toDF("k", "lang"))
+    }
+    val snap = TxLog.snapshot(s, dir)
+    val fresh = snap.files.drop(before)
+    val hot = fresh.count(_.path.contains("lang=hot"))
+    val mild = fresh.count(_.path.contains("lang=mild"))
+    assert(hot > 1, s"hot value did not fan out: $hot file(s)")
+    assert(mild == 1, s"cold value should stay single-file: $mild")
+    assert(snap.files.forall(_.path.contains("lang=")),
+      "auto-salt broke partition purity")
+    val t = s.read.format("txlog").load(dir)
+    assert(t.count() == 4010)
+    assert(t.filter(col("lang") === "hot").count() == 3600)
+    // the guard: an un-configured SMALL batch (below autoSaltMinBytes)
+    // must not pay the histogram pass — cold single-file staging
+    TxLog.commitAppend(s, dir,
+      (0 until 20).map(i => (i.toLong, "tiny")).toDF("k", "lang"))
+    val snap2 = TxLog.snapshot(s, dir)
+    assert(snap2.files.count(_.path.contains("lang=tiny")) == 1)
+  }
+
   // ---- FLATTEN is not reserved -------------------------------------
 
   test("OPTIMIZE WHERE predicate ending in an identifier named 'flatten' parses") {
