@@ -124,15 +124,20 @@ object StressR20 {
         when(col("id") % 10 < 9, "hot").otherwise(
           concat(lit("cold"), col("id") % 8)).as("part"))
     }
-    val before = TxLog.snapshot(s, aDir).files.size
+    // fresh-file accounting by PATH SET diff — the snapshot's file
+    // list is path-ordered, not append-ordered, so a positional drop
+    // would miscount
+    val before = TxLog.snapshot(s, aDir).files.map(_.path).toSet
     val (_, saltSec) = time(TxLog.commitAppend(s, aDir, skewed))
     val as = TxLog.snapshot(s, aDir)
-    val hotFiles = as.files.drop(before).count(_.path.contains("part=hot"))
+    val hotFiles = as.files.filterNot(f => before(f.path))
+      .count(_.path.contains("part=hot"))
     s.conf.set("spark.graft.write.autoSalt", "false")
     val (_, plainSec) = time(TxLog.commitAppend(s, aDir, skewed))
     s.conf.unset("spark.graft.write.autoSalt")
+    val mid = as.files.map(_.path).toSet
     val as2 = TxLog.snapshot(s, aDir)
-    val hotFiles2 = as2.files.drop(as.files.size)
+    val hotFiles2 = as2.files.filterNot(f => mid(f.path))
       .count(_.path.contains("part=hot"))
     println(f"R20STRESS auto-salt: rows=${rows / 4} " +
       f"autoSaltSec=$saltSec%.1f hotFiles=$hotFiles " +
