@@ -998,7 +998,20 @@ object TxLog {
       df.repartition(p, pid)
     }
     val shuffled =
-      if (valueTasks.exists(_._2 > 1)) pidShuffle(valueTasks)
+      if (sortWithinPhys.nonEmpty)
+        // SORTED stage (zordered purify): a hash salt would scatter
+        // the sorted run and void the stat envelopes — but ONE task
+        // per value serializes a giant partition's rewrite. RANGE
+        // partition on (partition value, clustering key) instead:
+        // each range task holds a CONTIGUOUS sorted slice of one (or
+        // two adjacent) values, so per-file envelopes stay tight,
+        // files stay partition-pure (partitionBy splits by value at
+        // write), and a giant zordered partition rewrites in
+        // parallel. maxRecordsPerFile still cuts the sorted stream
+        // into bounded consecutive chunks within each task.
+        df.repartitionByRange(maxFan,
+          partCols.map(col) ++ sortWithinPhys: _*)
+      else if (valueTasks.exists(_._2 > 1)) pidShuffle(valueTasks)
       else if (tasksPerValue > 1)
         // constant tasksPerValue: throughput knob, not a sizing
         // contract — value+salt hashing is fine
@@ -1006,11 +1019,7 @@ object TxLog {
           pmod(saltBase, lit(tasksPerValue)): _*)
       else {
         val h =
-          // never auto-salt a SORTED stage: scattering the sorted
-          // run across tasks would trade file-count for the stat
-          // envelopes the sort exists to tighten
-          if (autoSalt && valueTasks.isEmpty &&
-            sortWithinPhys.isEmpty && bigEnough) histTasks()
+          if (autoSalt && valueTasks.isEmpty && bigEnough) histTasks()
           else Map.empty[String, Int]
         if (h.exists(_._2 > 1)) pidShuffle(h)
         else df.repartition(partCols.map(col): _*)

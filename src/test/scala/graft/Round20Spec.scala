@@ -328,6 +328,89 @@ class Round20Spec extends SparkSpec {
     assert(snap2.files.count(_.path.contains("lang=tiny")) == 1)
   }
 
+  test("zordered purify range-partitions: parallel tasks, envelopes stay tight") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r20zpar").toString + "/t"
+    // one giant partition (9 of 10 parts' rows); k uniform over it
+    (0 until 10000).map(i => (i.toLong, i.toLong % 977,
+      if (i < 9000) "en" else "fr")).toDF("k", "v", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    withConf("spark.sql.shuffle.partitions" -> "8") {
+      TxLog.compact(s, dir, targetFiles = 8, statsCols = Seq("k"),
+        zorderBy = Seq("k"), purify = true)
+    }
+    val snap = TxLog.snapshot(s, dir)
+    assert(snap.files.forall(_.path.contains("lang=")),
+      "zordered purify flattened")
+    val en = snap.files.filter(_.path.contains("lang=en"))
+    assert(en.size >= 2, s"giant zordered partition stayed monolithic")
+    // TIGHT envelopes despite the parallel range tasks: each en-file's
+    // k-span must be ≈ its row share of the k range, not the whole
+    // range (the old hash-salt scatter would make every file span
+    // ~all of [0, 9000))
+    en.foreach { f =>
+      val st = f.stats("k")
+      val span = st.max.get.toLong - st.min.get.toLong + 1
+      // k is dense over en (k = i < 9000), so a file's fair share of
+      // the range equals its row count
+      val fair = f.rows.toDouble
+      assert(span <= fair * 2.5,
+        s"file ${f.path} spans $span for ${f.rows} rows — envelope " +
+          "scattered")
+    }
+    // and a k-range probe stats-prunes within the partition
+    val q = s.read.format("txlog").load(dir)
+      .filter(col("lang") === "en" && col("k").between(100L, 200L))
+    assert(q.count() == 101)
+    val planned = TxLogBatch.lastScan.get()
+    assert(planned.size < en.size,
+      s"zordered purify lost stats pruning: ${planned.size}/${en.size}")
+  }
+
+  test("dv parity fuzz: accumulated random MoR deletes read identical on all three paths") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r20dvfuzz").toString + "/t"
+    (0 until 2000).map(i => (i.toLong, i.toLong * 3,
+      Seq("en", "fr", "de", "pt")(i % 4))).toDF("k", "v", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    val rnd = new scala.util.Random(20)
+    (1 to 4).foreach { round =>
+      val m = 2 + rnd.nextInt(7)
+      val r = rnd.nextInt(m)
+      val langs = rnd.shuffle(Seq("en", "fr", "de", "pt")).take(
+        1 + rnd.nextInt(3))
+      TxLog.deleteMor(s, dir,
+        col("k") % m === r.toLong && col("lang").isin(langs: _*))
+      def readAll(confs: (String, String)*): Seq[String] =
+        withConf(confs: _*) {
+          s.read.format("txlog").load(dir).orderBy("k")
+            .collect().map(_.toString).toSeq
+        }
+      val idx = readAll()
+      val split = readAll("spark.graft.dvIndexRead" -> "false")
+      val v1 = readAll("spark.graft.fileIndexRead" -> "false")
+      assert(idx == split, s"round $round: dv-index != split-union")
+      assert(idx == v1, s"round $round: dv-index != V1")
+      // and a filtered aggregate agrees too (exercises pruning +
+      // the filter interplay)
+      val a = withConf() {
+        s.read.format("txlog").load(dir)
+          .filter(col("lang").isin("en", "fr")).agg(sum("v"))
+          .collect().head.getLong(0)
+      }
+      val b = withConf("spark.graft.fileIndexRead" -> "false") {
+        s.read.format("txlog").load(dir)
+          .filter(col("lang").isin("en", "fr")).agg(sum("v"))
+          .collect().head.getLong(0)
+      }
+      assert(a == b, s"round $round: filtered aggregate diverged")
+    }
+  }
+
   // ---- FLATTEN is not reserved -------------------------------------
 
   test("OPTIMIZE WHERE predicate ending in an identifier named 'flatten' parses") {

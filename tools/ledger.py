@@ -272,6 +272,19 @@ ROWS = [
      "| sources/TxLog.scala", "api"),
     (244, "bench_ab paired-ratio protocol -> PLANS.md round 19 "
      "| tools/bench_ab.py", "plans"),
+    (245, "Round20Spec (dv-index read: one FileScan, DPP, fallbacks, "
+     "escaped values, fuzz parity) + PlanAuditSpec "
+     "| sources/DvScan.scala, sources/TxFileIndex.scala", "api"),
+    (246, "PlanAuditSpec (string-key CBO reorder; sketch NDV; date "
+     "hulls) | sources/TxLog.scala, sources/TxLogStats.scala", "api"),
+    (247, "Round20Spec (byte-sized purify; zordered purify "
+     "range-parallel with tight envelopes) "
+     "| sources/TxLog.scala (compact/stageBodyPartitioned)", "api"),
+    (248, "Round20Spec (auto-salt skewed ingest + size guard) "
+     "| sources/TxLog.scala (histTasks)", "api"),
+    (249, "Round20Spec (physical-first binding; map-safe salt; "
+     "FLATTEN disambiguation) + shared liveBytes "
+     "| sources/TxFileIndex.scala, sources/TxLogDdl.scala", "api"),
 ]
 
 # Driver entries shipped beyond the numbered inventory (SURVEY section 8
