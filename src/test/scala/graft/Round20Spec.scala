@@ -411,6 +411,52 @@ class Round20Spec extends SparkSpec {
     }
   }
 
+  test("dv-index read composes with column mapping, time travel and restriction") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("r20dvmix").toString + "/t"
+    (0 until 300).map(i => (i.toLong, i.toLong * 10,
+      Seq("en", "fr", "de")(i % 3))).toDF("k", "v", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    TxLog.convertInPlace(s, dir, statsCols = Seq("k"))
+    TxLog.deleteMor(s, dir, col("lang") === "fr" && col("k") < 60L)
+    val vAfterFirst = TxLog.snapshot(s, dir).version
+    // rename BOTH a data and the partition column — the vector map
+    // keys by file path, which mapping never touches
+    TxLog.renameColumn(s, dir, "v", "value")
+    TxLog.renameColumn(s, dir, "lang", "locale")
+    TxLog.deleteMor(s, dir, col("locale") === "en" && col("k") < 30L)
+    val t = s.read.format("txlog").load(dir)
+    assert(!t.queryExecution.executedPlan.toString
+      .contains("TxLogDvRelation"),
+      "dv+mapping read fell off the index leg")
+    assert(t.columns.toSeq == Seq("k", "value", "locale"))
+    val delFr = (0 until 60).count(_ % 3 == 1)
+    val delEn = (0 until 30).count(_ % 3 == 0)
+    assert(t.count() == 300 - delFr - delEn)
+    assert(t.filter(col("locale") === "fr").count() == 100 - delFr)
+    // TIME TRAVEL to the pre-rename version: old schema, only the
+    // first vector applied (different dv assignment → own broadcast)
+    val t0 = TxLog.read(s, dir, asOf = Some(vAfterFirst))
+    assert(t0.columns.toSeq == Seq("k", "v", "lang"))
+    assert(t0.count() == 300 - delFr)
+    assert(t0.filter(col("lang") === "en").count() == 100)
+    // PLAN-TIME restriction fires on the dv-bearing index: with the
+    // broadcast threshold floored, a partition filter must shrink
+    // the LOGICAL stats the join planner reads (the restricted index
+    // keeps the dv filter above it — counts stay MoR-exact)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "1") {
+      val q = s.read.format("txlog").load(dir)
+        .filter(col("locale") === "de")
+      val full = t.queryExecution.optimizedPlan.stats.sizeInBytes
+      val restricted = q.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(restricted < full,
+        s"restriction did not shrink dv-bearing stats: " +
+          s"$restricted vs $full")
+      assert(q.count() == 100)
+    }
+  }
+
   // ---- FLATTEN is not reserved -------------------------------------
 
   test("OPTIMIZE WHERE predicate ending in an identifier named 'flatten' parses") {
