@@ -43,10 +43,16 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"))
-      .filter(col("text").isNotNull) // real feeds have nulls; skip, don't NPE
+    // the shingle explosion + downstream md5 MinHash banks are the
+    // expensive per-row work of the whole dedup family; spread a
+    // single-split input over the cores first (no-op at real scan
+    // parallelism — Skew.spread)
+    Skew.spread(
+      docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"))
+        .filter(col("text").isNotNull), // real feeds have nulls; skip, don't NPE
+      col("doc_id"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         // same tokenization as split(lower(trim(text)), ' ') with
@@ -393,9 +399,17 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25,
       onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
+    // symmetrize in ONE pass: union(edges, edges.swapped) would
+    // evaluate the whole (expensive — LSH bucket join + Jaccard
+    // verify) pair pipeline TWICE, once per union branch; exploding
+    // each pair into both directions keeps a single evaluation
+    // (measured: the pair pipeline dominates the first checkpoint)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val undirected = edges
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     var labels = undirected.select(col("src").as("node")).distinct()

@@ -20,11 +20,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Normalize to (id, e: array<double>, nn: squared-norm). */
-  def vecs(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def vecs(embs: DataFrame, idCol: String, vecCol: String,
+      spread: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(embs.sparkSession)
-    embs.select(
+    // vec_dot candidate verification downstream is the expensive
+    // per-row work; a single-split embeddings scan would pin it to one
+    // core (Skew.spread is a no-op at real scan parallelism).
+    // `spread = false` for consumers whose RESULT depends on the input
+    // partitioning (the KMeans fit): spreading those would silently
+    // move cluster assignments.
+    val base = embs.select(
       col(idCol).cast("long").as("vec_id"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("e"))
+    (if (spread) Skew.spread(base, col("vec_id")) else base)
       .withColumn("nn", expr("vec_dot(e, e)"))
   }
 
@@ -137,7 +145,9 @@ object Similarity {
     * corpus-wide sort. Output: (vec_id, bucket, round). */
   def diversitySample(embs: DataFrame, idCol: String, vecCol: String,
       n: Int, bandBits: Int, dims: Int, planeOffset: Int): DataFrame = {
-    val all = vecs(embs, idCol, vecCol)
+    // unspread: one cheap signature pass + window — an extra exchange
+    // costs more than it spreads (measured ~2x on the bench entry)
+    val all = vecs(embs, idCol, vecCol, spread = false)
     val bucketed = all.select(col("vec_id"),
       bandSignature(0, bandBits, dims, planeOffset).as("bucket"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
@@ -204,8 +214,15 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sym = pairs.unionByName(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // symmetrize by exploding each pair into both directions — a
+    // union(pairs, pairs.swapped) would evaluate the LSH bucket join
+    // TWICE, once per branch (same single-evaluation fix as
+    // Dedup.components)
+    val sym = pairs
+      .select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("_e"))
+      .select(col("_e.id_a").as("id_a"), col("_e.id_b").as("id_b"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     sym
@@ -238,12 +255,20 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val s = embs.sparkSession
     import s.implicits._
-    val all = vecs(embs, idCol, vecCol)
+    // fit on the UNSPREAD relation: the k-means|| fit depends on the
+    // input partitioning, and these cells feed rows-only entries whose
+    // recorded row counts must stay put. The per-row transform is
+    // deterministic given the model, so the assignment (and everything
+    // downstream) runs over the spread copy.
+    val all = vecs(embs, idCol, vecCol, spread = false)
       .withColumn("fv", array_to_vector(col("e")))
     val model = new KMeans().setK(cells).setSeed(42)
       .setMaxIter(5) // a coarse quantizer doesn't need convergence
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(all)
+    // transform stays unspread too: the per-row assignment is cheap
+    // relative to an extra exchange (measured — spreading here cost
+    // ann_ivf_topk ~1.3x), and the probe/candidate joins shuffle anyway
     val assigned = model.transform(all)
       .select(col("vec_id"), col("e"), col("nn"), col("cell"))
     val centersDf = model.clusterCenters.toSeq.zipWithIndex
@@ -545,7 +570,9 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val s = embs.sparkSession
     import s.implicits._
-    val all = vecs(embs, idCol, vecCol)
+    // UNSPREAD: the per-subspace KMeans fits below depend on the train
+    // sample's partitioning; the row-local encode pass spreads instead
+    val all = vecs(embs, idCol, vecCol, spread = false)
     val dims = all.select(size(col("e"))).head().getInt(0)
     require(dims % subspaces == 0,
       s"embedding dim $dims must divide into $subspaces subspaces")
@@ -591,7 +618,9 @@ object Similarity {
       })
       array_min(scored).getField("code").cast("int")
     }
-    val codes = all
+    // the encode is row-local and deterministic given the codebooks —
+    // spread it over the cores (no-op at real scan parallelism)
+    val codes = Skew.spread(all, col("vec_id"))
       .select(col("vec_id"),
         posexplode(array((0 until subspaces).map(codeExpr): _*)))
       .toDF("vec_id", "m", "code")

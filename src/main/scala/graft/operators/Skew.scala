@@ -54,6 +54,23 @@ object Skew {
       .drop("_bucket_n")
   }
 
+  /** Spread a low-partition-count input across the session's cores
+    * before an expression-heavy pipeline (MinHash md5 banks, shingle
+    * explosion, vec_dot fan-outs). A small/unsplittable input plans as
+    * ONE scan task, and every narrow operator downstream then runs on
+    * one core regardless of cluster size (guide §2.5 "input skew");
+    * hash-repartitioning on the stable id column fixes that
+    * deterministically (no round-robin, no rand()). Scale-adaptive by
+    * construction: an input already planned with >= defaultParallelism
+    * partitions — any real 100 TB scan — passes through untouched, so
+    * the extra shuffle exists only where the data is small enough for
+    * it to be trivially cheap. */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= p) df
+    else df.repartition(p, key)
+  }
+
   /** Top-k rows per key with a total-order tie-break — single shuffle on
     * the key, no global sort. */
   def topKPerKey(df: DataFrame, keys: Seq[Column], ordering: Seq[Column],

@@ -344,7 +344,9 @@ object MaterializedAgg {
       min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"),
       min(when(col("_retract") === 1, col(k))).as(s"_rlo_$k"),
       max(when(col("_retract") === 1, col(k))).as(s"_rhi_$k")))
-    val env = touched.agg(envAggs.head, envAggs.tail: _*).head()
+    val env = TxLog.described(spark, "mv-envelope") {
+      touched.agg(envAggs.head, envAggs.tail: _*).head()
+    }
     def bounds(lo: String, hi: String): Seq[(String, Any, Any)] =
       keys.flatMap { k =>
         (Option(env.getAs[Any](s"${lo}$k")), Option(env.getAs[Any](s"${hi}$k"))) match {

@@ -159,10 +159,15 @@ object Scd2 {
     val w = watermark(spark, scdDir)
     val head = TxLog.snapshot(spark, spec.source).version
     if (head <= w) return w
-    val feed = TxLog.changeFeed(spark, spec.source, w, Some(head))
-    applyDirectives(spark, scdDir, feedDirectives(spec, feed),
+    // the feed is consumed TWICE downstream (feedDirectives' upsert
+    // and delete branches) and its lineage is the span's diff legs —
+    // persist so the diff computes once per refresh, not once per
+    // branch (guide §5: reuse + expensive recompute)
+    val feed = TxLog.changeFeed(spark, spec.source, w, Some(head)).persist()
+    try applyDirectives(spark, scdDir, feedDirectives(spec, feed),
       "_scd2_del", "_scd2_seq", txn = Some((WatermarkApp, head)),
       mor = mor)
+    finally { feed.unpersist(); () }
     head
   }
 
@@ -268,11 +273,13 @@ object Scd2 {
       // commits, net-zero rewrites) must still advance the watermark
       // marker — metadata-only — or every later refresh re-reads the
       // same span; skip the history scan outright
-      if (d.isEmpty)
+      if (TxLog.described(spark, "scd2-feed-materialize")(d.isEmpty))
         return txn.fold(snap.version)(
           TxLog.commitTxnAdvance(spark, scdDir, _))
-      val dupSeq = d.groupBy((keys :+ "_scd2_seq").map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
+      val dupSeq = TxLog.described(spark, "scd2-dup-check") {
+        d.groupBy((keys :+ "_scd2_seq").map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+      }
       require(dupSeq == 0,
         s"Scd2: duplicate directive for one (${keys.mkString(", ")}, " +
           "seq) — at most one change per key per sequence value")
@@ -297,7 +304,9 @@ object Scd2 {
       try {
         val envAggs = keys.flatMap(k =>
           Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k")))
-        val env = firsts.agg(envAggs.head, envAggs.tail: _*).head()
+        val env = TxLog.described(spark, "scd2-envelope") {
+          firsts.agg(envAggs.head, envAggs.tail: _*).head()
+        }
         val bounds = keys.flatMap { k =>
           (Option(env.getAs[Any](s"_lo_$k")),
             Option(env.getAs[Any](s"_hi_$k"))) match {
@@ -314,10 +323,12 @@ object Scd2 {
           // append-forward guard over the touched keys' WHOLE history
           // sliver (current and closed): a directive at or before any
           // recorded valid_from would silently rewrite history
-          val stale = hist
-            .filter(col("_scd2_first") <= col(ValidFrom))
-            .select((keys.map(col) :+ col(ValidFrom) :+
-              col("_scd2_first")): _*).limit(1).collect()
+          val stale = TxLog.described(spark, "scd2-stale-check") {
+            hist
+              .filter(col("_scd2_first") <= col(ValidFrom))
+              .select((keys.map(col) :+ col(ValidFrom) :+
+                col("_scd2_first")): _*).limit(1).collect()
+          }
           require(stale.isEmpty, {
             val r = stale.head
             s"Scd2: out-of-order directive — key (${keys.zipWithIndex

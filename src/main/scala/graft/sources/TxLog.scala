@@ -63,6 +63,17 @@ object TxLog {
 
   val LogDir = "_graft_log"
 
+  /** Label the Spark jobs `f` launches (guide §1.5) so profilers and
+    * the UI attribute commit-machinery phases; restores the caller's
+    * description (thread-local) on exit. Zero data-path effect. */
+  private[graft] def described[A](spark: SparkSession, label: String)
+      (f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"txlog:$label")
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Write a full-state checkpoint every this-many commits. */
   val CheckpointInterval = 10
   /** Minimum age before [[vacuum]] may collect an orphaned dot-tmp
@@ -778,16 +789,20 @@ object TxLog {
       return stageBodyPartitioned(spark, dir, df, statsCols, stageDir,
         f, dtypes, partCols, sortWithinPhys, maxRecordsPerFile,
         valueTasks)
-    df.write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
+    described(spark, "stage-write") {
+      df.write.mode(SaveMode.Overwrite).parquet(stageDir.toString)
+    }
     val parts = f.listStatus(stageDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
     val byName: Map[String, (Long, Map[String, ColStats])] =
       if (parts.isEmpty) Map.empty
-      else spark.read.parquet(stageDir.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("n"), statAggExprs(statsCols, dtypes): _*)
-        .collect()
+      else described(spark, "stage-stats") {
+        spark.read.parquet(stageDir.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("n"), statAggExprs(statsCols, dtypes): _*)
+          .collect()
+      }
         .map { r =>
           r.getString(0).split('/').last ->
             (r.getLong(1), statsOfRow(r, statsCols, dtypes))
@@ -3160,10 +3175,11 @@ object TxLog {
     // tagged read: already-deleted (dv'd) rows can't re-touch a file,
     // and the file identity comes from `_metadata`, which survives
     // the dv anti-join (input_file_name would not)
-    val touched = readSnapshotTagged(spark, dir, snap.copy(files = cands))
-      .filter(pred)
-      .select(col(TagFile)).distinct().collect()
-      .map(_.getString(0))
+    val touched = described(spark, "touched-probe") {
+      readSnapshotTagged(spark, dir, snap.copy(files = cands))
+        .filter(pred)
+        .select(col(TagFile)).distinct().collect()
+    }.map(_.getString(0))
     touched.toSeq.sorted
   }
 
@@ -3509,9 +3525,11 @@ object TxLog {
 
   private[graft] def keyBoundsOf(src: DataFrame,
       keyCols: Seq[String]): Row =
-    src.select(keyCols.flatMap(k =>
-      Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
-      .head()
+    described(src.sparkSession, "key-envelope") {
+      src.select(keyCols.flatMap(k =>
+        Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))): _*)
+        .head()
+    }
 
   private def pruneByKeyBounds(spark: SparkSession, snap: TxSnapshot,
       files: Seq[TxFile], keyCols: Seq[String], keyBounds: Row)
@@ -4074,35 +4092,38 @@ object TxLog {
     // a no-op for the DATA — but a supplied marker still advances
     // (metadata-only), or the caller's watermark would never move
     // past the span and every later refresh would re-read it
-    if (src.isEmpty)
+    if (described(spark, "apply-empty-probe")(src.isEmpty))
       return txn.fold(snap.version)(commitTxnAdvance(spark, dir, _))
-    if (group) {
-      // several inserts per key are the point; a key that is BOTH
-      // deleted and inserted in one batch is still ambiguous
-      val mixed = src.groupBy(keyCols.map(col): _*)
-        .agg(countDistinct(col(deleteCol)).as("_graft_forms"))
-        .filter(col("_graft_forms") > 1).limit(1).count()
-      require(mixed == 0,
-        "TxLog: applyGroupChanges has both delete and insert " +
-          "directives for one key (ambiguous, refused) — a replaced " +
-          "group needs only its insert rows")
-    } else {
-      val dupKeys = src.groupBy(keyCols.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dupKeys == 0,
-        "TxLog: applyChanges has several directives for one key " +
-          "(ambiguous, refused) — collapse to the last change per key first")
+    described(spark, "apply-dup-check") {
+      if (group) {
+        // several inserts per key are the point; a key that is BOTH
+        // deleted and inserted in one batch is still ambiguous
+        val mixed = src.groupBy(keyCols.map(col): _*)
+          .agg(countDistinct(col(deleteCol)).as("_graft_forms"))
+          .filter(col("_graft_forms") > 1).limit(1).count()
+        require(mixed == 0,
+          "TxLog: applyGroupChanges has both delete and insert " +
+            "directives for one key (ambiguous, refused) — a replaced " +
+            "group needs only its insert rows")
+      } else {
+        val dupKeys = src.groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        require(dupKeys == 0,
+          "TxLog: applyChanges has several directives for one key " +
+            "(ambiguous, refused) — collapse to the last change per key first")
+      }
     }
 
     val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val touched: Seq[String] =
       if (cands.isEmpty) Nil
-      else readSnapshotTagged(spark, dir, snap.copy(files = cands))
-        .select((col(TagFile) +: keyCols.map(col)).toSeq: _*)
-        .join(srcKeys, keyCols, "left_semi")
-        .select(TagFile).distinct().collect()
-        .map(_.getString(0)).toSeq.sorted
+      else described(spark, "apply-touched-probe") {
+        readSnapshotTagged(spark, dir, snap.copy(files = cands))
+          .select((col(TagFile) +: keyCols.map(col)).toSeq: _*)
+          .join(srcKeys, keyCols, "left_semi")
+          .select(TagFile).distinct().collect()
+      }.map(_.getString(0)).toSeq.sorted
     val tSet = touched.toSet
     val keepFiles = snap.files.filter(f => tSet.contains(fileKey(snap, f)))
     val inserts = src.filter(!col(deleteCol))
@@ -5264,8 +5285,32 @@ object TxLog {
                 .drop(TagFile, TagIdx)
             }
           val post = readFiles(adds, v)
-          Seq(stamp(pre.exceptAll(post), "delete", v),
-            stamp(post.exceptAll(pre), "insert", v))
+          // both diff directions in ONE pass: Spark rewrites each
+          // exceptAll into union → count-aggregate → replicate, so the
+          // two legs separately would scan pre AND post twice and pay
+          // two aggregate shuffles. Tagging pre +1 / post −1 and
+          // aggregating once yields the identical multisets — rows
+          // with positive excess are pre-only copies (deletes),
+          // negative excess post-only copies (inserts) — at half the
+          // scans and half the shuffles (guide §2.3/§2.4). Grouping
+          // semantics (null-safe equality, NaN/-0.0 normalization)
+          // match exceptAll's by construction: ExceptAll lowers to the
+          // same Aggregate.
+          val cols = pre.columns.toSeq
+          val diff = pre.withColumn("_graft_w", lit(1L))
+            .unionByName(post.withColumn("_graft_w", lit(-1L)))
+            .groupBy(cols.map(col): _*)
+            .agg(sum(col("_graft_w")).as("_graft_d"))
+            .filter(col("_graft_d") =!= 0L)
+          Seq(diff
+            .select(cols.map(col) :+
+              when(col("_graft_d") > 0, lit("delete"))
+                .otherwise(lit("insert")).as("_change_type") :+
+              abs(col("_graft_d")).cast("int").as("_graft_copies"): _*)
+            .withColumn("_graft_rep",
+              explode(array_repeat(lit(true), col("_graft_copies"))))
+            .drop("_graft_copies", "_graft_rep")
+            .withColumn("_commit_version", lit(v)))
         case "delete-dv" | "update-dv" =>
           // deletes = the rows this commit's vectors cover BEYOND the
           // touched files' vectors at v−1 (pair-identity diff — both
