@@ -412,6 +412,58 @@ object Dedup {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
+    // SMALL-GRAPH fast path: below `spark.graft.components.localMaxEdges`
+    // distinct directed edges (default 2M ≈ 32 MB of longs — the same
+    // bounded-collect class as a broadcast hash relation), a driver
+    // union-find with min-root union answers in ONE collect instead of
+    // O(log diameter) join+checkpoint rounds of ~5 Spark jobs each.
+    // Result is identical by definition (component = min reachable id,
+    // exactly what min-root union-find computes); the distributed
+    // propagation below stays the path for integral graphs past the
+    // bound, for non-integral id types, and whenever the caller asked
+    // for per-round diagnostics (`onRound`).
+    val session = pairs.sparkSession
+    val localMax = session.conf
+      .get("spark.graft.components.localMaxEdges", "2000000").toLong
+    val integralIds = undirected.schema.fields.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (onRound.isEmpty && integralIds && localMax > 0 &&
+        undirected.count() <= localMax) {
+      val idType = undirected.schema.fields.head.dataType
+      val edgeRows = undirected
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edgeRows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // min-root union: the smaller id stays the root, so every
+        // node's final root IS its component's minimum id
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val out = parent.keySet().asScala.toSeq.sorted
+        .map(n => (n, find(n)))
+      release(undirected)
+      import session.implicits._
+      return out.toDF("node", "component")
+        .select(col("node").cast(idType).as("node"),
+          col("component").cast(idType).as("component"))
+    }
     var labels = undirected.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(true)

@@ -351,8 +351,10 @@ object TxQueries {
     }
     require(keptCounts.last._1.size <= 2,
       "an absent key should prune nearly everything")
-    val out = probes.map { v =>
-      BloomIndex.prunedRead(s, tbl, "doc_id", v)
+    // read from the kept lists already computed above — probing the
+    // index a second time per lookup doubled the plan-time jobs
+    val out = probes.zip(keptCounts).map { case (v, (kept, _)) =>
+      BloomIndex.readFiles(s, tbl, kept)
         .filter(col("doc_id") === v)
     }.reduce(_.unionByName(_))
     val rows = out.collect().toSeq

@@ -189,8 +189,19 @@ object BloomIndex {
     val dtypeRow = forCol.select("dtype").limit(1).collect()
     if (dtypeRow.isEmpty) return (live, live.size) // column not indexed
     val dt = dtypeRow.head.getString(0)
-    val hash = spark.range(1)
-      .select(xxhash64(lit(value).cast(dt))).head().getLong(0)
+    // hash the probe literal ON THE DRIVER — a spark.range(1) job for
+    // one xxhash64 of one value is a whole job of pure scheduling
+    // overhead per probe. Catalyst's Cast+XxHash64 eval'd against the
+    // empty row is the same expression the build side ran distributed.
+    val hash = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal,
+        XxHash64}
+      val casted = Cast(Literal(value),
+        org.apache.spark.sql.types.DataType.fromDDL(dt), Some("UTC"))
+      new XxHash64(Seq(casted))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+    }
     // distributed membership test over the file-count-sized index;
     // only surviving NAMES come back
     val verdicts = forCol
@@ -205,8 +216,15 @@ object BloomIndex {
     * might hold `colName = value`. The predicate is NOT applied —
     * callers filter as usual (exactness: no false negatives). */
   def prunedRead(spark: SparkSession, dir: String, colName: String,
-      value: Any): DataFrame = {
-    val (kept, _) = prunedFiles(spark, dir, colName, value)
+      value: Any): DataFrame =
+    readFiles(spark, dir, prunedFiles(spark, dir, colName, value)._1)
+
+  /** Read exactly `kept` files of the dataset — the second half of
+    * [[prunedRead]], exposed so a caller that already ran
+    * [[prunedFiles]] (e.g. to assert pruning) does not probe the
+    * index twice per lookup. */
+  def readFiles(spark: SparkSession, dir: String, kept: Seq[String])
+      : DataFrame = {
     val schema =
       if (TxLog.isLogged(spark, dir))
         org.apache.spark.sql.types.DataType

@@ -63,6 +63,17 @@ object TxLog {
 
   val LogDir = "_graft_log"
 
+  /** Exact row count of one parquet file from its FOOTER, read on the
+    * driver — corroborating one staged file must not cost a Spark job
+    * (~100 ms of scheduling for a metadata question). */
+  private def parquetFooterRows(spark: SparkSession,
+      p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   /** Label the Spark jobs `f` launches (guide §1.5) so profilers and
     * the UI attribute commit-machinery phases; restores the caller's
     * description (thread-local) on exit. Zero data-path effect. */
@@ -819,7 +830,10 @@ object TxLog {
       // footer read, miss path only.
       val (rows, stats) =
         byName.get(st.getPath.getName).getOrElse {
-          val n = spark.read.parquet(st.getPath.toString).count()
+          // corroborate from the FOOTER on the driver (one metadata
+          // read) — a Spark count() job here cost ~100 ms of pure
+          // scheduling per empty part file
+          val n = parquetFooterRows(spark, st.getPath)
           if (n != 0L) throw new IllegalStateException(
             s"TxLog: staged file ${st.getPath} holds $n rows but " +
               "matched no stats row — file-name keying drifted; " +
@@ -1109,8 +1123,9 @@ object TxLog {
       val (rows, stats) =
         byKey.get(rel.split('/').takeRight(depth).mkString("/"))
           .getOrElse {
-            val n = spark.read.schema(df.schema)
-              .parquet(st.getPath.toString).count()
+            // footer metadata on the driver — same corroboration,
+            // no per-file Spark job
+            val n = parquetFooterRows(spark, st.getPath)
             if (n != 0L) throw new IllegalStateException(
               s"TxLog: staged file ${st.getPath} holds $n rows but " +
                 "matched no stats row (relKey drift) — refusing to " +
@@ -4086,8 +4101,15 @@ object TxLog {
         s"missing or mistyped: ${missing.map(_.name).mkString(", ")}")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"TxLog: applyChanges key '$k' is not a table column"))
+    // the directive relation feeds FIVE actions below (empty probe,
+    // duplicate guard, key envelope, touched-file semi-join, the
+    // survivors write) — without a persist each one re-runs the
+    // caller's whole directive pipeline (for Scd2: the window over
+    // the span + the history closures). Touched-key-sized by the
+    // applyChanges contract, so caching it is bounded (guide §5).
     val src = changes.select((schema.fieldNames.map(col) :+
-      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*)
+      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*).persist()
+    try {
     // an empty directive batch (e.g. a compaction-only feed span) is
     // a no-op for the DATA — but a supplied marker still advances
     // (metadata-only), or the caller's watermark would never move
@@ -4145,6 +4167,7 @@ object TxLog {
       identityOut = if (snap.identity.isEmpty) None
         else Some(identityAfter(snap.identity, added, snap.phys)),
       expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
+    } finally { src.unpersist(); () }
   }
 
   /** Merge-on-read CDC APPLY: same directive semantics as
@@ -4182,8 +4205,12 @@ object TxLog {
         s"missing or mistyped: ${missing.map(_.name).mkString(", ")}")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"TxLog: applyChangesMor key '$k' is not a table column"))
+    // persisted for the same reason as applyCowChanges: the shape agg,
+    // dup guard, key envelope, matched semi-join and image staging all
+    // consume the (touched-key-sized) directive relation
     val src = changes.select((schema.fieldNames.map(col) :+
-      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*)
+      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*).persist()
+    try {
     // one directive-sized agg answers empty-batch, insert count (the
     // image staging is PARTITIONED BY IT below — a 1k-directive
     // follower batch must write one image file, not one per shuffle
@@ -4255,6 +4282,7 @@ object TxLog {
           throw e
         }
     }
+    } finally { src.unpersist(); () }
   }
 
   /** Exactly-once CDC-APPLY sink: materialize a FOLLOWER table from a

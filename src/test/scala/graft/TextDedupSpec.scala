@@ -179,10 +179,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
       7L -> 7L, 8L -> 7L, 9L -> 7L))
     // id type is preserved — string ids cluster by lexicographic min
+    // (and non-integral ids always take the distributed path)
     val strOut = graft.operators.Dedup.components(
       Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b"), "id_a", "id_b")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(strOut == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
+  test("components: driver union-find fast path equals the distributed" +
+      " propagation label for label") {
+    // deterministic pseudo-random graph: chains, a star, disjoint
+    // pairs and self-loops, with both long and sparse ids
+    val edges = (0 until 400).map { i =>
+      val a = (i * 2654435761L) % 1000
+      val b = (a + i % 7) % 1000
+      (a, b)
+    } ++ Seq((5000L, 1L), (5000L, 5001L), (9L, 9L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val fast = graft.operators.Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.components.localMaxEdges", "0")
+    val dist =
+      try graft.operators.Dedup.components(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.components.localMaxEdges")
+    assert(fast == dist)
   }
 
   test("components/dropNearDuplicates pin only their result blocks") {
@@ -193,13 +214,25 @@ class TextDedupSpec extends SparkSpec {
     val baseline = pinned
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 9L), (9L, 8L))
       .toDF("id_a", "id_b")
+    // small integral graphs take the round-21 driver union-find fast
+    // path: the labels come back as a LOCAL relation — nothing stays
+    // pinned at all (the undirected edge checkpoint was released)
     val out = graft.operators.Dedup.components(pairs, "id_a", "id_b")
-    // every superseded round + the undirected edge set were unpersisted;
-    // only the returned labels stay cached
-    assert(pinned == baseline + 1)
-    assert(out.count() == 8)
-    graft.operators.Dedup.release(out)
     assert(pinned == baseline)
+    assert(out.count() == 8)
+    graft.operators.Dedup.release(out) // no-op on the local result
+    assert(pinned == baseline)
+    // the DISTRIBUTED path (forced via the edge bound) keeps the old
+    // contract: every superseded round + the undirected edge set are
+    // unpersisted, only the returned labels stay cached
+    spark.conf.set("spark.graft.components.localMaxEdges", "0")
+    try {
+      val outDist = graft.operators.Dedup.components(pairs, "id_a", "id_b")
+      assert(pinned == baseline + 1)
+      assert(outDist.count() == 8)
+      graft.operators.Dedup.release(outDist)
+      assert(pinned == baseline)
+    } finally spark.conf.unset("spark.graft.components.localMaxEdges")
 
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
