@@ -36,9 +36,26 @@ object Explain {
     } else {
       val wanted =
         if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+      // SPARK_GRAFT_EXPLAIN_DIR: write each query's formatted plan to
+      // <dir>/<name><SPARK_GRAFT_EXPLAIN_SUFFIX>.txt instead of stdout
+      // (round-21 deliverable: committed before/after plan files)
+      val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+      val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "")
       wanted.foreach { name =>
-        println(s"\n========== $name ==========")
-        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        outDir match {
+          case Some(d) =>
+            val plan = SparkEntry.queries(name)(spark, sfDir)
+              .queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode
+                  .fromString("formatted"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$d/$name$suffix.txt"),
+              plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            println(s"wrote $d/$name$suffix.txt")
+          case None =>
+            println(s"\n========== $name ==========")
+            SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        }
       }
     }
     spark.stop()

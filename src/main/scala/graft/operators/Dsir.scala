@@ -72,9 +72,14 @@ object Dsir {
       s"DSIR id column '$idCol' must be an integral type, got " +
         s"${idType.simpleString}; hash string ids to long first " +
         "(e.g. xxhash64(id))")
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      Dedup.normalized(col(textCol)).as("_t"))
-      .filter(col("_t").isNotNull)
+    // md5 feature hashing is the expensive narrow op — spread a
+    // single-split input over the cores first (Skew.spread no-ops at
+    // real scan parallelism; bucket counts are partition-independent)
+    Skew.spread(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        Dedup.normalized(col(textCol)).as("_t"))
+        .filter(col("_t").isNotNull),
+      col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

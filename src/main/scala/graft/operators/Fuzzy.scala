@@ -35,9 +35,13 @@ object Fuzzy {
     * match. */
   def selfMatch(df: DataFrame, idCol: String, nameCol: String,
       maxBucket: Long = Dedup.DefaultMaxBucket): DataFrame = {
-    val base = df
-      .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
-      .filter(col("name").isNotNull && length(col("name")) >= 1)
+    // deletion-neighborhood explosion is the expensive narrow op —
+    // spread a single-split input first (no-op at real parallelism)
+    val base = Skew.spread(
+      df
+        .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
+        .filter(col("name").isNotNull && length(col("name")) >= 1),
+      col("id"))
     val variants = base.select(col("id"), col("name"), explode(expr(
         "array_union(array(name), transform(sequence(1, length(name)), " +
           "i -> concat(substring(name, 1, i - 1), " +

@@ -1999,15 +1999,15 @@ object TxLog {
       if (parts.exists(_.isEmpty)) None
       else Some(parts.map(_.get).mkString("\u0001"))
     }
-    // ZORDER purify keeps the single-sorted-task + rows-bound form:
-    // the per-value hash salt would scatter the sorted run across
-    // tasks — every file's min/max envelope then spans the whole
-    // key range and the clustering buys nothing. One task per value
-    // with maxRecordsPerFile cuts the SORTED stream into consecutive
-    // chunks: tight envelopes, the whole point of ZORDER BY.
-    // (Byte-sizing a zordered purify would need per-value range
-    // bucketing on the key — a quantile pass; rows stay the honest
-    // proxy there.)
+    // ZORDER purify keeps the ROWS-bound form (maxRecordsPerFile over
+    // the range-partitioned sorted stage — stageBodyPartitioned
+    // repartitionByRange's the clustering key, so parallel tasks still
+    // produce consecutive, tight-envelope chunks): the per-value hash
+    // salt of the byte path would scatter the sorted run across tasks
+    // — every file's min/max envelope then spans the whole key range
+    // and the clustering buys nothing. (Byte-sizing a zordered purify
+    // would need per-value range bucketing on the key — a quantile
+    // pass; rows stay the honest proxy there.)
     val (valueTasks, maxRec) =
       if (!doPurify || sortPhys.nonEmpty) (Map.empty[String, Int],
         if (!doPurify) None
