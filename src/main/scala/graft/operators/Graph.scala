@@ -174,6 +174,101 @@ object Graph {
       aggregate(arr, lit(0.0), (acc, x) => acc + x)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
+    // SMALL-GRAPH fast path (the [[Dedup.components]] union-find
+    // precedent — same bounded-collect class as a broadcast build):
+    // below `spark.graft.pagerank.localMaxEdges` edges (default 2M
+    // ≈ 32 MB of long pairs) the whole iteration runs on the driver.
+    // Every float reduction in the recipe is a FIXED-ORDER fold over
+    // explicitly sorted keys, so replaying the identical fold order in
+    // plain Scala doubles produces the identical bits — the point of
+    // the Det form — while replacing iters × (edge-join + broadcast +
+    // checkpoint) Spark jobs with ONE collect. Pinned bit-for-bit
+    // against the distributed path by GraphSpec; the distributed
+    // iteration below stays the path for graphs past the bound and
+    // for non-integral id types.
+    val session = edges.sparkSession
+    val localMax = session.conf
+      .get("spark.graft.pagerank.localMaxEdges", "2000000").toLong
+    val integralIds = e.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    })
+    if (integralIds && localMax > 0 && e.count() <= localMax) {
+      // node id type = what the distributed union of src/dst widens to
+      val idType = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .schema.head.dataType
+      val edgeArr = e.select(col("src").cast("long"),
+        col("dst").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      Dedup.release(e)
+      val outDeg = new java.util.HashMap[Long, Long]()
+      val nodeSet = new java.util.TreeSet[java.lang.Long]()
+      edgeArr.foreach { case (s, d) =>
+        outDeg.merge(s, 1L, _ + _)
+        nodeSet.add(s); nodeSet.add(d)
+      }
+      import scala.jdk.CollectionConverters._
+      val nodes = nodeSet.asScala.toArray.map(_.longValue)
+      val n = nodes.length.toDouble
+      var rank = new java.util.HashMap[Long, java.lang.Double]()
+      nodes.foreach(nd => rank.put(nd, 1.0 / n))
+      val teleport = (1.0 - damping) / n
+      var i = 0
+      while (i < iters) {
+        // contribs: per dst, fold rank(src)/out_degree(src) over the
+        // (src, c)-sorted in-edge list — array_sort(struct(src, c))'s
+        // order, summed left-to-right from 0.0
+        val inLists = new java.util.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+        edgeArr.foreach { case (s, d) =>
+          val c = rank.get(s) / outDeg.get(s)
+          inLists.computeIfAbsent(d,
+            _ => scala.collection.mutable.ArrayBuffer.empty)
+            .append((s, c))
+        }
+        val contrib = new java.util.HashMap[Long, java.lang.Double]()
+        inLists.forEach { (d, lst) =>
+          contrib.put(d, lst.sortBy(identity)
+            .foldLeft(0.0)((acc, x) => acc + x._2))
+        }
+        // dangling mass: the two-level bucketed fold — per
+        // pmod(node, buckets) bucket over node-sorted ranks, then
+        // across the bucket sums in bucket order
+        val bucketLists = new java.util.TreeMap[Long,
+          scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+        nodes.foreach { nd =>
+          if (!outDeg.containsKey(nd)) {
+            val k = danglingBuckets.toLong
+            val b = ((nd % k) + k) % k
+            bucketLists.computeIfAbsent(b,
+              _ => scala.collection.mutable.ArrayBuffer.empty)
+              .append((nd, rank.get(nd).doubleValue))
+          }
+        }
+        val bucketSums = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        bucketLists.forEach { (b, lst) =>
+          bucketSums.append(
+            (b, lst.sortBy(identity).foldLeft(0.0)((acc, x) => acc + x._2)))
+        }
+        val dangling = bucketSums.sortBy(identity)
+          .foldLeft(0.0)((acc, x) => acc + x._2)
+        val next = new java.util.HashMap[Long, java.lang.Double]()
+        nodes.foreach { nd =>
+          val c: Double =
+            if (contrib.containsKey(nd)) contrib.get(nd) else 0.0
+          next.put(nd, teleport + damping * (c + dangling / n))
+        }
+        rank = next
+        i += 1
+      }
+      import session.implicits._
+      return nodes.toSeq.map(nd => (nd, rank.get(nd).doubleValue))
+        .toDF("node", "pagerank")
+        .select(col("node").cast(idType).as("node"), col("pagerank"))
+    }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()

@@ -28,6 +28,21 @@ object Search {
   private def toks(textCol: Column): Column =
     split(lower(trim(textCol)), " ")
 
+  /** The (doc_id, text) scan all three retrieval pipelines tokenize,
+    * spread over the session's cores first ([[Skew.spread]], guide
+    * §2.5): a single-split corpus file would otherwise pin the
+    * tokenize/explode work — the expensive narrow op of every search
+    * query — to one core; at real scan parallelism the spread is a
+    * no-op. Tokenization stays ABOVE the exchange (only the narrow
+    * id+text columns shuffle), and the two aggregation branches of
+    * [[invertedIndex]]/[[tfidfTopK]] reuse the one spread exchange. */
+  private def spreadDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Skew.spread(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("_graft_text")),
+      col("doc_id"))
+
   /** term → (df, cf, head of the sorted postings list). `minDf` prunes
     * the hapax tail, `postingsCap` bounds row width AND aggregation
     * state: postings are ranked per term (`row_number` ordered by
@@ -46,9 +61,10 @@ object Search {
     * final join is co-partitioned. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 1L, postingsCap: Int = 64): DataFrame = {
-    def tf = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(toks(col(textCol))).as("term"))
+    val base = spreadDocs(docs, idCol, textCol)
+    def tf = base
+      .select(col("doc_id"),
+        explode(toks(col("_graft_text"))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val stats = tf.groupBy(col("term"))
@@ -97,8 +113,8 @@ object Search {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms,
       "queryTerms must be distinct (query tf is 1 per term)")
-    val base = docs.select(
-      col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("w"))
+    val base = spreadDocs(docs, idCol, textCol)
+      .select(col("doc_id"), toks(col("_graft_text")).as("w"))
     // terms bound as literals via the typed lambda API (never SQL text)
     val withTf = queryTerms.zipWithIndex.foldLeft(base) {
       case (df, (t, i)) =>
@@ -154,9 +170,8 @@ object Search {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val base = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      toks(col(textCol)).as("w"))
+    val base = spreadDocs(docs, idCol, textCol)
+      .select(col("doc_id"), toks(col("_graft_text")).as("w"))
     // terms are bound as LITERALS via the typed lambda API — caller
     // text (query terms are user data) never reaches SQL text, so a
     // quote/backslash in a term is just a token to match

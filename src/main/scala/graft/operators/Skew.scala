@@ -64,11 +64,30 @@ object Skew {
     * construction: an input already planned with >= defaultParallelism
     * partitions — any real 100 TB scan — passes through untouched, so
     * the extra shuffle exists only where the data is small enough for
-    * it to be trivially cheap. */
+    * it to be trivially cheap.
+    *
+    * SCAN-ROOTED INPUTS ONLY: the partition-count probe
+    * (`queryExecution.toRdd`) is free on a scan-rooted plan, but on a
+    * plan containing an exchange it would MATERIALIZE the upstream
+    * query stages under AQE during "planning" and throw that work away
+    * when the logical plan is re-planned with the repartition. Guarded:
+    * a plan with any shuffle-introducing operator below (aggregate,
+    * join, window, sort, repartition, …) passes through unchanged —
+    * post-shuffle parallelism is AQE's job, not this helper's. */
   def spread(df: DataFrame, key: Column): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions >= p) df
-    else df.repartition(p, key)
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val shuffleRooted = df.queryExecution.optimizedPlan.collectFirst {
+      case n @ (_: lp.Aggregate | _: lp.Join | _: lp.Window |
+                _: lp.Sort | _: lp.RepartitionOperation |
+                _: lp.Distinct | _: lp.Deduplicate |
+                _: lp.GlobalLimit) => n
+    }.isDefined
+    if (shuffleRooted) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.queryExecution.toRdd.getNumPartitions >= p) df
+      else df.repartition(p, key)
+    }
   }
 
   /** Top-k rows per key with a total-order tie-break — single shuffle on

@@ -575,6 +575,35 @@ class Round17Spec extends SparkSpec {
     assert(det2 == det, "pagerankDet must be bit-deterministic")
   }
 
+  test("pagerankDet driver fast path is bit-identical to the " +
+      "distributed iteration") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Graph
+    // mixed shape covering every fold: cycle, chain into a dangling
+    // sink, self-loop, DUPLICATE edge (out-degree 2 to one target),
+    // multiple dangling nodes spread across pmod buckets, and a
+    // negative id (pmod of a negative node must match Spark's)
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L, 4L -> 5L,
+      6L -> 6L, 7L -> 5L, 7L -> 5L, 8L -> 9L, -3L -> 1L, 2L -> 130L)
+      .toDF("src", "dst")
+    def bits(m: Map[Long, Double]): Map[Long, Long] =
+      m.map { case (k, v) => k -> java.lang.Double.doubleToLongBits(v) }
+    val fast = Graph.pagerankDet(e, "src", "dst", iters = 9,
+      danglingBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    s.conf.set("spark.graft.pagerank.localMaxEdges", "0")
+    val dist =
+      try Graph.pagerankDet(e, "src", "dst", iters = 9,
+        danglingBuckets = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      finally s.conf.unset("spark.graft.pagerank.localMaxEdges")
+    assert(fast.keySet == dist.keySet,
+      "fast path must emit exactly the distributed node set")
+    assert(bits(fast) == bits(dist),
+      "fast path must be BIT-identical to the distributed folds")
+  }
+
   // ---- seeded PQ (the oracle-hashable flat-PQ plan) ------------------
 
   test("seeded PQ with rerank >= corpus degenerates to exact L2 top-k") {
