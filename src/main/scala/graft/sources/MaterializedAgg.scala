@@ -243,16 +243,21 @@ object MaterializedAgg {
   private[graft] def applyFeed(spark: SparkSession, mvDir: String, spec: MvSpec,
       feed: DataFrame, endVersion: Long, mor: Boolean = false): Unit = {
     // Both relations are touched-key-sized but their LINEAGE is the
-    // span's row-level diff (exceptAll legs for DML commits) — and
-    // applyChanges drives several actions over the directives
-    // (duplicate guard, touched-file detection, the rewrite itself).
-    // Persist both so the feed diff and the view/source scans run
-    // ONCE per refresh, not once per action (measured 30× on
-    // StressMv's scattered-delete trickle before caching).
-    val touched = touchedDeltas(spec, feed).persist()
+    // span's row-level diff (one union + diff-aggregate pipeline per
+    // DML commit) — and applyChanges drives several actions over the
+    // directives (duplicate guard, touched-file detection, the
+    // rewrite itself). Materialize both ONCE with lineage truncated
+    // (TxLog.checkpointed; measured 30× recompute on StressMv's
+    // scattered-delete trickle before caching, and with a plain
+    // persist every action still re-planned the span-sized tree).
+    val touched = TxLog.described(spark, "mv-deltas-materialize") {
+      TxLog.checkpointed(touchedDeltas(spec, feed))
+    }
     try {
-      val directives =
-        directivesFor(spark, mvDir, spec, touched, endVersion).persist()
+      val directives = TxLog.described(spark, "mv-directives-materialize") {
+        TxLog.checkpointed(
+          directivesFor(spark, mvDir, spec, touched, endVersion))
+      }
       try {
         // mor = true retires replaced/dead view rows through deletion
         // vectors (TxLog.applyChangesMor) instead of rewriting the
@@ -268,8 +273,8 @@ object MaterializedAgg {
             "_mv_del", statsCols = spec.keys,
             txn = Some((WatermarkApp, endVersion)))
         ()
-      } finally { directives.unpersist(); () }
-    } finally { touched.unpersist(); () }
+      } finally TxLog.releaseCheckpoint(directives)
+    } finally TxLog.releaseCheckpoint(touched)
     ()
   }
 

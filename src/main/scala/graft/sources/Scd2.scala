@@ -161,13 +161,19 @@ object Scd2 {
     if (head <= w) return w
     // the feed is consumed TWICE downstream (feedDirectives' upsert
     // and delete branches) and its lineage is the span's diff legs —
-    // persist so the diff computes once per refresh, not once per
-    // branch (guide §5: reuse + expensive recompute)
-    val feed = TxLog.changeFeed(spark, spec.source, w, Some(head)).persist()
+    // one union + diff-aggregate pipeline PER DML COMMIT. Materialize
+    // it once with lineage truncated (TxLog.checkpointed): a persist
+    // alone left every downstream action re-planning the whole span
+    // tree, which dominated the refresh on multi-commit spans
+    // (guide §5 reuse + §3.3 plan-size truncation)
+    val feed = TxLog.described(spark, "scd2-feed-materialize") {
+      TxLog.checkpointed(TxLog.changeFeed(spark, spec.source, w,
+        Some(head)))
+    }
     try applyDirectives(spark, scdDir, feedDirectives(spec, feed),
       "_scd2_del", "_scd2_seq", txn = Some((WatermarkApp, head)),
       mor = mor)
-    finally { feed.unpersist(); () }
+    finally TxLog.releaseCheckpoint(feed)
     head
   }
 
@@ -264,16 +270,21 @@ object Scd2 {
       s"Scd2: directives lack column(s) ${missing.mkString(", ")}")
     val keys = spec.keys
 
-    val d = changes.select(payload.map(c =>
-      col(c).cast(scdT(c)).as(c)) ++ Seq(
-      col(seqCol).cast("long").as("_scd2_seq"),
-      col(deleteCol).cast("boolean").as("_scd2_del")): _*).persist()
+    // directive-sized, consumed by four actions (dup guard, window
+    // segments, per-key firsts, the apply batch) — materialize once,
+    // lineage truncated
+    val d = TxLog.described(spark, "scd2-directives-materialize") {
+      TxLog.checkpointed(changes.select(payload.map(c =>
+        col(c).cast(scdT(c)).as(c)) ++ Seq(
+        col(seqCol).cast("long").as("_scd2_seq"),
+        col(deleteCol).cast("boolean").as("_scd2_del")): _*))
+    }
     try {
       // a span that nets to zero directives (compaction-only source
       // commits, net-zero rewrites) must still advance the watermark
       // marker — metadata-only — or every later refresh re-reads the
       // same span; skip the history scan outright
-      if (TxLog.described(spark, "scd2-feed-materialize")(d.isEmpty))
+      if (d.isEmpty)
         return txn.fold(snap.version)(
           TxLog.commitTxnAdvance(spark, scdDir, _))
       val dupSeq = TxLog.described(spark, "scd2-dup-check") {
@@ -299,8 +310,8 @@ object Scd2 {
       // the key's first directive closes its standing current
       // segment; the same per-key aggregate carries the pruning
       // envelope in one driver-sized head()
-      val firsts = d.groupBy(keys.map(col): _*)
-        .agg(min(col("_scd2_seq")).as("_scd2_first")).persist()
+      val firsts = TxLog.checkpointed(d.groupBy(keys.map(col): _*)
+        .agg(min(col("_scd2_seq")).as("_scd2_first")))
       try {
         val envAggs = keys.flatMap(k =>
           Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k")))
@@ -314,11 +325,13 @@ object Scd2 {
             case _ => None
           }
         }
-        val hist =
+        // the touched keys' history sliver: consumed by the stale
+        // check and the closure batch — touched-key-sized
+        val hist = TxLog.checkpointed(
           (if (bounds.size == keys.size)
             TxLog.readPrunedAll(spark, scdDir, bounds)
           else TxLog.read(spark, scdDir))
-            .join(firsts, keys, "inner").persist()
+            .join(firsts, keys, "inner"))
         try {
           // append-forward guard over the touched keys' WHOLE history
           // sliver (current and closed): a directive at or before any
@@ -353,9 +366,9 @@ object Scd2 {
             TxLog.applyChanges(spark, scdDir, batch,
               keys :+ ValidFrom, "_scd2_batch_del",
               statsCols = keys :+ ValidFrom, txn = txn)
-        } finally { hist.unpersist(); () }
-      } finally { firsts.unpersist(); () }
-    } finally { d.unpersist(); () }
+        } finally TxLog.releaseCheckpoint(hist)
+      } finally TxLog.releaseCheckpoint(firsts)
+    } finally TxLog.releaseCheckpoint(d)
   }
 
   /** The current row state — the type-1 view of the history. */

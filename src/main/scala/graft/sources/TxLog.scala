@@ -74,6 +74,30 @@ object TxLog {
     try r.getRecordCount finally r.close()
   }
 
+  /** Materialize a bounded, multiply-consumed relation ONCE and
+    * TRUNCATE its lineage (eager localCheckpoint). The DML surfaces
+    * drive several actions over their directive/source relations;
+    * `.persist()` alone makes re-EXECUTION cheap but every action
+    * still re-PLANS the full analyzed tree — for a change-feed span
+    * (one diff pipeline per DML commit, referenced by several
+    * branches) that tree reaches hundreds of exchanges and the
+    * per-action planning cost dwarfs the data (guide §3.3:
+    * materialize to truncate very large plans). After the checkpoint
+    * every consumer plans against one flat LogicalRDD. Blocks must be
+    * freed with [[releaseCheckpoint]] once consumed — the
+    * ContextCleaner only gets to them at some later GC. */
+  private[sources] def checkpointed(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  /** Free the executor storage behind [[checkpointed]] (the
+    * [[graft.operators.Dedup.release]] recipe): unpersist every
+    * LogicalRDD leaf in the plan. After release the DataFrame is not
+    * recomputable — call only once every consumer is done. */
+  private[sources] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Label the Spark jobs `f` launches (guide §1.5) so profilers and
     * the UI attribute commit-machinery phases; restores the caller's
     * description (thread-local) on exit. Zero data-path effect. */
@@ -3599,7 +3623,14 @@ object TxLog {
         s"mistyped: ${missing.map(_.name).mkString(", ")}")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"TxLog: merge key '$k' is not a table column"))
-    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+    // the source feeds FIVE actions (duplicate guard, key envelope,
+    // touched-file semi-join, survivors write, constraint check) —
+    // materialize it once with lineage truncated (Delta's
+    // materialize-source precedent; batch-sized by the keyed-upsert
+    // contract)
+    val src = checkpointed(
+      source.select(schema.fieldNames.map(col).toSeq: _*))
+    try {
     enforceGenerated(snap, src)
     val dupKeys = src.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
@@ -3651,6 +3682,7 @@ object TxLog {
         else Some(identityAfter(snap.identity, added, snap.phys)),
       expectIdentity = snap.identity.map { case (c, s) => c -> s.high },
       conflictIfAdded = Some(mergeGuard))
+    } finally releaseCheckpoint(src)
   }
 
   /** CDC APPLY (the Delta-DLT `APPLY CHANGES INTO` shape): one
@@ -3846,6 +3878,12 @@ object TxLog {
           "identity values must be explicit in MERGE)")
     }
 
+    // the source feeds up to five actions below (envelope agg,
+    // cardinality stats, NMBS probe, firing pairs, inserts) —
+    // materialize it once with lineage truncated (Delta's
+    // materialize-source precedent)
+    val srcData = checkpointed(source)
+    try {
     // candidate files: the source envelope on every `t.c = s-expr`
     // equality conjunct prunes from commit metadata — unless NOT
     // MATCHED BY SOURCE is present, which reads every row by meaning
@@ -3861,7 +3899,7 @@ object TxLog {
       else {
         val aggs = eqPairs.zipWithIndex.flatMap { case ((_, e), i) =>
           Seq(min(e).as(s"_lo$i"), max(e).as(s"_hi$i")) }
-        val row = source.alias("s").agg(aggs.head, aggs.tail: _*).head()
+        val row = srcData.alias("s").agg(aggs.head, aggs.tail: _*).head()
         val preds = eqPairs.zipWithIndex.flatMap { case ((c, _), i) =>
           val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
           if (lo == null || hi == null) Nil
@@ -3882,7 +3920,7 @@ object TxLog {
         when(c.getOrElse(lit(true)), lit(i)).otherwise(rest)
       }
 
-    val srcMarked = source.alias("s")
+    val srcMarked = srcData.alias("s")
     val tgtCands = readSnapshotTagged(spark, dir,
       snap.copy(files = cands)).alias("t")
 
@@ -4061,6 +4099,7 @@ object TxLog {
           expectIdentity = snap.identity.map { case (c, s) => c -> s.high },
           conflictIfAdded = Some(addedGuard))
     }
+    } finally releaseCheckpoint(srcData)
   }
 
   /** [[applyChanges]] with GROUP semantics: the target may hold — and
@@ -4103,12 +4142,14 @@ object TxLog {
       s"TxLog: applyChanges key '$k' is not a table column"))
     // the directive relation feeds FIVE actions below (empty probe,
     // duplicate guard, key envelope, touched-file semi-join, the
-    // survivors write) — without a persist each one re-runs the
-    // caller's whole directive pipeline (for Scd2: the window over
-    // the span + the history closures). Touched-key-sized by the
-    // applyChanges contract, so caching it is bounded (guide §5).
-    val src = changes.select((schema.fieldNames.map(col) :+
-      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*).persist()
+    // survivors write) — materialized ONCE with lineage truncated
+    // ([[checkpointed]]): a persist alone leaves every action
+    // re-planning the caller's whole directive tree (for Scd2: the
+    // span's change-feed diff legs + the history closures — hundreds
+    // of plan nodes per action). Touched-key-sized by the
+    // applyChanges contract, so materializing is bounded (guide §5).
+    val src = checkpointed(changes.select((schema.fieldNames.map(col) :+
+      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*))
     try {
     // an empty directive batch (e.g. a compaction-only feed span) is
     // a no-op for the DATA — but a supplied marker still advances
@@ -4167,7 +4208,7 @@ object TxLog {
       identityOut = if (snap.identity.isEmpty) None
         else Some(identityAfter(snap.identity, added, snap.phys)),
       expectIdentity = snap.identity.map { case (c, s) => c -> s.high })
-    } finally { src.unpersist(); () }
+    } finally releaseCheckpoint(src)
   }
 
   /** Merge-on-read CDC APPLY: same directive semantics as
@@ -4205,11 +4246,12 @@ object TxLog {
         s"missing or mistyped: ${missing.map(_.name).mkString(", ")}")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"TxLog: applyChangesMor key '$k' is not a table column"))
-    // persisted for the same reason as applyCowChanges: the shape agg,
-    // dup guard, key envelope, matched semi-join and image staging all
-    // consume the (touched-key-sized) directive relation
-    val src = changes.select((schema.fieldNames.map(col) :+
-      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*).persist()
+    // materialized once, lineage truncated, for the same reason as
+    // applyCowChanges: the shape agg, dup guard, key envelope, matched
+    // semi-join and image staging all consume (and would otherwise
+    // each re-plan) the touched-key-sized directive relation
+    val src = checkpointed(changes.select((schema.fieldNames.map(col) :+
+      col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*))
     try {
     // one directive-sized agg answers empty-batch, insert count (the
     // image staging is PARTITIONED BY IT below — a 1k-directive
@@ -4282,7 +4324,7 @@ object TxLog {
           throw e
         }
     }
-    } finally { src.unpersist(); () }
+    } finally releaseCheckpoint(src)
   }
 
   /** Exactly-once CDC-APPLY sink: materialize a FOLLOWER table from a
