@@ -28,14 +28,18 @@ object Search {
   private def toks(textCol: Column): Column =
     split(lower(trim(textCol)), " ")
 
-  /** The (doc_id, text) scan all three retrieval pipelines tokenize,
-    * spread over the session's cores first ([[Skew.spread]], guide
-    * §2.5): a single-split corpus file would otherwise pin the
-    * tokenize/explode work — the expensive narrow op of every search
-    * query — to one core; at real scan parallelism the spread is a
-    * no-op. Tokenization stays ABOVE the exchange (only the narrow
-    * id+text columns shuffle), and the two aggregation branches of
-    * [[invertedIndex]]/[[tfidfTopK]] reuse the one spread exchange. */
+  /** The (doc_id, text) scan [[bm25TopK]] tokenizes, spread over the
+    * session's cores first ([[Skew.spread]], guide §2.5): a
+    * single-split corpus file would otherwise pin the per-doc
+    * tokenize + term-count projections — bm25's only expensive narrow
+    * op, with no downstream shuffle to re-parallelize them — to one
+    * core; at real scan parallelism the spread is a no-op.
+    * Tokenization stays ABOVE the exchange (only the narrow id+text
+    * columns shuffle). Deliberately NOT applied to
+    * [[invertedIndex]]/[[tfidfTopK]]: their explode branches fork the
+    * input TWICE and the doubled spread exchange measured SLOWER than
+    * the single-split scan they spread (full-bench pair: search_index
+    * 0.98 → 1.34 s, search_tfidf 1.20 → 1.45 s — reverted). */
   private def spreadDocs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     Skew.spread(
@@ -61,10 +65,9 @@ object Search {
     * final join is co-partitioned. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 1L, postingsCap: Int = 64): DataFrame = {
-    val base = spreadDocs(docs, idCol, textCol)
-    def tf = base
-      .select(col("doc_id"),
-        explode(toks(col("_graft_text"))).as("term"))
+    def tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val stats = tf.groupBy(col("term"))
@@ -113,8 +116,8 @@ object Search {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms,
       "queryTerms must be distinct (query tf is 1 per term)")
-    val base = spreadDocs(docs, idCol, textCol)
-      .select(col("doc_id"), toks(col("_graft_text")).as("w"))
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("w"))
     // terms bound as literals via the typed lambda API (never SQL text)
     val withTf = queryTerms.zipWithIndex.foldLeft(base) {
       case (df, (t, i)) =>

@@ -287,14 +287,6 @@ object Scd2 {
       if (d.isEmpty)
         return txn.fold(snap.version)(
           TxLog.commitTxnAdvance(spark, scdDir, _))
-      val dupSeq = TxLog.described(spark, "scd2-dup-check") {
-        d.groupBy((keys :+ "_scd2_seq").map(col): _*)
-          .count().filter(col("count") > 1).limit(1).count()
-      }
-      require(dupSeq == 0,
-        s"Scd2: duplicate directive for one (${keys.mkString(", ")}, " +
-          "seq) — at most one change per key per sequence value")
-
       // per key, version order decides the segments in one window
       // over the DIRECTIVE relation: each upsert opens a segment,
       // closed by the key's next directive (delete or upsert)
@@ -307,12 +299,22 @@ object Scd2 {
           col("_scd2_next").as(ValidTo),
           col("_scd2_next").isNull.as(IsCurrent)): _*)
 
-      // the key's first directive closes its standing current
-      // segment; the same per-key aggregate carries the pruning
-      // envelope in one driver-sized head()
+      // ONE per-key aggregate carries the first directive version
+      // (closes the standing current segment), the duplicate-(key,
+      // seq) ambiguity guard, and the pruning envelope — formerly a
+      // separate directive-sized dup-check action (guide §1.2)
       val firsts = TxLog.checkpointed(d.groupBy(keys.map(col): _*)
-        .agg(min(col("_scd2_seq")).as("_scd2_first")))
+        .agg(min(col("_scd2_seq")).as("_scd2_first"),
+          count(lit(1)).as("_scd2_n"),
+          countDistinct(col("_scd2_seq")).as("_scd2_nseq")))
       try {
+        val dupSeq = TxLog.described(spark, "scd2-dup-check") {
+          firsts.filter(col("_scd2_n") > col("_scd2_nseq"))
+            .limit(1).count()
+        }
+        require(dupSeq == 0,
+          s"Scd2: duplicate directive for one (${keys.mkString(", ")}, " +
+            "seq) — at most one change per key per sequence value")
         val envAggs = keys.flatMap(k =>
           Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k")))
         val env = TxLog.described(spark, "scd2-envelope") {
@@ -331,7 +333,8 @@ object Scd2 {
           (if (bounds.size == keys.size)
             TxLog.readPrunedAll(spark, scdDir, bounds)
           else TxLog.read(spark, scdDir))
-            .join(firsts, keys, "inner"))
+            .join(firsts.select((keys :+ "_scd2_first").map(col): _*),
+              keys, "inner"))
         try {
           // append-forward guard over the touched keys' WHOLE history
           // sliver (current and closed): a directive at or before any

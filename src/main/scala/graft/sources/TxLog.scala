@@ -3557,11 +3557,6 @@ object TxLog {
     * bounds intersect the source's key envelope — one tiny agg over
     * the (directive-sized) source, no table scan. Shared by [[merge]]
     * / [[applyChanges]] / [[applyChangesMor]]. */
-  private def pruneByKeyEnvelope(spark: SparkSession, snap: TxSnapshot,
-      src: DataFrame, keyCols: Seq[String]): Seq[TxFile] =
-    pruneByKeyBounds(spark, snap, snap.files, keyCols,
-      keyBoundsOf(src, keyCols))
-
   private[graft] def keyBoundsOf(src: DataFrame,
       keyCols: Seq[String]): Row =
     described(src.sparkSession, "key-envelope") {
@@ -4151,33 +4146,43 @@ object TxLog {
     val src = checkpointed(changes.select((schema.fieldNames.map(col) :+
       col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*))
     try {
+    // ONE directive-sized pass answers every metadata question the
+    // apply needs — empty-batch, the per-key ambiguity guard, and the
+    // key envelope that stats-prunes the candidate files — where
+    // three separate actions (isEmpty probe, dup-check aggregate,
+    // envelope aggregate) each re-scanned the directives (guide §1.2:
+    // don't compute things twice)
+    val shape = described(spark, "apply-shape") {
+      val aggs = Seq(count(lit(1)).as("_graft_nkeys"),
+        max(col("_graft_n")).as("_graft_maxn"),
+        max(col("_graft_forms")).as("_graft_maxforms")) ++
+        keyCols.flatMap(k =>
+          Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k")))
+      src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_graft_n"),
+          countDistinct(col(deleteCol)).as("_graft_forms"))
+        .agg(aggs.head, aggs.tail: _*)
+        .head()
+    }
     // an empty directive batch (e.g. a compaction-only feed span) is
     // a no-op for the DATA — but a supplied marker still advances
     // (metadata-only), or the caller's watermark would never move
     // past the span and every later refresh would re-read it
-    if (described(spark, "apply-empty-probe")(src.isEmpty))
+    if (shape.getAs[Long]("_graft_nkeys") == 0L)
       return txn.fold(snap.version)(commitTxnAdvance(spark, dir, _))
-    described(spark, "apply-dup-check") {
-      if (group) {
-        // several inserts per key are the point; a key that is BOTH
-        // deleted and inserted in one batch is still ambiguous
-        val mixed = src.groupBy(keyCols.map(col): _*)
-          .agg(countDistinct(col(deleteCol)).as("_graft_forms"))
-          .filter(col("_graft_forms") > 1).limit(1).count()
-        require(mixed == 0,
-          "TxLog: applyGroupChanges has both delete and insert " +
-            "directives for one key (ambiguous, refused) — a replaced " +
-            "group needs only its insert rows")
-      } else {
-        val dupKeys = src.groupBy(keyCols.map(col): _*)
-          .count().filter(col("count") > 1).limit(1).count()
-        require(dupKeys == 0,
-          "TxLog: applyChanges has several directives for one key " +
-            "(ambiguous, refused) — collapse to the last change per key first")
-      }
-    }
+    if (group)
+      // several inserts per key are the point; a key that is BOTH
+      // deleted and inserted in one batch is still ambiguous
+      require(shape.getAs[Long]("_graft_maxforms") <= 1L,
+        "TxLog: applyGroupChanges has both delete and insert " +
+          "directives for one key (ambiguous, refused) — a replaced " +
+          "group needs only its insert rows")
+    else
+      require(shape.getAs[Long]("_graft_maxn") <= 1L,
+        "TxLog: applyChanges has several directives for one key " +
+          "(ambiguous, refused) — collapse to the last change per key first")
 
-    val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
+    val cands = pruneByKeyBounds(spark, snap, snap.files, keyCols, shape)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val touched: Seq[String] =
       if (cands.isEmpty) Nil
@@ -4253,23 +4258,32 @@ object TxLog {
     val src = checkpointed(changes.select((schema.fieldNames.map(col) :+
       col(deleteCol).cast("boolean").as(deleteCol)).toSeq: _*))
     try {
-    // one directive-sized agg answers empty-batch, insert count (the
+    // one directive-sized pass answers empty-batch, insert count (the
     // image staging is PARTITIONED BY IT below — a 1k-directive
     // follower batch must write one image file, not one per shuffle
     // partition, or continuous trickle batches become small-files
-    // debt) and the ambiguity check
-    val shape = src.agg(count(lit(1)).as("n"),
-      sum(when(col(deleteCol), 0L).otherwise(1L)).as("nIns")).head()
-    if (shape.getAs[Long]("n") == 0L)
+    // debt), the ambiguity check, AND the key envelope that
+    // stats-prunes the candidates (formerly three separate actions)
+    val shape = described(spark, "apply-shape") {
+      val aggs = Seq(count(lit(1)).as("_graft_nkeys"),
+        max(col("_graft_n")).as("_graft_maxn"),
+        sum(col("_graft_ins")).as("nIns")) ++
+        keyCols.flatMap(k =>
+          Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k")))
+      src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_graft_n"),
+          sum(when(col(deleteCol), 0L).otherwise(1L)).as("_graft_ins"))
+        .agg(aggs.head, aggs.tail: _*)
+        .head()
+    }
+    if (shape.getAs[Long]("_graft_nkeys") == 0L)
       return txn.fold(snap.version)(commitTxnAdvance(spark, dir, _))
     val nIns = Option(shape.getAs[Long]("nIns")).getOrElse(0L)
-    val dupKeys = src.groupBy(keyCols.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
+    require(shape.getAs[Long]("_graft_maxn") <= 1L,
       "TxLog: applyChangesMor has several directives for one key " +
         "(ambiguous, refused) — collapse to the last change per key first")
 
-    val cands = pruneByKeyEnvelope(spark, snap, src, keyCols)
+    val cands = pruneByKeyBounds(spark, snap, snap.files, keyCols, shape)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val imageParts = math.min(32L, nIns / ImageFileRows + 1).toInt
     val inserts = src.filter(!col(deleteCol))
