@@ -306,10 +306,17 @@ object Scd2 {
       val firsts = TxLog.checkpointed(d.groupBy(keys.map(col): _*)
         .agg(min(col("_scd2_seq")).as("_scd2_first"),
           count(lit(1)).as("_scd2_n"),
-          countDistinct(col("_scd2_seq")).as("_scd2_nseq")))
+          countDistinct(col("_scd2_seq")).as("_scd2_nseq"),
+          sum(when(col("_scd2_seq").isNull, 1L).otherwise(0L))
+            .as("_scd2_nullseq")))
       try {
+        // dup iff a key holds more directives than distinct seq
+        // values — countDistinct skips nulls, so a null-seq group
+        // counts as one extra distinct value (exactly the old
+        // per-(key, seq) groupBy's null-group semantics)
         val dupSeq = TxLog.described(spark, "scd2-dup-check") {
-          firsts.filter(col("_scd2_n") > col("_scd2_nseq"))
+          firsts.filter(col("_scd2_n") > col("_scd2_nseq") +
+            when(col("_scd2_nullseq") > 0L, 1L).otherwise(0L))
             .limit(1).count()
         }
         require(dupSeq == 0,
